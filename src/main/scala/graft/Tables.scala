@@ -1,0 +1,57 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + a per-(session, key) cache for inputs shared by many
+  * queries.
+  *
+  * Scale notes (100 TB design): caching here is a single-node bench tactic
+  * for small shared dimension/fixture inputs; the operators themselves never
+  * rely on it for correctness. On a real cluster you would cache only
+  * broadcast-sized inputs and let the parquet scan + pushdown do the rest.
+  */
+object Tables {
+  val Names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The harness builds sessions without custom SQL confs (Verify/Bench);
+    * anything a query needs must be set at runtime here. All are
+    * runtime-settable (verified).
+    */
+  def ensureConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries timestamp[ns]; Spark 4.x refuses it unless read
+    // as raw nanos (bigint). Bridge to DuckDB micros: ts div 1000.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureConfs(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // -- shared-input cache -------------------------------------------------
+  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Cache an arbitrary derived DataFrame under a per-session key. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), key),
+      _ => build.cache())
+
+  /** Cached raw table (used for inputs read by many declared queries). */
+  def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    cached(spark, s"$dir/$name")(table(spark, dir, name))
+
+  /** events with `ts_us`: microsecond bigint timestamp, the canonical
+    * cross-engine time column (Spark `ts div 1000` == DuckDB `epoch_us(ts)`).
+    * Integer division — a double division would lose precision at 1.7e18 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"$dir/events+ts_us") {
+      table(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Options for [[Differ]].
+  *
+  * @param statusCol   name of the emitted status column (N/C/I/D)
+  * @param leftPrefix  prefix for left-side value columns in the output
+  * @param rightPrefix prefix for right-side value columns in the output
+  * @param absTol      absolute numeric tolerance; 0 = exact (null-safe `<=>`)
+  * @param tolCols     columns the tolerance applies to; empty = all numeric
+  *                    columns when absTol > 0
+  */
+final case class DiffOptions(
+    statusCol: String = "diff_status",
+    leftPrefix: String = "left_",
+    rightPrefix: String = "right_",
+    absTol: Double = 0.0,
+    tolCols: Set[String] = Set.empty)
+
+/** Schema-generic, null-safe DataFrame diff — the core capability of the
+  * reference (a PySpark dataframe-diff utility; capability surface per
+  * SURVEY.md §1–2, reference mount empty this round).
+  *
+  * Semantics: row identity is the user-supplied key column list; every other
+  * column shared by both sides is a "value column" compared null-safely
+  * (`<=>`, so null==null, and NaN==NaN per Spark semantics). Each row of the
+  * full outer join is tagged:
+  *   - `N` unchanged, `C` changed (>=1 value column differs),
+  *   - `I` inserted (key only in right), `D` deleted (key only in left).
+  *
+  * Scale design (100 TB): value columns are pruned to the shared set before
+  * the join; the only shuffle is the full-outer equi-join keyed on the key
+  * columns (AQE handles skewed keys). Status + comparisons are codegen'd
+  * expressions — no UDFs. For the two-phase "hash first, move only changed
+  * rows" variant see [[Differ.rowHash]].
+  */
+object Differ {
+
+  private val LP = "__graft_l_present"
+  private val RP = "__graft_r_present"
+
+  /** Value columns = shared by both sides, minus keys, in left's order. */
+  def valueCols(left: DataFrame, right: DataFrame, keys: Seq[String]): Seq[String] = {
+    val rightCols = right.columns.toSet
+    left.columns.toSeq.filterNot(keys.contains).filter(rightCols.contains)
+  }
+
+  private def numeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Null-safe per-column equality, with optional absolute tolerance for
+    * numeric columns.
+    */
+  private def colEqual(l: Column, r: Column, dt: DataType, opts: DiffOptions, name: String): Column = {
+    val useTol = opts.absTol > 0.0 && numeric(dt) &&
+      (opts.tolCols.isEmpty || opts.tolCols.contains(name))
+    if (useTol)
+      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull && abs(l - r) <= lit(opts.absTol))
+    else l <=> r
+  }
+
+  /** Full diff: one output row per key in either side, with
+    * `diff_status`, the (coalesced) key columns, and
+    * `left_<c>` / `right_<c>` for every value column.
+    */
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
+           opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys)
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Prune to keys + shared value columns before the join (column pruning
+    // for the wide scan) and add presence markers so null keys still get
+    // correct I/D tagging.
+    val l = left.select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col) :+ lit(true).as(RP): _*).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = l.join(r, joinCond, "full_outer")
+
+    val allEqual = vcols
+      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val status = when(col(LP).isNull, lit("I"))
+      .when(col(RP).isNull, lit("D"))
+      .when(!allEqual, lit("C"))
+      .otherwise(lit("N"))
+      .as(opts.statusCol)
+
+    val keyOut = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val valOut = vcols.flatMap { c =>
+      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+    }
+    joined.select(status +: (keyOut ++ valOut): _*)
+  }
+
+  /** Headline report: row counts per diff status. */
+  def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
+              opts: DiffOptions = DiffOptions()): DataFrame =
+    diff(left, right, keys, opts)
+      .groupBy(opts.statusCol)
+      .agg(count(lit(1)).as("n"))
+
+  /** Rows whose key exists only in left ("deleted"). Direct anti-join — at
+    * scale this never materializes the matched majority.
+    */
+  def onlyInLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Rows whose key exists only in right ("inserted"). */
+  def onlyInRight(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    right.join(left.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Key-matched rows with >=1 differing value column. */
+  def changed(left: DataFrame, right: DataFrame, keys: Seq[String],
+              opts: DiffOptions = DiffOptions()): DataFrame =
+    diff(left, right, keys, opts)
+      .filter(col(opts.statusCol) === "C")
+      .drop(opts.statusCol)
+
+  /** Key-matched rows with all value columns equal. */
+  def unchanged(left: DataFrame, right: DataFrame, keys: Seq[String],
+                opts: DiffOptions = DiffOptions()): DataFrame =
+    diff(left, right, keys, opts)
+      .filter(col(opts.statusCol) === "N")
+      .drop(opts.statusCol)
+
+  /** Per value-column count of differing key-matched rows — one aggregation
+    * pass over the joined pairs (no per-column jobs), then unpivoted to
+    * (column_name, n_diff).
+    */
+  def columnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys)
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = l.join(r, joinCond, "inner")
+    val aggs = vcols.map { c =>
+      sum(when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), 1L).otherwise(0L)).as(c)
+    }
+    val wide = joined.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = vcols.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr(s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)")
+  }
+
+  /** Canonical whole-row fingerprint for key-less bag diff, and the building
+    * block of the two-phase 100 TB diff (compare 32-byte hashes first; join
+    * full rows only for the differing subset).
+    *
+    * Canonical string rules (must match the DuckDB oracle bit-for-bit):
+    * ints/strings as-is, doubles via DECIMAL(18,2), timestamps via epoch
+    * micros, nulls as U+2400, fields joined on U+001F.
+    */
+  /** Metadata-level schema comparison: columns added / removed / retyped.
+    * Driver-side only (schemas are tiny); emitted as a small DataFrame so it
+    * composes with the rest of the API.
+    */
+  def schemaDiff(spark: org.apache.spark.sql.SparkSession,
+                 left: DataFrame, right: DataFrame): DataFrame = {
+    val lt = left.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rt = right.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val names = (left.schema.fieldNames ++ right.schema.fieldNames).distinct.toSeq
+    val rows = names.map { n =>
+      val status = (lt.get(n), rt.get(n)) match {
+        case (Some(a), Some(b)) if a == b => "same"
+        case (Some(_), Some(_))           => "type_changed"
+        case (Some(_), None)              => "removed"
+        case (None, Some(_))              => "added"
+        case (None, None)                 => "impossible"
+      }
+      (n, lt.getOrElse(n, null), rt.getOrElse(n, null), status)
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "left_type", "right_type", "status")
+  }
+
+  def rowHash(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = cols.map { c =>
+      val dt = df.schema(c).dataType
+      val s = dt match {
+        case DoubleType | FloatType => col(c).cast(DecimalType(18, 2)).cast(StringType)
+        case TimestampNTZType       => unix_micros(col(c).cast(TimestampType)).cast(StringType)
+        case TimestampType          => unix_micros(col(c)).cast(StringType)
+        case _                      => col(c).cast(StringType)
+      }
+      coalesce(s, lit("␀"))
+    }
+    df.select(sha2(concat_ws("\u001f", parts: _*), 256).as("row_sha"))
+  }
+}

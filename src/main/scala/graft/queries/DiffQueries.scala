@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.operators.{DiffOptions, Differ}
+
+/** §2.A diff core — the reference's own capability surface, exercised on a
+  * deterministic left/right pair derived from `orders` so the DuckDB oracle
+  * can reconstruct the identical inputs in SQL.
+  *
+  * Fixture (see FIXTURES.md):
+  *   left  = orders
+  *   right = orders
+  *           minus keys with o_orderkey % 97 = 0            (→ 'D' rows)
+  *           with  o_totalprice * 1.1 where o_orderkey % 31 = 0 (→ 'C' rows)
+  *           plus  copies keyed o_orderkey + 10000000
+  *                 of keys with o_orderkey % 89 = 0          (→ 'I' rows)
+  * All derivations are pure integer/IEEE-double arithmetic on stored values,
+  * so Spark and DuckDB produce bit-identical inputs (no rounding anywhere).
+  */
+object DiffQueries {
+
+  private val keys = Seq("o_orderkey")
+
+  def left(spark: SparkSession, dir: String): DataFrame =
+    Tables.cachedTable(spark, dir, "orders")
+
+  def right(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/diff_right") {
+      val o = Tables.table(spark, dir, "orders")
+      val base = o
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn(
+          "o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      val inserts = o
+        .filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      base.unionByName(inserts)
+    }
+
+  /** DuckDB mirror of the fixture; prepended to every diff oracle. */
+  val Prelude: String =
+    """WITH l AS (SELECT * FROM orders),
+      |r AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 1.1
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 89 = 0
+      |)""".stripMargin
+
+  private val valueCols =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def anyDistinct(cols: Seq[String]): String =
+    cols.map(c => s"l.$c IS DISTINCT FROM r.$c").mkString(" OR ")
+
+  private def pairSelect(cols: Seq[String]): String =
+    cols.map(c => s"l.$c AS left_$c, r.$c AS right_$c").mkString(", ")
+
+  def all: Seq[Q] = Seq(
+    Q("diff_full",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${pairSelect(valueCols)}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) => Differ.diff(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_summary",
+      s"""$Prelude
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN r.o_orderkey IS NULL THEN 'D'
+         |            WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       COUNT(*) AS n
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |GROUP BY 1""".stripMargin) {
+      (s, d) => Differ.summary(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_only_in_left",
+      s"""$Prelude
+         |SELECT * FROM l
+         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.o_orderkey = l.o_orderkey)""".stripMargin) {
+      (s, d) => Differ.onlyInLeft(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_only_in_right",
+      s"""$Prelude
+         |SELECT * FROM r
+         |WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.o_orderkey = r.o_orderkey)""".stripMargin) {
+      (s, d) => Differ.onlyInRight(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_changed",
+      s"""$Prelude
+         |SELECT l.o_orderkey AS o_orderkey, ${pairSelect(valueCols)}
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE ${anyDistinct(valueCols)}""".stripMargin) {
+      (s, d) => Differ.changed(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_unchanged",
+      s"""$Prelude
+         |SELECT l.o_orderkey AS o_orderkey, ${pairSelect(valueCols)}
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE NOT (${anyDistinct(valueCols)})""".stripMargin) {
+      (s, d) => Differ.unchanged(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_column_stats",
+      s"""$Prelude, j AS (
+         |  SELECT ${valueCols.map(c => s"CASE WHEN l.$c IS DISTINCT FROM r.$c THEN 1 ELSE 0 END AS d_$c").mkString(", ")}
+         |  FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
+         |${valueCols.map(c => s"SELECT '$c' AS column_name, CAST(COALESCE(SUM(d_$c), 0) AS BIGINT) AS n_diff FROM j").mkString("\nUNION ALL\n")}""".stripMargin) {
+      (s, d) => Differ.columnStats(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_row_hash",
+      s"""$Prelude,
+         |lh AS (SELECT sha256(concat_ws(chr(31),
+         |  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         |  COALESCE(o_orderstatus, '␀'),
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |  CAST(epoch_us(o_orderdate) AS VARCHAR),
+         |  COALESCE(o_orderpriority, '␀'))) AS row_sha FROM l),
+         |rh AS (SELECT sha256(concat_ws(chr(31),
+         |  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         |  COALESCE(o_orderstatus, '␀'),
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |  CAST(epoch_us(o_orderdate) AS VARCHAR),
+         |  COALESCE(o_orderpriority, '␀'))) AS row_sha FROM r)
+         |SELECT row_sha FROM lh
+         |WHERE NOT EXISTS (SELECT 1 FROM rh WHERE rh.row_sha = lh.row_sha)""".stripMargin) {
+      (s, d) =>
+        val cols = "o_orderkey" +: valueCols
+        val lh = Differ.rowHash(left(s, d), cols)
+        val rh = Differ.rowHash(right(s, d), cols)
+        lh.join(rh, Seq("row_sha"), "left_anti")
+    },
+
+    Q("diff_except",
+      s"""$Prelude
+         |SELECT * FROM l EXCEPT ALL SELECT * FROM r""".stripMargin) {
+      (s, d) => left(s, d).exceptAll(right(s, d).select(left(s, d).columns.map(col): _*))
+    },
+
+    Q("diff_dup_keys",
+      """SELECT l_orderkey, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) {
+      (s, d) =>
+        Tables.cachedTable(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+    },
+
+    Q("diff_tolerance",
+      s"""$Prelude
+         |SELECT l.o_orderkey AS o_orderkey,
+         |       l.o_totalprice AS left_o_totalprice,
+         |       r.o_totalprice AS right_o_totalprice
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_custkey IS DISTINCT FROM r.o_custkey
+         |   OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+         |   OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+         |   OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+         |   OR NOT ((l.o_totalprice IS NULL AND r.o_totalprice IS NULL) OR
+         |           (l.o_totalprice IS NOT NULL AND r.o_totalprice IS NOT NULL
+         |            AND ABS(l.o_totalprice - r.o_totalprice) <= 1000.0))""".stripMargin) {
+      (s, d) =>
+        Differ.changed(left(s, d), right(s, d), keys, DiffOptions(absTol = 1000.0))
+          .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
+    },
+
+    // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
+    Q.noOracle("schema_diff") { (s, d) =>
+      val l = left(s, d)
+      val r = right(s, d)
+        .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(18, 2)))
+        .withColumn("o_comment", lit("x"))
+        .drop("o_orderpriority")
+      Differ.schemaDiff(s, l, r)
+    }
+  )
+}
