@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val allQ: Seq[Q] =
-    graft.queries.DiffQueries.all
+    graft.queries.DiffQueries.all ++
+      graft.queries.RelationalQueries.all ++
+      graft.queries.AggWindowQueries.all ++
+      graft.queries.FnQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** §2.B aggregations + window functions.
+  *
+  * Determinism rules (SURVEY §7.5): double sums go through DECIMAL(18,2)
+  * (exact, order-independent) and are cast back to DOUBLE; averages are
+  * decimal-sum / count in double (identical IEEE division both engines); all
+  * window orderings are tie-broken by a unique key.
+  */
+object AggWindowQueries {
+
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def all: Seq[Q] = Seq(
+    Q("agg_groupby",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $sumQty / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val qtyDec = sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          qtyDec.as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          (qtyDec / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    Q("agg_distinct_count",
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+    },
+
+    // HyperLogLog sketch — implementation-specific, no cross-engine oracle;
+    // its error bound is pinned by a scalatest spec instead.
+    Q.noOracle("agg_approx_distinct") { (s, d) =>
+      Tables.cachedTable(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_n_cust"))
+    },
+
+    Q("agg_rollup",
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, d) =>
+      // SQL form: DataFrame-API rollup over a 3-way join of session-cached
+      // inputs trips Spark's ambiguous-self-join detection once other
+      // queries have touched the same cached Datasets; the SQL path resolves
+      // by name and plans identically (Expand + partial/final hash agg).
+      Tables.cachedTable(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.cachedTable(s, d, "nation").createOrReplaceTempView("nation")
+      Tables.cachedTable(s, d, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_cust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    },
+
+    Q("agg_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
+    Q("agg_grouping_sets",
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.cachedTable(s, d, "nation").createOrReplaceTempView("nation")
+      Tables.cachedTable(s, d, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_cust
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin)
+    },
+
+    Q("window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.cachedTable(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    },
+
+    Q("window_lag_lead",
+      """SELECT event_id, user_id, ts_us, value,
+        |       lag(value) OVER w AS prev_value,
+        |       lead(value) OVER w AS next_value,
+        |       ts_us - lag(ts_us) OVER w AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select("event_id", "user_id", "ts_us", "value")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_value", lead("value", 1).over(w))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+    },
+
+    Q("window_running",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM orders""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.cachedTable(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            .as("running_revenue"))
+    },
+
+    Q("window_moving_avg",
+      """SELECT event_id, user_id, ts_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / COUNT(value) OVER w AS avg3
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(col("value")).over(w)).as("avg3"))
+    },
+
+    Q("window_range_frame",
+      """SELECT o_custkey, o_orderkey, od_us,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY od_us
+        |         RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice
+        |      FROM orders)""".stripMargin) { (s, d) =>
+      // 30 days in microseconds; value-range frame over the epoch-us key.
+      val w = Window.partitionBy("o_custkey").orderBy("od_us")
+        .rangeBetween(-2592000000000L, 0L)
+      Tables.cachedTable(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("o_totalprice"))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("od_us"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("rev_30d"))
+    }
+  )
+}

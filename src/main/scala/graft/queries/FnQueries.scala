@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** §2.B sort/limit/set ops + scalar-function families + UDF/UDAF/UDTF
+  * surface. One composite query per function family keeps the inventory
+  * honest without 50 micro-queries.
+  */
+object FnQueries {
+
+  def all: Seq[Q] = Seq(
+    Q("sort_limit_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin) { (s, d) =>
+      // Plans to TakeOrderedAndProject: per-partition top-k + driver merge,
+      // never a global sort.
+      Tables.cachedTable(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+
+    Q("set_union_all",
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events WHERE event_type = 'signup'""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts_us", "event_type")
+      e.filter(col("event_type") === "error")
+        .unionByName(e.filter(col("event_type") === "signup"))
+    },
+
+    Q("set_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .intersect(
+          Tables.cachedTable(s, d, "orders")
+            .filter(col("o_orderstatus") === "F").select("o_custkey"))
+    },
+
+    Q("set_except",
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders").select("o_custkey")
+        .except(
+          Tables.cachedTable(s, d, "customer")
+            .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+    },
+
+    Q("fn_string",
+      """SELECT p_partkey,
+        |       upper(p_name) AS up_name,
+        |       substr(p_name, 1, 5) AS pfx,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       trim(p_name) AS trimmed
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "part").selectExpr(
+        "p_partkey",
+        "upper(p_name) AS up_name",
+        "substr(p_name, 1, 5) AS pfx",
+        "CAST(length(p_name) AS BIGINT) AS name_len",
+        "concat_ws('-', p_brand, p_type) AS brand_type",
+        "regexp_extract(p_name, '([a-z]+)', 1) AS first_word",
+        "trim(p_name) AS trimmed")
+    },
+
+    Q("fn_date",
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+        "CAST(year(o_orderdate) AS BIGINT) AS yr",
+        "CAST(month(o_orderdate) AS BIGINT) AS mth",
+        // Spark datediff(end, start) vs DuckDB date_diff(part, start, end)
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since",
+        "add_months(CAST(o_orderdate AS DATE), 3) AS plus3m")
+    },
+
+    Q("fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS ad,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS cq,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS fp,
+        |       sqrt(l_extendedprice) AS sq,
+        |       l_tax * l_tax AS tax2
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "abs(l_discount - 0.05d) AS ad",
+        "CAST(ceil(l_quantity) AS BIGINT) AS cq",
+        "CAST(floor(l_extendedprice) AS BIGINT) AS fp",
+        "sqrt(l_extendedprice) AS sq",
+        "l_tax * l_tax AS tax2")
+    },
+
+    Q("fn_array",
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 5)) AS BIGINT) AS n_long,
+        |       string_split(lower(text), ' ')[1] AS first_tok,
+        |       list_contains(string_split(lower(text), ' '), 'data') AS has_data,
+        |       array_to_string(list_transform(string_split(lower(text), ' ')[1:3], x -> upper(x)), ',') AS up3
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents").selectExpr(
+        "doc_id",
+        "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens",
+        "CAST(size(filter(split(lower(text), ' '), x -> length(x) > 5)) AS BIGINT) AS n_long",
+        "element_at(split(lower(text), ' '), 1) AS first_tok",
+        "array_contains(split(lower(text), ' '), 'data') AS has_data",
+        "array_join(transform(slice(split(lower(text), ' '), 1, 3), x -> upper(x)), ',') AS up3")
+    },
+
+    Q("fn_json",
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events""") { (s, d) =>
+      Tables.events(s, d).selectExpr(
+        "event_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+    },
+
+    Q("fn_map",
+      """SELECT event_id, k AS key, json_extract(props, '$.' || k)::BIGINT AS value
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          explode(from_json(
+            col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType))))
+    },
+
+    Q("udf_scalar",
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |            ELSE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin) { (s, d) =>
+      // Genuine registered scalar UDF (the surface under test). For hot
+      // paths prefer the HOF formulation in TextOps — this one breaks
+      // whole-stage codegen by design.
+      val jaccard = udf { (a: Seq[String], b: Seq[String]) =>
+        val sa = a.toSet
+        val sb = b.toSet
+        val u = sa.union(sb).size
+        if (u == 0) 0.0 else sa.intersect(sb).size.toDouble / u
+      }
+      val t = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
+      val a = t.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = t.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+    },
+
+    Q("udaf_typed",
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(sd / n, 5) AS mean,
+        |       round((sq - sd * sd / n) / (n - 1), 5) AS variance
+        |FROM s""".stripMargin) { (s, d) =>
+      // Final mean/variance rounded to 5 dp (§7.5): the (sq - s²/n) double
+      // subtraction is ulp-sensitive to summation detail across engines.
+      val moments = udaf(graft.functions.ExactMoments)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(moments(col("value")).as("m"))
+        .select(
+          col("event_type"),
+          col("m.n").as("n"),
+          round(col("m.mean"), 5).as("mean"),
+          round(col("m.variance"), 5).as("variance"))
+    },
+
+    Q("udtf_explode",
+      """SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |WHERE len(t) >= 2""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .selectExpr(
+          "doc_id",
+          "explode(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS bigram")
+    }
+  )
+}

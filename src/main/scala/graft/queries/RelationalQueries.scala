@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** §2.B scans / projection / predicates / joins.
+  *
+  * Scale notes: predicates and projections here are sargable and reach the
+  * parquet scan (PushedFilters / ReadSchema — asserted in PlanSpec);
+  * dimension joins broadcast (explicitly in `join_broadcast`, via AQE
+  * elsewhere); the as-of join is a single shuffle on the partition key plus
+  * a window — no range self-join blowup.
+  */
+object RelationalQueries {
+
+  def all: Seq[Q] = Seq(
+    Q("scan_parquet",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem") { (s, d) =>
+      Tables.table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    Q("scan_events_ns",
+      "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events") { (s, d) =>
+      Tables.events(s, d).select("event_id", "ts_us", "event_type")
+    },
+
+    Q("project_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    Q("filter_null_semantics",
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS st,
+        |       nullif(o_orderstatus, 'O') IS NULL AS st_is_null,
+        |       nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F' AS st_not_f,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'none') AS st_filled
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "nullif(o_orderstatus, 'O') AS st",
+        "nullif(o_orderstatus, 'O') IS NULL AS st_is_null",
+        "nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F' AS st_not_f",
+        "coalesce(nullif(o_orderstatus, 'O'), 'none') AS st_filled")
+    },
+
+    Q("join_inner_hash",
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders")
+        .join(Tables.cachedTable(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    },
+
+    Q("join_outer_full",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .join(Tables.cachedTable(s, d, "orders"), col("c_custkey") === col("o_custkey"), "full_outer")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    },
+
+    Q("join_left_semi",
+      """SELECT * FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .join(Tables.cachedTable(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+    },
+
+    Q("join_left_anti",
+      """SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .join(Tables.cachedTable(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+    },
+
+    Q("join_broadcast",
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      // Dimension chain is broadcast explicitly: at 100 TB the fact table
+      // never shuffles for this star join.
+      val dims = Tables.cachedTable(s, d, "customer")
+        .join(Tables.cachedTable(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.cachedTable(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "r_name")
+      Tables.cachedTable(s, d, "orders")
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
+    Q("join_theta_range",
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_quantity, p_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | AND l_quantity BETWEEN p_size - 2 AND p_size + 2""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .join(
+          Tables.cachedTable(s, d, "part"),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .select("l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size")
+    },
+
+    Q("join_asof",
+      """SELECT event_id, user_id, ts_us, last_signup_us FROM (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |         last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events))
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      // As-of join expressed as a single keyed window pass (no native as-of
+      // in Spark SQL; a range self-join would be quadratic in hot keys).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn(
+          "last_signup_us",
+          last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "last_signup_us")
+    },
+
+    Q("join_cross_limited",
+      "SELECT r_name, n_name FROM region CROSS JOIN nation") { (s, d) =>
+      Tables.table(s, d, "region")
+        .crossJoin(Tables.table(s, d, "nation"))
+        .select("r_name", "n_name")
+    }
+  )
+}
