@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.DiffQueries.all ++
       graft.queries.RelationalQueries.all ++
       graft.queries.AggWindowQueries.all ++
-      graft.queries.FnQueries.all
+      graft.queries.FnQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

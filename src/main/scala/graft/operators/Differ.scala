@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * @param leftPrefix  prefix for left-side value columns in the output
   * @param rightPrefix prefix for right-side value columns in the output
   * @param absTol      absolute numeric tolerance; 0 = exact (null-safe `<=>`)
-  * @param tolCols     columns the tolerance applies to; empty = all numeric
-  *                    columns when absTol > 0
+  * @param tolCols     columns the tolerance applies to; empty = all
+  *                    floating-point (double/float) columns when absTol > 0.
+  *                    Integer columns get tolerance only by explicit opt-in —
+  *                    a blanket numeric tolerance would silently equate
+  *                    distinct surrogate keys.
   */
 final case class DiffOptions(
     statusCol: String = "diff_status",
@@ -35,7 +38,7 @@ final case class DiffOptions(
   * the join; the only shuffle is the full-outer equi-join keyed on the key
   * columns (AQE handles skewed keys). Status + comparisons are codegen'd
   * expressions — no UDFs. For the two-phase "hash first, move only changed
-  * rows" variant see [[Differ.rowHash]].
+  * rows" variant see [[Differ.diffViaHash]].
   */
 object Differ {
 
@@ -53,12 +56,19 @@ object Differ {
     case _              => false
   }
 
-  /** Null-safe per-column equality, with optional absolute tolerance for
-    * numeric columns.
+  private def floating(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | _: DecimalType => true
+    case _                                       => false
+  }
+
+  /** Null-safe per-column equality, with optional absolute tolerance.
+    * Tolerance applies to `tolCols` if given (any numeric type), else to
+    * floating-point columns only — never silently to integer key-like
+    * columns (pinned by DifferSpec).
     */
   private def colEqual(l: Column, r: Column, dt: DataType, opts: DiffOptions, name: String): Column = {
     val useTol = opts.absTol > 0.0 && numeric(dt) &&
-      (opts.tolCols.isEmpty || opts.tolCols.contains(name))
+      (if (opts.tolCols.isEmpty) floating(dt) else opts.tolCols.contains(name))
     if (useTol)
       (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull && abs(l - r) <= lit(opts.absTol))
     else l <=> r
@@ -114,19 +124,42 @@ object Differ {
   def onlyInRight(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     right.join(left.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Shared body of [[changed]]/[[unchanged]]: inner join on keys + the
+    * equality predicate, directly — NOT `diff().filter(status)`, which would
+    * null-extend and then discard the I/D rows (Catalyst cannot push a
+    * filter on a derived CASE column back through a full-outer join). Same
+    * single shuffle, no wasted null-extension work; plan shape is asserted
+    * in PlanSpec.
+    */
+  private def innerDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        opts: DiffOptions, keepEqual: Boolean): DataFrame = {
+    val vcols = valueCols(left, right, keys)
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val allEqual = vcols
+      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val keyOut = keys.map(k => col(s"l.$k").as(k))
+    val valOut = vcols.flatMap { c =>
+      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+    }
+    l.join(r, joinCond, "inner")
+      .filter(if (keepEqual) allEqual else !allEqual)
+      .select(keyOut ++ valOut: _*)
+  }
+
   /** Key-matched rows with >=1 differing value column. */
   def changed(left: DataFrame, right: DataFrame, keys: Seq[String],
               opts: DiffOptions = DiffOptions()): DataFrame =
-    diff(left, right, keys, opts)
-      .filter(col(opts.statusCol) === "C")
-      .drop(opts.statusCol)
+    innerDiff(left, right, keys, opts, keepEqual = false)
 
   /** Key-matched rows with all value columns equal. */
   def unchanged(left: DataFrame, right: DataFrame, keys: Seq[String],
                 opts: DiffOptions = DiffOptions()): DataFrame =
-    diff(left, right, keys, opts)
-      .filter(col(opts.statusCol) === "N")
-      .drop(opts.statusCol)
+    innerDiff(left, right, keys, opts, keepEqual = true)
 
   /** Per value-column count of differing key-matched rows — one aggregation
     * pass over the joined pairs (no per-column jobs), then unpivoted to
@@ -179,7 +212,10 @@ object Differ {
     rows.toDF("column_name", "left_type", "right_type", "status")
   }
 
-  def rowHash(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Canonical per-row fingerprint expression over `cols` (string rules in
+    * the scaladoc above).
+    */
+  def rowHashCol(df: DataFrame, cols: Seq[String]): Column = {
     val parts = cols.map { c =>
       val dt = df.schema(c).dataType
       val s = dt match {
@@ -190,6 +226,55 @@ object Differ {
       }
       coalesce(s, lit("␀"))
     }
-    df.select(sha2(concat_ws("\u001f", parts: _*), 256).as("row_sha"))
+    sha2(concat_ws("\u001f", parts: _*), 256)
+  }
+
+  def rowHash(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(rowHashCol(df, cols).as("row_sha"))
+
+  /** Two-phase hash diff — the 100 TB execution path for [[diff]] when the
+    * changed fraction is small (the common case for day-over-day snapshots).
+    *
+    * Phase 1 shuffles only (key, 32-byte value-hash) pairs: a full-outer
+    * join of the hash projections classifies every key as I/D/C/N without
+    * moving value columns. Phase 2 fetches full rows from each side only for
+    * the non-N keys (typically ≪1% of the data), so the wide row-join is
+    * proportional to the diff size, not the table size.
+    *
+    * Returns exactly `diff(left, right, keys).filter(status != 'N')` —
+    * N rows are intentionally not materialized (at scale they ARE the
+    * data); equivalence is pinned by DifferSpec. Hash comparison is exact:
+    * tolerance options do not apply (use [[diff]] for tolerant compare).
+    */
+  def diffViaHash(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys)
+    val VH = "__graft_vhash"
+    val lh = left.select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
+    val rh = right.select(keys.map(col) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
+    val hashCond = keys.map(k => col(s"lh.$k") <=> col(s"rh.$k")).reduce(_ && _)
+    val status = when(col(s"lh.$VH").isNull, lit("I"))
+      .when(col(s"rh.$VH").isNull, lit("D"))
+      .when(col(s"lh.$VH") =!= col(s"rh.$VH"), lit("C"))
+      .otherwise(lit("N"))
+    // Phase-1 output: the non-N key set (small), one row per key.
+    val keyCols = keys.map(k => coalesce(col(s"lh.$k"), col(s"rh.$k")).as(k))
+    val diffKeys = lh.join(rh, hashCond, "full_outer")
+      .select(status.as(opts.statusCol) +: keyCols: _*)
+      .filter(col(opts.statusCol) =!= "N")
+      .alias("k")
+    // Phase 2: fetch full rows for the differing subset only. Left joins
+    // null-extend exactly where diff() would (I rows have no left row, D
+    // rows no right row); <=> keeps null keys addressable.
+    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
+    val lCond = keys.map(k => col(s"k.$k") <=> col(s"l.$k")).reduce(_ && _)
+    val rCond = keys.map(k => col(s"k.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val out = diffKeys.join(l, lCond, "left").join(r, rCond, "left")
+    val keyOut = keys.map(k => col(s"k.$k").as(k))
+    val valOut = vcols.flatMap { c =>
+      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+    }
+    out.select(col(s"k.${opts.statusCol}") +: (keyOut ++ valOut): _*)
   }
 }

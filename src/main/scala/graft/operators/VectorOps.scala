@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding-column kernels: cosine similarity, brute-force and blocked
+  * similarity search, centroid hygiene. SURVEY.md §2.C.
+  *
+  * Arithmetic discipline (cross-engine determinism, SURVEY §7.5):
+  *   - float elements are widened to double (exact) before any arithmetic;
+  *   - per-row reductions are sequential left folds (`aggregate`), which
+  *     match DuckDB's list kernels bit-for-bit (verified empirically);
+  *   - cross-row reductions (centroids) go through DECIMAL sums, which are
+  *     exact and order-independent — a double sum across shuffle partitions
+  *     would not even be deterministic run-to-run;
+  *   - cosine = dot / (sqrt(na) * sqrt(nb)) — NOT sqrt(na*nb), which
+  *     differs in the last ulp from DuckDB's list_cosine_similarity.
+  */
+object VectorOps {
+
+  /** Exact double widening of an array<float> column. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold sum of squares. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Cosine similarity of two array<double> columns, bit-compatible with
+    * DuckDB `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Brute-force top-k cosine neighbors of one probe vector. The probe side
+    * is a 1-row broadcast, so the scan is a single embarrassing-parallel
+    * pass + TakeOrderedAndProject — no shuffle of the corpus. This is the
+    * correct plan for a single probe even at 100 TB; for probe *batches*
+    * use [[cosineJoinThreshold]]-style blocking or an ANN index (IVF: block
+    * on a coarse-quantizer cell id; LSH: random-hyperplane bucket key) so
+    * candidate generation stays sub-quadratic.
+    */
+  def topKByCosine(emb: DataFrame, probeId: Long, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val p = e.filter(col(idCol) === probeId).select(col("v").as("pv"))
+    e.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(p))
+      .select(col(idCol), round(cosine(col("v"), col("pv")), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= tau, blocked on `blockCol` (e.g. a cluster /
+    * label / coarse-quantizer id) so candidate generation is bounded by the
+    * largest block, never the full cross product. Exact within blocks — the
+    * same contract as [[TextOps.nearDupPairs]]; at 100 TB the block key
+    * comes from an IVF/LSH assignment instead of a given label.
+    */
+  def cosineJoinThreshold(emb: DataFrame, tau: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          blockCol: String = "label"): DataFrame = {
+    val e = emb.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
+    val a = e.select(col(idCol).as("vec_a"), col(blockCol).as("block_a"), col("v").as("va"))
+    val b = e.select(col(idCol).as("vec_b"), col(blockCol).as("block_b"), col("v").as("vb"))
+    a.join(b, col("block_a") === col("block_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= tau)
+      .select(
+        col("vec_a"), col("vec_b"), col("block_a").as("label"),
+        round(col("cos_raw"), 5).as("cos_sim"))
+  }
+
+  /** Embedding-column hygiene report: per vector its dimensionality, L2
+    * norm, and Euclidean distance to its label's centroid.
+    *
+    * Centroid = per-(label, position) mean via posexplode + DECIMAL(27,12)
+    * sums (exact, order-free → deterministic under shuffle), then rejoined
+    * to the exploded elements; the per-vector distance sum goes through the
+    * same decimal discipline. Two shuffles total (centroid agg + rejoin
+    * agg); both shuffle only (id/label, pos, scalar) triples, never whole
+    * vectors.
+    */
+  def centroidHygiene(emb: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val e = emb.select(col(idCol), col(labelCol), toDouble(col(vecCol)).as("v"))
+    val pos = e.select(
+      col(idCol), col(labelCol),
+      posexplode(col("v")).as(Seq("p", "x")))
+    val cent = pos.groupBy(col(labelCol), col("p"))
+      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+    pos.join(cent, Seq(labelCol, "p"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        count(lit(1)).as("dim"),
+        round(sqrt(sum((col("x") * col("x")).cast(dec)).cast("double")), 5).as("norm"),
+        round(sqrt(sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(dec)).cast("double")), 5)
+          .as("dist_centroid"))
+      .select(col(idCol), col(labelCol), col("dim"), col("norm"), col("dist_centroid"))
+  }
+}

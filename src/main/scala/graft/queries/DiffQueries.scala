@@ -182,7 +182,10 @@ object DiffQueries {
          |           (l.o_totalprice IS NOT NULL AND r.o_totalprice IS NOT NULL
          |            AND ABS(l.o_totalprice - r.o_totalprice) <= 1000.0))""".stripMargin) {
       (s, d) =>
-        Differ.changed(left(s, d), right(s, d), keys, DiffOptions(absTol = 1000.0))
+        // tolCols explicit: tolerance must not leak onto other numeric
+        // columns (e.g. o_custkey); semantics pinned by DifferSpec.
+        Differ.changed(left(s, d), right(s, d), keys,
+            DiffOptions(absTol = 1000.0, tolCols = Set("o_totalprice")))
           .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
     },
 

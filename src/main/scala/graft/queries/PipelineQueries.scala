@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{TextOps, VectorOps}
+
+/** §2.C LLM-data-pipeline extensions: dedup (exact + near), similarity
+  * search/join over embeddings, text analysis, multimodal-column hygiene.
+  * Carriers: `documents` (text + lang) and `embeddings` (array<float> dim 64
+  * + label) — see FIXTURES.md.
+  *
+  * Determinism/dialect rules per SURVEY §7.5; every kernel here is a
+  * codegen'd built-in or HOF (no UDFs), with the DuckDB oracle expressing
+  * the *same arithmetic* (set-cardinality quotients, sequential double
+  * folds, exact DECIMAL cross-row sums).
+  */
+object PipelineQueries {
+
+  /** Jaccard threshold for near-dup pairs (measured: 2311 pairs at sf0.01
+    * under (lang, anchor) blocking).
+    */
+  private val NearDupTau = 0.9
+
+  /** Cosine threshold for the similarity self-join (measured: 26 pairs at
+    * sf0.01, 391 at sf0.1 within label blocks).
+    */
+  private val CosTau = 0.35
+
+  /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
+  private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
+
+  def all: Seq[Q] = Seq(
+    Q("dedup_exact",
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, sha256(lower(trim(text))) AS text_hash,
+        |         row_number() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS BIGINT) AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, lang, source, text_hash, n_copies FROM h WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        TextOps.dedupExact(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "source", "text"))
+          .select("doc_id", "lang", "source", "text_hash", "n_copies")
+    },
+
+    Q("dedup_near",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $DuckTokens AS s FROM documents),
+         |a AS (SELECT doc_id, lang, s, list_min(s) AS anchor FROM t),
+         |p AS (
+         |  SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b,
+         |         CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
+         |                   / len(list_distinct(list_concat(a1.s, a2.s))) END AS jaccard
+         |  FROM a a1 JOIN a a2
+         |    ON a1.lang = a2.lang AND a1.anchor = a2.anchor AND a1.doc_id < a2.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $NearDupTau""".stripMargin) {
+      (s, d) =>
+        TextOps.nearDupPairs(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
+          minJaccard = NearDupTau)
+    },
+
+    Q("sim_search_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, p.pv), 5) AS cos_sim
+        |FROM e, p WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        VectorOps.topKByCosine(Tables.cachedTable(s, d, "embeddings"), probeId = 0L, k = 10)
+    },
+
+    Q("sim_join_threshold",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |       round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= $CosTau""".stripMargin) {
+      (s, d) =>
+        VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = CosTau)
+    },
+
+    Q("text_tokens",
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin) {
+      (s, d) =>
+        Tables.cachedTable(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+    },
+
+    Q("text_stats",
+      """SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin) {
+      (s, d) =>
+        // Integer sums are exact in any order → the double divisions are
+        // bit-identical across engines without rounding.
+        Tables.cachedTable(s, d, "documents")
+          .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum("n_tokens").as("total_tokens"),
+            (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+            (sum("n_tokens").cast("double") / count(lit(1))).as("avg_tokens"))
+    },
+
+    Q("text_ngrams",
+      """WITH b AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM (SELECT lang, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, cnt,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+        |      FROM c)
+        |SELECT lang, bigram, CAST(cnt AS BIGINT) AS n, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin) {
+      (s, d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+        Tables.cachedTable(s, d, "documents")
+          .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("lang"), explode(TextOps.bigrams(col("t"))).as("bigram"))
+          .groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+    },
+
+    Q("multimodal_cols",
+      """WITH pos AS (
+        |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |cent AS (
+        |  SELECT label, p,
+        |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM pos GROUP BY label, p)
+        |SELECT vec_id, label, CAST(count(*) AS BIGINT) AS dim,
+        |       round(sqrt(CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)), 5) AS norm,
+        |       round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(27,12))) AS DOUBLE)), 5) AS dist_centroid
+        |FROM pos JOIN cent USING (label, p)
+        |GROUP BY vec_id, label""".stripMargin) {
+      (s, d) =>
+        VectorOps.centroidHygiene(Tables.cachedTable(s, d, "embeddings"))
+    }
+  )
+}
