@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** §2.B streaming surface, batch-equivalent forms (the oracle-checkable
+  * side; the true Structured Streaming variants live in
+  * [[graft.streaming.StreamOps]] and are covered by MemoryStream smoke
+  * tests — identical groupBy(window…) plans, incremental execution).
+  *
+  * Time axis: `events.ts` is parquet timestamp[ns]; the canonical
+  * cross-engine column is `ts_us` (bigint micros, Tables.events). Window
+  * starts are emitted as epoch-micros bigints — Spark's `window()` is
+  * epoch-aligned, so DuckDB reproduces it with integer bucket arithmetic.
+  */
+object StreamingQueries {
+
+  private val HourUs = 3600000000L
+  private val SlideUs = 900000000L // 15 min
+  private val GapUs = 1800000000L // 30 min session gap
+  private val LateUs = 600000000L // 10 min watermark delay
+
+  /** Decimal-exact sum of `value` (double) emitted as double — float sums
+    * across shuffle partitions would not be deterministic (§7.5).
+    */
+  private def sumValue = sum(col("value").cast(DecimalType(18, 6))).cast("double")
+
+  def all: Seq[Q] = Seq(
+    Q("stream_tumbling",
+      s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us, event_type,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        // The genuine streaming operator shape: groupBy(window(...)). In a
+        // readStream plan this becomes stateful incremental aggregation;
+        // batch and stream share the same window assignment (epoch-aligned).
+        Tables.events(s, d)
+          .withColumn("tsm", timestamp_micros(col("ts_us")))
+          .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+    },
+
+    Q("stream_sliding",
+      s"""SELECT ((epoch_us(ts) // $SlideUs) - g.k) * $SlideUs AS window_start_us, event_type,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events, (SELECT unnest(generate_series(0, 3)) AS k) g
+         |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        // 1h window, 15m slide → each event lands in exactly 4 windows;
+        // the oracle replays Spark's epoch-aligned window set via the
+        // k ∈ 0..3 shifted 15-min buckets.
+        Tables.events(s, d)
+          .withColumn("tsm", timestamp_micros(col("ts_us")))
+          .groupBy(window(col("tsm"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+    },
+
+    Q("stream_session",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us, event_id,
+         |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $GapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e),
+         |g AS (SELECT user_id, ts_us,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM s)
+         |SELECT user_id, session_id,
+         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id, session_id""".stripMargin) {
+      (s, d) =>
+        // Gap-detection sessionization (30 min): lag + running sum — the
+        // ANSI-portable batch equivalent of session_window(ts, gap). One
+        // shuffle on user_id serves both window passes and the final agg.
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val lagTs = lag(col("ts_us"), 1).over(byUser)
+        Tables.events(s, d)
+          .withColumn(
+            "new_s",
+            when(lagTs.isNull || col("ts_us") - lagTs > GapUs, 1).otherwise(0))
+          .withColumn(
+            "session_id",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+          .groupBy("user_id", "session_id")
+          .agg(
+            min(col("ts_us")).as("session_start_us"),
+            max(col("ts_us")).as("session_end_us"),
+            count(lit(1)).as("n_events"))
+    },
+
+    Q("stream_late_data",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |                  json_extract(props, '$$.k')::BIGINT AS arrival_k
+         |           FROM events),
+         |w AS (SELECT user_id, event_id, ts_us,
+         |        max(ts_us) OVER (PARTITION BY user_id ORDER BY arrival_k, event_id
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+         |      FROM e)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CASE WHEN ts_us < max_seen - $LateUs THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |       max(ts_us) AS max_ts_us
+         |FROM w GROUP BY user_id""".stripMargin) {
+      (s, d) =>
+        // Watermark semantics in batch form: replay events in a
+        // deterministic shuffled arrival order (the JSON props.k field —
+        // event-time ts is monotone in event_id, so event_id order would
+        // have zero lateness), track max-seen event time per user, and
+        // count rows older than max_seen - 10min: exactly the rows a
+        // 10-min watermark would drop. First-arrival rows have NULL
+        // max_seen → never late (matches streaming: watermark starts at
+        // -inf).
+        val byArrival = Window.partitionBy("user_id")
+          .orderBy(col("arrival_k"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("arrival_k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("max_seen", max(col("ts_us")).over(byArrival))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("ts_us") < col("max_seen") - LateUs, 1).otherwise(0))
+              .cast("long").as("n_late"),
+            max(col("ts_us")).as("max_ts_us"))
+    }
+  )
+}
