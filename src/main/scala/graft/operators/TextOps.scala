@@ -38,12 +38,14 @@ object TextOps {
   }
 
   /** Adjacent-pair bigrams of a token array (codegen'd HOF, no generator
-    * UDTF needed).
+    * UDTF needed). Guarded for <2 tokens: `sequence(1, 0)` would otherwise
+    * count BACKWARDS ([1,0]) and fabricate null-padded pairs.
     */
   def bigrams(toks: Column): Column =
-    transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
   /** Exact-duplicate groups by normalized-text hash: keeps the min-doc_id
     * representative per group plus the group size. Single hash-shuffle;

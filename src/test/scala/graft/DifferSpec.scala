@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{DiffOptions, Differ}
+
+/** Adversarial-shape semantics of the diff core (SURVEY §5.2): null keys,
+  * NaN / -0.0, empty sides, duplicate keys, tolerance boundaries incl. the
+  * integer-column leak, schema mismatch, and diffViaHash equivalence.
+  */
+class DifferSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+
+  private def statusCounts(df: DataFrame): Map[String, Long] =
+    df.groupBy("diff_status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("diff(a, a) is all-N") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    assert(statusCounts(Differ.diff(a, a, keys)) == Map("N" -> 2L))
+  }
+
+  test("null keys match null keys via <=> (not dropped, not I+D)") {
+    val l = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "s")
+    val r = Seq((Option.empty[Long], "x"), (Some(1L), "z")).toDF("k", "s")
+    val d = Differ.diff(l, r, keys)
+    assert(statusCounts(d) == Map("N" -> 1L, "C" -> 1L))
+    val nullRow = d.filter(col("k").isNull).collect().head
+    assert(nullRow.getAs[String]("diff_status") == "N")
+  }
+
+  test("null value vs value is C; null vs null is N") {
+    val l = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val r = Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("k", "s")
+    assert(statusCounts(Differ.diff(l, r, keys)) == Map("C" -> 1L, "N" -> 1L))
+  }
+
+  test("NaN equals NaN and -0.0 equals 0.0 under <=> (Spark SQL semantics)") {
+    val l = Seq((1L, Double.NaN), (2L, -0.0)).toDF("k", "v")
+    val r = Seq((1L, Double.NaN), (2L, 0.0)).toDF("k", "v")
+    assert(statusCounts(Differ.diff(l, r, keys)) == Map("N" -> 2L))
+  }
+
+  test("empty right side yields all-D; empty left all-I") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], a.schema)
+    assert(statusCounts(Differ.diff(a, empty, keys)) == Map("D" -> 2L))
+    assert(statusCounts(Differ.diff(empty, a, keys)) == Map("I" -> 2L))
+  }
+
+  test("duplicate keys multiply pairwise (2x1 -> 2 rows) and are reported by dup-keys probe") {
+    val l = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val r = Seq((1L, "a")).toDF("k", "s")
+    assert(Differ.diff(l, r, keys).count() == 2L)
+    val dups = l.groupBy("k").count().filter(col("count") > 1)
+    assert(dups.count() == 1L)
+  }
+
+  test("tolerance boundary: |l-r| == absTol is equal, just above is C") {
+    val l = Seq((1L, 10.0), (2L, 10.0)).toDF("k", "v")
+    val r = Seq((1L, 11.0), (2L, 11.0000001)).toDF("k", "v")
+    val opts = DiffOptions(absTol = 1.0)
+    assert(statusCounts(Differ.diff(l, r, keys, opts)) == Map("N" -> 1L, "C" -> 1L))
+  }
+
+  test("tolerance does NOT leak onto integer columns by default") {
+    // int column perturbed by < absTol must still be C (VERDICT r1 #1).
+    val l = Seq((1L, 100L, 10.0)).toDF("k", "i", "v")
+    val r = Seq((1L, 150L, 10.0)).toDF("k", "i", "v")
+    val opts = DiffOptions(absTol = 1000.0)
+    assert(statusCounts(Differ.diff(l, r, keys, opts)) == Map("C" -> 1L))
+    // ...unless explicitly opted in via tolCols.
+    val optIn = DiffOptions(absTol = 1000.0, tolCols = Set("i"))
+    assert(statusCounts(Differ.diff(l, r, keys, optIn)) == Map("N" -> 1L))
+  }
+
+  test("tolerance: null vs value is C even on a tolerated column") {
+    val l = Seq((1L, Option(10.0))).toDF("k", "v")
+    val r = Seq((1L, Option.empty[Double])).toDF("k", "v")
+    assert(statusCounts(Differ.diff(l, r, keys, DiffOptions(absTol = 5.0))) == Map("C" -> 1L))
+  }
+
+  test("schema mismatch: only shared non-key columns are compared") {
+    val l = Seq((1L, "x", "only-left")).toDF("k", "s", "lo")
+    val r = Seq((1L, "x", 42)).toDF("k", "s", "ro")
+    val d = Differ.diff(l, r, keys)
+    assert(d.columns.toSeq == Seq("diff_status", "k", "left_s", "right_s"))
+    assert(statusCounts(d) == Map("N" -> 1L))
+  }
+
+  test("schemaDiff reports added/removed/type_changed/same") {
+    val l = Seq((1L, "x", 1.0)).toDF("k", "s", "v")
+    val r = Seq((1L, 2, "y")).toDF("k", "v", "n")
+    val got = Differ.schemaDiff(spark, l, r).collect()
+      .map(row => row.getString(0) -> row.getString(3)).toMap
+    assert(got == Map("k" -> "same", "s" -> "removed", "v" -> "type_changed", "n" -> "added"))
+  }
+
+  test("diffViaHash == diff.filter(status != N), including null keys and I/D/C") {
+    val l = Seq(
+      (Some(1L), Some("a"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+      (Some(3L), Some("c"), None), (None, Some("n"), Some(0.0)),
+      (Some(5L), Some("e"), Some(5.5))).toDF("k", "s", "v")
+    val r = Seq(
+      (Some(1L), Some("a"), Some(1.5)),            // N
+      (Some(2L), Some("B"), Some(2.5)),            // C
+      (Some(3L), Some("c"), Some(3.5)),            // C (null -> value)
+      (None, Some("n2"), Some(0.0)),               // C on null key
+      (Some(6L), Some("f"), Some(6.5))).toDF("k", "s", "v") // I; 5 is D
+    val viaHash = Differ.diffViaHash(l, r, keys)
+    val direct = Differ.diff(l, r, keys).filter(col("diff_status") =!= "N")
+    assert(viaHash.columns.toSeq == direct.columns.toSeq)
+    assert(rowsOf(viaHash) == rowsOf(direct))
+    assert(statusCounts(viaHash) == Map("C" -> 3L, "D" -> 1L, "I" -> 1L))
+  }
+
+  test("changed/unchanged agree with diff statuses") {
+    val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val r = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "s")
+    assert(Differ.changed(l, r, keys).select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(Differ.unchanged(l, r, keys).select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("summary equals groupBy of full diff") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val r = Seq((2L, "x"), (3L, "c")).toDF("k", "s")
+    val fromFull = statusCounts(Differ.diff(l, r, keys))
+    val fromSummary = Differ.summary(l, r, keys).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(fromFull == fromSummary)
+  }
+}

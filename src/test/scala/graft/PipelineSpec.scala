@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, VectorOps}
+
+/** Unit semantics of the §2.C kernels on adversarial micro-inputs (the
+  * sf0.01 corpus correctness is covered by the DuckDB oracle).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jaccard: identical=1, disjoint=0, empty-vs-empty=0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    val got = df.select(TextOps.jaccard(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("dedupExact collapses case/whitespace variants, keeps min id, is idempotent") {
+    val docs = Seq(
+      (1L, "en", "s", "Hello World"),
+      (2L, "en", "s", "  hello world "),
+      (3L, "en", "s", "HELLO WORLD"),
+      (4L, "en", "s", "different")).toDF("doc_id", "lang", "source", "text")
+    val once = TextOps.dedupExact(docs)
+    val kept = once.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    val copies = once.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(copies == Map(1L -> 3L, 4L -> 1L))
+    val twice = TextOps.dedupExact(once.drop("text_hash", "n_copies"))
+    assert(twice.select("doc_id").as[Long].collect().toSet == kept)
+  }
+
+  test("nearDupPairs finds near dups within a lang block, never across blocks") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "alpha beta gamma delta zeta"),   // jaccard 4/6 = 0.667
+      (3L, "fr", "alpha beta gamma delta epsilon"), // identical text, other lang
+      (4L, "en", "totally unrelated words here")).toDF("doc_id", "lang", "text")
+    val pairs = TextOps.nearDupPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 1-3 blocked by lang; 4 dissimilar
+  }
+
+  test("cosine: self=1, orthogonal=0") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(
+      VectorOps.cosine(VectorOps.toDouble(col("a")), VectorOps.toDouble(col("b"))))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0)
+  }
+
+  test("topKByCosine ranks by similarity, excludes the probe") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(2.0f, 0.0f)),   // cos 1.0
+      (2L, Seq(1.0f, 1.0f)),   // cos ~0.707
+      (3L, Seq(0.0f, 1.0f)),   // cos 0.0
+      (4L, Seq(-1.0f, 0.0f))). // cos -1.0
+      toDF("vec_id", "embedding")
+    val got = VectorOps.topKByCosine(emb, probeId = 0L, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("cosineJoinThreshold respects block boundaries and tau") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.1f), 0),  // high cos with 1, same block
+      (3L, Seq(1.0f, 0.0f), 1),  // identical to 1 but other block
+      (4L, Seq(0.0f, 1.0f), 0)). // orthogonal
+      toDF("vec_id", "embedding", "label")
+    val got = VectorOps.cosineJoinThreshold(emb, tau = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("centroidHygiene: single-member label has dist 0; dim and norm correct") {
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 7),
+      (2L, Seq(1.0f, 1.0f), 8),
+      (3L, Seq(3.0f, 1.0f), 8)).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.centroidHygiene(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("dim"), r.getAs[Double]("norm"), r.getAs[Double]("dist_centroid")))).toMap
+    assert(got(1L) == ((2L, 5.0, 0.0)))
+    // label 8 centroid = (2, 1): dists = 1.0 and 1.0
+    assert(got(2L)._3 == 1.0 && got(3L)._3 == 1.0)
+  }
+
+  test("bigrams HOF: n-1 adjacent pairs, none for single-token docs") {
+    val df = Seq((Seq("a", "b", "c"), 1), (Seq("solo"), 2)).toDF("t", "id")
+    val got = df.select(TextOps.bigrams(col("t"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "b c") && got(1).isEmpty)
+  }
+}

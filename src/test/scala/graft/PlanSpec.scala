@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import graft.queries.{DiffQueries, RelationalQueries, FnQueries}
+
+/** Physical/optimized-plan shape assertions (SURVEY §4): these pin the
+  * scale-relevant properties — parquet pushdown + pruning, broadcast on the
+  * dim chain, top-k without a global sort, and the changed/unchanged inner
+  * join (no full-outer + filter).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def queryNamed(all: Seq[Q], name: String) =
+    all.find(_.name == name).get.fn(spark, sf)
+
+  private def physical(all: Seq[Q], name: String): String =
+    queryNamed(all, name).queryExecution.executedPlan.toString
+
+  test("project_filter pushes predicates and prunes columns at the parquet scan") {
+    val plan = physical(RelationalQueries.all, "project_filter")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThan(l_quantity"), plan.take(2000))
+    // pruned read schema: no l_partkey/l_suppkey etc. in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(physical(RelationalQueries.all, "join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(physical(FnQueries.all, "sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("diff_changed / diff_unchanged are inner joins, not filtered full-outer") {
+    for (name <- Seq("diff_changed", "diff_unchanged")) {
+      val joins = queryNamed(DiffQueries.all, name)
+        .queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+      assert(joins.nonEmpty && joins.forall(_ == Inner), s"$name joins: $joins")
+    }
+  }
+
+  test("diff_full is a single full-outer join (the one unavoidable shuffle)") {
+    val joins = queryNamed(DiffQueries.all, "diff_full")
+      .queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(FullOuter), joins.toString)
+  }
+
+  test("as-of join plan contains no cartesian/broadcast-nested-loop blowup") {
+    val plan = physical(RelationalQueries.all, "join_asof")
+    assert(!plan.contains("CartesianProduct"), "as-of join must not go cartesian")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** True Structured Streaming smoke (SURVEY §2.B non-oracle row):
+  * MemoryStream → incremental window agg → memory sink, with the watermark
+  * actually dropping a late row; session windows close and emit in append
+  * mode once the watermark passes.
+  */
+class StreamingSmokeSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: SQLContext = spark.sqlContext
+
+  private def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
+
+  test("tumbling agg is incremental and the watermark drops late rows") {
+    val ms = MemoryStream[(Long, String, Double)]
+    val events = ms.toDF().toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.tumbling(events, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("update").start()
+    try {
+      ms.addData((us(10, 0), "a", 1.5), (us(10, 30), "a", 2.5))
+      q.processAllAvailable()
+      ms.addData((us(12, 0), "b", 1.0)) // advances watermark to 11:50
+      q.processAllAvailable()
+      ms.addData((us(9, 0), "a", 100.0)) // event-time 9:00 < watermark → dropped
+      q.processAllAvailable()
+
+      val rows = spark.table("tumb").collect()
+        .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      assert(rows.contains((us(10, 0), "a", 2L, 4.0)), rows.mkString(", "))
+      assert(!rows.exists(_._1 == us(9, 0)), s"late row leaked: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap, split across it, emit on watermark (append)") {
+    val ms = MemoryStream[(Long, Long)]
+    val events = ms.toDF().toDF("ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.sessions(events, "ts", "30 minutes", "10 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      ms.addData((us(0, 0), 1L), (us(0, 10), 1L), (us(1, 0), 1L))
+      q.processAllAvailable()
+      ms.addData((us(5, 0), 2L)) // watermark → 4:59:50, closes user-1 sessions
+      q.processAllAvailable()
+
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains((1L, us(0, 0), us(0, 40), 2L)), rows.mkString(", "))
+      assert(rows.contains((1L, us(1, 0), us(1, 30), 1L)), rows.mkString(", "))
+      assert(!rows.exists(_._1 == 2L), "open session must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to width/slide windows") {
+    val ms = MemoryStream[(Long, String, Double)]
+    val events = ms.toDF().toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.sliding(events, "ts", "1 hour", "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("slide").outputMode("update").start()
+    try {
+      ms.addData((us(10, 0), "a", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("slide").collect().map(_.getAs[Long]("window_start_us")).toSet
+      assert(starts == Set(us(9, 15), us(9, 30), us(9, 45), us(10, 0)), starts.toString)
+    } finally q.stop()
+  }
+}
