@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query wall-second benchmark over every declared query; one JSON line
+  * on stdout (driver contract).
+  *
+  * Methodology (r1 fix): every query runs once UNTIMED first, so shared
+  * input caches (Tables.cachedTable / the diff fixture) and the OS page
+  * cache are warm before the timed pass — otherwise the first query to
+  * touch a table pays its materialization and per-query attribution is
+  * noise. Each query is then timed ITERS times and the minimum reported:
+  * on a 32-thread local JVM, GC pauses and scheduler contention add
+  * multi-second spikes to arbitrary queries (observed 6x run-to-run), and
+  * noise is strictly additive, so the min is the intrinsic cost. Failures
+  * are loud: recorded in a "failed" array, printed to stderr, non-zero
+  * exit.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +25,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmFailed = queries.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name FAILED: $e"); Some(name)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
+    }
+    val failed = (warmFailed ++ results.collect { case (n, _, false) => n }).distinct.sorted
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
