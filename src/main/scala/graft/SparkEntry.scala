@@ -15,6 +15,8 @@ object SparkEntry {
       graft.queries.AggWindowQueries.all ++
       graft.queries.FnQueries.all ++
       graft.queries.PipelineQueries.all ++
+      graft.queries.DedupVariantQueries.all ++
+      graft.queries.TextAnalysisQueries.all ++
       graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -79,14 +79,16 @@ object TextOps {
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   blockCols: Seq[String] = Seq("lang")): DataFrame = {
+                   blockCols: Seq[String] = Seq("lang"),
+                   tokenizer: Column => Column = tokenSet): DataFrame = {
     // Sorted distinct tokens: the anchor is then element 1 (= the min), and
     // the intersection is a native O(n+m) merge (SortedIntersectCount —
     // size(array_intersect) is an interpreted CodegenFallback and dominated
-    // this operator's runtime by ~10x).
+    // this operator's runtime by ~10x). `tokenizer` picks the shingle
+    // granularity: word sets (default), n-gram sets (dedup_ngram), etc.
     val base = docs.select(
       (col(idCol) +: blockCols.map(col)) :+
-        sort_array(tokenSet(col(textCol))).as("s"): _*)
+        sort_array(array_distinct(tokenizer(col(textCol)))).as("s"): _*)
       .withColumn("anchor", element_at(col("s"), 1))
       .withColumn("n", size(col("s")))
     // Phase 1 — NARROW candidate generation: self-join ids+lengths only on
@@ -122,5 +124,102 @@ object TextOps {
         col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs — the tunable-recall scale path. Each band
+    * key is a salted MinHash: `min over tokens of sha256(salt || token)`
+    * (a cryptographic hash as the permutation; lexicographic min of hex
+    * strings is a valid min-wise sketch and, unlike xxhash seeds, is
+    * reproducible in any SQL engine). Candidates = pairs sharing ANY band
+    * key within their block (union of `bands` equi-joins — recall
+    * 1-(1-J)^bands at the threshold); each candidate is then verified with
+    * the exact native-merge Jaccard. At 100 TB swap sha256 for xxhash64
+    * and raise bands — the plan shape (per-band shuffle join + distinct +
+    * verify) is unchanged.
+    */
+  def minHashLshPairs(docs: DataFrame, minJaccard: Double, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      blockCols: Seq[String] = Seq("lang")): DataFrame = {
+    val base = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        sort_array(tokenSet(col(textCol))).as("s"): _*)
+      .withColumn("n", size(col("s")))
+    val withBands = (0 until bands).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", array_min(transform(col("s"), t => sha2(concat(lit(i.toString), t), 256))))
+    }
+    val slim = withBands.select(
+      (Seq(col(idCol), col("n")) ++ blockCols.map(col) ++
+        (0 until bands).map(i => col(s"mh$i"))): _*)
+    val a = slim.select(slim.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = slim.select(slim.columns.map(c => col(c).as(s"b_$c")): _*)
+    val candidates = (0 until bands).map { i =>
+      val cond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
+        col(s"a_mh$i") === col(s"b_mh$i") &&
+        col(s"a_$idCol") < col(s"b_$idCol") &&
+        (least(col("a_n"), col("b_n")).cast("double") / greatest(col("a_n"), col("b_n"))
+          >= minJaccard - 1e-12)
+      a.join(b, cond).select(
+        col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
+        col("a_n"), col("b_n"))
+    }.reduce(_ unionByName _).distinct()
+    val sa = base.select(col(idCol).as("doc_a"), col("s").as("a_s"))
+    val sb = base.select(col(idCol).as("doc_b"), col("s").as("b_s"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn(
+        "inter",
+        ColumnBridge.column(graft.functions.SortedIntersectCount(
+          ColumnBridge.expression(col("a_s")), ColumnBridge.expression(col("b_s")))))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 48-bit SimHash per document: token-hash hex digits vote per bit,
+    * majority (ties → 1) sets the bit. 12 hex chars of sha256 = 48 bits —
+    * bit 63 is deliberately unused so the bigint never overflows. Entirely
+    * portable arithmetic (substr + strpos-alphabet hex decode + integer
+    * shifts), so a SQL oracle can replay it exactly.
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", keepCols: Seq[String] = Seq("lang")): DataFrame = {
+    val tok = docs.select(
+      (col(idCol) +: keepCols.map(col)) :+
+        explode(tokenSet(col(textCol))).as("tok"): _*)
+      .withColumn("h", substring(sha2(col("tok"), 256), 1, 12))
+    val pos = tok
+      .withColumn("p", explode(sequence(lit(0), lit(11))))
+      .withColumn("dgt", expr("locate(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
+    val bitAggs = (0 until 4).map(k =>
+      (sum(expr(s"(dgt >> $k) & 1")) * 2 >= count(lit(1))).as(s"b$k"))
+    val bits = pos.groupBy((col(idCol) +: keepCols.map(col)) :+ col("p"): _*)
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    bits.groupBy(col(idCol) +: keepCols.map(col): _*)
+      .agg(sum(expr(
+        "shiftleft(CAST(b0 AS BIGINT), 4*p) + shiftleft(CAST(b1 AS BIGINT), 4*p+1) + " +
+          "shiftleft(CAST(b2 AS BIGINT), 4*p+2) + shiftleft(CAST(b3 AS BIGINT), 4*p+3)"))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: same-block pairs whose 48-bit fingerprints
+    * are within `maxHamming`. The pair scan is narrow (id + one bigint per
+    * side) and the distance is two codegen'd instructions (xor +
+    * bit_count) — at 100 TB, band the fingerprint into 4x12-bit chunks and
+    * equi-join on any-chunk-equal instead of scanning all block pairs.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   blockCols: Seq[String] = Seq("lang")): DataFrame = {
+    val sh = simHash(docs, idCol, textCol, blockCols)
+    val a = sh.select(sh.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = sh.select(sh.columns.map(c => col(c).as(s"b_$c")): _*)
+    val cond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
+      col(s"a_$idCol") < col(s"b_$idCol")
+    a.join(b, cond)
+      .withColumn("hamming", expr("CAST(bit_count(a_simhash ^ b_simhash) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"), col("hamming"))
   }
 }

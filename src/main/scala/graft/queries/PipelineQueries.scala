@@ -139,6 +139,81 @@ object PipelineQueries {
           .filter(col("rank") <= 5)
     },
 
+    Q("sim_search_ivf",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |pos AS (
+        |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |cent AS (
+        |  SELECT label, p,
+        |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM pos GROUP BY label, p),
+        |probe_pos AS (SELECT p, x FROM pos WHERE vec_id = 0),
+        |aff AS (
+        |  SELECT cent.label,
+        |         CAST(sum(CAST(probe_pos.x * cent.c AS DECIMAL(27,12))) AS DOUBLE) AS a
+        |  FROM probe_pos JOIN cent USING (p) GROUP BY cent.label),
+        |cells AS (SELECT label FROM aff ORDER BY a DESC, label LIMIT 3),
+        |ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM e),
+        |probe AS (SELECT v AS pv FROM ev WHERE vec_id = 0)
+        |SELECT ev.vec_id, ev.label,
+        |       round(list_cosine_similarity(ev.v, probe.pv), 5) AS cos_sim
+        |FROM ev JOIN cells USING (label), probe
+        |WHERE ev.vec_id <> 0
+        |ORDER BY cos_sim DESC, ev.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // IVF-style ANN: coarse cells = labels with DECIMAL-exact
+        // centroids; rank cells by probe-centroid affinity (decimal dot,
+        // order-free); exact-search only the nprobe=3 best cells. The scan
+        // touches ~30% of the corpus instead of 100% — the same plan shape
+        // an IVF index gives at 100 TB (cells from k-means instead of
+        // given labels; centroid table broadcast either way).
+        val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+        val emb = Tables.cachedTable(s, d, "embeddings")
+        val pos = emb.select(
+          col("vec_id"), col("label"),
+          posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("p0", "x")))
+          .withColumn("p", col("p0") + 1)
+        val cent = pos.groupBy("label", "p")
+          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+          .select(col("label").as("c_label"), col("p").as("c_p"), col("c"))
+        val probePos = pos.filter(col("vec_id") === 0).select(col("p"), col("x"))
+        val cells = probePos.join(cent, col("p") === col("c_p"))
+          .groupBy(col("c_label"))
+          .agg(sum((col("x") * col("c")).cast(dec)).cast("double").as("a"))
+          .orderBy(col("a").desc, col("c_label")).limit(3)
+          .select(col("c_label").as("label"))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pv"))
+        val cos = VectorOps.dotF(col("embedding"), col("pv")) /
+          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
+        emb.join(broadcast(cells), "label")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
+    Q("multimodal_binary",
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |       CAST(ascii(substr(text, n_chars, 1)) AS BIGINT) AS last_byte
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        // Opaque-binary column plumbing: content as BinaryType + typed
+        // metadata. The decode/feature-extraction path (stubbed
+        // deterministic "codec") lives in operators.MultimodalOps with its
+        // own spec; this query pins the schema + byte-level metadata the
+        // oracle can check (corpus is ASCII, so ascii(char)==byte).
+        Tables.cachedTable(s, d, "documents").select(
+          col("doc_id"),
+          lit("text/plain").as("mime"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+          ascii(expr("substr(text, CAST(n_chars AS INT), 1)")).cast("long").as("last_byte"))
+    },
+
     Q("multimodal_cols",
       """WITH pos AS (
         |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x

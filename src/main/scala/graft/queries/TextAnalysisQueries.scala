@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.TextOps
+
+/** Text-analysis surface beyond counts/ngrams: quality scoring, n-gram
+  * language identification, and BPE-ish regex tokenization (the brief's
+  * training-data-pipeline checklist).
+  *
+  * Determinism: every ratio is a quotient of exact integers (identical
+  * doubles in both engines); ranks are tie-broken on a unique column.
+  */
+object TextAnalysisQueries {
+
+  /** Fixed stopword list (multi-language, matches the corpus langs). */
+  private val Stopwords = Seq(
+    "the", "of", "and", "a", "in", "to", "is",
+    "de", "la", "el", "le", "et", "und", "der", "die")
+  private def duckStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Character classes outside [a-z0-9 ] count as "punctuation-ish". */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def all: Seq[Q] = Seq(
+    Q("text_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |         string_split(lower(text), ' ') AS toks
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(n_chars - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+         |       CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_nonalpha,
+         |       CAST(len(list_filter(toks, x -> list_contains($duckStop, x))) AS BIGINT) AS n_stop,
+         |       CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+         |       CAST(len(list_filter(toks, x -> list_contains($duckStop, x))) AS DOUBLE) / len(toks) AS stop_ratio
+         |FROM t""".stripMargin) {
+      (s, d) =>
+        val stopArr = array(Stopwords.map(lit): _*)
+        Tables.cachedTable(s, d, "documents")
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(
+            col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (col("n_chars") - length(regexp_replace(col("text"), " ", "")))
+              .cast("long").as("n_spaces"),
+            (length(lower(col("text"))) -
+              length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+              .cast("long").as("n_nonalpha"),
+            size(filter(col("toks"), t => array_contains(stopArr, t)))
+              .cast("long").as("n_stop"),
+            (col("n_chars").cast("double") / size(col("toks"))).as("avg_token_len"),
+            (size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double")
+              / size(col("toks"))).as("stop_ratio"))
+    },
+
+    Q("text_langid",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |freq AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS p_lang, tok
+        |  FROM (SELECT lang, tok,
+        |               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+        |        FROM freq)
+        |  WHERE rn <= 30),
+        |overlap AS (
+        |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS n_shared
+        |  FROM tok t JOIN prof p ON t.tok = p.tok
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, p_lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, p_lang) AS rn
+        |  FROM overlap)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM pred WHERE rn = 1 GROUP BY lang""".stripMargin) {
+      (s, d) =>
+        // Self-supervised n-gram language ID: per-lang top-30 token
+        // profiles from the corpus itself, classify each doc by max
+        // profile overlap (ties -> lexicographic lang), report per-lang
+        // accuracy. One narrow shuffle per stage; profiles are
+        // dimension-sized (langs x 30) and broadcast into the overlap
+        // join at scale.
+        val tok = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokenSet(col("text"))).as("tok"))
+        val prof = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+          .filter(col("rn") <= 30)
+          .select(col("lang").as("p_lang"), col("tok"))
+        val overlap = tok.join(prof, "tok")
+          .groupBy("doc_id", "lang", "p_lang")
+          .agg(count(lit(1)).as("n_shared"))
+        overlap
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("n_shared").desc, col("p_lang"))))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("p_lang") === col("lang"), 1).otherwise(0))
+              .cast("long").as("n_correct"))
+    },
+
+    Q("text_tokens_bpe",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS BIGINT) AS n_bpe,
+         |       CAST(len(list_distinct(regexp_extract_all(lower(text), '$BpePattern'))) AS BIGINT) AS n_bpe_distinct
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        // BPE-ish tokenization: split into letter runs / digit runs /
+        // single symbols (the GPT-2 pre-tokenizer shape, minus unicode
+        // categories), counted per doc. The regex is class-only, so Java
+        // and RE2 dialects agree.
+        // group index 0 (whole match) is explicit: Spark defaults to group
+        // 1 and throws on group-free patterns, DuckDB defaults to 0.
+        Tables.cachedTable(s, d, "documents").select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+            .cast("long").as("n_bpe"),
+          size(array_distinct(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")))
+            .cast("long").as("n_bpe_distinct"))
+    }
+  )
+}

@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Open-session accumulator for [[StreamOps.sessionizeWithState]]. */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+/** A closed session emitted by the custom sessionizer. */
+final case class SessionOut(
+    user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
@@ -62,4 +70,58 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape
+    * hatch when session semantics outgrow `session_window` (e.g. emitting
+    * event counts at close time, per-key gap policies, session TTL caps).
+    *
+    * State = one open session per key, hash-partitioned by the groupByKey
+    * shuffle; the event-time timeout fires when the watermark passes
+    * session_end + gap, emitting and evicting the session, which bounds
+    * state size exactly like the native operator. Emitted sessions report
+    * [start, last-event] in epoch micros (note: session_window's `end` is
+    * last-event + gap; this emits the tighter bound).
+    */
+  def sessionizeWithState(events: DataFrame, tsCol: String, gapUs: Long,
+                          delay: String, keyCol: String = "user_id"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark(tsCol, delay)
+      .select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            // watermark passed session_end + gap: close and evict.
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startUs, s.endUs, s.n))
+          } else {
+            // micro-batch rows arrive unordered — sort before merging.
+            val ts = rows.map(r => usOf(r._2)).toArray.sorted
+            val closed = Array.newBuilder[SessionOut]
+            var cur = state.getOption
+            for (t <- ts) cur match {
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+              case Some(s) if t - s.endUs > gapUs =>
+                closed += SessionOut(user, s.startUs, s.endUs, s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case Some(s) =>
+                cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -14,7 +14,9 @@ class StreamingSmokeSpec extends SparkTestBase {
   import spark.implicits._
   implicit lazy val sqlCtx: SQLContext = spark.sqlContext
 
-  private def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
+  // day-1 offset: an event at exactly epoch 0 ties with the initial
+  // watermark (0) and is dropped as late by stateful operators.
+  private def us(h: Int, m: Int): Long = (86400L + h * 3600L + m * 60L) * 1000000L
 
   test("tumbling agg is incremental and the watermark drops late rows") {
     val ms = MemoryStream[(Long, String, Double)]
@@ -56,6 +58,31 @@ class StreamingSmokeSpec extends SparkTestBase {
       assert(rows.contains((1L, us(0, 0), us(0, 40), 2L)), rows.mkString(", "))
       assert(rows.contains((1L, us(1, 0), us(1, 30), 1L)), rows.mkString(", "))
       assert(!rows.exists(_._1 == 2L), "open session must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes on gap and on watermark timeout") {
+    val ms = MemoryStream[(Long, Long)]
+    val events = ms.toDF().toDF("ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.sessionizeWithState(events, "ts", gapUs = 30L * 60 * 1000000, delay = "10 seconds")
+      .writeStream.format("memory").queryName("fmgs").outputMode("append").start()
+    try {
+      // one batch: gap between 0:10 and 1:00 closes session 1 inline
+      ms.addData((us(0, 0), 1L), (us(0, 10), 1L), (us(1, 0), 1L))
+      q.processAllAvailable()
+      // watermark -> ~4:59:50 fires the event-time timeout for session 2
+      ms.addData((us(5, 0), 2L))
+      q.processAllAvailable()
+      ms.addData((us(5, 1), 2L)) // nudge another batch so timeouts run
+      q.processAllAvailable()
+
+      val rows = spark.table("fmgs").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains((1L, us(0, 0), us(0, 10), 2L)), rows.mkString(", "))
+      assert(rows.contains((1L, us(1, 0), us(1, 0), 1L)), rows.mkString(", "))
+      assert(!rows.exists(_._1 == 2L), "user-2 session is still open")
     } finally q.stop()
   }
 
