@@ -86,9 +86,19 @@ object TextOps {
     // size(array_intersect) is an interpreted CodegenFallback and dominated
     // this operator's runtime by ~10x). `tokenizer` picks the shingle
     // granularity: word sets (default), n-gram sets (dedup_ngram), etc.
-    val base = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        sort_array(array_distinct(tokenizer(col(textCol)))).as("s"): _*)
+    //
+    // The token set is built through explode -> groupBy -> collect, NOT as
+    // a projected expression: a projected HOF chain gets INLINED by
+    // projection-collapse into every downstream filter/join condition that
+    // references it (observed 8 re-evaluations of the interpreted bigram
+    // build per row — ~4x the operator's total cost). An aggregation is a
+    // pipeline breaker, so `s` is a concrete attribute afterwards. Docs
+    // with zero tokens drop out here; they can't pair anyway.
+    val base = docs
+      .select((col(idCol) +: blockCols.map(col)) :+
+        explode(array_distinct(tokenizer(col(textCol)))).as("token"): _*)
+      .groupBy(col(idCol) +: blockCols.map(col): _*)
+      .agg(sort_array(collect_list(col("token"))).as("s"))
       .withColumn("anchor", element_at(col("s"), 1))
       .withColumn("n", size(col("s")))
     // Phase 1 — NARROW candidate generation: self-join ids+lengths only on
@@ -140,14 +150,21 @@ object TextOps {
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
                       blockCols: Seq[String] = Seq("lang")): DataFrame = {
-    val base = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        sort_array(tokenSet(col(textCol))).as("s"): _*)
-      .withColumn("n", size(col("s")))
-    val withBands = (0 until bands).foldLeft(base) { (df, i) =>
-      df.withColumn(s"mh$i", array_min(transform(col("s"), t => sha2(concat(lit(i.toString), t), 256))))
-    }
-    val slim = withBands.select(
+    // One explode + one aggregation produces the sorted token set AND all
+    // band keys: each salted MinHash is a plain `min()` aggregate over
+    // codegen'd sha2 rows — no interpreted array transform, and the agg
+    // boundary stops projection-collapse from inlining anything downstream
+    // (see nearDupPairs).
+    val bandAggs = (0 until bands).map(i =>
+      min(sha2(concat(lit(i.toString), col("token")), 256)).as(s"mh$i"))
+    val base = docs
+      .select((col(idCol) +: blockCols.map(col)) :+
+        explode(tokenSet(col(textCol))).as("token"): _*)
+      .groupBy(col(idCol) +: blockCols.map(col): _*)
+      .agg(
+        sort_array(collect_list(col("token"))).as("s"),
+        count(lit(1)).as("n") +: bandAggs: _*)
+    val slim = base.select(
       (Seq(col(idCol), col("n")) ++ blockCols.map(col) ++
         (0 until bands).map(i => col(s"mh$i"))): _*)
     val a = slim.select(slim.columns.map(c => col(c).as(s"a_$c")): _*)
