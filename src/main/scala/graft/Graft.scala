@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** Public facade — the one-stop API surface of the library.
+  *
+  * Diff (the reference capability): keyed row-level diff of two DataFrames
+  * with N/C/I/D statuses, plus the derived reports. Pipeline (the 100 TB
+  * extensions): dedup, similarity search/join, text analysis, multimodal
+  * columns. Every method is a thin delegate to the operator modules, which
+  * carry the scale notes; a user of the upstream differ switches by
+  * calling `Graft.diff(left, right, keys)`.
+  */
+object Graft {
+
+  // ---- diff core (operators.Differ) -----------------------------------
+
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
+           opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.diff(left, right, keys, opts)
+
+  /** Two-phase hash diff: shuffles 32-byte hashes first, fetches full rows
+    * only for differing keys. Returns only non-N rows — the 100 TB path.
+    */
+  def diffLarge(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    Differ.diffViaHash(left, right, keys)
+
+  def diffSummary(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.summary(left, right, keys, opts)
+
+  def onlyInLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    Differ.onlyInLeft(left, right, keys)
+
+  def onlyInRight(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    Differ.onlyInRight(left, right, keys)
+
+  def changed(left: DataFrame, right: DataFrame, keys: Seq[String],
+              opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.changed(left, right, keys, opts)
+
+  def unchanged(left: DataFrame, right: DataFrame, keys: Seq[String],
+                opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.unchanged(left, right, keys, opts)
+
+  def columnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.columnStats(left, right, keys, opts)
+
+  def schemaDiff(left: DataFrame, right: DataFrame): DataFrame =
+    Differ.schemaDiff(left.sparkSession, left, right)
+
+  // ---- training-data pipeline (operators.TextOps / VectorOps) ---------
+
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    TextOps.dedupExact(docs, idCol, textCol)
+
+  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    TextOps.nearDupPairs(docs, minJaccard)
+
+  def nearDupPairsLsh(docs: DataFrame, minJaccard: Double, bands: Int = 4): DataFrame =
+    TextOps.minHashLshPairs(docs, minJaccard, bands)
+
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    TextOps.simHashPairs(docs, maxHamming)
+
+  def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame =
+    VectorOps.topKByCosine(emb, probeId, k)
+
+  def cosineJoin(emb: DataFrame, tau: Double): DataFrame =
+    VectorOps.cosineJoinThreshold(emb, tau)
+
+  def embeddingHygiene(emb: DataFrame): DataFrame =
+    VectorOps.centroidHygiene(emb)
+
+  // ---- sinks ----------------------------------------------------------
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       sortCols: Seq[String] = Nil): Unit =
+    Sinks.writePartitioned(df, path, partitionCols, sortCols)
+}

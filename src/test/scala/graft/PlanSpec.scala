@@ -54,4 +54,18 @@ class PlanSpec extends SparkTestBase {
     val plan = physical(RelationalQueries.all, "join_asof")
     assert(!plan.contains("CartesianProduct"), "as-of join must not go cartesian")
   }
+
+  test("similarity joins never go cartesian and keep the native kernels codegen'd") {
+    val pipeline = graft.queries.PipelineQueries.all ++ graft.queries.DedupVariantQueries.all
+    for (name <- Seq("sim_join_threshold", "dedup_near", "dedup_minhash_lsh")) {
+      val plan = physical(pipeline, name)
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name went nested-loop")
+    }
+    // the custom expressions surface in the plan (not folded away / UDF'd)
+    assert(physical(pipeline, "sim_join_threshold").contains("float_vec_dot"),
+      "FloatVecDot missing from plan")
+    assert(physical(pipeline, "dedup_near").contains("sorted_intersect_count"),
+      "SortedIntersectCount missing from plan")
+  }
 }
