@@ -189,6 +189,23 @@ object DiffQueries {
           .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
     },
 
+    Q("diff_two_phase",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       ELSE 'C' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${pairSelect(valueCols)}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+         |   OR ${anyDistinct(valueCols)}""".stripMargin) {
+      // The 100 TB execution path under the same oracle as diff_full:
+      // phase 1 classifies keys by 32-byte value-hash, phase 2 fetches
+      // full rows only for the non-N subset (== the oracle's WHERE).
+      (s, d) => Differ.diffViaHash(left(s, d), right(s, d), keys)
+    },
+
     // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
     Q.noOracle("schema_diff") { (s, d) =>
       val l = left(s, d)

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import graft.operators.TextOps
+
+/** Property invariants of the dedup family on generated corpora (fixed
+  * seed): every emitted pair is a true pair (blocking never fabricates),
+  * exact dedup partitions the corpus, identical docs are always found.
+  */
+class PipelinePropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private val corpusGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.chooseNum(4, 14)
+    texts <- Gen.listOfN(n, docGen)
+    langs <- Gen.listOfN(n, Gen.oneOf("en", "fr"))
+  } yield texts.zip(langs).zipWithIndex.map { case ((t, l), i) => (i.toLong, l, t) }
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {
+    var s = rng.Seed(seed)
+    (1 to n).map { _ => val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v }
+  }
+
+  private def jaccard(a: String, b: String): Double = {
+    val (sa, sb) = (a.toLowerCase.split(" ").toSet, b.toLowerCase.split(" ").toSet)
+    val u = sa.union(sb).size
+    if (u == 0) 0.0 else sa.intersect(sb).size.toDouble / u
+  }
+
+  test("near-dup variants emit only true pairs; exact dedup partitions; identical docs pair") {
+    for ((corpus, i) <- samples(corpusGen, 8, 11L).zipWithIndex) {
+      val docs = corpus.toDF("doc_id", "lang", "text")
+      val byId = corpus.map(c => c._1 -> c).toMap
+
+      for ((name, pairs) <- Seq(
+        "anchor" -> TextOps.nearDupPairs(docs, 0.6),
+        "minhash" -> TextOps.minHashLshPairs(docs, 0.6, bands = 3))) {
+        for (r <- pairs.collect()) {
+          val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+          assert(a < b, s"case $i $name: ordered pair")
+          assert(byId(a)._2 == byId(b)._2, s"case $i $name: same block")
+          val j = jaccard(byId(a)._3, byId(b)._3)
+          assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-12 && j >= 0.6,
+            s"case $i $name: jaccard $j vs ${r.getAs[Double]("jaccard")}")
+        }
+      }
+
+      // identical same-lang docs are always found by both methods
+      val ident = for {
+        (x, y) <- corpus.flatMap(a => corpus.map(b => (a, b)))
+        if x._1 < y._1 && x._2 == y._2 && x._3.toLowerCase == y._3.toLowerCase
+      } yield (x._1, y._1)
+      if (ident.nonEmpty) {
+        val mh = TextOps.minHashLshPairs(docs, 0.99, bands = 3)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(ident.toSet.subsetOf(mh), s"case $i: identical docs missed by minhash")
+      }
+
+      // exact dedup: one representative per normalized text, all docs accounted
+      val kept = TextOps.dedupExact(docs).collect()
+      assert(kept.map(_.getAs[Long]("n_copies")).sum == corpus.size, s"case $i: partition")
+      assert(kept.map(_.getAs[String]("text_hash")).distinct.length == kept.length)
+    }
+  }
+
+  test("simHash is deterministic and identical docs have hamming 0") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "en", "kappa lambda mu")).toDF("doc_id", "lang", "text")
+    val pairs = TextOps.simHashPairs(docs, maxHamming = 0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+    val h1 = TextOps.simHash(docs).collect().map(r => r.getAs[Long]("simhash")).sorted
+    val h2 = TextOps.simHash(docs).collect().map(r => r.getAs[Long]("simhash")).sorted
+    assert(h1.sameElements(h2))
+  }
+}
