@@ -76,6 +76,11 @@ object TextOps {
     * identical. The block self-join shuffles on the block key only — never
     * a cross join. Recall measured on the test corpus: 98% of >=0.9 pairs
     * share the anchor.
+    *
+    * Shuffle budget: 1 token agg (builds the sets) + 1 block self-join +
+    * 2 id-equi fetch joins (dimension-sized per block -> broadcast
+    * locally) = 2 data-sized shuffles; only ids and lengths ride the pair
+    * join.
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -146,6 +151,9 @@ object TextOps {
     * the exact native-merge Jaccard. At 100 TB swap sha256 for xxhash64
     * and raise bands — the plan shape (per-band shuffle join + distinct +
     * verify) is unchanged.
+    *
+    * Shuffle budget: 1 token agg + `bands` narrow self-joins + 1 distinct
+    * + 2 fetch joins; candidate rows carry ids only.
     */
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",

@@ -76,6 +76,8 @@ object VectorOps {
     * same contract as [[TextOps.nearDupPairs]]; at 100 TB the block key
     * comes from an IVF/LSH assignment instead of a given label.
     */
+  // Shuffle budget: one block-keyed self-join (narrow: id, block, float
+  // array, one precomputed norm double per side); no aggregation.
   def cosineJoinThreshold(emb: DataFrame, tau: Double,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           blockCol: String = "label"): DataFrame = {

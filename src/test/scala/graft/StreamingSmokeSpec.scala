@@ -86,6 +86,33 @@ class StreamingSmokeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet dir -> tumbling agg -> memory sink (production shape)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    // batch 1 on disk before the stream starts
+    Seq((us(10, 0), "a", 1.5), (us(10, 30), "a", 2.5))
+      .toDF("ts_us", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    val events = spark.readStream
+      .schema("ts_us LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.tumbling(events, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("filetumb").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // a second file lands while the query runs -> incremental batch
+      Seq((us(11, 5), "b", 4.0)).toDF("ts_us", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("filetumb").collect()
+        .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows.contains((us(10, 0), "a", 2L, 4.0)), rows.mkString(", "))
+      assert(rows.contains((us(11, 0), "b", 1L, 4.0)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val ms = MemoryStream[(Long, String, Double)]
     val events = ms.toDF().toDF("ts_us", "event_type", "value")
