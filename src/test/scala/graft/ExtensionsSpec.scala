@@ -1,0 +1,25 @@
+package graft
+
+/** SQL-surface registration of the native kernels. */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("float_vec_dot and sorted_intersect_count are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  sorted_intersect_count(array('a', 'b', 'c'), array('b', 'c', 'd')) AS inter
+        |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) == 2L)
+  }
+
+  test("registration is idempotent and survives re-registering") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    val n = spark.sql("SELECT sorted_intersect_count(array('x'), array('x'))")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+  }
+}
