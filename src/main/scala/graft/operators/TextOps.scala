@@ -48,6 +48,30 @@ object TextOps {
         sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
+  /** Exact top-k rows per group, computed scale-safely in two phases:
+    * a bucketed local top-k (parallelism = groups x buckets) followed by a
+    * global top-k over the <= k*buckets survivors per group. Top-k is
+    * mergeable, so the result — including the emitted `rank` — is
+    * identical to a single window partitioned by the group alone, which
+    * would funnel each group's entire domain (the whole vocabulary, for
+    * per-language token ranks) through one task at 100 TB.
+    *
+    * `order` must totally order rows (tie-break on a unique column) or
+    * ranks are nondeterministic.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int, bucketOn: Column, buckets: Int = 32): DataFrame = {
+    val local = Window
+      .partitionBy((groupCols.map(col) :+ pmod(xxhash64(bucketOn), lit(buckets))): _*)
+      .orderBy(order: _*)
+    val global = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_lrn", row_number().over(local))
+      .filter(col("__graft_lrn") <= k)
+      .drop("__graft_lrn")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact-duplicate groups by normalized-text hash: keeps the min-doc_id
     * representative per group plus the group size. Single hash-shuffle;
     * 100 TB path: the shuffle key is the 32-byte hash, value columns stay

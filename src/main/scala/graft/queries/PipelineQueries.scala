@@ -127,16 +127,18 @@ object PipelineQueries {
         |SELECT lang, bigram, CAST(cnt AS BIGINT) AS n, CAST(rn AS BIGINT) AS rank
         |FROM r WHERE rn <= 5""".stripMargin) {
       (s, d) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy(col("n").desc, col("bigram"))
-        Tables.cachedTable(s, d, "documents")
+        // Two-phase top-k (bucketed local + global merge): a rank window
+        // partitioned by lang alone funnels the whole bigram vocabulary of
+        // a language through one task at scale.
+        val counts = Tables.cachedTable(s, d, "documents")
           .select(col("lang"), TextOps.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("lang"), explode(TextOps.bigrams(col("t"))).as("bigram"))
           .groupBy("lang", "bigram")
           .agg(count(lit(1)).as("n"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
+        TextOps.topKPerGroup(counts, Seq("lang"),
+          Seq(col("n").desc, col("bigram")), k = 5, bucketOn = col("bigram"))
+          .select(col("lang"), col("bigram"), col("n"), col("rank"))
     },
 
     Q("sim_search_ivf",

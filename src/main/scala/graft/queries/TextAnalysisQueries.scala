@@ -88,10 +88,11 @@ object TextAnalysisQueries {
         val tok = Tables.cachedTable(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokenSet(col("text"))).as("tok"))
-        val prof = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
-          .filter(col("rn") <= 30)
+        // profile rank via two-phase top-k: a lang-only window would sort
+        // each language's entire vocabulary in a single task at scale.
+        val prof = TextOps.topKPerGroup(
+          tok.groupBy("lang", "tok").agg(count(lit(1)).as("c")),
+          Seq("lang"), Seq(col("c").desc, col("tok")), k = 30, bucketOn = col("tok"))
           .select(col("lang").as("p_lang"), col("tok"))
         val overlap = tok.join(prof, "tok")
           .groupBy("doc_id", "lang", "p_lang")
