@@ -45,8 +45,17 @@ object Differ {
   private val LP = "__graft_l_present"
   private val RP = "__graft_r_present"
 
-  /** Value columns = shared by both sides, minus keys, in left's order. */
+  /** Value columns = shared by both sides, minus keys, in left's order.
+    * Fails fast with a precise message on an empty or absent key list —
+    * the downstream join-condition reduce would otherwise throw an opaque
+    * `UnsupportedOperationException: empty.reduceLeft`.
+    */
   def valueCols(left: DataFrame, right: DataFrame, keys: Seq[String]): Seq[String] = {
+    require(keys.nonEmpty, "diff requires at least one key column")
+    val missing = keys.filterNot(k => left.columns.contains(k) && right.columns.contains(k))
+    require(missing.isEmpty,
+      s"key column(s) ${missing.mkString(", ")} absent from " +
+        s"left [${left.columns.mkString(", ")}] or right [${right.columns.mkString(", ")}]")
     val rightCols = right.columns.toSet
     left.columns.toSeq.filterNot(keys.contains).filter(rightCols.contains)
   }

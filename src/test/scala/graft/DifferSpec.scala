@@ -124,6 +124,14 @@ class DifferSpec extends SparkTestBase {
     assert(Differ.unchanged(l, r, keys).select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("empty or absent key columns fail fast with a precise message") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val e1 = intercept[IllegalArgumentException](Differ.diff(a, a, Seq.empty))
+    assert(e1.getMessage.contains("at least one key"))
+    val e2 = intercept[IllegalArgumentException](Differ.diff(a, a, Seq("nope")))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("summary equals groupBy of full diff") {
     val l = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val r = Seq((2L, "x"), (3L, "c")).toDF("k", "s")
