@@ -48,6 +48,14 @@ object Graft {
                   opts: DiffOptions = DiffOptions()): DataFrame =
     Differ.columnStats(left, right, keys, opts)
 
+  def changedCols(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.changedCols(left, right, keys, opts)
+
+  def numericStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.numericStats(left, right, keys, opts)
+
   def schemaDiff(left: DataFrame, right: DataFrame): DataFrame =
     Differ.schemaDiff(left.sparkSession, left, right)
 

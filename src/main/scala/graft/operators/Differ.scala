@@ -15,13 +15,16 @@ import org.apache.spark.sql.types._
   *                    Integer columns get tolerance only by explicit opt-in —
   *                    a blanket numeric tolerance would silently equate
   *                    distinct surrogate keys.
+  * @param ignoreCols  columns excluded from comparison AND from the output
+  *                    (audit columns like updated_at that always differ)
   */
 final case class DiffOptions(
     statusCol: String = "diff_status",
     leftPrefix: String = "left_",
     rightPrefix: String = "right_",
     absTol: Double = 0.0,
-    tolCols: Set[String] = Set.empty)
+    tolCols: Set[String] = Set.empty,
+    ignoreCols: Set[String] = Set.empty)
 
 /** Schema-generic, null-safe DataFrame diff — the core capability of the
   * reference (a PySpark dataframe-diff utility; capability surface per
@@ -50,14 +53,21 @@ object Differ {
     * the downstream join-condition reduce would otherwise throw an opaque
     * `UnsupportedOperationException: empty.reduceLeft`.
     */
-  def valueCols(left: DataFrame, right: DataFrame, keys: Seq[String]): Seq[String] = {
+  def valueCols(left: DataFrame, right: DataFrame, keys: Seq[String]): Seq[String] =
+    valueCols(left, right, keys, DiffOptions())
+
+  def valueCols(left: DataFrame, right: DataFrame, keys: Seq[String],
+                opts: DiffOptions): Seq[String] = {
     require(keys.nonEmpty, "diff requires at least one key column")
     val missing = keys.filterNot(k => left.columns.contains(k) && right.columns.contains(k))
     require(missing.isEmpty,
       s"key column(s) ${missing.mkString(", ")} absent from " +
         s"left [${left.columns.mkString(", ")}] or right [${right.columns.mkString(", ")}]")
     val rightCols = right.columns.toSet
-    left.columns.toSeq.filterNot(keys.contains).filter(rightCols.contains)
+    left.columns.toSeq
+      .filterNot(keys.contains)
+      .filterNot(opts.ignoreCols.contains)
+      .filter(rightCols.contains)
   }
 
   private def numeric(dt: DataType): Boolean = dt match {
@@ -89,7 +99,7 @@ object Differ {
     */
   def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions()): DataFrame = {
-    val vcols = valueCols(left, right, keys)
+    val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     // Prune to keys + shared value columns before the join (column pruning
     // for the wide scan) and add presence markers so null keys still get
@@ -142,7 +152,7 @@ object Differ {
     */
   private def innerDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
                         opts: DiffOptions, keepEqual: Boolean): DataFrame = {
-    val vcols = valueCols(left, right, keys)
+    val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
@@ -176,7 +186,7 @@ object Differ {
     */
   def columnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
                   opts: DiffOptions = DiffOptions()): DataFrame = {
-    val vcols = valueCols(left, right, keys)
+    val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
@@ -188,6 +198,60 @@ object Differ {
     val wide = joined.agg(aggs.head, aggs.tail: _*)
     val stackExpr = vcols.map(c => s"'$c', `$c`").mkString(", ")
     wide.selectExpr(s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)")
+  }
+
+  /** Per changed row, WHICH value columns differ: key columns +
+    * `changed_cols` (comma-joined column names, in schema order) +
+    * `n_changed`. Same inner join + predicates as [[changed]]; the name
+    * list is a codegen'd concat_ws over per-column CASEs (concat_ws skips
+    * nulls in Spark and DuckDB alike, so the oracle replays it verbatim).
+    */
+  def changedCols(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys, opts)
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    def diffCase(c: String) =
+      when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), lit(c))
+    val nChanged = vcols
+      .map(c => when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    l.join(r, joinCond, "inner")
+      .select(
+        keys.map(k => col(s"l.$k").as(k)) ++ Seq(
+          concat_ws(",", vcols.map(diffCase): _*).as("changed_cols"),
+          nChanged.as("n_changed")): _*)
+      .filter(col("n_changed") > 0)
+  }
+
+  /** Per numeric value column over key-matched rows: differing-row count,
+    * mean |delta| (DECIMAL-exact sum → deterministic under shuffle) and max
+    * |delta|. One aggregation pass, unpivoted like [[columnStats]].
+    */
+  def numericStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   opts: DiffOptions = DiffOptions()): DataFrame = {
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val vcols = valueCols(left, right, keys, opts).filter(c => numeric(types(c)))
+    require(vcols.nonEmpty, "numericStats requires at least one shared numeric value column")
+    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val dec = DecimalType(27, 6)
+    val aggs = vcols.flatMap { c =>
+      val delta = abs(col(s"l.$c").cast("double") - col(s"r.$c").cast("double"))
+      val differs = !(col(s"l.$c") <=> col(s"r.$c"))
+      Seq(
+        sum(when(differs, 1L).otherwise(0L)).as(s"n_$c"),
+        (sum(when(differs, delta).otherwise(lit(0.0)).cast(dec)).cast("double") /
+          greatest(sum(when(differs, 1L).otherwise(0L)), lit(1L))).as(s"avg_$c"),
+        coalesce(max(when(differs, delta)), lit(0.0)).as(s"max_$c"))
+    }
+    val wide = l.join(r, joinCond, "inner").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = vcols.map(c => s"'$c', `n_$c`, `avg_$c`, `max_$c`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff, avg_abs_delta, max_abs_delta)")
   }
 
   /** Canonical whole-row fingerprint for key-less bag diff, and the building
@@ -257,7 +321,7 @@ object Differ {
     */
   def diffViaHash(left: DataFrame, right: DataFrame, keys: Seq[String],
                   opts: DiffOptions = DiffOptions()): DataFrame = {
-    val vcols = valueCols(left, right, keys)
+    val vcols = valueCols(left, right, keys, opts)
     val VH = "__graft_vhash"
     val lh = left.select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
     val rh = right.select(keys.map(col) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")

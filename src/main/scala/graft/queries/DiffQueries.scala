@@ -189,6 +189,53 @@ object DiffQueries {
           .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
     },
 
+    Q("diff_changed_cols",
+      s"""$Prelude
+         |SELECT * FROM (
+         |  SELECT l.o_orderkey AS o_orderkey,
+         |         concat_ws(',', ${valueCols.map(c => s"CASE WHEN l.$c IS DISTINCT FROM r.$c THEN '$c' END").mkString(", ")}) AS changed_cols,
+         |         CAST(${valueCols.map(c => s"(CASE WHEN l.$c IS DISTINCT FROM r.$c THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_changed
+         |  FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
+         |WHERE n_changed > 0""".stripMargin) {
+      (s, d) => Differ.changedCols(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_numeric_stats",
+      s"""$Prelude, j AS (
+         |  SELECT CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN 1 ELSE 0 END AS d_ck,
+         |         abs(CAST(l.o_custkey AS DOUBLE) - CAST(r.o_custkey AS DOUBLE)) AS del_ck,
+         |         CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN 1 ELSE 0 END AS d_tp,
+         |         abs(l.o_totalprice - r.o_totalprice) AS del_tp
+         |  FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
+         |SELECT 'o_custkey' AS column_name, CAST(SUM(d_ck) AS BIGINT) AS n_diff,
+         |       CAST(SUM(CAST(CASE WHEN d_ck = 1 THEN del_ck ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+         |         / greatest(SUM(d_ck), 1) AS avg_abs_delta,
+         |       COALESCE(MAX(CASE WHEN d_ck = 1 THEN del_ck END), 0.0) AS max_abs_delta
+         |FROM j
+         |UNION ALL
+         |SELECT 'o_totalprice', CAST(SUM(d_tp) AS BIGINT),
+         |       CAST(SUM(CAST(CASE WHEN d_tp = 1 THEN del_tp ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+         |         / greatest(SUM(d_tp), 1),
+         |       COALESCE(MAX(CASE WHEN d_tp = 1 THEN del_tp END), 0.0)
+         |FROM j""".stripMargin) {
+      (s, d) => Differ.numericStats(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_ignore_cols",
+      s"""$Prelude
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN r.o_orderkey IS NULL THEN 'D'
+         |            WHEN ${anyDistinct(valueCols.filterNot(_ == "o_totalprice"))} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       COUNT(*) AS n
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |GROUP BY 1""".stripMargin) {
+      // ignoreCols drops the column from comparison AND output: with the
+      // fixture's only perturbed column ignored, all C rows become N.
+      (s, d) => Differ.summary(left(s, d), right(s, d), keys,
+        DiffOptions(ignoreCols = Set("o_totalprice")))
+    },
+
     Q("diff_two_phase",
       s"""$Prelude
          |SELECT

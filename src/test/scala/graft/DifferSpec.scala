@@ -124,6 +124,31 @@ class DifferSpec extends SparkTestBase {
     assert(Differ.unchanged(l, r, keys).select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("ignoreCols excludes a column from comparison and from the output") {
+    val l = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "audit")
+    val r = Seq((1L, "a", 99.0), (2L, "B", 20.0)).toDF("k", "s", "audit")
+    val d = Differ.diff(l, r, keys, DiffOptions(ignoreCols = Set("audit")))
+    assert(statusCounts(d) == Map("N" -> 1L, "C" -> 1L)) // audit diff invisible
+    assert(!d.columns.exists(_.contains("audit")))
+  }
+
+  test("changedCols names exactly the differing columns per row") {
+    val l = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val r = Seq((1L, "A", 9.0), (2L, "b", 2.5), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val got = Differ.changedCols(l, r, keys).collect()
+      .map(row => row.getAs[Long]("k") ->
+        ((row.getAs[String]("changed_cols"), row.getAs[Long]("n_changed")))).toMap
+    assert(got == Map(1L -> (("s,v", 2L)), 2L -> (("v", 1L))))
+  }
+
+  test("numericStats reports exact counts and deltas for numeric columns only") {
+    val l = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val r = Seq((1L, "a", 13.0), (2L, "x", 20.0)).toDF("k", "s", "v")
+    val got = Differ.numericStats(l, r, keys).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getDouble(2), row.getDouble(3)))
+    assert(got.toSeq == Seq(("v", 1L, 3.0, 3.0))) // string col excluded
+  }
+
   test("empty or absent key columns fail fast with a precise message") {
     val a = Seq((1L, "x")).toDF("k", "s")
     val e1 = intercept[IllegalArgumentException](Differ.diff(a, a, Seq.empty))
