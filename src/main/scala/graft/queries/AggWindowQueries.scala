@@ -41,6 +41,36 @@ object AggWindowQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
     },
 
+    Q("agg_percentile",
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+      // both use ANSI (n-1)*p linear interpolation — verified bit-identical
+      // on the corpus. (The approximate sketch path is approx_percentile;
+      // like approx_count_distinct it has no cross-engine oracle.)
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+    },
+
+    Q("agg_pivot",
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // Pivot with an explicit value list (no discovery pass — at scale the
+      // implicit form runs an extra distinct job); CASE-without-ELSE in the
+      // oracle mirrors pivot's NULL for empty cells.
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"))
+    },
+
     // HyperLogLog sketch — implementation-specific, no cross-engine oracle;
     // its error bound is pinned by a scalatest spec instead.
     Q.noOracle("agg_approx_distinct") { (s, d) =>
