@@ -41,6 +41,30 @@ object AggWindowQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
     },
 
+    Q("agg_mode",
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority, n,
+        |             row_number() OVER (PARTITION BY o_orderstatus
+        |                                ORDER BY n DESC, o_orderpriority) AS rn
+        |      FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      // Deterministic mode (argmax with lexicographic tiebreak) — native
+      // `mode()` functions break ties engine-specifically, so the portable
+      // count+rank form IS the operator. Domain per group is tiny (priority
+      // values), so the rank window needs no two-phase treatment.
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      Tables.cachedTable(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+    },
+
     Q("agg_percentile",
       """SELECT l_returnflag,
         |       quantile_cont(l_extendedprice, 0.5) AS p50,
@@ -186,6 +210,21 @@ object AggWindowQueries {
           col("event_id"), col("user_id"), col("ts_us"),
           (sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
             / count(col("value")).over(w)).as("avg3"))
+    },
+
+    Q("window_ntile",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders""".stripMargin) { (s, d) =>
+      // ANSI ntile bucketing (identical remainder distribution in both
+      // engines); order tie-broken on the unique key.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.cachedTable(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"))
     },
 
     Q("window_range_frame",
