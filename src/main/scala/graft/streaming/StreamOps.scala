@@ -71,6 +71,25 @@ object StreamOps {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Stream-stream interval join: each left event matches right events
+    * with the same key whose event time lies in
+    * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks,
+    * which is what lets the join state expire — without the time bound the
+    * state would grow forever. The time-range condition on raw micros
+    * keeps the predicate sargable for the state-store range scan.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   lowerUs: Long, upperUs: Long, delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerUs MICROSECOND") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperUs MICROSECOND"))
+  }
+
   /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape
     * hatch when session semantics outgrow `session_window` (e.g. emitting
     * event counts at close time, per-key gap policies, session TTL caps).

@@ -86,6 +86,29 @@ class StreamingSmokeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, not outside") {
+    val imps = MemoryStream[(Long, Long)]   // (ts_us, ad_id)
+    val clicks = MemoryStream[(Long, Long)]
+    val impDf = imps.toDF().toDF("i_ts_us", "ad_id")
+      .withColumn("i_ts", timestamp_micros(col("i_ts_us")))
+    val clkDf = clicks.toDF().toDF("c_ts_us", "ad_id")
+      .withColumn("c_ts", timestamp_micros(col("c_ts_us")))
+    val joined = StreamOps.intervalJoin(
+      impDf, clkDf, "ad_id", "i_ts", "c_ts",
+      lowerUs = 0L, upperUs = 10L * 60 * 1000000, delay = "10 seconds")
+      .select(col("l.ad_id").as("ad_id"), col("i_ts_us"), col("c_ts_us"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      imps.addData((us(10, 0), 1L), (us(10, 0), 2L))
+      clicks.addData((us(10, 5), 1L))  // within 10 min -> match
+      clicks.addData((us(10, 20), 2L)) // 20 min later -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("ad_id"), r.getAs[Long]("c_ts_us"))).toSet
+      assert(rows == Set((1L, us(10, 5))), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet dir -> tumbling agg -> memory sink (production shape)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream_src").toString
