@@ -259,8 +259,10 @@ object Differ {
     * full rows only for the differing subset).
     *
     * Canonical string rules (must match the DuckDB oracle bit-for-bit):
-    * ints/strings as-is, doubles via DECIMAL(18,2), timestamps via epoch
-    * micros, nulls as U+2400, fields joined on U+001F.
+    * ints/strings as-is, doubles via DECIMAL(18,2) with NaN/+-Inf named
+    * explicitly (a DECIMAL cast nulls them, colliding with true NULLs),
+    * timestamps via epoch micros, nulls as U+2400, fields joined on
+    * U+001F.
     */
   /** Metadata-level schema comparison: columns added / removed / retyped.
     * Driver-side only (schemas are tiny); emitted as a small DataFrame so it
@@ -292,7 +294,14 @@ object Differ {
     val parts = cols.map { c =>
       val dt = df.schema(c).dataType
       val s = dt match {
-        case DoubleType | FloatType => col(c).cast(DecimalType(18, 2)).cast(StringType)
+        case DoubleType | FloatType =>
+          // NaN / +-Inf cast to DECIMAL as NULL, which would collide with
+          // genuine NULLs (caught by DifferPropSpec: diffViaHash must call
+          // NaN-vs-null C exactly like <=> does) — name them explicitly.
+          when(isnan(col(c)), lit("NaN"))
+            .when(col(c) === Double.PositiveInfinity, lit("Inf"))
+            .when(col(c) === Double.NegativeInfinity, lit("-Inf"))
+            .otherwise(col(c).cast(DecimalType(18, 2)).cast(StringType))
         case TimestampNTZType       => unix_micros(col(c).cast(TimestampType)).cast(StringType)
         case TimestampType          => unix_micros(col(c)).cast(StringType)
         case _                      => col(c).cast(StringType)

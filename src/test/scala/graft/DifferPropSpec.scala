@@ -65,6 +65,17 @@ class DifferPropSpec extends SparkTestBase {
     }
   }
 
+  test("diffViaHash equals diff.filter(status != N) on generated tables") {
+    // NaN / -0.0 / null values are in the generator domain: the hash
+    // canonicalization must agree with <=> on all of them.
+    for ((ta, tb) <- samples(Gen.zip(tblGen, tblGen), 8, seed = 99L)) {
+      val (a, b) = (toDF(ta), toDF(tb))
+      val viaHash = rowsOf(Differ.diffViaHash(a, b, Seq("k")))
+      val direct = rowsOf(Differ.diff(a, b, Seq("k")).filter(col("diff_status") =!= "N"))
+      assert(viaHash == direct)
+    }
+  }
+
   test("exceptAll/anti-join agreement on key-unique tables") {
     val cases = samples(Gen.zip(tblGen, tblGen), 6, seed = 7L)
     for ((ta, tb) <- cases) {
