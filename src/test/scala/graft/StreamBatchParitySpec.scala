@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Batch/stream agreement on the REAL events table (SURVEY §7.7 #4): the
+  * oracle-checked batch form of stream_tumbling and the true readStream
+  * pipeline (file source → watermark → window agg → complete-mode sink)
+  * must produce identical rows at sf0.001 — same ns-timestamp bridge, same
+  * epoch-aligned windows, same decimal-exact sums.
+  */
+class StreamBatchParitySpec extends SparkTestBase {
+
+  test("stream_tumbling batch equivalent == true streaming result on events") {
+    Tables.ensureConfs(spark) // nanosAsLong for the ts[ns] parquet
+    val sfDir = "/root/testdata/sf0.001"
+
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sfDir)
+    val batchRows = rowsOf(batch)
+
+    // file-source stream over the same parquet (copied into a stream dir)
+    val streamDir = Files.createTempDirectory("graft_parity").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.tumbling(events, "tsm", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("parity").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+}
