@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench/verify JVM holds ~10 cached tables plus 32
+  // concurrent task threads' execution memory; at 8g storage/execution
+  // contention + GC inflated per-query bench times ~9x (VERDICT r2 #1).
+  // The box has 128 GiB; -Xmx is a cap, not a reservation, so tests are
+  // unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -50,6 +50,25 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of stdout; with 77
+    // queries the full line above is ~2.2k chars, so r2's BENCH json ended
+    // up truncated mid-line and unparseable ("parsed": null). Re-emit the
+    // same contract line LAST in a compact form guaranteed to fit: ms
+    // precision, and if still over budget drop the *fastest* queries from
+    // the map (count recorded in "omitted" — never silent).
+    def compactLine(qseq: Seq[(String, Double)], omitted: Int): String = {
+      val m = qseq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,""" +
+        s""""n":${results.size},"omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.map { case (k, v, _) => (k, v) }.sortBy(-_._2)
+    val budget = 1700 // tail window 2000 minus sbt's trailing [success] line
+    val keep = (results.size to 1 by -1)
+      .map(n => (n, compactLine(bySlowest.take(n), results.size - n)))
+      .find(_._2.length <= budget)
+      .map(_._2).getOrElse(compactLine(Nil, results.size))
+    println(keep)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

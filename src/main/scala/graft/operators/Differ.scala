@@ -10,21 +10,33 @@ import org.apache.spark.sql.types._
   * @param leftPrefix  prefix for left-side value columns in the output
   * @param rightPrefix prefix for right-side value columns in the output
   * @param absTol      absolute numeric tolerance; 0 = exact (null-safe `<=>`)
+  * @param relTol      relative numeric tolerance; the combined predicate is
+  *                    `|l-r| <= absTol + relTol * greatest(|l|, |r|)` (the
+  *                    numpy.isclose / datacompy convention), so either bound
+  *                    alone or both together behave as expected
   * @param tolCols     columns the tolerance applies to; empty = all
-  *                    floating-point (double/float) columns when absTol > 0.
-  *                    Integer columns get tolerance only by explicit opt-in —
-  *                    a blanket numeric tolerance would silently equate
-  *                    distinct surrogate keys.
+  *                    floating-point (double/float) columns when a tolerance
+  *                    is set. Integer columns get tolerance only by explicit
+  *                    opt-in — a blanket numeric tolerance would silently
+  *                    equate distinct surrogate keys.
   * @param ignoreCols  columns excluded from comparison AND from the output
   *                    (audit columns like updated_at that always differ)
+  * @param sparse      sparse output mode for [[Differ.diff]]: on C rows only
+  *                    the columns that actually differ carry values (the
+  *                    datacompy-style "show me what changed" report); equal
+  *                    columns are nulled. I/D rows keep their full surviving
+  *                    side, N rows carry nulls. Pure projection change — the
+  *                    join, statuses and row set are identical
   */
 final case class DiffOptions(
     statusCol: String = "diff_status",
     leftPrefix: String = "left_",
     rightPrefix: String = "right_",
     absTol: Double = 0.0,
+    relTol: Double = 0.0,
     tolCols: Set[String] = Set.empty,
-    ignoreCols: Set[String] = Set.empty)
+    ignoreCols: Set[String] = Set.empty,
+    sparse: Boolean = false)
 
 /** Schema-generic, null-safe DataFrame diff — the core capability of the
   * reference (a PySpark dataframe-diff utility; capability surface per
@@ -80,17 +92,20 @@ object Differ {
     case _                                       => false
   }
 
-  /** Null-safe per-column equality, with optional absolute tolerance.
+  /** Null-safe per-column equality, with optional absolute/relative
+    * tolerance (`|l-r| <= absTol + relTol * greatest(|l|, |r|)`).
     * Tolerance applies to `tolCols` if given (any numeric type), else to
     * floating-point columns only — never silently to integer key-like
     * columns (pinned by DifferSpec).
     */
   private def colEqual(l: Column, r: Column, dt: DataType, opts: DiffOptions, name: String): Column = {
-    val useTol = opts.absTol > 0.0 && numeric(dt) &&
+    val useTol = (opts.absTol > 0.0 || opts.relTol > 0.0) && numeric(dt) &&
       (if (opts.tolCols.isEmpty) floating(dt) else opts.tolCols.contains(name))
-    if (useTol)
-      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull && abs(l - r) <= lit(opts.absTol))
-    else l <=> r
+    if (useTol) {
+      val bound = lit(opts.absTol) +
+        (if (opts.relTol > 0.0) lit(opts.relTol) * greatest(abs(l), abs(r)) else lit(0.0))
+      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull && abs(l - r) <= bound)
+    } else l <=> r
   }
 
   /** Full diff: one output row per key in either side, with
@@ -121,7 +136,16 @@ object Differ {
 
     val keyOut = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
     val valOut = vcols.flatMap { c =>
-      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+      val (lc, rc) =
+        if (!opts.sparse) (col(s"l.$c"), col(s"r.$c"))
+        else {
+          // Sparse report: keep values where they inform — the surviving
+          // side of I/D rows, and only the differing columns of C rows.
+          val keep = col(LP).isNull || col(RP).isNull ||
+            !colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c)
+          (when(keep, col(s"l.$c")), when(keep, col(s"r.$c")))
+        }
+      Seq(lc.as(s"${opts.leftPrefix}$c"), rc.as(s"${opts.rightPrefix}$c"))
     }
     joined.select(status +: (keyOut ++ valOut): _*)
   }

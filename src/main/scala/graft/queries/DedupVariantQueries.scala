@@ -72,26 +72,41 @@ object DedupVariantQueries {
 
     Q("dedup_ngram",
       """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
-        |b AS (SELECT doc_id, lang,
+        |g AS (SELECT doc_id, lang,
         |        list_sort(list_distinct(CASE WHEN len(t) < 2 THEN []
         |          ELSE list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]) END)) AS s
         |      FROM t),
-        |a AS (SELECT doc_id, lang, s, s[1] AS anchor, len(s) AS n FROM b WHERE len(s) > 0),
-        |p AS (
-        |  SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b,
-        |         CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
-        |           / len(list_distinct(list_concat(a1.s, a2.s))) AS jaccard
-        |  FROM a a1 JOIN a a2
-        |    ON a1.lang = a2.lang AND a1.anchor = a2.anchor AND a1.doc_id < a2.doc_id
-        |   AND CAST(least(a1.n, a2.n) AS DOUBLE) / greatest(a1.n, a2.n) >= 0.5 - 1e-12)
-        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin) {
+        |m AS (SELECT doc_id, lang, s, len(s) AS n,
+        |        list_min(list_transform(s, x -> sha256('0' || x))) AS mh0,
+        |        list_min(list_transform(s, x -> sha256('1' || x))) AS mh1,
+        |        list_min(list_transform(s, x -> sha256('2' || x))) AS mh2,
+        |        list_min(list_transform(s, x -> sha256('3' || x))) AS mh3,
+        |        list_min(list_transform(s, x -> sha256('4' || x))) AS mh4,
+        |        list_min(list_transform(s, x -> sha256('5' || x))) AS mh5
+        |      FROM g WHERE len(s) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM m a JOIN m b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2
+        |     OR a.mh3 = b.mh3 OR a.mh4 = b.mh4 OR a.mh5 = b.mh5)
+        |   AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.5 - 1e-12),
+        |v AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(len(list_filter(x.s, t -> list_contains(y.s, t))) AS DOUBLE)
+        |           / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand c JOIN m x ON x.doc_id = c.doc_a JOIN m y ON y.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5""".stripMargin) {
       (s, d) =>
-        // Bigram shingles: far more discriminative than unigram sets on
-        // word-soup text (6 true near-dup pairs vs 8k unigram pairs at
-        // tau comparable).
-        TextOps.nearDupPairs(
+        // Bigram shingles (far more discriminative than unigram sets on
+        // word-soup text) through the LSH-banded candidate path — r2's
+        // single-anchor blocking over bigrams admitted 760× more
+        // candidates than true pairs; 6 one-row bands give
+        // 1-(1-J)^6 ≈ 98.4% recall at the 0.5 threshold and candidates
+        // only where a salted min-shingle collides.
+        TextOps.minHashLshPairs(
           Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
-          minJaccard = 0.5,
+          minJaccard = 0.5, bands = 6,
           tokenizer = c => TextOps.bigrams(TextOps.tokens(c)))
     },
 

@@ -189,6 +189,48 @@ object DiffQueries {
           .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
     },
 
+    Q("diff_tolerance_rel",
+      s"""$Prelude
+         |SELECT l.o_orderkey AS o_orderkey,
+         |       l.o_totalprice AS left_o_totalprice,
+         |       r.o_totalprice AS right_o_totalprice
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_custkey IS DISTINCT FROM r.o_custkey
+         |   OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+         |   OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+         |   OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+         |   OR NOT ((l.o_totalprice IS NULL AND r.o_totalprice IS NULL) OR
+         |           (l.o_totalprice IS NOT NULL AND r.o_totalprice IS NOT NULL
+         |            AND ABS(l.o_totalprice - r.o_totalprice)
+         |                <= 1000.0 + 0.02 * greatest(abs(l.o_totalprice), abs(r.o_totalprice))))""".stripMargin) {
+      (s, d) =>
+        // Combined abs+rel bound (numpy.isclose convention). The fixture's
+        // perturbation is multiplicative (×1.1), so the relative term alone
+        // would pass/fail every row identically; the absolute term makes
+        // the threshold split on price magnitude — small-price rows fall
+        // inside tolerance, large-price rows stay changed.
+        Differ.changed(left(s, d), right(s, d), keys,
+            DiffOptions(absTol = 1000.0, relTol = 0.02, tolCols = Set("o_totalprice")))
+          .select("o_orderkey", "left_o_totalprice", "right_o_totalprice")
+    },
+
+    Q("diff_sparse",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${valueCols.map(c =>
+              s"CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL " +
+              s"OR l.$c IS DISTINCT FROM r.$c THEN l.$c END AS left_$c, " +
+              s"CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL " +
+              s"OR l.$c IS DISTINCT FROM r.$c THEN r.$c END AS right_$c").mkString(",\n  ")}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) => Differ.diff(left(s, d), right(s, d), keys, DiffOptions(sparse = true))
+    },
+
     Q("diff_changed_cols",
       s"""$Prelude
          |SELECT * FROM (

@@ -43,17 +43,20 @@ object PipelineQueries {
           .select("doc_id", "lang", "source", "text_hash", "n_copies")
     },
 
+    // Oracle is deliberately the NAIVE all-pairs formulation (no blocking
+    // beyond the semantic lang block): nearDupPairs' prefix-filter
+    // candidate generation is provably lossless, so matching the naive
+    // oracle is exactly the claim under test.
     Q("dedup_near",
       s"""WITH t AS (
          |  SELECT doc_id, lang, $DuckTokens AS s FROM documents),
-         |a AS (SELECT doc_id, lang, s, list_min(s) AS anchor FROM t),
          |p AS (
          |  SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b,
          |         CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
          |              ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
          |                   / len(list_distinct(list_concat(a1.s, a2.s))) END AS jaccard
-         |  FROM a a1 JOIN a a2
-         |    ON a1.lang = a2.lang AND a1.anchor = a2.anchor AND a1.doc_id < a2.doc_id)
+         |  FROM t a1 JOIN t a2
+         |    ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $NearDupTau""".stripMargin) {
       (s, d) =>
         TextOps.nearDupPairs(

@@ -77,6 +77,40 @@ class DifferSpec extends SparkTestBase {
     assert(statusCounts(Differ.diff(l, r, keys, optIn)) == Map("N" -> 1L))
   }
 
+  test("relative tolerance: |l-r| <= absTol + relTol*greatest(|l|,|r|), no int leak") {
+    // relTol 0.1: 100 vs 109 is within (bound 10.9), 100 vs 112 is C.
+    val l = Seq((1L, 100.0), (2L, 100.0)).toDF("k", "v")
+    val r = Seq((1L, 109.0), (2L, 112.0)).toDF("k", "v")
+    val opts = DiffOptions(relTol = 0.1)
+    assert(statusCounts(Differ.diff(l, r, keys, opts)) == Map("N" -> 1L, "C" -> 1L))
+    // combined bound: absTol 2 + relTol 0.1 → 100 vs 112 bound 13.2 → N.
+    val both = DiffOptions(absTol = 2.0, relTol = 0.1)
+    assert(statusCounts(Differ.diff(l, r, keys, both)) == Map("N" -> 2L))
+    // integer columns stay exact unless opted in, exactly like absTol.
+    val li = Seq((1L, 100L)).toDF("k", "i")
+    val ri = Seq((1L, 105L)).toDF("k", "i")
+    assert(statusCounts(Differ.diff(li, ri, keys, DiffOptions(relTol = 0.5))) == Map("C" -> 1L))
+    assert(statusCounts(
+      Differ.diff(li, ri, keys, DiffOptions(relTol = 0.5, tolCols = Set("i")))) == Map("N" -> 1L))
+  }
+
+  test("sparse mode nulls equal columns on C rows, keeps I/D sides, same statuses") {
+    val l = Seq((1L, "same", 1.0), (2L, "same", 2.0)).toDF("k", "s", "v")
+    val r = Seq((1L, "same", 9.0), (3L, "new", 3.0)).toDF("k", "s", "v")
+    val d = Differ.diff(l, r, keys, DiffOptions(sparse = true)).collect()
+      .map(row => row.getAs[Long]("k") -> row).toMap
+    // C row: unchanged s nulled on both sides, changed v kept.
+    assert(d(1L).getAs[String]("diff_status") == "C")
+    assert(d(1L).isNullAt(d(1L).fieldIndex("left_s")) && d(1L).isNullAt(d(1L).fieldIndex("right_s")))
+    assert(d(1L).getAs[Double]("left_v") == 1.0 && d(1L).getAs[Double]("right_v") == 9.0)
+    // D row keeps its full left side; I row its full right side.
+    assert(d(2L).getAs[String]("diff_status") == "D" && d(2L).getAs[String]("left_s") == "same")
+    assert(d(3L).getAs[String]("diff_status") == "I" && d(3L).getAs[String]("right_s") == "new")
+    // Row set and statuses identical to the dense diff.
+    val dense = statusCounts(Differ.diff(l, r, keys))
+    assert(statusCounts(Differ.diff(l, r, keys, DiffOptions(sparse = true))) == dense)
+  }
+
   test("tolerance: null vs value is C even on a tolerated column") {
     val l = Seq((1L, Option(10.0))).toDF("k", "v")
     val r = Seq((1L, Option.empty[Double])).toDF("k", "v")

@@ -44,6 +44,47 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L))) // 1-3 blocked by lang; 4 dissimilar
   }
 
+  test("nearDupPairs prefix filtering is lossless vs brute-force all-pairs (sf0.001)") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val tau = 0.9
+    val t = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenSet(col("text")).as("s"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("s").as("sb"))
+    val brute = a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", TextOps.jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = TextOps.nearDupPairs(docs, minJaccard = tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"prefix filter lost/invented pairs: " +
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
+  }
+
+  test("simHashPairs banded scan is lossless vs brute-force all-pairs (sf0.001)") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val maxH = 4
+    val sh = TextOps.simHash(docs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("simhash").as("hb"))
+    val brute = a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxH)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = TextOps.simHashPairs(docs, maxHamming = maxH)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"banded scan lost/invented pairs: " +
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
+  }
+
   test("cosine: self=1, orthogonal=0") {
     val df = Seq(
       (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
