@@ -273,6 +273,57 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowing k-gram fingerprints (the rolling-hash document
+    * fingerprinting of Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    * k-token shingle, slide a window of `w` consecutive shingle hashes,
+    * keep each window's minimum hash; the doc's fingerprints are the
+    * distinct minima. Guarantee: two docs sharing any token run of
+    * >= w+k-1 tokens share >= 1 fingerprint; expected density ~ 2/(w+1)
+    * of the shingle count. (Winnowing's rightmost-tie rule is irrelevant
+    * here — 64-bit hash prefixes don't tie in practice; ties would only
+    * make both engines keep the same min VALUE anyway.)
+    *
+    * Scale shape: the shingle build (lead over a doc_id-partitioned
+    * window) and the min-window are BOTH per-doc windows ordered by token
+    * position — one shuffle on doc_id total, each partition bounded by
+    * doc length, embarrassingly parallel at 100 TB. Fingerprints are
+    * 16-hex-char strings: the natural join/groupBy key for plagiarism /
+    * containment detection downstream (overlap joins shuffle fingerprints,
+    * never text).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val byPos = Window.partitionBy(idCol).orderBy("i")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("i", "tok")))
+    // k-gram starting at i, null (then dropped) when < k tokens remain —
+    // concat_ws would otherwise silently emit short trailing shingles.
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byPos)): _*)
+    val grams = toks
+      .withColumn("g",
+        when(lead(col("tok"), k - 1).over(byPos).isNotNull, gram))
+      .filter(col("g").isNotNull)
+      .withColumn("h", substring(sha2(col("g"), 256), 1, 16))
+    // Window j covers shingle hashes j..j+w-1; starts are restricted to
+    // full windows (j <= ng-w+1) except a single whole-doc window for
+    // docs with fewer than w shingles. Same doc_id partition + order as
+    // the lead pass -> Catalyst plans one shuffle for both.
+    val fpw = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    // reuse(): self-joins over the fingerprint set (dedup_winnow) and
+    // repeated callers share one materialization instead of re-running
+    // the window pipeline per referencing subtree.
+    reuse(grams
+      .withColumn("j", row_number().over(byPos))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(idCol)))
+      .withColumn("fp", min(col("h")).over(fpw))
+      .filter(col("j") <= col("ng") - w + 1 || (col("j") === 1 && col("ng") < w))
+      .select(col(idCol), col("fp"))
+      .distinct())
+  }
+
   /** 48-bit SimHash per document: token-hash hex digits vote per bit,
     * majority (ties → 1) sets the bit. 12 hex chars of sha256 = 48 bits —
     * bit 63 is deliberately unused so the bigint never overflows. Entirely

@@ -110,6 +110,80 @@ object DedupVariantQueries {
           tokenizer = c => TextOps.bigrams(TextOps.tokens(c)))
     },
 
+    Q("dedup_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 3 THEN []
+        |              ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
+        |         END AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |           generate_series(1, greatest(len(hs) - 3, 1)),
+        |           j -> list_min(hs[j : least(j + 3, len(hs))]))) AS fp
+        |  FROM g WHERE len(hs) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) {
+      (s, d) =>
+        // Containment/plagiarism detection over the winnowing index:
+        // pairs sharing >= 2 fingerprints. The join key is the 16-hex
+        // fingerprint — narrow equi-join + pair count, no text and no
+        // token arrays on the wire; any shared token run of >= w+k-1
+        // tokens is guaranteed to surface (winnowing's coverage bound).
+        // At web scale, cap fingerprint document-frequency first (a
+        // boilerplate phrase shared by 1M docs would emit 1M^2/2 pairs —
+        // the standard df-cap / stopword-fingerprint filter).
+        val fps = TextOps.winnowFingerprints(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+          k = 3, w = 4)
+        val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+    },
+
+    Q("dedup_embed_ivf",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pos AS (
+        |  SELECT vec_id, label, g.p AS p, v[g.p] AS x
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |cent AS (
+        |  SELECT label AS cell, p,
+        |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |aff AS (
+        |  SELECT pos.vec_id, cent.cell,
+        |         CAST(sum(CAST(pos.x * cent.c AS DECIMAL(27,12))) AS DOUBLE) AS a
+        |  FROM pos JOIN cent USING (p) GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell) AS rn
+        |    FROM aff) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin) {
+      (s, d) =>
+        // The 100 TB embed-dedup path: block on IVF quantizer cells
+        // (top-2 by DECIMAL-exact centroid affinity) instead of the
+        // semantic label — recovers cross-label near-neighbours that
+        // label blocking structurally misses (54 of 59 cosine>=0.4 pairs
+        // at sf0.01 are cross-label).
+        VectorOps.dedupByQuantizer(
+          Tables.cachedTable(s, d, "embeddings"), tau = 0.4, nprobe = 2)
+    },
+
     Q("dedup_embed_cosine",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -126,6 +126,31 @@ object TextAnalysisQueries {
             .cast("long").as("n_bpe"),
           size(array_distinct(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")))
             .cast("long").as("n_bpe_distinct"))
+    },
+
+    Q("text_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 3 THEN []
+        |              ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
+        |         END AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |           j -> list_min(hs[j : least(j + 3, len(hs))])) AS fps
+        |  FROM g WHERE len(hs) > 0)
+        |SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f""".stripMargin) {
+      (s, d) =>
+        // Winnowing fingerprints (k=3 token shingles, window w=4): the
+        // rolling-hash document fingerprinting scheme; see
+        // TextOps.winnowFingerprints for the guarantee and scale shape.
+        TextOps.winnowFingerprints(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+          k = 3, w = 4)
     }
   )
 }

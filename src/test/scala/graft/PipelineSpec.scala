@@ -85,6 +85,36 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
   }
 
+  test("winnowing: shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    // k=3, w=4: guarantee threshold = 6 shared consecutive tokens.
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "xx yy aa bb cc dd ee ff zz"), // contains the 6-token run aa..ff
+      (3L, "uu vv ww qq rr ss tt")).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, k = 3, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty, "disjoint docs share a fingerprint")
+    // short doc (< w shingles): one whole-doc window, exactly one fingerprint
+    val short = TextOps.winnowFingerprints(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), k = 3, w = 4)
+    assert(short.count() == 1)
+    // sub-k doc: no shingles, no fingerprints
+    assert(TextOps.winnowFingerprints(
+      Seq((9L, "a b")).toDF("doc_id", "text"), k = 3, w = 4).count() == 0)
+  }
+
+  test("quantizerAssign emits exactly nprobe cells per vector, own-label not forced") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val assign = VectorOps.quantizerAssign(emb, nprobe = 2)
+    val perVec = assign.groupBy("vec_id").count()
+    assert(perVec.filter(col("count") =!= 2).count() == 0)
+    // the quantizer must disagree with the semantic label for some vectors,
+    // otherwise it degenerates to label blocking
+    val own = emb.select(col("vec_id"), col("label").as("cell"))
+    assert(assign.join(own, Seq("vec_id", "cell"), "left_anti").count() > 0)
+  }
+
   test("cosine: self=1, orthogonal=0") {
     val df = Seq(
       (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
