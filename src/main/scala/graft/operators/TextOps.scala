@@ -332,22 +332,30 @@ object TextOps {
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", keepCols: Seq[String] = Seq("lang")): DataFrame = {
+    // One token explode, ONE aggregation: the 48 bit-votes are 48
+    // conditional `sum()`s over the hex digits of each token hash —
+    // all codegen'd integer arithmetic, map-side combinable. (The first
+    // cut exploded tokens ×12 positions into a (doc, p) agg — a 12×
+    // row blowup through the shuffle for zero extra information.)
     val tok = docs.select(
       (col(idCol) +: keepCols.map(col)) :+
         explode(tokenSet(col(textCol))).as("tok"): _*)
       .withColumn("h", substring(sha2(col("tok"), 256), 1, 12))
-    val pos = tok
-      .withColumn("p", explode(sequence(lit(0), lit(11))))
-      .withColumn("dgt", expr("locate(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
-    val bitAggs = (0 until 4).map(k =>
-      (sum(expr(s"(dgt >> $k) & 1")) * 2 >= count(lit(1))).as(s"b$k"))
-    val bits = pos.groupBy((col(idCol) +: keepCols.map(col)) :+ col("p"): _*)
-      .agg(bitAggs.head, bitAggs.tail: _*)
-    bits.groupBy(col(idCol) +: keepCols.map(col): _*)
-      .agg(sum(expr(
-        "shiftleft(CAST(b0 AS BIGINT), 4*p) + shiftleft(CAST(b1 AS BIGINT), 4*p+1) + " +
-          "shiftleft(CAST(b2 AS BIGINT), 4*p+2) + shiftleft(CAST(b3 AS BIGINT), 4*p+3)"))
-        .as("simhash"))
+    val digits = tok.select(
+      (col(idCol) +: keepCols.map(col)) ++
+        (0 until 12).map(p =>
+          expr(s"locate(substr(h, ${p + 1}, 1), '0123456789abcdef') - 1").as(s"d$p")): _*)
+    val voteAggs = for { p <- 0 until 12; k <- 0 until 4 } yield
+      sum(expr(s"(d$p >> $k) & 1")).as(s"s_${p}_$k")
+    val agg = digits.groupBy(col(idCol) +: keepCols.map(col): _*)
+      .agg(count(lit(1)).as("nt"), voteAggs: _*)
+    // Majority vote per bit (ties -> 1, matching `2*sum >= count`), then
+    // assemble the 48-bit word. Pure projection — no second shuffle.
+    val word = (for { p <- 0 until 12; k <- 0 until 4 } yield
+      shiftleft(
+        when(col(s"s_${p}_$k") * 2 >= col("nt"), lit(1L)).otherwise(lit(0L)),
+        4 * p + k)).reduce(_ + _)
+    agg.select((col(idCol) +: keepCols.map(col)) :+ word.as("simhash"): _*)
   }
 
   /** SimHash near-dup pairs: same-block pairs whose 48-bit fingerprints
