@@ -128,6 +128,57 @@ object TextAnalysisQueries {
             .cast("long").as("n_bpe_distinct"))
     },
 
+    Q("text_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+        |         CASE WHEN len(toks) < 2 THEN []
+        |              ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1]) END AS bg
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(n - nd AS BIGINT) AS n_dup_tokens,
+        |       CAST(n - nd AS DOUBLE) / n AS dup_token_ratio,
+        |       CASE WHEN len(bg) = 0 THEN 0.0
+        |            ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |       END AS dup_bigram_ratio,
+        |       CAST(top.top_cnt AS DOUBLE) / n AS top_token_ratio
+        |FROM b JOIN top USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        // Within-doc repetition signals (the Gopher/C4 pretraining-quality
+        // family): duplicate-token and duplicate-bigram fractions are
+        // per-row HOF arithmetic (exact integer quotients); the
+        // most-frequent-token share needs one explode + two-level agg —
+        // all keyed on doc_id, embarrassingly parallel at 100 TB.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("nd", size(array_distinct(col("toks"))))
+          .withColumn("bg", TextOps.bigrams(col("toks")))
+          .withColumn("nb", size(col("bg")))
+          .withColumn("nbd", size(array_distinct(col("bg"))))
+        val top = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+        base.join(top, "doc_id").select(
+          col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          (col("n") - col("nd")).cast("long").as("n_dup_tokens"),
+          ((col("n") - col("nd")).cast("double") / col("n")).as("dup_token_ratio"),
+          when(col("nb") === 0, lit(0.0))
+            .otherwise((col("nb") - col("nbd")).cast("double") / col("nb"))
+            .as("dup_bigram_ratio"),
+          (col("top_cnt").cast("double") / col("n")).as("top_token_ratio"))
+    },
+
     Q("text_winnow",
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

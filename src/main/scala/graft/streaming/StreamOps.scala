@@ -71,6 +71,21 @@ object StreamOps {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * ingestion-feed shape where retries/replays of the same record land
+    * within a bounded delay. `dropDuplicatesWithinWatermark` keeps one
+    * state entry per key and EXPIRES it once the watermark passes the
+    * key's last-seen time + delay, so state is bounded by the horizon's
+    * key cardinality (a plain `dropDuplicates` on a stream never expires
+    * and OOMs at 100 TB); after expiry a replayed key is emitted again —
+    * the documented at-least-once contract, pinned by StreamingSmokeSpec.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, delay: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream interval join: each left event matches right events
     * with the same key whose event time lies in
     * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks,

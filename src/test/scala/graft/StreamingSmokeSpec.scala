@@ -86,6 +86,27 @@ class StreamingSmokeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses replays within the horizon, expires state after") {
+    val ms = MemoryStream[(Long, Long, Double)]
+    val events = ms.toDF().toDF("ts_us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.dedupStream(events, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData((us(10, 0), 1L, 1.0), (us(10, 5), 2L, 2.0))
+      q.processAllAvailable()
+      ms.addData((us(10, 6), 1L, 1.0)) // replay within horizon → suppressed
+      q.processAllAvailable()
+      ms.addData((us(12, 0), 3L, 3.0)) // watermark → 11:50, expires id 1 state
+      q.processAllAvailable()
+      ms.addData((us(12, 1), 1L, 1.0)) // state expired → emitted again
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.count(_ == 1L) == 2, s"expected id 1 twice (suppress + re-admit): $ids")
+      assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, ids.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, not outside") {
     val imps = MemoryStream[(Long, Long)]   // (ts_us, ad_id)
     val clicks = MemoryStream[(Long, Long)]
