@@ -83,6 +83,16 @@ object Graft {
   def embeddingHygiene(emb: DataFrame): DataFrame =
     VectorOps.centroidHygiene(emb)
 
+  /** Embedding near-dup blocked by a coarse quantizer (IVF cells) instead
+    * of a given label — the 100 TB path; see VectorOps.dedupByQuantizer.
+    */
+  def dedupEmbeddings(emb: DataFrame, tau: Double, nprobe: Int = 2): DataFrame =
+    VectorOps.dedupByQuantizer(emb, tau, nprobe)
+
+  /** Winnowing k-gram fingerprints (rolling-hash document fingerprinting). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    TextOps.winnowFingerprints(docs, k, w)
+
   // ---- sinks ----------------------------------------------------------
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
