@@ -69,6 +69,58 @@ class PipelinePropSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filter near-dup is LOSSLESS on random corpora (== brute force)") {
+    // The oracle-facing claim: candidate generation misses nothing. Small
+    // vocab + short docs maximizes collision-shaped edge cases (shared
+    // rarest tokens, equal-frequency ties, duplicate docs).
+    for ((corpus, i) <- samples(corpusGen, 10, 23L).zipWithIndex; tau <- Seq(0.5, 0.9)) {
+      val docs = corpus.toDF("doc_id", "lang", "text")
+      val brute = (for {
+        a <- corpus; b <- corpus
+        if a._1 < b._1 && a._2 == b._2 && jaccard(a._3, b._3) >= tau
+      } yield (a._1, b._1)).toSet
+      val got = TextOps.nearDupPairs(docs, tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute,
+        s"case $i tau=$tau: missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
+  test("banded simHash pair scan == all-pairs scan on random corpora") {
+    for ((corpus, i) <- samples(corpusGen, 10, 31L).zipWithIndex) {
+      val docs = corpus.toDF("doc_id", "lang", "text")
+      val sh = TextOps.simHash(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+      val lang = corpus.map(c => c._1 -> c._2).toMap
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys
+        if a < b && lang(a) == lang(b) &&
+          java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 4
+      } yield (a, b)).toSet
+      val got = TextOps.simHashPairs(docs, maxHamming = 4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"case $i: missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
+  test("winnowing coverage: docs sharing a >= w+k-1 token run always share a fingerprint") {
+    // Build pairs with a guaranteed shared run by splicing a common
+    // 6-token phrase (k=3, w=4 -> threshold w+k-1 = 6) into random docs.
+    val phrase = "omicron pi rho sigma tau upsilon"
+    for ((corpus, i) <- samples(corpusGen, 6, 41L).zipWithIndex) {
+      val spliced = corpus.zipWithIndex.map { case ((id, l, t), j) =>
+        if (j % 2 == 0) (id, l, s"$t $phrase") else (id, l, t)
+      }
+      val withRun = spliced.collect { case (id, _, t) if t.contains(phrase) => id }
+      val fps = TextOps.winnowFingerprints(
+        spliced.map(c => (c._1, c._3)).toDF("doc_id", "text"), k = 3, w = 4)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+      for (a <- withRun; b <- withRun if a < b)
+        assert((fps(a) intersect fps(b)).nonEmpty,
+          s"case $i: docs $a,$b share the phrase but no fingerprint")
+    }
+  }
+
   test("simHash is deterministic and identical docs have hamming 0") {
     val docs = Seq(
       (1L, "en", "alpha beta gamma"),
