@@ -150,19 +150,29 @@ object VectorOps {
   def dedupByQuantizer(emb: DataFrame, tau: Double, nprobe: Int = 2,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {
+    // Verify INSIDE the cell join: with coarse cells the candidate set is
+    // orders of magnitude larger than the surviving pair set (sf0.1:
+    // ~4.6M candidates -> 623 pairs), so distinct-then-fetch would
+    // shuffle millions of pair rows and then re-attach vectors with two
+    // more joins. Attaching vectors to the (id, cell) assignment rows
+    // first keeps the dot + threshold streaming through the join's
+    // codegen stage — candidates never hit a shuffle — and the final
+    // distinct (for pairs colliding in both probe cells) handles only
+    // rows that already passed tau.
     val assign = quantizerAssign(emb, nprobe, idCol, vecCol, labelCol)
-    val cand = assign.select(col(idCol).as("vec_a"), col("cell"))
-      .join(assign.select(col(idCol).as("vec_b"), col("cell")), Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
     val e = emb.select(col(idCol), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(normSqF(col("v"))))
-    val va = e.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"))
-    val vb = e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
+    val av = assign.join(e, idCol)
+    val a = av.select(col(idCol).as("vec_a"), col("cell"),
+      col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = av.select(col(idCol).as("vec_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_raw", dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos_raw") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 5).as("cos_sim"))
+      .distinct()
   }
 
   /** Embedding-column hygiene report: per vector its dimensionality, L2
