@@ -98,4 +98,12 @@ object Graft {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        sortCols: Seq[String] = Nil): Unit =
     Sinks.writePartitioned(df, path, partitionCols, sortCols)
+
+  /** Bucketed+sorted table write: later equi-joins/aggs on the bucket
+    * columns plan zero exchanges (pinned by SinksSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit =
+    Sinks.writeBucketed(df, table, bucketCols, nBuckets, sortCols, path)
 }

@@ -27,4 +27,27 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bucketed (+ optionally sorted) table write: hashes rows into
+    * `nBuckets` files per partition ON THE BUCKET COLUMNS at write time,
+    * so every later equi-join or aggregation keyed on those columns reads
+    * co-located buckets and plans NO Exchange — the write-once,
+    * join-many-times amortization that pays for itself at 100 TB (a
+    * repeated fact-fact join on a 100 TB table otherwise re-shuffles the
+    * full table every run). `sortBy` additionally pre-sorts each bucket so
+    * sort-merge joins skip their Sort too. Requires a catalog table
+    * (bucket metadata lives in the metastore); SinksSpec pins the
+    * exchange-free join plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 =
+      if (sortCols.isEmpty) w0 else w0.sortBy(sortCols.head, sortCols.tail: _*)
+    val w2 = path.fold(w1)(p => w1.option("path", p))
+    w2.format("parquet").saveAsTable(table)
+  }
 }

@@ -26,4 +26,38 @@ class SinksSpec extends SparkTestBase {
     val one = back.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
     assert(one.count() == src.filter("l_returnflag = 'R'").count())
   }
+
+  test("bucketed tables join and aggregate with ZERO exchanges") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val base = Files.createTempDirectory("graft_bucket").toString
+    Sinks.writeBucketed(orders, "orders_bkt", Seq("o_custkey"), 4,
+      sortCols = Seq("o_custkey"), path = Some(s"$base/orders"))
+    Sinks.writeBucketed(customer, "customer_bkt", Seq("c_custkey"), 4,
+      sortCols = Seq("c_custkey"), path = Some(s"$base/customer"))
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Disable broadcast to exercise the regime bucketing exists for
+      // (both sides too big to broadcast): the join must be a sort-merge
+      // with NO shuffle and, thanks to sortBy, no per-bucket Sort either.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(joined.count() ==
+        orders.join(customer, orders("o_custkey") === customer("c_custkey")).count())
+      // bucket-keyed aggregation is exchange-free too
+      val agg = spark.table("orders_bkt").groupBy("o_custkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-keyed agg still shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
 }
