@@ -55,6 +55,27 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     },
 
+    Q("join_skew_salted",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Salting is an execution detail: the oracle is the PLAIN join, so
+      // the gate proves result-invariance of the k-way salt (hot keys
+      // spread over k tasks, small side replicated k times).
+      import graft.operators.SkewOps
+      val li = Tables.cachedTable(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "okey")
+      val o = Tables.cachedTable(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "okey")
+      SkewOps.saltedJoin(li, o, Seq("okey"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
     Q("join_outer_full",
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin) { (s, d) =>

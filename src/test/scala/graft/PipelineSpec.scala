@@ -85,6 +85,23 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
   }
 
+  test("saltedJoin equals the plain join on a skewed key and spreads the hot key") {
+    import graft.operators.SkewOps
+    // 10k rows of one hot key + a uniform tail, joined to a 100-row dim.
+    val big = spark.range(10000).select(lit(7L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(1000).select((col("id") % 100).as("k"), col("id").as("v")))
+    val small = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("d"))
+    val salted = SkewOps.saltedJoin(big, small, Seq("k"), salt = 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(rowsOf(salted.select("k", "v", "d")) == rowsOf(plain.select("k", "v", "d")))
+    // the hot key's rows really do carry >1 distinct salt value
+    val saltsOfHot = big.filter(col("k") === 7L)
+      .withColumn("s", pmod(xxhash64(big.columns.map(col): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(saltsOfHot > 1, s"hot key stayed on $saltsOfHot salt(s)")
+  }
+
   test("winnowing: shared run of >= w+k-1 tokens yields a shared fingerprint") {
     // k=3, w=4: guarantee threshold = 6 shared consecutive tokens.
     val docs = Seq(
