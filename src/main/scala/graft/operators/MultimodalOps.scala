@@ -72,6 +72,35 @@ object MultimodalOps {
     }
   }
 
+  /** "Resize": average-pool a feature vector down to `targetDim` — the
+    * codec-free analog of image resize/thumbnailing (a real pipeline calls
+    * the imaging library inside the same mapPartitions batch; the pooling
+    * arithmetic and the typed in/out shape are what it keeps). Pure
+    * per-row arithmetic: no shuffle, partitioning-invariant like the rest
+    * of the family.
+    */
+  def resizeFeatures(feats: Dataset[MediaFeature], targetDim: Int): Dataset[MediaFeature] = {
+    require(targetDim > 0, "targetDim must be positive")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.mapPartitions(_.map { f =>
+      val src = f.feature
+      val out = new Array[Float](math.min(targetDim, math.max(src.length, 1)))
+      if (src.nonEmpty) {
+        var i = 0
+        val counts = new Array[Int](out.length)
+        while (i < src.length) {
+          val j = (i.toLong * out.length / src.length).toInt
+          out(j) += src(i); counts(j) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < out.length) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      }
+      f.copy(feature = out)
+    })
+  }
+
   /** Frame sampling: split the payload into fixed-size windows ("frames")
     * and keep every `stride`-th one, at most `maxFrames` — the video
     * analog of `explode`, but bounded so a pathological 10 GB payload

@@ -45,6 +45,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(strided == Seq(0, 2)) // every 2nd window, capped at 2 frames
   }
 
+  test("resizeFeatures average-pools to the target dim, invariant under partitioning") {
+    val feats = MultimodalOps.extractFeatures(media, dim = 8)
+    val small = MultimodalOps.resizeFeatures(feats, targetDim = 4).collect().sortBy(_.id)
+    assert(small.forall(_.feature.length == 4))
+    // pooling is mean-preserving per bucket: resize of a constant vector
+    // is the same constant
+    val const = MultimodalOps.extractFeatures(media, dim = 8).map(
+      f => f.copy(feature = Array.fill(8)(2.5f)))(
+      org.apache.spark.sql.Encoders.product[graft.operators.MediaFeature])
+    val pooled = MultimodalOps.resizeFeatures(const, targetDim = 4).collect()
+    assert(pooled.forall(_.feature.forall(v => math.abs(v - 2.5f) < 1e-6)))
+    val repart = MultimodalOps.resizeFeatures(feats.repartition(7), targetDim = 4)
+      .collect().sortBy(_.id).map(_.feature.toSeq).toSeq
+    assert(repart == small.map(_.feature.toSeq).toSeq)
+  }
+
   test("round-trips through parquet with payload intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(out)
