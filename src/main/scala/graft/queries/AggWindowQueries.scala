@@ -41,6 +41,49 @@ object AggWindowQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
     },
 
+    Q("agg_corr",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       round((n * sxy - sx * sy) /
+        |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 5) AS corr_qty_price,
+        |       round((sxy - sx * sy / n) / (n - 1), 5) AS covar_qty_price,
+        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 5) AS stddev_qty
+        |FROM s""".stripMargin) { (s, d) =>
+      // Statistical aggregates via DECIMAL-exact moment sums: the builtin
+      // corr/covar/stddev stream double partials whose merge order varies
+      // per shuffle — not even run-to-run deterministic, let alone
+      // cross-engine. Exact decimal moments + identical double formula =
+      // bit-identical both sides (same §7.5 discipline as numericStats).
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def m(c: org.apache.spark.sql.Column, p: Int = 38) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(p, 6))).cast("double")
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          m(x, 27).as("sx"), m(y, 27).as("sy"),
+          m(x * y).as("sxy"), m(x * x).as("sxx"), m(y * y).as("syy"))
+        .select(
+          col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 5)
+            .as("corr_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 5)
+            .as("covar_qty_price"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 5)
+            .as("stddev_qty"))
+    },
+
     Q("agg_mode",
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -134,6 +134,48 @@ object StreamingQueries {
             sum(when(col("ts_us") < col("max_seen") - LateUs, 1).otherwise(0))
               .cast("long").as("n_late"),
             max(col("ts_us")).as("max_ts_us"))
+    },
+
+    Q("events_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ts_us >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ts_us >= c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view AS t_view_us, c.t_click AS t_click_us,
+        |       p.t_purchase AS t_purchase_us,
+        |       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin) {
+      (s, d) =>
+        // Ordered funnel (view -> click-after-view -> purchase-after-
+        // click): three user-keyed conditional-min aggregations chained by
+        // narrow equi-joins — each stage's state is one timestamp per
+        // user, so the whole funnel is a few user-hash shuffles at any
+        // scale (never a per-user event-array collect).
+        val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts_us") >= col("t_view"))
+          .groupBy("user_id").agg(min("ts_us").as("t_click"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") >= col("t_click"))
+          .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(
+            col("user_id"),
+            col("t_view").as("t_view_us"),
+            col("t_click").as("t_click_us"),
+            col("t_purchase").as("t_purchase_us"),
+            (lit(1) +
+              when(col("t_click").isNotNull, 1).otherwise(0) +
+              when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
     }
   )
 }
