@@ -255,6 +255,25 @@ object AggWindowQueries {
             / count(col("value")).over(w)).as("avg3"))
     },
 
+    Q("window_dist",
+      """SELECT o_orderkey, o_orderstatus,
+        |       round(percent_rank() OVER w, 5) AS pct_rank,
+        |       round(cume_dist() OVER w, 5) AS cume,
+        |       first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      // percent_rank/cume_dist are integer-quotient doubles (rank-1)/(n-1)
+      // and rank/n — deterministic given the tie-broken total order.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.cachedTable(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 5).as("pct_rank"),
+        round(cume_dist().over(w), 5).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("cheapest_key"))
+    },
+
     Q("window_ntile",
       """SELECT o_orderkey, o_custkey,
         |       CAST(ntile(4) OVER (PARTITION BY o_custkey

@@ -120,6 +120,35 @@ object PipelineQueries {
         VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = CosTau)
     },
 
+    Q("split_assign",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin) {
+      (s, d) =>
+        // Deterministic 90/5/5 train/val/test assignment by hashing the
+        // STABLE id (never rand(): re-runs and backfills must land every
+        // doc in the same split; never monotonically_increasing_id: it
+        // depends on partitioning). Pure per-row arithmetic — the split
+        // of a 100 TB corpus is a projection, and downstream filters on
+        // `split` prune at the scan when written partitioned-by-split.
+        // sha256 hex prefix -> int is the engine-portable hash (xxhash64
+        // exists only in Spark, DuckDB hash() only in DuckDB).
+        Tables.cachedTable(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          expr("CAST(conv(substr(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 100")
+            .as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+    },
+
     Q("text_tokens",
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
