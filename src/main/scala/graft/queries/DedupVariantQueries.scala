@@ -110,6 +110,42 @@ object DedupVariantQueries {
           tokenizer = c => TextOps.bigrams(TextOps.tokens(c)))
     },
 
+    Q("dedup_clusters",
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS s
+         |  FROM documents),
+         |p AS (
+         |  SELECT a1.doc_id AS a, a2.doc_id AS b
+         |  FROM t a1 JOIN t a2 ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
+         |                  / len(list_distinct(list_concat(a1.s, a2.s))) END >= 0.9),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster,
+         |       CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM reach GROUP BY src""".stripMargin) {
+      (s, d) =>
+        // The retention step every dedup pipeline ends with: collapse the
+        // near-dup PAIR set into connected components and mark one
+        // representative (min doc_id) per cluster. Edges come from the
+        // provably-lossless prefix-filter nearDupPairs, so the oracle can
+        // build the same edge set naively and close it with a recursive
+        // CTE; the Spark side is iterative min-label propagation
+        // (O(diameter) narrow joins — see GraphOps.connectedComponents).
+        val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
+        val edges = graft.operators.TextOps.nearDupPairs(docs, minJaccard = 0.9)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.operators.GraphOps
+          .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .select(
+            col("id").as("doc_id"), col("cluster"),
+            when(col("id") === col("cluster"), 1L).otherwise(0L).as("is_rep"))
+    },
+
     Q("dedup_winnow",
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -85,6 +85,21 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
   }
 
+  test("connectedComponents: chain needs multiple rounds, isolates self-label") {
+    import graft.operators.GraphOps
+    // chain 10-11-...-19 (diameter 9), a triangle, and isolated vertices
+    val vertices = spark.range(30).select(col("id"))
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (chain ++ tri).toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 19L).forall(cc(_) == 10L), "chain must collapse to min id 10")
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L))
+    assert(cc(0L) == 0L && cc(25L) == 25L, "isolated vertices keep their own label")
+    assert(cc.size == 30)
+  }
+
   test("saltedJoin equals the plain join on a skewed key and spreads the hot key") {
     import graft.operators.SkewOps
     // 10k rows of one hot key + a uniform tail, joined to a 100-row dim.
