@@ -136,6 +136,39 @@ object StreamingQueries {
             max(col("ts_us")).as("max_ts_us"))
     },
 
+    Q("events_cohort",
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id,
+        |         s.t0 // 604800000000 AS cohort_week,
+        |         (epoch_us(e.ts) // 604800000000) - (s.t0 // 604800000000) AS week_offset
+        |  FROM events e JOIN s USING (user_id))
+        |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a WHERE week_offset >= 0
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        // Cohort retention matrix: users bucketed by first-signup week,
+        // counted once per (cohort, weeks-since-signup) they were active
+        // in. Epoch-aligned integer week buckets on bigint micros — the
+        // same cross-engine time discipline as the window queries; state
+        // is one row per (user, week) before the final count.
+        val weekUs = 604800000000L
+        val ev = Tables.events(s, d)
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_us").as("t0"))
+        ev.join(signup, "user_id")
+          .select(
+            col("user_id"),
+            expr(s"t0 div $weekUs").as("cohort_week"),
+            (expr(s"ts_us div $weekUs") - expr(s"t0 div $weekUs")).as("week_offset"))
+          .filter(col("week_offset") >= 0)
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+    },
+
     Q("events_funnel",
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
