@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * (pair emitters produce EDGES; retention needs CLUSTERS and one
   * representative per cluster).
   *
-  * Scale shape: each iteration is one edge-keyed join + one min
-  * aggregation, both shuffling (id, label) pairs only; convergence needs
-  * O(diameter) ≤ O(log n) iterations for dedup graphs (tiny diameters —
-  * near-dup clusters are dense). The driver loop checks a single scalar
-  * per iteration (`changed` count), never collects data, and
-  * `localCheckpoint` truncates the lineage so the plan doesn't grow with
-  * the iteration count (at cluster scale: `checkpoint` to reliable
-  * storage instead). Min-label CC is order-insensitive, so the result is
-  * deterministic under any scheduling.
+  * Scale shape: each round is one edge-keyed join + one min aggregation
+  * + one pointer-jumping join (label ← label(label) — labels are vertex
+  * ids, so the lookup is a self-join), all shuffling (id, label) pairs
+  * only. Neighbor-min alone needs O(diameter) rounds — measured 20+ on
+  * the sf0.1 near-dup graph, whose 0.9-Jaccard chains are long; pointer
+  * jumping halves the remaining distance-to-root every round, giving
+  * O(log diameter) total. The driver loop checks a single scalar per
+  * round (`changed` count), never collects data, and `localCheckpoint`
+  * truncates the lineage so the plan doesn't grow with the round count
+  * (at cluster scale: `checkpoint` to reliable storage instead).
+  * Min-label CC is order-insensitive, so the result is deterministic
+  * under any scheduling.
   */
 object GraphOps {
 
@@ -35,20 +38,33 @@ object GraphOps {
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
+    // Labels are monotonically non-increasing, so the label sum strictly
+    // decreases on any change: one aggregate per round detects the
+    // fixpoint without a join against the previous labels.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       // best label reachable over one hop, folded into the current label
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("cluster").as("hop"))
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
+      val folded = labels.join(prop, labels("id") === prop("src"), "left")
         .select(labels("id"),
           least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster"))
+      // pointer jumping: labels are vertex ids, so label(label(v)) is one
+      // self-join; a label's own label is never larger, so this halves
+      // every vertex's remaining distance to its component root
+      val next = folded.as("x")
+        .join(folded.select(col("id").as("jid"), col("cluster").as("jcluster")),
+          col("x.cluster") === col("jid"))
+        .select(col("x.id").as("id"), col("jcluster").as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
