@@ -93,6 +93,15 @@ object Graft {
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
     TextOps.winnowFingerprints(docs, k, w)
 
+  /** Collapse near-dup pairs into clusters: (id, cluster=min reachable id). */
+  def dedupClusters(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    GraphOps.connectedComponents(vertices, pairs)
+
+  /** Skew-safe inner equi-join: hot keys spread over `salt` tasks. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int = 8): DataFrame =
+    SkewOps.saltedJoin(big, small, keys, salt)
+
   // ---- sinks ----------------------------------------------------------
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
