@@ -295,6 +295,94 @@ object DiffQueries {
       (s, d) => Differ.diffViaHash(left(s, d), right(s, d), keys)
     },
 
+    Q("quality_checks",
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(count(l_quantity) AS DOUBLE) AS n_qty,
+        |         CAST(count(l_returnflag) AS DOUBLE) AS n_rf,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) AS n_pk,
+        |         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS DOUBLE) AS n_qty_rng,
+        |         CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_disc_rng,
+        |         CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) AS n_rf_dom
+        |  FROM lineitem)
+        |SELECT check_name, metric,
+        |       CAST(CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM (
+        |  SELECT 'completeness_l_quantity' AS check_name, n_qty / n AS metric, 1.0 AS threshold FROM m
+        |  UNION ALL SELECT 'completeness_l_returnflag', n_rf / n, 1.0 FROM m
+        |  UNION ALL SELECT 'uniqueness_pk', n_pk / n, 1.0 FROM m
+        |  UNION ALL SELECT 'range_l_quantity_1_50', n_qty_rng / n, 1.0 FROM m
+        |  UNION ALL SELECT 'range_l_discount_0_0.1', n_disc_rng / n, 0.99 FROM m
+        |  UNION ALL SELECT 'domain_l_returnflag', n_rf_dom / n, 1.0 FROM m)""".stripMargin) {
+      (s, d) =>
+        // Deequ-style data-quality report (the differ category's sibling
+        // capability): completeness, PK uniqueness, range and domain
+        // conformance — ONE aggregation pass over the table (never one
+        // job per check), metrics as exact-integer quotients, then a tiny
+        // unpivot. At 100 TB this is a single scan + scalar agg.
+        val li = Tables.cachedTable(s, d, "lineitem")
+        val m = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          count(col("l_quantity")).cast("double").as("n_qty"),
+          count(col("l_returnflag")).cast("double").as("n_rf"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).cast("double").as("n_pk"),
+          sum(when(col("l_quantity").between(1, 50), 1).otherwise(0)).cast("double").as("n_qty_rng"),
+          sum(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 1).otherwise(0))
+            .cast("double").as("n_disc_rng"),
+          sum(when(col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+            .cast("double").as("n_rf_dom"))
+        val checks = Seq(
+          ("completeness_l_quantity", col("n_qty") / col("n"), 1.0),
+          ("completeness_l_returnflag", col("n_rf") / col("n"), 1.0),
+          ("uniqueness_pk", col("n_pk") / col("n"), 1.0),
+          ("range_l_quantity_1_50", col("n_qty_rng") / col("n"), 1.0),
+          ("range_l_discount_0_0.1", col("n_disc_rng") / col("n"), 0.99),
+          ("domain_l_returnflag", col("n_rf_dom") / col("n"), 1.0))
+        checks.map { case (name, metric, thr) =>
+          m.select(
+            lit(name).as("check_name"), metric.as("metric"),
+            when(metric >= thr, 1L).otherwise(0L).as("passed"))
+        }.reduce(_ unionByName _)
+    },
+
+    Q("diff_drift",
+      s"""$Prelude,
+         |lb AS (SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS b FROM l),
+         |rb AS (SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS b FROM r),
+         |lh AS (SELECT b, count(*) AS c FROM lb GROUP BY 1),
+         |rh AS (SELECT b, count(*) AS c FROM rb GROUP BY 1),
+         |ln AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lb),
+         |rn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rb),
+         |g AS (SELECT unnest(generate_series(0, 9)) AS b)
+         |SELECT g.b AS bucket,
+         |       COALESCE(lh.c, 0) AS n_left, COALESCE(rh.c, 0) AS n_right,
+         |       abs(COALESCE(lh.c, 0) / ln.n - COALESCE(rh.c, 0) / rn.n) AS share_delta
+         |FROM g LEFT JOIN lh ON lh.b = g.b LEFT JOIN rh ON rh.b = g.b, ln, rn""".stripMargin) {
+      (s, d) =>
+        // Distribution-drift report between the two diff sides: fixed
+        // 10-bucket histogram of o_totalprice (integer bucket arithmetic,
+        // exact-count share quotients — no log/PSI, so every cell is
+        // bit-identical cross-engine). Two scans + two tiny aggs at any
+        // scale; the bucket grid is a 10-row broadcast.
+        def buckets(df: org.apache.spark.sql.DataFrame) = df.select(
+          least(greatest(floor(col("o_totalprice") / 60000.0).cast("long"), lit(0L)), lit(9L)).as("b"))
+        val lb = buckets(left(s, d))
+        val rb = buckets(right(s, d))
+        val lh = lb.groupBy("b").agg(count(lit(1)).as("n_left"))
+        val rh = rb.groupBy("b").agg(count(lit(1)).as("n_right"))
+        val ln = lb.count().toDouble
+        val rn = rb.count().toDouble
+        val grid = s.range(0, 10).select(col("id").as("bucket"))
+        grid.join(lh, grid("bucket") === lh("b"), "left")
+          .join(rh, grid("bucket") === rh("b"), "left")
+          .select(
+            col("bucket"),
+            coalesce(col("n_left"), lit(0L)).as("n_left"),
+            coalesce(col("n_right"), lit(0L)).as("n_right"),
+            abs(coalesce(col("n_left"), lit(0L)) / ln -
+              coalesce(col("n_right"), lit(0L)) / rn).as("share_delta"))
+    },
+
     // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
     Q.noOracle("schema_diff") { (s, d) =>
       val l = left(s, d)
