@@ -69,4 +69,31 @@ class PlanSpec extends SparkTestBase {
     assert(physical(pipeline, "dedup_near").contains("sorted_intersect_count"),
       "SortedIntersectCount missing from plan")
   }
+
+  test("split_assign is a pure projection: zero exchanges, zero joins") {
+    val plan = physical(graft.queries.PipelineQueries.all, "split_assign")
+    assert(!plan.contains("Exchange"), s"split_assign shuffles:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "split_assign must not join")
+  }
+
+  test("events_funnel and quality_checks never go cartesian/nested-loop") {
+    val all = graft.queries.StreamingQueries.all ++ graft.queries.DiffQueries.all
+    for (name <- Seq("events_funnel", "events_cohort", "quality_checks")) {
+      val plan = physical(all, name)
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name went nested-loop")
+    }
+  }
+
+  test("quality_checks is one aggregation pass (single scan, no self-joins)") {
+    val plan = queryNamed(graft.queries.DiffQueries.all, "quality_checks")
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.nodeName == "InMemoryRelation" || r.nodeName == "LogicalRelation" => r
+    }
+    // 6 check rows union the SAME single-agg subtree; per-branch scan reuse
+    // is fine, but no branch may rescan per metric (6 branches max).
+    assert(scans.size <= 6, s"${scans.size} scans — a job per check?")
+  }
 }
