@@ -86,6 +86,19 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
+    * overwrites its own `batch_id=<id>` partition directory, so a replayed
+    * batch (restart between sink write and offset commit — the at-least-
+    * once window every foreachBatch sink has) REWRITES the same directory
+    * instead of appending duplicates. Readers see `batch_id` as a normal
+    * Hive partition column. Pinned by StreamingSmokeSpec's replay test.
+    *
+    * Usage: `df.writeStream.foreachBatch(StreamOps.idempotentParquetSink(path)).start()`
+    */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** Stream-stream interval join: each left event matches right events
     * with the same key whose event time lies in
     * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks,
