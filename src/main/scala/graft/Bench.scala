@@ -32,7 +32,11 @@ object Bench {
         System.err.println(s"[bench] warmup $name FAILED: $e"); Some(name)
       }
     }
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // 5 iterations: this box has multi-second co-tenant load spikes that
+    // can span 3 consecutive iterations of one query (observed: a 1.8s
+    // query reading 75s); min-of-5 widens the window for a clean sample
+    // at ~30s extra wall time over the whole run.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = queries.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
