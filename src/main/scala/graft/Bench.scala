@@ -60,10 +60,15 @@ object Bench {
     // same contract line LAST in a compact form guaranteed to fit: ms
     // precision, and if still over budget drop the *fastest* queries from
     // the map (count recorded in "omitted" — never silent).
+    // Locale.ROOT, not the f-interpolator: f"" formats with the JVM default
+    // locale, and a comma-decimal locale would emit unparseable JSON in the
+    // exact code path that exists to keep the driver's tail-window parse
+    // working.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def compactLine(qseq: Seq[(String, Double)], omitted: Int): String = {
       val m = qseq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,""" +
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
         s""""n":${results.size},"omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     val bySlowest = results.map { case (k, v, _) => (k, v) }.sortBy(-_._2)

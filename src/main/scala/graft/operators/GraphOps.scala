@@ -41,9 +41,13 @@ object GraphOps {
     // Labels are monotonically non-increasing, so the label sum strictly
     // decreases on any change: one aggregate per round detects the
     // fixpoint without a join against the previous labels.
+    // coalesce: sum over zero rows is NULL, and empty vertices must yield
+    // an empty labels frame, not an NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
+    var lastDelta = java.math.BigDecimal.ZERO
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -64,10 +68,14 @@ object GraphOps {
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
+      lastDelta = prevSum.subtract(nextSum)
       prevSum = nextSum
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    require(converged,
+      s"connectedComponents: label sum still decreasing after $i/$maxIter " +
+        s"pointer-jumping rounds (last round's delta = $lastDelta); the " +
+        s"component diameter exceeds 2^$maxIter — raise maxIter")
     labels
   }
 }

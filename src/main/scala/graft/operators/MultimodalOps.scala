@@ -85,7 +85,9 @@ object MultimodalOps {
     import spark.implicits._
     feats.mapPartitions(_.map { f =>
       val src = f.feature
-      val out = new Array[Float](math.min(targetDim, math.max(src.length, 1)))
+      // Pure pooling: an empty feature stays empty (never down-pool into a
+      // fabricated length-1 zero vector — that would change shape).
+      val out = new Array[Float](math.min(targetDim, src.length))
       if (src.nonEmpty) {
         var i = 0
         val counts = new Array[Int](out.length)

@@ -27,9 +27,21 @@ object TextOps {
     * (sorted distinct tokens, no raw text); spilling is fine, recomputing
     * 4× is not.
     */
-  private def reuse(df: DataFrame): DataFrame =
-    graft.Tables.cached(df.sparkSession,
-      s"textops:${df.queryExecution.logical.semanticHash()}:${df.schema.simpleString.hashCode}")(df)
+  private def reuse(df: DataFrame): DataFrame = {
+    // Key = semanticHash PLUS SHA-256 of the canonicalized plan string. The
+    // 32-bit semanticHash alone could collide across same-schema subtrees
+    // and silently return the wrong cached DataFrame (wrong results, no
+    // error); the plan string alone is NOT data-sensitive (LocalRelation
+    // prints only its schema, not its rows — caught by the winnowing
+    // regression test). A collision now needs both a 32-bit hashCode match
+    // over the full tree (data included) and a SHA-256 match of the
+    // structure.
+    val canon = df.queryExecution.logical.canonicalized
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    graft.Tables.cached(df.sparkSession, s"textops:${canon.hashCode}:$sha")(df)
+  }
 
   /** Whitespace tokenizer over lowercased text. */
   def tokens(text: Column): Column = split(lower(text), " ")

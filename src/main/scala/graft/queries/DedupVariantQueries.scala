@@ -189,8 +189,11 @@ object DedupVariantQueries {
     Q("dedup_embed_ivf",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |pos AS (
-        |  SELECT vec_id, label, g.p AS p, v[g.p] AS x
-        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |  -- zipped unnests track len(v): a fixture dim change can never
+        |  -- silently skew the oracle (v[p] past the end is NULL in DuckDB)
+        |  SELECT vec_id, label,
+        |         unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+        |  FROM e),
         |cent AS (
         |  SELECT label AS cell, p,
         |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c

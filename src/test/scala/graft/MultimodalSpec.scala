@@ -61,6 +61,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(repart == small.map(_.feature.toSeq).toSeq)
   }
 
+  test("resizeFeatures leaves an empty feature vector empty (pure pooling, no shape change)") {
+    val withEmpty = MultimodalOps.extractFeatures(media, dim = 8).map(
+      f => if (f.id == 1L) f.copy(feature = Array.empty[Float]) else f)(
+      org.apache.spark.sql.Encoders.product[graft.operators.MediaFeature])
+    val out = MultimodalOps.resizeFeatures(withEmpty, targetDim = 4).collect().sortBy(_.id)
+    assert(out.head.feature.isEmpty, "empty in, empty out")
+    assert(out.tail.forall(_.feature.length == 4))
+  }
+
   test("round-trips through parquet with payload intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(out)

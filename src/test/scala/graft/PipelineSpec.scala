@@ -100,6 +100,18 @@ class PipelineSpec extends SparkTestBase {
     assert(cc.size == 30)
   }
 
+  test("connectedComponents: empty vertices returns an empty frame, no NPE") {
+    import graft.operators.GraphOps
+    val noVerts = spark.range(0).select(col("id"))
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponents(noVerts, noEdges).count() == 0L)
+    // edgeless-but-populated graph: every vertex keeps its own label
+    val verts = spark.range(5).select(col("id"))
+    val cc = GraphOps.connectedComponents(verts, noEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L until 5L).map(i => i -> i).toMap)
+  }
+
   test("saltedJoin equals the plain join on a skewed key and spreads the hot key") {
     import graft.operators.SkewOps
     // 10k rows of one hot key + a uniform tail, joined to a 100-row dim.
