@@ -1,0 +1,69 @@
+package graft.queries
+
+/** DuckDB CTE chain replaying [[graft.operators.VectorOps.kmeansCodebook]]
+  * step for step — the oracle side of the deterministic spherical k-means
+  * quantizer. Kept in one place because two declared queries
+  * (dedup_embed_ivf, sim_search_ivf) share the codebook.
+  *
+  * Parity contract with the Scala side (any drift fails the hash gate):
+  *   - p is 1-based here, 0-based in Spark — only ever joined within one
+  *     engine, so the offset is invisible;
+  *   - every cross-row sum goes through CAST(... AS DECIMAL(27,12)) per
+  *     term (exact, order-free), then CAST AS DOUBLE — identical rounding
+  *     in both engines;
+  *   - seed ranking is pure integer arithmetic ((vec_id % 2147483647) *
+  *     2654435761 % 2^32, ties by vec_id), bucket split is integer floor
+  *     division — no floats anywhere near the seed choice;
+  *   - affinity ranking = dot/sqrt(csq) DESC, ties by cell — two IEEE ops
+  *     on exactly-derived doubles, so the row_number order matches.
+  */
+private[queries] object KMeansSql {
+
+  /** CTEs from `e` (vec_id, v DOUBLE[]) through `sc{iters}` — the final
+    * (vec_id, cell, rn) affinity ranking over the converged codebook.
+    * Consumers append their own CTEs / final SELECT after this block.
+    */
+  def codebookCtes(kCap: Int, iters: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |params AS (SELECT count(*) AS n,
+         |                  least($kCap, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e),
+         |pos0 AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+         |  FROM e),
+         |nsq AS (SELECT vec_id, CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+         |        FROM pos0 GROUP BY 1),
+         |pos AS (SELECT pos0.vec_id, p, x / sqrt(nsq.n2) AS x
+         |        FROM pos0 JOIN nsq USING (vec_id)),
+         |rk AS (SELECT vec_id, row_number() OVER (
+         |         ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296, vec_id) AS rn
+         |       FROM e),
+         |seeds AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, ((rn - 1) * k) // n AS cell,
+         |         row_number() OVER (PARTITION BY ((rn - 1) * k) // n ORDER BY rn) AS pick
+         |  FROM rk, params) WHERE pick = 1),
+         |cent0 AS (SELECT s.cell, p.p, p.x AS c
+         |          FROM seeds s JOIN pos p ON p.vec_id = s.vec_id)""".stripMargin
+    val rounds = (0 to iters).map { i =>
+      val score =
+        s""",
+           |csq$i AS (SELECT cell, CAST(sum(CAST(c*c AS DECIMAL(27,12))) AS DOUBLE) AS csq
+           |          FROM cent$i GROUP BY 1),
+           |dot$i AS (SELECT pos.vec_id, cent$i.cell,
+           |                 CAST(sum(CAST(pos.x*cent$i.c AS DECIMAL(27,12))) AS DOUBLE) AS dot
+           |          FROM pos JOIN cent$i USING (p) GROUP BY 1, 2),
+           |sc$i AS (SELECT d.vec_id, d.cell,
+           |                row_number() OVER (PARTITION BY d.vec_id
+           |                  ORDER BY d.dot / sqrt(c.csq) DESC, d.cell) AS rn
+           |         FROM dot$i d JOIN csq$i c USING (cell))""".stripMargin
+      val update = if (i == iters) "" else
+        s""",
+           |cent${i + 1} AS (SELECT a.cell, p.p,
+           |                  CAST(sum(CAST(p.x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS c
+           |           FROM (SELECT vec_id, cell FROM sc$i WHERE rn = 1) a
+           |           JOIN pos p USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      score + update
+    }.mkString
+    head + rounds
+  }
+}

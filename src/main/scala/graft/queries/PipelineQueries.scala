@@ -210,54 +210,38 @@ object PipelineQueries {
     },
 
     Q("sim_search_ivf",
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        |pos AS (
-        |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x
-        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS p) g),
-        |cent AS (
-        |  SELECT label, p,
-        |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
-        |  FROM pos GROUP BY label, p),
-        |probe_pos AS (SELECT p, x FROM pos WHERE vec_id = 0),
-        |aff AS (
-        |  SELECT cent.label,
-        |         CAST(sum(CAST(probe_pos.x * cent.c AS DECIMAL(27,12))) AS DOUBLE) AS a
-        |  FROM probe_pos JOIN cent USING (p) GROUP BY cent.label),
-        |cells AS (SELECT label FROM aff ORDER BY a DESC, label LIMIT 3),
-        |ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM e),
-        |probe AS (SELECT v AS pv FROM ev WHERE vec_id = 0)
-        |SELECT ev.vec_id, ev.label,
-        |       round(list_cosine_similarity(ev.v, probe.pv), 5) AS cos_sim
-        |FROM ev JOIN cells USING (label), probe
-        |WHERE ev.vec_id <> 0
-        |ORDER BY cos_sim DESC, ev.vec_id LIMIT 10""".stripMargin) {
+      KMeansSql.codebookCtes(kCap = 24, iters = 2) +
+      """,
+        |idx AS (SELECT vec_id, cell FROM sc2 WHERE rn = 1),
+        |pcells AS (SELECT cell FROM sc2 WHERE vec_id = 0 AND rn <= 3),
+        |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |probe AS (SELECT v AS pv FROM el WHERE vec_id = 0)
+        |SELECT el.vec_id, el.label,
+        |       round(list_cosine_similarity(el.v, probe.pv), 5) AS cos_sim
+        |FROM el JOIN idx USING (vec_id) JOIN pcells USING (cell), probe
+        |WHERE el.vec_id <> 0
+        |ORDER BY cos_sim DESC, el.vec_id LIMIT 10""".stripMargin) {
       (s, d) =>
-        // IVF-style ANN: coarse cells = labels with DECIMAL-exact
-        // centroids; rank cells by probe-centroid affinity (decimal dot,
-        // order-free); exact-search only the nprobe=3 best cells. The scan
-        // touches ~30% of the corpus instead of 100% — the same plan shape
-        // an IVF index gives at 100 TB (cells from k-means instead of
-        // given labels; centroid table broadcast either way).
-        val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+        // Classic IVF ANN over the deterministic k-means codebook (r5 —
+        // was label-cells): every corpus vector is indexed under its
+        // home cell (rn = 1), the probe visits its nprobe = 3 best cells,
+        // exact codegen'd cosine ranks only vectors inside those cells
+        // (~13% of the corpus at k≈23). Same plan shape at 100 TB: tiny
+        // broadcast codebook, no corpus shuffle, TakeOrderedAndProject
+        // for the top-k.
         val emb = Tables.cachedTable(s, d, "embeddings")
-        val pos = emb.select(
-          col("vec_id"), col("label"),
-          posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("p0", "x")))
-          .withColumn("p", col("p0") + 1)
-        val cent = pos.groupBy("label", "p")
-          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
-          .select(col("label").as("c_label"), col("p").as("c_p"), col("c"))
-        val probePos = pos.filter(col("vec_id") === 0).select(col("p"), col("x"))
-        val cells = probePos.join(cent, col("p") === col("c_p"))
-          .groupBy(col("c_label"))
-          .agg(sum((col("x") * col("c")).cast(dec)).cast("double").as("a"))
-          .orderBy(col("a").desc, col("c_label")).limit(3)
-          .select(col("c_label").as("label"))
+        val n = emb.count()
+        val k = math.min(24, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val cent = VectorOps.kmeansCodebook(emb, k, iters = 2)
+        val idx = VectorOps.assignCells(emb, cent, nprobe = 1)
+        val pcells = VectorOps.assignCells(
+          emb.filter(col("vec_id") === 0), cent, nprobe = 3).select("cell")
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("pv"))
         val cos = VectorOps.dotF(col("embedding"), col("pv")) /
           (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
-        emb.join(broadcast(cells), "label")
+        emb.join(idx, "vec_id")
+          .join(broadcast(pcells), "cell")
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))
           .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))

@@ -148,15 +148,23 @@ class PipelineSpec extends SparkTestBase {
       Seq((9L, "a b")).toDF("doc_id", "text"), k = 3, w = 4).count() == 0)
   }
 
-  test("quantizerAssign emits exactly nprobe cells per vector, own-label not forced") {
+  test("kmeansCodebook: deterministic, multi-cell, exactly nprobe assignments per vector") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
-    val assign = VectorOps.quantizerAssign(emb, nprobe = 2)
+    val n = emb.count()
+    val k = math.min(24, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cent = VectorOps.kmeansCodebook(emb, k, iters = 2)
+    // codebook: at most k cells, each with the full dim positions
+    val cells = cent.select("cell").distinct().count()
+    assert(cells > 1 && cells <= k, s"degenerate codebook: $cells cells")
+    assert(cent.groupBy("cell").count().filter(col("count") =!= 64).count() == 0)
+    val assign = VectorOps.assignCells(emb, cent, nprobe = 4)
     val perVec = assign.groupBy("vec_id").count()
-    assert(perVec.filter(col("count") =!= 2).count() == 0)
-    // the quantizer must disagree with the semantic label for some vectors,
-    // otherwise it degenerates to label blocking
-    val own = emb.select(col("vec_id"), col("label").as("cell"))
-    assert(assign.join(own, Seq("vec_id", "cell"), "left_anti").count() > 0)
+    assert(perVec.filter(col("count") =!= 4).count() == 0)
+    // vectors spread over many cells (no all-in-one-cell collapse)
+    assert(assign.select("cell").distinct().count() > 1)
+    // deterministic: a second build is row-identical (no RNG anywhere)
+    val cent2 = VectorOps.kmeansCodebook(emb, k, iters = 2)
+    assert(cent.exceptAll(cent2).count() == 0 && cent2.exceptAll(cent).count() == 0)
   }
 
   test("cosine: self=1, orthogonal=0") {
