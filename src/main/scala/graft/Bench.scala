@@ -25,7 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated filter for local iteration (the driver sets
+    // no filter, so its contract run always covers every declared query).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmFailed = queries.flatMap { case (name, fn) =>
       try { fn(spark, sfDir).count(); None }
       catch { case e: Throwable =>

@@ -32,12 +32,17 @@ object GraphOps {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
+    // LAZY localCheckpoint throughout: the per-round labelSum action both
+    // answers the convergence check and materializes the checkpoint in the
+    // SAME job — an eager checkpoint would cost a second materialization
+    // per round (measured ~40% of dedup_clusters wall time at sf0.1,
+    // pure fixed job overhead at toy scale).
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = vertices.select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Labels are monotonically non-increasing, so the label sum strictly
     // decreases on any change: one aggregate per round detects the
     // fixpoint without a join against the previous labels.
@@ -64,7 +69,7 @@ object GraphOps {
         .join(folded.select(col("id").as("jid"), col("cluster").as("jcluster")),
           col("x.cluster") === col("jid"))
         .select(col("x.id").as("id"), col("jcluster").as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -70,6 +70,50 @@ class PlanSpec extends SparkTestBase {
       "SortedIntersectCount missing from plan")
   }
 
+  test("dedup_simhash's banded scan is pure hash/merge equi-joins on the chunk keys") {
+    // The r2 scale-killer was an O(block²) theta-join; the banded rewrite
+    // must plan every per-chunk join as an EQUI join (SMJ/BHJ with the
+    // (block, chunk) equalities as keys) — a join that fell back to
+    // nested-loop/cartesian would mean Catalyst failed to extract them.
+    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_simhash")
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty, "no joins found — plan shape changed?")
+    assert(joins.forall(l => l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")
+      || l.contains("ShuffledHashJoin")),
+      s"non-equi join in banded scan:\n${joins.mkString("\n")}")
+    // the equi keys really are the chunk columns, not just the block
+    assert(plan.contains("a_c0") && joins.exists(_.contains("a_c0")),
+      "chunk key c0 not a join key")
+  }
+
+  test("dedup_embed_ivf verifies inside the cell join: no exchange between dot and join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_embed_ivf")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    // the verify kernel (dot of the two candidate vectors) appears at all
+    val verifyNodes = plan.collect {
+      case p if p.expressions.exists(_.toString.contains("float_vec_dot(va")) => p
+    }
+    assert(verifyNodes.nonEmpty, s"verify dot not found:\n${plan.toString.take(2000)}")
+    // ...and at least one such node sits directly on top of the cell join:
+    // walking down from it, every path reaches a Join BEFORE any Exchange —
+    // candidate pairs stream from the join into the dot+tau filter without
+    // ever being shuffled (the 100 TB claim: 4.6M candidates, 0 shuffled).
+    def joinBeforeExchange(p: SparkPlan): Boolean = p.nodeName match {
+      case n if n.contains("Exchange") => false
+      case n if n.contains("Join") => true
+      case _ => p.children.nonEmpty && p.children.forall(joinBeforeExchange)
+    }
+    assert(verifyNodes.exists(n => n.children.forall(joinBeforeExchange)),
+      "an Exchange sits between the cell join and the cosine verify")
+  }
+
   test("split_assign is a pure projection: zero exchanges, zero joins") {
     val plan = physical(graft.queries.PipelineQueries.all, "split_assign")
     assert(!plan.contains("Exchange"), s"split_assign shuffles:\n${plan.take(800)}")
