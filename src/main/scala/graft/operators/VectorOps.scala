@@ -119,6 +119,21 @@ object VectorOps {
       .select(col("id"), col("p"), (col("x") / sqrt(col("n2"))).as("x"))
   }
 
+  /** Collect a tiny DataFrame (≤ k × dim rows — codebook-sized ONLY) and
+    * recreate it as a LocalRelation. This cuts the iterative Lloyd lineage
+    * out of every consumer plan: downstream joins see a ~1.5k-row local
+    * table (trivially broadcast), not a self-referencing DAG that doubles
+    * per round and re-executes from the parquet scan on every branch
+    * (r5's 60× sim_search_ivf regression). Row order is irrelevant — all
+    * downstream reductions are DECIMAL-exact (order-free) and all window
+    * ties are broken explicitly.
+    */
+  private def materializeLocal(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+
   /** Rank all (vector, cell) pairs by spherical affinity dot(x̂, c)/‖c‖
     * (descending, ties by cell id) — rn = 1 is the vector's home cell,
     * rn ≤ nprobe its probe set. Every arithmetic step goes through the
@@ -155,43 +170,74 @@ object VectorOps {
     *     DECIMAL-exact order-free means. Cells that lose all members drop
     *     out (k shrinks) — deterministic in both engines.
     *
-    * Shuffle budget: the codebook is built from (id, p, x̂) triples — one
-    * norm agg, one rank window, and per round one broadcast-join agg +
-    * one (cell, p) mean agg. Vectors never ride a shuffle. At 100 TB,
-    * build the codebook from a bounded deterministic sample (e.g. the
-    * hash-rank's first 1M ids) and broadcast it; assignment of the full
-    * corpus stays embarrassingly parallel.
+    * Shuffle budget: the codebook is built from (id, p, x̂) triples of a
+    * BOUNDED deterministic sample — the first `sampleCap` ids by the
+    * hash-rank, taken with a distributed orderBy+limit
+    * (TakeOrderedAndProject: per-partition top-N + driver merge, never a
+    * global sort). Only the ≤ sampleCap sample feeds the rank window and
+    * the Lloyd rounds, so the single-partition window is bounded by
+    * construction; assignment of the full corpus stays embarrassingly
+    * parallel against the broadcast codebook. At fixture scale
+    * sampleCap ≫ n, so the sample is the whole corpus and the DuckDB
+    * oracle (which ranks everything) matches exactly.
+    *
+    * The returned centroid table is MATERIALIZED as a LocalRelation
+    * (per Lloyd round — see [[materializeLocal]]): consumers get a tiny
+    * broadcastable literal table, not the iterative lineage.
     *
     * @return (cell, p, c) — the centroid table, tiny (≤ k × dim rows)
     */
   def kmeansCodebook(emb: DataFrame, k: Int, iters: Int = 2,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     sampleCap: Int = 1 << 20): DataFrame = {
     require(k > 0, s"kmeansCodebook: k must be positive, got $k")
     require(iters >= 0, s"kmeansCodebook: iters must be >= 0, got $iters")
+    require(sampleCap >= k, s"kmeansCodebook: sampleCap=$sampleCap < k=$k")
     val dec = DecimalType(27, 12)
-    val n = emb.count()
-    require(n >= k, s"kmeansCodebook: k=$k exceeds corpus size $n")
-    val pos = unitPos(emb, idCol, vecCol)
     val hash = (col("id") % 2147483647L) * 2654435761L % 4294967296L
-    val rk = emb.select(col(idCol).as("id"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(hash, col("id"))))
+    // Bounded deterministic sample: distributed top-sampleCap by
+    // (hash, id) — TakeOrderedAndProject, not a global window.
+    val ranked = emb.select(col(idCol).as("id")).withColumn("h", hash)
+      .orderBy(col("h"), col("id")).limit(sampleCap)
+    val rk = ranked.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id"))))
+      .select(col("id"), col("rn"))
+    val n = ranked.count() // sample size (= corpus size when n <= sampleCap)
+    require(n >= k, s"kmeansCodebook: k=$k exceeds sample size $n")
+    val sEmb = emb.join(
+      ranked.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val pos = unitPos(sEmb, idCol, vecCol).cache()
     val seeds = rk
       .withColumn("cell", expr(s"CAST(((CAST(rn AS BIGINT) - 1) * $k) DIV $n AS INT)"))
       .withColumn("pick", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("rn")))
       .filter(col("pick") === 1)
       .select(col("id").as("sid"), col("cell"))
-    var cent = pos.join(broadcast(seeds), col("id") === col("sid"))
-      .select(col("cell"), col("p"), col("x").as("c"))
+    var cent = materializeLocal(
+      pos.join(broadcast(seeds), col("id") === col("sid"))
+        .select(col("cell"), col("p"), col("x").as("c")))
     for (_ <- 1 to iters) {
       val home = scoreCells(pos, cent).filter(col("rn") === 1).select("id", "cell")
-      cent = pos.join(home, Seq("id"))
-        .groupBy("cell", "p")
-        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+      cent = materializeLocal(
+        pos.join(home, Seq("id"))
+          .groupBy("cell", "p")
+          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c")))
     }
+    pos.unpersist(blocking = false)
     cent
   }
+
+  /** Per-vector affinity ranking against a codebook, keeping rn ≤ maxRn:
+    * (idCol, cell, rn). rn = 1 is the home cell an IVF index stores the
+    * vector under; rn ≤ nprobe is the probe set a query visits. One
+    * full-corpus pass against the broadcast codebook — compute it once
+    * with maxRn = max over consumers and filter per consumer.
+    */
+  def scoredCells(emb: DataFrame, cent: DataFrame, maxRn: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    scoreCells(unitPos(emb, idCol, vecCol), cent)
+      .filter(col("rn") <= maxRn)
+      .select(col("id").as(idCol), col("cell"), col("rn"))
 
   /** Assign each vector to its `nprobe` best cells of a codebook (rn = 1
     * is the home cell an IVF index stores the vector under; rn ≤ nprobe
@@ -199,9 +245,7 @@ object VectorOps {
     */
   def assignCells(emb: DataFrame, cent: DataFrame, nprobe: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    scoreCells(unitPos(emb, idCol, vecCol), cent)
-      .filter(col("rn") <= nprobe)
-      .select(col("id").as(idCol), col("cell"))
+    scoredCells(emb, cent, nprobe, idCol, vecCol).drop("rn")
 
   /** Embedding near-dup pairs blocked by the k-means coarse quantizer —
     * the 100 TB path for [[cosineJoinThreshold]] (which needs a given
@@ -226,21 +270,31 @@ object VectorOps {
   def dedupByQuantizer(emb: DataFrame, tau: Double, nprobe: Int = 4,
                        kCap: Int = 24, iters: Int = 2,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Verify INSIDE the cell join: with coarse cells the candidate set is
-    // orders of magnitude larger than the surviving pair set, so
-    // distinct-then-fetch would shuffle millions of pair rows and then
-    // re-attach vectors with two more joins. Attaching vectors to the
-    // (id, cell) assignment rows first keeps the dot + threshold
-    // streaming through the join's codegen stage — candidates never hit
-    // a shuffle — and the final distinct (for pairs colliding in several
-    // probe cells) handles only rows that already passed tau.
     val n = emb.count()
     val k = math.min(kCap, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cent = kmeansCodebook(emb, k, iters, idCol, vecCol)
     val assign = assignCells(emb, cent, nprobe, idCol, vecCol)
+    pairsByAssignment(emb, assign, tau, idCol, vecCol)
+  }
+
+  /** The cell-blocked pair join given a precomputed (idCol, cell)
+    * assignment — the shared core of [[dedupByQuantizer]], split out so
+    * queries can feed it a cached assignment built once per session.
+    *
+    * Verify INSIDE the cell join: with coarse cells the candidate set is
+    * orders of magnitude larger than the surviving pair set, so
+    * distinct-then-fetch would shuffle millions of pair rows and then
+    * re-attach vectors with two more joins. Attaching vectors to the
+    * (id, cell) assignment rows first keeps the dot + threshold
+    * streaming through the join's codegen stage — candidates never hit
+    * a shuffle — and the final distinct (for pairs colliding in several
+    * probe cells) handles only rows that already passed tau.
+    */
+  def pairsByAssignment(emb: DataFrame, assign: DataFrame, tau: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(normSqF(col("v"))))
-    val av = assign.join(e, idCol)
+    val av = assign.select(col(idCol), col("cell")).join(e, idCol)
     val a = av.select(col(idCol).as("vec_a"), col("cell"),
       col("v").as("va"), col("nrm").as("nrm_a"))
     val b = av.select(col(idCol).as("vec_b"), col("cell"),

@@ -187,9 +187,10 @@ object DedupVariantQueries {
     },
 
     Q("dedup_embed_ivf",
-      KMeansSql.codebookCtes(kCap = 24, iters = 2) +
-      """,
-        |assign AS (SELECT vec_id, cell FROM sc2 WHERE rn <= 4),
+      KMeansSql.codebookCtes() +
+      s""",
+        |assign AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
+        |           WHERE rn <= ${KMeansSql.NProbeDedup}),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id)
@@ -199,11 +200,14 @@ object DedupVariantQueries {
       (s, d) =>
         // The 100 TB embed-dedup path: block on the deterministic
         // spherical k-means codebook (r5 — replaces the 10-given-label
-        // placeholder whose recall capped at 56%; measured now: 1.00 at
+        // placeholder whose recall capped at 56%; measured: 1.00 at
         // sf0.01, 0.91 at sf0.1 vs the all-pairs truth at tau=0.4). The
-        // oracle replays the identical Lloyd iterations in SQL.
-        VectorOps.dedupByQuantizer(
-          Tables.cachedTable(s, d, "embeddings"), tau = 0.4)
+        // oracle replays the identical Lloyd iterations in SQL; both
+        // sides read the ONE shared scored assignment (KMeansSql).
+        val assign = KMeansSql.assignments(s, d)
+          .filter(col("rn") <= KMeansSql.NProbeDedup)
+        VectorOps.pairsByAssignment(
+          Tables.cachedTable(s, d, "embeddings"), assign, tau = 0.4)
     },
 
     Q("dedup_embed_cosine",

@@ -1,9 +1,18 @@
 package graft.queries
 
-/** DuckDB CTE chain replaying [[graft.operators.VectorOps.kmeansCodebook]]
-  * step for step — the oracle side of the deterministic spherical k-means
-  * quantizer. Kept in one place because two declared queries
-  * (dedup_embed_ivf, sim_search_ivf) share the codebook.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.VectorOps
+
+/** The single parity point for the IVF quantizer family: the tuning
+  * constants, the shared Spark-side cached codebook/assignment builder,
+  * AND the DuckDB CTE chain replaying
+  * [[graft.operators.VectorOps.kmeansCodebook]] step for step. Kept in one
+  * place because two declared queries (dedup_embed_ivf, sim_search_ivf)
+  * share the codebook — both the Scala calls and the oracle SQL derive
+  * every knob from the constants below, so a default change cannot
+  * silently break Spark/oracle parity (r5 advice: the SQL hardcoded `sc2`
+  * and `rn <= 4`, coupled only by convention).
   *
   * Parity contract with the Scala side (any drift fails the hash gate):
   *   - p is 1-based here, 0-based in Spark — only ever joined within one
@@ -19,11 +28,45 @@ package graft.queries
   */
 private[queries] object KMeansSql {
 
+  /** Cell-count cap: k = min(KCap, ceil(sqrt(n))). */
+  val KCap = 24
+  /** Fixed Lloyd rounds (no data-dependent stopping — determinism). */
+  val Iters = 2
+  /** Probe cells per vector for the pair-dedup query (dedup_embed_ivf). */
+  val NProbeDedup = 4
+  /** Probe cells for the single-probe ANN query (sim_search_ivf). */
+  val NProbeSearch = 3
+  /** Deepest rank any consumer reads — the shared assignment keeps rn ≤ this. */
+  val MaxRn: Int = math.max(NProbeDedup, NProbeSearch)
+
+  /** Name of the final affinity-ranking CTE emitted by [[codebookCtes]] —
+    * consumers MUST read the scored assignment from here, never from a
+    * hardcoded `sc2`.
+    */
+  def scoredCte(iters: Int = Iters): String = s"sc$iters"
+
+  /** Shared Spark-side scored assignment (vec_id, cell, rn ≤ MaxRn), built
+    * ONCE per (session, dir) and cached: one embeddings count (to derive
+    * k), one codebook build (materialized LocalRelation — see
+    * kmeansCodebook), one full-corpus scoring pass. dedup_embed_ivf and
+    * sim_search_ivf both filter this table, mirroring how their oracle SQL
+    * both read `scoredCte()` — r5 built the whole iterative codebook DAG
+    * independently per consumer branch (60× sim_search_ivf regression).
+    */
+  def assignments(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/ivf-scored/k=$KCap/iters=$Iters/maxrn=$MaxRn") {
+      val emb = Tables.cachedTable(spark, dir, "embeddings")
+      val n = emb.count()
+      val k = math.min(KCap, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cent = VectorOps.kmeansCodebook(emb, k, Iters)
+      VectorOps.scoredCells(emb, cent, MaxRn)
+    }
+
   /** CTEs from `e` (vec_id, v DOUBLE[]) through `sc{iters}` — the final
     * (vec_id, cell, rn) affinity ranking over the converged codebook.
     * Consumers append their own CTEs / final SELECT after this block.
     */
-  def codebookCtes(kCap: Int, iters: Int): String = {
+  def codebookCtes(kCap: Int = KCap, iters: Int = Iters): String = {
     val head =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |params AS (SELECT count(*) AS n,

@@ -210,10 +210,11 @@ object PipelineQueries {
     },
 
     Q("sim_search_ivf",
-      KMeansSql.codebookCtes(kCap = 24, iters = 2) +
-      """,
-        |idx AS (SELECT vec_id, cell FROM sc2 WHERE rn = 1),
-        |pcells AS (SELECT cell FROM sc2 WHERE vec_id = 0 AND rn <= 3),
+      KMeansSql.codebookCtes() +
+      s""",
+        |idx AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()} WHERE rn = 1),
+        |pcells AS (SELECT cell FROM ${KMeansSql.scoredCte()}
+        |           WHERE vec_id = 0 AND rn <= ${KMeansSql.NProbeSearch}),
         |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |probe AS (SELECT v AS pv FROM el WHERE vec_id = 0)
         |SELECT el.vec_id, el.label,
@@ -228,14 +229,15 @@ object PipelineQueries {
         // exact codegen'd cosine ranks only vectors inside those cells
         // (~13% of the corpus at k≈23). Same plan shape at 100 TB: tiny
         // broadcast codebook, no corpus shuffle, TakeOrderedAndProject
-        // for the top-k.
+        // for the top-k. idx and pcells are two filters of the ONE
+        // shared cached scored assignment (KMeansSql.assignments) —
+        // exactly how the oracle reads its scored CTE twice.
         val emb = Tables.cachedTable(s, d, "embeddings")
-        val n = emb.count()
-        val k = math.min(24, math.ceil(math.sqrt(n.toDouble)).toInt)
-        val cent = VectorOps.kmeansCodebook(emb, k, iters = 2)
-        val idx = VectorOps.assignCells(emb, cent, nprobe = 1)
-        val pcells = VectorOps.assignCells(
-          emb.filter(col("vec_id") === 0), cent, nprobe = 3).select("cell")
+        val scored = KMeansSql.assignments(s, d)
+        val idx = scored.filter(col("rn") === 1).select("vec_id", "cell")
+        val pcells = scored
+          .filter(col("vec_id") === 0 && col("rn") <= KMeansSql.NProbeSearch)
+          .select("cell")
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("pv"))
         val cos = VectorOps.dotF(col("embedding"), col("pv")) /
