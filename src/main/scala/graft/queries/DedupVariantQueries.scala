@@ -156,11 +156,13 @@ object DedupVariantQueries {
         |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
         |         END AS hs
         |  FROM t),
-        |f AS (
+        |f0 AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
         |           generate_series(1, greatest(len(hs) - 3, 1)),
         |           j -> list_min(hs[j : least(j + 3, len(hs))]))) AS fp
-        |  FROM g WHERE len(hs) > 0)
+        |  FROM g WHERE len(hs) > 0),
+        |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128),
+        |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(count(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -171,14 +173,24 @@ object DedupVariantQueries {
         // fingerprint — narrow equi-join + pair count, no text and no
         // token arrays on the wire; any shared token run of >= w+k-1
         // tokens is guaranteed to surface (winnowing's coverage bound).
-        // At web scale, cap fingerprint document-frequency first (a
-        // boilerplate phrase shared by 1M docs would emit 1M^2/2 pairs —
-        // the standard df-cap / stopword-fingerprint filter).
+        // The df-cap makes the 1M-doc-boilerplate failure mode (one
+        // fingerprint shared by 1M docs => 1M^2/2 pairs) structurally
+        // impossible: a fingerprint in more than `dfCap` docs is a
+        // stopword-fingerprint and is dropped BEFORE the self-join, so
+        // per-fp fan-out is bounded by dfCap^2/2. The cap (128) sits far
+        // above the fixture max df (6 at sf0.01, 22 at sf0.1), so the
+        // oracle result is unchanged; the SQL mirrors it in `keep`.
+        val dfCap = 128
         val fps = TextOps.winnowFingerprints(
           Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
           k = 3, w = 4)
-        val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
-        val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+        val keep = fps.groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+          .select("fp")
+        val capped = fps.join(keep, Seq("fp"))
+        val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
         a.join(b, Seq("fp"))
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")

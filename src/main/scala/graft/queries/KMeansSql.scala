@@ -62,6 +62,20 @@ private[queries] object KMeansSql {
       VectorOps.scoredCells(emb, cent, MaxRn)
     }
 
+  /** The materialized IVF index: every corpus vector stored under its home
+    * cell (rn = 1) — embeddings columns + `cell`. Cached per (session,
+    * dir). At 100 TB this is the corpus written bucketed/partitioned by
+    * cell (build once, amortized over all queries); a search then reads
+    * only its broadcast probe cells — no corpus shuffle per query.
+    */
+  def index(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/ivf-index/k=$KCap/iters=$Iters") {
+      import org.apache.spark.sql.functions.col
+      Tables.cachedTable(spark, dir, "embeddings").join(
+        assignments(spark, dir).filter(col("rn") === 1).select("vec_id", "cell"),
+        Seq("vec_id"))
+    }
+
   /** CTEs from `e` (vec_id, v DOUBLE[]) through `sc{iters}` — the final
     * (vec_id, cell, rn) affinity ranking over the converged codebook.
     * Consumers append their own CTEs / final SELECT after this block.

@@ -224,25 +224,25 @@ object PipelineQueries {
         |ORDER BY cos_sim DESC, el.vec_id LIMIT 10""".stripMargin) {
       (s, d) =>
         // Classic IVF ANN over the deterministic k-means codebook (r5 —
-        // was label-cells): every corpus vector is indexed under its
-        // home cell (rn = 1), the probe visits its nprobe = 3 best cells,
-        // exact codegen'd cosine ranks only vectors inside those cells
-        // (~13% of the corpus at k≈23). Same plan shape at 100 TB: tiny
-        // broadcast codebook, no corpus shuffle, TakeOrderedAndProject
-        // for the top-k. idx and pcells are two filters of the ONE
-        // shared cached scored assignment (KMeansSql.assignments) —
-        // exactly how the oracle reads its scored CTE twice.
+        // was label-cells): the MATERIALIZED index (KMeansSql.index:
+        // corpus stored under its home cell, built once and amortized
+        // over all queries — at 100 TB, a bucketed-by-cell write) joins
+        // the probe's nprobe = 3 broadcast best cells; exact codegen'd
+        // cosine ranks only vectors inside those cells (~13% of the
+        // corpus at k≈23). Per-query plan: index scan → broadcast-hash
+        // join → TakeOrderedAndProject — ZERO corpus exchanges (pinned
+        // by PlanSpec). pcells and the index both derive from the ONE
+        // shared cached scored assignment, exactly how the oracle reads
+        // its scored CTE twice.
         val emb = Tables.cachedTable(s, d, "embeddings")
-        val scored = KMeansSql.assignments(s, d)
-        val idx = scored.filter(col("rn") === 1).select("vec_id", "cell")
-        val pcells = scored
+        val pcells = KMeansSql.assignments(s, d)
           .filter(col("vec_id") === 0 && col("rn") <= KMeansSql.NProbeSearch)
           .select("cell")
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("pv"))
         val cos = VectorOps.dotF(col("embedding"), col("pv")) /
           (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
-        emb.join(idx, "vec_id")
+        KMeansSql.index(s, d)
           .join(broadcast(pcells), "cell")
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))

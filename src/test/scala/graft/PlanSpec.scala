@@ -114,6 +114,26 @@ class PlanSpec extends SparkTestBase {
       "an Exchange sits between the cell join and the cosine verify")
   }
 
+  test("sim_search_ivf probes broadcast cells against the materialized index: zero corpus shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = queryNamed(graft.queries.PipelineQueries.all, "sim_search_ivf")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    // The 100 TB property: a search touches the (once-built) index only
+    // through a broadcast of its probe cells — the per-query plan never
+    // shuffles the corpus. Broadcast exchanges are expected (pcells,
+    // probe); shuffle exchanges are not.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"corpus shuffle in sim_search_ivf:\n${plan.toString.take(2000)}")
+    assert(plan.toString.contains("BroadcastHashJoin"), "probe-cell join is not broadcast")
+    assert(plan.toString.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+  }
+
   test("split_assign is a pure projection: zero exchanges, zero joins") {
     val plan = physical(graft.queries.PipelineQueries.all, "split_assign")
     assert(!plan.contains("Exchange"), s"split_assign shuffles:\n${plan.take(800)}")
