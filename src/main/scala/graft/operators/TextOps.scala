@@ -76,6 +76,14 @@ object TextOps {
         sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
+  /** Adjacent 3-token shingles (same guard discipline as [[bigrams]]). */
+  def trigrams(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
   /** Exact top-k rows per group, computed scale-safely in two phases:
     * a bucketed local top-k (parallelism = groups x buckets) followed by a
     * global top-k over the <= k*buckets survivors per group. Top-k is
