@@ -220,4 +220,40 @@ class PipelineSpec extends SparkTestBase {
     val got = df.select(TextOps.bigrams(col("t"))).as[Seq[String]].collect()
     assert(got(0) == Seq("a b", "b c") && got(1).isEmpty)
   }
+
+  test("trigrams HOF: n-2 adjacent shingles, none below 3 tokens") {
+    val df = Seq((Seq("a", "b", "c", "d"), 1), (Seq("a", "b"), 2)).toDF("t", "id")
+    val got = df.select(TextOps.trigrams(col("t"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d") && got(1).isEmpty)
+  }
+
+  test("curation: quality_filter verdicts are exhaustive and reasons match keep") {
+    val qf = graft.queries.CurationQueries.all.find(_.name == "quality_filter").get
+      .fn(spark, "/root/testdata/sf0.001")
+    val bad = qf.filter(
+      (col("keep") === 1 && col("reason") =!= "ok") ||
+      (col("keep") === 0 && col("reason") === "ok") ||
+      !col("reason").isin("ok", "too_short", "low_diversity")).count()
+    assert(bad == 0)
+    // both verdicts occur on the fixture (gate is not degenerate)
+    assert(qf.filter(col("keep") === 1).count() > 0)
+    assert(qf.filter(col("keep") === 0).count() > 0)
+  }
+
+  test("curation: sample_stratified is deterministic and exactly k per language") {
+    val q = graft.queries.CurationQueries.all.find(_.name == "sample_stratified").get
+    val a = q.fn(spark, "/root/testdata/sf0.001")
+    val perLang = a.groupBy("lang").count().collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getAs[Long]("count") == 20L))
+    val b = q.fn(spark, "/root/testdata/sf0.001")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("curation: decontaminate never flags eval docs and respects the overlap floor") {
+    val df = graft.queries.CurationQueries.all.find(_.name == "decontaminate").get
+      .fn(spark, "/root/testdata/sf0.001")
+    assert(df.filter(col("doc_id") < 5).count() == 0, "eval docs flagged as corpus docs")
+    assert(df.filter(col("eval_id") >= 5).count() == 0, "non-eval doc on the eval side")
+    assert(df.filter(col("n_shared") < 2).count() == 0, "overlap floor violated")
+  }
 }

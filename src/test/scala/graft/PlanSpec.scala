@@ -134,6 +134,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.toString.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
   }
 
+  test("decontaminate broadcasts the eval side; quality_filter never shuffles") {
+    val cur = graft.queries.CurationQueries.all
+    val decon = physical(cur, "decontaminate")
+    assert(decon.contains("BroadcastHashJoin"), "eval shingle join is not broadcast")
+    assert(!decon.contains("CartesianProduct") && !decon.contains("SortMergeJoin"),
+      "decontaminate shuffles the corpus for the eval join")
+    val qf = physical(cur, "quality_filter")
+    assert(!qf.contains("Exchange") && !qf.contains("Join"),
+      s"quality_filter must be a single-scan projection:\n${qf.take(800)}")
+  }
+
   test("split_assign is a pure projection: zero exchanges, zero joins") {
     val plan = physical(graft.queries.PipelineQueries.all, "split_assign")
     assert(!plan.contains("Exchange"), s"split_assign shuffles:\n${plan.take(800)}")
