@@ -307,6 +307,48 @@ object VectorOps {
       .distinct()
   }
 
+  /** Signed-random-projection LSH signatures (the hyperplane-LSH family:
+    * Charikar STOC'02): `tables` independent signatures of `bits` sign
+    * bits each — (idCol, t, sig). The alternate ANN index to the k-means
+    * IVF ([[kmeansCodebook]]): no training pass at all, so it can be
+    * computed in the SAME scan that ingests the vectors.
+    *
+    * Hyperplanes are deterministic Rademacher (±1) vectors derived from
+    * pure integer arithmetic — component (t, j, p) has sign
+    * 1 - 2*(((t*bits + j)*1000003 + p) * 2654435761 mod 2^32 mod 2) — so
+    * both engines (and any two cluster runs) derive the identical planes
+    * with no RNG and no stored plane table. Projections go through the
+    * house DECIMAL(27,12)-per-term sum (exact, order-free), so the sign
+    * bit — and therefore every signature — replays bit-for-bit.
+    *
+    * Shuffle budget: one corpus scan (posexplode × a broadcast
+    * (tables × bits) grid — the planes are never materialized wider than
+    * that), one (id, t, j) partial-agg shuffle of scalar projections,
+    * one (id, t) bit-pack agg. Collision probability per table for
+    * vectors at angle θ is (1 - θ/π)^bits, so expected candidate fraction
+    * is ~tables/2^bits on isotropic data — tune bits to corpus size.
+    */
+  def lshSignatures(emb: DataFrame, tables: Int, bits: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tables > 0 && bits > 0 && bits <= 62,
+      s"lshSignatures: need tables > 0, 0 < bits <= 62; got ($tables, $bits)")
+    val dec = DecimalType(27, 12)
+    val grid = emb.sparkSession.range(tables.toLong * bits)
+      .select(expr(s"CAST(id DIV $bits AS INT)").as("t"),
+        (col("id") % bits).cast("int").as("j"))
+    val pos = emb.select(col(idCol).as("id"),
+      posexplode(toDouble(col(vecCol))).as(Seq("p", "x")))
+    val key = (col("t") * bits + col("j")) * lit(1000003L) + col("p")
+    val sign = lit(1) - lit(2) * (key * lit(2654435761L) % lit(4294967296L) % 2)
+    pos.crossJoin(broadcast(grid))
+      .groupBy(col("id"), col("t"), col("j"))
+      .agg(sum((col("x") * sign).cast(dec)).cast("double").as("dproj"))
+      .withColumn("bit", when(col("dproj") >= 0, 1L).otherwise(0L))
+      .groupBy(col("id"), col("t"))
+      .agg(sum(expr("shiftleft(bit, j)")).as("sig"))
+      .select(col("id").as(idCol), col("t"), col("sig"))
+  }
+
   /** Embedding-column hygiene report: per vector its dimensionality, L2
     * norm, and Euclidean distance to its label's centroid.
     *

@@ -27,6 +27,10 @@ object CurationQueries {
     */
   private val MinTokens = 20
   private val (distinctNum, distinctDen) = (2, 5) // ratio >= 0.4
+  /** pack_sequences: context-window length in tokens. */
+  private val CtxLen = 256
+  /** pack_sequences: independent packing streams per language. */
+  private val PackShards = 8
 
   def all: Seq[Q] = Seq(
 
@@ -121,6 +125,78 @@ object CurationQueries {
             when(col("n_tokens") < MinTokens, "too_short")
               .when(col("n_distinct") * distinctDen < col("n_tokens") * distinctNum, "low_diversity")
               .otherwise("ok"))
+    },
+
+    Q("domain_mix",
+      """WITH t AS (
+        |  SELECT source, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM src)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / total, 6) AS tok_share,
+        |       round(total / (n_sources * n_tokens), 6) AS weight
+        |FROM src, tot""".stripMargin) {
+      (s, d) =>
+        // Domain-mix report + uniform-target resample weights: per source
+        // its token share and the multiplicity weight that equalizes the
+        // mix (weight = total/(n_sources x src_tokens); >1 upsample,
+        // <1 downsample). All counts are exact BIGINTs; each reported
+        // double is ONE IEEE division of exact integers, so both engines
+        // round the same value. At 100 TB: a low-cardinality groupBy
+        // (sources ~ thousands) with map-side partial aggregation, then a
+        // scalar broadcast of the totals row — no second corpus pass.
+        val src = Tables.cachedTable(s, d, "documents")
+          .select(col("source"), size(TextOps.tokens(col("text"))).as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"))
+        val tot = src.agg(
+          sum("n_tokens").as("total"), count(lit(1)).as("n_sources"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens") / col("total"), 6).as("tok_share"),
+            round(col("total") / (col("n_sources") * col("n_tokens")), 6).as("weight"))
+    },
+
+    Q("pack_sequences",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+         |         len(string_split(lower(text), ' ')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+         |               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS cum_before
+         |      FROM t)
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(cum_before // $CtxLen AS BIGINT) AS bin,
+         |       CAST(cum_before % $CtxLen AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin) {
+      (s, d) =>
+        // Sequence packing for training: concatenate docs (doc_id order)
+        // into CtxLen-token context windows, emitting each doc's window id
+        // and intra-window token offset. Packing is a running-sum scan, so
+        // it CANNOT be one global window at scale; instead each (lang,
+        // doc_id % PackShards) shard packs independently — deterministic
+        // (the shard key is pure integer arithmetic, never hash-partition
+        // placement), embarrassingly parallel, and windows never mix
+        // languages. At 100 TB raise PackShards so a shard's docs fit one
+        // task; packing quality is unaffected (windows are an
+        // approximation everywhere — docs straddling a boundary are
+        // split/truncated downstream).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("doc_id") % PackShards).as("shard"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
+            col("n_tokens"),
+            expr(s"CAST(cum_before DIV $CtxLen AS BIGINT)").as("bin"),
+            (col("cum_before") % CtxLen).cast("long").as("pack_offset"))
     }
   )
 }

@@ -27,6 +27,13 @@ object PipelineQueries {
     */
   private val CosTau = 0.35
 
+  /** sim_search_lsh: independent hyperplane tables × sign bits per table.
+    * Expected candidate fraction on isotropic data ~ LshTables/2^LshBits
+    * (~6%) — scale LshBits with corpus size to hold the fraction.
+    */
+  private val LshTables = 4
+  private val LshBits = 6
+
   /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
   private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
 
@@ -245,6 +252,57 @@ object PipelineQueries {
         KMeansSql.index(s, d)
           .join(broadcast(pcells), "cell")
           .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
+    Q("sim_search_lsh",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |pos AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p1, unnest(v) AS x
+         |        FROM e),
+         |grid AS (SELECT t, j FROM generate_series(0, ${LshTables - 1}) g1(t),
+         |                          generate_series(0, ${LshBits - 1}) g2(j)),
+         |proj AS (
+         |  SELECT vec_id, t, j,
+         |         CAST(sum(CAST(x * (1 - 2 * ((((t * $LshBits + j) * 1000003 + p1 - 1)
+         |              * 2654435761) % 4294967296 % 2)) AS DECIMAL(27,12))) AS DOUBLE) AS dproj
+         |  FROM pos, grid GROUP BY 1, 2, 3),
+         |sigs AS (SELECT vec_id, t,
+         |                sum((CASE WHEN dproj >= 0 THEN 1 ELSE 0 END) << j) AS sig
+         |         FROM proj GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT s.vec_id
+         |         FROM sigs s JOIN sigs q ON s.t = q.t AND s.sig = q.sig
+         |         WHERE q.vec_id = 0 AND s.vec_id <> 0),
+         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, probe.pv), 5) AS cos_sim
+         |FROM e JOIN cand USING (vec_id), probe
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // Hyperplane-LSH ANN — the training-free alternate to
+        // sim_search_ivf: signatures need no codebook build, so the index
+        // exists the moment the vectors are ingested (the right trade
+        // when the corpus churns faster than a quantizer is worth
+        // retraining). Probe plan: the probe's per-table signatures
+        // broadcast into the signature index; only vectors colliding in
+        // >= 1 of the LshTables tables reach the exact codegen'd cosine
+        // (expected ~LshTables/2^LshBits of an isotropic corpus — ~6%
+        // here); top-k via TakeOrderedAndProject. The signature pass and
+        // index reuse mirror the IVF index economics at 100 TB: build
+        // once in the ingest scan, store (id, t, sig) bucketed by sig.
+        val emb = Tables.cachedTable(s, d, "embeddings")
+        val sigs = Tables.cached(s, s"$d/lsh-sigs/t=$LshTables/b=$LshBits") {
+          VectorOps.lshSignatures(emb, LshTables, LshBits)
+        }
+        val probeSigs = sigs.filter(col("vec_id") === 0).select("t", "sig")
+        val cands = sigs.join(broadcast(probeSigs), Seq("t", "sig"))
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id").distinct()
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pv"))
+        val cos = VectorOps.dotF(col("embedding"), col("pv")) /
+          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
+        emb.join(cands, "vec_id")
           .crossJoin(broadcast(probe))
           .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)

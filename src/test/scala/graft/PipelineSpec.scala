@@ -256,4 +256,55 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("eval_id") >= 5).count() == 0, "non-eval doc on the eval side")
     assert(df.filter(col("n_shared") < 2).count() == 0, "overlap floor violated")
   }
+
+  test("lshSignatures: tables-per-vector, sig range, partitioning-invariant, dup collides") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val (tables, bits) = (4, 6)
+    val sigs = VectorOps.lshSignatures(emb, tables, bits)
+    val perVec = sigs.groupBy("vec_id").count()
+    assert(perVec.filter(col("count") =!= tables).count() == 0)
+    assert(sigs.filter(col("sig") < 0 || col("sig") >= (1L << bits)).count() == 0)
+    // signatures use hash-derived planes + exact decimal sums — identical
+    // under any physical partitioning of the input
+    val sigs2 = VectorOps.lshSignatures(emb.repartition(7), tables, bits)
+    assert(sigs.exceptAll(sigs2).count() == 0 && sigs2.exceptAll(sigs).count() == 0)
+    // an exact duplicate vector collides with its original in EVERY table
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val both = VectorOps.lshSignatures(emb.filter(col("vec_id") === 0).union(dup), tables, bits)
+    val agree = both.groupBy("t", "sig").count().filter(col("count") === 2).count()
+    assert(agree == tables, s"duplicate collided in $agree/$tables tables")
+  }
+
+  test("curation: pack_sequences replays the per-shard running sum; offsets bounded") {
+    val df = graft.queries.CurationQueries.all.find(_.name == "pack_sequences").get
+      .fn(spark, "/root/testdata/sf0.001")
+    assert(df.filter(col("pack_offset") < 0 || col("pack_offset") >= 256).count() == 0)
+    assert(df.filter(col("shard") =!= col("doc_id") % 8).count() == 0)
+    // within each (lang, shard) stream, position = bin*ctx + offset must
+    // advance by exactly the previous doc's token count (greedy cumsum)
+    val rows = df.collect().map(r => (
+      r.getAs[String]("lang"), r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("bin") * 256 + r.getAs[Long]("pack_offset")))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      val s = g.sortBy(_._3)
+      assert(s.head._5 == 0L, s"stream must start at position 0: ${s.head}")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 == a._5 + a._4, s"gap between $a and $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("curation: domain_mix weights equalize the mix; shares sum to 1") {
+    val df = graft.queries.CurationQueries.all.find(_.name == "domain_mix").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(df.nonEmpty)
+    val shares = df.map(_.getAs[Double]("tok_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    // weight * tokens is the equalized per-source budget: constant across
+    // sources (= total/n_sources) up to the 6-decimal weight rounding
+    val budgets = df.map(r => r.getAs[Double]("weight") * r.getAs[Long]("n_tokens"))
+    assert((budgets.max - budgets.min) / budgets.max < 1e-3, budgets.mkString(","))
+  }
 }

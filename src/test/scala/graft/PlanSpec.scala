@@ -145,6 +145,23 @@ class PlanSpec extends SparkTestBase {
       s"quality_filter must be a single-scan projection:\n${qf.take(800)}")
   }
 
+  test("sim_search_lsh probes broadcast signatures; candidate cosine stays codegen'd") {
+    val plan = physical(graft.queries.PipelineQueries.all, "sim_search_lsh")
+    assert(plan.contains("BroadcastHashJoin"), "probe-signature join is not broadcast")
+    assert(!plan.contains("CartesianProduct"), "sim_search_lsh went cartesian")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+    assert(plan.contains("float_vec_dot"), "exact-cosine kernel missing from plan")
+  }
+
+  test("pack_sequences windows are partitioned (no single-task global scan)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.CurationQueries.all, "pack_sequences")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the running sum")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "running-sum window lost its (lang, shard) partitioning — single-task scan")
+  }
+
   test("split_assign is a pure projection: zero exchanges, zero joins") {
     val plan = physical(graft.queries.PipelineQueries.all, "split_assign")
     assert(!plan.contains("Exchange"), s"split_assign shuffles:\n${plan.take(800)}")
