@@ -55,9 +55,17 @@ object CurationQueries {
         // (doc, eval, shingle) hits — never the corpus — reach the
         // pair-count shuffle. At 100 TB: same plan, eval shingle set built
         // once and broadcast to every executor.
+        // Tokenize into an attribute FIRST: trigrams() references its
+        // input ~3x per shingle, and feeding it tokens(text) directly
+        // would inline the regex split at every element_at site (~170
+        // splits/row — measured 5.4s for this query at sf0.1, ~18x the
+        // cost of the attribute form). CollapseProject keeps the split
+        // un-inlined because the alias is non-cheap and multiply
+        // referenced.
         val g = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
-            explode(array_distinct(TextOps.trigrams(TextOps.tokens(col("text"))))).as("sh"))
+            explode(array_distinct(TextOps.trigrams(col("toks")))).as("sh"))
         val ev = g.filter(col("doc_id") < EvalMaxId)
           .select(col("doc_id").as("eval_id"), col("sh"))
         g.filter(col("doc_id") >= EvalMaxId)
