@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.TextOps
+import graft.operators.{TextOps, VectorOps}
 
 /** Corpus-curation surface: the selection/retention steps a training-data
   * pipeline runs AFTER the signal extractors (text_quality, dedup_*) —
@@ -27,6 +27,9 @@ object CurationQueries {
     */
   private val MinTokens = 20
   private val (distinctNum, distinctDen) = (2, 5) // ratio >= 0.4
+  /** decontaminate_semantic: eval vec ids and the cosine flag threshold. */
+  private val EvalVecMax = 8
+  private val SemTau = 0.35
   /** pack_sequences: context-window length in tokens. */
   private val CtxLen = 256
   /** pack_sequences: independent packing streams per language. */
@@ -73,6 +76,36 @@ object CurationQueries {
           .groupBy("doc_id", "eval_id")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= MinShared)
+    },
+
+    Q("decontaminate_semantic",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < $EvalVecMax)
+         |SELECT e.vec_id, ev.eval_id,
+         |       round(list_cosine_similarity(e.v, ev.evv), 5) AS cos_sim
+         |FROM e, ev
+         |WHERE e.vec_id >= $EvalVecMax
+         |  AND list_cosine_similarity(e.v, ev.evv) >= $SemTau""".stripMargin) {
+      (s, d) =>
+        // Semantic decontamination — the embedding-space complement of the
+        // n-gram `decontaminate` screen (paraphrased eval leakage shares
+        // no shingles but sits close in embedding space): flag corpus
+        // vectors with cosine >= SemTau to ANY eval vector. The eval side
+        // is a benchmark suite (tiny), so it broadcasts into one corpus
+        // pass through the codegen'd exact-cosine kernel — the same plan
+        // at 100 TB. For eval sets too large to broadcast, pre-block both
+        // sides on the shared IVF cells (KMeansSql.assignments) and run
+        // the identical kernel inside the cell join.
+        val emb = Tables.cachedTable(s, d, "embeddings")
+        val ev = emb.filter(col("vec_id") < EvalVecMax)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("evv"))
+        val cosRaw = VectorOps.dotF(col("embedding"), col("evv")) /
+          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("evv"))))
+        emb.filter(col("vec_id") >= EvalVecMax)
+          .crossJoin(broadcast(ev))
+          .withColumn("cos_raw", cosRaw)
+          .filter(col("cos_raw") >= SemTau)
+          .select(col("vec_id"), col("eval_id"), round(col("cos_raw"), 5).as("cos_sim"))
     },
 
     Q("sample_stratified",

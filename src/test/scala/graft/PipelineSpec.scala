@@ -257,6 +257,14 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("n_shared") < 2).count() == 0, "overlap floor violated")
   }
 
+  test("curation: decontaminate_semantic respects sides and the cosine floor") {
+    val df = graft.queries.CurationQueries.all.find(_.name == "decontaminate_semantic").get
+      .fn(spark, "/root/testdata/sf0.001")
+    assert(df.filter(col("vec_id") < 8).count() == 0, "eval vector flagged as corpus")
+    assert(df.filter(col("eval_id") >= 8).count() == 0, "corpus vector on the eval side")
+    assert(df.filter(col("cos_sim") < 0.35).count() == 0, "cosine floor violated")
+  }
+
   test("lshSignatures: tables-per-vector, sig range, partitioning-invariant, dup collides") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val (tables, bits) = (4, 6)
