@@ -180,21 +180,29 @@ object DedupVariantQueries {
         // per-fp fan-out is bounded by dfCap^2/2. The cap (128) sits far
         // above the fixture max df (6 at sf0.01, 22 at sf0.1), so the
         // oracle result is unchanged; the SQL mirrors it in `keep`.
+        // The cap is applied ONCE, at index-build time (mirroring
+        // KMeansSql.index: at 100 TB the fingerprint index is written
+        // bucketed by fp with the df-cap already applied — every
+        // downstream consumer reads the capped index, nobody re-caps
+        // per query), as a broadcast ANTI-join against the OVERFLOW set
+        // (fingerprints with df > dfCap). Anti against overflow, never
+        // semi against survivors: survivors are nearly ALL fingerprints
+        // (unbroadcastable at scale, and as a shuffle join it
+        // re-shuffles the whole index per self-join branch — measured
+        // 0.19s -> 1.1s at sf0.1), while the overflow set is tiny BY
+        // CONSTRUCTION: each member needs > dfCap distinct docs, so
+        // |overflow| <= total_fp_occurrences / dfCap.
         val dfCap = 128
-        val fps = TextOps.winnowFingerprints(
-          Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
-          k = 3, w = 4)
-        // The cap is a doc-freq aggregate + broadcast semi-join: `keep`
-        // is fingerprints-that-survive (tiny — its size is bounded by
-        // the distinct-fp count), so each branch pays a broadcast probe
-        // over the materialized fingerprint set. (A count-over-window
-        // partitioned by fp measured 3x slower: the per-branch sort
-        // dwarfs the broadcast probe.)
-        val keep = fps.groupBy("fp")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= dfCap)
-          .select("fp")
-        val capped = fps.join(keep, Seq("fp"))
+        val capped = Tables.cached(s, s"$d/winnow-capped/k=3/w=4/cap=$dfCap") {
+          val fps = TextOps.winnowFingerprints(
+            Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+            k = 3, w = 4)
+          val overflow = fps.groupBy("fp")
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") > dfCap)
+            .select("fp")
+          fps.join(broadcast(overflow), Seq("fp"), "left_anti")
+        }
         val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
         val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
         a.join(b, Seq("fp"))
