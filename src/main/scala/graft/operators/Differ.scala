@@ -383,4 +383,96 @@ object Differ {
     }
     out.select(col(s"k.${opts.statusCol}") +: (keyOut ++ valOut): _*)
   }
+
+  /** Per-bucket content digest for [[diffIncremental]]: rows are hashed
+    * (key + value columns, same [[rowHashCol]] canonicalization as
+    * [[diffViaHash]]), bucketed by key hash, and each bucket reduced to an
+    * order-free exact digest — the DECIMAL(38,0) sum of the top 60 bits of
+    * each row's sha plus the row count. Equal bucket contents ⇒ equal
+    * digests always; unequal contents collide with probability ~2⁻⁶⁰ per
+    * bucket (sum of independent 60-bit values), the same class of risk
+    * [[diffViaHash]] already accepts on its 256-bit equality.
+    *
+    * At 100 TB this frame is what a snapshot job PERSISTS (a few rows per
+    * partition): tomorrow's diff recomputes digests for the new snapshot
+    * only, compares against the stored ones, and re-reads just the dirty
+    * buckets of the old snapshot.
+    */
+  def bucketDigests(df: DataFrame, keys: Seq[String], vcols: Seq[String],
+                    buckets: Int): DataFrame =
+    df.select(
+        pmod(xxhash64(keys.map(col): _*), lit(buckets)).as("bucket"),
+        conv(substring(rowHashCol(df, keys ++ vcols), 1, 15), 16, 10)
+          .cast(DecimalType(38, 0)).as("h"))
+      .groupBy("bucket")
+      .agg(sum(col("h")).as("digest"), count(lit(1)).as("n"))
+
+  /** Incremental snapshot diff — the partition-pruned execution path for
+    * day-over-day diffs where most buckets are untouched.
+    *
+    * Phase 0 reduces each side to `buckets` digest rows ([[bucketDigests]]
+    * — narrow scan, one tiny shuffle). Buckets whose (digest, n) match are
+    * pruned: provably identical content, never read again. Phase 1 runs the
+    * [[diffViaHash]] key classification only over rows of dirty buckets —
+    * the dirty-bucket set is at most `buckets` longs, so it rides a
+    * broadcast semi-join (a pure filter per scan task, no shuffle).
+    *
+    * Returns exactly `diff(left, right, keys).filter(status != 'N')`
+    * projected to (status, keys) — pruning is content-lossless, so the
+    * oracle is the plain full-outer classification.
+    */
+  def diffIncremental(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      buckets: Int = 64,
+                      opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys, opts)
+    val ld = bucketDigests(left, keys, vcols, buckets).alias("ld")
+    val rd = bucketDigests(right, keys, vcols, buckets).alias("rd")
+    val dirty = ld.join(rd, col("ld.bucket") === col("rd.bucket"), "full_outer")
+      .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
+      .select(coalesce(col("ld.bucket"), col("rd.bucket")).as("bucket"))
+    def dirtyOnly(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(xxhash64(keys.map(col): _*), lit(buckets)))
+        .join(broadcast(dirty), Seq("bucket"), "left_semi")
+        .drop("bucket")
+    val VH = "__graft_vhash"
+    val lh = dirtyOnly(left)
+      .select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
+    val rh = dirtyOnly(right)
+      .select(keys.map(col) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
+    val cond = keys.map(k => col(s"lh.$k") <=> col(s"rh.$k")).reduce(_ && _)
+    val status = when(col(s"lh.$VH").isNull, lit("I"))
+      .when(col(s"rh.$VH").isNull, lit("D"))
+      .when(col(s"lh.$VH") =!= col(s"rh.$VH"), lit("C"))
+      .otherwise(lit("N"))
+    val keyCols = keys.map(k => coalesce(col(s"lh.$k"), col(s"rh.$k")).as(k))
+    lh.join(rh, cond, "full_outer")
+      .select(status.as(opts.statusCol) +: keyCols: _*)
+      .filter(col(opts.statusCol) =!= "N")
+  }
+
+  /** Apply a keyed changeset (the [[diff]]/[[diffViaHash]] output shape:
+    * status + keys + prefixed value pairs) to the base snapshot — the CDC
+    * "merge upsert" that makes diff invertible:
+    * `applyChangeset(left, diff(left, right), keys) == right` (pinned by
+    * DifferSpec and the diff_apply oracle).
+    *
+    * Keys touched by a D or C row are anti-joined out of the base; C and I
+    * rows contribute their right-side values. The changeset is diff-sized
+    * (≪ base for day-over-day snapshots), so both the anti-join's build
+    * side and the upsert union are small — at 100 TB the base is read
+    * once, and with the broadcast threshold met the anti-join is a
+    * per-task filter, no base shuffle at all.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                     opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = base.columns.toSeq.filterNot(keys.contains)
+    val st = col(opts.statusCol)
+    val removed = changes.filter(st === "D" || st === "C").select(keys.map(col): _*)
+    val kept = base.join(broadcast(removed),
+      keys.map(k => base(k) <=> removed(k)).reduce(_ && _), "left_anti")
+    val upserts = changes.filter(st === "C" || st === "I")
+      .select(keys.map(col) ++
+        vcols.map(c => col(s"${opts.rightPrefix}$c").as(c)): _*)
+    kept.select((keys ++ vcols).map(col): _*).unionByName(upserts)
+  }
 }

@@ -236,6 +236,37 @@ object DedupVariantQueries {
           Tables.cachedTable(s, d, "embeddings"), assign, tau = 0.4)
     },
 
+    Q("dedup_semantic",
+      KMeansSql.codebookCtes() +
+      s""",
+        |assign AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
+        |           WHERE rn <= ${KMeansSql.NProbeDedup}),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |p AS (
+        |  SELECT c.vec_a, c.vec_b
+        |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM p GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        // SemDeDup (Abbas et al. 2023) keep/drop materialization: a vector
+        // is dropped iff a LOWER-id vector sits within cosine tau in its
+        // IVF neighborhood; dup_of names its lowest-id such neighbor (the
+        // kept representative — min-id is the house deterministic
+        // canonical choice, cf. dedupExact). Built on the SAME shared
+        // cached codebook + pair kernel as dedup_embed_ivf, so the
+        // incremental cost over the pair list is one (vec_b) partial-agg
+        // shuffle of id pairs. At 100 TB the drop-list (ids only) is
+        // anti-joined against the corpus — full vectors never reship.
+        val assign = KMeansSql.assignments(s, d)
+          .filter(col("rn") <= KMeansSql.NProbeDedup)
+        VectorOps.pairsByAssignment(
+            Tables.cachedTable(s, d, "embeddings"), assign, tau = 0.4)
+          .groupBy(col("vec_b").as("vec_id"))
+          .agg(min(col("vec_a")).as("dup_of"))
+    },
+
     Q("dedup_embed_cosine",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

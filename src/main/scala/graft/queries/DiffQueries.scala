@@ -295,6 +295,40 @@ object DiffQueries {
       (s, d) => Differ.diffViaHash(left(s, d), right(s, d), keys)
     },
 
+    Q("diff_incremental",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       ELSE 'C' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+         |   OR ${anyDistinct(valueCols)}""".stripMargin) {
+      // Bucket-pruned snapshot diff: per-bucket order-free content digests
+      // first, then the hash classification only over the dirty buckets
+      // (the clean ones are provably identical and never re-read). Pruning
+      // is content-lossless, so the oracle is the plain full-outer
+      // classification — same WHERE as diff_two_phase, keys-only output.
+      // At 100 TB the digest frame is the persisted artifact: a daily diff
+      // recomputes digests for the NEW snapshot only and re-reads just the
+      // dirty buckets of the old one.
+      (s, d) => Differ.diffIncremental(left(s, d), right(s, d), keys)
+    },
+
+    Q("diff_apply",
+      s"""$Prelude
+         |SELECT * FROM r""".stripMargin) {
+      // CDC round-trip: applying the diff changeset to the left snapshot
+      // reconstructs the right snapshot EXACTLY — the oracle is `r`
+      // itself, so any drift in diff classification, changeset payload,
+      // or merge semantics (dropped D key, stale C value, missed I row)
+      // fails the hash. The merge reads the base once; the diff-sized
+      // changeset rides a broadcast anti-join (no base shuffle).
+      (s, d) => Differ.applyChangeset(
+        left(s, d), Differ.diffViaHash(left(s, d), right(s, d), keys), keys)
+    },
+
     Q("quality_checks",
       """WITH m AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,

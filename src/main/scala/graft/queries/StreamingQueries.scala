@@ -136,6 +136,56 @@ object StreamingQueries {
             max(col("ts_us")).as("max_ts_us"))
     },
 
+    Q("stream_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |       (epoch_us(ts) // 60000000) * 60000000 AS minute_us
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        // Batch-equivalent of StreamOps.dedupStream (dropDuplicates
+        // WithinWatermark): collapse to at most one event per
+        // (user, type, minute). Emitting only the dedup key makes the
+        // result arrival-order-independent — exactly the set semantics the
+        // streaming operator guarantees within its watermark. One
+        // key-hash shuffle with map-side partial dedup; at 100 TB state
+        // is the live key set inside the watermark horizon, not history.
+        Tables.events(s, d)
+          .withColumn("minute_us", expr("(ts_us div 60000000) * 60000000"))
+          .dropDuplicates("user_id", "event_type", "minute_us")
+          .select("user_id", "event_type", "minute_us")
+    },
+
+    Q("stream_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, ts_us AS t_view_us FROM e
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS t_click_us FROM e
+        |      WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, t_view_us, click_id,
+        |       t_click_us - t_view_us AS delta_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        | AND c.t_click_us >= v.t_view_us
+        | AND c.t_click_us <= v.t_view_us + 600000000""".stripMargin) {
+      (s, d) =>
+        // Batch-equivalent of StreamOps.intervalJoin: views matched to
+        // same-user clicks within [t_view, t_view + 10 min] — the
+        // stream-stream interval-join shape whose time bound is what lets
+        // streaming state expire. In batch it is ONE user-keyed equi-join
+        // with a sargable range filter (never a time-theta cartesian);
+        // both sides prune to (id, user, ts) before the shuffle.
+        val e = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts_us")
+        val v = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts_us").as("t_view_us"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("t_click_us"))
+        v.join(c, Seq("user_id"))
+          .filter(col("t_click_us") >= col("t_view_us") &&
+            col("t_click_us") <= col("t_view_us") + 600000000L)
+          .select(col("user_id"), col("view_id"), col("t_view_us"),
+            col("click_id"), (col("t_click_us") - col("t_view_us")).as("delta_us"))
+    },
+
     Q("events_cohort",
       """WITH s AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
 import graft.operators.TextOps
 
@@ -202,6 +203,57 @@ object TextAnalysisQueries {
         TextOps.winnowFingerprints(
           Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
           k = 3, w = 4)
+    },
+
+    Q("text_ngram_lm",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM occ),
+        |c2 AS (SELECT bg, count(*) AS n2 FROM o GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM o GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(toks) AS tok FROM t)),
+        |lp AS (SELECT o.doc_id,
+        |         CAST(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS DECIMAL(18,6)) AS lp
+        |       FROM o JOIN c2 USING (bg) JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+        |FROM lp GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        // Corpus-trained bigram LM quality score (the KenLM-style
+        // perplexity filter of CCNet/Gopher pipelines, self-trained):
+        // avg log P(w2|w1) per doc under add-one smoothing,
+        // P = (c(w1 w2)+1)/(c(w1·)+V). Cross-engine determinism: the
+        // probability is one IEEE division of exact counts; ln() is the
+        // only transcendental and is immediately quantized per ROW to
+        // DECIMAL(18,6) (absorbing any last-ulp libm difference), so the
+        // per-doc sum is an exact order-free decimal sum — never a
+        // float sum across rows — and the final avg is ONE division.
+        // 100 TB shape: the count tables c1/c2 are vocab-sized (≪ corpus,
+        // Zipf), built by map-side partial aggs; the score join shuffles
+        // occurrences by bigram once. The occurrence frame is built once
+        // and shared by the three consumers (per-plan-hash cache).
+        val t = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val occ = Tables.cached(s, s"$d/bigram-occ") {
+          t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+        }
+        val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
+        val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
+        val v = t.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        occ.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+          .withColumn("lp",
+            log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))
+              .cast(DecimalType(18, 6)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
     }
   )
 }

@@ -151,6 +151,48 @@ class DifferSpec extends SparkTestBase {
     assert(statusCounts(viaHash) == Map("C" -> 3L, "D" -> 1L, "I" -> 1L))
   }
 
+  test("diffIncremental == diff.filter(status != N) projected to (status, keys)") {
+    val l = Seq(
+      (Some(1L), Some("a"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+      (Some(3L), Some("c"), None), (None, Some("n"), Some(0.0)),
+      (Some(5L), Some("e"), Some(5.5))).toDF("k", "s", "v")
+    val r = Seq(
+      (Some(1L), Some("a"), Some(1.5)),            // N
+      (Some(2L), Some("B"), Some(2.5)),            // C
+      (Some(3L), Some("c"), Some(3.5)),            // C (null -> value)
+      (None, Some("n2"), Some(0.0)),               // C on null key
+      (Some(6L), Some("f"), Some(6.5))).toDF("k", "s", "v") // I; 5 is D
+    // buckets = 2 forces differing keys to SHARE buckets with clean keys:
+    // pruning must still classify every non-N key and only those.
+    val inc = Differ.diffIncremental(l, r, keys, buckets = 2)
+    val direct = Differ.diff(l, r, keys)
+      .filter(col("diff_status") =!= "N").select("diff_status", "k")
+    assert(inc.columns.toSeq == direct.columns.toSeq)
+    assert(rowsOf(inc) == rowsOf(direct))
+    assert(statusCounts(inc) == Map("C" -> 3L, "D" -> 1L, "I" -> 1L))
+  }
+
+  test("applyChangeset(left, diff(left, right)) reconstructs right exactly (null keys included)") {
+    val l = Seq(
+      (Some(1L), Some("a"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+      (Some(3L), Some("c"), None), (None, Some("n"), Some(0.0)),
+      (Some(5L), Some("e"), Some(5.5))).toDF("k", "s", "v")
+    val r = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), Some("B"), Some(2.5)),
+      (Some(3L), Some("c"), Some(3.5)),
+      (None, Some("n2"), Some(0.0)),
+      (Some(6L), Some("f"), Some(6.5))).toDF("k", "s", "v")
+    val applied = Differ.applyChangeset(l, Differ.diff(l, r, keys), keys)
+    assert(applied.columns.toSeq == r.columns.toSeq)
+    assert(rowsOf(applied) == rowsOf(r))
+  }
+
+  test("diffIncremental on identical sides prunes every bucket (empty result)") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    assert(Differ.diffIncremental(a, a, keys, buckets = 4).count() == 0L)
+  }
+
   test("changed/unchanged agree with diff statuses") {
     val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
     val r = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "s")

@@ -188,4 +188,29 @@ class PlanSpec extends SparkTestBase {
     // is fine, but no branch may rescan per metric (6 branches max).
     assert(scans.size <= 6, s"${scans.size} scans — a job per check?")
   }
+
+  test("diff_incremental filters dirty buckets via broadcast (no corpus-side shuffle join)") {
+    val plan = physical(DiffQueries.all, "diff_incremental")
+    // the dirty-bucket set (≤ buckets rows) must ride a broadcast
+    // LeftSemi — a shuffled semi would re-shuffle both snapshots just to
+    // apply what is semantically a per-task filter.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"dirty-bucket filter is not a broadcast semi:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "diff_incremental went cartesian")
+  }
+
+  test("stream_join extracts the user equi-key (never a time-theta cartesian)") {
+    val plan = physical(graft.queries.StreamingQueries.all, "stream_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its equi key:\n${plan.take(1500)}")
+  }
+
+  test("text_ngram_lm count-table joins stay equi; scalar vocab is the only broadcast-nested-loop") {
+    val plan = physical(graft.queries.TextAnalysisQueries.all, "text_ngram_lm")
+    assert(!plan.contains("CartesianProduct"), "text_ngram_lm went cartesian")
+    // the c1/c2 joins must be hash/merge equi-joins on the ngram keys; the
+    // 1-row vocab scalar legitimately rides a broadcast nested loop.
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"$nlj nested-loop joins — a count-table join degenerated")
+  }
 }
