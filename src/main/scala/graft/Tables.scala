@@ -36,11 +36,27 @@ object Tables {
   // -- shared-input cache -------------------------------------------------
   private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
 
-  /** Cache an arbitrary derived DataFrame under a per-session key. */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), key),
-      _ => build.cache())
+  /** Cache an arbitrary derived DataFrame under a per-session key.
+    *
+    * Deliberately NOT computeIfAbsent: builders nest (KMeansSql.assignments
+    * builds cachedTable("embeddings") inside its own cached block), and a
+    * nested computeIfAbsent on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") — which only manifested when
+    * an IVF query was the FIRST embeddings toucher of the session (warmup
+    * order hid it). get → build → putIfAbsent is reentrant; a rare race
+    * double-builds identical plans, which Spark's CacheManager dedups by
+    * plan equality, and putIfAbsent keeps one winner.
+    */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark), key)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.cache()
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Cached raw table (used for inputs read by many declared queries). */
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
