@@ -122,6 +122,24 @@ object FnQueries {
         "array_join(transform(slice(split(lower(text), ' '), 1, 3), x -> upper(x)), ',') AS up3")
     },
 
+    Q("fn_struct",
+      """SELECT o_orderkey,
+        |       to_json(struct_pack(ok := o_orderkey, st := o_orderstatus,
+        |                           pr := o_orderpriority)) AS js,
+        |       struct_pack(ok := o_orderkey, st := o_orderstatus).st AS st_field
+        |FROM orders""".stripMargin) { (s, d) =>
+      // Struct build / field access / JSON serialization. Both engines
+      // emit compact {"k":v} JSON; fields are restricted to non-null
+      // ints+strings because Spark's to_json DROPS null fields while
+      // DuckDB emits "k":null, and double formatting differs — the usual
+      // cross-engine JSON discipline (cf. fn_json reading, not writing).
+      Tables.cachedTable(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "to_json(named_struct('ok', o_orderkey, 'st', o_orderstatus, " +
+          "'pr', o_orderpriority)) AS js",
+        "named_struct('ok', o_orderkey, 'st', o_orderstatus).st AS st_field")
+    },
+
     Q("fn_json",
       """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events""") { (s, d) =>
       Tables.events(s, d).selectExpr(

@@ -254,6 +254,49 @@ object TextAnalysisQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
+    },
+
+    Q("text_idf",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM o GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |         CAST(tf.tf * ln((nd.n_docs * 1.0) / dfq.df) AS DECIMAL(18,6)) AS score
+        |       FROM tf JOIN dfq USING (tok), nd),
+        |r AS (SELECT doc_id, tok, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, tok) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+        |       CAST(score AS DOUBLE) AS score
+        |FROM r WHERE rank <= 3""".stripMargin) {
+      (s, d) =>
+        // TF-IDF top-3 characteristic terms per doc (keyword extraction /
+        // domain tagging). Determinism: tf and N/df are exact integers;
+        // tf·ln(N/df) is one transcendental + one multiply per ROW,
+        // quantized to DECIMAL(18,6) BEFORE ranking so both engines order
+        // identical values (ties broken on the token). 100 TB shape: tf is
+        // a (doc, token) partial agg; df is vocab-sized off tf (never a
+        // second corpus pass); ranking windows are per-doc (bounded
+        // partitions) — the n_docs scalar broadcasts.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val byDoc = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(dfq, "tok").crossJoin(broadcast(nd))
+          .withColumn("score",
+            (col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
+              .cast(DecimalType(18, 6)))
+          .withColumn("rank", row_number().over(byDoc).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("tok"),
+            col("score").cast("double").as("score"))
     }
   )
 }
