@@ -39,4 +39,36 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(streamRows == batchRows)
     } finally q.stop()
   }
+
+  test("stream_dedup batch equivalent == true streaming dedup on events") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+
+    val batchRows = rowsOf(SparkEntry.queries("stream_dedup")(spark, sfDir))
+
+    val streamDir = Files.createTempDirectory("graft_parity_dedup").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .withColumn("minute_us", expr("(ts_us div 60000000) * 60000000"))
+    // delay longer than the fixture's time span: nothing is late, so the
+    // streaming key set equals the batch DISTINCT exactly.
+    val dedup = StreamOps
+      .dedupStream(events, "tsm", "3650 days", Seq("user_id", "event_type", "minute_us"))
+      .select("user_id", "event_type", "minute_us")
+    val q = dedup.writeStream.format("memory").queryName("parity_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_dedup"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
 }
