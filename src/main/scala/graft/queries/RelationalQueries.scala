@@ -24,6 +24,33 @@ object RelationalQueries {
       Tables.events(s, d).select("event_id", "ts_us", "event_type")
     },
 
+    Q("scan_csv_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
+      // CSV source coverage via a lossless round-trip: write the orders
+      // projection as CSV, read it back with an explicit schema, and
+      // oracle against the PARQUET values — any formatting/parsing loss
+      // fails the hash. Doubles survive because Java's Double.toString is
+      // round-trip exact; date/timestamp columns are excluded (their text
+      // forms are the lossy ones — parquet stays the canonical store).
+      // Schema is explicit: CSV inference at 100 TB is a full extra scan.
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val path = s"/tmp/graft-roundtrip/csv/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema(src.schema).csv(path)
+    },
+
+    Q("scan_json_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
+      // JSON-lines source coverage, same lossless round-trip discipline as
+      // scan_csv_roundtrip (explicit schema on read — no inference scan).
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val path = s"/tmp/graft-roundtrip/json/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+    },
+
     Q("project_filter",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>
