@@ -59,6 +59,20 @@ object Graft {
   def schemaDiff(left: DataFrame, right: DataFrame): DataFrame =
     Differ.schemaDiff(left.sparkSession, left, right)
 
+  /** Bucket-pruned snapshot diff: clean buckets (equal content digests)
+    * are never re-read; classification runs on dirty buckets only.
+    */
+  def diffIncremental(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      buckets: Int = 64): DataFrame =
+    Differ.diffIncremental(left, right, keys, buckets)
+
+  /** CDC merge: apply a diff changeset to the base snapshot —
+    * `applyChangeset(left, diff(left, right), keys) == right`.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    Differ.applyChangeset(base, changes, keys)
+
   // ---- training-data pipeline (operators.TextOps / VectorOps) ---------
 
   def dedupExact(docs: DataFrame, idCol: String = "doc_id",

@@ -282,9 +282,12 @@ object TextAnalysisQueries {
         // second corpus pass); ranking windows are per-doc (bounded
         // partitions) — the n_docs scalar broadcasts.
         val docs = Tables.cachedTable(s, d, "documents")
-        val tf = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        // tf feeds BOTH the score join and the df derivation — cache it so
+        // the corpus explode+agg runs once, not once per consumer branch.
+        val tf = Tables.cached(s, s"$d/tfidf-tf") {
+          docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        }
         val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         val byDoc = Window.partitionBy("doc_id")
