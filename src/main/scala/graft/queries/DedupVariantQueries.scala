@@ -212,6 +212,59 @@ object DedupVariantQueries {
           .filter(col("n_shared") >= 2)
     },
 
+    Q("dedup_delta",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 3 THEN []
+        |              ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
+        |         END AS hs
+        |  FROM t),
+        |f0 AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |           generate_series(1, greatest(len(hs) - 3, 1)),
+        |           j -> list_min(hs[j : least(j + 3, len(hs))]))) AS fp
+        |  FROM g WHERE len(hs) > 0),
+        |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128),
+        |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp))
+        |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f n JOIN f o ON n.fp = o.fp
+        |WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) {
+      (s, d) =>
+        // Incremental-ingest dedup — the daily-batch shape of
+        // dedup_winnow: today's arrivals (the deterministic 10% shard
+        // doc_id % 10 = 7) are checked against the EXISTING corpus index
+        // only, never against each other (within-batch dups are the
+        // separate, much smaller dedup_winnow pass). Reads the SAME
+        // per-(dir, params) cached capped fingerprint index as
+        // dedup_winnow — at 100 TB that index is the bucketed-by-fp
+        // table a daily job appends to, and the delta join probes it
+        // with batch-sized (~1%) fan-in instead of corpus × corpus.
+        val dfCap = 128
+        val capped = Tables.cached(s, s"$d/winnow-capped/k=3/w=4/cap=$dfCap") {
+          val fps = TextOps.winnowFingerprints(
+            Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+            k = 3, w = 4)
+          val overflow = fps.groupBy("fp")
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") > dfCap)
+            .select("fp")
+          fps.join(broadcast(overflow), Seq("fp"), "left_anti")
+        }
+        val newFps = capped.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").as("new_id"), col("fp"))
+        val oldFps = capped.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("old_id"), col("fp"))
+        newFps.join(oldFps, Seq("fp"))
+          .groupBy("new_id", "old_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+    },
+
     Q("dedup_embed_ivf",
       KMeansSql.codebookCtes() +
       s""",

@@ -186,6 +186,45 @@ object StreamingQueries {
             col("click_id"), (col("t_click_us") - col("t_view_us")).as("delta_us"))
     },
 
+    Q("events_resample",
+      s"""WITH e AS (SELECT user_id, (epoch_us(ts) // $HourUs) * $HourUs AS hour_us, value
+         |           FROM events),
+         |a AS (SELECT user_id, hour_us, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |      FROM e GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1 FROM e GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(h0, h1, $HourUs)) AS hour_us FROM s)
+         |SELECT g.user_id, g.hour_us, coalesce(a.n, 0) AS n, a.sum_value,
+         |       last_value(a.sum_value IGNORE NULLS) OVER (
+         |         PARTITION BY g.user_id ORDER BY g.hour_us
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         |FROM g LEFT JOIN a USING (user_id, hour_us)""".stripMargin) {
+      (s, d) =>
+        // Time-series resample onto a fixed hourly grid with
+        // last-observation-carried-forward gap fill — the missing-bucket
+        // complement of the window queries (aggregation alone emits no row
+        // for an empty hour). Grid bounds are per-user (bounded explode:
+        // span/hour rows per user, never global-min to global-max for
+        // every user); the value sum is the house decimal-exact double;
+        // the LOCF window partitions by user over the unique hour key, so
+        // fill is deterministic. At 100 TB: grid explode and fill both
+        // stay inside one user-hash shuffle; no driver-side calendar.
+        val grid = Tables.events(s, d)
+          .withColumn("hour_us", expr(s"(ts_us div $HourUs) * $HourUs"))
+        val agg = grid.groupBy("user_id", "hour_us")
+          .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+        val span = grid.groupBy("user_id")
+          .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+        val w = Window.partitionBy("user_id").orderBy("hour_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        span.select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), lit(HourUs))).as("hour_us"))
+          .join(agg, Seq("user_id", "hour_us"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("filled_value",
+            last(col("sum_value"), ignoreNulls = true).over(w))
+    },
+
     Q("events_cohort",
       """WITH s AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
