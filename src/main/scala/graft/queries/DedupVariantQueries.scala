@@ -275,18 +275,16 @@ object DedupVariantQueries {
         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id)
         |SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
         |FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin) {
+        |WHERE list_cosine_similarity(a.v, b.v) >= ${KMeansSql.DedupTau}""".stripMargin) {
       (s, d) =>
         // The 100 TB embed-dedup path: block on the deterministic
         // spherical k-means codebook (r5 — replaces the 10-given-label
         // placeholder whose recall capped at 56%; measured: 1.00 at
         // sf0.01, 0.91 at sf0.1 vs the all-pairs truth at tau=0.4). The
-        // oracle replays the identical Lloyd iterations in SQL; both
-        // sides read the ONE shared scored assignment (KMeansSql).
-        val assign = KMeansSql.assignments(s, d)
-          .filter(col("rn") <= KMeansSql.NProbeDedup)
-        VectorOps.pairsByAssignment(
-          Tables.cachedTable(s, d, "embeddings"), assign, tau = 0.4)
+        // oracle replays the identical Lloyd iterations in SQL; this
+        // query IS the cached shared pair list (KMeansSql.dedupPairs)
+        // that dedup_semantic consumes.
+        KMeansSql.dedupPairs(s, d)
     },
 
     Q("dedup_semantic",
@@ -300,22 +298,19 @@ object DedupVariantQueries {
         |p AS (
         |  SELECT c.vec_a, c.vec_b
         |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |  WHERE list_cosine_similarity(a.v, b.v) >= ${KMeansSql.DedupTau})
         |SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM p GROUP BY 1""".stripMargin) {
       (s, d) =>
         // SemDeDup (Abbas et al. 2023) keep/drop materialization: a vector
         // is dropped iff a LOWER-id vector sits within cosine tau in its
         // IVF neighborhood; dup_of names its lowest-id such neighbor (the
         // kept representative — min-id is the house deterministic
-        // canonical choice, cf. dedupExact). Built on the SAME shared
-        // cached codebook + pair kernel as dedup_embed_ivf, so the
-        // incremental cost over the pair list is one (vec_b) partial-agg
-        // shuffle of id pairs. At 100 TB the drop-list (ids only) is
-        // anti-joined against the corpus — full vectors never reship.
-        val assign = KMeansSql.assignments(s, d)
-          .filter(col("rn") <= KMeansSql.NProbeDedup)
-        VectorOps.pairsByAssignment(
-            Tables.cachedTable(s, d, "embeddings"), assign, tau = 0.4)
+        // canonical choice, cf. dedupExact). Consumes the ONE cached pair
+        // list dedup_embed_ivf builds (KMeansSql.dedupPairs), so its
+        // incremental cost is one (vec_b) partial-agg shuffle of id
+        // pairs. At 100 TB the drop-list (ids only) is anti-joined
+        // against the corpus — full vectors never reship.
+        KMeansSql.dedupPairs(s, d)
           .groupBy(col("vec_b").as("vec_id"))
           .agg(min(col("vec_a")).as("dup_of"))
     },

@@ -26,7 +26,7 @@ import graft.operators.VectorOps
   *   - affinity ranking = dot/sqrt(csq) DESC, ties by cell — two IEEE ops
   *     on exactly-derived doubles, so the row_number order matches.
   */
-private[queries] object KMeansSql {
+private[graft] object KMeansSql {
 
   /** Cell-count cap: k = min(KCap, ceil(sqrt(n))). */
   val KCap = 24
@@ -60,6 +60,25 @@ private[queries] object KMeansSql {
       val k = math.min(KCap, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cent = VectorOps.kmeansCodebook(emb, k, Iters)
       VectorOps.scoredCells(emb, cent, MaxRn)
+    }
+
+  /** Dedup-grade cosine threshold for the IVF pair family. */
+  val DedupTau = 0.4
+
+  /** The shared IVF near-dup pair list (vec_a < vec_b, cos_sim ≥ tau),
+    * built ONCE per (session, dir) over [[assignments]] and cached: the
+    * pair REPORT (dedup_embed_ivf) and the keep/drop MATERIALIZATION
+    * (dedup_semantic) are two consumers of the same pair computation — at
+    * 100 TB the pair list is the persisted intermediate a dedup job
+    * writes, not something each downstream report re-joins the corpus
+    * for.
+    */
+  def dedupPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/ivf-pairs/tau=$DedupTau/nprobe=$NProbeDedup") {
+      import org.apache.spark.sql.functions.col
+      val assign = assignments(spark, dir).filter(col("rn") <= NProbeDedup)
+      VectorOps.pairsByAssignment(
+        Tables.cachedTable(spark, dir, "embeddings"), assign, tau = DedupTau)
     }
 
   /** The materialized IVF index: every corpus vector stored under its home

@@ -90,7 +90,18 @@ class PlanSpec extends SparkTestBase {
   test("dedup_embed_ivf verifies inside the cell join: no exchange between dot and join") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_embed_ivf")
+    import org.apache.spark.sql.functions.col
+    // Pin the UNCACHED pair construction — the declared query returns the
+    // cached shared pair list (KMeansSql.dedupPairs), whose top-level plan
+    // is just an InMemoryTableScan; the property under test is the plan
+    // that executes inside that cache build.
+    val df = {
+      val assign = graft.queries.KMeansSql.assignments(spark, sf)
+        .filter(col("rn") <= graft.queries.KMeansSql.NProbeDedup)
+      graft.operators.VectorOps.pairsByAssignment(
+        Tables.cachedTable(spark, sf, "embeddings"), assign,
+        tau = graft.queries.KMeansSql.DedupTau)
+    }
     def strip(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
