@@ -76,6 +76,26 @@ class DifferPropSpec extends SparkTestBase {
     }
   }
 
+  test("diffIncremental equals diff.filter(status != N) keys on generated tables") {
+    // Small bucket counts force dirty and clean keys to share buckets;
+    // pruning must stay content-lossless over NaN / -0.0 / null values.
+    for (((ta, tb), i) <- samples(Gen.zip(tblGen, tblGen), 8, seed = 1234L).zipWithIndex) {
+      val (a, b) = (toDF(ta), toDF(tb))
+      val inc = rowsOf(Differ.diffIncremental(a, b, Seq("k"), buckets = 1 + i % 4))
+      val direct = rowsOf(Differ.diff(a, b, Seq("k"))
+        .filter(col("diff_status") =!= "N").select("diff_status", "k"))
+      assert(inc == direct)
+    }
+  }
+
+  test("applyChangeset(a, diff(a, b)) reconstructs b on generated tables") {
+    for ((ta, tb) <- samples(Gen.zip(tblGen, tblGen), 8, seed = 4321L)) {
+      val (a, b) = (toDF(ta), toDF(tb))
+      val applied = Differ.applyChangeset(a, Differ.diff(a, b, Seq("k")), Seq("k"))
+      assert(rowsOf(applied) == rowsOf(b))
+    }
+  }
+
   test("exceptAll/anti-join agreement on key-unique tables") {
     val cases = samples(Gen.zip(tblGen, tblGen), 6, seed = 7L)
     for ((ta, tb) <- cases) {
