@@ -84,6 +84,51 @@ object AggWindowQueries {
             .as("stddev_qty"))
     },
 
+    Q("quality_outliers",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT l_returnflag, sx / n AS mean,
+        |              sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |       FROM s)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+        |       round((l.l_extendedprice - st.mean) / st.sd, 5) AS zscore
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |WHERE abs(l.l_extendedprice - st.mean) > 1.72 * st.sd""".stripMargin) {
+      (s, d) =>
+        // Numeric outlier report (the row-level complement of
+        // quality_checks' table-level gates): per-group z-score flags via
+        // the house DECIMAL-exact moments — builtin stddev streams double
+        // partials whose merge order varies per shuffle, so mean/sd are
+        // derived from exact decimal sums with the identical double
+        // formula in both engines (same discipline as agg_corr). The
+        // stats table is groups-sized (broadcast); flagging is a second
+        // scan with a per-row comparison — two scans, zero extra
+        // shuffles at any scale. Threshold 1.72σ is fixture-calibrated:
+        // the price column is uniform (max |z| = sqrt(3) ~ 1.732), so a
+        // normal-style 3σ gate would be vacuous — 1.72σ flags the ~1.4%
+        // distribution tails.
+        val x = col("l_extendedprice")
+        def m(c: org.apache.spark.sql.Column, p: Int) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(p, 6))).cast("double")
+        val li = Tables.cachedTable(s, d, "lineitem")
+        val st = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            m(x, 27).as("sx"), m(x * x, 38).as("sxx"))
+          .select(col("l_returnflag"),
+            (col("sx") / col("n")).as("mean"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("sd"))
+        li.join(broadcast(st), "l_returnflag")
+          .filter(abs(x - col("mean")) > lit(1.72) * col("sd"))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            round((x - col("mean")) / col("sd"), 5).as("zscore"))
+    },
+
     Q("agg_mode",
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
