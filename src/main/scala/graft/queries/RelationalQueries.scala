@@ -180,6 +180,36 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts_us", "last_signup_us")
     },
 
+    Q("join_star",
+      """SELECT n_name, p_brand,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // Multiway star join (TPC-H Q9 shape): the fact table is scanned
+      // ONCE and flows through a chain of dimension hash joins
+      // (PlanSpec: all broadcast, no fact shuffle before the final
+      // low-cardinality agg). At 100 TB supplier/part outgrow broadcast —
+      // then the right tool is bucketing both on their keys
+      // (Sinks.writeBucketed pins the exchange-free join). Revenue is a
+      // per-row double product cast DECIMAL(27,6) per term, summed exact.
+      val li = Tables.cachedTable(s, d, "lineitem")
+      li.join(broadcast(Tables.cachedTable(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.cachedTable(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.cachedTable(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(27,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     Q("join_cross_limited",
       "SELECT r_name, n_name FROM region CROSS JOIN nation") { (s, d) =>
       Tables.table(s, d, "region")

@@ -210,6 +210,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "diff_incremental went cartesian")
   }
 
+  test("join_star broadcasts every dimension: one fact scan, no fact shuffle before the agg") {
+    val plan = physical(RelationalQueries.all, "join_star")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"dimension chain not fully broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"fact table got shuffled for a dim join:\n${plan.take(1500)}")
+  }
+
   test("stream_join extracts the user equi-key (never a time-theta cartesian)") {
     val plan = physical(graft.queries.StreamingQueries.all, "stream_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
