@@ -160,6 +160,26 @@ object FnQueries {
               org.apache.spark.sql.types.LongType))))
     },
 
+    Q("sql_native_fn",
+      """SELECT vec_id,
+        |       round(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]), 5) AS norm_sq
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      // The SQL-string entry point end-to-end: GraftExtensions registers
+      // the native codegen'd kernels into the session's FunctionRegistry
+      // (the runtime path of `--conf spark.sql.extensions=graft.
+      // GraftExtensions`), a temp view exposes the table, and the query
+      // text itself calls float_vec_dot. Parity holds because the kernel
+      // accumulates float products in double SEQUENTIALLY — the same
+      // left-to-right fold DuckDB's list_inner_product runs over the
+      // exactly-widened DOUBLE[] (the discipline every cosine oracle in
+      // §2.C already leans on).
+      graft.GraftExtensions.register(s)
+      graft.Tables.cachedTable(s, d, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql("""SELECT vec_id,
+              |       round(float_vec_dot(embedding, embedding), 5) AS norm_sq
+              |FROM graft_emb""".stripMargin)
+    },
+
     Q("udf_scalar",
       """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
