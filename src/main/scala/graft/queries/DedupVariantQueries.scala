@@ -243,7 +243,8 @@ object DedupVariantQueries {
         // per-(dir, params) cached capped fingerprint index as
         // dedup_winnow — at 100 TB that index is the bucketed-by-fp
         // table a daily job appends to, and the delta join probes it
-        // with batch-sized (~1%) fan-in instead of corpus × corpus.
+        // with batch-sized fan-in (here the 10% fixture shard) instead
+        // of corpus × corpus.
         val dfCap = 128
         val capped = Tables.cached(s, s"$d/winnow-capped/k=3/w=4/cap=$dfCap") {
           val fps = TextOps.winnowFingerprints(
