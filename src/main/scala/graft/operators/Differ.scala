@@ -466,6 +466,14 @@ object Differ {
   def applyChangeset(base: DataFrame, changes: DataFrame, keys: Seq[String],
                      opts: DiffOptions = DiffOptions()): DataFrame = {
     val vcols = base.columns.toSeq.filterNot(keys.contains)
+    // Fail fast with a precise message (house style, cf. valueCols) — a
+    // non-diff frame would otherwise surface as an opaque unresolved-column
+    // AnalysisException from the select below.
+    val expected = opts.statusCol +: (keys ++ vcols.map(c => s"${opts.rightPrefix}$c"))
+    val missing = expected.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is not a diff output for this base: missing column(s) " +
+        s"${missing.mkString(", ")} (have: ${changes.columns.mkString(", ")})")
     val st = col(opts.statusCol)
     val removed = changes.filter(st === "D" || st === "C").select(keys.map(col): _*)
     val kept = base.join(broadcast(removed),

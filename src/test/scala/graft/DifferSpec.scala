@@ -188,6 +188,15 @@ class DifferSpec extends SparkTestBase {
     assert(rowsOf(applied) == rowsOf(r))
   }
 
+  test("applyChangeset fails fast with a precise message on a non-diff frame") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val notADiff = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Differ.applyChangeset(base, notADiff, keys)
+    }
+    assert(e.getMessage.contains("diff_status") && e.getMessage.contains("right_s"))
+  }
+
   test("diffIncremental on identical sides prunes every bucket (empty result)") {
     val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "v")
     assert(Differ.diffIncremental(a, a, keys, buckets = 4).count() == 0L)
