@@ -235,14 +235,15 @@ object TextOps {
     * (a cryptographic hash as the permutation; lexicographic min of hex
     * strings is a valid min-wise sketch and, unlike xxhash seeds, is
     * reproducible in any SQL engine). Candidates = pairs sharing ANY band
-    * key within their block (union of `bands` equi-joins — recall
-    * 1-(1-J)^bands at the threshold); each candidate is then verified with
-    * the exact native-merge Jaccard. At 100 TB swap sha256 for xxhash64
-    * and raise bands — the plan shape (per-band shuffle join + distinct +
-    * verify) is unchanged.
+    * key within their block — ONE self-join on the exploded
+    * (block, band, mh) bucket key (recall 1-(1-J)^bands at the
+    * threshold); each candidate is then verified with the exact
+    * native-merge Jaccard. At 100 TB swap sha256 for xxhash64 and raise
+    * bands — the plan shape (one bucket join + distinct + verify) is
+    * unchanged.
     *
-    * Shuffle budget: 1 token agg + `bands` narrow self-joins + 1 distinct
-    * + 2 fetch joins; candidate rows carry ids only.
+    * Shuffle budget: 1 token agg + 1 bucket self-join over bands×docs key
+    * rows + 1 distinct + 2 fetch joins; candidate rows carry ids only.
     */
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
@@ -264,21 +265,31 @@ object TextOps {
       .agg(
         sort_array(collect_list(col("token"))).as("s"),
         count(lit(1)).as("n") +: bandAggs: _*))
-    val slim = base.select(
-      (Seq(col(idCol), col("n")) ++ blockCols.map(col) ++
-        (0 until bands).map(i => col(s"mh$i"))): _*)
-    val a = slim.select(slim.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = slim.select(slim.columns.map(c => col(c).as(s"b_$c")): _*)
-    val candidates = (0 until bands).map { i =>
-      val cond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
-        col(s"a_mh$i") === col(s"b_mh$i") &&
-        col(s"a_$idCol") < col(s"b_$idCol") &&
-        (least(col("a_n"), col("b_n")).cast("double") / greatest(col("a_n"), col("b_n"))
-          >= minJaccard - 1e-12)
-      a.join(b, cond).select(
-        col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
+    // Candidate generation as ONE self-join on the exploded (band, mh)
+    // key — the standard banded-LSH bucket join. The r1–r5 form was a
+    // union of `bands` separate self-joins: same candidate set, but
+    // `bands`× the scans of the signature table and `bands` shuffle
+    // joins; the single (block, band, mh) equi-join shuffles the
+    // 6×docs key rows once and buckets never mix across bands (the band
+    // index is part of the key).
+    val kv = base.select(
+      (Seq(col(idCol), col("n")) ++ blockCols.map(col) :+
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"), col(s"mh$i").as("mh"))): _*)).as("bk")): _*)
+      .select((Seq(col(idCol), col("n")) ++ blockCols.map(col) ++
+        Seq(col("bk.band").as("band"), col("bk.mh").as("mh"))): _*)
+    val a = kv.select(kv.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = kv.select(kv.columns.map(c => col(c).as(s"b_$c")): _*)
+    val joinCond = (blockCols.map(c => col(s"a_$c") === col(s"b_$c")) ++ Seq(
+      col("a_band") === col("b_band"),
+      col("a_mh") === col("b_mh"),
+      col(s"a_$idCol") < col(s"b_$idCol"),
+      least(col("a_n"), col("b_n")).cast("double") / greatest(col("a_n"), col("b_n"))
+        >= minJaccard - 1e-12)).reduce(_ && _)
+    val candidates = a.join(b, joinCond)
+      .select(col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
         col("a_n"), col("b_n"))
-    }.reduce(_ unionByName _).distinct()
+      .distinct()
     val sa = base.select(col(idCol).as("doc_a"), col("s").as("a_s"))
     val sb = base.select(col(idCol).as("doc_b"), col("s").as("b_s"))
     candidates.join(sa, "doc_a").join(sb, "doc_b")
