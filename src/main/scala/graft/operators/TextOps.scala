@@ -398,10 +398,11 @@ object TextOps {
     * 6 chunks leave ≥ 1 chunk identical whenever maxHamming < 6 — so the
     * banding is LOSSLESS for the supported thresholds (note 4×12 bits, the
     * obvious split, is NOT lossless at maxHamming=4: 1+1+1+1 defeats it).
-    * Each per-chunk join is a narrow hash equi-join on (block, chunk) —
-    * ids + two bigints per row — and the exact xor+bit_count filter runs
-    * inside the join before the distinct. The DuckDB oracle keeps the
-    * all-pairs formulation: same result set, independently derived.
+    * Candidates come from ONE narrow hash equi-join on the exploded
+    * (block, chunk_idx, chunk_value) bucket key — ids + two bigints per
+    * row — and the exact xor+bit_count filter runs inside the join before
+    * the distinct. The DuckDB oracle keeps the all-pairs formulation:
+    * same result set, independently derived.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -409,20 +410,29 @@ object TextOps {
     val chunks = 6
     require(maxHamming < chunks,
       s"banded scan is lossless only for maxHamming < $chunks (got $maxHamming)")
-    val sh = reuse(simHash(docs, idCol, textCol, blockCols)
-      .select((col(idCol) +: blockCols.map(col) :+ col("simhash")) ++
-        (0 until chunks).map(k =>
-          shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as(s"c$k")): _*))
-    val a = sh.select(sh.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = sh.select(sh.columns.map(c => col(c).as(s"b_$c")): _*)
-    (0 until chunks).map { k =>
-      val cond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
-        col(s"a_c$k") === col(s"b_c$k") &&
-        col(s"a_$idCol") < col(s"b_$idCol") &&
-        expr("bit_count(a_simhash ^ b_simhash)") <= maxHamming
-      a.join(b, cond).select(
-        col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
+    // Same single-bucket-join shape as minHashLshPairs: explode the 6
+    // chunk keys into (chunk_idx, chunk_value) rows and self-join ONCE on
+    // (block, chunk_idx, chunk_value) — the per-chunk union form scanned
+    // the fingerprint table and shuffled 6 times for the identical
+    // candidate set (the chunk index in the key keeps buckets separate).
+    val kv = reuse(simHash(docs, idCol, textCol, blockCols))
+      .select((col(idCol) +: blockCols.map(col) :+ col("simhash")) :+
+        explode(array((0 until chunks).map(k =>
+          struct(lit(k).as("ck"),
+            shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("cv"))): _*))
+          .as("c"): _*)
+      .select((col(idCol) +: blockCols.map(col)) ++
+        Seq(col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv")): _*)
+    val a = kv.select(kv.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = kv.select(kv.columns.map(c => col(c).as(s"b_$c")): _*)
+    val cond = (blockCols.map(c => col(s"a_$c") === col(s"b_$c")) ++ Seq(
+      col("a_ck") === col("b_ck"),
+      col("a_cv") === col("b_cv"),
+      col(s"a_$idCol") < col(s"b_$idCol"),
+      expr("bit_count(a_simhash ^ b_simhash)") <= maxHamming)).reduce(_ && _)
+    a.join(b, cond)
+      .select(col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
         expr("CAST(bit_count(a_simhash ^ b_simhash) AS BIGINT)").as("hamming"))
-    }.reduce(_ unionByName _).distinct()
+      .distinct()
   }
 }

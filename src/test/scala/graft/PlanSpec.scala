@@ -82,9 +82,10 @@ class PlanSpec extends SparkTestBase {
     assert(joins.forall(l => l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")
       || l.contains("ShuffledHashJoin")),
       s"non-equi join in banded scan:\n${joins.mkString("\n")}")
-    // the equi keys really are the chunk columns, not just the block
-    assert(plan.contains("a_c0") && joins.exists(_.contains("a_c0")),
-      "chunk key c0 not a join key")
+    // the equi keys really are the exploded chunk columns, not just the
+    // block: both the chunk index and the chunk value must be join keys
+    assert(joins.exists(l => l.contains("a_ck") && l.contains("a_cv")),
+      "chunk (index, value) not join keys")
   }
 
   test("dedup_embed_ivf verifies inside the cell join: no exchange between dot and join") {
