@@ -68,6 +68,11 @@ object Graft {
 
   /** CDC merge: apply a diff changeset to the base snapshot —
     * `applyChangeset(left, diff(left, right), keys) == right`.
+    *
+    * Tuned for diff-sized (low-churn) changesets: the removed-key side is
+    * broadcast only while its size estimate fits the session's broadcast
+    * threshold; a bulk-churn changeset degrades to a shuffle anti-join
+    * rather than OOMing the driver (see [[operators.Differ.applyChangeset]]).
     */
   def applyChangeset(base: DataFrame, changes: DataFrame,
                      keys: Seq[String]): DataFrame =

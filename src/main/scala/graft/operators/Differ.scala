@@ -401,11 +401,17 @@ object Differ {
   def bucketDigests(df: DataFrame, keys: Seq[String], vcols: Seq[String],
                     buckets: Int): DataFrame =
     df.select(
-        pmod(xxhash64(keys.map(col): _*), lit(buckets)).as("bucket"),
+        pmod(xxhash64(keys.map(col): _*), lit(buckets)).as(BK),
         conv(substring(rowHashCol(df, keys ++ vcols), 1, 15), 16, 10)
           .cast(DecimalType(38, 0)).as("h"))
-      .groupBy("bucket")
+      .groupBy(BK)
       .agg(sum(col("h")).as("digest"), count(lit(1)).as("n"))
+
+  /** Reserved bucket-id column (cf. `__graft_vhash`): a user table with a
+    * key or value column literally named "bucket" must not be clobbered by
+    * [[diffIncremental]]'s temp bucketing.
+    */
+  private val BK = "__graft_bucket"
 
   /** Incremental snapshot diff — the partition-pruned execution path for
     * day-over-day diffs where most buckets are untouched.
@@ -427,13 +433,13 @@ object Differ {
     val vcols = valueCols(left, right, keys, opts)
     val ld = bucketDigests(left, keys, vcols, buckets).alias("ld")
     val rd = bucketDigests(right, keys, vcols, buckets).alias("rd")
-    val dirty = ld.join(rd, col("ld.bucket") === col("rd.bucket"), "full_outer")
+    val dirty = ld.join(rd, col(s"ld.$BK") === col(s"rd.$BK"), "full_outer")
       .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
-      .select(coalesce(col("ld.bucket"), col("rd.bucket")).as("bucket"))
+      .select(coalesce(col(s"ld.$BK"), col(s"rd.$BK")).as(BK))
     def dirtyOnly(df: DataFrame): DataFrame =
-      df.withColumn("bucket", pmod(xxhash64(keys.map(col): _*), lit(buckets)))
-        .join(broadcast(dirty), Seq("bucket"), "left_semi")
-        .drop("bucket")
+      df.withColumn(BK, pmod(xxhash64(keys.map(col): _*), lit(buckets)))
+        .join(broadcast(dirty), Seq(BK), "left_semi")
+        .drop(BK)
     val VH = "__graft_vhash"
     val lh = dirtyOnly(left)
       .select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
@@ -462,6 +468,15 @@ object Differ {
     * side and the upsert union are small — at 100 TB the base is read
     * once, and with the broadcast threshold met the anti-join is a
     * per-task filter, no base shuffle at all.
+    *
+    * Broadcast policy: the removed-key side is `broadcast()`-hinted only
+    * when Catalyst's plan-level size estimate for the changeset fits in
+    * `spark.sql.autoBroadcastJoinThreshold`. A bulk-churn changeset (e.g. a
+    * schema migration touching every row) would otherwise be collected to
+    * the driver unconditionally and OOM it; above the threshold the hint is
+    * omitted, the anti-join plans as a shuffle join, and AQE may still
+    * downgrade it to a broadcast at runtime if the actual size turns out
+    * small — the estimate only decides whether we *force* the collect.
     */
   def applyChangeset(base: DataFrame, changes: DataFrame, keys: Seq[String],
                      opts: DiffOptions = DiffOptions()): DataFrame = {
@@ -476,8 +491,15 @@ object Differ {
         s"${missing.mkString(", ")} (have: ${changes.columns.mkString(", ")})")
     val st = col(opts.statusCol)
     val removed = changes.filter(st === "D" || st === "C").select(keys.map(col): _*)
-    val kept = base.join(broadcast(removed),
-      keys.map(k => base(k) <=> removed(k)).reduce(_ && _), "left_anti")
+    // Size-aware broadcast: estimate from the optimized plan (no job run).
+    // Unknown/huge estimates fall through to the un-hinted path, which is
+    // never wrong — only potentially a shuffle where a broadcast would do.
+    val threshold = changes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = removed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val buildSide =
+      if (threshold > 0 && estBytes <= BigInt(threshold)) broadcast(removed) else removed
+    val kept = base.join(buildSide,
+      keys.map(k => base(k) <=> buildSide(k)).reduce(_ && _), "left_anti")
     val upserts = changes.filter(st === "C" || st === "I")
       .select(keys.map(col) ++
         vcols.map(c => col(s"${opts.rightPrefix}$c").as(c)): _*)

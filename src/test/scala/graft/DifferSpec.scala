@@ -188,6 +188,36 @@ class DifferSpec extends SparkTestBase {
     assert(rowsOf(applied) == rowsOf(r))
   }
 
+  test("applyChangeset above the broadcast threshold still round-trips (shuffle anti-join path)") {
+    // autoBroadcastJoinThreshold = -1 disables the size gate, so the
+    // removed-key side must NOT be broadcast()-forced; the un-hinted
+    // anti-join has to produce the identical merge.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = Seq(
+        (Some(1L), Some("a"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+        (None, Some("n"), Some(0.0)), (Some(5L), Some("e"), Some(5.5))).toDF("k", "s", "v")
+      val r = Seq(
+        (Some(1L), Some("A"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+        (None, Some("n2"), Some(0.0)), (Some(6L), Some("f"), Some(6.5))).toDF("k", "s", "v")
+      val applied = Differ.applyChangeset(l, Differ.diff(l, r, keys), keys)
+      val plan = applied.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"size gate should have skipped the forced broadcast:\n$plan")
+      assert(rowsOf(applied) == rowsOf(r))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("diffIncremental classifies a table whose own columns are named 'bucket'") {
+    // The temp bucket id must live in a reserved column (__graft_bucket):
+    // user columns named "bucket" survive bucketing untouched.
+    val l = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "s", "bucket")
+    val r = Seq((1L, "x", 10L), (2L, "y", 21L)).toDF("k", "s", "bucket")
+    val inc = Differ.diffIncremental(l, r, keys, buckets = 2)
+    assert(statusCounts(inc) == Map("C" -> 1L))
+  }
+
   test("applyChangeset fails fast with a precise message on a non-diff frame") {
     val base = Seq((1L, "a")).toDF("k", "s")
     val notADiff = Seq((1L, "x")).toDF("k", "s")
