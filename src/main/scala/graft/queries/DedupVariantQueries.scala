@@ -316,6 +316,27 @@ object DedupVariantQueries {
           .agg(min(col("vec_a")).as("dup_of"))
     },
 
+    Q("dedup_delta_embed",
+      KMeansSql.codebookCtes() +
+      s""",
+        |probe AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
+        |          WHERE rn <= ${KMeansSql.NProbeDedup} AND vec_id % 10 = 7),
+        |home AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
+        |         WHERE rn = 1 AND vec_id % 10 <> 7)
+        |SELECT p.vec_id AS new_id, h.vec_id AS old_id,
+        |       round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |FROM probe p JOIN home h USING (cell)
+        |JOIN e a ON a.vec_id = p.vec_id JOIN e b ON b.vec_id = h.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= ${KMeansSql.DedupTau}""".stripMargin) {
+      (s, d) =>
+        // Incremental-ingest embedding dedup (SemDeDup's daily shape):
+        // today's shard probes the SHARED stored IVF index — see
+        // KMeansSql.deltaPairs for the batch-broadcast / zero-index-
+        // shuffle plan; within-batch dups are the separate (much
+        // smaller) dedup_embed_ivf pass over the batch alone.
+        KMeansSql.deltaPairs(s, d)
+    },
+
     Q("dedup_embed_cosine",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -81,6 +81,45 @@ private[graft] object KMeansSql {
         Tables.cachedTable(spark, dir, "embeddings"), assign, tau = DedupTau)
     }
 
+  /** Incremental-ingest embedding dedup — the daily-batch twin of
+    * [[dedupPairs]] (and the embeddings mirror of dedup_delta's winnow
+    * shape): today's arrivals (the deterministic 10% shard
+    * `vec_id % 10 = 7`) probe the STORED index of the existing corpus
+    * only, never each other. The batch side carries its `NProbeDedup`
+    * probe cells (from the shared cached [[assignments]]); the corpus
+    * side is the once-built home-cell [[index]] (rn = 1, one row per old
+    * vector). Each (new, old) pair can meet in at most one cell — the old
+    * vector is stored under exactly one home cell — so no distinct is
+    * needed and the exact cosine verifies in the join's codegen stage.
+    *
+    * At 100 TB: the index is the bucketed-by-cell table a nightly job
+    * appends to; the batch (probe cells + vectors, batch-sized) is
+    * BROADCAST into it, so the day's dedup reads the index in place with
+    * zero corpus shuffle and batch-sized fan-in.
+    */
+  def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val newShard = col("vec_id") % 10 === 7
+    val probeCells = assignments(spark, dir)
+      .filter(col("rn") <= NProbeDedup && newShard)
+      .select(col("vec_id"), col("cell"))
+    val batch = Tables.cachedTable(spark, dir, "embeddings")
+      .filter(newShard)
+      .select(col("vec_id"), col("embedding").as("va"))
+      .withColumn("nrm_a", sqrt(VectorOps.normSqF(col("va"))))
+      .join(broadcast(probeCells), Seq("vec_id"))
+      .select(col("vec_id").as("new_id"), col("cell"), col("va"), col("nrm_a"))
+    val stored = index(spark, dir)
+      .filter(!newShard)
+      .select(col("vec_id").as("old_id"), col("cell"), col("embedding").as("vb"))
+      .withColumn("nrm_b", sqrt(VectorOps.normSqF(col("vb"))))
+    broadcast(batch).join(stored, Seq("cell"))
+      .withColumn("cos_raw",
+        VectorOps.dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_raw") >= DedupTau)
+      .select(col("new_id"), col("old_id"), round(col("cos_raw"), 5).as("cos_sim"))
+  }
+
   /** The materialized IVF index: every corpus vector stored under its home
     * cell (rn = 1) — embeddings columns + `cell`. Cached per (session,
     * dir). At 100 TB this is the corpus written bucketed/partitioned by

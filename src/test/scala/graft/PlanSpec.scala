@@ -146,6 +146,28 @@ class PlanSpec extends SparkTestBase {
     assert(plan.toString.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
   }
 
+  test("dedup_delta_embed broadcasts the batch into the stored index: no self-join, no index shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_delta_embed")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    // The daily-batch contract: the (cached) index is read in place; the
+    // batch side rides a broadcast. No shuffle anywhere in the per-day plan.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"index shuffle in dedup_delta_embed:\n${plan.toString.take(2000)}")
+    assert(plan.toString.contains("BroadcastHashJoin"), "batch-into-index join is not broadcast")
+    // ...and the new shard never self-joins: the two cell-join inputs carry
+    // complementary shard filters (= 7 on the batch, <> 7 on the index).
+    val s = plan.toString
+    assert(s.contains("= 7") && (s.contains("NOT") || s.contains("<> 7")),
+      s"complementary shard filters missing — batch may be self-joining:\n${s.take(2000)}")
+  }
+
   test("decontaminate broadcasts the eval side; quality_filter never shuffles") {
     val cur = graft.queries.CurationQueries.all
     val decon = physical(cur, "decontaminate")
