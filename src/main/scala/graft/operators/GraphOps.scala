@@ -42,12 +42,19 @@ object GraphOps {
     // "fold" join per round (r6 — saved one shuffle join per round,
     // ~15% of dedup_clusters wall time), and every vertex is guaranteed
     // a row in the aggregate output.
+    // No distinct() on the symmetrized edges: min-label propagation is
+    // idempotent under duplicate edges, so dedup would only shrink a
+    // pathologically duplicated input — one exchange + aggregate of setup
+    // cost for nothing on the (unique-pair) dedup edge sets this serves.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionByName(vertices.select(col("id").as("src"), col("id").as("dst")))
-      .distinct()
-      .localCheckpoint(false)
-    var labels = vertices.select(col("id"), col("id").as("cluster"))
+      // Partition the (static) edge set by the per-round join key ONCE:
+      // localCheckpoint preserves outputPartitioning, so every round's
+      // propagation join re-shuffles only the (id, label) side, not the
+      // edges — at 100 TB the edge set is the big side, so this moves the
+      // per-round shuffle from O(E) to O(V).
+      .repartition(col("dst"))
       .localCheckpoint(false)
     // Labels are monotonically non-increasing, so the label sum strictly
     // decreases on any change: one aggregate per round detects the
@@ -57,10 +64,6 @@ object GraphOps {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var lastDelta = java.math.BigDecimal.ZERO
-    var i = 0
-    var converged = false
     // pointer jumping: labels are vertex ids, so label(label(v)) is one
     // self-join; a label's own label is never larger, so each jump halves
     // every vertex's remaining distance to its component root. Both sides
@@ -72,6 +75,20 @@ object GraphOps {
         col("x.cluster") === col("jid"))
       .select(col("x.id").as("id"), col("jcluster").as("cluster"))
       .localCheckpoint(false)
+    // Round 1 without the label join: initial labels ARE the vertex ids,
+    // so the first propagation min over N(v) ∪ {v} is a plain min(dst)
+    // aggregate of sym — r7, one shuffle join + one driver job less than
+    // starting the generic loop from identity labels (which also needed
+    // its own labelSum action just to seed the convergence check).
+    var labels = jump(
+      sym.groupBy(col("src")).agg(min("dst").as("cluster"))
+        .select(col("src").as("id"), col("cluster"))
+        .localCheckpoint(false))
+    var prevSum = labelSum(labels)
+    var lastDelta = java.math.BigDecimal.ZERO
+    var i = 1
+    var converged = false
+    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round 1 sum=$prevSum")
     while (!converged && i < maxIter) {
       // best label over N(v) ∪ {v} in ONE keyed aggregation — the
       // self-loops make the separate fold-with-own-label join redundant

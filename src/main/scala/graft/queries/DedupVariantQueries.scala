@@ -136,8 +136,11 @@ object DedupVariantQueries {
         // build the same edge set naively and close it with a recursive
         // CTE; the Spark side is iterative min-label propagation
         // (O(diameter) narrow joins — see GraphOps.connectedComponents).
+        // The edge set is the SHARED cached pair list dedup_near reports
+        // on (PipelineQueries.sharedNearDupPairs): CC consumes the
+        // persisted pair intermediate instead of re-generating candidates.
         val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
-        val edges = graft.operators.TextOps.nearDupPairs(docs, minJaccard = 0.9)
+        val edges = PipelineQueries.sharedNearDupPairs(s, d)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         graft.operators.GraphOps
           .connectedComponents(docs.select(col("doc_id").as("id")), edges)

@@ -37,6 +37,22 @@ object PipelineQueries {
   /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
   private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
 
+  /** The text near-dup pair list (Jaccard ≥ [[NearDupTau]]), built ONCE per
+    * (session, dir) and cached: the pair REPORT (dedup_near) and the
+    * connected-components retention step (dedup_clusters) are two consumers
+    * of the same computation — the `KMeansSql.dedupPairs` precedent. At
+    * 100 TB the pair list is the persisted intermediate the dedup job
+    * writes once; every downstream step (CC, keep/drop, audits) reads it
+    * rather than re-running candidate generation against the corpus.
+    */
+  def sharedNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.cached(s, s"$d/neardup-pairs/tau=$NearDupTau") {
+      TextOps.nearDupPairs(
+        Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
+        minJaccard = NearDupTau)
+    }
+
   def all: Seq[Q] = Seq(
     Q("dedup_exact",
       """WITH h AS (
@@ -66,10 +82,7 @@ object PipelineQueries {
          |  FROM t a1 JOIN t a2
          |    ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $NearDupTau""".stripMargin) {
-      (s, d) =>
-        TextOps.nearDupPairs(
-          Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
-          minJaccard = NearDupTau)
+      (s, d) => sharedNearDupPairs(s, d)
     },
 
     Q("sim_search_topk",

@@ -57,7 +57,7 @@ class PlanSpec extends SparkTestBase {
 
   test("similarity joins never go cartesian and keep the native kernels codegen'd") {
     val pipeline = graft.queries.PipelineQueries.all ++ graft.queries.DedupVariantQueries.all
-    for (name <- Seq("sim_join_threshold", "dedup_near", "dedup_minhash_lsh",
+    for (name <- Seq("sim_join_threshold", "dedup_minhash_lsh",
                      "dedup_simhash", "dedup_ngram")) {
       val plan = physical(pipeline, name)
       assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
@@ -66,7 +66,15 @@ class PlanSpec extends SparkTestBase {
     // the custom expressions surface in the plan (not folded away / UDF'd)
     assert(physical(pipeline, "sim_join_threshold").contains("float_vec_dot"),
       "FloatVecDot missing from plan")
-    assert(physical(pipeline, "dedup_near").contains("sorted_intersect_count"),
+    // dedup_near now serves the SHARED cached pair list (its declared plan
+    // is an InMemoryTableScan), so pin the underlying pair CONSTRUCTION
+    // directly: still no cartesian, and the merge-verify kernel codegen'd.
+    val docs = Tables.table(spark, sf, "documents").select("doc_id", "lang", "text")
+    val pairPlan = graft.operators.TextOps.nearDupPairs(docs, minJaccard = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("CartesianProduct"), "nearDupPairs went cartesian")
+    assert(!pairPlan.contains("BroadcastNestedLoopJoin"), "nearDupPairs went nested-loop")
+    assert(pairPlan.contains("sorted_intersect_count"),
       "SortedIntersectCount missing from plan")
   }
 
