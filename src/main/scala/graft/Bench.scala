@@ -58,7 +58,17 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Also write the full line to a file: the driver's stdout capture
+    // prefixes sbt's "[info] " and keeps only a tail window, which left
+    // BENCH_r*.json "parsed": null every round. A plain-file copy is
+    // unconditionally machine-readable.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // The driver captures only the LAST 2000 chars of stdout; with 77
     // queries the full line above is ~2.2k chars, so r2's BENCH json ended
     // up truncated mid-line and unparseable ("parsed": null). Re-emit the

@@ -13,6 +13,16 @@ import graft.{Q, Tables}
   */
 object RelationalQueries {
 
+  /** Per-process root for the CSV/JSON round-trip scratch dirs: a fixed
+    * /tmp path raced when two verify/bench processes shared a fixture dir
+    * (overwrite vs read of torn output). The pid is unique among live
+    * processes and stable across calls within one.
+    */
+  private lazy val roundtripRoot: String = {
+    val run = java.lang.ProcessHandle.current().pid()
+    s"/tmp/graft-roundtrip-$run"
+  }
+
   def all: Seq[Q] = Seq(
     Q("scan_parquet",
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem") { (s, d) =>
@@ -35,7 +45,7 @@ object RelationalQueries {
       // Schema is explicit: CSV inference at 100 TB is a full extra scan.
       val src = Tables.cachedTable(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val path = s"/tmp/graft-roundtrip/csv/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"$roundtripRoot/csv/${d.replaceAll("[^A-Za-z0-9]", "_")}"
       src.write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true").schema(src.schema).csv(path)
     },
@@ -46,7 +56,7 @@ object RelationalQueries {
       // scan_csv_roundtrip (explicit schema on read — no inference scan).
       val src = Tables.cachedTable(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val path = s"/tmp/graft-roundtrip/json/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"$roundtripRoot/json/${d.replaceAll("[^A-Za-z0-9]", "_")}"
       src.write.mode("overwrite").json(path)
       s.read.schema(src.schema).json(path)
     },

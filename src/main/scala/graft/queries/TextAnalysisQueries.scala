@@ -154,10 +154,14 @@ object TextAnalysisQueries {
         |FROM b JOIN top USING (doc_id)""".stripMargin) {
       (s, d) =>
         // Within-doc repetition signals (the Gopher/C4 pretraining-quality
-        // family): duplicate-token and duplicate-bigram fractions are
-        // per-row HOF arithmetic (exact integer quotients); the
-        // most-frequent-token share needs one explode + two-level agg —
-        // all keyed on doc_id, embarrassingly parallel at 100 TB.
+        // family): ALL per-row HOF arithmetic, zero shuffles. The
+        // most-frequent-token count is a run-length fold over the SORTED
+        // token array (longest equal run of a sorted array = max
+        // multiplicity) — r7: this was an explode + two keyed aggs + join
+        // before, three shuffle stages of pure job overhead at toy scale
+        // and a corpus×tokens row inflation through the exchange at 100 TB.
+        // Null-safe prev compare (<=>): the run state seeds with NULL,
+        // which no real token (including '') equals.
         val docs = Tables.cachedTable(s, d, "documents")
         val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .withColumn("n", size(col("toks")))
@@ -165,11 +169,15 @@ object TextAnalysisQueries {
           .withColumn("bg", TextOps.bigrams(col("toks")))
           .withColumn("nb", size(col("bg")))
           .withColumn("nbd", size(array_distinct(col("bg"))))
-        val top = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
-        base.join(top, "doc_id").select(
+          .withColumn("top_cnt", expr(
+            """aggregate(array_sort(toks),
+              |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+              |  (acc, x) -> named_struct(
+              |    'prev', x,
+              |    'run', IF(x <=> acc.prev, acc.run + 1, 1),
+              |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+              |  acc -> acc.best)""".stripMargin))
+        base.select(
           col("doc_id"),
           col("n").cast("long").as("n_tokens"),
           (col("n") - col("nd")).cast("long").as("n_dup_tokens"),

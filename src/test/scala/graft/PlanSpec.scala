@@ -255,6 +255,63 @@ class PlanSpec extends SparkTestBase {
       s"interval join lost its equi key:\n${plan.take(1500)}")
   }
 
+  test("banded MinHash candidates come from ONE bucket self-join, not per-band unions") {
+    // r6 rewrote minHashLshPairs from a union of per-band joins to a single
+    // self-join on the exploded (block, band, mh) bucket key (bands× fewer
+    // corpus scans). Pin the shape: no Union anywhere, and exactly 3 joins
+    // (bucket self-join + the two token-set lookups of the exact verify) —
+    // a regression to per-band unions would add a join and a Union per band.
+    val pipeline = graft.queries.PipelineQueries.all ++ graft.queries.DedupVariantQueries.all
+    for (name <- Seq("dedup_minhash_lsh", "dedup_ngram")) {
+      val plan = queryNamed(pipeline, name).queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }.size
+      val unions = plan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.size
+      assert(unions == 0, s"$name: $unions Union nodes — per-band unions are back?")
+      assert(joins == 3, s"$name: $joins joins (expected bucket join + 2 verify lookups)")
+    }
+  }
+
+  test("split_assign written partitioned-by-split prunes at the scan (static + dynamic)") {
+    // The claim in split_assign's scaladoc: downstream readers filtering on
+    // `split` prune whole partition directories, never scanning the 90%
+    // train split to read the 5% val split. Write the assignment
+    // partitioned-by-split (the 100 TB layout), then pin both pruning
+    // modes on the read-back.
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-split-dpp").toString
+    val assigned = queryNamed(graft.queries.PipelineQueries.all, "split_assign")
+    graft.operators.Sinks.writePartitioned(assigned, out, Seq("split"))
+    val fact = spark.read.parquet(out)
+
+    // 1. Static pruning: a literal split predicate lands in
+    //    PartitionFilters (directory pruning), not a post-scan Filter.
+    val static = fact.filter(col("split") === "val")
+    val staticScan = static.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(staticScan.contains("split"), s"split predicate not in PartitionFilters: $staticScan")
+    assert(static.count() > 0 && static.count() < assigned.count())
+
+    // 2. Dynamic partition pruning: when the split of interest only
+    //    arrives via a join against a filtered dimension, the fact scan
+    //    must carry a dynamicpruningexpression subquery instead of
+    //    reading all three splits.
+    import spark.implicits._
+    // Two traps the DPP rule has: (a) the dim must be a real source, not a
+    // LocalRelation — Catalyst folds a filter over literal rows into the
+    // relation, leaving no predicate for the rule to see; (b) the predicate
+    // must be "likely selective" (EqualTo/In/Like...) — a bare boolean
+    // column is not.
+    Seq(("val", "keep"), ("test", "drop"), ("train", "drop"))
+      .toDF("split", "tag").write.parquet(s"$out-dim")
+    val dim = spark.read.parquet(s"$out-dim")
+    val joined = fact.join(dim.filter(col("tag") === "keep"), Seq("split"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP subquery on the partitioned scan:\n${plan.take(2000)}")
+    assert(joined.count() == static.count())
+  }
+
   test("text_ngram_lm count-table joins stay equi; scalar vocab is the only broadcast-nested-loop") {
     val plan = physical(graft.queries.TextAnalysisQueries.all, "text_ngram_lm")
     assert(!plan.contains("CartesianProduct"), "text_ngram_lm went cartesian")
