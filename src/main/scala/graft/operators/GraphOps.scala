@@ -75,32 +75,37 @@ object GraphOps {
         col("x.cluster") === col("jid"))
       .select(col("x.id").as("id"), col("jcluster").as("cluster"))
       .localCheckpoint(false)
+    // best label over N(v) ∪ {v} in ONE keyed aggregation — the
+    // self-loops make the separate fold-with-own-label join redundant
+    def propagate(lbl: DataFrame): DataFrame =
+      sym.join(lbl, sym("dst") === lbl("id"))
+        .groupBy(col("src")).agg(min("cluster").as("cluster"))
+        .select(col("src").as("id"), col("cluster"))
+        .localCheckpoint(false)
     // Round 1 without the label join: initial labels ARE the vertex ids,
     // so the first propagation min over N(v) ∪ {v} is a plain min(dst)
     // aggregate of sym — r7, one shuffle join + one driver job less than
     // starting the generic loop from identity labels (which also needed
     // its own labelSum action just to seed the convergence check).
-    var labels = jump(
+    // Round 2 runs in the SAME action: a convergence check after round 1
+    // is pure overhead (it can only fire on an edge-free graph, which the
+    // round-3 check still catches), so the first labelSum materializes the
+    // first TWO steps — r7, one driver job less again.
+    var labels = jump(propagate(jump(
       sym.groupBy(col("src")).agg(min("dst").as("cluster"))
         .select(col("src").as("id"), col("cluster"))
-        .localCheckpoint(false))
+        .localCheckpoint(false))))
     var prevSum = labelSum(labels)
     var lastDelta = java.math.BigDecimal.ZERO
-    var i = 1
+    var i = 2
     var converged = false
-    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round 1 sum=$prevSum")
+    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds 1-2 sum=$prevSum")
     while (!converged && i < maxIter) {
-      // best label over N(v) ∪ {v} in ONE keyed aggregation — the
-      // self-loops make the separate fold-with-own-label join redundant
-      val folded = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("cluster").as("cluster"))
-        .select(col("src").as("id"), col("cluster"))
-        .localCheckpoint(false)
       // One jump per round: measured on the sf0.1 near-dup graph, a second
       // jump does NOT reduce the round count (propagation reach, not
       // pointer depth, is the binding constraint — both converge in 5
       // rounds) and costs an extra join + checkpoint per round.
-      val next = jump(folded)
+      val next = jump(propagate(labels))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -95,13 +95,21 @@ object TextAnalysisQueries {
           tok.groupBy("lang", "tok").agg(count(lit(1)).as("c")),
           Seq("lang"), Seq(col("c").desc, col("tok")), k = 30, bucketOn = col("tok"))
           .select(col("lang").as("p_lang"), col("tok"))
-        val overlap = tok.join(prof, "tok")
+        // broadcast the dimension-sized profile (langs × 30 rows): the
+        // exploded corpus side must NOT be shuffled by token just to meet
+        // 150 profile rows (r7 — the scaladoc promised this; now the plan
+        // does it).
+        val overlap = tok.join(broadcast(prof), "tok")
           .groupBy("doc_id", "lang", "p_lang")
           .agg(count(lit(1)).as("n_shared"))
+        // per-doc argmax as a partial-aggregatable min-of-struct
+        // (-n_shared asc, p_lang asc) ≡ (n_shared desc, p_lang asc) —
+        // replaces a row_number window (shuffle + full per-partition sort,
+        // no map-side combine) with a plain aggregate (r7).
         overlap
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("n_shared").desc, col("p_lang"))))
-          .filter(col("rn") === 1)
+          .groupBy("doc_id", "lang")
+          .agg(min(struct((-col("n_shared")).as("neg"), col("p_lang"))).as("best"))
+          .select(col("lang"), col("best.p_lang").as("p_lang"))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
