@@ -199,6 +199,71 @@ object CurationQueries {
             round(col("total") / (col("n_sources") * col("n_tokens")), 6).as("weight"))
     },
 
+    Q("domain_mix_temp",
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM src),
+        |pw AS (SELECT source, n_docs, n_tokens,
+        |         CAST(pow(CAST(n_tokens AS DOUBLE) / total, 0.7) AS DECIMAL(18,9)) AS pw
+        |       FROM src, tot),
+        |z AS (SELECT CAST(sum(pw) AS DECIMAL(18,9)) AS z FROM pw),
+        |m AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(least(1.0, 0.5 * (CAST(pw AS DOUBLE) / CAST(z AS DOUBLE))
+        |               / (CAST(n_tokens AS DOUBLE) / total)) * 1000000) AS BIGINT) AS accept_ppm
+        |      FROM pw, z, tot),
+        |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |      FROM documents d JOIN m USING (source)
+        |      WHERE CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |              % 1000000 < m.accept_ppm
+        |      GROUP BY 1)
+        |SELECT m.source, m.n_docs, m.n_tokens, m.accept_ppm,
+        |       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM m LEFT JOIN k USING (source)""".stripMargin) {
+      (s, d) =>
+        // Temperature-reweighted domain sampling (the Gopher/LLaMA mixing
+        // step): target share of source s ∝ (token share)^0.7 — flattens
+        // the mix toward rare domains — realized as per-doc DETERMINISTIC
+        // hash acceptance at overall rate 0.5. accept_ppm = floor(1e6 ·
+        // min(1, 0.5·q_s/p_s)) is integer parts-per-million, and a doc is
+        // kept iff its sha256 bucket falls below it: re-runs and backfills
+        // keep exactly the same docs (never rand()). Determinism: pow() is
+        // the only transcendental and is quantized to DECIMAL(18,9)
+        // per SOURCE before any further arithmetic (the text_ngram_lm ln
+        // discipline); the acceptance test itself is an integer compare.
+        // 100 TB shape: source-level aggs are low-cardinality with
+        // map-side combine; the ppm table (sources × 5 cols) broadcasts
+        // into ONE corpus scan for the row gate.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val src = docs
+          .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"))
+        val tot = src.agg(sum("n_tokens").cast("long").as("total"))
+        val pw = src.crossJoin(broadcast(tot))
+          .withColumn("pw",
+            pow(col("n_tokens").cast("double") / col("total"), 0.7)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        val z = pw.agg(sum(col("pw")).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("z"))
+        val m = pw.crossJoin(broadcast(z))
+          .withColumn("accept_ppm",
+            floor(least(lit(1.0),
+              lit(0.5) * (col("pw").cast("double") / col("z").cast("double"))
+                / (col("n_tokens").cast("double") / col("total"))) * 1000000)
+              .cast("long"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("accept_ppm"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(broadcast(m.select("source", "accept_ppm")), "source")
+          .filter(
+            expr("CAST(conv(substr(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 1000000")
+              < col("accept_ppm"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        m.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("accept_ppm"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
     Q("pack_sequences",
       s"""WITH t AS (
          |  SELECT doc_id, lang, doc_id % $PackShards AS shard,

@@ -272,6 +272,77 @@ object TextAnalysisQueries {
             (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
     },
 
+    Q("quality_perplexity",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM occ),
+        |c2 AS (SELECT bg, count(*) AS n2 FROM o GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM o GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(toks) AS tok FROM t)),
+        |lp AS (SELECT o.doc_id,
+        |         CAST(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS DECIMAL(18,6)) AS lp
+        |       FROM o JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+        |       FROM lp GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |       sc.avg_logp,
+        |       CAST(CASE WHEN sc.doc_id IS NULL THEN 0
+        |                 WHEN sc.avg_logp >= -3.425 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |       CASE WHEN sc.doc_id IS NULL THEN 'no_bigrams'
+        |            WHEN sc.avg_logp >= -3.425 THEN 'ok'
+        |            ELSE 'high_perplexity' END AS reason
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        // The CCNet/Wenzek perplexity gate, self-trained: score every doc
+        // by its avg bigram log-probability under the corpus LM (the SAME
+        // per-row-quantized decimal-sum discipline as text_ngram_lm,
+        // sharing its cached bigram-occurrence frame) and keep docs above
+        // a fixed threshold (-3.425 ≈ the fixture's 10th percentile; a
+        // production run recalibrates per corpus). Docs too short to have
+        // bigrams can't be scored and are dropped with their own reason.
+        // Determinism: the keep verdict compares identically-computed
+        // doubles (exact decimal sum / count, ONE division) against a
+        // constant — engine-exact. 100 TB shape: vocab-sized count tables
+        // + one occurrence shuffle (all shared with text_ngram_lm), then a
+        // doc-keyed left join back to the corpus scan.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val occ = Tables.cached(s, s"$d/bigram-occ") {
+          t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+        }
+        val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
+        val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
+        val v = t.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        val sc = occ.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+          .withColumn("lp",
+            log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))
+              .cast(DecimalType(18, 6)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
+          .withColumnRenamed("doc_id", "sc_doc_id")
+        docs.select(col("doc_id"), col("lang"))
+          .join(sc, col("doc_id") === col("sc_doc_id"), "left")
+          .select(
+            col("doc_id"), col("lang"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            col("avg_logp"),
+            when(col("sc_doc_id").isNull, 0L)
+              .when(col("avg_logp") >= -3.425, 1L).otherwise(0L).as("keep"),
+            when(col("sc_doc_id").isNull, "no_bigrams")
+              .when(col("avg_logp") >= -3.425, "ok")
+              .otherwise("high_perplexity").as("reason"))
+    },
+
     Q("text_idf",
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |o AS (SELECT doc_id, unnest(toks) AS tok FROM t),
