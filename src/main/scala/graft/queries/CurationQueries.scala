@@ -236,23 +236,31 @@ object CurationQueries {
         // map-side combine; the ppm table (sources × 5 cols) broadcasts
         // into ONE corpus scan for the row gate.
         val docs = Tables.cachedTable(s, d, "documents")
-        val src = docs
-          .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"))
-        val tot = src.agg(sum("n_tokens").cast("long").as("total"))
-        val pw = src.crossJoin(broadcast(tot))
-          .withColumn("pw",
-            pow(col("n_tokens").cast("double") / col("total"), 0.7)
-              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-        val z = pw.agg(sum(col("pw")).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("z"))
-        val m = pw.crossJoin(broadcast(z))
-          .withColumn("accept_ppm",
-            floor(least(lit(1.0),
-              lit(0.5) * (col("pw").cast("double") / col("z").cast("double"))
-                / (col("n_tokens").cast("double") / col("total"))) * 1000000)
-              .cast("long"))
-          .select(col("source"), col("n_docs"), col("n_tokens"), col("accept_ppm"))
+        // the ppm mix table is built ONCE per (session, dir) and cached:
+        // it appears three times in the plan tree (row gate, kept join,
+        // report), and each uncached copy re-embeds the corpus agg and
+        // both scalar cross-joins — at 100 TB this is the sources-sized
+        // table the mixing job persists, not something each consumer
+        // recomputes.
+        val m = Tables.cached(s, s"$d/domain-mix-temp/alpha=0.7,rate=0.5") {
+          val src = docs
+            .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"))
+          val tot = src.agg(sum("n_tokens").cast("long").as("total"))
+          val pw = src.crossJoin(broadcast(tot))
+            .withColumn("pw",
+              pow(col("n_tokens").cast("double") / col("total"), 0.7)
+                .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          val z = pw.agg(sum(col("pw")).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("z"))
+          pw.crossJoin(broadcast(z))
+            .withColumn("accept_ppm",
+              floor(least(lit(1.0),
+                lit(0.5) * (col("pw").cast("double") / col("z").cast("double"))
+                  / (col("n_tokens").cast("double") / col("total"))) * 1000000)
+                .cast("long"))
+            .select(col("source"), col("n_docs"), col("n_tokens"), col("accept_ppm"))
+        }
         val kept = docs.select(col("doc_id"), col("source"))
           .join(broadcast(m.select("source", "accept_ppm")), "source")
           .filter(

@@ -312,6 +312,41 @@ class PlanSpec extends SparkTestBase {
     assert(joined.count() == static.count())
   }
 
+  // Operator-level join census: traverses the physical tree (cached
+  // InMemoryTableScans are leaves, so a cached table's ONE-TIME build plan
+  // is excluded — only what every consumer re-executes is counted).
+  private def joinCensus(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    (plan.collect { case j: BroadcastHashJoinExec => j }.size,
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size,
+      plan.collect { case j: CartesianProductExec => j }.size)
+  }
+
+  test("domain_mix_temp gates the corpus through a broadcast ppm table (scalars are the only BNLJs)") {
+    val (bhj, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.CurationQueries.all, "domain_mix_temp"))
+    assert(cart == 0, "domain_mix_temp went cartesian")
+    // the per-row acceptance gate joins the corpus against the
+    // sources-sized ppm table — that join must be a broadcast, never a
+    // corpus shuffle; the 1-row total/Z scalar cross-joins live inside the
+    // cached mix-table build, so the per-run plan has NO nested loops.
+    assert(bhj >= 1, "ppm row gate is not a broadcast join")
+    assert(bnlj == 0, s"$bnlj nested-loop joins in the per-run plan")
+  }
+
+  test("quality_perplexity joins stay equi; the vocab scalar is the only broadcast-nested-loop") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.TextAnalysisQueries.all, "quality_perplexity"))
+    assert(cart == 0, "quality_perplexity went cartesian")
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — a count-table join degenerated")
+  }
+
   test("text_ngram_lm count-table joins stay equi; scalar vocab is the only broadcast-nested-loop") {
     val plan = physical(graft.queries.TextAnalysisQueries.all, "text_ngram_lm")
     assert(!plan.contains("CartesianProduct"), "text_ngram_lm went cartesian")
