@@ -61,6 +61,19 @@ object RelationalQueries {
       s.read.schema(src.schema).json(path)
     },
 
+    Q("scan_orc_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
+      // ORC source coverage, same lossless round-trip discipline as the
+      // CSV/JSON twins (binary columnar format — no text-form loss at
+      // all; the oracle still reads the PARQUET values, so any
+      // write/read asymmetry fails the hash).
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val path = s"$roundtripRoot/orc/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.write.mode("overwrite").orc(path)
+      s.read.schema(src.schema).orc(path)
+    },
+
     Q("project_filter",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>
