@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{TextOps, VectorOps}
@@ -34,6 +35,13 @@ object CurationQueries {
   private val CtxLen = 256
   /** pack_sequences: independent packing streams per language. */
   private val PackShards = 8
+  /** budget_select: per-language token budget, integer score scale
+    * (distinct-token ratio in parts-per-ScoreScale), and the score-band
+    * width for the two-phase prefix sum (≤ ScoreScale/BandWidth + 1 bands).
+    */
+  private val BudgetTokens = 2000
+  private val ScoreScale = 1000000L
+  private val BandWidth = 50000L
 
   def all: Seq[Q] = Seq(
 
@@ -311,6 +319,62 @@ object CurationQueries {
             col("n_tokens"),
             expr(s"CAST(cum_before DIV $CtxLen AS BIGINT)").as("bin"),
             (col("cum_before") % CtxLen).cast("long").as("pack_offset"))
+    },
+
+    Q("budget_select",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |           FROM documents),
+         |m AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        (CAST(len(list_distinct(toks)) AS BIGINT) * $ScoreScale) // len(toks)
+         |          AS score
+         |      FROM t),
+         |c AS (SELECT lang, doc_id, score, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |          ORDER BY score DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_tokens
+         |      FROM m)
+         |SELECT lang, doc_id, score, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $BudgetTokens""".stripMargin) {
+      (s, d) =>
+        // Token-budget selection: keep the highest-quality docs per
+        // language until a token budget is exhausted (the data-mixing
+        // step that follows quality scoring — "give me the best N tokens
+        // of French"). Quality score = distinct-token ratio scaled to an
+        // INTEGER per-million (integer multiply-then-divide, never a
+        // double threshold), so both engines rank identical values;
+        // doc_id breaks ties. The prefix sum is computed TWO-PHASE:
+        // docs bucket into score bands, the per-(lang, band) token
+        // subtotals (≤ ~20 tiny rows per lang) take a band-level prefix
+        // sum that broadcasts back, and each doc adds its within-band
+        // running sum — algebraically identical to the oracle's single
+        // per-lang cumsum (band order ≍ score order across bands), but no
+        // window ever sees a whole language. At 100 TB: the band stats are
+        // KB-sized, the fine windows partition by (lang, band), and the
+        // band width tunes partition size exactly like pack_sequences'
+        // shard count.
+        val fineW = Window.partitionBy("lang", "band")
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bandW = Window.partitionBy("lang").orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val m = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            expr(s"(CAST(size(array_distinct(toks)) AS BIGINT) * $ScoreScale) DIV size(toks)")
+              .as("score"))
+          .withColumn("band", expr(s"score DIV $BandWidth"))
+        val offs = m.groupBy("lang", "band")
+          .agg(sum("n_tokens").as("band_tokens"))
+          .withColumn("band_offset",
+            coalesce(sum("band_tokens").over(bandW), lit(0L)))
+          .select("lang", "band", "band_offset")
+        m.join(broadcast(offs), Seq("lang", "band"))
+          .withColumn("cum_tokens",
+            col("band_offset") + sum("n_tokens").over(fineW))
+          .filter(col("cum_tokens") <= BudgetTokens)
+          .select("lang", "doc_id", "score", "n_tokens", "cum_tokens")
     }
   )
 }

@@ -21,6 +21,7 @@ object StreamingQueries {
   private val SlideUs = 900000000L // 15 min
   private val GapUs = 1800000000L // 30 min session gap
   private val LateUs = 600000000L // 10 min watermark delay
+  private val SessionGapUs = 28800000000L // 8 h batch-sessionize gap
 
   /** Decimal-exact sum of `value` (double) emitted as double — float sums
     * across shuffle partitions would not be deterministic (§7.5).
@@ -298,6 +299,53 @@ object StreamingQueries {
             (lit(1) +
               when(col("t_click").isNotNull, 1).otherwise(0) +
               when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+    },
+
+    Q("events_sessionize",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT user_id, event_id, ts_us,
+         |        CASE WHEN lag(ts_us) OVER w IS NULL
+         |               OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, ts_us,
+         |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS session_idx
+         |      FROM b)
+         |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+         |       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+         |       max(ts_us) - min(ts_us) AS duration_us
+         |FROM s GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        // Batch sessionization — the offline twin of stream_session: a new
+        // session starts at the first event or after a gap > SessionGapUs
+        // (8 h; the fixture's median inter-event gap is ~7.3 h, so real
+        // sessions split AND merge). The break flag (lag) and the running
+        // session index (sum) share one user-hash partitioning + (ts_us,
+        // event_id) sort, so the whole lineage is ONE exchange + one sort
+        // before the final per-(user, session) aggregation — never a
+        // global window. Bigint-micro arithmetic end to end; ties are
+        // impossible per user in the fixture but event_id tie-breaks the
+        // order anyway (house determinism rule). At 100 TB: sessions are
+        // per-user state, so the shape is one user_id shuffle regardless
+        // of corpus size — the classic sessionize plan.
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag(col("ts_us"), 1).over(w)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("brk",
+            when(prev.isNull || col("ts_us") - prev > SessionGapUs, 1)
+              .otherwise(0))
+          .withColumn("session_idx", sum("brk").over(run).cast("long"))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts_us").as("t_start_us"),
+            max("ts_us").as("t_end_us"),
+            (max("ts_us") - min("ts_us")).as("duration_us"))
     }
   )
 }

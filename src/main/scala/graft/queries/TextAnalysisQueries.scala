@@ -24,6 +24,12 @@ object TextAnalysisQueries {
   /** Character classes outside [a-z0-9 ] count as "punctuation-ish". */
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** text_scrub_blocklist: terms to mask (word-bounded alternation — the
+    * dialect-neutral subset of Java regex and RE2) and the mask token.
+    */
+  private val ScrubPattern = "\\b(customer|spark|vector)\\b"
+  private val ScrubMask = "[SCRUBBED]"
+
   def all: Seq[Q] = Seq(
     Q("text_quality",
       s"""WITH t AS (
@@ -387,6 +393,36 @@ object TextAnalysisQueries {
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("tok"),
             col("score").cast("double").as("score"))
+    },
+
+    Q("text_scrub_blocklist",
+      s"""SELECT doc_id, lang,
+         |       CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT)
+         |         AS n_redacted,
+         |       regexp_replace(text, '$ScrubPattern', '$ScrubMask', 'g')
+         |         AS clean_text
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        // Blocklist term scrubbing — the C4/CCNet "clean before train"
+        // masking step (the same machinery a PII pass uses: swap the term
+        // alternation for email/phone/IP patterns; this fixture has no
+        // synthetic PII, so the blocklist targets terms that actually
+        // occur). Every doc is emitted with its redaction count and the
+        // masked text, so downstream stages can gate on n_redacted or
+        // consume clean_text directly. Regex is dialect-neutral (word
+        // boundaries + a literal alternation — identical in Java regex and
+        // RE2), replacement is global in both engines (Spark
+        // regexp_replace is always global; DuckDB needs the 'g' flag).
+        // 100 TB shape: a pure per-row projection — zero shuffles, zero
+        // joins, codegen'd end to end (PlanSpec-pinned), so it rides along
+        // any scan at IO cost.
+        Tables.cachedTable(s, d, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+              .cast("long").as("n_redacted"),
+            regexp_replace(col("text"), ScrubPattern, ScrubMask)
+              .as("clean_text"))
     }
   )
 }

@@ -347,6 +347,38 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj <= 1, s"$bnlj nested-loop joins — a count-table join degenerated")
   }
 
+  test("events_sessionize windows share one user-hash partitioning (no global window, ≤2 exchanges)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.StreamingQueries.all, "events_sessionize")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected break-flag + running-sum windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "a sessionize window lost its user_id partitioning — single-task scan")
+    // lag and the running session index share (user_id | ts_us, event_id):
+    // one exchange + one sort serve both; the only other exchange is the
+    // final per-(user, session) aggregation.
+    val exchanges = physical(graft.queries.StreamingQueries.all, "events_sessionize")
+      .linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges — the windows stopped sharing their shuffle")
+  }
+
+  test("text_scrub_blocklist is a pure projection: zero exchanges, zero joins") {
+    val plan = physical(graft.queries.TextAnalysisQueries.all, "text_scrub_blocklist")
+    assert(!plan.contains("Exchange"), s"scrub shuffles:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "scrub must not join")
+  }
+
+  test("budget_select broadcasts band offsets; fine windows stay (lang, band)-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.CurationQueries.all, "budget_select")
+    val (bhj, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, s"budget_select went non-equi ($bnlj BNLJ, $cart cartesian)")
+    assert(bhj >= 1, "band-offset join must broadcast (it is KB-sized by construction)")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "a budget_select window lost its partitioning — whole-language scan")
+  }
+
   test("text_ngram_lm count-table joins stay equi; scalar vocab is the only broadcast-nested-loop") {
     val plan = physical(graft.queries.TextAnalysisQueries.all, "text_ngram_lm")
     assert(!plan.contains("CartesianProduct"), "text_ngram_lm went cartesian")
