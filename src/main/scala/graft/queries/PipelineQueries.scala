@@ -341,6 +341,56 @@ object PipelineQueries {
           ascii(expr("substr(text, CAST(n_chars AS INT), 1)")).cast("long").as("last_byte"))
     },
 
+    Q("embed_quantize",
+      """WITH a AS (
+        |  SELECT vec_id, label, embedding AS v,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, v, amax,
+        |         list_transform(v, x ->
+        |           CAST(floor((CAST(x AS DOUBLE) * 127) / amax + 0.5) AS BIGINT)) AS qs
+        |  FROM a)
+        |SELECT vec_id, label, round(amax, 6) AS amax,
+        |       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS sum_q,
+        |       CAST(list_aggregate(list_transform(qs, q -> q * q), 'sum') AS BIGINT) AS sum_q2,
+        |       CAST(len(list_filter(qs, q -> abs(q) = 127)) AS BIGINT) AS n_clip
+        |FROM q""".stripMargin) {
+      (s, d) =>
+        // Int8 symmetric quantization of the embedding column — the
+        // compression step a serving/storage pipeline runs before shipping
+        // vectors (4x smaller than float32; the scalar-quantization half
+        // of a PQ codebook). Per vector: scale = max|x|, code_i =
+        // round(x_i·127/scale) via floor(+0.5) (identical halfway
+        // semantics in both engines — round() itself differs: banker's vs
+        // half-away). The oracle checks integer-EXACT code stats — sum,
+        // energy, clip count — so any drift in ANY single code flips the
+        // hash: float->double casts are exact and every step to the codes
+        // is deterministic IEEE arithmetic. Reconstruction error is
+        // deliberately NOT an oracle column (per-element double->decimal
+        // quantization of ~1e-7 values proved boundary-fragile across
+        // engines); the (step/2)² error bound is pinned in PipelineSpec
+        // instead. 100 TB shape: pure per-row HOF folds over the array
+        // column — zero shuffles, zero joins, no posexplode (the element
+        // rows never exist; cf. multimodal_cols which pays the 64x
+        // explode because it needs cross-vector centroids).
+        // NOTE: the rounded display alias must not be named before the
+        // stats reference the raw column — Spark's lateral column alias
+        // resolution would silently bind them to the ROUNDED value
+        // (measured: a 1e-12 drift in a reconstruction metric).
+        Tables.cachedTable(s, d, "embeddings")
+          .withColumn("amax_raw",
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .withColumn("qs",
+            transform(col("embedding"),
+              x => floor((x.cast("double") * 127) / col("amax_raw") + 0.5).cast("long")))
+          .select(
+            col("vec_id"), col("label"), round(col("amax_raw"), 6).as("amax"),
+            aggregate(col("qs"), lit(0L), (acc, e) => acc + e).as("sum_q"),
+            aggregate(col("qs"), lit(0L), (acc, e) => acc + e * e).as("sum_q2"),
+            size(filter(col("qs"), q => abs(q) === 127)).cast("long").as("n_clip"))
+    },
+
     Q("multimodal_cols",
       """WITH pos AS (
         |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x

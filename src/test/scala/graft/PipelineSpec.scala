@@ -304,6 +304,30 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("embed_quantize: codes reconstruct within the (step/2)^2 bound; scale clips exactly once+") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.PipelineQueries.all.find(_.name == "embed_quantize").get
+      .fn(spark, sf).collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.nonEmpty)
+    val vecs = graft.Tables.table(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    for ((id, r) <- out) {
+      val v = vecs(id).map(_.toDouble)
+      val amax = v.map(math.abs).max
+      val qs = v.map(x => math.floor(x * 127 / amax + 0.5).toLong)
+      // the oracle-checked integer stats really are the code stats
+      assert(qs.sum == r.getAs[Long]("sum_q"), s"vec $id sum_q")
+      assert(qs.map(q => q * q).sum == r.getAs[Long]("sum_q2"), s"vec $id sum_q2")
+      assert(qs.count(q => math.abs(q) == 127L) == r.getAs[Long]("n_clip"))
+      // symmetric scaling maps the max-|x| element to ±127 — always ≥1 clip
+      assert(r.getAs[Long]("n_clip") >= 1L, s"vec $id never clips")
+      // reconstruction: every element within half a quantization step
+      val step = amax / 127
+      for ((x, q) <- v.zip(qs))
+        assert(math.abs(x - q * step) <= step / 2 + 1e-12, s"vec $id elem err")
+    }
+  }
+
   test("curation: domain_mix weights equalize the mix; shares sum to 1") {
     val df = graft.queries.CurationQueries.all.find(_.name == "domain_mix").get
       .fn(spark, "/root/testdata/sf0.001").collect()

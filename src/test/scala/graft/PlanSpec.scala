@@ -368,6 +368,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "scrub must not join")
   }
 
+  test("embed_quantize folds per row: zero exchanges, zero joins, no explode") {
+    val plan = physical(graft.queries.PipelineQueries.all, "embed_quantize")
+    assert(!plan.contains("Exchange"), s"quantize shuffles:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "quantize must not join")
+    assert(!plan.contains("Generate"), "quantize must not explode the vectors")
+  }
+
   test("budget_select broadcasts band offsets; fine windows stay (lang, band)-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.CurationQueries.all, "budget_select")
