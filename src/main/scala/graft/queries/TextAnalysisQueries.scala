@@ -395,6 +395,59 @@ object TextAnalysisQueries {
             col("score").cast("double").as("score"))
     },
 
+    Q("quality_gopher",
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, max(c) AS topn FROM tf GROUP BY 1),
+         |m AS (SELECT doc_id, len(toks) AS n,
+         |        len(list_filter(toks, x -> list_contains($duckStop, x))) AS nstop
+         |      FROM t)
+         |SELECT m.doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(topn AS BIGINT) AS top_tok_n, CAST(nstop AS BIGINT) AS n_stop,
+         |       CASE WHEN n < 12 THEN 'too_short'
+         |            WHEN n > 90 THEN 'too_long'
+         |            WHEN topn * 5 > n THEN 'repetition'
+         |            WHEN nstop < 2 THEN 'few_stopwords'
+         |            ELSE 'ok' END AS reason,
+         |       CAST(CASE WHEN n >= 12 AND n <= 90 AND topn * 5 <= n
+         |                  AND nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m JOIN tp USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        // The Gopher-rules document gate (Rae et al. 2021 §A1.1, adapted to
+        // the fixture's ranges): length bounds, a max-token-repetition cap
+        // (top token ≤ 20% of the doc), and a minimum stopword count —
+        // the rule family C4's quality_filter doesn't cover. First failing
+        // rule (fixed order) becomes the reject reason, so the report
+        // doubles as a per-rule loss audit. Determinism: every gate is an
+        // integer compare (repetition via cross-multiplication, never a
+        // ratio). 100 TB shape: the (doc, token) tf agg is SHARED with
+        // text_idf (same cache key -> one corpus explode serves both), the
+        // top-count is a doc-keyed max over it, and the row-local counts
+        // ride the corpus scan; one doc_id join, everything partial-aggs.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val tf = Tables.cached(s, s"$d/tfidf-tf") {
+          docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        }
+        val tp = tf.groupBy("doc_id").agg(max("tf").as("topn"))
+        val stopArr = array(Stopwords.map(lit): _*)
+        val m = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+            size(filter(col("toks"), t => array_contains(stopArr, t)))
+              .cast("long").as("nstop"))
+        val reason = when(col("n") < 12, "too_short")
+          .when(col("n") > 90, "too_long")
+          .when(col("topn") * 5 > col("n"), "repetition")
+          .when(col("nstop") < 2, "few_stopwords")
+          .otherwise("ok")
+        m.join(tp, "doc_id")
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            col("topn").cast("long").as("top_tok_n"), col("nstop").as("n_stop"),
+            reason.as("reason"),
+            (reason === "ok").cast("long").as("keep"))
+    },
+
     Q("text_scrub_blocklist",
       s"""SELECT doc_id, lang,
          |       CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT)

@@ -368,6 +368,12 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "scrub must not join")
   }
 
+  test("quality_gopher joins stay equi on doc_id; no cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.TextAnalysisQueries.all, "quality_gopher"))
+    assert(cart == 0 && bnlj == 0, s"quality_gopher went non-equi ($bnlj BNLJ, $cart cartesian)")
+  }
+
   test("embed_quantize folds per row: zero exchanges, zero joins, no explode") {
     val plan = physical(graft.queries.PipelineQueries.all, "embed_quantize")
     assert(!plan.contains("Exchange"), s"quantize shuffles:\n${plan.take(800)}")
