@@ -121,6 +121,40 @@ object Graft {
                  salt: Int = 8): DataFrame =
     SkewOps.saltedJoin(big, small, keys, salt)
 
+  // ---- curation (operators.CurateOps) ---------------------------------
+
+  /** Gap-based sessionization: one row per (user, session); one user-hash
+    * shuffle at any corpus size.
+    */
+  def sessionize(events: DataFrame, gapUs: Long,
+                 userCol: String = "user_id", tsCol: String = "ts_us",
+                 tieCol: String = "event_id"): DataFrame =
+    CurateOps.sessionize(events, gapUs, userCol, tsCol, tieCol)
+
+  /** Pattern scrubbing (blocklist / PII shapes): adds `n_redacted` and
+    * `clean_text`; a pure per-row projection.
+    */
+  def scrub(docs: DataFrame, pattern: String, mask: String = "[SCRUBBED]",
+            textCol: String = "text"): DataFrame =
+    CurateOps.scrub(docs, pattern, mask, textCol)
+
+  /** Int8 symmetric embedding quantization stats (scale, code sum/energy,
+    * clip count); per-row array folds, no shuffle.
+    */
+  def quantizeEmbeddings(emb: DataFrame,
+                         keep: Seq[String] = Seq("vec_id", "label")): DataFrame =
+    CurateOps.quantizeStats(emb, keep = keep)
+
+  /** Keep the highest-score rows per group until a weight budget is spent
+    * (two-phase banded prefix sum — no whole-group window).
+    */
+  def budgetSelect(rows: DataFrame, budget: Long, bandWidth: Long,
+                   groupCol: String = "lang", scoreCol: String = "score",
+                   weightCol: String = "n_tokens",
+                   tieCol: String = "doc_id"): DataFrame =
+    CurateOps.budgetSelect(rows, budget, bandWidth, groupCol, scoreCol,
+      weightCol, tieCol)
+
   // ---- sinks ----------------------------------------------------------
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],

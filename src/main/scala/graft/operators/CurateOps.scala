@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parametrized corpus-curation operators — the reusable forms behind the
+  * `events_sessionize` / `text_scrub_blocklist` / `embed_quantize` /
+  * `budget_select` / `quality_gopher` query keys (which bind them to the
+  * fixture's constants). Kept fully declarative so every documented plan
+  * shape (PlanSpec pins) is a property of these functions, not of the
+  * fixture wiring.
+  */
+object CurateOps {
+
+  /** Gap-based sessionization: one row per (user, session) with event
+    * count, start/end, and duration, sessions breaking after `gapUs`
+    * micros of silence. The break flag (lag) and the running session
+    * index (sum) share one (user | ts, tie) partitioning + sort — a
+    * single data shuffle regardless of corpus size — and `tieCol` makes
+    * the order total when timestamps collide.
+    */
+  def sessionize(events: DataFrame, gapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    val run = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .select(col(userCol), col(tieCol), col(tsCol))
+      .withColumn("brk",
+        when(prev.isNull || col(tsCol) - prev > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum("brk").over(run).cast("long"))
+      .groupBy(userCol, "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsCol).as("t_start_us"),
+        max(tsCol).as("t_end_us"),
+        (max(tsCol) - min(tsCol)).as("duration_us"))
+  }
+
+  /** Pattern scrubbing (blocklist terms, or PII shapes like emails/phones
+    * when `pattern` is swapped accordingly): every doc out with its match
+    * count and the masked text. A pure per-row projection — zero shuffles,
+    * rides any scan at IO cost. Keep `pattern` inside the Java∩RE2 regex
+    * subset if results must be replayed by another engine.
+    */
+  def scrub(docs: DataFrame, pattern: String, mask: String,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("n_redacted",
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long"))
+      .withColumn("clean_text", regexp_replace(col(textCol), pattern, mask))
+
+  /** Int8 symmetric quantization of a float-array column: per-vector
+    * max-abs scale and floor(+0.5) codes (engine-portable halfway
+    * semantics), emitting the integer-exact code stats (sum, energy, clip
+    * count). Pure per-row HOF folds — the element rows never exist.
+    * NOTE: intermediate columns use reserved names; a final select must
+    * not alias an output over a name its siblings still reference (Spark's
+    * lateral column alias resolution would bind them to the alias).
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb
+      .withColumn("amax_raw",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn("qs",
+        transform(col(vecCol),
+          x => floor((x.cast("double") * 127) / col("amax_raw") + 0.5).cast("long")))
+
+  /** The oracle-facing stats projection over [[quantizeInt8]]. */
+  def quantizeStats(emb: DataFrame, vecCol: String = "embedding",
+      keep: Seq[String] = Seq("vec_id", "label")): DataFrame =
+    quantizeInt8(emb, vecCol).select(
+      keep.map(col) ++ Seq(
+        round(col("amax_raw"), 6).as("amax"),
+        aggregate(col("qs"), lit(0L), (acc, e) => acc + e).as("sum_q"),
+        aggregate(col("qs"), lit(0L), (acc, e) => acc + e * e).as("sum_q2"),
+        size(filter(col("qs"), q => abs(q) === 127)).cast("long").as("n_clip")): _*)
+
+  /** Token-budget selection: keep the highest-`scoreCol` rows per
+    * `groupCol` until `budget` of `weightCol` is spent, via the two-phase
+    * banded prefix sum (band subtotals -> broadcast band offsets ->
+    * within-band running sum). Algebraically identical to a single
+    * per-group cumsum, but no window ever sees a whole group; `bandWidth`
+    * is the partition-size dial. `scoreCol` must be integer-valued and
+    * `tieCol` unique for a deterministic total order.
+    */
+  def budgetSelect(rows: DataFrame, budget: Long, bandWidth: Long,
+      groupCol: String = "lang", scoreCol: String = "score",
+      weightCol: String = "n_tokens", tieCol: String = "doc_id"): DataFrame = {
+    val banded = rows.withColumn("band", expr(s"$scoreCol DIV $bandWidth"))
+    val fineW = Window.partitionBy(groupCol, "band")
+      .orderBy(col(scoreCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bandW = Window.partitionBy(groupCol).orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = banded.groupBy(groupCol, "band")
+      .agg(sum(weightCol).as("band_tokens"))
+      .withColumn("band_offset",
+        coalesce(sum("band_tokens").over(bandW), lit(0L)))
+      .select(groupCol, "band", "band_offset")
+    banded.join(broadcast(offs), Seq(groupCol, "band"))
+      .withColumn("cum_tokens",
+        col("band_offset") + sum(weightCol).over(fineW))
+      .filter(col("cum_tokens") <= budget)
+      .drop("band", "band_offset")
+  }
+
+  /** Gopher-rules document gate over precomputed per-doc counts
+    * (`n` tokens, `topn` top-token count, `nstop` stopwords): first
+    * failing rule in fixed order becomes the reject reason. Every gate is
+    * an integer compare; the repetition cap is cross-multiplied
+    * (top token fraction > 1/`repDen` rejects).
+    */
+  def gopherVerdict(minTokens: Long, maxTokens: Long, repDen: Long,
+      minStop: Long): Column =
+    when(col("n") < minTokens, "too_short")
+      .when(col("n") > maxTokens, "too_long")
+      .when(col("topn") * repDen > col("n"), "repetition")
+      .when(col("nstop") < minStop, "few_stopwords")
+      .otherwise("ok")
+}

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{TextOps, VectorOps}
@@ -353,27 +352,13 @@ object CurationQueries {
         // KB-sized, the fine windows partition by (lang, band), and the
         // band width tunes partition size exactly like pack_sequences'
         // shard count.
-        val fineW = Window.partitionBy("lang", "band")
-          .orderBy(col("score").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bandW = Window.partitionBy("lang").orderBy(col("band").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
         val m = Tables.cachedTable(s, d, "documents")
           .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("lang"),
             size(col("toks")).cast("long").as("n_tokens"),
             expr(s"(CAST(size(array_distinct(toks)) AS BIGINT) * $ScoreScale) DIV size(toks)")
               .as("score"))
-          .withColumn("band", expr(s"score DIV $BandWidth"))
-        val offs = m.groupBy("lang", "band")
-          .agg(sum("n_tokens").as("band_tokens"))
-          .withColumn("band_offset",
-            coalesce(sum("band_tokens").over(bandW), lit(0L)))
-          .select("lang", "band", "band_offset")
-        m.join(broadcast(offs), Seq("lang", "band"))
-          .withColumn("cum_tokens",
-            col("band_offset") + sum("n_tokens").over(fineW))
-          .filter(col("cum_tokens") <= BudgetTokens)
+        graft.operators.CurateOps.budgetSelect(m, BudgetTokens, BandWidth)
           .select("lang", "doc_id", "score", "n_tokens", "cum_tokens")
     }
   )

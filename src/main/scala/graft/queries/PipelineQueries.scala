@@ -374,21 +374,12 @@ object PipelineQueries {
         // column — zero shuffles, zero joins, no posexplode (the element
         // rows never exist; cf. multimodal_cols which pays the 64x
         // explode because it needs cross-vector centroids).
-        // NOTE: the rounded display alias must not be named before the
-        // stats reference the raw column — Spark's lateral column alias
-        // resolution would silently bind them to the ROUNDED value
-        // (measured: a 1e-12 drift in a reconstruction metric).
-        Tables.cachedTable(s, d, "embeddings")
-          .withColumn("amax_raw",
-            array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-          .withColumn("qs",
-            transform(col("embedding"),
-              x => floor((x.cast("double") * 127) / col("amax_raw") + 0.5).cast("long")))
-          .select(
-            col("vec_id"), col("label"), round(col("amax_raw"), 6).as("amax"),
-            aggregate(col("qs"), lit(0L), (acc, e) => acc + e).as("sum_q"),
-            aggregate(col("qs"), lit(0L), (acc, e) => acc + e * e).as("sum_q2"),
-            size(filter(col("qs"), q => abs(q) === 127)).cast("long").as("n_clip"))
+        // NOTE (in CurateOps too): the rounded display alias must not be
+        // named before the stats reference the raw column — Spark's
+        // lateral column alias resolution would silently bind them to the
+        // ROUNDED value (measured: a 1e-12 drift in a reconstruction
+        // metric).
+        graft.operators.CurateOps.quantizeStats(Tables.cachedTable(s, d, "embeddings"))
     },
 
     Q("multimodal_cols",

@@ -329,23 +329,9 @@ object StreamingQueries {
         // impossible per user in the fixture but event_id tie-breaks the
         // order anyway (house determinism rule). At 100 TB: sessions are
         // per-user state, so the shape is one user_id shuffle regardless
-        // of corpus size — the classic sessionize plan.
-        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-        val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val prev = lag(col("ts_us"), 1).over(w)
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("ts_us"))
-          .withColumn("brk",
-            when(prev.isNull || col("ts_us") - prev > SessionGapUs, 1)
-              .otherwise(0))
-          .withColumn("session_idx", sum("brk").over(run).cast("long"))
-          .groupBy("user_id", "session_idx")
-          .agg(
-            count(lit(1)).as("n_events"),
-            min("ts_us").as("t_start_us"),
-            max("ts_us").as("t_end_us"),
-            (max("ts_us") - min("ts_us")).as("duration_us"))
+        // of corpus size — the classic sessionize plan. The reusable
+        // parametrized form lives in operators.CurateOps.
+        graft.operators.CurateOps.sessionize(Tables.events(s, d), SessionGapUs)
     }
   )
 }

@@ -436,11 +436,8 @@ object TextAnalysisQueries {
           .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
             size(filter(col("toks"), t => array_contains(stopArr, t)))
               .cast("long").as("nstop"))
-        val reason = when(col("n") < 12, "too_short")
-          .when(col("n") > 90, "too_long")
-          .when(col("topn") * 5 > col("n"), "repetition")
-          .when(col("nstop") < 2, "few_stopwords")
-          .otherwise("ok")
+        val reason = graft.operators.CurateOps.gopherVerdict(
+          minTokens = 12, maxTokens = 90, repDen = 5, minStop = 2)
         m.join(tp, "doc_id")
           .select(col("doc_id"), col("n").as("n_tokens"),
             col("topn").cast("long").as("top_tok_n"), col("nstop").as("n_stop"),
@@ -469,13 +466,9 @@ object TextAnalysisQueries {
         // 100 TB shape: a pure per-row projection — zero shuffles, zero
         // joins, codegen'd end to end (PlanSpec-pinned), so it rides along
         // any scan at IO cost.
-        Tables.cachedTable(s, d, "documents")
-          .select(
-            col("doc_id"), col("lang"),
-            size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
-              .cast("long").as("n_redacted"),
-            regexp_replace(col("text"), ScrubPattern, ScrubMask)
-              .as("clean_text"))
+        graft.operators.CurateOps
+          .scrub(Tables.cachedTable(s, d, "documents"), ScrubPattern, ScrubMask)
+          .select("doc_id", "lang", "n_redacted", "clean_text")
     }
   )
 }
