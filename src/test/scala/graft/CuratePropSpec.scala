@@ -1,0 +1,130 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import graft.operators.CurateOps
+
+/** Property invariants of the parametrized CurateOps forms on generated
+  * inputs (fixed seed) — the query keys pin one fixture binding; these pin
+  * the operators against brute-force reference implementations across
+  * random shapes, gaps, budgets, and band widths.
+  */
+class CuratePropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {
+    var s = rng.Seed(seed)
+    (1 to n).map { _ => val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v }
+  }
+
+  // ---- sessionize ------------------------------------------------------
+
+  private val eventsGen: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 500L)
+    } yield (u, t))
+  } yield rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+
+  test("sessionize matches a brute-force reference on random streams and gaps") {
+    for (((rows, gap), i) <- samples(eventsGen, 10, 7L)
+        .zip(Seq(1L, 5L, 20L, 50L, 100L, 3L, 7L, 30L, 60L, 2L)).zipWithIndex) {
+      val df = rows.toDF("event_id", "user_id", "ts_us")
+      val got = CurateOps.sessionize(df, gap).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("t_start_us"),
+            r.getAs[Long]("t_end_us"), r.getAs[Long]("duration_us"))).toMap
+      // reference: per user, order by (ts, event_id), split after gap
+      val want = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          (acc, e) =>
+            if (e._3 - acc.last.last._3 > gap) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        sessions.zipWithIndex.map { case (ses, k) =>
+          val ts = ses.map(_._3)
+          (u, (k + 1).toLong) ->
+            (ses.size.toLong, ts.min, ts.max, ts.max - ts.min)
+        }
+      }
+      assert(got == want, s"case $i gap=$gap: $got vs $want")
+    }
+  }
+
+  // ---- budgetSelect ----------------------------------------------------
+
+  private val scoredGen: Gen[Seq[(Long, String, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b")
+      score <- Gen.chooseNum(0L, 100L)
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (g, score, w))
+  } yield rows.zipWithIndex.map { case ((g, sc, w), i) => (i.toLong, g, sc, w) }
+
+  test("budgetSelect equals the single-cumsum reference for any band width") {
+    for ((rows, i) <- samples(scoredGen, 8, 13L).zipWithIndex;
+         bandWidth <- Seq(1L, 7L, 50L, 1000L)) {
+      val df = rows.toDF("doc_id", "lang", "score", "n_tokens")
+      val budget = 40L
+      val got = CurateOps.budgetSelect(df, budget, bandWidth).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (-r._3, r._1))
+        ordered.zip(ordered.scanLeft(0L)(_ + _._4).tail)
+          .takeWhile(_._2 <= budget)
+          .map { case (r, cum) => r._1 -> cum }
+      }
+      assert(got == want, s"case $i band=$bandWidth: $got vs $want")
+    }
+  }
+
+  // ---- quantizeStats ---------------------------------------------------
+
+  private val vecGen: Gen[Seq[(Long, Seq[Float])]] = for {
+    n <- Gen.chooseNum(1, 10)
+    vecs <- Gen.listOfN(n, Gen.listOfN(8,
+      Gen.chooseNum(-1000, 1000).map(_ / 250.0f)).suchThat(_.exists(_ != 0f)))
+  } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Float]) }
+
+  test("quantizeStats matches per-element reference codes on random vectors") {
+    for ((vecs, i) <- samples(vecGen, 8, 17L).zipWithIndex) {
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = CurateOps.quantizeStats(df, keep = Seq("vec_id")).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("sum_q"), r.getAs[Long]("sum_q2"), r.getAs[Long]("n_clip"))).toMap
+      for ((id, v) <- vecs) {
+        val d = v.map(_.toDouble)
+        val amax = d.map(math.abs).max
+        val qs = d.map(x => math.floor(x * 127 / amax + 0.5).toLong)
+        assert(got(id) == ((qs.sum, qs.map(q => q * q).sum,
+          qs.count(q => math.abs(q) == 127L).toLong)), s"case $i vec $id")
+      }
+    }
+  }
+
+  // ---- scrub -----------------------------------------------------------
+
+  private val textGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    texts <- Gen.listOfN(n, Gen.chooseNum(0, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("bad", "badge", "ok", "worse", "x", "bad-ish"))
+        .map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("scrub masks exactly the word-bounded matches Java regex finds") {
+    val pattern = "\\b(bad|worse)\\b"
+    for ((texts, i) <- samples(textGen, 8, 19L).zipWithIndex) {
+      val df = texts.toDF("doc_id", "text")
+      val got = CurateOps.scrub(df, pattern, "[X]").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_redacted"), r.getAs[String]("clean_text"))).toMap
+      for ((id, t) <- texts) {
+        val re = pattern.r
+        assert(got(id) == ((re.findAllIn(t).size.toLong,
+          re.replaceAllIn(t, "[X]"))), s"case $i doc $id text='$t'")
+      }
+    }
+  }
+}
