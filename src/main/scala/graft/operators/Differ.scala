@@ -505,4 +505,86 @@ object Differ {
         vcols.map(c => col(s"${opts.rightPrefix}$c").as(c)): _*)
     kept.select((keys ++ vcols).map(col): _*).unionByName(upserts)
   }
+
+  /** Three-way keyed merge (git-style): classify every key of
+    * base/left/right by what each branch did to it and emit the merged row
+    * where the resolution is mechanical.
+    *
+    * Per key, each branch gets a [[diff]] status vs base (N/C/I/D; a key
+    * absent from base AND the branch is N — the other branch introduced
+    * it). The merge verdict is then:
+    *   - `N`  both branches untouched → merged = base values
+    *   - `L`  only left changed       → merged = left values
+    *   - `R`  only right changed      → merged = right values
+    *   - `A`  both changed identically (same status, equal values, or both
+    *          deleted) → merged = left values
+    *   - `X`  both changed, differently (C vs C with unequal values, C vs
+    *          D either way, I vs I with unequal values) → merged = NULL;
+    *          the caller resolves
+    * `merged_deleted` marks keys whose winning operation is a delete (the
+    * merged values are NULL tombstones there, as on `X` rows).
+    *
+    * Shape at scale: two full-outer sort-merge joins on the key — base,
+    * left, and right each shuffle exactly once and the three-way row never
+    * gets wider than keys + 3× the shared value columns. No driver-side
+    * state, no broadcast of anything unbounded; conflicts are emitted, not
+    * collected.
+    */
+  def merge3(base: DataFrame, left: DataFrame, right: DataFrame, keys: Seq[String],
+             opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(left, right, keys, opts)
+      .filter(base.columns.contains)
+    require(keys.forall(base.columns.contains),
+      s"key column(s) ${keys.filterNot(base.columns.contains).mkString(", ")} " +
+        s"absent from base [${base.columns.mkString(", ")}]")
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val BP = "__graft_b_present"
+    val b = base.select((keys ++ vcols).map(col) :+ lit(true).as(BP): _*).alias("b")
+    val l = left.select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(col) :+ lit(true).as(RP): _*).alias("r")
+    val bl = b.join(l, keys.map(k => col(s"b.$k") <=> col(s"l.$k")).reduce(_ && _),
+      "full_outer")
+    val j = bl.join(r,
+      keys.map(k => coalesce(col(s"b.$k"), col(s"l.$k")) <=> col(s"r.$k")).reduce(_ && _),
+      "full_outer")
+
+    def branchStatus(present: String, side: String): Column = {
+      val equalBase = vcols
+        .map(c => colEqual(col(s"b.$c"), col(s"$side.$c"), types(c), opts, c))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(col(BP).isNull && col(present).isNull, lit("N"))
+        .when(col(BP).isNull, lit("I"))
+        .when(col(present).isNull, lit("D"))
+        .when(!equalBase, lit("C"))
+        .otherwise(lit("N"))
+    }
+    val lstat = branchStatus(LP, "l")
+    val rstat = branchStatus(RP, "r")
+    val lrEqual = vcols
+      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val ms = when(lstat === "N" && rstat === "N", lit("N"))
+      .when(rstat === "N", lit("L"))
+      .when(lstat === "N", lit("R"))
+      .when(lstat === rstat && (lstat === "D" || lrEqual), lit("A"))
+      .otherwise(lit("X"))
+    // Delete wins on L/R/A rows exactly when the winning branch dropped the
+    // key; on A rows lstat = D implies rstat = D.
+    val deleted = (ms.isin("L", "A") && lstat === "D") || (ms === "R" && rstat === "D")
+
+    val keyOut = keys.map(k =>
+      coalesce(col(s"b.$k"), col(s"l.$k"), col(s"r.$k")).as(k))
+    // Winning side's values; the branch columns of a deleted key are
+    // already NULL, so tombstones fall out without a special case. X rows
+    // hit no branch and stay NULL.
+    val valOut = vcols.map { c =>
+      when(ms === "N", col(s"b.$c"))
+        .when(ms.isin("L", "A"), col(s"l.$c"))
+        .when(ms === "R", col(s"r.$c"))
+        .as(s"merged_$c")
+    }
+    j.select(keyOut ++ Seq(
+      lstat.as("left_status"), rstat.as("right_status"), ms.as("merge_status"),
+      deleted.as("merged_deleted")) ++ valOut: _*)
+  }
 }

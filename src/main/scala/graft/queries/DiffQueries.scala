@@ -42,6 +42,28 @@ object DiffQueries {
       base.unionByName(inserts)
     }
 
+  /** Second mutated branch for the three-way merge fixture: deletes, two
+    * overlapping change rules (%62 repeats left's *1.1 → agreement; %41
+    * alone applies *0.9 → conflict where left also changed), and inserts at
+    * a key range disjoint from [[right]]'s. Same pure-arithmetic
+    * discipline, so both engines rebuild it bit-identically.
+    */
+  def right2(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/diff_right2") {
+      val o = Tables.table(spark, dir, "orders")
+      val base = o
+        .filter(col("o_orderkey") % 113 =!= 0)
+        .withColumn(
+          "o_totalprice",
+          when(col("o_orderkey") % 62 === 0, col("o_totalprice") * 1.1)
+            .when(col("o_orderkey") % 41 === 0, col("o_totalprice") * 0.9)
+            .otherwise(col("o_totalprice")))
+      val inserts = o
+        .filter(col("o_orderkey") % 79 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      base.unionByName(inserts)
+    }
+
   /** DuckDB mirror of the fixture; prepended to every diff oracle. */
   val Prelude: String =
     """WITH l AS (SELECT * FROM orders),
@@ -415,6 +437,69 @@ object DiffQueries {
             coalesce(col("n_right"), lit(0L)).as("n_right"),
             abs(coalesce(col("n_left"), lit(0L)) / ln -
               coalesce(col("n_right"), lit(0L)) / rn).as("share_delta"))
+    },
+
+    Q("diff_merge3", {
+      def sideSel(alias: String, pfx: String) =
+        valueCols.map(c => s"$alias.$c AS ${pfx}_$c").mkString(", ")
+      def anyDistinctPfx(a: String, b: String) =
+        valueCols.map(c => s"${a}_$c IS DISTINCT FROM ${b}_$c").mkString(" OR ")
+      def statusCase(p: String, pfx: String) =
+        s"""CASE WHEN NOT bp AND NOT $p THEN 'N'
+           |     WHEN NOT bp THEN 'I'
+           |     WHEN NOT $p THEN 'D'
+           |     WHEN ${anyDistinctPfx("b", pfx)} THEN 'C' ELSE 'N' END""".stripMargin
+      val mergedCols = valueCols.map(c =>
+        s"""CASE WHEN merge_status = 'N' THEN b_$c
+           |     WHEN merge_status IN ('L', 'A') THEN l_$c
+           |     WHEN merge_status = 'R' THEN r_$c END AS merged_$c""".stripMargin)
+        .mkString(",\n")
+      s"""$Prelude,
+         |r2 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
+         |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 113 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 79 = 0
+         |),
+         |j AS (
+         |  SELECT COALESCE(b.o_orderkey, lb.o_orderkey, rb.o_orderkey) AS o_orderkey,
+         |         b.o_orderkey IS NOT NULL AS bp,
+         |         lb.o_orderkey IS NOT NULL AS lp,
+         |         rb.o_orderkey IS NOT NULL AS rp,
+         |         ${sideSel("b", "b")}, ${sideSel("lb", "l")}, ${sideSel("rb", "r")}
+         |  FROM l b
+         |  FULL OUTER JOIN r lb ON b.o_orderkey = lb.o_orderkey
+         |  FULL OUTER JOIN r2 rb
+         |    ON COALESCE(b.o_orderkey, lb.o_orderkey) = rb.o_orderkey),
+         |st AS (
+         |  SELECT *, ${statusCase("lp", "l")} AS left_status,
+         |            ${statusCase("rp", "r")} AS right_status
+         |  FROM j),
+         |m AS (
+         |  SELECT *,
+         |    CASE WHEN left_status = 'N' AND right_status = 'N' THEN 'N'
+         |         WHEN right_status = 'N' THEN 'L'
+         |         WHEN left_status = 'N' THEN 'R'
+         |         WHEN left_status = right_status AND (left_status = 'D'
+         |              OR NOT (${anyDistinctPfx("l", "r")})) THEN 'A'
+         |         ELSE 'X' END AS merge_status
+         |  FROM st)
+         |SELECT o_orderkey, left_status, right_status, merge_status,
+         |  (merge_status IN ('L', 'A') AND left_status = 'D')
+         |    OR (merge_status = 'R' AND right_status = 'D') AS merged_deleted,
+         |$mergedCols
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      // Three-way merge: base = orders, branches = the two deterministic
+      // mutations. Exercises every verdict class at sf0.01 (agree-C 237,
+      // conflict C/C 6, D/C 3, C/D 4, agree-D 2 — counted in DuckDB).
+      Differ.merge3(left(s, d), right(s, d), right2(s, d), keys)
     },
 
     // Metadata-level schema comparison — no DuckDB oracle (rows-only check).

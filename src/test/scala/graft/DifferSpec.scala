@@ -280,4 +280,56 @@ class DifferSpec extends SparkTestBase {
       .map(row => row.getString(0) -> row.getLong(1)).toMap
     assert(fromFull == fromSummary)
   }
+
+  test("merge3 classifies every verdict class and resolves the winner") {
+    // base keys 1-8; 9-11 are branch-only inserts.
+    val base = (1L to 8L).map(k => (k, s"b$k")).toDF("k", "s")
+    val l = Seq(
+      1L -> "b1",             // untouched
+      2L -> "L2",             // left-only change          -> L
+      3L -> "b3",             // untouched (right changes) -> R
+      4L -> "same",           // both change identically   -> A
+      // 5 deleted on both                                 -> A + tombstone
+      6L -> "L6",             // both change, differently  -> X
+      7L -> "L7",             // left C, right D           -> X
+      // 8 deleted on left only                            -> L + tombstone
+      9L -> "L9",             // left-only insert          -> L
+      10L -> "same10",        // both insert identically   -> A
+      11L -> "L11"            // both insert, differently  -> X
+    ).toDF("k", "s")
+    val r = Seq(
+      1L -> "b1", 2L -> "b2", 3L -> "R3", 4L -> "same",
+      6L -> "R6",             // conflicts with L6
+      // 7 deleted on right
+      8L -> "b8",
+      10L -> "same10", 11L -> "R11"
+    ).toDF("k", "s")
+    val m = Differ.merge3(base, l, r, keys).collect()
+      .map(row => row.getAs[Long]("k") -> ((row.getAs[String]("merge_status"),
+        row.getAs[Boolean]("merged_deleted"), row.getAs[String]("merged_s")))).toMap
+    assert(m == Map(
+      1L -> (("N", false, "b1")), 2L -> (("L", false, "L2")),
+      3L -> (("R", false, "R3")), 4L -> (("A", false, "same")),
+      5L -> (("A", true, null)), 6L -> (("X", false, null)),
+      7L -> (("X", false, null)), 8L -> (("L", true, null)),
+      9L -> (("L", false, "L9")), 10L -> (("A", false, "same10")),
+      11L -> (("X", false, null))))
+  }
+
+  test("merge3 branch statuses match pairwise diff vs base") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val l = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "s")
+    val r = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
+    val m = Differ.merge3(base, l, r, keys).collect()
+      .map(row => row.getAs[Long]("k") ->
+        ((row.getAs[String]("left_status"), row.getAs[String]("right_status")))).toMap
+    def vsBase(branch: DataFrame): Map[Long, String] =
+      Differ.diff(base, branch, keys).collect()
+        .map(row => row.getAs[Long]("k") -> row.getAs[String]("diff_status")).toMap
+    val dl = vsBase(l); val dr = vsBase(r)
+    m.foreach { case (k, (ls, rs)) =>
+      assert(ls == dl.getOrElse(k, "N"), s"left k=$k")
+      assert(rs == dr.getOrElse(k, "N"), s"right k=$k")
+    }
+  }
 }

@@ -50,6 +50,15 @@ class PlanSpec extends SparkTestBase {
     assert(joins == Seq(FullOuter), joins.toString)
   }
 
+  test("diff_merge3 is exactly two full-outer joins, no cartesian") {
+    val qe = queryNamed(DiffQueries.all, "diff_merge3").queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(FullOuter, FullOuter), joins.toString)
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "merge3 must stay an equi sort-merge chain")
+  }
+
   test("as-of join plan contains no cartesian/broadcast-nested-loop blowup") {
     val plan = physical(RelationalQueries.all, "join_asof")
     assert(!plan.contains("CartesianProduct"), "as-of join must not go cartesian")
