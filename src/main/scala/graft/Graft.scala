@@ -84,6 +84,9 @@ object Graft {
                  textCol: String = "text"): DataFrame =
     TextOps.dedupExact(docs, idCol, textCol)
 
+  def dedupLines(docs: DataFrame, chunkTokens: Int = 3): DataFrame =
+    TextOps.dedupLines(docs, chunkTokens)
+
   def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame =
     TextOps.nearDupPairs(docs, minJaccard)
 

@@ -435,4 +435,50 @@ object TextOps {
         expr("CAST(bit_count(a_simhash ^ b_simhash) AS BIGINT)").as("hamming"))
       .distinct()
   }
+
+  /** Line-level corpus dedup — the C4 "discard every repeated
+    * three-sentence span but its first occurrence" rule (Raffel et al.
+    * 2020 §2.2) with a span = `chunkTokens` consecutive tokens (the
+    * fixture corpus has no sentence boundaries; swap the chunker for a
+    * newline split on corpora that do). Emits every doc with its span
+    * counts and the rebuilt `clean_text`, so the result doubles as a
+    * per-doc loss audit and the cleaned corpus in one pass.
+    *
+    * The survivor of a repeated span is the globally smallest
+    * (doc, pos) occurrence, encoded as one exact BIGINT — `posCap` must
+    * exceed any in-doc span count (ids multiply by it). Determinism:
+    * integers and strings only; reassembly sorts by pos.
+    *
+    * 100 TB shape: one corpus explode, one span-keyed count/min agg
+    * (map-side combinable), one span-keyed equi-join back, one doc-keyed
+    * reassembly agg whose partitions are bounded by a doc's own span
+    * count. At that scale the agg/join key becomes a 128-bit span hash
+    * instead of the string; nothing is driver-side.
+    */
+  def dedupLines(docs: DataFrame, chunkTokens: Int = 3,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 posCap: Long = 1000000L): DataFrame = {
+    val n = chunkTokens
+    val lines = reuse(docs
+      .withColumn("__graft_toks", tokens(col(textCol)))
+      .withColumn("__graft_lines", expr(
+        s"transform(sequence(0, (size(__graft_toks)+${n - 1}) div $n - 1), " +
+          s"i -> array_join(slice(__graft_toks, i*$n+1, $n), ' '))"))
+      .select(col(idCol), posexplode(col("__graft_lines")).as(Seq("pos", "line"))))
+    val occ = col(idCol) * lit(posCap) + col("pos")
+    val g = lines.groupBy("line")
+      .agg(count(lit(1)).as("cnt"), min(occ).as("keeper"))
+    lines.join(g, "line")
+      .withColumn("keep", (col("cnt") === 1 || occ === col("keeper")).cast("long"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum("keep").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep") === 1,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+  }
 }

@@ -350,6 +350,31 @@ object DedupVariantQueries {
         // Embedding-space near-dup: same blocked kernel as
         // sim_join_threshold at a dedup-grade threshold.
         VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = 0.4)
+    },
+
+    Q("dedup_lines",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ln AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(toks[i*3+1 : i*3+3], ' ') AS line
+        |  FROM t, LATERAL unnest(range((len(toks)+2)//3)) AS u(i)),
+        |g AS (SELECT line, count(*) AS cnt,
+        |             min(doc_id*1000000 + pos) AS keeper
+        |      FROM ln GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.pos, l.line,
+        |        CASE WHEN g.cnt = 1 OR l.doc_id*1000000 + l.pos = g.keeper
+        |             THEN 1 ELSE 0 END AS keep
+        |      FROM ln l JOIN g USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+        |                           ' ' ORDER BY pos), '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        // Line-level corpus dedup (C4 span rule, see TextOps.dedupLines):
+        // zero-kept docs get '' in both engines (DuckDB's NULL string_agg
+        // coalesced to match Spark's empty array_join).
+        TextOps.dedupLines(Tables.cachedTable(s, d, "documents"))
     }
   )
 }

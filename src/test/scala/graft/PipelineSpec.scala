@@ -44,6 +44,47 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L))) // 1-3 blocked by lang; 4 dissimilar
   }
 
+  test("dedupLines keeps the first occurrence of a repeated span, rebuilds in order") {
+    // chunk=2: doc 1 = [a b][c d][a b]; doc 2 = [c d][x y]. Repeated spans
+    // "a b" (1@0, 1@2) and "c d" (1@1, 2@0) each keep only the smallest
+    // (doc, pos); unique "x y" survives.
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d x y"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, chunkTokens = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, "a b c d")),
+      2L -> ((2L, 1L, "x y")),
+      3L -> ((1L, 0L, ""))))
+  }
+
+  test("dedupLines: every span survives exactly once across the corpus (sf0.001)") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextOps.dedupLines(docs)
+    // Conservation: kept spans == distinct spans in the corpus.
+    val keptTotal = out.agg(sum("n_kept")).as[Long].collect().head
+    val distinctSpans = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .selectExpr("explode(transform(sequence(0, (size(toks)+2) div 3 - 1), " +
+        "i -> array_join(slice(toks, i*3+1, 3), ' '))) AS line")
+      .distinct().count()
+    assert(keptTotal == distinctSpans)
+    // Each span survives at most once corpus-wide: rechunking the cleaned
+    // texts (kept spans are whole chunks, so boundaries re-align) must
+    // yield no repeated span.
+    val spanDup = out.filter(col("clean_text") =!= "")
+      .select(col("clean_text").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .selectExpr("explode(transform(sequence(0, (size(toks)+2) div 3 - 1), " +
+        "i -> array_join(slice(toks, i*3+1, 3), ' '))) AS line")
+      .groupBy("line").count().filter(col("count") > 1).count()
+    assert(spanDup == 0L)
+  }
+
   test("nearDupPairs prefix filtering is lossless vs brute-force all-pairs (sf0.001)") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "lang", "text")

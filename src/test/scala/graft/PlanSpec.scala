@@ -87,6 +87,19 @@ class PlanSpec extends SparkTestBase {
       "SortedIntersectCount missing from plan")
   }
 
+  test("dedup_lines is one equi-join over the shared span cache, no cartesian") {
+    val qe = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_lines")
+      .queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(Inner), joins.toString)
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "span-count join must stay equi")
+    // Both consumers (count/min agg and the join probe) read the ONE
+    // cached span explode, not two corpus scans.
+    assert(plan.split("InMemoryTableScan").length - 1 >= 2, plan.take(3000))
+  }
+
   test("dedup_simhash's banded scan is pure hash/merge equi-joins on the chunk keys") {
     // The r2 scale-killer was an O(block²) theta-join; the banded rewrite
     // must plan every per-chunk join as an EQUI join (SMJ/BHJ with the
