@@ -469,6 +469,80 @@ object TextAnalysisQueries {
         graft.operators.CurateOps
           .scrub(Tables.cachedTable(s, d, "documents"), ScrubPattern, ScrubMask)
           .select("doc_id", "lang", "n_redacted", "clean_text")
+    },
+
+    Q("text_bm25",
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'spark customer query'), (2, 'vector data'), (3, 'merge sort window')),
+        |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |              unnest(string_split(qtext, ' ')) AS tok FROM q),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+        |term AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(CAST(ln((n_docs - df + 0.5) / (df + 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / total)))
+        |      AS sraw
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) JOIN dl USING (doc_id), sc),
+        |agg AS (SELECT query_id, doc_id, sum(CAST(sraw AS DECIMAL(18,6))) AS score
+        |        FROM term GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(score AS DOUBLE) AS score
+        |FROM r WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        // BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) —
+        // the lexical ranking a curation pipeline uses to pull
+        // domain-targeted documents (and the lexical half of any
+        // hybrid-retrieval fusion). Fixed 3-query fixture; score per
+        // (query, doc) sums idf(t)·tf-saturation(t) over matched terms.
+        // Cross-engine determinism: ln() — the only transcendental — is
+        // quantized per row to DECIMAL(18,6) the moment it is computed;
+        // every other op is an identically-parenthesized IEEE double
+        // product/quotient of exact integers, so the per-term score is
+        // bit-identical, the per-(query,doc) sum is an exact decimal sum,
+        // and ranking ties break on doc_id. 100 TB shape: tf is the SAME
+        // cached (doc, token) agg text_idf/quality_gopher share; dl and
+        // the (n_docs, total) scalar derive off it (no second corpus
+        // pass); df is vocab-sized; the query side broadcasts into the
+        // posting join and top-k is the two-phase bucketed form — no
+        // global sort, no driver-side state.
+        val queries = {
+          import s.implicits._
+          Seq((1L, "spark customer query"), (2L, "vector data"),
+            (3L, "merge sort window")).toDF("query_id", "qtext")
+        }
+        val docs = Tables.cachedTable(s, d, "documents")
+        val tf = Tables.cached(s, s"$d/tfidf-tf") {
+          docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        }
+        val qt = queries.select(col("query_id"),
+          explode(split(col("qtext"), " ")).as("tok"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val sc = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+        val idfQ = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .cast(DecimalType(18, 6)).cast("double")
+        val tfPart = (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            (lit(0.75) * col("dl") * col("n_docs")) / col("total")))
+        val term = broadcast(qt).join(tf, "tok").join(dfq, "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(sc))
+          .select(col("query_id"), col("doc_id"),
+            (idfQ * tfPart).cast(DecimalType(18, 6)).as("s"))
+        val agg = term.groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+        TextOps.topKPerGroup(agg, Seq("query_id"),
+            Seq(col("score").desc, col("doc_id")), k = 5, bucketOn = col("doc_id"))
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score").cast("double").as("score"))
     }
   )
 }

@@ -369,6 +369,14 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj <= 1, s"$bnlj nested-loop joins — a count-table join degenerated")
   }
 
+  test("text_bm25 broadcasts the query side; the corpus scalar is the only nested-loop") {
+    val df = queryNamed(graft.queries.TextAnalysisQueries.all, "text_bm25")
+    val (bhj, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "text_bm25 went cartesian")
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — only the 1-row (n_docs, total) scalar may")
+    assert(bhj >= 1, "the tiny query-terms side must broadcast into the posting join")
+  }
+
   test("events_sessionize windows share one user-hash partitioning (no global window, ≤2 exchanges)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.StreamingQueries.all, "events_sessionize")
