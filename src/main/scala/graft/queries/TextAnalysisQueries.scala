@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -514,35 +515,139 @@ object TextAnalysisQueries {
         // pass); df is vocab-sized; the query side broadcasts into the
         // posting join and top-k is the two-phase bucketed form — no
         // global sort, no driver-side state.
-        val queries = {
-          import s.implicits._
-          Seq((1L, "spark customer query"), (2L, "vector data"),
-            (3L, "merge sort window")).toDF("query_id", "qtext")
-        }
-        val docs = Tables.cachedTable(s, d, "documents")
-        val tf = Tables.cached(s, s"$d/tfidf-tf") {
-          docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        }
-        val qt = queries.select(col("query_id"),
-          explode(split(col("qtext"), " ")).as("tok"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val sc = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
-        val idfQ = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .cast(DecimalType(18, 6)).cast("double")
-        val tfPart = (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) +
-            (lit(0.75) * col("dl") * col("n_docs")) / col("total")))
-        val term = broadcast(qt).join(tf, "tok").join(dfq, "tok").join(dl, "doc_id")
-          .crossJoin(broadcast(sc))
-          .select(col("query_id"), col("doc_id"),
-            (idfQ * tfPart).cast(DecimalType(18, 6)).as("s"))
-        val agg = term.groupBy("query_id", "doc_id").agg(sum("s").as("score"))
-        TextOps.topKPerGroup(agg, Seq("query_id"),
+        TextOps.topKPerGroup(bm25Scores(s, d), Seq("query_id"),
             Seq(col("score").desc, col("doc_id")), k = 5, bucketOn = col("doc_id"))
           .select(col("query_id"), col("rank"), col("doc_id"),
             col("score").cast("double").as("score"))
+    },
+
+    Q("rank_fusion",
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'spark customer query'), (2, 'vector data'), (3, 'merge sort window')),
+        |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |              unnest(string_split(qtext, ' ')) AS tok FROM q),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+        |term AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(CAST(ln((n_docs - df + 0.5) / (df + 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / total)))
+        |      AS sraw
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) JOIN dl USING (doc_id), sc),
+        |bagg AS (SELECT query_id, doc_id, sum(CAST(sraw AS DECIMAL(18,6))) AS score
+        |         FROM term GROUP BY 1, 2),
+        |bt AS (SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id) AS r
+        |       FROM bagg QUALIFY r <= 20),
+        |jm AS (SELECT query_id, tf.doc_id, count(*) AS m
+        |       FROM qt JOIN tf USING (tok) GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, count(*) AS nd FROM tf GROUP BY 1),
+        |nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+        |jt AS (SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY CAST(m AS DOUBLE) / (nq + nd - m) DESC,
+        |                                     doc_id) AS r
+        |       FROM jm JOIN nd USING (doc_id) JOIN nq USING (query_id)
+        |       QUALIFY r <= 20),
+        |u AS (SELECT coalesce(b.query_id, j.query_id) AS query_id,
+        |             coalesce(b.doc_id, j.doc_id) AS doc_id,
+        |             CAST(b.r AS BIGINT) AS bm25_rank, CAST(j.r AS BIGINT) AS jac_rank
+        |      FROM bt b FULL OUTER JOIN jt j
+        |        ON b.query_id = j.query_id AND b.doc_id = j.doc_id),
+        |f AS (SELECT *, coalesce(1000000000000 // (60 + bm25_rank), 0)
+        |              + coalesce(1000000000000 // (60 + jac_rank), 0) AS rrf
+        |      FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM f)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(rrf AS BIGINT) AS rrf, bm25_rank, jac_rank
+        |FROM r WHERE rank <= 10""".stripMargin) {
+      (s, d) =>
+        // Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two
+        // retrieval systems over the same query fixture: BM25 (term
+        // saturation) and query-token Jaccard (set overlap) — the hybrid
+        // merge every lexical+X retrieval stack needs. Each system
+        // contributes floor(1e12 / (60 + rank)) for its top-20; absent
+        // docs contribute 0. Scaled-integer floor division makes the
+        // fused score BIGINT-exact in both engines — no float summation
+        // anywhere. Jaccard's ingredients all derive off the shared tf
+        // cache (m = posting hits, nd = distinct tokens/doc, nq
+        // broadcast); its one double division of exact integers is
+        // IEEE-identical cross-engine, ties on doc_id. 100 TB shape: two
+        // rank lists (each two-phase top-k per query), one
+        // (query, doc)-keyed full-outer join of 20-row-per-query frames,
+        // one more bounded top-k — nothing corpus-sized past the posting
+        // joins.
+        val tf = Tables.cached(s, s"$d/tfidf-tf") {
+          Tables.cachedTable(s, d, "documents")
+            .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        }
+        val qt = queryTerms(s)
+        val bt = TextOps.topKPerGroup(bm25Scores(s, d), Seq("query_id"),
+            Seq(col("score").desc, col("doc_id")), k = 20, bucketOn = col("doc_id"))
+          .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+        val jm = broadcast(qt).join(tf, "tok")
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("m"))
+        val nd = tf.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        val nq = qt.groupBy("query_id").agg(count(lit(1)).as("nq"))
+        val jac = jm.join(nd, "doc_id").join(broadcast(nq), "query_id")
+          .withColumn("jac", col("m").cast("double") / (col("nq") + col("nd") - col("m")))
+        val jt = TextOps.topKPerGroup(jac, Seq("query_id"),
+            Seq(col("jac").desc, col("doc_id")), k = 20, bucketOn = col("doc_id"))
+          .select(col("query_id"), col("doc_id"), col("rank").as("jac_rank"))
+        val u = bt.join(jt, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000000000 div (60 + bm25_rank)"), lit(0L)) +
+              coalesce(expr("1000000000000 div (60 + jac_rank)"), lit(0L)))
+        TextOps.topKPerGroup(u, Seq("query_id"),
+            Seq(col("rrf").desc, col("doc_id")), k = 10, bucketOn = col("doc_id"))
+          .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+            col("bm25_rank"), col("jac_rank"))
     }
   )
+
+  /** The fixed retrieval-query fixture (mirrored verbatim in the oracles'
+    * VALUES lists) and its exploded (query, term) form.
+    */
+  private def queryFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "spark customer query"), (2L, "vector data"),
+      (3L, "merge sort window")).toDF("query_id", "qtext")
+  }
+  private def queryTerms(s: SparkSession): DataFrame =
+    queryFixture(s).select(col("query_id"),
+      explode(split(col("qtext"), " ")).as("tok"))
+
+  /** Per-(query, doc) BM25 scores as exact DECIMAL(28,6) sums — cached so
+    * text_bm25's ranking and rank_fusion's RRF leg share one build. See
+    * text_bm25's Q body for the determinism ladder and scale shape.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    Tables.cached(s, s"$d/bm25-scores") {
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sc = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+      val idfQ = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .cast(DecimalType(18, 6)).cast("double")
+      val tfPart = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          (lit(0.75) * col("dl") * col("n_docs")) / col("total")))
+      broadcast(queryTerms(s)).join(tf, "tok").join(dfq, "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(sc))
+        .select(col("query_id"), col("doc_id"),
+          (idfQ * tfPart).cast(DecimalType(18, 6)).as("s"))
+        .groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+    }
 }

@@ -377,6 +377,19 @@ class PlanSpec extends SparkTestBase {
     assert(bhj >= 1, "the tiny query-terms side must broadcast into the posting join")
   }
 
+  test("rank_fusion: one full-outer merge of the two rank lists, no cartesian, integer rrf") {
+    val df = queryNamed(graft.queries.TextAnalysisQueries.all, "rank_fusion")
+    val outers = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == FullOuter => j
+    }
+    assert(outers.size == 1, s"${outers.size} full-outer joins — expected ONE list merge")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "rank_fusion went cartesian")
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — only the bm25 scalar may")
+    assert(df.schema("rrf").dataType == org.apache.spark.sql.types.LongType,
+      "rrf must stay an exact BIGINT — no float fusion")
+  }
+
   test("events_sessionize windows share one user-hash partitioning (no global window, ≤2 exchanges)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.StreamingQueries.all, "events_sessionize")
