@@ -332,6 +332,49 @@ object StreamingQueries {
         // of corpus size — the classic sessionize plan. The reusable
         // parametrized form lives in operators.CurateOps.
         graft.operators.CurateOps.sessionize(Tables.events(s, d), SessionGapUs)
+    },
+
+    Q("events_attribution",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |t AS (SELECT *,
+        |        max(CASE WHEN event_type IN ('click', 'view')
+        |                 THEN struct_pack(t_us := ts_us, eid := event_id,
+        |                                  et := event_type) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us
+        |                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS lt
+        |      FROM e)
+        |SELECT event_id, user_id, ts_us,
+        |       lt.eid AS touch_event_id, lt.et AS touch_type,
+        |       lt.t_us AS touch_ts_us,
+        |       CAST(CASE WHEN lt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS organic
+        |FROM t WHERE event_type = 'purchase'""".stripMargin) {
+      (s, d) =>
+        // Last-touch attribution: each purchase is credited to the same
+        // user's most recent click/view within a 7-day lookback, else
+        // marked organic — the funnel-adjacent report every event
+        // pipeline ships. The touch is a MAX over a range frame of
+        // (ts_us, event_id, type) structs: the frame bounds the lookback
+        // in exact microseconds and the struct ordering makes same-ts
+        // ties deterministic on event_id. 100 TB shape: one user_id
+        // shuffle + one range-frame window — attribution is per-user
+        // state, so the plan is sessionize-shaped regardless of corpus
+        // size; no self-join of purchases against touches (the naive
+        // as-of formulation), no driver state.
+        val touch = when(col("event_type").isin("click", "view"),
+          struct(col("ts_us").as("t_us"), col("event_id").as("eid"),
+            col("event_type").as("et")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-604800000000L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+          .withColumn("lt", max(touch).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("lt.eid").as("touch_event_id"), col("lt.et").as("touch_type"),
+            col("lt.t_us").as("touch_ts_us"),
+            col("lt").isNull.cast("long").as("organic"))
     }
   )
 }

@@ -271,6 +271,16 @@ class PlanSpec extends SparkTestBase {
       s"fact table got shuffled for a dim join:\n${plan.take(1500)}")
   }
 
+  test("events_attribution is one partitioned range window — no join, no global sort") {
+    val df = queryNamed(graft.queries.StreamingQueries.all, "events_attribution")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "attribution must be window-shaped, not a purchases-vs-touches self-join")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the lookback window lost its user_id partitioning — single-task scan")
+  }
+
   test("stream_join extracts the user equi-key (never a time-theta cartesian)") {
     val plan = physical(graft.queries.StreamingQueries.all, "stream_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
