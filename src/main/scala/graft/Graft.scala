@@ -102,6 +102,9 @@ object Graft {
   def cosineJoin(emb: DataFrame, tau: Double): DataFrame =
     VectorOps.cosineJoinThreshold(emb, tau)
 
+  def knnGraph(emb: DataFrame, k: Int): DataFrame =
+    VectorOps.knnGraph(emb, k)
+
   def embeddingHygiene(emb: DataFrame): DataFrame =
     VectorOps.centroidHygiene(emb)
 

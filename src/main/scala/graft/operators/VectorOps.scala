@@ -70,6 +70,36 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Directed k-NN graph: each vector's `k` nearest in-block neighbors by
+    * cosine — the SemDeDup / diversity-sampling / graph-clustering
+    * substrate. Blocked on `blockCol` like [[cosineJoinThreshold]] (at
+    * 100 TB the block is an IVF cell assignment, making this the classic
+    * cell-local kNN-graph build; candidate fan-in is bounded by the
+    * largest block, never corpus²). Ranking follows the house ANN rule:
+    * cosine rounded to 5 dp BEFORE ranking so both engines order identical
+    * values, ties on the neighbor id; top-k per source is the two-phase
+    * bucketed form (no per-source funnel task).
+    */
+  def knnGraph(emb: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               blockCol: String = "label"): DataFrame = {
+    val e = emb.select(col(idCol), col(blockCol), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(normSqF(col("v"))))
+    val a = e.select(
+      col(idCol).as("src"), col(blockCol).as("block_a"),
+      col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = e.select(
+      col(idCol).as("dst"), col(blockCol).as("block_b"),
+      col("v").as("vb"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, col("block_a") === col("block_b") && col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 5))
+    TextOps.topKPerGroup(pairs, Seq("src"),
+        Seq(col("cos_sim").desc, col("dst")), k, bucketOn = col("dst"))
+      .select(col("src"), col("rank"), col("dst"),
+        col("block_a").as("label"), col("cos_sim"))
+  }
+
   /** All pairs with cosine >= tau, blocked on `blockCol` (e.g. a cluster /
     * label / coarse-quantizer id) so candidate generation is bounded by the
     * largest block, never the full cross product. Exact within blocks — the

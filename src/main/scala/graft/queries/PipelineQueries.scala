@@ -140,6 +140,25 @@ object PipelineQueries {
         VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = CosTau)
     },
 
+    Q("sim_knn_graph",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+        |        round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                   ORDER BY cos_sim DESC, dst) AS rank
+        |      FROM p)
+        |SELECT src, CAST(rank AS BIGINT) AS rank, dst, label, cos_sim
+        |FROM r WHERE rank <= 3""".stripMargin) {
+      (s, d) =>
+        // Directed k-NN graph (k=3), the SemDeDup/diversity-sampling/
+        // graph-clustering substrate: every vector's nearest in-block
+        // neighbors. See VectorOps.knnGraph for the blocked build and the
+        // rounded-cosine ranking rule; at 100 TB the block is an IVF cell
+        // and this is the cell-local kNN-graph construction.
+        VectorOps.knnGraph(Tables.cachedTable(s, d, "embeddings"), k = 3)
+    },
+
     Q("split_assign",
       """WITH h AS (
         |  SELECT doc_id, lang,

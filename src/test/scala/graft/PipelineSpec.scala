@@ -231,6 +231,23 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("knnGraph: k in-block neighbors per source, never self, ranks contiguous") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.1f), 0), (3L, Seq(0f, 1f), 0),
+      (4L, Seq(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val g = VectorOps.knnGraph(emb, k = 2).collect()
+    // block 1 has a single vector: no neighbors, no self-edge.
+    assert(!g.exists(r => r.getAs[Long]("src") == 4L || r.getAs[Long]("dst") == 4L))
+    assert(g.forall(r => r.getAs[Long]("src") != r.getAs[Long]("dst")))
+    // block 0: each of the 3 sources gets exactly 2 neighbors, ranks 1..2.
+    val byCount = g.groupBy(_.getAs[Long]("src"))
+      .view.mapValues(_.map(_.getAs[Long]("rank")).sorted.toSeq)
+    assert(byCount.toMap == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L), 3L -> Seq(1L, 2L)))
+    // nearest of 1 is 2 (cos .995), not the orthogonal 3.
+    val n1 = g.find(r => r.getAs[Long]("src") == 1L && r.getAs[Long]("rank") == 1L).get
+    assert(n1.getAs[Long]("dst") == 2L)
+  }
+
   test("cosineJoinThreshold respects block boundaries and tau") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 0),

@@ -66,7 +66,7 @@ class PlanSpec extends SparkTestBase {
 
   test("similarity joins never go cartesian and keep the native kernels codegen'd") {
     val pipeline = graft.queries.PipelineQueries.all ++ graft.queries.DedupVariantQueries.all
-    for (name <- Seq("sim_join_threshold", "dedup_minhash_lsh",
+    for (name <- Seq("sim_join_threshold", "sim_knn_graph", "dedup_minhash_lsh",
                      "dedup_simhash", "dedup_ngram")) {
       val plan = physical(pipeline, name)
       assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
