@@ -610,6 +610,94 @@ object TextAnalysisQueries {
             Seq(col("rrf").desc, col("doc_id")), k = 10, bucketOn = col("doc_id"))
           .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
             col("bm25_rank"), col("jac_rank"))
+    },
+
+    Q("dsir_importance",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM occ),
+        |tl AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |tocc AS (SELECT o.* FROM o JOIN tl USING (doc_id)),
+        |c2r AS (SELECT bg, count(*) AS n2r FROM o GROUP BY 1),
+        |c1r AS (SELECT w1, count(*) AS n1r FROM o GROUP BY 1),
+        |c2t AS (SELECT bg, count(*) AS n2t FROM tocc GROUP BY 1),
+        |c1t AS (SELECT w1, count(*) AS n1t FROM tocc GROUP BY 1),
+        |v AS (SELECT
+        |        (SELECT count(DISTINCT tok)
+        |         FROM (SELECT unnest(toks) AS tok FROM t)) AS vocab_r,
+        |        (SELECT count(DISTINCT tok)
+        |         FROM (SELECT unnest(toks) AS tok FROM t JOIN tl USING (doc_id)))
+        |          AS vocab_t),
+        |lr AS (SELECT o.doc_id,
+        |         CAST(ln((coalesce(n2t, 0) + 1.0) / (coalesce(n1t, 0) + vocab_t))
+        |              AS DECIMAL(18,6))
+        |       - CAST(ln((n2r + 1.0) / (n1r + vocab_r)) AS DECIMAL(18,6)) AS lr
+        |       FROM o JOIN c2r USING (bg) JOIN c1r USING (w1)
+        |         LEFT JOIN c2t USING (bg) LEFT JOIN c1t USING (w1), v),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(lr) AS DOUBLE) / count(*) AS avg_logratio
+        |       FROM lr GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |       sc.avg_logratio,
+        |       CAST(CASE WHEN sc.avg_logratio >= 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        // DSIR importance weights (Xie et al. 2023): per-doc average
+        // log-ratio of a TARGET-domain bigram LM (here: the en subset
+        // standing in for "high-quality target distribution") against the
+        // raw-corpus LM, both add-one smoothed with their own vocab — the
+        // hashed-ngram importance-resampling selector that picks
+        // target-like documents out of a web crawl. keep = ratio >= 0
+        // (more target-like than corpus-average). Determinism: the
+        // quality_perplexity ladder twice — each ln is one IEEE division
+        // of exact counts quantized per ROW to DECIMAL(18,6); the
+        // log-ratio is an exact decimal difference, the per-doc sum an
+        // exact decimal sum, the avg ONE division. 100 TB shape: the
+        // occurrence frame is the SAME cached bigram explode
+        // text_ngram_lm/quality_perplexity share; all four count tables
+        // are vocab-sized map-side partial aggs (target counts off the
+        // filtered occurrences — the corpus is never re-scanned); the
+        // scalar vocab pair broadcasts.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val occ = Tables.cached(s, s"$d/bigram-occ") {
+          t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+        }
+        val target = docs.filter(col("lang") === "en").select("doc_id")
+        val tocc = occ.join(target, "doc_id")
+        val c2r = occ.groupBy("bg").agg(count(lit(1)).as("n2r"))
+        val c1r = occ.groupBy("w1").agg(count(lit(1)).as("n1r"))
+        val c2t = tocc.groupBy("bg").agg(count(lit(1)).as("n2t"))
+        val c1t = tocc.groupBy("w1").agg(count(lit(1)).as("n1t"))
+        val vr = t.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_r"))
+        val vt = t.join(target, "doc_id").select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_t"))
+        val lr = occ
+          .join(c2r, "bg").join(c1r, "w1")
+          .join(c2t, Seq("bg"), "left").join(c1t, Seq("w1"), "left")
+          .crossJoin(broadcast(vr.crossJoin(vt)))
+          .withColumn("lr",
+            log((coalesce(col("n2t"), lit(0L)) + lit(1.0)) /
+                (coalesce(col("n1t"), lit(0L)) + col("vocab_t")))
+              .cast(DecimalType(18, 6))
+            - log((col("n2r") + lit(1.0)) / (col("n1r") + col("vocab_r")))
+              .cast(DecimalType(18, 6)))
+        val perDoc = lr.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("lr")).cast("double") / count(lit(1))).as("avg_logratio"))
+        docs.select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            col("avg_logratio"),
+            when(col("avg_logratio") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
     }
   )
 

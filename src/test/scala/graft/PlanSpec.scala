@@ -400,6 +400,13 @@ class PlanSpec extends SparkTestBase {
       "rrf must stay an exact BIGINT — no float fusion")
   }
 
+  test("dsir_importance: count-table joins stay equi; only the vocab scalars nest-loop") {
+    val df = queryNamed(graft.queries.TextAnalysisQueries.all, "dsir_importance")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "dsir_importance went cartesian")
+    assert(bnlj <= 2, s"$bnlj nested-loop joins — only the 1-row vocab pair may")
+  }
+
   test("events_sessionize windows share one user-hash partitioning (no global window, ≤2 exchanges)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.StreamingQueries.all, "events_sessionize")
