@@ -191,6 +191,21 @@ object AggWindowQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_n_cust"))
     },
 
+    // Mergeable quantile sketch (Greenwald-Khanna / percentile_approx) —
+    // the OTHER sketch a 100 TB profiler needs beside HLL: exact
+    // percentiles need a full sort per group, the sketch is one partial
+    // agg with bounded state. Estimate-valued like agg_approx_distinct →
+    // no cross-engine oracle; ApproxPercentileSpec pins the rank-error
+    // bound against the exact quantile and run-to-run determinism.
+    Q.noOracle("agg_approx_percentile") { (s, d) =>
+      Tables.cachedTable(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("approx_p50_p95"),
+          count(lit(1)).as("n"))
+    },
+
     Q("agg_rollup",
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
