@@ -119,6 +119,9 @@ object Graft {
     TextOps.winnowFingerprints(docs, k, w)
 
   /** Collapse near-dup pairs into clusters: (id, cluster=min reachable id). */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame =
+    graft.operators.GraphOps.pageRank(vertices, edges, iters)
+
   def dedupClusters(vertices: DataFrame, pairs: DataFrame): DataFrame =
     GraphOps.connectedComponents(vertices, pairs)
 

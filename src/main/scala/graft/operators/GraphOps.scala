@@ -120,4 +120,61 @@ object GraphOps {
         s"component diameter exceeds 2^$maxIter — raise maxIter")
     labels
   }
+
+  /** Fixed-iteration PageRank — the centrality/quality signal web-crawl
+    * curation pipelines attach to documents (CommonCrawl publishes exactly
+    * this per host); over a kNN similarity graph it scores how "central" a
+    * document is in embedding space.
+    *
+    * pr₀ = 1/N; prᵢ₊₁(v) = teleport/N + damping·Σ_{(u,v)∈E} prᵢ(u)/outdeg(u).
+    * Dangling mass (nodes with no out-edges) is dropped, the standard
+    * simplification — totals then sum to < 1, which is fine for a relative
+    * quality signal. Fixed `iters` (no convergence probe) keeps the whole
+    * computation one declarative plan AND lets a SQL oracle replay it as
+    * unrolled CTEs.
+    *
+    * Cross-engine determinism: every per-edge contribution pr(u)/outdeg(u)
+    * is ONE IEEE division of a bit-identical double by an exact integer,
+    * then quantized to a scaled BIGINT — floor(x·1e12) — BEFORE the
+    * per-target sum (order-free exact integer sum). floor, NOT a decimal
+    * cast: Spark casts double→DECIMAL through the value's SHORTEST string
+    * repr (BigDecimal(Double.toString)) while DuckDB rounds the exact
+    * binary expansion, and at a 1e-12 quantum with ÷3 repeating digits
+    * the two disagree ~0.2% of the time (measured: 15 of 7500
+    * quantizations, each off by one decimal ulp). floor of an identical
+    * double is identical everywhere. The update is then two IEEE ops on
+    * identically-parsed literals. `damping` and `teleport` are separate
+    * args because `1 - 0.85` is NOT double 0.15 in either engine's
+    * literal arithmetic — callers pass both, pre-parsed.
+    *
+    * Scale shape per iteration: one src-keyed equi-join of the (static)
+    * out-degree-annotated edges against the node-sized pr frame, one
+    * dst-keyed partial-agg sum, one left join back to the vertex set —
+    * O(E) + O(V) shuffle, the classic distributed PR round. At many
+    * iterations or real scale, checkpoint pr every few rounds (cf.
+    * [[connectedComponents]]); at fixed depth 5 the lineage stays bounded.
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(math.abs(damping + teleport - 1.0) < 1e-9,
+      s"damping ($damping) + teleport ($teleport) must sum to 1")
+    val n = vertices.agg(count(lit(1)).as("nn"))
+    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val eo = edges.select(col("src"), col("dst")).join(od, "src")
+    var pr = vertices.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("nn")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = eo.join(pr, eo("src") === pr("id"))
+        .select(col("dst"),
+          floor(col("pr") / col("od") * lit(1000000000000.0)).as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      pr = vertices.crossJoin(broadcast(n))
+        .join(contrib, vertices("id") === contrib("dst"), "left")
+        .select(vertices("id"),
+          (lit(teleport) / col("nn") +
+            lit(damping) * (coalesce(col("sc"), lit(0L)) / lit(1000000000000.0)))
+            .as("pr"))
+    }
+    pr.select(col("id"), col("pr").as("pagerank"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{GraphOps, TextOps, VectorOps}
 
 /** §2.C LLM-data-pipeline extensions: dedup (exact + near), similarity
   * search/join over embeddings, text analysis, multimodal-column hygiene.
@@ -36,6 +36,14 @@ object PipelineQueries {
 
   /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
   private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
+
+  /** The k=3 in-block kNN graph, cached per dir: sim_knn_graph declares it
+    * and graph_pagerank consumes its (src, dst) edge set — one build.
+    */
+  private def knn3(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/knn3") {
+      VectorOps.knnGraph(Tables.cachedTable(s, d, "embeddings"), k = 3)
+    }
 
   /** The text near-dup pair list (Jaccard ≥ [[NearDupTau]]), built ONCE per
     * (session, dir) and cached: the pair REPORT (dedup_near) and the
@@ -155,8 +163,54 @@ object PipelineQueries {
         // graph-clustering substrate: every vector's nearest in-block
         // neighbors. See VectorOps.knnGraph for the blocked build and the
         // rounded-cosine ranking rule; at 100 TB the block is an IVF cell
-        // and this is the cell-local kNN-graph construction.
-        VectorOps.knnGraph(Tables.cachedTable(s, d, "embeddings"), k = 3)
+        // and this is the cell-local kNN-graph construction. Cached: the
+        // edge set doubles as graph_pagerank's input.
+        knn3(s, d)
+    },
+
+    Q("graph_pagerank", {
+      def it(i: Int, prev: String) =
+        s"""it$i AS (
+           |  SELECT v.vec_id, 0.15 / nn + 0.85 *
+           |         (coalesce(sum(CAST(floor(p.pr / p.od * 1000000000000.0)
+           |                            AS BIGINT)), 0) / 1000000000000.0) AS pr
+           |  FROM nodes v CROSS JOIN n
+           |  LEFT JOIN (SELECT e.dst, q.pr, o.od
+           |             FROM e JOIN $prev q ON e.src = q.vec_id
+           |                    JOIN od o ON o.src = e.src) p
+           |    ON p.dst = v.vec_id
+           |  GROUP BY v.vec_id, nn)"""
+      val its = (1 to 5).map(i => it(i, if (i == 1) "pr0" else s"it${i - 1}"))
+        .mkString(",\n")
+      s"""WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+         |       FROM eemb a JOIN eemb b
+         |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+         |                                    ORDER BY cos_sim DESC, dst) AS rank
+         |       FROM pp),
+         |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |n AS (SELECT count(*) AS nn FROM nodes),
+         |pr0 AS (SELECT vec_id, 1.0 / nn AS pr FROM nodes CROSS JOIN n),
+         |$its
+         |SELECT vec_id, pr AS pagerank FROM it5""".stripMargin
+    }) { (s, d) =>
+      // PageRank (5 fixed iterations, d=0.85) over the kNN similarity
+      // graph — the centrality/quality signal crawl curation attaches to
+      // documents (CommonCrawl publishes per-host PageRank; here it scores
+      // embedding-space centrality for diversity-aware selection). Edge
+      // set = the SAME cached kNN build sim_knn_graph declares. See
+      // GraphOps.pageRank for the decimal-quantized contribution ladder
+      // and the per-iteration O(E)+O(V) shuffle shape; fixed depth keeps
+      // the whole thing one declarative plan AND lets the oracle replay
+      // it as unrolled CTEs.
+      GraphOps.pageRank(
+        Tables.cachedTable(s, d, "embeddings").select(col("vec_id").as("id")),
+        knn3(s, d).select("src", "dst"), iters = 5)
+        .select(col("id").as("vec_id"), col("pagerank"))
     },
 
     Q("split_assign",

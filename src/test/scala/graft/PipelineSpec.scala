@@ -126,6 +126,27 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.nonEmpty, "degenerate corpus: brute force found no pairs")
   }
 
+  test("pageRank: sinks get teleport floor, hubs accumulate, mass bounded") {
+    import graft.operators.GraphOps
+    // star: 1,2,3 all point at 4; 4 points at 1. 5 is isolated (no edges).
+    val vertices = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(vertices, edges, iters = 5).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    val floor = 0.15 / 5
+    // isolated node and the never-pointed-at spokes sit exactly at the floor
+    assert(pr(5L) == floor && pr(2L) == floor && pr(3L) == floor)
+    // the hub collects from 3 spokes + the cycle: strictly the largest
+    assert(pr(4L) > pr(1L) && pr(1L) > pr(2L))
+    // dropped dangling mass (node 5 has no out-edges) keeps total < 1
+    val total = pr.values.sum
+    assert(total > 0.5 && total <= 1.0 + 1e-9, s"total=$total")
+    // deterministic across runs
+    val again = GraphOps.pageRank(vertices, edges, iters = 5).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    assert(pr == again)
+  }
+
   test("connectedComponents: chain needs multiple rounds, isolates self-label") {
     import graft.operators.GraphOps
     // chain 10-11-...-19 (diameter 9), a triangle, and isolated vertices

@@ -87,6 +87,14 @@ class PlanSpec extends SparkTestBase {
       "SortedIntersectCount missing from plan")
   }
 
+  test("graph_pagerank: per-iteration joins stay equi; only the N scalar nest-loops") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "graph_pagerank")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "graph_pagerank went cartesian")
+    // one broadcast of the 1-row N scalar per iteration + the seed
+    assert(bnlj <= 6, s"$bnlj nested-loop joins — an edge/pr join degenerated")
+  }
+
   test("dedup_lines is one equi-join over the shared span cache, no cartesian") {
     val qe = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_lines")
       .queryExecution
