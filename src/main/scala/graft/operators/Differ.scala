@@ -506,6 +506,27 @@ object Differ {
     kept.select((keys ++ vcols).map(col): _*).unionByName(upserts)
   }
 
+  /** Diff across a column rename (schema evolution): `columnMap` maps LEFT
+    * column names to their RIGHT-side names (keys included — pass the key
+    * list in left terms). The right side is renamed back to left names up
+    * front, so every diff flavor downstream sees one vocabulary and the
+    * output reports left names. A mapped-from right column must exist;
+    * unmapped columns pair up by identical name as usual. Pure projection
+    * on the right side — no extra shuffle, same single full-outer join.
+    */
+  def diffMapped(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 columnMap: Map[String, String],
+                 opts: DiffOptions = DiffOptions()): DataFrame = {
+    val missing = columnMap.values.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"columnMap target(s) ${missing.mkString(", ")} absent from right " +
+        s"[${right.columns.mkString(", ")}]")
+    val inv = columnMap.map(_.swap)
+    val renamed = right.select(
+      right.columns.toSeq.map(c => col(c).as(inv.getOrElse(c, c))): _*)
+    diff(left, renamed, keys, opts)
+  }
+
   /** Three-way keyed merge (git-style): classify every key of
     * base/left/right by what each branch did to it and emit the merged row
     * where the resolution is mechanical.

@@ -114,6 +114,30 @@ object DiffQueries {
       (s, d) => Differ.summary(left(s, d), right(s, d), keys)
     },
 
+    Q("diff_mapped_cols",
+      s"""$Prelude
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN r.o_orderkey IS NULL THEN 'D'
+         |            WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       COUNT(*) AS n
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        // Schema-evolution diff: the right snapshot renamed its key AND a
+        // value column (the daily reality of evolving tables); columnMap
+        // rebinds right names to left's vocabulary BEFORE the diff, so the
+        // classification — and the oracle — are identical to the plain
+        // summary. Rename is a pure projection: same single full-outer
+        // join, no extra shuffle.
+        val evolved = right(s, d)
+          .withColumnRenamed("o_orderkey", "order_id")
+          .withColumnRenamed("o_totalprice", "price_v2")
+        Differ.diffMapped(left(s, d), evolved, keys,
+            Map("o_orderkey" -> "order_id", "o_totalprice" -> "price_v2"))
+          .groupBy(col("diff_status")).agg(count(lit(1)).as("n"))
+    },
+
     Q("diff_only_in_left",
       s"""$Prelude
          |SELECT * FROM l

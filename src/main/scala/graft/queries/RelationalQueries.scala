@@ -74,6 +74,23 @@ object RelationalQueries {
       s.read.schema(src.schema).orc(path)
     },
 
+    Q("scan_text_roundtrip",
+      "SELECT doc_id, text FROM documents") { (s, d) =>
+      // Plain-text source coverage (spark.read.text — the raw-corpus
+      // ingest format every crawl pipeline starts from), same lossless
+      // round-trip discipline: each line is "<doc_id>\t<text>" (the corpus
+      // has no tabs/newlines), parsed back with one split at the FIRST
+      // tab. Oracle reads the parquet values, so any escaping or
+      // line-splitting loss fails the hash.
+      val src = Tables.cachedTable(s, d, "documents").select("doc_id", "text")
+      val path = s"$roundtripRoot/text/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path).select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+    },
+
     Q("project_filter",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>

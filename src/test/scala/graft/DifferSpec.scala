@@ -281,6 +281,18 @@ class DifferSpec extends SparkTestBase {
     assert(fromFull == fromSummary)
   }
 
+  test("diffMapped diffs across renamed key/value columns; fails fast on a bad map") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val r = Seq((1L, "a"), (2L, "X"), (3L, "c")).toDF("key_v2", "s_v2")
+    val d = Differ.diffMapped(l, r, keys, Map("k" -> "key_v2", "s" -> "s_v2"))
+    assert(statusCounts(d) == Map("N" -> 1L, "C" -> 1L, "I" -> 1L))
+    // output speaks LEFT vocabulary
+    assert(d.columns.contains("k") && d.columns.contains("left_s"))
+    val e = intercept[IllegalArgumentException](
+      Differ.diffMapped(l, r, keys, Map("k" -> "nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("merge3 classifies every verdict class and resolves the winner") {
     // base keys 1-8; 9-11 are branch-only inserts.
     val base = (1L to 8L).map(k => (k, s"b$k")).toDF("k", "s")
