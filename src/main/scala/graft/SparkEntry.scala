@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.DedupVariantQueries.all ++
       graft.queries.TextAnalysisQueries.all ++
       graft.queries.StreamingQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.FunnelQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
