@@ -96,6 +96,12 @@ object Graft {
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
     TextOps.simHashPairs(docs, maxHamming)
 
+  /** Asymmetric containment pairs (|A∩B| / min|A|,|B| >= tau) — the
+    * quote/subset detector Jaccard misses. See TextOps.containmentPairs.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame =
+    TextOps.containmentPairs(docs, minContainment)
+
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame =
     VectorOps.topKByCosine(emb, probeId, k)
 

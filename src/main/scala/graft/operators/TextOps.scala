@@ -230,6 +230,79 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) >= tau — the
+    * asymmetric quote/subset detector Jaccard misses (a short doc fully
+    * embedded in a long one has high containment but low Jaccard, since the
+    * union is dominated by the long side).
+    *
+    * Same rarest-first prefix-filter discipline as [[nearDupPairs]], with
+    * the containment-specific twist: the smaller side's prefix must hit the
+    * LARGER side's FULL set (the length-ratio prune is invalid here — a
+    * 10-shingle quote inside a 500-shingle doc is exactly the pair we
+    * want). Losslessness: wlog |A| <= |B| and C >= tau; if none of A's
+    * (|A| - ceil(tau·|A|) + 1) rarest shingles were in B, the intersection
+    * would fit inside A's remaining ceil(tau·|A|) - 1 shingles < tau·|A| —
+    * contradiction. Candidates are therefore prefix(X) × full-postings(Y)
+    * over the block, both directions, canonicalized; the full-postings side
+    * only materializes postings for shingles that occur in SOME prefix, and
+    * prefixes are rarest-first, so frequent shingles never key the join.
+    * Exact verify via the native sorted merge, as everywhere.
+    *
+    * Shuffle budget: 1 shingle agg + 1 (block, shingle) prefix×postings
+    * join + 1 pair distinct + 2 id-equi fetch joins — the [[nearDupPairs]]
+    * budget with the posting side swapped in for one prefix side.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       blockCols: Seq[String] = Seq("lang"),
+                       tokenizer: Column => Column = tokenSet): DataFrame = {
+    // Base build mirrors nearDupPairs (see the comments there for why the
+    // aggregation-not-projection shape and the lpad(freq)||token global
+    // order matter); prefix length n - ceil(tau·n) + 1 is the same bound
+    // because both thresholds lower-bound the intersection by tau·|A|.
+    val tok = docs.select((col(idCol) +: blockCols.map(col)) :+
+      explode(array_distinct(tokenizer(col(textCol)))).as("token"): _*)
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("tok_df"))
+    val okey = concat(lpad(col("tok_df").cast("string"), 10, "0"), col("token"))
+    val base = reuse(tok.join(freq, "token")
+      .groupBy(col(idCol) +: blockCols.map(col): _*)
+      .agg(
+        sort_array(collect_list(col("token"))).as("s"),
+        sort_array(collect_list(struct(okey.as("k"), col("token").as("t"))))
+          .as("ranked"))
+      .withColumn("n", size(col("s")))
+      .withColumn("prefix", transform(
+        slice(col("ranked"), lit(1),
+          (col("n") - ceil(lit(minContainment) * col("n")) + 1).cast("int")),
+        x => x.getField("t")))
+      .drop("ranked"))
+    val prefixSide = base.select(
+      (Seq(col(idCol).as("p_id"), explode(col("prefix")).as("token")) ++
+        blockCols.map(c => col(c).as(s"p_$c"))): _*)
+    val postingSide = base.select(
+      (Seq(col(idCol).as("f_id"), explode(col("s")).as("token")) ++
+        blockCols.map(c => col(c).as(s"f_$c"))): _*)
+    val joinCond = (blockCols.map(c => col(s"p_$c") === col(s"f_$c")) :+
+      (col("p_id") =!= col("f_id"))).reduce(_ && _)
+    val candidates = prefixSide.join(postingSide, Seq("token"), "inner")
+      .filter(joinCond)
+      .select(least(col("p_id"), col("f_id")).as("doc_a"),
+        greatest(col("p_id"), col("f_id")).as("doc_b"))
+      .distinct()
+    val sa = base.select(col(idCol).as("doc_a"), col("s").as("a_s"), col("n").as("a_n"))
+    val sb = base.select(col(idCol).as("doc_b"), col("s").as("b_s"), col("n").as("b_n"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn(
+        "inter",
+        ColumnBridge.column(graft.functions.SortedIntersectCount(
+          ColumnBridge.expression(col("a_s")), ColumnBridge.expression(col("b_s")))))
+      .withColumn(
+        "containment",
+        col("inter").cast("double") / least(col("a_n"), col("b_n")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** MinHash-LSH near-dup pairs — the tunable-recall scale path. Each band
     * key is a salted MinHash: `min over tokens of sha256(salt || token)`
     * (a cryptographic hash as the permutation; lexicographic min of hex

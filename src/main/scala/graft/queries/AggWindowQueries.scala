@@ -367,6 +367,96 @@ object AggWindowQueries {
         .select(
           col("o_custkey"), col("o_orderkey"), col("od_us"),
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("rev_30d"))
+    },
+
+    // Market-basket co-occurrence with lift — the association signal
+    // behind "docs from these two domains co-occur in training batches" /
+    // recommendation-style curation. Pair generation is the per-order
+    // self-join of the DISTINCT (order, part) frame: cost is Σ k² over
+    // order sizes (k ≈ 4 here), never corpus² — the canonical distributed
+    // co-occurrence shape. Lift kept integer-exact at micro scale:
+    // lift = P(a∧b)/(P(a)·P(b)) = n_pair·N / (n_a·n_b), truncating BIGINT
+    // division after scaling by 1e6. Top-100 by the (n_pair, p1, p2)
+    // total order so the LIMIT is deterministic; at 100 TB this final
+    // top-k is TakeOrderedAndProject over the pair-agg output.
+    Q("cooccur_lift",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM li),
+        |pf AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+        |       FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2)
+        |SELECT p1, p2, n_pair, f1.n_part AS n_p1, f2.n_part AS n_p2,
+        |       (n_pair * n_total * 1000000) // (f1.n_part * f2.n_part) AS lift_micro
+        |FROM pr JOIN pf f1 ON f1.l_partkey = p1
+        |        JOIN pf f2 ON f2.l_partkey = p2
+        |        CROSS JOIN tot
+        |ORDER BY n_pair DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.cachedTable(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val tot = li.agg(countDistinct("l_orderkey").as("n_total"))
+      val pf = li.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_pair"))
+        .join(pf.select(col("l_partkey").as("p1"), col("n_part").as("n_p1")), "p1")
+        .join(pf.select(col("l_partkey").as("p2"), col("n_part").as("n_p2")), "p2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_micro",
+          expr("(n_pair * n_total * 1000000L) div (n_p1 * n_p2)"))
+        .select("p1", "p2", "n_pair", "n_p1", "n_p2", "lift_micro")
+        .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+        .limit(100)
+    },
+
+    // Robust outlier census: median/MAD per order-priority — the gate that
+    // survives heavy-tailed value columns where the σ-rule (quality_
+    // outliers) is dragged by the outliers themselves. Exactness ladder:
+    // prices → floor(·100) cents (BIGINT; floor of an IEEE product is
+    // bit-identical everywhere), exact interpolated median of INTEGERS is
+    // a multiple of 0.5 with both engines using lower + (upper−lower)·frac
+    // (exact doubles < 2^53 — Spark percentile ≡ DuckDB quantile_cont),
+    // deviations ×2 back to BIGINT, second median likewise; the 3σ-
+    // equivalent gate |x−med| > 3·1.4826·MAD compares dev2·10000 against
+    // 44478·mad2 — integer-valued doubles, no rounding anywhere. Shape:
+    // two group-sized agg→join rounds (stats frames broadcast at scale),
+    // per-row flag, one final rollup — the same two-scan budget as
+    // quality_outliers.
+    Q("anomaly_mad",
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |m AS (SELECT prio, quantile_cont(cents, 0.5) AS med FROM o GROUP BY 1),
+        |r AS (SELECT o.prio, cents, med,
+        |             CAST(abs(cents - med) * 2 AS BIGINT) AS dev2
+        |      FROM o JOIN m USING (prio)),
+        |m2 AS (SELECT prio, quantile_cont(dev2, 0.5) AS mad2 FROM r GROUP BY 1)
+        |SELECT r.prio AS o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(min(med * 2) AS BIGINT) AS med_x2,
+        |       CAST(min(mad2 * 2) AS BIGINT) AS mad2_x2,
+        |       CAST(sum(CASE WHEN dev2 * 10000 > CAST(44478 * mad2 AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM r JOIN m2 USING (prio)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      val m = o.groupBy("prio").agg(expr("percentile(cents, 0.5)").as("med"))
+      val r = o.join(m, "prio")
+        .withColumn("dev2", (abs(col("cents") - col("med")) * 2).cast("long"))
+      val m2 = r.groupBy("prio").agg(expr("percentile(dev2, 0.5)").as("mad2"))
+      r.join(m2, "prio")
+        .groupBy("prio")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("med") * 2).cast("long").as("med_x2"),
+          min(col("mad2") * 2).cast("long").as("mad2_x2"),
+          sum(when(col("dev2") * 10000 > (lit(44478) * col("mad2")).cast("long"), 1)
+            .otherwise(0)).as("n_outliers"))
+        .withColumnRenamed("prio", "o_orderpriority")
     }
   )
 }

@@ -375,6 +375,72 @@ object DedupVariantQueries {
         // zero-kept docs get '' in both engines (DuckDB's NULL string_agg
         // coalesced to match Spark's empty array_join).
         TextOps.dedupLines(Tables.cachedTable(s, d, "documents"))
+    },
+
+    // Oracle is the naive in-block all-pairs containment (same discipline
+    // as dedup_near: the prefix×postings candidate generation is provably
+    // lossless, so matching the naive formulation IS the losslessness
+    // check). Trigram shingles, not word sets: on this vocabulary-poor
+    // fixture every long doc contains most of the 60-word vocabulary, so
+    // word-set containment is degenerate (~all pairs); 3-token shingles
+    // make containment mean "shares actual passages" (6 pairs at sf0.01,
+    // 79 at sf0.1, calibrated).
+    Q("dedup_containment",
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |        list_sort(list_distinct(CASE WHEN len(t) < 3 THEN []
+        |          ELSE list_transform(generate_series(1, len(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |      FROM t),
+        |m AS (SELECT doc_id, lang, s, len(s) AS n FROM g WHERE len(s) > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+        |        least(a.n, b.n) AS mn
+        |      FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / mn AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / mn >= 0.5""".stripMargin) {
+      (s, d) =>
+        // Quote/subset detection: a short doc fully embedded in a long one
+        // scores high containment but low Jaccard (union dominated by the
+        // long side), so this is the contamination-adjacent dedup flavor
+        // the Jaccard family misses. See TextOps.containmentPairs for the
+        // prefix×postings candidate path and its losslessness argument.
+        TextOps.containmentPairs(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
+          minContainment = 0.5,
+          tokenizer = c => array_distinct(TextOps.trigrams(TextOps.tokens(c))))
+    },
+
+    // Entity-resolution dedup: nation-blocked Levenshtein over customer
+    // names (the record-linkage flavor — typo'd near-identical NAMES, not
+    // near-identical documents). Spark side bounds the DP with the
+    // threshold form levenshtein(l, r, 2) (early-exit banded matrix,
+    // returns -1 above the bound — the 100 TB knob: cost is O(len·k) per
+    // pair, not O(len²)); candidate space is the block self-join, here
+    // nation (600 names/block at sf0.1 → 4.5M bounded-DP pairs; at
+    // cluster scale add a name-length band / first-token key to the
+    // block). Output is the per-(nation, distance) pair census — block-
+    // sized, not pair-sized.
+    Q("dedup_edit",
+      """SELECT a.c_nationkey, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+        |       count(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val c = Tables.cachedTable(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+          col("c_nationkey"))
+        val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
+          col("c_nationkey"))
+        a.join(b, Seq("c_nationkey"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+          .filter(col("dist") >= 0)
+          .groupBy("c_nationkey", "dist")
+          .agg(count(lit(1)).as("n_pairs"))
     }
   )
 }

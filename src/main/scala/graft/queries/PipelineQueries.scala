@@ -213,6 +213,45 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("pagerank"))
     },
 
+    Q("graph_triangles",
+      """WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+        |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |       FROM eemb a JOIN eemb b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                    ORDER BY cos_sim DESC, dst) AS rank
+        |       FROM pp),
+        |ud AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v, label
+        |       FROM rr WHERE rank <= 3),
+        |tr AS (SELECT ab.label
+        |       FROM ud ab JOIN ud bc ON ab.v = bc.u
+        |                  JOIN ud ac ON ac.u = ab.u AND ac.v = bc.v)
+        |SELECT label, count(*) AS n_triangles FROM tr GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        // Triangle census over the kNN similarity graph — the local-
+        // clustering signal (tight triads = semantic clusters; triangle-
+        // free hubs = boilerplate bridging unrelated docs). Edges = the
+        // SAME cached kNN build sim_knn_graph declares, undirected via
+        // least/greatest + distinct. The a<b<c orientation makes each
+        // triangle count exactly once AND bounds the wedge join by
+        // out-degree under the canonical order — the standard distributed
+        // triangle-count shape (node-iterator++ on an id-ordered edge
+        // list); at 100 TB orient by (degree, id) instead of raw id so
+        // high-degree hubs sit last and wedge fan-out stays O(E·d_avg).
+        // All three joins are equi on vertex ids.
+        val ud = knn3(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"), col("label"))
+          .distinct()
+        val ab = ud.select(col("u").as("a"), col("v").as("b"), col("label"))
+        val bc = ud.select(col("u").as("b"), col("v").as("c"))
+        val ac = ud.select(col("u").as("a"), col("v").as("c"))
+        ab.join(bc, "b").join(ac, Seq("a", "c"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_triangles"))
+    },
+
     Q("split_assign",
       """WITH h AS (
         |  SELECT doc_id, lang,

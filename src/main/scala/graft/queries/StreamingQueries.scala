@@ -375,6 +375,44 @@ object StreamingQueries {
             col("lt.eid").as("touch_event_id"), col("lt.et").as("touch_type"),
             col("lt.t_us").as("touch_ts_us"),
             col("lt").isNull.cast("long").as("organic"))
+    },
+
+    // Volume-spike detection over the event stream: per (type, day) counts
+    // vs a trailing-7-day calendar window. RANGE frame on the integer day
+    // index (not ROWS): a day with zero rows is simply absent, and a rows
+    // frame would silently stretch the lookback across the gap. Spike =
+    // full 7-day history present AND count > 2× trailing mean, kept
+    // integer-exact as 7·n > 2·trail. At 100 TB the groupBy collapses the
+    // stream to (types × days) rows BEFORE the window — the window input
+    // is tiny regardless of event volume, and the partition key (type)
+    // bounds each window task.
+    Q("events_spike",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx
+        |           FROM events),
+        |c AS (SELECT event_type, day_idx, count(*) AS n FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day_idx, n,
+        |        CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS trail_n,
+        |        count(*) OVER tw AS n_prev_days
+        |      FROM c
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY day_idx
+        |                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_idx, n, trail_n,
+        |       CASE WHEN n_prev_days = 7 AND 7 * n > 2 * trail_n
+        |            THEN 1 ELSE 0 END AS is_spike
+        |FROM w""".stripMargin) {
+      (s, d) =>
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day_idx")
+          .rangeBetween(-7, -1)
+        Tables.events(s, d)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day_idx"))
+          .groupBy("event_type", "day_idx")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("trail_n", coalesce(sum("n").over(tw), lit(0L)))
+          .withColumn("n_prev_days", count(lit(1)).over(tw))
+          .select(col("event_type"), col("day_idx"), col("n"), col("trail_n"),
+            when(col("n_prev_days") === 7 && lit(7) * col("n") > lit(2) * col("trail_n"),
+              lit(1)).otherwise(lit(0)).as("is_spike"))
     }
   )
 }

@@ -706,6 +706,44 @@ object TextAnalysisQueries {
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
             col("avg_logratio"),
             when(col("avg_logratio") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+    },
+
+    // FORCAST readability (Caylor et al. 1973): grade = 20 − mono/10 per
+    // 150 words — the one classic readability formula that needs NO
+    // sentence boundaries, which is exactly this fixture (word-soup text,
+    // zero [.!?] anywhere — verified). Syllable proxy = maximal vowel
+    // runs per token, the standard heuristic. Score kept integer-exact:
+    // grade_micro = 20e6 − (mono·15e6) div words (truncating BIGINT
+    // division, identical in both engines).
+    Q("text_readability",
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(len(toks) AS BIGINT) AS n_words,
+        |       CAST(list_sum(list_transform(toks,
+        |              w -> len(regexp_extract_all(w, '[aeiou]+')))) AS BIGINT)
+        |         AS n_syllables,
+        |       CAST(len(list_filter(toks,
+        |              w -> len(regexp_extract_all(w, '[aeiou]+')) = 1)) AS BIGINT)
+        |         AS n_mono,
+        |       20000000 - (CAST(len(list_filter(toks,
+        |              w -> len(regexp_extract_all(w, '[aeiou]+')) = 1)) AS BIGINT)
+        |            * 15000000) // CAST(len(toks) AS BIGINT) AS grade_micro
+        |FROM t""".stripMargin) {
+      (s, d) =>
+        // Pure per-row HOF arithmetic — zero shuffles, zero joins, stays
+        // inside whole-stage codegen; the 100 TB cost is one corpus scan.
+        val sylls = (w: org.apache.spark.sql.Column) =>
+          size(regexp_extract_all(w, lit("[aeiou]+"), lit(0)))
+        Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_words"),
+            aggregate(transform(col("toks"), w => sylls(w)), lit(0L),
+              (acc, x) => acc + x).as("n_syllables"),
+            size(filter(col("toks"), w => sylls(w) === 1)).cast("long").as("n_mono"))
+          .withColumn("grade_micro",
+            lit(20000000L) - expr("(n_mono * 15000000L) div n_words"))
     }
   )
 

@@ -489,4 +489,61 @@ class PlanSpec extends SparkTestBase {
     val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(nlj <= 1, s"$nlj nested-loop joins — a count-table join degenerated")
   }
+
+  test("dedup_containment candidates and fetches stay equi; no cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.DedupVariantQueries.all, "dedup_containment"))
+    assert(cart == 0 && bnlj == 0,
+      s"containment went non-equi ($bnlj BNLJ, $cart cartesian) — the prefix×postings join must key on the shingle")
+  }
+
+  test("dedup_edit is one nation-equi self-join with the bounded levenshtein") {
+    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_edit")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, s"dedup_edit went non-equi ($bnlj BNLJ, $cart cartesian)")
+    // The threshold form levenshtein(l, r, 2) is the O(len·k) early-exit
+    // DP — a regression to the unbounded 2-arg form would be O(len²) per
+    // pair with no plan-shape change otherwise.
+    assert("levenshtein\\(a_name#\\d+, b_name#\\d+, Some\\(2\\)\\)".r
+      .findFirstIn(df.queryExecution.optimizedPlan.toString).isDefined,
+      "bounded 3-arg levenshtein lost")
+  }
+
+  test("graph_triangles: three vertex-equi joins, no cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_triangles"))
+    assert(cart == 0 && bnlj == 0, s"triangles went non-equi ($bnlj BNLJ, $cart cartesian)")
+  }
+
+  test("text_readability is a pure projection: zero exchanges, zero joins") {
+    val plan = physical(graft.queries.TextAnalysisQueries.all, "text_readability")
+    assert(!plan.contains("Exchange"), s"readability shuffles:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "readability must not join")
+  }
+
+  test("events_spike: day-grain agg feeds a type-partitioned range window, ≤2 exchanges") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.StreamingQueries.all, "events_spike")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "spike window lost its event_type partitioning — single-task scan")
+    val exchanges = physical(graft.queries.StreamingQueries.all, "events_spike")
+      .linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges — expected day-agg + window only")
+  }
+
+  test("cooccur_lift: equi pair join, scalar-only nested loop, top-k without global sort") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "cooccur_lift")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "cooccur_lift went cartesian")
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — only the 1-row total may")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-100 must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("anomaly_mad: both stats joins stay prio-equi; no cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.AggWindowQueries.all, "anomaly_mad"))
+    assert(cart == 0 && bnlj == 0, s"anomaly_mad went non-equi ($bnlj BNLJ, $cart cartesian)")
+  }
 }
