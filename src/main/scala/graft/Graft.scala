@@ -183,4 +183,10 @@ object Graft {
                     nBuckets: Int, sortCols: Seq[String] = Nil,
                     path: Option[String] = None): Unit =
     Sinks.writeBucketed(df, table, bucketCols, nBuckets, sortCols, path)
+
+  /** Small-files compaction maintenance: rewrite into near-equal row-count
+    * files via round-robin repartition (pinned by SinksSpec).
+    */
+  def writeCompacted(df: DataFrame, path: String, targetRowsPerFile: Long): Unit =
+    Sinks.writeCompacted(df, path, targetRowsPerFile)
 }

@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.TextAnalysisQueries.all ++
       graft.queries.StreamingQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.FunnelQueries.all
+      graft.queries.FunnelQueries.all ++
+      graft.queries.SignalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -50,4 +50,28 @@ object Sinks {
     val w2 = path.fold(w1)(p => w1.option("path", p))
     w2.format("parquet").saveAsTable(table)
   }
+
+  /** Small-files compaction — the maintenance job every long-lived 100 TB
+    * table needs: streaming micro-batches and fine-grained partitioned
+    * writes accrete thousands of KB-sized files per directory, and at read
+    * time each one costs a task schedule + a parquet footer fetch. Rewrites
+    * the input into ceil(rows / targetRowsPerFile) files of near-equal row
+    * count. `repartition(n)` (round-robin) rather than `coalesce(n)`:
+    * coalesce merges ADJACENT input partitions without a shuffle, so a few
+    * dense inputs yield one giant file next to many tiny ones — the same
+    * skew the compaction was meant to remove. The extra shuffle is the
+    * price of even output, paid once per maintenance run.
+    * `maxRecordsPerFile` backstops the row target against a future writer
+    * that splits differently.
+    */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
 }

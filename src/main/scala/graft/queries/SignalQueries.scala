@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Corpus/behavior signal extraction (r7): token-distribution entropy,
+  * collocation mining (PMI), and event-type transition matrices — the
+  * profiling signals a training-data pipeline computes alongside its quality
+  * gates. All three ride the shared cached intermediates (tfidf-tf,
+  * bigram-occ, events+ts_us) so their marginal cost is group-sized aggs.
+  *
+  * Reference mount empty this round (SURVEY §0) — spec-driven; capability
+  * surface per SURVEY.md §2.C.
+  */
+object SignalQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // -- text_entropy ------------------------------------------------------
+    // Unigram token entropy per document — the template/gibberish detector:
+    // near-zero entropy = one token repeated (boilerplate); the gate keeps
+    // docs above a floor that scales with length (a 3-token doc can't reach
+    // ln(8)). Exactness ladder (house discipline, cf. quality_perplexity):
+    // each term's probability c/n is ONE IEEE division of exact bigints;
+    // ln() is quantized per ROW to DECIMAL(18,6); c·lnq is decimal×bigint
+    // (exact); the per-doc sum is an exact decimal sum; entropy is ONE
+    // division of that sum's exact double cast by n. Both engines run the
+    // identical ladder, so the doubles are bit-equal.
+    Q("text_entropy",
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM tf GROUP BY 1),
+        |h AS (SELECT tf.doc_id,
+        |        CAST(c * CAST(ln(c * 1.0 / n_tokens) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS term
+        |      FROM tf JOIN n USING (doc_id))
+        |SELECT n.doc_id, n.n_tokens, n.n_distinct,
+        |       -(CAST(sum(term) AS DOUBLE) / n.n_tokens) AS entropy,
+        |       CAST(CASE WHEN -(CAST(sum(term) AS DOUBLE) / n.n_tokens) >= 2.0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM h JOIN n USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      // 100 TB shape: the (doc_id, tok) frame IS the shared tfidf-tf cache
+      // (one corpus explode + partial agg, shared with text_idf/text_bm25);
+      // everything after is doc-keyed — one doc-sized agg + one join, no
+      // second corpus pass.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val n = tf.groupBy("doc_id").agg(
+        sum("tf").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"))
+      val h = tf.join(n, "doc_id")
+        .withColumn("term",
+          (col("tf") * log(col("tf") * lit(1.0) / col("n_tokens"))
+            .cast("decimal(18,6)")).cast("decimal(38,6)"))
+      val ent = -(sum(col("term")).cast("double") / col("n_tokens"))
+      h.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(ent.as("entropy"))
+        .withColumn("keep",
+          when(col("entropy") >= 2.0, 1L).otherwise(0L))
+    },
+
+    // -- text_pmi ----------------------------------------------------------
+    // Collocation mining: pointwise mutual information over adjacent token
+    // pairs — the phrase detector (word2vec/fastText preprocessing). PMI =
+    // ln(p(ab)/(p(a)p(b))) with unigram probabilities over token
+    // occurrences and the pair probability over bigram occurrences. The
+    // argument is built as a product of three exact-input IEEE divisions —
+    // (n_ab/n_a)·(n_tok/n_b)·(n_tok/n_big) — identical association order in
+    // both engines, no bigint product ever exceeds 2^53; ln() quantized to
+    // DECIMAL(18,6) per row (house rule), then cast DOUBLE for the output.
+    // Deterministic top-100 by (pmi DESC, bg) with a min-support gate.
+    Q("text_pmi",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS n_w FROM u GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_tok FROM u),
+        |occ AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |bc AS (SELECT bg, count(*) AS n_ab FROM occ GROUP BY 1),
+        |nb AS (SELECT count(*) AS n_big FROM occ)
+        |SELECT bg, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+        |       CAST(CAST(ln((n_ab * 1.0 / a.n_w) * (n_tok * 1.0 / b.n_w)
+        |                    * (n_tok * 1.0 / n_big)) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+        |FROM bc
+        |JOIN uc a ON a.tok = split_part(bg, ' ', 1)
+        |JOIN uc b ON b.tok = split_part(bg, ' ', 2)
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE n_ab >= 5
+        |ORDER BY pmi DESC, bg LIMIT 100""".stripMargin) { (s, d) =>
+      // 100 TB shape: unigram counts derive from the SAME cached tfidf-tf
+      // partial agg (map-side combinable, vocab-sized result); bigram
+      // counts from the SAME cached bigram-occ explode shared with
+      // text_ngram_lm/quality_perplexity — no new corpus pass. The two
+      // scalar totals broadcast; the two unigram fetch joins are
+      // vocab-sized (broadcast at scale); top-k is TakeOrderedAndProject
+      // (per-partition top-k + merge), never a global sort.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val t = docs.select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val uc = tf.groupBy("tok").agg(sum("tf").as("n_w"))
+      val nt = tf.agg(sum("tf").as("n_tok"))
+      val occ = Tables.cached(s, s"$d/bigram-occ") {
+        t.select(col("doc_id"), explode(graft.operators.TextOps.bigrams(col("toks"))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+      }
+      val bc = occ.groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      val nb = occ.agg(count(lit(1)).as("n_big"))
+      bc.filter(col("n_ab") >= 5)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(uc.select(col("tok").as("w1"), col("n_w").as("n_a")), "w1")
+        .join(uc.select(col("tok").as("w2"), col("n_w").as("n_b")), "w2")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .withColumn("pmi",
+          log((col("n_ab") * lit(1.0) / col("n_a"))
+            * (col("n_tok") * lit(1.0) / col("n_b"))
+            * (col("n_tok") * lit(1.0) / col("n_big")))
+            .cast("decimal(18,6)").cast("double"))
+        .select("bg", "n_ab", "n_a", "n_b", "pmi")
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(100)
+    },
+
+    // -- bpe_train_pairs ---------------------------------------------------
+    // The first iteration of BPE tokenizer training: count adjacent symbol
+    // (character) pairs across the corpus, weighted by word frequency —
+    // the top pair is the first merge rule. The classic scaling trick is
+    // HERE, not in the counts: pairs are enumerated over the VOCAB
+    // (distinct words × their occurrence count), so after the one shared
+    // corpus tf pass the work is vocab-sized regardless of corpus size —
+    // a 100 TB corpus with a 10M-word vocab does its pair counting on 10M
+    // rows. Single-char words carry no pairs (explicit len ≥ 2 guard:
+    // Spark's sequence(1, 0) DESCENDS where DuckDB's generate_series is
+    // empty — the guard keeps both engines off that divergence).
+    Q("bpe_train_pairs",
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |uc AS (SELECT tok, count(*) AS n_w FROM t GROUP BY 1),
+        |pr AS (SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+        |                i -> substr(tok, i, 2))) AS pair, n_w
+        |       FROM uc WHERE len(tok) >= 2)
+        |SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair
+        |FROM pr GROUP BY 1
+        |ORDER BY n_pair DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      // Word counts derive from the SAME cached tfidf-tf partial agg —
+      // no new corpus pass; the pair explode inflates vocab×(len−1) rows
+      // into one map-side-combinable agg; top-50 is TakeOrderedAndProject.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      tf.groupBy("tok").agg(sum("tf").as("n_w"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+          .as("pair"), col("n_w"))
+        .groupBy("pair").agg(sum("n_w").cast("long").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(50)
+    },
+
+    // -- events_markov -----------------------------------------------------
+    // Event-type transition matrix — the Markov-chain session model
+    // (next-action prediction, bot detection via improbable transitions).
+    // Each user's stream ordered by (ts_us, event_id) — the house
+    // determinism rule — yields lag-pairs; the matrix is the pair count
+    // plus an integer-micro row-conditional probability (n·10⁶ div n_from,
+    // exact bigint division, no floats anywhere).
+    Q("events_markov",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |p AS (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, event_type, count(*) AS n_trans
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.event_type, n_trans, n_from,
+        |       (n_trans * 1000000) // n_from AS p_micro
+        |FROM c JOIN f USING (prev_type)""".stripMargin) { (s, d) =>
+      // 100 TB shape: ONE user_id hash partition + (ts_us, event_id) sort
+      // feeds the lag (transitions are per-user state — the sessionize
+      // shape), then a types²-sized partial agg; the row-marginal join is
+      // against a types-sized frame (broadcast at scale). Never a global
+      // window, never a self-join of the event stream.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("event_type"), lag("event_type", 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+      val c = pairs.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val f = c.groupBy("prev_type").agg(sum("n_trans").cast("long").as("n_from"))
+      c.join(broadcast(f), "prev_type")
+        .withColumn("p_micro", expr("(n_trans * 1000000L) div n_from"))
+        .select("prev_type", "event_type", "n_trans", "n_from", "p_micro")
+    }
+  )
+}

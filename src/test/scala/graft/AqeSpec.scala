@@ -52,4 +52,36 @@ class AqeSpec extends SparkTestBase {
     assert(s0.contains("AQEShuffleRead skewed"),
       s"hot partition was not split into skewed shuffle reads:\n${s0.take(1500)}")
   }
+
+  test("runtime bloom filter from a selective dim lands on the fact-side scan") {
+    // The 100 TB shuffle-join complement to DPP: when the selective
+    // predicate lives on the dim side of a SHUFFLE join (no partition
+    // column, broadcast off), Spark injects a bloom_filter_agg on the dim
+    // and a BloomFilterMightContain semi-filter on the fact scan — rows
+    // that cannot join die before the exchange instead of shuffling.
+    // Thresholds are lowered to toy scale; on a cluster the defaults
+    // (10 MB creation side / large application side) gate the same rule.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+
+    // Parquet sources on both sides: the rule requires a real scan to
+    // attach to (and a selective non-join predicate on the creation side).
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    s.range(100000).select(col("id").as("k"), (col("id") % 97).as("v"))
+      .write.parquet(s"$dir/fact")
+    s.range(1000).select(col("id").as("k"), (col("id") % 5).as("tag"))
+      .write.parquet(s"$dir/dim")
+    val fact = s.read.parquet(s"$dir/fact")
+    val dim = s.read.parquet(s"$dir/dim").filter(col("tag") === 3)
+
+    val joined = fact.join(dim, "k")
+    assert(joined.collect().length == 200)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"no bloom runtime filter on the fact scan:\n${plan.take(2000)}")
+  }
 }

@@ -546,4 +546,32 @@ class PlanSpec extends SparkTestBase {
       joinCensus(queryNamed(graft.queries.AggWindowQueries.all, "anomaly_mad"))
     assert(cart == 0 && bnlj == 0, s"anomaly_mad went non-equi ($bnlj BNLJ, $cart cartesian)")
   }
+
+  test("text_entropy: doc-keyed equi joins only, no cartesian, no window") {
+    val df = queryNamed(graft.queries.SignalQueries.all, "text_entropy")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0,
+      s"entropy went non-equi ($bnlj BNLJ, $cart cartesian) — the doc-stats join degenerated")
+    assert(df.schema("entropy").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("text_pmi: vocab-equi fetch joins, scalar-only nested loops, top-k without global sort") {
+    val df = queryNamed(graft.queries.SignalQueries.all, "text_pmi")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0, "text_pmi went cartesian")
+    assert(bnlj <= 2, s"$bnlj nested-loop joins — only the two 1-row totals may")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-100 must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("events_markov: one user-partitioned lag window + broadcast marginal join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.SignalQueries.all, "events_markov")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "markov lag window lost its user_id partitioning — single-task scan")
+    val (bhj, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, "markov marginal join went non-equi")
+    assert(bhj >= 1, "the types-sized row-marginal frame must broadcast")
+  }
 }

@@ -60,4 +60,27 @@ class SinksSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("writeCompacted rewrites a small-files directory into evenly-sized files") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // Simulate the accretion pathology: 64 tiny files of skewed sizes.
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
+    df.repartition(64).write.parquet(s"$base/fragmented")
+    val frag = spark.read.parquet(s"$base/fragmented")
+    assert(parquetFiles(s"$base/fragmented").length == 64)
+
+    Sinks.writeCompacted(frag, s"$base/compact", targetRowsPerFile = 4000)
+    val files = parquetFiles(s"$base/compact")
+    assert(files.length == 3, s"expected ceil(10000/4000)=3 files, got ${files.length}")
+    val out = spark.read.parquet(s"$base/compact")
+    assert(out.count() == 10000)
+    // Round-robin repartition: every output file within 10% of the mean —
+    // the even-sizing coalesce() cannot guarantee.
+    val sizes = files.map(f => spark.read.parquet(f.toString).count())
+    assert(sizes.forall(s => s > 2999 && s < 3668), s"uneven compaction: ${sizes.toSeq}")
+  }
+
+  private def parquetFiles(dir: String) =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
 }
