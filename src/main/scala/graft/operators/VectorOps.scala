@@ -49,6 +49,14 @@ object VectorOps {
   /** Native sum of squares over a raw array<float>. */
   def normSqF(a: Column): Column = dotF(a, a)
 
+  /** Native integer dot product over array<tinyint> SQ8 code columns —
+    * the codegen'd ADC kernel (exact BIGINT; see
+    * [[graft.functions.ByteVecDot]]).
+    */
+  def dotB(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.ByteVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Brute-force top-k cosine neighbors of one probe vector. The probe side
     * is a 1-row broadcast, so the scan is a single embarrassing-parallel
     * pass + TakeOrderedAndProject — no shuffle of the corpus. This is the

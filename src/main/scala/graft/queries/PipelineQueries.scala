@@ -433,6 +433,58 @@ object PipelineQueries {
           .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
+    Q("sim_search_sq8",
+      """WITH a AS (
+        |  SELECT vec_id, embedding AS v,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, amax,
+        |         list_transform(v, x ->
+        |           CAST(floor((CAST(x AS DOUBLE) * 127) / amax + 0.5) AS BIGINT)) AS qs,
+        |         sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) AS nrm
+        |  FROM a),
+        |p AS (SELECT qs AS pqs, amax AS p_amax, nrm AS p_nrm FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |       CAST(list_dot_product(qs::DOUBLE[], pqs::DOUBLE[]) AS BIGINT) AS dot_q,
+        |       round((CAST(list_dot_product(qs::DOUBLE[], pqs::DOUBLE[]) AS BIGINT)
+        |              * 1.0 * amax * p_amax) / (16129.0 * nrm * p_nrm), 5) AS approx_cos
+        |FROM c, p WHERE c.vec_id <> 0
+        |ORDER BY approx_cos DESC, c.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // SQ8 ADC search — searching OVER the int8 codes embed_quantize
+        // produces (FAISS's SQ8 flavor): approximate cosine from an exact
+        // BIGINT integer dot of the code arrays, rescaled by the two
+        // per-vector quantizer scales. The 100 TB point is memory
+        // bandwidth: the scan streams 1-byte codes (array<tinyint> on the
+        // wire) at 4x the vectors/s of float32, with the codegen'd
+        // ByteVecDot kernel (a tight primitive loop inside WSCG — HOFs
+        // are interpreted) and no shuffle: 1-row broadcast probe + one
+        // corpus pass + TakeOrderedAndProject. Exactness: codes are
+        // integer-exact in both engines (proved by embed_quantize's hash
+        // gate), the integer dot is exact BIGINT (|q_i·x_i| <= 127² —
+        // far under 2^53 even at dim 4096), and the rescale is one
+        // identically-associated IEEE chain, rounded at 5 dp for ranking.
+        val codes = Tables.cached(s, s"$d/sq8-codes") {
+          graft.operators.CurateOps.quantizeInt8(
+            Tables.cachedTable(s, d, "embeddings"))
+            .withColumn("qb", col("qs").cast("array<tinyint>"))
+            .withColumn("nrm", sqrt(VectorOps.normSqF(col("embedding"))))
+            .select("vec_id", "qb", "amax_raw", "nrm")
+        }
+        val probe = codes.filter(col("vec_id") === 0)
+          .select(col("qb").as("pqb"), col("amax_raw").as("p_amax"),
+            col("nrm").as("p_nrm"))
+        codes.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("dot_q", VectorOps.dotB(col("qb"), col("pqb")))
+          .withColumn("approx_cos",
+            round((col("dot_q") * lit(1.0) * col("amax_raw") * col("p_amax"))
+              / (lit(16129.0) * col("nrm") * col("p_nrm")), 5))
+          .select("vec_id", "dot_q", "approx_cos")
+          .orderBy(col("approx_cos").desc, col("vec_id")).limit(10)
+    },
+
     Q("multimodal_binary",
       """SELECT doc_id, 'text/plain' AS mime,
         |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,

@@ -407,6 +407,36 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("sim_search_sq8: ADC dot is the exact integer dot of the codes; recall@10 >= 0.8") {
+    val sf = "/root/testdata/sf0.001"
+    val sq8 = graft.queries.PipelineQueries.all.find(_.name == "sim_search_sq8").get
+      .fn(spark, sf).collect()
+    assert(sq8.length == 10)
+    // 1. ByteVecDot really computes the integer dot: recompute one row's
+    //    dot_q from raw vectors quantized in plain Scala.
+    val vecs = graft.Tables.table(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    def codes(id: Long): Array[Long] = {
+      val v = vecs(id).map(_.toDouble).toArray
+      val amax = v.map(math.abs).max
+      v.map(x => math.floor(x * 127 / amax + 0.5).toLong)
+    }
+    val p = codes(0L)
+    for (r <- sq8.take(3)) {
+      val q = codes(r.getAs[Long]("vec_id"))
+      val expected = p.zip(q).map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("dot_q") == expected,
+        s"vec ${r.getAs[Long]("vec_id")}: dot_q ${r.getAs[Long]("dot_q")} != $expected")
+    }
+    // 2. Quantization quality: the SQ8 top-10 must recover >= 8 of the
+    //    exact float top-10 (measured 9-10 across fixtures; a code or
+    //    rescale bug craters this to ~0).
+    val exact = graft.queries.PipelineQueries.all.find(_.name == "sim_search_topk").get
+      .fn(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = sq8.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & got).size >= 8, s"SQ8 recall ${(exact & got).size}/10")
+  }
+
   test("curation: domain_mix weights equalize the mix; shares sum to 1") {
     val df = graft.queries.CurationQueries.all.find(_.name == "domain_mix").get
       .fn(spark, "/root/testdata/sf0.001").collect()

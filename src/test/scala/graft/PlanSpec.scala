@@ -564,6 +564,18 @@ class PlanSpec extends SparkTestBase {
       "top-100 must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("sim_search_sq8: codegen'd ADC kernel, broadcast probe, no corpus exchange") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "sim_search_sq8")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("byte_vec_dot"), "ByteVecDot missing — ADC fell back to a HOF")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    // one corpus pass: the only join is the 1-row broadcast probe, and no
+    // shuffle exchange touches the code table (cached or not).
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 0, s"corpus shuffle in sq8 search:\n${plan.take(1500)}")
+  }
+
   test("events_markov: one user-partitioned lag window + broadcast marginal join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.SignalQueries.all, "events_markov")
