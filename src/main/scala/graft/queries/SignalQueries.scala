@@ -135,6 +135,42 @@ object SignalQueries {
         .limit(100)
     },
 
+    // -- sample_weighted ---------------------------------------------------
+    // Efraimidis–Spirakis weighted sampling without replacement (2006):
+    // rank every doc by ln(u)/w with u a uniform hash draw and w the doc's
+    // weight (chars here; quality score or DSIR importance in production) —
+    // the top-k under that key IS an exact weighted sample, computable as
+    // a pure projection + top-k with no sequential reservoir. The sampling
+    // identity u^(1/w) is rank-equivalent to ln(u)/w, which needs no pow().
+    // Determinism: u = (h + 0.5)/2^32 from the sha256 id hash (same
+    // engine-portable draw as split_assign — never rand()); ln quantized
+    // per row to DECIMAL(18,6); key = lnq/w ONE exact-input IEEE division.
+    Q("sample_weighted",
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(CAST(ln((hv + 0.5) / 4294967296.0) AS DECIMAL(18,6)) AS DOUBLE)
+        |           / n_chars AS skey
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars, skey
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      // 100 TB shape: zero joins, zero shuffles — one projection over the
+      // corpus scan and a TakeOrderedAndProject top-k (per-partition heads
+      // + driver merge of 100-row heaps). Per-group variants reuse the
+      // two-phase topKPerGroup form.
+      Tables.cachedTable(s, d, "documents")
+        .withColumn("hv", expr(
+          "CAST(conv(substr(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("skey",
+          log((col("hv") + lit(0.5)) / lit(4294967296.0))
+            .cast("decimal(18,6)").cast("double") / col("n_chars"))
+        .select("doc_id", "lang", "n_chars", "skey")
+        .orderBy(col("skey").desc, col("doc_id")).limit(100)
+    },
+
     // -- bpe_train_pairs ---------------------------------------------------
     // The first iteration of BPE tokenizer training: count adjacent symbol
     // (character) pairs across the corpus, weighted by word frequency —

@@ -576,6 +576,15 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 0, s"corpus shuffle in sq8 search:\n${plan.take(1500)}")
   }
 
+  test("sample_weighted is a pure projection + TakeOrderedAndProject: no join, no shuffle") {
+    val df = queryNamed(graft.queries.SignalQueries.all, "sample_weighted")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 must not be a global sort")
+    assert(!plan.contains("Join"), "weighted sampling must not join")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && !l.contains("Broadcast")),
+      s"weighted sampling shuffles:\n${plan.take(1200)}")
+  }
+
   test("events_markov: one user-partitioned lag window + broadcast marginal join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.SignalQueries.all, "events_markov")
