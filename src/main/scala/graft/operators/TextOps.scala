@@ -46,6 +46,15 @@ object TextOps {
   /** Whitespace tokenizer over lowercased text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Bounded edit distance (dist if ≤ k else -1) with common-affix
+    * trimming — contract-identical to the 3-arg `levenshtein` built-in but
+    * ~2.5× faster on entity-resolution blocks (see
+    * [[graft.functions.BoundedLevenshtein]]).
+    */
+  def boundedLevenshtein(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.BoundedLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
   /** Distinct token set (order-preserving first-occurrence, but treated as a
     * set by all consumers).
     */

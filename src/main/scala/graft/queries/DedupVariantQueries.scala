@@ -435,9 +435,16 @@ object DedupVariantQueries {
           col("c_nationkey"))
         val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
           col("c_nationkey"))
+        // Native BoundedLevenshtein (r7): contract-identical to the 3-arg
+        // built-in but trims the pair's common prefix/suffix before the
+        // banded DP — edit distance is affix-invariant, and entity names
+        // share long prefixes, so the DP usually runs on a few chars
+        // (measured 2.5x on this block join; CuratePropSpec pins equality
+        // with the built-in on random pairs).
         a.join(b, Seq("c_nationkey"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+          .withColumn("dist",
+            TextOps.boundedLevenshtein(col("a_name"), col("b_name"), 2))
           .filter(col("dist") >= 0)
           .groupBy("c_nationkey", "dist")
           .agg(count(lit(1)).as("n_pairs"))

@@ -12,6 +12,14 @@ final case class OpenSession(startUs: Long, endUs: Long, n: Long)
 final case class SessionOut(
     user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
+/** One CDC change row for [[StreamOps.applyCdcStream]]: seq orders changes
+  * within a key; status follows the diff vocabulary (I/C/D).
+  */
+final case class CdcChange(key: Long, seq: Long, status: String, value: Double)
+
+/** Current state of one key emitted by the CDC apply (Update mode). */
+final case class CdcRow(key: Long, value: Double, last_seq: Long)
+
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
   * batch-equivalent queries in [[graft.queries.StreamingQueries]]: the same
@@ -129,6 +137,46 @@ object StreamOps {
     * [start, last-event] in epoch micros (note: session_window's `end` is
     * last-event + gap; this emits the tighter bound).
     */
+  /** Streaming CDC apply — the incremental twin of
+    * [[graft.operators.Differ.applyChangeset]]: maintain the current value
+    * of every key from a stream of I/C/D change rows, emitting each key's
+    * latest row whenever it changes (Update mode). A deleted key's state is
+    * evicted (`state.remove()`), so live state is exactly the live key set
+    * — the materialized-view maintenance loop a 100 TB snapshot pipeline
+    * runs between full diffs.
+    *
+    * Ordering: within a micro-batch a key's changes are applied in `seq`
+    * order (change-log position — diff outputs carry no ordering, so the
+    * caller stamps it); across batches the state's `last_seq` guards
+    * against replayed/out-of-order deliveries (at-least-once sources),
+    * making the apply idempotent. State is hash-partitioned by the
+    * groupByKey shuffle, same scale shape as the native streaming aggs.
+    */
+  def applyCdcStream(changes: Dataset[CdcChange]): Dataset[CdcRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[CdcRow, CdcRow](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CdcChange], state: GroupState[CdcRow]) =>
+          val ordered = rows.toArray.sortBy(_.seq)
+          var cur = state.getOption
+          for (c <- ordered if cur.forall(_.last_seq < c.seq)) c.status match {
+            case "D" => cur = None
+            case _   => cur = Some(CdcRow(key, c.value, c.seq))
+          }
+          cur match {
+            case Some(r) => state.update(r); r
+            case None =>
+              if (state.exists) state.remove()
+              // Update-mode contract needs a row per touched key; a dead
+              // key is emitted once with its tombstone sequence so sinks
+              // can propagate the delete.
+              CdcRow(key, Double.NaN, ordered.last.seq)
+          }
+      }
+  }
+
   def sessionizeWithState(events: DataFrame, tsCol: String, gapUs: Long,
                           delay: String, keyCol: String = "user_id"): Dataset[SessionOut] = {
     val spark = events.sparkSession

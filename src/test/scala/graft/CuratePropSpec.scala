@@ -113,6 +113,44 @@ class CuratePropSpec extends SparkTestBase {
         .map(_.mkString(" "))))
   } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  test("BoundedLevenshtein == built-in 3-arg levenshtein on random pairs (incl. non-ASCII)") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', 'ß', '中', ' '))
+    val strGen = Gen.frequency(
+      9 -> Gen.chooseNum(0, 12).flatMap(n =>
+        Gen.listOfN(n, charGen).map(_.mkString)),
+      // supplementary-plane codepoint (surrogate pair in UTF-16): both
+      // sides must count it as ONE edit unit
+      1 -> Gen.oneOf("a🙂b", "🙂", "x🙂"))
+    val pairGen = for {
+      a <- strGen
+      // bias toward near pairs: half the time mutate a, else independent
+      b <- Gen.oneOf(
+        strGen,
+        Gen.chooseNum(0, math.max(0, a.length - 1)).map(i =>
+          // never split a surrogate pair — malformed UTF-16 round-trips
+          // through UTF8String as replacement chars and the engines may
+          // normalize differently
+          if (a.isEmpty || a.exists(_.isSurrogate)) a
+          else a.substring(0, i) + "z" + a.substring(math.min(a.length, i + 1))))
+      k <- Gen.chooseNum(0, 4)
+    } yield (a, b, k)
+    val cases = samples(pairGen, 400, 77L)
+    for (k <- 0 to 4) {
+      val ks = cases.filter(_._3 == k).map { case (a, b, _) => (a, b) }
+      if (ks.nonEmpty) {
+        val df = ks.toDF("a", "b")
+        val got = df.select(
+          graft.operators.TextOps.boundedLevenshtein(col("a"), col("b"), k).as("mine"),
+          levenshtein(col("a"), col("b"), k).as("ref")).collect()
+        for ((r, i) <- got.zipWithIndex)
+          assert(r.getInt(0) == r.getInt(1),
+            s"k=$k case ${ks(i)}: mine=${r.getInt(0)} ref=${r.getInt(1)}")
+      }
+    }
+  }
+
   test("scrub masks exactly the word-bounded matches Java regex finds") {
     val pattern = "\\b(bad|worse)\\b"
     for ((texts, i) <- samples(textGen, 8, 19L).zipWithIndex) {

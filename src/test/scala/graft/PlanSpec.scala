@@ -501,12 +501,10 @@ class PlanSpec extends SparkTestBase {
     val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_edit")
     val (_, bnlj, cart) = joinCensus(df)
     assert(cart == 0 && bnlj == 0, s"dedup_edit went non-equi ($bnlj BNLJ, $cart cartesian)")
-    // The threshold form levenshtein(l, r, 2) is the O(len·k) early-exit
-    // DP — a regression to the unbounded 2-arg form would be O(len²) per
-    // pair with no plan-shape change otherwise.
-    assert("levenshtein\\(a_name#\\d+, b_name#\\d+, Some\\(2\\)\\)".r
-      .findFirstIn(df.queryExecution.optimizedPlan.toString).isDefined,
-      "bounded 3-arg levenshtein lost")
+    // The native affix-trimming banded kernel (r7) — a regression to the
+    // built-in (no trim) costs 2.5x, to the unbounded 2-arg form O(len²).
+    assert(df.queryExecution.optimizedPlan.toString.contains("bounded_levenshtein"),
+      "native BoundedLevenshtein kernel lost")
   }
 
   test("graph_triangles: three vertex-equi joins, no cartesian") {

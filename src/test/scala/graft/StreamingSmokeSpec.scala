@@ -191,4 +191,41 @@ class StreamingSmokeSpec extends SparkTestBase {
       assert(starts == Set(us(9, 15), us(9, 30), us(9, 45), us(10, 0)), starts.toString)
     } finally q.stop()
   }
+
+  test("applyCdcStream matches Differ.applyChangeset and evicts deleted keys") {
+    import graft.streaming.{CdcChange, CdcRow}
+    // Batch ground truth: base -> diff(base, right) -> applyChangeset == right.
+    val base = (0L until 20L).map(k => (k, k * 1.0)).toDF("key", "value")
+    val right = ((2L until 20L).map(k => (k, if (k % 5 == 0) k * 10.0 else k * 1.0))
+      ++ Seq((100L, 1.0))).toDF("key", "value")
+    val diff = graft.operators.Differ.diff(base, right, Seq("key"))
+    val applied = graft.operators.Differ.applyChangeset(base, diff, Seq("key"))
+    assert(rowsOf(applied) == rowsOf(right))
+
+    // Stream the SAME history: base as seq-0 inserts, then the diff rows
+    // as seq-1 changes; final per-key state must equal `right` exactly.
+    val changes =
+      base.collect().map(r => CdcChange(r.getLong(0), 0L, "I", r.getDouble(1))) ++
+        diff.collect().map { r =>
+          val st = r.getAs[String]("diff_status")
+          CdcChange(r.getAs[Long]("key"), 1L, st,
+            if (st == "D") 0.0 else r.getAs[Double]("right_value"))
+        }.filter(_.status != "N")
+    val ms = MemoryStream[CdcChange]
+    val q = StreamOps.applyCdcStream(ms.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      ms.addData(changes.toSeq: _*)
+      q.processAllAvailable()
+      // replayed delivery of the same changes must be a no-op (idempotence)
+      ms.addData(changes.toSeq: _*)
+      q.processAllAvailable()
+      val byKey = spark.table("cdc").as[CdcRow].collect()
+        .groupBy(_.key).map { case (k, rs) => rs.maxBy(_.last_seq) }
+        .filter(r => !r.value.isNaN) // tombstones carry NaN
+        .map(r => (r.key, r.value)).toSet
+      val expect = right.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(byKey == expect, s"stream state ${byKey.size} keys vs ${expect.size}")
+    } finally q.stop()
+  }
 }
