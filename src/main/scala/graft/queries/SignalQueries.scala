@@ -209,6 +209,44 @@ object SignalQueries {
         .limit(50)
     },
 
+    // -- text_feature_hash -------------------------------------------------
+    // Feature hashing (Weinberger et al. 2009, the fastText featurizer):
+    // hash every token into one of 16 signed buckets and sum — a fixed-
+    // width dense representation with NO vocabulary table, the bridge from
+    // the text family to the vector family (train a linear quality
+    // classifier on these, then dedup/search with the vector ops).
+    // Integer-exact end to end: the engine-portable sha256-prefix hash
+    // (house rule, cf. split_assign — never xxhash64/hash(), which exist
+    // in only one engine), bucket = h mod 16, sign from the next hash bit,
+    // feature value = Σ sign·tf over the doc's tokens — all BIGINT.
+    Q("text_feature_hash",
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |h AS (SELECT doc_id, tf,
+        |             ('0x' || substr(sha256(tok), 1, 8))::BIGINT AS hv
+        |      FROM tf)
+        |SELECT doc_id, hv % 16 AS bucket,
+        |       CAST(sum((1 - 2 * ((hv // 16) % 2)) * tf) AS BIGINT) AS fval
+        |FROM h GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // 100 TB shape: rides the SAME cached tfidf-tf partial agg (no new
+      // corpus pass); one hash + one (doc, bucket)-keyed map-side-
+      // combinable agg — output is 16 rows per doc regardless of corpus
+      // size. At cluster scale the hash runs on the vocab-sized DISTINCT
+      // (doc, tok) frame, never the raw token stream.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      tf.withColumn("hv",
+          expr("CAST(conv(substr(sha2(tok, 256), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("bucket", col("hv") % 16)
+        .withColumn("sgn", lit(1L) - lit(2L) * (expr("hv div 16") % 2))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn") * col("tf")).cast("long").as("fval"))
+    },
+
     // -- events_markov -----------------------------------------------------
     // Event-type transition matrix — the Markov-chain session model
     // (next-action prediction, bot detection via improbable transitions).

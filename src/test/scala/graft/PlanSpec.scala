@@ -583,6 +583,14 @@ class PlanSpec extends SparkTestBase {
       s"weighted sampling shuffles:\n${plan.take(1200)}")
   }
 
+  test("text_feature_hash: one keyed agg off the shared tf frame — no join, no window") {
+    val df = queryNamed(graft.queries.SignalQueries.all, "text_feature_hash")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, "feature hashing must not join")
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "feature hashing must be agg-shaped")
+  }
+
   test("events_markov: one user-partitioned lag window + broadcast marginal join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.SignalQueries.all, "events_markov")
