@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, SortedIntersectCount}
+import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension that registers the native kernels as SQL functions,
   * so `spark.sql("SELECT float_vec_dot(a, b) ...")` works cluster-wide:
@@ -39,6 +41,25 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "sorted_intersect_count(arrayString, arrayString)")
         SortedIntersectCount(args.head, args(1))
+      }),
+    (
+      FunctionIdentifier("byte_vec_dot"),
+      new ExpressionInfo(classOf[ByteVecDot].getName, "byte_vec_dot"),
+      { args =>
+        require(args.length == 2, "byte_vec_dot(arrayTinyint, arrayTinyint)")
+        ByteVecDot(args.head, args(1))
+      }),
+    (
+      FunctionIdentifier("bounded_levenshtein"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "bounded_levenshtein"),
+      { args =>
+        require(args.length == 3, "bounded_levenshtein(str, str, kLiteral)")
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bounded_levenshtein: k must be an INT literal, got $other")
+        }
+        BoundedLevenshtein(args.head, args(1), k)
       })
   )
 

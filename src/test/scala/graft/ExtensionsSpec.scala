@@ -15,6 +15,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getLong(1) == 2L)
   }
 
+  test("byte_vec_dot and bounded_levenshtein are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  byte_vec_dot(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+        |               array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS dot,
+        |  bounded_levenshtein('Customer#001', 'Customer#100', 2) AS d2,
+        |  bounded_levenshtein('abc', 'xyzabc', 2) AS over
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) == 1L)   // 15 - 14
+    assert(row.getInt(1) == 2)
+    assert(row.getInt(2) == -1)    // distance 3 > k=2
+  }
+
   test("registration is idempotent and survives re-registering") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
