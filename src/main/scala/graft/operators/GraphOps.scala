@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Minimal distributed graph kernel: connected components by iterative
@@ -176,5 +177,42 @@ object GraphOps {
             .as("pr"))
     }
     pr.select(col("id"), col("pr").as("pagerank"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), `iters` fixed
+    * rounds: each node adopts the MOST FREQUENT label among its neighbors
+    * (ties → smallest label; isolated nodes keep their own). Unlike
+    * [[connectedComponents]]' min-label convergence this finds dense
+    * communities, not reachability classes — a bridge edge between two
+    * clusters does not merge them unless a majority crosses it.
+    *
+    * Determinism: counts are exact integers and the (count DESC, label
+    * ASC) tie-break totals the order, so fixed-round output is unique —
+    * which is also why the round count is FIXED, not converged: LPA on a
+    * cyclic graph can oscillate, and a data-dependent stop would break
+    * replay. Per round: one edge-keyed join + a (node, label) partial agg
+    * + a per-node top-1 window partitioned by node (bounded by degree) —
+    * the O(E) + O(V·d) shuffle shape, nothing global.
+    *
+    * `edges` is treated as DIRECTED input and symmetrized here.
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var lbl = vertices.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val byNode = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
+      val mode = und.join(lbl, und("src") === lbl("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("lbl").as("nlbl"))
+      lbl = vertices.join(lbl, "id")
+        .join(mode, vertices("id") === mode("dst"), "left")
+        .select(vertices("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
   }
 }

@@ -21,6 +21,50 @@ object FunnelQueries {
     all.find(_.name == name).get.oracle.get
 
   def all: Seq[Q] = Seq(
+    Q("dedup_report", {
+      val ex = gateSql(PipelineQueries.all, "dedup_exact")
+      val np = gateSql(PipelineQueries.all, "dedup_near")
+      s"""SELECT d.lang,
+         |       COUNT(*) AS n_docs,
+         |       CAST(coalesce(eg.n_groups, 0) AS BIGINT) AS n_exact_groups,
+         |       CAST(coalesce(eg.n_dup_docs, 0) AS BIGINT) AS n_exact_dup_docs,
+         |       CAST(coalesce(nr.n_pairs, 0) AS BIGINT) AS n_near_pairs
+         |FROM documents d
+         |LEFT JOIN (SELECT lang, count(*) AS n_groups,
+         |                  sum(n_copies - 1) AS n_dup_docs
+         |           FROM ($ex) e WHERE n_copies > 1 GROUP BY 1) eg USING (lang)
+         |LEFT JOIN (SELECT d2.lang, count(*) AS n_pairs
+         |           FROM ($np) p JOIN documents d2 ON d2.doc_id = p.doc_a
+         |           GROUP BY 1) nr USING (lang)
+         |GROUP BY 1, eg.n_groups, eg.n_dup_docs, nr.n_pairs""".stripMargin
+    }) { (s, d) =>
+      // The daily dedup report (r7): per language, how much of the corpus
+      // is exact-duplicate mass and how many near-dup pairs the lossless
+      // candidate path found — the audit a pipeline owner reads before
+      // committing a dedup run. COMPOSED like curation_funnel: the Spark
+      // side reads the declared siblings' SHARED caches (dedup_exact's
+      // hash groups, the cached near-dup pair list), and the oracle embeds
+      // their oracle SQL as subqueries, so the report cannot drift from
+      // the operators it audits. Marginal cost: two lang-sized aggs + two
+      // broadcast-sized joins onto a lang rollup.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val ex = gateFn(PipelineQueries.all, "dedup_exact")(s, d)
+        .filter(col("n_copies") > 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies") - 1).as("n_dup_docs"))
+      val np = PipelineQueries.sharedNearDupPairs(s, d)
+        .join(docs.select(col("doc_id").as("doc_a"), col("lang")), "doc_a")
+        .groupBy("lang").agg(count(lit(1)).as("n_pairs"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(ex, Seq("lang"), "left")
+        .join(np, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_groups"), lit(0L)).as("n_exact_groups"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_exact_dup_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_near_pairs"))
+    },
+
     Q("curation_funnel", {
       val g = gateSql(TextAnalysisQueries.all, "quality_gopher")
       val p = gateSql(TextAnalysisQueries.all, "quality_perplexity")

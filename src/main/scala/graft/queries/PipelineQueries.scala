@@ -252,6 +252,53 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_triangles"))
     },
 
+    Q("graph_label_prop", {
+      def round(i: Int, prev: String) =
+        s""",
+           |md$i AS (SELECT ue.dst, p.lbl, count(*) AS c
+           |         FROM ue JOIN $prev p ON p.vec_id = ue.src GROUP BY 1, 2),
+           |mr$i AS (SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |                  ORDER BY c DESC, lbl) AS rn FROM md$i),
+           |lp$i AS (SELECT n.vec_id, coalesce(m.lbl, p.lbl) AS lbl
+           |         FROM nodes n JOIN $prev p USING (vec_id)
+           |         LEFT JOIN (SELECT dst, lbl FROM mr$i WHERE rn = 1) m
+           |           ON m.dst = n.vec_id)"""
+      val rounds = (1 to 3).map(i => round(i, if (i == 1) "lp0" else s"lp${i - 1}"))
+        .mkString
+      s"""WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+         |       FROM eemb a JOIN eemb b
+         |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+         |                                    ORDER BY cos_sim DESC, dst) AS rank
+         |       FROM pp),
+         |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
+         |ue AS (SELECT DISTINCT src, dst FROM
+         |        (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)
+         |$rounds
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM lp3 GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      // Label propagation (Raghavan 2007, 3 fixed synchronous rounds) over
+      // the kNN similarity graph — COMMUNITIES, not components: unlike
+      // dedup_clusters' min-label CC, a bridge edge between two dense
+      // clusters does not merge them unless a majority crosses it (the
+      // semantic-cluster census for diversity-aware selection). Edge set =
+      // the SAME cached kNN build, symmetrized. Fixed rounds + exact
+      // integer (count DESC, label) tie-break keep the output unique and
+      // the oracle an unrolled-CTE replay; per round one edge join +
+      // (node, label) partial agg + degree-bounded per-node window — never
+      // a global window. Emits the community-size census.
+      GraphOps.labelPropagation(
+        Tables.cachedTable(s, d, "embeddings").select(col("vec_id").as("id")),
+        knn3(s, d).select("src", "dst"), iters = 3)
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_members"))
+    },
+
     Q("split_assign",
       """WITH h AS (
         |  SELECT doc_id, lang,

@@ -583,6 +583,22 @@ class PlanSpec extends SparkTestBase {
       s"weighted sampling shuffles:\n${plan.take(1200)}")
   }
 
+  test("graph_label_prop: all joins equi, every mode window node-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.PipelineQueries.all, "graph_label_prop")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, s"label prop went non-equi ($bnlj BNLJ, $cart cartesian)")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "a mode window lost its node partitioning — single-task scan")
+  }
+
+  test("dedup_report: composed audit stays equi-joined, no cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.FunnelQueries.all, "dedup_report"))
+    assert(cart == 0 && bnlj == 0, s"dedup_report went non-equi ($bnlj BNLJ, $cart cartesian)")
+  }
+
   test("text_feature_hash: one keyed agg off the shared tf frame — no join, no window") {
     val df = queryNamed(graft.queries.SignalQueries.all, "text_feature_hash")
     val (_, bnlj, cart) = joinCensus(df)
