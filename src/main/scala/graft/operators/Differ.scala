@@ -36,7 +36,23 @@ final case class DiffOptions(
     relTol: Double = 0.0,
     tolCols: Set[String] = Set.empty,
     ignoreCols: Set[String] = Set.empty,
-    sparse: Boolean = false)
+    sparse: Boolean = false,
+    /** Compare KEY columns null-safely (`<=>`, the default). Set false when
+      * keys are guaranteed non-null (snapshot primary keys): plain `=` keys
+      * let a diff over two key-bucketed snapshots reuse the bucket layout
+      * and plan ZERO exchanges (SinksSpec pin) — `<=>` partitions on
+      * (coalesce(k), isnull(k)), which never matches a bucket spec. Parquet
+      * types all keys nullable, so this cannot be schema-inferred; with
+      * `=`, any null-keyed row silently drops from the diff like any SQL
+      * join. Value-column comparison is null-safe either way.
+      */
+    nullSafeKeys: Boolean = true) {
+
+  /** Key-compare operator per [[nullSafeKeys]]. */
+  private[operators] def keyEq(l: org.apache.spark.sql.Column,
+                               r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (nullSafeKeys) l <=> r else l === r
+}
 
 /** Schema-generic, null-safe DataFrame diff — the core capability of the
   * reference (a PySpark dataframe-diff utility; capability surface per
@@ -121,7 +137,7 @@ object Differ {
     // correct I/D tagging.
     val l = left.select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col) :+ lit(true).as(RP): _*).alias("r")
-    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
     val joined = l.join(r, joinCond, "full_outer")
 
     val allEqual = vcols
@@ -180,7 +196,7 @@ object Differ {
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
     val allEqual = vcols
       .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
       .reduceOption(_ && _)
@@ -214,7 +230,7 @@ object Differ {
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
     val joined = l.join(r, joinCond, "inner")
     val aggs = vcols.map { c =>
       sum(when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), 1L).otherwise(0L)).as(c)
@@ -236,7 +252,7 @@ object Differ {
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
     def diffCase(c: String) =
       when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), lit(c))
     val nChanged = vcols
@@ -261,7 +277,7 @@ object Differ {
     require(vcols.nonEmpty, "numericStats requires at least one shared numeric value column")
     val l = left.select((keys ++ vcols).map(col): _*).alias("l")
     val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
     val dec = DecimalType(27, 6)
     val aggs = vcols.flatMap { c =>
       val delta = abs(col(s"l.$c").cast("double") - col(s"r.$c").cast("double"))

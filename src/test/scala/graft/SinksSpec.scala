@@ -61,6 +61,44 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("diff over pre-bucketed snapshots plans ZERO exchanges — the 100 TB daily-diff shape") {
+    // The flagship scale claim, pinned: when yesterday's and today's
+    // snapshots are both written bucketed on the diff key (the layout a
+    // daily pipeline maintains anyway), the full-outer diff join reads
+    // co-located buckets and the whole diff — classification, column
+    // compare, summary — runs without shuffling either snapshot.
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-diff-bkt").toString
+    val left = spark.range(5000).select(col("id").as("k"), (col("id") % 97).as("v"))
+    val right = spark.range(4990).select(col("id").as("k"),
+      org.apache.spark.sql.functions.when(col("id") % 100 === 0, -1L)
+        .otherwise(col("id") % 97).as("v"))
+    Sinks.writeBucketed(left, "diff_left_bkt", Seq("k"), 4,
+      sortCols = Seq("k"), path = Some(s"$base/left"))
+    Sinks.writeBucketed(right, "diff_right_bkt", Seq("k"), 4,
+      sortCols = Seq("k"), path = Some(s"$base/right"))
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val diff = graft.operators.Differ.diff(
+        spark.table("diff_left_bkt"), spark.table("diff_right_bkt"), Seq("k"),
+        graft.operators.DiffOptions(nullSafeKeys = false))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed diff still shuffles a snapshot:\n${plan.take(1500)}")
+      val counts = diff.groupBy("diff_status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.getOrElse("D", 0L) == 10L)   // keys 4990..4999
+      assert(counts.getOrElse("C", 0L) == 50L)   // v=-1 on k%100==0
+      assert(counts.getOrElse("N", 0L) == 4940L)
+      assert(counts.getOrElse("I", 0L) == 0L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+      spark.sql("DROP TABLE IF EXISTS diff_left_bkt")
+      spark.sql("DROP TABLE IF EXISTS diff_right_bkt")
+    }
+  }
+
   test("writeCompacted rewrites a small-files directory into evenly-sized files") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
