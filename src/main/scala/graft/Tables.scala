@@ -63,11 +63,31 @@ object Tables {
     cached(spark, s"$dir/$name")(table(spark, dir, name))
 
   /** events with `ts_us`: microsecond bigint timestamp, the canonical
-    * cross-engine time column (Spark `ts div 1000` == DuckDB `epoch_us(ts)`).
-    * Integer division — a double division would lose precision at 1.7e18 ns.
+    * cross-engine time column (== DuckDB `epoch_us(ts)`). The fixture's `ts`
+    * physical type has varied across generator versions — timestamp[ns]
+    * (read as raw nanos via nanosAsLong) vs timestamp[us] (read as
+    * TIMESTAMP_NTZ) — so the bridge branches on the *read* type rather than
+    * assuming one. Integer ops only — a double division would lose
+    * precision at 1.7e18 ns. NTZ wall-clock is interpreted as UTC (session
+    * timeZone pinned in ensureConfs), matching DuckDB's naive-timestamp
+    * epoch_us.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"$dir/events+ts_us") {
-      table(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val raw = table(spark, dir, "events")
+      raw.withColumn("ts_us", tsUsExpr(raw.schema("ts").dataType))
     }
+
+  /** Epoch-microsecond bigint from whatever physical type `ts` read as. */
+  def tsUsExpr(tsType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    tsType match {
+      case LongType         => expr("ts div 1000") // raw nanos
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case TimestampType    => expr("unix_micros(ts)")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
+  }
 }

@@ -27,7 +27,7 @@ class StreamBatchParitySpec extends SparkTestBase {
       StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
       .withColumn("tsm", timestamp_micros(col("ts_us")))
     val q = StreamOps.tumbling(events, "tsm", "1 hour", "10 minutes")
       .writeStream.format("memory").queryName("parity").outputMode("complete").start()
@@ -53,7 +53,7 @@ class StreamBatchParitySpec extends SparkTestBase {
       StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
       .withColumn("tsm", timestamp_micros(col("ts_us")))
       .withColumn("minute_us", expr("(ts_us div 60000000) * 60000000"))
     // delay longer than the fixture's time span: nothing is late, so the
