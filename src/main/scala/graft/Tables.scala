@@ -23,8 +23,10 @@ object Tables {
     */
   def ensureConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries timestamp[ns]; Spark 4.x refuses it unless read
-    // as raw nanos (bigint). Bridge to DuckDB micros: ts div 1000.
+    // Older fixture generations carried events.ts as timestamp[ns], which
+    // Spark 4.x refuses unless read as raw nanos (bigint). Harmless for the
+    // current timestamp[us] fixtures; kept so both flavors read. The type
+    // branch lives in tsUsExpr.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
