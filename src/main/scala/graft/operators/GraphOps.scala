@@ -198,20 +198,29 @@ object GraphOps {
     */
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        iters: Int = 3): DataFrame = {
+    // Symmetrized edge list is re-read every round; cache it so its
+    // union+distinct shuffle runs once, not `iters` times. (At cluster
+    // scale: persist to a bucketed-by-src table instead, so the per-round
+    // join is exchange-free on the edge side.)
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().cache()
     var lbl = vertices.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
-      val byNode = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
+      // Majority label with (count DESC, label ASC) tie-break, as a pure
+      // hash aggregation: max_by over the ordering struct (c, -lbl) picks
+      // the same winner as the former row_number window but with partial
+      // (map-side) aggregation and no per-node sort — one fewer exchange
+      // flavor per round. lbl ids are non-negative, so -lbl is ASC label.
       val mode = und.join(lbl, und("src") === lbl("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("dst"), col("lbl").as("nlbl"))
-      lbl = vertices.join(lbl, "id")
-        .join(mode, vertices("id") === mode("dst"), "left")
-        .select(vertices("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("nlbl"))
+      // lbl always holds exactly the vertex set (starts there; left join
+      // preserves it), so no re-join with `vertices` is needed.
+      lbl = lbl.join(mode, lbl("id") === mode("dst"), "left")
+        .select(lbl("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }

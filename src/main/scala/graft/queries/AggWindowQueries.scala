@@ -393,8 +393,15 @@ object AggWindowQueries {
         |        JOIN pf f2 ON f2.l_partkey = p2
         |        CROSS JOIN tot
         |ORDER BY n_pair DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
-      val li = Tables.cachedTable(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+      // The distinct (order, part) frame feeds FOUR consumers (n_total,
+      // part frequencies, both self-join sides); without caching, the
+      // distinct's shuffle re-runs once per consumer. At cluster scale
+      // this is the classic "materialize the deduped edge list once"
+      // shape (persist or a pre-bucketed table); here Tables.cached.
+      val li = Tables.cached(s, s"$d/lineitem+order_part_distinct") {
+        Tables.table(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+      }
       val tot = li.agg(countDistinct("l_orderkey").as("n_total"))
       val pf = li.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))

@@ -583,14 +583,17 @@ class PlanSpec extends SparkTestBase {
       s"weighted sampling shuffles:\n${plan.take(1200)}")
   }
 
-  test("graph_label_prop: all joins equi, every mode window node-partitioned") {
+  test("graph_label_prop: all joins equi, mode pick is a window-free hash agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = queryNamed(graft.queries.PipelineQueries.all, "graph_label_prop")
     val (_, bnlj, cart) = joinCensus(df)
     assert(cart == 0 && bnlj == 0, s"label prop went non-equi ($bnlj BNLJ, $cart cartesian)")
+    // r7 rewrote the per-round majority pick from a row_number window to a
+    // max_by hash aggregation (partial agg, no per-node sort); a Window
+    // reappearing here means the rewrite regressed.
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      "a mode window lost its node partitioning — single-task scan")
+    assert(windows.isEmpty,
+      "label prop's mode pick regressed from max_by agg to a window")
   }
 
   test("dedup_report: composed audit stays equi-joined, no cartesian") {
