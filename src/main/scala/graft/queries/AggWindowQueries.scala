@@ -464,6 +464,37 @@ object AggWindowQueries {
           sum(when(col("dev2") * 10000 > (lit(44478) * col("mad2")).cast("long"), 1)
             .otherwise(0)).as("n_outliers"))
         .withColumnRenamed("prio", "o_orderpriority")
+    },
+
+    // Exact equi-width histogram of order value — the distribution census
+    // behind quality dashboards and bucket-balanced sampling. All-integer
+    // ladder: prices → floor(·100) cents (BIGINT; floor of an IEEE product
+    // is bit-identical everywhere), bucket = (cents−minc)·20 div span with
+    // span = maxc+1−minc, so the max lands in bucket 19 and every boundary
+    // is an exact integer comparison — no float binning anywhere. Empty
+    // buckets are absent in both engines. Per-bucket lo/hi are the observed
+    // min/max cents (data-derived, no bound arithmetic to drift). 100 TB
+    // shape: one scalar min/max agg broadcast into a second scan (the
+    // quality_outliers two-scan budget), then a 20-group partial agg —
+    // zero wide shuffles.
+    Q("agg_histogram",
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |st AS (SELECT min(cents) AS minc, max(cents) + 1 AS maxc1 FROM o),
+        |b AS (SELECT cents,
+        |        CAST(((cents - minc) * 20) // (maxc1 - minc) AS BIGINT) AS bucket
+        |      FROM o, st)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.cachedTable(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val st = o.agg(min("cents").as("minc"), (max("cents") + 1).as("maxc1"))
+      o.crossJoin(broadcast(st))
+        .withColumn("bucket", expr("((cents - minc) * 20) div (maxc1 - minc)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
     }
   )
 }

@@ -608,6 +608,68 @@ object PipelineQueries {
         |GROUP BY vec_id, label""".stripMargin) {
       (s, d) =>
         VectorOps.centroidHygiene(Tables.cachedTable(s, d, "embeddings"))
+    },
+
+    // Embedding-distribution drift between two snapshots — the monitor a
+    // daily pipeline runs when the embedder version bumps or a new crawl
+    // lands: per label, how far did the class centroid move? Snapshots are
+    // the even/odd vec_id halves of the one fixture table (deterministic,
+    // disjoint, ~equal size); in production they are yesterday's and
+    // today's partition of the same store. Exactness: per-(label, dim)
+    // centroids via the house DECIMAL(27,12) sum (order-free) and ONE
+    // double division (cf. multimodal_cols); the 64-term cross-dim
+    // reductions (dot, norms, L2 shift) re-quantize each double product to
+    // DECIMAL(27,12) so their sums are order-free too; one round(·,5) at
+    // the end. 100 TB shape: one posexplode + (label, dim) partial agg per
+    // snapshot — both snapshots in a SINGLE scan via conditional
+    // aggregation — then a label-sized agg; never shuffles whole vectors,
+    // output is labels-sized.
+    Q("embed_drift",
+      """WITH pos AS (
+        |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |cent AS (
+        |  SELECT label, p,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN CAST(x AS DECIMAL(27,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS ca,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN CAST(x AS DECIMAL(27,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS cb,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM pos GROUP BY 1, 2)
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(CAST(ca * cb AS DECIMAL(27,12))) AS DOUBLE)
+        |    / (sqrt(CAST(sum(CAST(ca * ca AS DECIMAL(27,12))) AS DOUBLE))
+        |       * sqrt(CAST(sum(CAST(cb * cb AS DECIMAL(27,12))) AS DOUBLE))), 5)
+        |    AS centroid_cos,
+        |  round(sqrt(CAST(sum(CAST((ca - cb) * (ca - cb) AS DECIMAL(27,12))) AS DOUBLE)), 5)
+        |    AS centroid_shift
+        |FROM cent GROUP BY label""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(27, 12)
+      val isA = col("vec_id") % 2 === 0
+      val pos = Tables.cachedTable(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).as("p"), col("col").cast("double").as("x"))
+      val cent = pos.groupBy("label", "p").agg(
+        (sum(when(isA, col("x").cast(dec))).cast("double") /
+          sum(when(isA, lit(1)))).as("ca"),
+        (sum(when(!isA, col("x").cast(dec))).cast("double") /
+          sum(when(!isA, lit(1)))).as("cb"),
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb"))
+      cent.groupBy("label").agg(
+        max("na").as("n_a"),
+        max("nb").as("n_b"),
+        round(
+          sum((col("ca") * col("cb")).cast(dec)).cast("double") /
+            (sqrt(sum((col("ca") * col("ca")).cast(dec)).cast("double")) *
+              sqrt(sum((col("cb") * col("cb")).cast(dec)).cast("double"))), 5)
+          .as("centroid_cos"),
+        round(
+          sqrt(sum(((col("ca") - col("cb")) * (col("ca") - col("cb"))).cast(dec))
+            .cast("double")), 5)
+          .as("centroid_shift"))
     }
   )
 }
