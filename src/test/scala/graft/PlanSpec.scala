@@ -620,4 +620,27 @@ class PlanSpec extends SparkTestBase {
     assert(cart == 0 && bnlj == 0, "markov marginal join went non-equi")
     assert(bhj >= 1, "the types-sized row-marginal frame must broadcast")
   }
+
+  test("agg_histogram: 1-row stats broadcast, no wide join, no cartesian") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "agg_histogram")
+    val (_, bnlj, cart) = joinCensus(df)
+    // The crossJoin(broadcast(stats)) is the intended shape: a 1-row
+    // broadcast build side (BNLJ), never a CartesianProduct and never a
+    // shuffle join of the fact against anything.
+    assert(cart == 0, "histogram stats join degenerated to a cartesian")
+    assert(bnlj == 1, s"expected exactly the 1-row stats broadcast, got $bnlj BNLJs")
+    assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "histogram must not shuffle-join")
+  }
+
+  test("embed_drift: both snapshots in one scan — zero joins, zero windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.PipelineQueries.all, "embed_drift")
+    // Conditional aggregation means the even/odd snapshot split never
+    // becomes a self-join of the embeddings table.
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "embed_drift must not self-join the snapshots")
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "embed_drift must be pure aggregation")
+  }
 }
