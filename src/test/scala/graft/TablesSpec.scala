@@ -17,4 +17,26 @@ class TablesSpec extends SparkTestBase {
     // both levels are served from the cache on re-entry (same instance)
     assert(Tables.cached(spark, "tables-spec/outer")(fail("must not rebuild")) eq df)
   }
+
+  test("tsUsExpr bridges every ts flavor to the same epoch micros") {
+    // The fixture generator has shipped events.ts as bigint nanos
+    // (timestamp[ns] + nanosAsLong), timestamp_ntz (timestamp[us]), and
+    // could ship plain timestamp; the round-7 regeneration silently
+    // switched flavors and broke the hard-coded `ts div 1000` bridge. Pin
+    // that all three read paths agree on ts_us for the same instant.
+    import org.apache.spark.sql.functions._
+    Tables.ensureConfs(spark) // UTC session zone — NTZ wall clock == UTC
+    val us = 1704067798778549L // 2024-01-01T00:09:58.778549Z
+    val fromNanos = spark.range(1)
+      .select(lit(us * 1000 + 829).as("ts")) // sub-µs nanos truncate
+    val fromNtz = spark.range(1)
+      .select(expr(s"cast(timestamp_micros(${us}L) as timestamp_ntz)").as("ts"))
+    val fromLtz = spark.range(1)
+      .select(expr(s"timestamp_micros(${us}L)").as("ts"))
+    for (df <- Seq(fromNanos, fromNtz, fromLtz)) {
+      val got = df.select(Tables.tsUsExpr(df.schema("ts").dataType).as("ts_us"))
+        .head().getLong(0)
+      assert(got == us, s"${df.schema("ts").dataType} bridged to $got, want $us")
+    }
+  }
 }
