@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.operators._
 
 /** Public facade — the one-stop API surface of the library.
@@ -113,6 +113,21 @@ object Graft {
 
   def embeddingHygiene(emb: DataFrame): DataFrame =
     VectorOps.centroidHygiene(emb)
+
+  /** Per-label centroid cosine + L2 shift between two snapshots of the
+    * same embedding store (`snapA` marks the first snapshot's rows) —
+    * drift monitoring across embedder bumps / new crawls. One scan,
+    * never a self-join.
+    */
+  def embeddingDrift(emb: DataFrame, snapA: Column): DataFrame =
+    VectorOps.centroidDrift(emb, snapA)
+
+  /** Exact equi-width histogram of an integer-valued column (pre-scale
+    * floats, e.g. floor(price*100)); (bucket, n, lo, hi), empty buckets
+    * absent.
+    */
+  def histogram(df: DataFrame, value: Column, buckets: Int = 20): DataFrame =
+    CurateOps.histogram(df, value, buckets)
 
   /** Embedding near-dup blocked by a coarse quantizer (IVF cells) instead
     * of a given label — the 100 TB path; see VectorOps.dedupByQuantizer.

@@ -14,6 +14,28 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CurateOps {
 
+  /** Exact equi-width histogram over an integer-valued column: `buckets`
+    * buckets spanning [min, max], bucket = (v−min)·buckets div (max+1−min)
+    * so the maximum lands in the last bucket and every boundary is an
+    * integer comparison — no float binning to drift across engines.
+    * Emits (bucket, n, lo, hi) with lo/hi the observed min/max per bucket;
+    * empty buckets are absent. Callers bin floats by pre-scaling to an
+    * integer grid (e.g. floor(price·100) cents, cf. `agg_histogram`).
+    *
+    * 100 TB shape: one scalar min/max agg broadcast into a second scan,
+    * then a buckets-sized partial agg — zero wide shuffles (PlanSpec pins
+    * the 1-row broadcast).
+    */
+  def histogram(df: DataFrame, value: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val o = df.select(value.cast("long").as("v"))
+    val st = o.agg(min("v").as("minv"), (max("v") + 1).as("maxv1"))
+    o.crossJoin(broadcast(st))
+      .withColumn("bucket", expr(s"((v - minv) * $buckets) div (maxv1 - minv)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+  }
+
   /** Gap-based sessionization: one row per (user, session) with event
     * count, start/end, and duration, sessions breaking after `gapUs`
     * micros of silence. The break flag (lag) and the running session

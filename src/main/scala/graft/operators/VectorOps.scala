@@ -416,4 +416,50 @@ object VectorOps {
           .as("dist_centroid"))
       .select(col(idCol), col(labelCol), col("dim"), col("norm"), col("dist_centroid"))
   }
+
+  /** Embedding-distribution drift between two snapshots of the same store:
+    * per label, the cosine between the snapshot centroids and the L2 the
+    * centroid moved — the monitor a daily pipeline runs when the embedder
+    * version bumps or a new crawl lands. `snapA` marks rows of the first
+    * snapshot (e.g. yesterday's partition; the fixture query uses the
+    * even/odd vec_id halves).
+    *
+    * Exactness: per-(label, dim) centroids via the house DECIMAL(27,12)
+    * order-free sum + ONE double division (cf. [[centroidHygiene]]); the
+    * cross-dim reductions (dot, norms, shift) re-quantize each double
+    * product to decimal so their sums are order-free too; one round(·,5)
+    * at the end. Identical snapshots therefore report exactly cos 1.0 /
+    * shift 0.0 (property-pinned).
+    *
+    * 100 TB shape: BOTH snapshots in a single scan via conditional
+    * aggregation (never a self-join of the store), one (label, dim)
+    * partial agg, then a label-sized final agg — whole vectors are never
+    * shuffled and the output is labels-sized.
+    */
+  def centroidDrift(emb: DataFrame, snapA: Column,
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val pos = emb.select(snapA.as("is_a"), col(labelCol).as("label"),
+        posexplode(toDouble(col(vecCol))).as(Seq("p", "x")))
+    val cent = pos.groupBy("label", "p").agg(
+      (sum(when(col("is_a"), col("x").cast(dec))).cast("double") /
+        sum(when(col("is_a"), lit(1)))).as("ca"),
+      (sum(when(!col("is_a"), col("x").cast(dec))).cast("double") /
+        sum(when(!col("is_a"), lit(1)))).as("cb"),
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    cent.groupBy("label").agg(
+      max("na").as("n_a"),
+      max("nb").as("n_b"),
+      round(
+        sum((col("ca") * col("cb")).cast(dec)).cast("double") /
+          (sqrt(sum((col("ca") * col("ca")).cast(dec)).cast("double")) *
+            sqrt(sum((col("cb") * col("cb")).cast(dec)).cast("double"))), 5)
+        .as("centroid_cos"),
+      round(
+        sqrt(sum(((col("ca") - col("cb")) * (col("ca") - col("cb"))).cast(dec))
+          .cast("double")), 5)
+        .as("centroid_shift"))
+  }
 }

@@ -487,14 +487,11 @@ object AggWindowQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
         |       min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
-      val o = Tables.cachedTable(s, d, "orders")
-        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      val st = o.agg(min("cents").as("minc"), (max("cents") + 1).as("maxc1"))
-      o.crossJoin(broadcast(st))
-        .withColumn("bucket", expr("((cents - minc) * 20) div (maxc1 - minc)"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      graft.operators.CurateOps.histogram(
+        Tables.cachedTable(s, d, "orders"),
+        floor(col("o_totalprice") * 100), buckets = 20)
+        .select(col("bucket"), col("n"),
+          col("lo").as("lo_cents"), col("hi").as("hi_cents"))
     }
   )
 }

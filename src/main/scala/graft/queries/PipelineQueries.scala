@@ -645,31 +645,9 @@ object PipelineQueries {
         |  round(sqrt(CAST(sum(CAST((ca - cb) * (ca - cb) AS DECIMAL(27,12))) AS DOUBLE)), 5)
         |    AS centroid_shift
         |FROM cent GROUP BY label""".stripMargin) { (s, d) =>
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(27, 12)
-      val isA = col("vec_id") % 2 === 0
-      val pos = Tables.cachedTable(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"),
-          (col("pos") + 1).as("p"), col("col").cast("double").as("x"))
-      val cent = pos.groupBy("label", "p").agg(
-        (sum(when(isA, col("x").cast(dec))).cast("double") /
-          sum(when(isA, lit(1)))).as("ca"),
-        (sum(when(!isA, col("x").cast(dec))).cast("double") /
-          sum(when(!isA, lit(1)))).as("cb"),
-        sum(when(isA, 1L).otherwise(0L)).as("na"),
-        sum(when(!isA, 1L).otherwise(0L)).as("nb"))
-      cent.groupBy("label").agg(
-        max("na").as("n_a"),
-        max("nb").as("n_b"),
-        round(
-          sum((col("ca") * col("cb")).cast(dec)).cast("double") /
-            (sqrt(sum((col("ca") * col("ca")).cast(dec)).cast("double")) *
-              sqrt(sum((col("cb") * col("cb")).cast(dec)).cast("double"))), 5)
-          .as("centroid_cos"),
-        round(
-          sqrt(sum(((col("ca") - col("cb")) * (col("ca") - col("cb"))).cast(dec))
-            .cast("double")), 5)
-          .as("centroid_shift"))
+      VectorOps.centroidDrift(
+        Tables.cachedTable(s, d, "embeddings"),
+        snapA = col("vec_id") % 2 === 0)
     }
   )
 }

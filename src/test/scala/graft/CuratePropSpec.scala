@@ -165,4 +165,51 @@ class CuratePropSpec extends SparkTestBase {
       }
     }
   }
+
+  test("histogram partitions the rows: counts sum to n, bounds nest, max in last bucket") {
+    import org.apache.spark.sql.functions.col
+    val valuesGen = Gen.nonEmptyListOf(Gen.chooseNum(-5000L, 5000L))
+    for ((vs, i) <- samples(valuesGen, 8, 23L).zipWithIndex) {
+      val buckets = 1 + (i % 7)
+      val rows = CurateOps.histogram(vs.toDF("v"), col("v"), buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.map(_._2).sum == vs.size, s"case $i: counts must sum to n")
+      assert(rows.forall { case (b, _, lo, hi) => b >= 0 && b < buckets && lo <= hi },
+        s"case $i: bucket ids in range, lo<=hi")
+      // observed per-bucket [lo, hi] ranges are disjoint and ordered
+      for (pair <- rows.sliding(2) if pair.length == 2)
+        assert(pair(0)._4 < pair(1)._3,
+          s"case $i: bucket ranges overlap: ${pair(0)} vs ${pair(1)}")
+      assert(rows.last._4 == vs.max && rows.head._3 == vs.min,
+        s"case $i: global min/max must be the outer bounds")
+    }
+  }
+
+  test("centroidDrift of identical snapshots is exactly cos 1.0 / shift 0.0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vecGen = for {
+      n <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(n, for {
+        lbl <- Gen.chooseNum(0, 2)
+        v <- Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 64.0f))
+      } yield (lbl, v))
+    } yield rows
+    for ((rows, i) <- samples(vecGen, 6, 31L).zipWithIndex) {
+      val one = rows.toDF("label", "embedding")
+      val both = one.withColumn("half", lit(0))
+        .unionByName(one.withColumn("half", lit(1)))
+      val got = graft.operators.VectorOps
+        .centroidDrift(both, snapA = col("half") === 0)
+        .collect()
+      assert(got.nonEmpty, s"case $i: no labels")
+      for (r <- got) {
+        assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"), s"case $i: halves differ")
+        assert(r.getAs[Double]("centroid_cos") == 1.0,
+          s"case $i label ${r.get(0)}: cos ${r.getAs[Double]("centroid_cos")}")
+        assert(r.getAs[Double]("centroid_shift") == 0.0,
+          s"case $i label ${r.get(0)}: shift ${r.getAs[Double]("centroid_shift")}")
+      }
+    }
+  }
 }
