@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
 import graft.operators.{GraphOps, TextOps, VectorOps}
 
@@ -36,6 +37,22 @@ object PipelineQueries {
 
   /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
   private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
+
+  /** sim_knn_graph's oracle SQL, shared verbatim with graph_degree_stats
+    * (which embeds it as a subquery) — the FunnelQueries composition rule:
+    * a derived report's oracle references the operator it derives from, so
+    * the two can never drift.
+    */
+  private val KnnOracleSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+      |        round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+      |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src
+      |                                   ORDER BY cos_sim DESC, dst) AS rank
+      |      FROM p)
+      |SELECT src, CAST(rank AS BIGINT) AS rank, dst, label, cos_sim
+      |FROM r WHERE rank <= 3""".stripMargin
 
   /** The k=3 in-block kNN graph, cached per dir: sim_knn_graph declares it
     * and graph_pagerank consumes its (src, dst) edge set — one build.
@@ -148,16 +165,7 @@ object PipelineQueries {
         VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = CosTau)
     },
 
-    Q("sim_knn_graph",
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
-        |        round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
-        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY src
-        |                                   ORDER BY cos_sim DESC, dst) AS rank
-        |      FROM p)
-        |SELECT src, CAST(rank AS BIGINT) AS rank, dst, label, cos_sim
-        |FROM r WHERE rank <= 3""".stripMargin) {
+    Q("sim_knn_graph", KnnOracleSql) {
       (s, d) =>
         // Directed k-NN graph (k=3), the SemDeDup/diversity-sampling/
         // graph-clustering substrate: every vector's nearest in-block
@@ -624,6 +632,81 @@ object PipelineQueries {
     // snapshot — both snapshots in a SINGLE scan via conditional
     // aggregation — then a label-sized agg; never shuffles whole vectors,
     // output is labels-sized.
+    // Embedding-store QA rollup — the sanity report a pipeline runs before
+    // trusting a new embedder drop: per label, vector counts, dimension
+    // consistency (a ragged store corrupts every dot product downstream),
+    // zero-vector count (no direction — poisons cosine), and the norm
+    // distribution (min/max/mean; an unnormalized mix shows up here
+    // first). Exactness: the per-row sum of squares is a DECIMAL(27,12)
+    // HOF fold (order-free, exact), sqrt is one IEEE op on the exact
+    // double, and the mean quantizes each norm to DECIMAL(18,6) before the
+    // exact cross-row sum (house ladder, cf. text_entropy).
+    Q("embed_norm_stats",
+      """WITH p AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS dim,
+        |             CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+        |      FROM p GROUP BY 1, 2),
+        |s AS (SELECT label, dim, n2, sqrt(n2) AS nrm FROM n)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       min(dim) AS dim_min, max(dim) AS dim_max,
+        |       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       round(min(nrm), 5) AS min_norm, round(max(nrm), 5) AS max_norm,
+        |       round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 5)
+        |         AS avg_norm
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      // 100 TB shape: the oracle unnests corpus×dim rows through a
+      // vec-keyed agg, but the Spark side folds the sum of squares PER ROW
+      // (a decimal HOF fold — exact and order-free, so the plans agree) —
+      // zero shuffles until the final labels-sized agg. One corpus scan,
+      // nothing wide ever moves.
+      Tables.cachedTable(s, d, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          expr("""CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,12)),
+                 |(acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                 |                            AS DECIMAL(27,12))
+                 |            AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+            .as("n2"))
+        .withColumn("nrm", sqrt(col("n2")))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          min("dim").as("dim_min"), max("dim").as("dim_max"),
+          sum(when(col("n2") === 0, 1L).otherwise(0L)).cast("long").as("n_zero"),
+          round(min("nrm"), 5).as("min_norm"),
+          round(max("nrm"), 5).as("max_norm"),
+          round(sum(col("nrm").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 5).as("avg_norm"))
+    },
+
+    // In-degree histogram of the kNN graph — the hubness audit (Radovanović
+    // et al. 2010): high-in-degree "hub" vectors dominate nearest-neighbor
+    // lists and skew dedup/diversity sampling; a heavy tail here says the
+    // embedding space needs whitening before ANN-based curation. Composed:
+    // the oracle embeds sim_knn_graph's own oracle SQL, the Spark side
+    // reads the SAME cached knn3 edge set — report and graph cannot drift.
+    Q("graph_degree_stats",
+      s"""WITH g AS ($KnnOracleSql),
+         |ind AS (
+         |  SELECT emb.vec_id, coalesce(c.indeg, 0) AS in_degree
+         |  FROM embeddings emb
+         |  LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+         |             FROM g GROUP BY 1) c ON c.dst = emb.vec_id)
+         |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM ind GROUP BY 1""".stripMargin) { (s, d) =>
+      // 100 TB shape: one (dst)-keyed count over the already-built edge
+      // list (3n rows), a left join to catch zero-in-degree vertices, and
+      // a histogram-sized final agg. Marginal cost on top of the shared
+      // kNN build is two narrow shuffles of id-sized rows.
+      val indeg = knn3(s, d).groupBy(col("dst"))
+        .agg(count(lit(1)).cast("long").as("indeg"))
+      Tables.cachedTable(s, d, "embeddings").select(col("vec_id"))
+        .join(indeg, col("vec_id") === col("dst"), "left")
+        .select(coalesce(col("indeg"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree")
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
+    },
+
     Q("embed_drift",
       """WITH pos AS (
         |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x

@@ -91,6 +91,31 @@ object RelationalQueries {
         expr("substring(value, instr(value, '\t') + 1)").as("text"))
     },
 
+    Q("scan_merge_schema",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders""".stripMargin) { (s, d) =>
+      // Schema-evolution read — the shape every long-lived 100 TB dataset
+      // ends up in: an old shard written BEFORE a column existed (here the
+      // even keys, without o_orderstatus) sitting next to a new shard
+      // written after (odd keys, with it). `mergeSchema=true` reconciles
+      // the footers into the union schema and fills the missing column
+      // with NULLs for old files — the oracle pins exactly that fill
+      // semantics from the canonical parquet. At scale, schema merging
+      // reads only footers (one metadata pass), and per-file projection
+      // pushdown still applies — old files never materialize the column.
+      val src = Tables.cachedTable(s, d, "orders")
+      val base = s"$roundtripRoot/merge/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      src.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    },
+
     Q("project_filter",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>

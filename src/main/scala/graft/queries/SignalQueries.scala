@@ -247,6 +247,45 @@ object SignalQueries {
         .agg(sum(col("sgn") * col("tf")).cast("long").as("fval"))
     },
 
+    // -- window_gaps_islands -----------------------------------------------
+    // Gaps-and-islands: per-user consecutive-active-day streaks (the
+    // engagement-streak / churn-gap report). The classic trick — island id
+    // = day − row_number() over the user's distinct active days — turns
+    // run detection into pure integer window arithmetic: consecutive days
+    // share one (day − rn) value, any gap starts a new island. All-bigint
+    // end to end (epoch-µs integer day buckets), so the hash gate is
+    // trivially exact.
+    Q("window_gaps_islands",
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |      FROM a),
+        |st AS (SELECT user_id, isl, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS max_streak_days
+        |FROM st GROUP BY 1""".stripMargin) { (s, d) =>
+      // 100 TB shape: ONE user_id hash shuffle feeds everything — the
+      // distinct, the per-user day window, and both aggs are
+      // user-partitioned (no global window, no self-join of the event
+      // stream against itself, which the naive "day - 1 exists" formulation
+      // would need). State per user is its distinct-day list, bounded by
+      // the calendar, not by event volume.
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+        .distinct()
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").cast("long").as("n_active_days"),
+          count(lit(1)).cast("long").as("n_streaks"),
+          max("len").cast("long").as("max_streak_days"))
+    },
+
     // -- events_markov -----------------------------------------------------
     // Event-type transition matrix — the Markov-chain session model
     // (next-action prediction, bot detection via improbable transitions).
