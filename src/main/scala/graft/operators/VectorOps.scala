@@ -462,4 +462,127 @@ object VectorOps {
           .cast("double")), 5)
         .as("centroid_shift"))
   }
+
+  // -- product quantization ------------------------------------------------
+
+  /** Slice an exploded unit-vector position frame into `m` contiguous
+    * subspaces: adds (sub, sp) = (p div subdim, p mod subdim).
+    */
+  private def subPos(pos: DataFrame, subdim: Int): DataFrame =
+    pos.withColumn("sub", expr(s"CAST(p DIV $subdim AS INT)"))
+      .withColumn("sp", expr(s"CAST(p % $subdim AS INT)"))
+
+  /** Per-subspace affinity ranking: like [[scoreCells]] but partitioned by
+    * (id, sub) against a (sub, cell, sp, c) codebook — each subspace ranks
+    * its own cells independently. Same DECIMAL(27,12) discipline.
+    */
+  private def pqScore(pos: DataFrame, cent: DataFrame): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val csq = cent.groupBy("sub", "cell")
+      .agg(sum((col("c") * col("c")).cast(dec)).cast("double").as("csq"))
+    val dots = pos.join(broadcast(cent), Seq("sub", "sp"))
+      .groupBy(col("id"), col("sub"), col("cell"))
+      .agg(sum((col("x") * col("c")).cast(dec)).cast("double").as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "sub")
+      .orderBy((col("dot") / sqrt(col("csq"))).desc, col("cell"))
+    dots.join(broadcast(csq), Seq("sub", "cell"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Deterministic product-quantization codebook (Jégou et al. 2011): the
+    * unit-normalized vector is split into `m` contiguous subspaces and each
+    * subspace runs its own spherical k-means — [[kmeansCodebook]]'s exact
+    * algorithm with (sub) added to every key. Seeds are the SAME
+    * hash-ranked vectors in every subspace (seed i's slice s seeds cell i
+    * of subspace s), so no per-subspace RNG exists and the DuckDB oracle
+    * replays the whole build (KMeansSql.pqCtes). k self-scales like the
+    * IVF codebook: k = min(kCap, ceil(sqrt(n))) cells PER subspace, giving
+    * k^m distinct reproduction values from m·k·subdim stored floats — the
+    * PQ memory trade.
+    *
+    * Shuffle budget mirrors [[kmeansCodebook]]: bounded hash-rank sample,
+    * broadcast codebook, (id, sub, cell)-narrow score shuffles; the
+    * returned table is a materialized LocalRelation (≤ m·k·subdim = dim·k
+    * rows).
+    *
+    * @return (sub, cell, sp, c) — subspace codebooks, tiny
+    */
+  def pqCodebook(emb: DataFrame, m: Int, kCap: Int, iters: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 sampleCap: Int = 1 << 20): DataFrame = {
+    require(m > 0, s"pqCodebook: m must be positive, got $m")
+    require(kCap > 0 && iters >= 0 && sampleCap >= kCap,
+      s"pqCodebook: bad (kCap=$kCap, iters=$iters, sampleCap=$sampleCap)")
+    val dec = DecimalType(27, 12)
+    val dim = emb.agg(max(size(col(vecCol)))).head.getInt(0)
+    require(dim % m == 0, s"pqCodebook: dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    val hash = (col("id") % 2147483647L) * 2654435761L % 4294967296L
+    val ranked = emb.select(col(idCol).as("id")).withColumn("h", hash)
+      .orderBy(col("h"), col("id")).limit(sampleCap)
+    val rk = ranked.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id"))))
+      .select(col("id"), col("rn"))
+    val n = ranked.count()
+    val k = math.min(kCap, math.ceil(math.sqrt(n.toDouble)).toInt)
+    require(n >= k, s"pqCodebook: k=$k exceeds sample size $n")
+    val sEmb = emb.join(
+      ranked.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val pos = subPos(unitPos(sEmb, idCol, vecCol), subdim).cache()
+    val seeds = rk
+      .withColumn("cell", expr(s"CAST(((CAST(rn AS BIGINT) - 1) * $k) DIV $n AS INT)"))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("rn")))
+      .filter(col("pick") === 1)
+      .select(col("id").as("sid"), col("cell"))
+    var cent = materializeLocal(
+      pos.join(broadcast(seeds), col("id") === col("sid"))
+        .select(col("sub"), col("cell"), col("sp"), col("x").as("c")))
+    for (_ <- 1 to iters) {
+      val home = pqScore(pos, cent).filter(col("rn") === 1)
+        .select("id", "sub", "cell")
+      cent = materializeLocal(
+        pos.join(home, Seq("id", "sub"))
+          .groupBy("sub", "cell", "sp")
+          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c")))
+    }
+    pos.unpersist(blocking = false)
+    cent
+  }
+
+  /** Subspace dimensionality of a (sub, cell, sp, c) codebook — read from
+    * the tiny LocalRelation, no corpus touch.
+    */
+  private def pqSubdim(cent: DataFrame): Int =
+    cent.agg(max(col("sp"))).head.getInt(0) + 1
+
+  /** PQ code assignment: each vector's best-affinity cell PER subspace —
+    * (idCol, sub, cell), m rows per vector. One full-corpus pass against
+    * the broadcast codebook.
+    */
+  def pqCodes(emb: DataFrame, cent: DataFrame,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqScore(subPos(unitPos(emb, idCol, vecCol), pqSubdim(cent)), cent)
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("sub"), col("cell"))
+
+  /** ADC lookup table for one probe: dot(probe-slice, centroid) per
+    * (sub, cell) — the m×k table an ADC scan adds per query. DECIMAL-exact
+    * per-term sums (house rule), so the oracle replays it. Returned as a
+    * materialized LocalRelation (≤ m×k rows): real ADC computes the
+    * query's distance table locally before touching the index, so the
+    * search plan itself carries zero exchanges — only broadcasts of this
+    * literal table (pinned in PlanSpec).
+    */
+  def pqProbeDots(emb: DataFrame, cent: DataFrame, probeId: Long,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val pos = subPos(
+      unitPos(emb.filter(col(idCol) === probeId), idCol, vecCol), pqSubdim(cent))
+    materializeLocal(
+      cent.join(pos, Seq("sub", "sp"))
+        .groupBy("sub", "cell")
+        .agg(sum((col("x") * col("c")).cast(dec)).cast("double").as("qd")))
+  }
 }

@@ -134,6 +134,102 @@ private[graft] object KMeansSql {
         Seq("vec_id"))
     }
 
+  // -- product quantization ------------------------------------------------
+
+  /** Subspace count for the PQ family (dim must divide evenly). */
+  val PqM = 4
+  /** Per-subspace cell cap: k = min(PqKCap, ceil(sqrt(n))). */
+  val PqKCap = 16
+  /** Fixed Lloyd rounds per subspace (determinism, cf. [[Iters]]). */
+  val PqIters = 2
+  /** Probe id for the declared ADC search (house probe, cf. sim_search_topk). */
+  val PqProbeId = 0L
+
+  /** The shared PQ codebook (sub, cell, sp, c), built ONCE per
+    * (session, dir) — a materialized LocalRelation, trivially broadcast.
+    */
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/pq-codebook/m=$PqM/k=$PqKCap/iters=$PqIters") {
+      VectorOps.pqCodebook(
+        Tables.cachedTable(spark, dir, "embeddings"), PqM, PqKCap, PqIters)
+    }
+
+  /** The materialized PQ code index: ONE row per vector with its m cell
+    * codes pivoted wide (c0..c{m-1}) — FAISS's contiguous code layout.
+    * Built once per (session, dir); the per-vector pivot agg is part of
+    * the INDEX build (amortized), so an ADC query is one scan of this
+    * narrow table + m broadcast lookup joins — zero per-query corpus
+    * shuffle. At 100 TB this is the codes table a nightly job writes
+    * (m bytes of cell ids per vector vs 4·dim bytes of floats — the
+    * 64× memory cut that makes billion-scale ANN fit in RAM).
+    */
+  def pqCodesWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/pq-codes/m=$PqM/k=$PqKCap/iters=$PqIters") {
+      import org.apache.spark.sql.functions.first
+      VectorOps.pqCodes(
+        Tables.cachedTable(spark, dir, "embeddings"), pqCodebook(spark, dir))
+        .groupBy("vec_id")
+        .pivot("sub", 0 until PqM)
+        .agg(first("cell"))
+        .toDF("vec_id" +: (0 until PqM).map(i => s"c$i"): _*)
+    }
+
+  /** CTEs from `e` through the per-subspace codebook chain — the PQ twin
+    * of [[codebookCtes]], replaying [[VectorOps.pqCodebook]] step for
+    * step with `sub` added to every key. Final CTEs: `cent{iters}`
+    * (sub, cell, sp, c) and `sc{iters}` (vec_id, sub, cell, rn) — codes
+    * are `sc{iters} WHERE rn = 1`. Consumers append their tail after
+    * this block.
+    */
+  def pqCtes(m: Int = PqM, kCap: Int = PqKCap, iters: Int = PqIters): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |params AS (SELECT count(*) AS n,
+         |                  least($kCap, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e),
+         |dims AS (SELECT max(len(v)) AS dim FROM e),
+         |pos0 AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+         |  FROM e),
+         |nsq AS (SELECT vec_id, CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+         |        FROM pos0 GROUP BY 1),
+         |posq AS (SELECT pos0.vec_id,
+         |                CAST((p - 1) // (dim // $m) AS INT) AS sub,
+         |                CAST((p - 1) % (dim // $m) AS INT) AS sp,
+         |                x / sqrt(nsq.n2) AS x
+         |         FROM pos0 JOIN nsq USING (vec_id), dims),
+         |rk AS (SELECT vec_id, row_number() OVER (
+         |         ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296, vec_id) AS rn
+         |       FROM e),
+         |seeds AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, ((rn - 1) * k) // n AS cell,
+         |         row_number() OVER (PARTITION BY ((rn - 1) * k) // n ORDER BY rn) AS pick
+         |  FROM rk, params) WHERE pick = 1),
+         |cent0 AS (SELECT p.sub, s.cell, p.sp, p.x AS c
+         |          FROM seeds s JOIN posq p ON p.vec_id = s.vec_id)""".stripMargin
+    val rounds = (0 to iters).map { i =>
+      val score =
+        s""",
+           |csq$i AS (SELECT sub, cell,
+           |                 CAST(sum(CAST(c*c AS DECIMAL(27,12))) AS DOUBLE) AS csq
+           |          FROM cent$i GROUP BY 1, 2),
+           |dot$i AS (SELECT posq.vec_id, cent$i.sub, cent$i.cell,
+           |                 CAST(sum(CAST(posq.x*cent$i.c AS DECIMAL(27,12))) AS DOUBLE) AS dot
+           |          FROM posq JOIN cent$i USING (sub, sp) GROUP BY 1, 2, 3),
+           |sc$i AS (SELECT d.vec_id, d.sub, d.cell,
+           |                row_number() OVER (PARTITION BY d.vec_id, d.sub
+           |                  ORDER BY d.dot / sqrt(c.csq) DESC, d.cell) AS rn
+           |         FROM dot$i d JOIN csq$i c USING (sub, cell))""".stripMargin
+      val update = if (i == iters) "" else
+        s""",
+           |cent${i + 1} AS (SELECT a.sub, a.cell, p.sp,
+           |                  CAST(sum(CAST(p.x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS c
+           |           FROM (SELECT vec_id, sub, cell FROM sc$i WHERE rn = 1) a
+           |           JOIN posq p USING (vec_id, sub) GROUP BY 1, 2, 3)""".stripMargin
+      score + update
+    }.mkString
+    head + rounds
+  }
+
   /** CTEs from `e` (vec_id, v DOUBLE[]) through `sc{iters}` — the final
     * (vec_id, cell, rn) affinity ranking over the converged codebook.
     * Consumers append their own CTEs / final SELECT after this block.

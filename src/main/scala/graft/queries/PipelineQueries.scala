@@ -540,6 +540,59 @@ object PipelineQueries {
           .orderBy(col("approx_cos").desc, col("vec_id")).limit(10)
     },
 
+    Q("sim_search_pq", {
+      val i = KMeansSql.PqIters
+      s"""${KMeansSql.pqCtes()},
+         |codes AS (SELECT vec_id, sub, cell FROM sc$i WHERE rn = 1),
+         |pq AS (SELECT sub, sp, x FROM posq WHERE vec_id = ${KMeansSql.PqProbeId}),
+         |qd AS (SELECT c.sub, c.cell,
+         |              CAST(sum(CAST(p.x * c.c AS DECIMAL(27,12))) AS DOUBLE) AS qd
+         |       FROM cent$i c JOIN pq p ON p.sub = c.sub AND p.sp = c.sp
+         |       GROUP BY 1, 2)
+         |SELECT codes.vec_id,
+         |       round(CAST(sum(CAST(qd AS DECIMAL(18,6))) AS DOUBLE), 5) AS adc_cos
+         |FROM codes JOIN qd USING (sub, cell)
+         |WHERE vec_id <> ${KMeansSql.PqProbeId}
+         |GROUP BY 1
+         |ORDER BY adc_cos DESC, vec_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      // Product-quantization ADC search (Jégou et al. 2011) — the last
+      // member of the ANN family (flat / IVF / LSH / SQ8 / PQ): the
+      // unit vector splits into PqM contiguous subspaces, each quantized
+      // by its own deterministic spherical k-means (VectorOps.pqCodebook —
+      // kmeansCodebook's algorithm with `sub` in every key, same seeds in
+      // every subspace, so the DuckDB oracle replays the whole build via
+      // KMeansSql.pqCtes). A query computes ONE m×k lookup table of
+      // probe-slice·centroid dots, then scores every vector as the sum of
+      // its m table entries — asymmetric distance computation: the
+      // database side is never decoded.
+      //
+      // 100 TB shape: the wide code index (one row per vector, m cell-id
+      // bytes — the 64× memory cut vs raw floats) is built once
+      // (KMeansSql.pqCodesWide, amortized); the query is one scan of that
+      // narrow table + m broadcast lookup joins + TakeOrderedAndProject —
+      // ZERO per-query shuffles of anything corpus-sized. Exactness: qd
+      // entries via DECIMAL(27,12) per-term sums; the m-entry ADC sum
+      // quantizes each entry to DECIMAL(18,6) then adds exactly (order
+      // irrelevant), matching the oracle's decimal sum; one round(·,5).
+      val m = KMeansSql.PqM
+      val cent = KMeansSql.pqCodebook(s, d)
+      val qd = VectorOps.pqProbeDots(
+        Tables.cachedTable(s, d, "embeddings"), cent, KMeansSql.PqProbeId)
+      var res = KMeansSql.pqCodesWide(s, d)
+        .filter(col("vec_id") =!= KMeansSql.PqProbeId)
+      for (i <- 0 until m) {
+        val qdi = qd.filter(col("sub") === i)
+          .select(col("cell").as(s"cell_$i"),
+            col("qd").cast(DecimalType(18, 6)).as(s"qd_$i"))
+        res = res.join(broadcast(qdi), col(s"c$i") === col(s"cell_$i"))
+      }
+      val adc = round(
+        (0 until m).map(i => col(s"qd_$i")).reduce(_ + _).cast("double"), 5)
+      res.select(col("vec_id"), adc.as("adc_cos"))
+        .orderBy(col("adc_cos").desc, col("vec_id")).limit(20)
+    },
+
     Q("multimodal_binary",
       """SELECT doc_id, 'text/plain' AS mime,
         |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,

@@ -229,6 +229,31 @@ class PipelineSpec extends SparkTestBase {
     assert(cent.exceptAll(cent2).count() == 0 && cent2.exceptAll(cent).count() == 0)
   }
 
+  test("pqCodebook: per-subspace cells, one code per (vec, sub), deterministic") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = 4
+    val cent = VectorOps.pqCodebook(emb, m, kCap = 16, iters = 1)
+    // each subspace has its own codebook over dim/m positions
+    val subs = cent.select("sub").distinct().count()
+    assert(subs == m, s"expected $m subspaces, got $subs")
+    assert(cent.groupBy("sub", "cell").count().filter(col("count") =!= 16).count() == 0,
+      "every (sub, cell) centroid must span the full subdim=16 positions")
+    // codes: exactly one cell per (vector, subspace)
+    val codes = VectorOps.pqCodes(emb, cent)
+    val n = emb.count()
+    assert(codes.count() == n * m)
+    assert(codes.groupBy("vec_id", "sub").count().filter(col("count") =!= 1).count() == 0)
+    // spread: no subspace collapses to a single cell
+    assert(codes.groupBy("sub").agg(countDistinct("cell").as("c"))
+      .filter(col("c") <= 1).count() == 0)
+    // deterministic: a second build is row-identical (no RNG anywhere)
+    val cent2 = VectorOps.pqCodebook(emb, m, kCap = 16, iters = 1)
+    assert(cent.exceptAll(cent2).count() == 0 && cent2.exceptAll(cent).count() == 0)
+    // ADC lookup table covers every (sub, cell) of the codebook
+    val qd = VectorOps.pqProbeDots(emb, cent, probeId = 0L)
+    assert(qd.count() == cent.select("sub", "cell").distinct().count())
+  }
+
   test("cosine: self=1, orthogonal=0") {
     val df = Seq(
       (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),

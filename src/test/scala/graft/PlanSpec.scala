@@ -574,6 +574,29 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 0, s"corpus shuffle in sq8 search:\n${plan.take(1500)}")
   }
 
+  test("sim_search_pq: ADC over the wide code index — broadcast lookups only, no corpus exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = queryNamed(graft.queries.PipelineQueries.all, "sim_search_pq")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    // The PQ contract: per-query work is one scan of the (once-built,
+    // cached) wide code table + m broadcast lookup joins against the
+    // LocalRelation qd table + top-k. A shuffle exchange in the QUERY plan
+    // (the index build's own exchanges live inside the InMemoryRelation
+    // and are amortized) would mean the corpus moved for a single probe.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"corpus shuffle in sim_search_pq:\n${plan.toString.take(1500)}")
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(s.contains("BroadcastHashJoin"), "qd lookups must broadcast")
+    assert(!s.contains("SortMergeJoin"), "a lookup join fell back to SMJ")
+  }
+
   test("sample_weighted is a pure projection + TakeOrderedAndProject: no join, no shuffle") {
     val df = queryNamed(graft.queries.SignalQueries.all, "sample_weighted")
     val plan = df.queryExecution.executedPlan.toString
