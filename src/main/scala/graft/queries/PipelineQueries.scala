@@ -54,6 +54,52 @@ object PipelineQueries {
       |SELECT src, CAST(rank AS BIGINT) AS rank, dst, label, cos_sim
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** The PQ ADC scoring chain in SQL through CTE `adc` (vec_id, adc_cos) —
+    * shared verbatim by sim_search_pq (top-k of it) and
+    * sim_search_pq_refine (shortlist + exact re-rank), so the two stages
+    * can never drift. Ends without a trailing comma; consumers append.
+    */
+  private val PqAdcSql: String = {
+    val i = KMeansSql.PqIters
+    s"""${KMeansSql.pqCtes()},
+       |codes AS (SELECT vec_id, sub, cell FROM sc$i WHERE rn = 1),
+       |pq AS (SELECT sub, sp, x FROM posq WHERE vec_id = ${KMeansSql.PqProbeId}),
+       |qd AS (SELECT c.sub, c.cell,
+       |              CAST(sum(CAST(p.x * c.c AS DECIMAL(27,12))) AS DOUBLE) AS qd
+       |       FROM cent$i c JOIN pq p ON p.sub = c.sub AND p.sp = c.sp
+       |       GROUP BY 1, 2),
+       |adc AS (SELECT codes.vec_id,
+       |               round(CAST(sum(CAST(qd AS DECIMAL(18,6))) AS DOUBLE), 5) AS adc_cos
+       |        FROM codes JOIN qd USING (sub, cell)
+       |        WHERE vec_id <> ${KMeansSql.PqProbeId}
+       |        GROUP BY 1)""".stripMargin
+  }
+
+  /** Spark side of the ADC scoring: every non-probe vector's m-entry
+    * decimal-exact lookup sum off the wide cached code index — one scan +
+    * m broadcast lookup joins, deliberately NOT cached itself so each
+    * consumer's plan keeps the pinned broadcast shape (cf. the
+    * fusion-ranks warm-cache lesson).
+    */
+  private def pqAdcScores(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val m = KMeansSql.PqM
+    val cent = KMeansSql.pqCodebook(s, d)
+    val qd = VectorOps.pqProbeDots(
+      Tables.cachedTable(s, d, "embeddings"), cent, KMeansSql.PqProbeId)
+    var res = KMeansSql.pqCodesWide(s, d)
+      .filter(col("vec_id") =!= KMeansSql.PqProbeId)
+    for (i <- 0 until m) {
+      val qdi = qd.filter(col("sub") === i)
+        .select(col("cell").as(s"cell_$i"),
+          col("qd").cast(DecimalType(18, 6)).as(s"qd_$i"))
+      res = res.join(broadcast(qdi), col(s"c$i") === col(s"cell_$i"))
+    }
+    val adc = round(
+      (0 until m).map(i => col(s"qd_$i")).reduce(_ + _).cast("double"), 5)
+    res.select(col("vec_id"), adc.as("adc_cos"))
+  }
+
   /** The k=3 in-block kNN graph, cached per dir: sim_knn_graph declares it
     * and graph_pagerank consumes its (src, dst) edge set — one build.
     */
@@ -540,22 +586,10 @@ object PipelineQueries {
           .orderBy(col("approx_cos").desc, col("vec_id")).limit(10)
     },
 
-    Q("sim_search_pq", {
-      val i = KMeansSql.PqIters
-      s"""${KMeansSql.pqCtes()},
-         |codes AS (SELECT vec_id, sub, cell FROM sc$i WHERE rn = 1),
-         |pq AS (SELECT sub, sp, x FROM posq WHERE vec_id = ${KMeansSql.PqProbeId}),
-         |qd AS (SELECT c.sub, c.cell,
-         |              CAST(sum(CAST(p.x * c.c AS DECIMAL(27,12))) AS DOUBLE) AS qd
-         |       FROM cent$i c JOIN pq p ON p.sub = c.sub AND p.sp = c.sp
-         |       GROUP BY 1, 2)
-         |SELECT codes.vec_id,
-         |       round(CAST(sum(CAST(qd AS DECIMAL(18,6))) AS DOUBLE), 5) AS adc_cos
-         |FROM codes JOIN qd USING (sub, cell)
-         |WHERE vec_id <> ${KMeansSql.PqProbeId}
-         |GROUP BY 1
-         |ORDER BY adc_cos DESC, vec_id LIMIT 20""".stripMargin
-    }) { (s, d) =>
+    Q("sim_search_pq",
+      s"""$PqAdcSql
+         |SELECT vec_id, adc_cos FROM adc
+         |ORDER BY adc_cos DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
       // Product-quantization ADC search (Jégou et al. 2011) — the last
       // member of the ANN family (flat / IVF / LSH / SQ8 / PQ): the
       // unit vector splits into PqM contiguous subspaces, each quantized
@@ -575,22 +609,43 @@ object PipelineQueries {
       // entries via DECIMAL(27,12) per-term sums; the m-entry ADC sum
       // quantizes each entry to DECIMAL(18,6) then adds exactly (order
       // irrelevant), matching the oracle's decimal sum; one round(·,5).
-      val m = KMeansSql.PqM
-      val cent = KMeansSql.pqCodebook(s, d)
-      val qd = VectorOps.pqProbeDots(
-        Tables.cachedTable(s, d, "embeddings"), cent, KMeansSql.PqProbeId)
-      var res = KMeansSql.pqCodesWide(s, d)
-        .filter(col("vec_id") =!= KMeansSql.PqProbeId)
-      for (i <- 0 until m) {
-        val qdi = qd.filter(col("sub") === i)
-          .select(col("cell").as(s"cell_$i"),
-            col("qd").cast(DecimalType(18, 6)).as(s"qd_$i"))
-        res = res.join(broadcast(qdi), col(s"c$i") === col(s"cell_$i"))
-      }
-      val adc = round(
-        (0 until m).map(i => col(s"qd_$i")).reduce(_ + _).cast("double"), 5)
-      res.select(col("vec_id"), adc.as("adc_cos"))
+      pqAdcScores(s, d)
         .orderBy(col("adc_cos").desc, col("vec_id")).limit(20)
+    },
+
+    Q("sim_search_pq_refine",
+      s"""$PqAdcSql,
+         |short AS (SELECT vec_id, adc_cos FROM adc
+         |          ORDER BY adc_cos DESC, vec_id LIMIT 50)
+         |SELECT s.vec_id, s.adc_cos,
+         |       round(list_cosine_similarity(e.v, p.pv), 5) AS cos_sim
+         |FROM short s JOIN e ON e.vec_id = s.vec_id
+         |CROSS JOIN (SELECT v AS pv FROM e
+         |            WHERE vec_id = ${KMeansSql.PqProbeId}) p
+         |ORDER BY cos_sim DESC, s.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      // The production two-stage ANN read path (FAISS's search+refine):
+      // the compressed-domain ADC scan shortlists top-50 candidates from
+      // codes alone, then ONLY those 50 vectors are decoded for an exact
+      // cosine re-rank — quantization error never decides the final
+      // ranking, it only has to keep true neighbors inside the shortlist.
+      // 100 TB shape: stage 1 is sim_search_pq's zero-shuffle code scan;
+      // stage 2 broadcasts the 50-row shortlist INTO the one full-vector
+      // scan (a per-task hash filter — the corpus never shuffles, and at
+      // cluster scale the fetch would be an id-pushdown point read of the
+      // vector store). Exact cosine via the codegen'd float dot, same
+      // round-5 rule as sim_search_topk.
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val shortlist = pqAdcScores(s, d)
+        .orderBy(col("adc_cos").desc, col("vec_id")).limit(50)
+      val p = emb.filter(col("vec_id") === KMeansSql.PqProbeId)
+        .select(col("embedding").as("pv"))
+      val cos = VectorOps.dotF(col("embedding"), col("pv")) /
+        (sqrt(VectorOps.normSqF(col("embedding"))) *
+          sqrt(VectorOps.normSqF(col("pv"))))
+      emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(p))
+        .select(col("vec_id"), col("adc_cos"), round(cos, 5).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
     Q("multimodal_binary",
