@@ -224,6 +224,52 @@ object RelationalQueries {
         .select("l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size")
     },
 
+    Q("join_range_bucketed",
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us,
+        |       CAST(CASE WHEN a.user_id = b.user_id THEN 1 ELSE 0 END AS BIGINT)
+        |         AS same_user
+        |FROM events a JOIN events b
+        |  ON epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1000000
+        | AND (epoch_us(b.ts) > epoch_us(a.ts) OR a.event_id < b.event_id)""".stripMargin) {
+      (s, d) =>
+        // PURE range self-join — no equi key anywhere (join_theta_range has
+        // one): every pair of events within 1 second of each other, the
+        // coincidence/coordination detector (fraud rings, thundering
+        // herds). Spark plans a bare range predicate as a nested-loop
+        // cartesian, so the scalable form buckets time into window-width
+        // slots: with |t_b − t_a| ≤ W and t_a ≤ t_b, bucket(b) is either
+        // bucket(a) or bucket(a)+1 — the earlier side EXPLODES to those
+        // two candidate buckets, the later side keeps its home bucket, and
+        // the join is EQUI on the bucket (each qualifying pair meets in
+        // exactly one bucket — the two candidates are distinct — so no
+        // distinct pass). The oracle is deliberately the naive quadratic
+        // formulation: matching it is the losslessness claim.
+        //
+        // 100 TB shape: one integer-key shuffle per side, per-bucket
+        // fan-in bounded by the event rate per window (a hot second is a
+        // salting/sub-bucketing problem, not a plan problem) — the
+        // Flink-interval-join / bucketed-IEJoin pattern. Row order inside
+        // the pair is time (ties by id), so `gap_us` is always ≥ 0 and
+        // each unordered pair appears exactly once.
+        val w = 1000000L
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts_us"))
+        val a = ev.select(
+          col("event_id").as("event_a"), col("user_id").as("user_a"),
+          col("ts_us").as("ts_a"),
+          explode(array(expr(s"ts_us div $w"), expr(s"ts_us div $w + 1"))).as("bucket"))
+        val b = ev.select(
+          col("event_id").as("event_b"), col("user_id").as("user_b"),
+          col("ts_us").as("ts_b"), expr(s"ts_us div $w").as("bucket"))
+        a.join(b, "bucket")
+          .filter(col("ts_b") >= col("ts_a") && col("ts_b") - col("ts_a") <= w &&
+            (col("ts_b") > col("ts_a") || col("event_a") < col("event_b")))
+          .select(col("event_a"), col("event_b"),
+            (col("ts_b") - col("ts_a")).as("gap_us"),
+            (col("user_a") === col("user_b")).cast("long").as("same_user"))
+    },
+
     Q("join_asof",
       """SELECT event_id, user_id, ts_us, last_signup_us FROM (
         |  SELECT event_id, user_id, ts_us, event_type,

@@ -64,6 +64,17 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "as-of join must not go cartesian")
   }
 
+  test("join_range_bucketed: the pure range predicate rides an EQUI bucket join") {
+    val plan = physical(RelationalQueries.all, "join_range_bucketed")
+    // A bare |t_b - t_a| <= W predicate plans as a nested-loop cartesian;
+    // the bucket trick must keep it an equi join with the range as a
+    // residual filter.
+    assert(!plan.contains("CartesianProduct"), "range join went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "range join went nested-loop")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi join in plan:\n${plan.take(1200)}")
+  }
+
   test("similarity joins never go cartesian and keep the native kernels codegen'd") {
     val pipeline = graft.queries.PipelineQueries.all ++ graft.queries.DedupVariantQueries.all
     for (name <- Seq("sim_join_threshold", "sim_knn_graph", "dedup_minhash_lsh",
