@@ -567,6 +567,73 @@ object VectorOps {
       .filter(col("rn") === 1)
       .select(col("id").as(idCol), col("sub"), col("cell"))
 
+  /** Top principal direction of the (centered) embedding covariance by
+    * deterministic power iteration — the whitening prep the hubness audit
+    * (graph_degree_stats) calls for, and the variance-explained monitor
+    * for anisotropy collapse (an embedder whose outputs drift toward one
+    * dominant direction loses retrieval contrast).
+    *
+    * Engine-portable by construction (every step replays in ANSI SQL):
+    * per-dim means and every cross-row reduction use the DECIMAL(27,12)
+    * per-term quantize-then-exact-sum ladder; the start vector is the
+    * constant 1/sqrt(dim) (no RNG; its sign fixes the eigenvector's sign
+    * deterministically); `iters` fixed multiply-normalize rounds on the
+    * materialized dim²-row covariance (a LocalRelation — iterations never
+    * touch the corpus); Rayleigh quotient with the final vector as the
+    * eigenvalue estimate, products associated (c * v_p) * v_q in both
+    * engines.
+    *
+    * 100 TB shape: ONE corpus pass builds the covariance — the (vec, p)
+    * explode self-joined on vec_id fans out dim² terms per vector but
+    * partial-aggregates map-side to dim² accumulators per partition, so
+    * the shuffle is dim²·partitions rows, corpus-independent (at dim 64:
+    * 4096 floats — trivial; at dim 4096 you would block or subsample the
+    * dim pairs, same plan shape). Everything after is driver-local linear
+    * algebra on a dim²-row literal table.
+    *
+    * @return (p, loading, eigenvalue) — one row per dimension, the
+    *         eigenvalue repeated (constant column), both rounded at 5 dp
+    */
+  def pcaPowerTop(emb: DataFrame, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"pcaPowerTop: iters must be >= 1, got $iters")
+    val dec = DecimalType(27, 12)
+    val pos = emb.select(
+      col(idCol).as("id"), posexplode(toDouble(col(vecCol))).as(Seq("p", "x")))
+    val mu = pos.groupBy("p")
+      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mu"))
+    val ctr = pos.join(broadcast(mu), Seq("p"))
+      .select(col("id"), col("p"), (col("x") - col("mu")).as("x"))
+    val n = emb.count()
+    val a = ctr.select(col("id"), col("p"), col("x"))
+    val b = ctr.select(col("id"), col("p").as("q"), col("x").as("y"))
+    val cov = materializeLocal(
+      a.join(b, Seq("id"))
+        .groupBy("p", "q")
+        .agg((sum((col("x") * col("y")).cast(dec)).cast("double") / n).as("c")))
+    val dim = cov.agg(max(col("p"))).head.getInt(0) + 1
+    var v = cov.sparkSession.range(dim)
+      .select(col("id").cast("int").as("p"),
+        (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(v.select(col("p").as("q"), col("v")), Seq("q"))
+        .groupBy("p")
+        .agg(sum((col("c") * col("v")).cast(dec)).cast("double").as("w"))
+      val nm = w.agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nm"))
+      v = materializeLocal(
+        w.crossJoin(broadcast(nm)).select(col("p"), (col("w") / col("nm")).as("v")))
+    }
+    val ray = cov
+      .join(v.select(col("p"), col("v").as("va")), Seq("p"))
+      .join(v.select(col("p").as("q"), col("v").as("vb")), Seq("q"))
+      .agg(sum(((col("c") * col("va")) * col("vb")).cast(dec)).cast("double")
+        .as("lambda"))
+    v.crossJoin(broadcast(ray))
+      .select(col("p").cast("long").as("p"),
+        round(col("v"), 5).as("loading"),
+        round(col("lambda"), 5).as("eigenvalue"))
+  }
+
   /** ADC lookup table for one probe: dot(probe-slice, centroid) per
     * (sub, cell) — the m×k table an ADC scan adds per query. DECIMAL-exact
     * per-term sums (house rule), so the oracle replays it. Returned as a

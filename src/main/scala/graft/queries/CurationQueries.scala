@@ -16,8 +16,11 @@ import graft.operators.{TextOps, VectorOps}
   */
 object CurationQueries {
 
-  /** Eval doc ids: the fixture's stand-in benchmark suite. */
-  private val EvalMaxId = 5
+  /** Eval doc ids: the fixture's stand-in benchmark suite. Shared with the
+    * composed contamination_report (FunnelQueries), whose corpus universe
+    * must be "everything that is not eval" in both engines.
+    */
+  private[queries] val EvalMaxId = 5
   /** Distinct shared 3-gram shingles needed to flag contamination. */
   private val MinShared = 2
   /** Per-language sample size. */

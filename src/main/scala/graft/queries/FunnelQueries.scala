@@ -65,6 +65,44 @@ object FunnelQueries {
           coalesce(col("n_pairs"), lit(0L)).as("n_near_pairs"))
     },
 
+    Q("contamination_report", {
+      val dc = gateSql(CurationQueries.all, "decontaminate")
+      val e = CurationQueries.EvalMaxId
+      s"""WITH base AS (SELECT source, lang, count(*) AS n_docs
+         |              FROM documents WHERE doc_id >= $e GROUP BY 1, 2),
+         |fl AS (SELECT d2.source, d2.lang, count(DISTINCT c.doc_id) AS n_flagged
+         |       FROM ($dc) c JOIN documents d2 ON d2.doc_id = c.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT base.source, base.lang,
+         |       CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged,
+         |       (coalesce(n_flagged, 0) * 1000000) // n_docs AS flag_rate_micro
+         |FROM base LEFT JOIN fl USING (source, lang)""".stripMargin
+    }) { (s, d) =>
+      // Per-(source, lang) benchmark-contamination dashboard — the report
+      // that decides which SOURCES to drop or re-crawl (a source with a
+      // high flag rate is probably scraping the benchmark itself).
+      // COMPOSED like dedup_report: Spark reads the declared decontaminate
+      // sibling's frame (riding its broadcast-eval single corpus pass),
+      // the oracle embeds its oracle SQL — report and gate cannot drift.
+      // Flag rate as integer parts-per-million (exact bigint division, no
+      // floats). Marginal cost: one distinct over the flagged pairs + two
+      // (source, lang)-sized aggs and a broadcast-sized left join.
+      val docs = Tables.cachedTable(s, d, "documents")
+        .filter(col("doc_id") >= CurationQueries.EvalMaxId)
+      val flagged = gateFn(CurationQueries.all, "decontaminate")(s, d)
+        .select("doc_id").distinct()
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_flagged"))
+      docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+        .join(flagged, Seq("source", "lang"), "left")
+        .select(col("source"), col("lang"),
+          col("n_docs").cast("long").as("n_docs"),
+          coalesce(col("n_flagged"), lit(0L)).cast("long").as("n_flagged"),
+          expr("(coalesce(n_flagged, 0L) * 1000000L) div n_docs")
+            .as("flag_rate_micro"))
+    },
+
     Q("curation_funnel", {
       val g = gateSql(TextAnalysisQueries.all, "quality_gopher")
       val p = gateSql(TextAnalysisQueries.all, "quality_perplexity")

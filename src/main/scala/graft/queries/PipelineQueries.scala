@@ -787,6 +787,47 @@ object PipelineQueries {
             / count(lit(1)), 5).as("avg_norm"))
     },
 
+    // Top principal direction of the centered embedding covariance by
+    // 2-round deterministic power iteration — the whitening prep the
+    // hubness audit calls for and the anisotropy-collapse monitor (an
+    // embedder drifting toward one dominant direction loses retrieval
+    // contrast; λ₁/trace is the alarm). See VectorOps.pcaPowerTop for the
+    // ladder; the oracle replays means → centering → covariance → both
+    // multiply-normalize rounds → Rayleigh quotient, with p re-based to
+    // Spark's 0-index in the final select only.
+    Q("embed_pca_power",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT max(len(v)) AS dim FROM e),
+        |pos AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+        |        FROM e),
+        |mu AS (SELECT p, CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS mu
+        |       FROM pos GROUP BY 1),
+        |ctr AS (SELECT vec_id, p, x - mu AS x FROM pos JOIN mu USING (p)),
+        |nrow AS (SELECT count(*) AS n FROM e),
+        |cov AS (SELECT a.p AS p, b.p AS q,
+        |               CAST(sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) / n AS c
+        |        FROM ctr a JOIN ctr b USING (vec_id), nrow GROUP BY 1, 2, n),
+        |v0 AS (SELECT p, 1.0/sqrt(dim) AS v FROM (SELECT DISTINCT p FROM pos), dims),
+        |it1 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v0.v AS DECIMAL(27,12))) AS DOUBLE) AS w
+        |        FROM cov JOIN v0 ON v0.p = cov.q GROUP BY 1),
+        |nm1 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it1),
+        |v1 AS (SELECT p, w/nm AS v FROM it1, nm1),
+        |it2 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v1.v AS DECIMAL(27,12))) AS DOUBLE) AS w
+        |        FROM cov JOIN v1 ON v1.p = cov.q GROUP BY 1),
+        |nm2 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it2),
+        |v2 AS (SELECT p, w/nm AS v FROM it2, nm2),
+        |ray AS (SELECT CAST(sum(CAST((cov.c * va.v) * vb.v AS DECIMAL(27,12))) AS DOUBLE)
+        |               AS lambda
+        |        FROM cov JOIN v2 va ON va.p = cov.p JOIN v2 vb ON vb.p = cov.q)
+        |SELECT v2.p - 1 AS p, round(v2.v, 5) AS loading, round(ray.lambda, 5) AS eigenvalue
+        |FROM v2, ray""".stripMargin) { (s, d) =>
+      // 100 TB shape: ONE corpus pass builds the dim² covariance (map-side
+      // partial agg → shuffle is dim²·partitions rows, corpus-independent);
+      // the iterations run on a materialized LocalRelation and never touch
+      // the corpus again.
+      VectorOps.pcaPowerTop(Tables.cachedTable(s, d, "embeddings"), iters = 2)
+    },
+
     // In-degree histogram of the kNN graph — the hubness audit (Radovanović
     // et al. 2010): high-in-degree "hub" vectors dominate nearest-neighbor
     // lists and skew dedup/diversity sampling; a heavy tail here says the
