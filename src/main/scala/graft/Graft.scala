@@ -129,6 +129,29 @@ object Graft {
   def histogram(df: DataFrame, value: Column, buckets: Int = 20): DataFrame =
     CurateOps.histogram(df, value, buckets)
 
+  /** Deterministic product-quantization codebook: per-subspace spherical
+    * k-means over the unit vector's `m` contiguous slices — (sub, cell,
+    * sp, c), a tiny broadcastable table. See VectorOps.pqCodebook.
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 4, kCap: Int = 16,
+                 iters: Int = 2): DataFrame =
+    VectorOps.pqCodebook(emb, m, kCap, iters)
+
+  /** PQ code assignment against a [[pqCodebook]]: each vector's
+    * best-affinity cell per subspace — (vec_id, sub, cell), the m-byte
+    * compressed representation an ADC search scans instead of floats.
+    */
+  def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame =
+    VectorOps.pqCodes(emb, codebook)
+
+  /** Top principal direction of the centered embedding covariance by
+    * deterministic power iteration — (p, loading, eigenvalue); whitening
+    * prep and anisotropy-collapse monitoring. One corpus pass (dim²
+    * map-side accumulators); iterations never touch the corpus.
+    */
+  def pcaTopDirection(emb: DataFrame, iters: Int = 2): DataFrame =
+    VectorOps.pcaPowerTop(emb, iters)
+
   /** Embedding near-dup blocked by a coarse quantizer (IVF cells) instead
     * of a given label — the 100 TB path; see VectorOps.dedupByQuantizer.
     */
@@ -160,6 +183,23 @@ object Graft {
                  userCol: String = "user_id", tsCol: String = "ts_us",
                  tieCol: String = "event_id"): DataFrame =
     CurateOps.sessionize(events, gapUs, userCol, tsCol, tieCol)
+
+  /** Per-user activity streaks (gaps-and-islands over `bucketUs`-wide time
+    * buckets): active-bucket count, streak count, longest streak; one
+    * user-hash shuffle at any corpus size.
+    */
+  def streaks(events: DataFrame, bucketUs: Long,
+              userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame =
+    CurateOps.streaks(events, bucketUs, userCol, tsCol)
+
+  /** Pure range self-join: all row pairs within `windowUs`, earlier-first,
+    * via the lossless bucket trick (equi join, never a cartesian). `carry`
+    * columns ride along as `<c>_a`/`<c>_b`.
+    */
+  def rangePairs(events: DataFrame, windowUs: Long,
+                 tsCol: String = "ts_us", tieCol: String = "event_id",
+                 carry: Seq[String] = Nil): DataFrame =
+    CurateOps.rangePairs(events, windowUs, tsCol, tieCol, carry)
 
   /** Pattern scrubbing (blocklist / PII shapes): adds `n_redacted` and
     * `clean_text`; a pure per-row projection.

@@ -63,6 +63,68 @@ object CurateOps {
         (max(tsCol) - min(tsCol)).as("duration_us"))
   }
 
+  /** Pure range self-join (no equi key): all row pairs within `windowUs`
+    * of each other, ordered earlier-first (ties by `tieCol`). A bare
+    * |t_b − t_a| ≤ W predicate plans as a nested-loop cartesian; this
+    * buckets time into window-width slots — with t_a ≤ t_b, bucket(b) is
+    * bucket(a) or bucket(a)+1, so the earlier side explodes to those two
+    * candidate buckets, the later side keeps its home bucket, and the join
+    * goes EQUI on the bucket with the range as a residual filter. The two
+    * candidate buckets are distinct, so each qualifying pair meets exactly
+    * once — no distinct pass. Output: (<tieCol>_a, <tieCol>_b, gap_us ≥ 0).
+    *
+    * 100 TB shape: one integer-key shuffle per side; per-bucket fan-in is
+    * bounded by the row rate per window (a hot second is a salting /
+    * sub-bucketing problem, not a plan problem) — the Flink-interval-join /
+    * bucketed-IEJoin pattern.
+    */
+  def rangePairs(events: DataFrame, windowUs: Long,
+      tsCol: String = "ts_us", tieCol: String = "event_id",
+      carry: Seq[String] = Nil): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    def side(suffix: String) = (col(tieCol).as(s"${tieCol}_$suffix") +:
+      col(tsCol).as(s"ts_$suffix") +:
+      carry.map(c => col(c).as(s"${c}_$suffix")))
+    val a = events.select(side("a") :+
+      explode(array(expr(s"$tsCol div $windowUs"),
+        expr(s"$tsCol div $windowUs + 1"))).as("bucket"): _*)
+    val b = events.select(side("b") :+
+      expr(s"$tsCol div $windowUs").as("bucket"): _*)
+    a.join(b, "bucket")
+      .filter(col("ts_b") >= col("ts_a") &&
+        col("ts_b") - col("ts_a") <= windowUs &&
+        (col("ts_b") > col("ts_a") || col(s"${tieCol}_a") < col(s"${tieCol}_b")))
+      .select(col(s"${tieCol}_a") +: col(s"${tieCol}_b") +:
+        (col("ts_b") - col("ts_a")).as("gap_us") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+  }
+
+  /** Gaps-and-islands activity streaks: per user, the count of distinct
+    * active time buckets, the number of consecutive-bucket runs, and the
+    * longest run — engagement-streak / churn-gap reporting. The classic
+    * trick (island id = bucket − row_number over the user's distinct
+    * buckets) turns run detection into pure integer window arithmetic:
+    * consecutive buckets share one (bucket − rn) value, any gap starts a
+    * new island. ONE user-hash shuffle feeds the distinct, the window, and
+    * both aggs — no global window, no self-join of the stream (which the
+    * naive "bucket − 1 exists" formulation would need); per-user state is
+    * the distinct-bucket list, bounded by the calendar, not event volume.
+    */
+  def streaks(events: DataFrame, bucketUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val w = Window.partitionBy(userCol).orderBy("bucket")
+    events
+      .select(col(userCol), expr(s"$tsCol div $bucketUs").as("bucket"))
+      .distinct()
+      .withColumn("isl", col("bucket") - row_number().over(w))
+      .groupBy(userCol, "isl").agg(count(lit(1)).as("len"))
+      .groupBy(userCol)
+      .agg(sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max("len").cast("long").as("max_streak_days"))
+  }
+
   /** Pattern scrubbing (blocklist terms, or PII shapes like emails/phones
     * when `pattern` is swapped accordingly): every doc out with its match
     * count and the masked text. A pure per-row projection — zero shuffles,

@@ -253,21 +253,12 @@ object RelationalQueries {
         // Flink-interval-join / bucketed-IEJoin pattern. Row order inside
         // the pair is time (ties by id), so `gap_us` is always ≥ 0 and
         // each unordered pair appears exactly once.
-        val w = 1000000L
-        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts_us"))
-        val a = ev.select(
-          col("event_id").as("event_a"), col("user_id").as("user_a"),
-          col("ts_us").as("ts_a"),
-          explode(array(expr(s"ts_us div $w"), expr(s"ts_us div $w + 1"))).as("bucket"))
-        val b = ev.select(
-          col("event_id").as("event_b"), col("user_id").as("user_b"),
-          col("ts_us").as("ts_b"), expr(s"ts_us div $w").as("bucket"))
-        a.join(b, "bucket")
-          .filter(col("ts_b") >= col("ts_a") && col("ts_b") - col("ts_a") <= w &&
-            (col("ts_b") > col("ts_a") || col("event_a") < col("event_b")))
-          .select(col("event_a"), col("event_b"),
-            (col("ts_b") - col("ts_a")).as("gap_us"),
-            (col("user_a") === col("user_b")).cast("long").as("same_user"))
+        graft.operators.CurateOps.rangePairs(
+          Tables.events(s, d).select("event_id", "user_id", "ts_us"),
+          windowUs = 1000000L, carry = Seq("user_id"))
+          .select(col("event_id_a").as("event_a"), col("event_id_b").as("event_b"),
+            col("gap_us"),
+            (col("user_id_a") === col("user_id_b")).cast("long").as("same_user"))
     },
 
     Q("join_asof",

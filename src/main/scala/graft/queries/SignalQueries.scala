@@ -267,23 +267,10 @@ object SignalQueries {
         |       CAST(count(*) AS BIGINT) AS n_streaks,
         |       CAST(max(len) AS BIGINT) AS max_streak_days
         |FROM st GROUP BY 1""".stripMargin) { (s, d) =>
-      // 100 TB shape: ONE user_id hash shuffle feeds everything — the
-      // distinct, the per-user day window, and both aggs are
-      // user-partitioned (no global window, no self-join of the event
-      // stream against itself, which the naive "day - 1 exists" formulation
-      // would need). State per user is its distinct-day list, bounded by
-      // the calendar, not by event volume.
-      val dayUs = 86400000000L
-      val w = Window.partitionBy("user_id").orderBy("day")
-      Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
-        .distinct()
-        .withColumn("isl", col("day") - row_number().over(w))
-        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
-        .groupBy("user_id")
-        .agg(sum("len").cast("long").as("n_active_days"),
-          count(lit(1)).cast("long").as("n_streaks"),
-          max("len").cast("long").as("max_streak_days"))
+      // 100 TB shape: see CurateOps.streaks — ONE user-hash shuffle feeds
+      // the distinct, the per-user window, and both aggs.
+      graft.operators.CurateOps.streaks(
+        Tables.events(s, d), bucketUs = 86400000000L)
     },
 
     // -- events_markov -----------------------------------------------------

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * semantic invariants a hash can't explain when it breaks).
   */
 class CurationSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -99,6 +100,52 @@ class CurationSpec extends SparkTestBase {
         assert(b.getAs[Long]("t_start_us") - a.getAs[Long]("t_end_us") > gap,
           s"adjacent sessions closer than the gap: $a | $b")
     }
+  }
+
+  test("streaks: gaps split islands, boundaries exact, single-day users count") {
+    import graft.operators.CurateOps
+    val day = 86400000000L
+    // user 1: days 0,1,2 then 5,6 -> 2 streaks, max 3; user 2: one day;
+    // user 3: two events in the SAME day (distinct collapses them).
+    val ev = Seq(
+      (1L, 0L * day), (1L, 1L * day + 7), (1L, 2L * day),
+      (1L, 5L * day), (1L, 6L * day),
+      (2L, 3L * day),
+      (3L, 4L * day), (3L, 4L * day + 999)).toDF("user_id", "ts_us")
+    val got = CurateOps.streaks(ev, day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 2L, 3L)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L)))
+    assert(got(3L) == ((1L, 1L, 1L)))
+  }
+
+  test("rangePairs: window boundary inclusive, bucket crossing lossless, each pair once") {
+    import graft.operators.CurateOps
+    val w = 1000L
+    // (10, 1010): gap exactly w -> kept; (1999, 2001): gap 2 but DIFFERENT
+    // buckets -> the explode must still find it; (1010, 1999)/(1010, 2001):
+    // in-window pairs that also cross a bucket; (5000, 5000): equal ts,
+    // tie by id, exactly once; (10, 1999): gap 1989 > w -> dropped.
+    val ev = Seq((1L, 10L), (2L, 1010L), (3L, 1999L), (4L, 2001L),
+      (5L, 5000L), (6L, 5000L)).toDF("event_id", "ts_us")
+    val got = CurateOps.rangePairs(ev, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1000L), (2L, 3L, 989L), (2L, 4L, 991L),
+      (3L, 4L, 2L), (5L, 6L, 0L)), got.toString)
+  }
+
+  test("pcaPowerTop: unit loading vector, nonnegative eigenvalue, deterministic") {
+    import graft.operators.VectorOps
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = VectorOps.pcaPowerTop(emb, iters = 2).collect()
+    assert(r.length == 64)
+    val sumsq = r.map(x => x.getDouble(1) * x.getDouble(1)).sum
+    assert(math.abs(sumsq - 1.0) < 1e-3, s"loading norm^2 = $sumsq")
+    val lambda = r.head.getDouble(2)
+    assert(lambda >= 0.0, s"covariance Rayleigh quotient negative: $lambda")
+    assert(r.forall(x => x.getDouble(2) == lambda), "eigenvalue column not constant")
+    val r2 = VectorOps.pcaPowerTop(emb, iters = 2).collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
   test("text_scrub_blocklist: masked text has no blocklist terms; count matches the mask delta") {
