@@ -84,6 +84,51 @@ object AggWindowQueries {
             .as("stddev_qty"))
     },
 
+    // Exact third-moment skewness per event type — the distribution-shape
+    // monitor the mean/variance family misses (a value column whose skew
+    // jumps flags a new heavy tail: bot traffic, a price-unit bug). Same
+    // DECIMAL-exact power-sum discipline as agg_corr: the builtin skewness
+    // streams double partials with shuffle-order-dependent merges; exact
+    // decimal S1/S2/S3 + one identical IEEE formula is bit-stable in both
+    // engines. Population σ³ in the denominator, products left-associated
+    // identically.
+    Q("agg_skewness",
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+        |       round(s1 / n, 5) AS mean_value,
+        |       round((s2 - s1 * s1 / n) / (n - 1), 5) AS var_value,
+        |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (((s1 / n) * (s1 / n)) * (s1 / n)))
+        |             / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))), 5)
+        |         AS skew_value
+        |FROM s""".stripMargin) { (s, d) =>
+      // 100 TB shape: one map-side-combinable types-sized agg over the
+      // scan — the three power sums ride the same partial-aggregate pass;
+      // everything after is arithmetic on a types-sized frame.
+      def m(c: org.apache.spark.sql.Column, p: Int) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(p, 6))).cast("double")
+      val v = col("value")
+      val st = Tables.cachedTable(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          m(v, 27).as("s1"), m(v * v, 38).as("s2"), m((v * v) * v, 38).as("s3"))
+      val mu = col("s1") / col("n")
+      val e2 = col("s2") / col("n")
+      val e3 = col("s3") / col("n")
+      st.select(
+        col("event_type"), col("n").cast("long").as("n_rows"),
+        round(mu, 5).as("mean_value"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 5)
+          .as("var_value"),
+        round((e3 - lit(3) * mu * e2 + lit(2) * ((mu * mu) * mu)) /
+          (sqrt(e2 - mu * mu) * (e2 - mu * mu)), 5).as("skew_value"))
+    },
+
     Q("quality_outliers",
       """WITH s AS (
         |  SELECT l_returnflag,

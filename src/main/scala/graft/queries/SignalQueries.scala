@@ -273,6 +273,37 @@ object SignalQueries {
         Tables.events(s, d), bucketUs = 86400000000L)
     },
 
+    // -- events_top_paths --------------------------------------------------
+    // Top 3-step event-type paths — the user-journey report product
+    // analytics runs daily (onboarding funnels, rage-click detection):
+    // each user's stream ordered by (ts_us, event_id) yields double-lag
+    // trigram paths; top-25 by count, ties by path string. Same per-user
+    // window shape as events_markov (one user-hash shuffle), then a
+    // types³-bounded agg — path cardinality is independent of corpus size.
+    Q("events_top_paths",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |p AS (SELECT event_type,
+        |             lag(event_type, 1) OVER w AS t1,
+        |             lag(event_type, 2) OVER w AS t2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT t2 || ' > ' || t1 || ' > ' || event_type AS path,
+        |             CAST(count(*) AS BIGINT) AS n_paths
+        |      FROM p WHERE t2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n_paths FROM c
+        |ORDER BY n_paths DESC, path LIMIT 25""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          lag("event_type", 1).over(w).as("t1"),
+          lag("event_type", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(concat_ws(" > ", col("t2"), col("t1"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).cast("long").as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path"))
+        .limit(25)
+    },
+
     // -- events_markov -----------------------------------------------------
     // Event-type transition matrix — the Markov-chain session model
     // (next-action prediction, bot detection via improbable transitions).
