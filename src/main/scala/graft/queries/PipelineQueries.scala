@@ -792,9 +792,10 @@ object PipelineQueries {
     // hubness audit calls for and the anisotropy-collapse monitor (an
     // embedder drifting toward one dominant direction loses retrieval
     // contrast; λ₁/trace is the alarm). See VectorOps.pcaPowerTop for the
-    // ladder; the oracle replays means → centering → covariance → both
-    // multiply-normalize rounds → Rayleigh quotient, with p re-based to
-    // Spark's 0-index in the final select only.
+    // ladder; the oracle replays means → raw second moments → the
+    // S/n − μμᵀ centered covariance → both multiply-normalize rounds →
+    // Rayleigh quotient, with p re-based to Spark's 0-index in the final
+    // select only.
     Q("embed_pca_power",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT max(len(v)) AS dim FROM e),
@@ -802,11 +803,12 @@ object PipelineQueries {
         |        FROM e),
         |mu AS (SELECT p, CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS mu
         |       FROM pos GROUP BY 1),
-        |ctr AS (SELECT vec_id, p, x - mu AS x FROM pos JOIN mu USING (p)),
         |nrow AS (SELECT count(*) AS n FROM e),
-        |cov AS (SELECT a.p AS p, b.p AS q,
-        |               CAST(sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) / n AS c
-        |        FROM ctr a JOIN ctr b USING (vec_id), nrow GROUP BY 1, 2, n),
+        |s2 AS (SELECT a.p AS p, b.p AS q,
+        |              CAST(sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+        |       FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (SELECT s2.p, s2.q, sxy / n - ma.mu * mb.mu AS c
+        |        FROM s2 JOIN mu ma ON ma.p = s2.p JOIN mu mb ON mb.p = s2.q, nrow),
         |v0 AS (SELECT p, 1.0/sqrt(dim) AS v FROM (SELECT DISTINCT p FROM pos), dims),
         |it1 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v0.v AS DECIMAL(27,12))) AS DOUBLE) AS w
         |        FROM cov JOIN v0 ON v0.p = cov.q GROUP BY 1),
@@ -821,11 +823,14 @@ object PipelineQueries {
         |        FROM cov JOIN v2 va ON va.p = cov.p JOIN v2 vb ON vb.p = cov.q)
         |SELECT v2.p - 1 AS p, round(v2.v, 5) AS loading, round(ray.lambda, 5) AS eigenvalue
         |FROM v2, ray""".stripMargin) { (s, d) =>
-      // 100 TB shape: ONE corpus pass builds the dim² covariance (map-side
-      // partial agg → shuffle is dim²·partitions rows, corpus-independent);
-      // the iterations run on a materialized LocalRelation and never touch
-      // the corpus again.
-      VectorOps.pcaPowerTop(Tables.cachedTable(s, d, "embeddings"), iters = 2)
+      // 100 TB shape: ONE corpus pass builds the dim² covariance via a
+      // join-free double posexplode (map-side partial agg → shuffle is
+      // dim²·partitions rows, corpus-independent); the iterations run on a
+      // materialized LocalRelation and never touch the corpus again. The
+      // 64-row result is cached per dir like the other built-once indexes.
+      Tables.cached(s, s"$d/pca-top/iters=2") {
+        VectorOps.pcaPowerTop(Tables.cachedTable(s, d, "embeddings"), iters = 2)
+      }
     },
 
     // In-degree histogram of the kNN graph — the hubness audit (Radovanović
