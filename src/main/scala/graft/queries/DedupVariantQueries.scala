@@ -15,6 +15,44 @@ object DedupVariantQueries {
   private val DuckSortedTokens =
     "list_sort(list_distinct(string_split(lower(text), ' ')))"
 
+  /** dedup_clusters' oracle SQL, shared verbatim with dedup_keep_best
+    * (which embeds it as a subquery) — the KnnOracleSql composition rule:
+    * the survivor policy's oracle references the clustering it selects
+    * over, so the two cannot drift.
+    */
+  private val ClustersOracleSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT a1.doc_id AS a, a2.doc_id AS b
+      |  FROM t a1 JOIN t a2 ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id
+      |  WHERE CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
+      |             ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
+      |                  / len(list_distinct(list_concat(a1.s, a2.s))) END >= 0.9),
+      |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
+      |SELECT src AS doc_id, min(dst) AS cluster,
+      |       CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+      |FROM reach GROUP BY src""".stripMargin
+
+  /** The shared cluster frame (doc_id, cluster): CC over the cached
+    * lossless near-dup pair list — dedup_clusters declares it,
+    * dedup_keep_best selects survivors over it. Cached per (session, dir)
+    * so the iterative CC runs once.
+    */
+  private def clusterFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/neardup-clusters") {
+      val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
+      val edges = PipelineQueries.sharedNearDupPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    }
+
   def all: Seq[Q] = Seq(
     Q("dedup_minhash_lsh",
       s"""WITH t AS (SELECT doc_id, lang, $DuckSortedTokens AS s FROM documents),
@@ -110,24 +148,7 @@ object DedupVariantQueries {
           tokenizer = c => TextOps.bigrams(TextOps.tokens(c)))
     },
 
-    Q("dedup_clusters",
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS s
-         |  FROM documents),
-         |p AS (
-         |  SELECT a1.doc_id AS a, a2.doc_id AS b
-         |  FROM t a1 JOIN t a2 ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id
-         |  WHERE CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
-         |             ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
-         |                  / len(list_distinct(list_concat(a1.s, a2.s))) END >= 0.9),
-         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-         |reach AS (
-         |  SELECT doc_id AS src, doc_id AS dst FROM documents
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster,
-         |       CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS BIGINT) AS is_rep
-         |FROM reach GROUP BY src""".stripMargin) {
+    Q("dedup_clusters", ClustersOracleSql) {
       (s, d) =>
         // The retention step every dedup pipeline ends with: collapse the
         // near-dup PAIR set into connected components and mark one
@@ -137,16 +158,53 @@ object DedupVariantQueries {
         // CTE; the Spark side is iterative min-label propagation
         // (O(diameter) narrow joins — see GraphOps.connectedComponents).
         // The edge set is the SHARED cached pair list dedup_near reports
-        // on (PipelineQueries.sharedNearDupPairs): CC consumes the
-        // persisted pair intermediate instead of re-generating candidates.
-        val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
-        val edges = PipelineQueries.sharedNearDupPairs(s, d)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        graft.operators.GraphOps
-          .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        // on (PipelineQueries.sharedNearDupPairs), and the resulting
+        // cluster frame is itself the SHARED cached [[clusterFrame]] that
+        // dedup_keep_best's survivor policy selects over — in a real
+        // pipeline both are persisted intermediates written once.
+        clusterFrame(s, d)
           .select(
             col("id").as("doc_id"), col("cluster"),
             when(col("id") === col("cluster"), 1L).otherwise(0L).as("is_rep"))
+    },
+
+    Q("dedup_keep_best", {
+      s"""WITH cl AS ($ClustersOracleSql),
+         |m AS (SELECT cl.cluster, d.doc_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |s AS (SELECT cluster, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY cluster
+         |               ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM m)
+         |SELECT cluster,
+         |       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+         |       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM s GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      // Quality-aware survivor selection — the C4/CCNet retention rule:
+      // within each near-dup cluster keep the LONGEST member (longest ≈
+      // most complete extraction; min-id keeps whichever crawled first),
+      // ties by smallest doc_id. Composed on the SAME cached cluster
+      // frame dedup_clusters declares and the oracle embeds its SQL — the
+      // policy cannot drift from the clustering. Survivor via one
+      // integer-exact struct-max hash agg (max(struct(n_chars, -doc_id)))
+      // — the graph_label_prop lesson: a per-cluster row_number window
+      // would sort; the agg form is map-side combinable. At 100 TB the
+      // drop list (everything except survivors) anti-joins the corpus —
+      // same shape as dedup_semantic's materialization.
+      clusterFrame(s, d)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .join(Tables.cachedTable(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id")
+        .groupBy("cluster")
+        .agg(
+          max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"),
+          count(lit(1)).cast("long").as("n_members"))
+        .select(col("cluster"),
+          (-col("best.negid")).cast("long").as("survivor_id"),
+          col("best.n_chars").cast("long").as("survivor_chars"),
+          col("n_members"))
     },
 
     Q("dedup_winnow",
