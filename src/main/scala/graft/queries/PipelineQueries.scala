@@ -648,6 +648,68 @@ object PipelineQueries {
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
+    Q("sim_hard_negatives", {
+      val sc = KMeansSql.scoredCte()
+      s"""${KMeansSql.codebookCtes()},
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |         FROM (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.NProbeDedup}) a
+         |         JOIN (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.NProbeDedup}) b
+         |           USING (cell)
+         |         WHERE a.vec_id <> b.vec_id),
+         |x AS (SELECT c.src, c.dst,
+         |             round(list_cosine_similarity(ea.v, eb.v), 5) AS cos_sim
+         |      FROM cand c
+         |      JOIN e ea ON ea.vec_id = c.src
+         |      JOIN e eb ON eb.vec_id = c.dst
+         |      JOIN embeddings la ON la.vec_id = c.src
+         |      JOIN embeddings lb ON lb.vec_id = c.dst
+         |      WHERE la.label <> lb.label),
+         |r AS (SELECT src, dst, cos_sim,
+         |             row_number() OVER (PARTITION BY src
+         |                                ORDER BY cos_sim DESC, dst) AS rank
+         |      FROM x)
+         |SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos_sim
+         |FROM r WHERE rank <= 3""".stripMargin
+    }) { (s, d) =>
+      // Hard-negative mining — the contrastive-training data op (retrieval
+      // / embedding fine-tuning wants, per anchor, the most-similar
+      // vectors of a DIFFERENT class): top-3 cross-label neighbors among
+      // candidates sharing one of the anchor's NProbeDedup IVF probe
+      // cells. Cross-label search can't use the label-blocked kNN build
+      // (sim_knn_graph) — blocking must come from geometry, not the
+      // label — so it rides the SAME shared cached IVF assignment the
+      // dedup family probes, and the oracle replays the full codebook
+      // chain (losslessness is NOT claimed vs the unblocked quadratic —
+      // the cell blocking IS the declared semantics, same contract as
+      // dedup_embed_ivf).
+      //
+      // 100 TB shape: candidates only where probe cells collide (the IVF
+      // index prunes the quadratic); one distinct pair shuffle + two id
+      // fetch joins; the per-anchor top-3 window runs over cell-bounded
+      // candidate sets, never the corpus.
+      val probe = KMeansSql.assignments(s, d)
+        .filter(col("rn") <= KMeansSql.NProbeDedup).select("vec_id", "cell")
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val cand = probe.select(col("vec_id").as("src"), col("cell"))
+        .join(probe.select(col("vec_id").as("dst"), col("cell")), "cell")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val ea = emb.select(col("vec_id").as("src"), col("embedding").as("va"),
+        col("label").as("la"))
+      val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("vb"),
+        col("label").as("lb"))
+      val cos = VectorOps.dotF(col("va"), col("vb")) /
+        (sqrt(VectorOps.normSqF(col("va"))) * sqrt(VectorOps.normSqF(col("vb"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+      cand.join(ea, "src").join(eb, "dst")
+        .filter(col("la") =!= col("lb"))
+        .select(col("src"), col("dst"), round(cos, 5).as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("src", "rank", "dst", "cos_sim")
+    },
+
     Q("multimodal_binary",
       """SELECT doc_id, 'text/plain' AS mime,
         |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
