@@ -102,6 +102,42 @@ object StreamingQueries {
             count(lit(1)).as("n_events"))
     },
 
+    Q("stream_session_native",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us, event_id,
+         |        CASE WHEN lag(ts_us) OVER w IS NULL
+         |                  OR ts_us - lag(ts_us) OVER w >= $GapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (SELECT user_id, ts_us,
+         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM s)
+         |SELECT user_id, min(ts_us) AS session_start_us,
+         |       max(ts_us) + $GapUs AS session_end_us,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      // The NATIVE session-window operator (stream_session is the
+      // ANSI-portable manual form): groupBy(session_window(ts, gap)) — the
+      // exact plan a readStream would run incrementally with state-store
+      // session merging. Two semantic deltas vs the manual form, both
+      // pinned by the oracle: the boundary is STRICT (events exactly `gap`
+      // apart do NOT merge — the manual form merges on ==, Spark merges
+      // while next.start < current.end), and session_end = last event + gap
+      // (the window's half-open end), not the last event itself. One
+      // user-hash shuffle; session merging is per-group state, never a
+      // corpus-wide window.
+      Tables.events(s, d)
+        .withColumn("tsc", expr("timestamp_micros(ts_us)"))
+        .groupBy(col("user_id"),
+          session_window(col("tsc"), s"${GapUs / 1000000} seconds").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(w.start)").as("session_start_us"),
+          expr("unix_micros(w.end)").as("session_end_us"),
+          col("n_events"))
+    },
+
     Q("stream_late_data",
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |                  json_extract(props, '$$.k')::BIGINT AS arrival_k
