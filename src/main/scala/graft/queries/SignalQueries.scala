@@ -273,6 +273,42 @@ object SignalQueries {
         Tables.events(s, d), bucketUs = 86400000000L)
     },
 
+    // -- events_dau_wau ----------------------------------------------------
+    // DAU / trailing-7-day WAU / stickiness — the engagement headline
+    // metric. The scalable trick is the OFFSET EXPLODE: a sliding count
+    // distinct has no partial-aggregatable form, but each (user, day)
+    // activity row contributes to exactly 7 trailing windows, so exploding
+    // it into (user, day+0..6) turns WAU into a plain per-day distinct
+    // count — day-grain bounded (7×|user-days| rows), never a window over
+    // the event stream. Stickiness = DAU/WAU as exact integer ppm.
+    Q("events_dau_wau",
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT ud.user_id, ud.day + o.o AS day
+        |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) o),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM w GROUP BY 1)
+        |SELECT d.day, d.dau, w2.wau,
+        |       (d.dau * 1000000) // w2.wau AS stickiness_micro
+        |FROM dau d JOIN wau w2 USING (day)""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val ud = Tables.cached(s, s"$d/user-days") {
+        Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts_us div $dayUs").as("day")).distinct()
+      }
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(lit(0L), lit(6L))).as("o"),
+          col("day"))
+        .select(col("user_id"), (col("day") + col("o")).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau").cast("long").as("dau"),
+          col("wau").cast("long").as("wau"),
+          expr("(dau * 1000000L) div wau").as("stickiness_micro"))
+    },
+
     // -- events_top_paths --------------------------------------------------
     // Top 3-step event-type paths — the user-journey report product
     // analytics runs daily (onboarding funnels, rage-click detection):
