@@ -109,6 +109,12 @@ object CurateOps {
     * both aggs — no global window, no self-join of the stream (which the
     * naive "bucket − 1 exists" formulation would need); per-user state is
     * the distinct-bucket list, bounded by the calendar, not event volume.
+    *
+    * Output columns are bucket-neutral (n_active_buckets / n_streaks /
+    * max_streak) — `bucketUs` is caller-chosen, so day-specific names
+    * would mislabel hourly or weekly streaks. Timestamps are assumed
+    * ≥ 0 (epoch micros): `div` truncates toward zero where a SQL engine's
+    * `//` floors, so pre-1970 values would bucket differently per engine.
     */
   def streaks(events: DataFrame, bucketUs: Long,
       userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
@@ -120,9 +126,9 @@ object CurateOps {
       .withColumn("isl", col("bucket") - row_number().over(w))
       .groupBy(userCol, "isl").agg(count(lit(1)).as("len"))
       .groupBy(userCol)
-      .agg(sum("len").cast("long").as("n_active_days"),
+      .agg(sum("len").cast("long").as("n_active_buckets"),
         count(lit(1)).cast("long").as("n_streaks"),
-        max("len").cast("long").as("max_streak_days"))
+        max("len").cast("long").as("max_streak"))
   }
 
   /** Pattern scrubbing (blocklist terms, or PII shapes like emails/phones

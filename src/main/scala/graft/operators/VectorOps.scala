@@ -140,6 +140,41 @@ object VectorOps {
         round(col("cos_raw"), 5).as("cos_sim"))
   }
 
+  /** The parity-sensitive quantizer scaffolding shared VERBATIM by
+    * [[kmeansCodebook]] and [[pqCodebook]] (one Scala site — the two
+    * DuckDB CTE generators replay exactly this): a bounded deterministic
+    * hash-rank sample (distributed top-sampleCap by (hash, id) —
+    * TakeOrderedAndProject, not a global window) and the equal-integer-
+    * bucket seed pick over the sample's rank.
+    *
+    * @param kOf derives the cell count from the sample size — callers own
+    *            the k contract (kmeansCodebook receives k verbatim, pq
+    *            self-scales min(kCap, ⌈√n⌉))
+    * @return (sampled emb — the Lloyd input, seeds (sid, cell) with
+    *         cell < kOf(n), the derived k)
+    */
+  private def hashRankSeeds(emb: DataFrame, sampleCap: Int, idCol: String,
+                            kOf: Long => Int): (DataFrame, DataFrame, Int) = {
+    val hash = (col("id") % 2147483647L) * 2654435761L % 4294967296L
+    val ranked = emb.select(col(idCol).as("id")).withColumn("h", hash)
+      .orderBy(col("h"), col("id")).limit(sampleCap)
+    val rk = ranked.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id"))))
+      .select(col("id"), col("rn"))
+    val n = ranked.count() // sample size (= corpus size when n <= sampleCap)
+    val k = kOf(n)
+    require(n >= k, s"hashRankSeeds: k=$k exceeds sample size $n")
+    val sEmb = emb.join(
+      ranked.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val seeds = rk
+      .withColumn("cell", expr(s"CAST(((CAST(rn AS BIGINT) - 1) * $k) DIV $n AS INT)"))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("rn")))
+      .filter(col("pick") === 1)
+      .select(col("id").as("sid"), col("cell"))
+    (sEmb, seeds, k)
+  }
+
   /** Unit-normalized exploded positions: (id, p, x̂) with p 0-based and
     * x̂ = x / ‖v‖. The norm is the DECIMAL(27,12)-exact sum of squares cast
     * to double, so x̂ is bit-identical across engines (each step — exact
@@ -232,25 +267,8 @@ object VectorOps {
     require(iters >= 0, s"kmeansCodebook: iters must be >= 0, got $iters")
     require(sampleCap >= k, s"kmeansCodebook: sampleCap=$sampleCap < k=$k")
     val dec = DecimalType(27, 12)
-    val hash = (col("id") % 2147483647L) * 2654435761L % 4294967296L
-    // Bounded deterministic sample: distributed top-sampleCap by
-    // (hash, id) — TakeOrderedAndProject, not a global window.
-    val ranked = emb.select(col(idCol).as("id")).withColumn("h", hash)
-      .orderBy(col("h"), col("id")).limit(sampleCap)
-    val rk = ranked.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id"))))
-      .select(col("id"), col("rn"))
-    val n = ranked.count() // sample size (= corpus size when n <= sampleCap)
-    require(n >= k, s"kmeansCodebook: k=$k exceeds sample size $n")
-    val sEmb = emb.join(
-      ranked.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val (sEmb, seeds, _) = hashRankSeeds(emb, sampleCap, idCol, _ => k)
     val pos = unitPos(sEmb, idCol, vecCol).cache()
-    val seeds = rk
-      .withColumn("cell", expr(s"CAST(((CAST(rn AS BIGINT) - 1) * $k) DIV $n AS INT)"))
-      .withColumn("pick", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("rn")))
-      .filter(col("pick") === 1)
-      .select(col("id").as("sid"), col("cell"))
     var cent = materializeLocal(
       pos.join(broadcast(seeds), col("id") === col("sid"))
         .select(col("cell"), col("p"), col("x").as("c")))
@@ -518,24 +536,9 @@ object VectorOps {
     val dim = emb.agg(max(size(col(vecCol)))).head.getInt(0)
     require(dim % m == 0, s"pqCodebook: dim=$dim not divisible by m=$m")
     val subdim = dim / m
-    val hash = (col("id") % 2147483647L) * 2654435761L % 4294967296L
-    val ranked = emb.select(col(idCol).as("id")).withColumn("h", hash)
-      .orderBy(col("h"), col("id")).limit(sampleCap)
-    val rk = ranked.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id"))))
-      .select(col("id"), col("rn"))
-    val n = ranked.count()
-    val k = math.min(kCap, math.ceil(math.sqrt(n.toDouble)).toInt)
-    require(n >= k, s"pqCodebook: k=$k exceeds sample size $n")
-    val sEmb = emb.join(
-      ranked.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val (sEmb, seeds, _) = hashRankSeeds(emb, sampleCap, idCol,
+      n => math.min(kCap, math.ceil(math.sqrt(n.toDouble)).toInt))
     val pos = subPos(unitPos(sEmb, idCol, vecCol), subdim).cache()
-    val seeds = rk
-      .withColumn("cell", expr(s"CAST(((CAST(rn AS BIGINT) - 1) * $k) DIV $n AS INT)"))
-      .withColumn("pick", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("rn")))
-      .filter(col("pick") === 1)
-      .select(col("id").as("sid"), col("cell"))
     var cent = materializeLocal(
       pos.join(broadcast(seeds), col("id") === col("sid"))
         .select(col("sub"), col("cell"), col("sp"), col("x").as("c")))
@@ -609,21 +612,28 @@ object VectorOps {
     // determinism: raw products are exact-input IEEE, decimal-summed; the
     // (S/n) − μμᵀ chain is one subtraction of exactly-derived doubles,
     // replayed verbatim by the oracle.
-    val withV = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val pos = withV.select(col("id"), posexplode(col("v")).as(Seq("p", "x")))
-    val mu = pos.groupBy("p")
-      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mu"))
-    val n = emb.count()
-    val s2 = withV
+    // GENUINELY one corpus pass: the double-posexplode group (p, q) holds
+    // one row per vector with values (x_p, x_q), so the SAME partial agg
+    // that accumulates the cross moment also accumulates the linear sum
+    // Σx_p (identical for every q — read off the q = 0 slice) and the row
+    // count n. Means, n, and the S/n − μμᵀ centering then all derive from
+    // the materialized dim²-row local table — no second scan, no count()
+    // job, no mean join against the corpus.
+    val withV = emb.select(toDouble(col(vecCol)).as("v"))
+    val g = materializeLocal(withV
       .select(col("v"), posexplode(col("v")).as(Seq("p", "x")))
       .select(col("p"), col("x"), posexplode(col("v")).as(Seq("q", "y")))
       .groupBy("p", "q")
-      .agg(sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+      .agg(sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum(col("x").cast(dec)).cast("double").as("s1"),
+        count(lit(1)).as("cnt")))
+    val mu = g.filter(col("q") === 0)
+      .select(col("p"), (col("s1") / col("cnt")).as("mu"))
     val cov = materializeLocal(
-      s2.join(broadcast(mu.select(col("p"), col("mu").as("mu_p"))), Seq("p"))
+      g.join(broadcast(mu.select(col("p"), col("mu").as("mu_p"))), Seq("p"))
         .join(broadcast(mu.select(col("p").as("q"), col("mu").as("mu_q"))), Seq("q"))
         .select(col("p"), col("q"),
-          (col("sxy") / n - col("mu_p") * col("mu_q")).as("c")))
+          (col("sxy") / col("cnt") - col("mu_p") * col("mu_q")).as("c")))
     val dim = cov.agg(max(col("p"))).head.getInt(0) + 1
     var v = cov.sparkSession.range(dim)
       .select(col("id").cast("int").as("p"),

@@ -812,11 +812,15 @@ object PipelineQueries {
     // double, and the mean quantizes each norm to DECIMAL(18,6) before the
     // exact cross-row sum (house ladder, cf. text_entropy).
     Q("embed_norm_stats",
-      """WITH p AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x
+      """WITH p AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
         |           FROM embeddings),
-        |n AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS dim,
-        |             CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
-        |      FROM p GROUP BY 1, 2),
+        |agg AS (SELECT vec_id,
+        |               CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+        |        FROM p GROUP BY 1),
+        |n AS (SELECT e.vec_id, e.label, CAST(len(e.embedding) AS BIGINT) AS dim,
+        |             coalesce(agg.n2, 0) AS n2
+        |      FROM embeddings e LEFT JOIN agg USING (vec_id)
+        |      WHERE e.embedding IS NOT NULL),
         |s AS (SELECT label, dim, n2, sqrt(n2) AS nrm FROM n)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |       min(dim) AS dim_min, max(dim) AS dim_max,
@@ -829,8 +833,15 @@ object PipelineQueries {
       // vec-keyed agg, but the Spark side folds the sum of squares PER ROW
       // (a decimal HOF fold — exact and order-free, so the plans agree) —
       // zero shuffles until the final labels-sized agg. One corpus scan,
-      // nothing wide ever moves.
+      // nothing wide ever moves. Degenerate-row universe pinned in BOTH
+      // engines: NULL embeddings are excluded (Spark size(NULL) = −1 vs
+      // DuckDB len(NULL) = NULL have no common story), EMPTY arrays stay
+      // in the report with dim = 0 / norm = 0 — the oracle's bare unnest
+      // would silently drop them, so it left-joins the per-vec agg back
+      // onto the full table instead; these are exactly the rows a store
+      // QA exists to catch.
       Tables.cachedTable(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
         .select(col("label"),
           size(col("embedding")).cast("long").as("dim"),
           expr("""CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,12)),

@@ -268,9 +268,15 @@ object SignalQueries {
         |       CAST(max(len) AS BIGINT) AS max_streak_days
         |FROM st GROUP BY 1""".stripMargin) { (s, d) =>
       // 100 TB shape: see CurateOps.streaks — ONE user-hash shuffle feeds
-      // the distinct, the per-user window, and both aggs.
+      // the distinct, the per-user window, and both aggs. The operator's
+      // bucket-neutral column names are re-aliased to the day-grain names
+      // this declared query promises.
       graft.operators.CurateOps.streaks(
         Tables.events(s, d), bucketUs = 86400000000L)
+        .select(col("user_id"),
+          col("n_active_buckets").as("n_active_days"),
+          col("n_streaks"),
+          col("max_streak").as("max_streak_days"))
     },
 
     // -- events_dau_wau ----------------------------------------------------
@@ -281,6 +287,8 @@ object SignalQueries {
     // it into (user, day+0..6) turns WAU into a plain per-day distinct
     // count — day-grain bounded (7×|user-days| rows), never a window over
     // the event stream. Stickiness = DAU/WAU as exact integer ppm.
+    // Epoch micros assumed >= 0 (div truncates, // floors — they agree
+    // only for nonnegative timestamps; cf. CurateOps.streaks).
     Q("events_dau_wau",
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |           FROM events),
@@ -316,9 +324,14 @@ object SignalQueries {
     // trigram paths; top-25 by count, ties by path string. Same per-user
     // window shape as events_markov (one user-hash shuffle), then a
     // types³-bounded agg — path cardinality is independent of corpus size.
+    // NULL-type universe pinned in BOTH engines: rows with a NULL
+    // event_type are dropped BEFORE the lags — downstream, Spark's
+    // concat_ws would silently SKIP a null step (emitting a fake 2-step
+    // path) where DuckDB's || propagates NULL, so the two would disagree
+    // on exactly the malformed rows.
     Q("events_top_paths",
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |           FROM events),
+        |           FROM events WHERE event_type IS NOT NULL),
         |p AS (SELECT event_type,
         |             lag(event_type, 1) OVER w AS t1,
         |             lag(event_type, 2) OVER w AS t2
@@ -330,6 +343,7 @@ object SignalQueries {
         |ORDER BY n_paths DESC, path LIMIT 25""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
         .select(col("event_type"),
           lag("event_type", 1).over(w).as("t1"),
           lag("event_type", 2).over(w).as("t2"))

@@ -130,7 +130,10 @@ object StreamingQueries {
       Tables.events(s, d)
         .withColumn("tsc", expr("timestamp_micros(ts_us)"))
         .groupBy(col("user_id"),
-          session_window(col("tsc"), s"${GapUs / 1000000} seconds").as("w"))
+          // microsecond-exact gap: whole-second truncation here would
+          // silently diverge from the oracle's $GapUs if the constant ever
+          // stops being second-aligned
+          session_window(col("tsc"), s"$GapUs microseconds").as("w"))
         .agg(count(lit(1)).cast("long").as("n_events"))
         .select(col("user_id"),
           expr("unix_micros(w.start)").as("session_start_us"),
