@@ -71,4 +71,44 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(streamRows == batchRows)
     } finally q.stop()
   }
+
+  test("stream_session_native batch == true streaming session_window on events") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+
+    val batchRows = rowsOf(SparkEntry.queries("stream_session_native")(spark, sfDir))
+
+    val streamDir = Files.createTempDirectory("graft_parity_session").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    // The NATIVE session-window operator running as a genuine stateful
+    // stream: state-store session merging per (user, window). Session
+    // aggregations reject update mode (windows merge, so an "updated row"
+    // has no stable key); complete mode emits the full merged state, which
+    // after the single micro-batch equals the batch result row for row —
+    // the same operator plan, incremental execution.
+    val sessions = events
+      .withWatermark("tsm", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("tsm"), "1800000000 microseconds").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("parity_session")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_session"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
 }
