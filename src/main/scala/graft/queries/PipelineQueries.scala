@@ -860,6 +860,49 @@ object PipelineQueries {
             / count(lit(1)), 5).as("avg_norm"))
     },
 
+    // TwoNN intrinsic-dimension estimate (Facco et al. 2017) per label —
+    // the embedding-geometry diagnostic: if a 64-dim store has intrinsic
+    // dimension ~8, most coordinates are redundant (quantize/compress
+    // harder); if it approaches the ambient dim, ANN recall will be poor
+    // everywhere (curse of dimensionality). Uses only each vector's two
+    // nearest neighbors: id ≈ n / Σ ln(r2/r1) with r = 1 − cos — both
+    // read from the SAME cached knn3 build (rounded-cos determinism), the
+    // oracle embedding sim_knn_graph's SQL. Vectors with r1 = 0 (exact
+    // duplicates — the ratio diverges) are excluded identically in both
+    // engines; ln is per-row DECIMAL(18,6)-quantized (house rule).
+    Q("embed_intrinsic_dim",
+      s"""WITH g AS ($KnnOracleSql),
+         |rr AS (SELECT src, label,
+         |              max(CASE WHEN rank = 1 THEN cos_sim END) AS c1,
+         |              max(CASE WHEN rank = 2 THEN cos_sim END) AS c2
+         |       FROM g WHERE rank <= 2 GROUP BY 1, 2),
+         |m AS (SELECT src, label,
+         |             CAST(ln((1 - c2) / (1 - c1)) AS DECIMAL(18,6)) AS lnq
+         |      FROM rr WHERE c1 < 1 AND c2 IS NOT NULL),
+         |a AS (SELECT label, CAST(count(*) AS BIGINT) AS n_used,
+         |             CAST(sum(lnq) AS DOUBLE) AS s
+         |      FROM m GROUP BY 1)
+         |SELECT label, n_used, round(n_used / s, 5) AS intrinsic_dim
+         |FROM a WHERE s <> 0""".stripMargin) { (s, d) =>
+      // 100 TB shape: two label-sized aggs over the already-built 3n-row
+      // edge list — marginal cost on the shared kNN build is near zero;
+      // at cluster scale the same two-NN ratios fall out of any ANN
+      // index's top-2 result, no extra search needed.
+      val rr = knn3(s, d).filter(col("rank") <= 2)
+        .groupBy("src", "label")
+        .agg(max(when(col("rank") === 1, col("cos_sim"))).as("c1"),
+          max(when(col("rank") === 2, col("cos_sim"))).as("c2"))
+      rr.filter(col("c1") < 1 && col("c2").isNotNull)
+        .withColumn("lnq",
+          log((lit(1) - col("c2")) / (lit(1) - col("c1"))).cast("decimal(18,6)"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_used"),
+          sum(col("lnq")).cast("double").as("s"))
+        .filter(col("s") =!= 0)
+        .select(col("label"), col("n_used"),
+          round(col("n_used") / col("s"), 5).as("intrinsic_dim"))
+    },
+
     // Top principal direction of the centered embedding covariance by
     // 2-round deterministic power iteration — the whitening prep the
     // hubness audit calls for and the anisotropy-collapse monitor (an
