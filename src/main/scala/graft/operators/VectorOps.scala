@@ -49,6 +49,13 @@ object VectorOps {
   /** Native sum of squares over a raw array<float>. */
   def normSqF(a: Column): Column = dotF(a, a)
 
+  /** Cosine over RAW array<float> columns via the codegen'd kernels —
+    * dot / (sqrt·sqrt), the house factoring (NOT sqrt(na·nb), which
+    * differs in the last ulp from DuckDB's list_cosine_similarity).
+    */
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(normSqF(a)) * sqrt(normSqF(b)))
+
   /** Native integer dot product over array<tinyint> SQ8 code columns —
     * the codegen'd ADC kernel (exact BIGINT; see
     * [[graft.functions.ByteVecDot]]).
@@ -600,25 +607,21 @@ object VectorOps {
     *         eigenvalue repeated (constant column), both rounded at 5 dp
     */
   def pcaPowerTop(emb: DataFrame, iters: Int = 2,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"pcaPowerTop: iters must be >= 1, got $iters")
     val dec = DecimalType(27, 12)
     // Raw-moment covariance c = S/n − μ_p·μ_q (not E[(x−μ)(y−μ)]): the
     // centered form needs a per-dim mean join INTO a corpus self-join on
-    // the id (measured 11.8s at sf0.1 — the join sort + 8.2M joined rows
-    // dominated); the raw form builds S with a DOUBLE posexplode in ONE
-    // pass — no join anywhere, dim² terms stream straight into map-side
-    // partial aggs, the only shuffle is the dim²-group merge. Same
-    // determinism: raw products are exact-input IEEE, decimal-summed; the
-    // (S/n) − μμᵀ chain is one subtraction of exactly-derived doubles,
-    // replayed verbatim by the oracle.
-    // GENUINELY one corpus pass: the double-posexplode group (p, q) holds
-    // one row per vector with values (x_p, x_q), so the SAME partial agg
-    // that accumulates the cross moment also accumulates the linear sum
-    // Σx_p (identical for every q — read off the q = 0 slice) and the row
-    // count n. Means, n, and the S/n − μμᵀ centering then all derive from
-    // the materialized dim²-row local table — no second scan, no count()
-    // job, no mean join against the corpus.
+    // the row id (measured 11.8s at sf0.1 — the join sort + 8.2M joined
+    // rows dominated). The raw form is ONE corpus pass with no join: the
+    // double-posexplode group (p, q) holds one row per vector with values
+    // (x_p, x_q), so the SAME map-side partial agg accumulates the cross
+    // moment, the linear sum Σx_p (identical for every q — read off the
+    // q = 0 slice), and the row count n; means, n, and the S/n − μμᵀ
+    // centering then all derive from the materialized dim²-row local
+    // table. Determinism is unchanged: raw products are exact-input IEEE,
+    // decimal-summed, and the centering chain is one subtraction of
+    // exactly-derived doubles, replayed verbatim by the oracle.
     val withV = emb.select(toDouble(col(vecCol)).as("v"))
     val g = materializeLocal(withV
       .select(col("v"), posexplode(col("v")).as(Seq("p", "x")))

@@ -639,12 +639,10 @@ object PipelineQueries {
         .orderBy(col("adc_cos").desc, col("vec_id")).limit(50)
       val p = emb.filter(col("vec_id") === KMeansSql.PqProbeId)
         .select(col("embedding").as("pv"))
-      val cos = VectorOps.dotF(col("embedding"), col("pv")) /
-        (sqrt(VectorOps.normSqF(col("embedding"))) *
-          sqrt(VectorOps.normSqF(col("pv"))))
       emb.join(broadcast(shortlist), "vec_id")
         .crossJoin(broadcast(p))
-        .select(col("vec_id"), col("adc_cos"), round(cos, 5).as("cos_sim"))
+        .select(col("vec_id"), col("adc_cos"),
+          round(VectorOps.cosineF(col("embedding"), col("pv")), 5).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
@@ -698,8 +696,7 @@ object PipelineQueries {
         col("label").as("la"))
       val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("vb"),
         col("label").as("lb"))
-      val cos = VectorOps.dotF(col("va"), col("vb")) /
-        (sqrt(VectorOps.normSqF(col("va"))) * sqrt(VectorOps.normSqF(col("vb"))))
+      val cos = VectorOps.cosineF(col("va"), col("vb"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
       cand.join(ea, "src").join(eb, "dst")
