@@ -114,6 +114,40 @@ object DiffQueries {
       (s, d) => Differ.summary(left(s, d), right(s, d), keys)
     },
 
+    Q("diff_examples",
+      s"""$Prelude,
+         |d AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |                  WHEN r.o_orderkey IS NULL THEN 'D'
+         |                  WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |                  ELSE 'N' END AS diff_status,
+         |             COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |             l.o_totalprice AS left_price, r.o_totalprice AS right_price
+         |      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+         |x AS (SELECT *, row_number() OVER (PARTITION BY diff_status
+         |                                   ORDER BY o_orderkey) AS rank
+         |      FROM d WHERE diff_status <> 'N')
+         |SELECT diff_status, CAST(rank AS BIGINT) AS rank, o_orderkey,
+         |       left_price, right_price
+         |FROM x WHERE rank <= 5""".stripMargin) { (s, d) =>
+      // The human-readable half of a diff report: alongside diff_summary's
+      // counts, the first few concrete example rows per status (ordered by
+      // key — deterministic, so the report is stable run to run) with the
+      // value pair a reviewer actually inspects. Per-status top-k rides
+      // the house two-phase topKPerGroup (bucketed local heads, then the
+      // k²-bounded global rank) — at 100 TB the non-N set can still be
+      // millions of rows and a bare 3-partition window would funnel each
+      // status through one task.
+      val ex = graft.operators.Differ.diff(left(s, d), right(s, d), keys)
+        .filter(col("diff_status") =!= "N")
+        .select(col("diff_status"), col("o_orderkey"),
+          col("left_o_totalprice").as("left_price"),
+          col("right_o_totalprice").as("right_price"))
+      graft.operators.TextOps.topKPerGroup(
+        ex, Seq("diff_status"), Seq(col("o_orderkey")), k = 5,
+        bucketOn = col("o_orderkey"))
+        .select("diff_status", "rank", "o_orderkey", "left_price", "right_price")
+    },
+
     Q("diff_mapped_cols",
       s"""$Prelude
          |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
