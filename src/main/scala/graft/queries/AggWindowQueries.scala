@@ -129,6 +129,74 @@ object AggWindowQueries {
           (sqrt(e2 - mu * mu) * (e2 - mu * mu)), 5).as("skew_value"))
     },
 
+    // RFM customer segmentation — the classic ops-analytics cut (recency /
+    // frequency / monetary, scored 1–5, concatenated into a segment code).
+    // Deliberately NOT ntile: a global ntile is a single-task sort over
+    // every customer; threshold scoring computes four exact percentiles
+    // per metric (one 1-row stats frame, broadcast) and scores each row
+    // with integer compares — the quality_outliers / anomaly_mad pattern.
+    // Exactness: all three metrics are integers (days, counts, exact
+    // decimal cents), percentile interpolation on integers is the pinned
+    // anomaly_mad parity (lower + (upper−lower)·frac, both engines), and
+    // the scores are pure integer arithmetic on those shared doubles.
+    Q("agg_rfm",
+      """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+        |                  CAST(count(*) AS BIGINT) AS freq,
+        |                  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |                    AS monetary_cents
+        |           FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM c),
+        |s AS (SELECT o_custkey, CAST(date_diff('day', last_d, mxd) AS BIGINT) AS rec_days,
+        |             freq, monetary_cents
+        |      FROM c, mx),
+        |t AS (SELECT quantile_cont(rec_days, 0.2) AS r1, quantile_cont(rec_days, 0.4) AS r2,
+        |             quantile_cont(rec_days, 0.6) AS r3, quantile_cont(rec_days, 0.8) AS r4,
+        |             quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+        |             quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+        |             quantile_cont(monetary_cents, 0.2) AS m1, quantile_cont(monetary_cents, 0.4) AS m2,
+        |             quantile_cont(monetary_cents, 0.6) AS m3, quantile_cont(monetary_cents, 0.8) AS m4
+        |      FROM s)
+        |SELECT o_custkey, rec_days, freq, monetary_cents,
+        |       CAST(1 + (rec_days < r4)::INT + (rec_days < r3)::INT
+        |              + (rec_days < r2)::INT + (rec_days < r1)::INT AS BIGINT) AS r_score,
+        |       CAST(1 + (freq > f1)::INT + (freq > f2)::INT
+        |              + (freq > f3)::INT + (freq > f4)::INT AS BIGINT) AS f_score,
+        |       CAST(1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+        |              + (monetary_cents > m3)::INT + (monetary_cents > m4)::INT AS BIGINT) AS m_score
+        |FROM s, t""".stripMargin) { (s, d) =>
+      // 100 TB shape: one customer-keyed agg (map-side combinable), a
+      // 1-row max + a 1-row 12-value percentile frame (both broadcast),
+      // then a pure projection — no global sort, no window anywhere.
+      val dec = org.apache.spark.sql.types.DecimalType(27, 2)
+      val c = Tables.cachedTable(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_d"),
+          count(lit(1)).cast("long").as("freq"),
+          (sum(col("o_totalprice").cast(dec)) * 100).cast("long").as("monetary_cents"))
+      val mx = c.agg(max("last_d").as("mxd"))
+      val sdf = c.crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mxd"), col("last_d")).cast("long").as("rec_days"),
+          col("freq"), col("monetary_cents"))
+      val th = sdf.agg(
+        expr("percentile(rec_days, 0.2)").as("r1"), expr("percentile(rec_days, 0.4)").as("r2"),
+        expr("percentile(rec_days, 0.6)").as("r3"), expr("percentile(rec_days, 0.8)").as("r4"),
+        expr("percentile(freq, 0.2)").as("f1"), expr("percentile(freq, 0.4)").as("f2"),
+        expr("percentile(freq, 0.6)").as("f3"), expr("percentile(freq, 0.8)").as("f4"),
+        expr("percentile(monetary_cents, 0.2)").as("m1"), expr("percentile(monetary_cents, 0.4)").as("m2"),
+        expr("percentile(monetary_cents, 0.6)").as("m3"), expr("percentile(monetary_cents, 0.8)").as("m4"))
+      def sc(v: String, lo: Boolean, t: Seq[String]) = {
+        val cmps = t.map(c0 =>
+          (if (lo) (col(v) < col(c0)) else (col(v) > col(c0))).cast("int"))
+        (lit(1) + cmps.reduce(_ + _)).cast("long")
+      }
+      sdf.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("rec_days"), col("freq"), col("monetary_cents"),
+          sc("rec_days", lo = true, Seq("r4", "r3", "r2", "r1")).as("r_score"),
+          sc("freq", lo = false, Seq("f1", "f2", "f3", "f4")).as("f_score"),
+          sc("monetary_cents", lo = false, Seq("m1", "m2", "m3", "m4")).as("m_score"))
+    },
+
     Q("quality_outliers",
       """WITH s AS (
         |  SELECT l_returnflag,
