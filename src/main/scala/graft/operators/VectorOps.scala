@@ -76,8 +76,7 @@ object VectorOps {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).as("v"))
     val p = e.filter(col(idCol) === probeId).select(col("v").as("pv"))
-    val cos = dotF(col("v"), col("pv")) /
-      (sqrt(normSqF(col("v"))) * sqrt(normSqF(col("pv"))))
+    val cos = cosineF(col("v"), col("pv"))
     e.filter(col(idCol) =!= probeId)
       .crossJoin(broadcast(p))
       .select(col(idCol), round(cos, 5).as("cos_sim"))

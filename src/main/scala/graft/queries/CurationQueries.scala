@@ -109,8 +109,7 @@ object CurationQueries {
         val emb = Tables.cachedTable(s, d, "embeddings")
         val ev = emb.filter(col("vec_id") < EvalVecMax)
           .select(col("vec_id").as("eval_id"), col("embedding").as("evv"))
-        val cosRaw = VectorOps.dotF(col("embedding"), col("evv")) /
-          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("evv"))))
+        val cosRaw = VectorOps.cosineF(col("embedding"), col("evv"))
         emb.filter(col("vec_id") >= EvalVecMax)
           .crossJoin(broadcast(ev))
           .withColumn("cos_raw", cosRaw)

@@ -134,7 +134,7 @@ object DiffQueries {
       // key — deterministic, so the report is stable run to run) with the
       // value pair a reviewer actually inspects. Per-status top-k rides
       // the house two-phase topKPerGroup (bucketed local heads, then the
-      // k²-bounded global rank) — at 100 TB the non-N set can still be
+      // buckets·k-bounded global rank) — at 100 TB the non-N set can still be
       // millions of rows and a bare 3-partition window would funnel each
       // status through one task.
       val ex = graft.operators.Differ.diff(left(s, d), right(s, d), keys)

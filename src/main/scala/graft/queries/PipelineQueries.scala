@@ -191,8 +191,7 @@ object PipelineQueries {
         val e = emb.select(col("vec_id"), col("embedding").as("v"))
         val p = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-        val cos = VectorOps.dotF(col("v"), col("pv")) /
-          (sqrt(VectorOps.normSqF(col("v"))) * sqrt(VectorOps.normSqF(col("pv"))))
+        val cos = VectorOps.cosineF(col("v"), col("pv"))
         val scored = e.crossJoin(broadcast(p))
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"), round(cos, 5).as("cos_sim"))
@@ -473,8 +472,7 @@ object PipelineQueries {
           .select("cell")
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("pv"))
-        val cos = VectorOps.dotF(col("embedding"), col("pv")) /
-          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
+        val cos = VectorOps.cosineF(col("embedding"), col("pv"))
         KMeansSql.index(s, d)
           .join(broadcast(pcells), "cell")
           .filter(col("vec_id") =!= 0)
@@ -526,8 +524,7 @@ object PipelineQueries {
           .select("vec_id").distinct()
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("pv"))
-        val cos = VectorOps.dotF(col("embedding"), col("pv")) /
-          (sqrt(VectorOps.normSqF(col("embedding"))) * sqrt(VectorOps.normSqF(col("pv"))))
+        val cos = VectorOps.cosineF(col("embedding"), col("pv"))
         emb.join(cands, "vec_id")
           .crossJoin(broadcast(probe))
           .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))

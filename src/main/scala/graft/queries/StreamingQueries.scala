@@ -19,7 +19,9 @@ object StreamingQueries {
 
   private val HourUs = 3600000000L
   private val SlideUs = 900000000L // 15 min
-  private val GapUs = 1800000000L // 30 min session gap
+  // 30 min session gap; package-visible so StreamBatchParitySpec builds its
+  // streaming side from the SAME constant the batch queries use.
+  private[graft] val GapUs = 1800000000L
   private val LateUs = 600000000L // 10 min watermark delay
   private val SessionGapUs = 28800000000L // 8 h batch-sessionize gap
 

@@ -95,7 +95,9 @@ class StreamBatchParitySpec extends SparkTestBase {
     // the same operator plan, incremental execution.
     val sessions = events
       .withWatermark("tsm", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("tsm"), "1800000000 microseconds").as("w"))
+      .groupBy(col("user_id"),
+        session_window(col("tsm"),
+          s"${graft.queries.StreamingQueries.GapUs} microseconds").as("w"))
       .agg(count(lit(1)).cast("long").as("n_events"))
       .select(col("user_id"),
         expr("unix_micros(w.start)").as("session_start_us"),
