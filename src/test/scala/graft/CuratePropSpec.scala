@@ -63,6 +63,42 @@ class CuratePropSpec extends SparkTestBase {
     } yield (g, score, w))
   } yield rows.zipWithIndex.map { case ((g, sc, w), i) => (i.toLong, g, sc, w) }
 
+  test("rangePairs equals the brute-force quadratic on random streams and windows") {
+    for (((rows, w), i) <- samples(eventsGen, 10, 11L)
+        .zip(Seq(1L, 5L, 20L, 50L, 100L, 3L, 7L, 30L, 60L, 2L)).zipWithIndex) {
+      val df = rows.toDF("event_id", "user_id", "ts_us")
+      val got = CurateOps.rangePairs(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: all ordered pairs (a earlier, ties by id) within w —
+      // the naive quadratic the bucket trick must reproduce losslessly
+      val want = (for {
+        a <- rows; b <- rows
+        if b._3 >= a._3 && b._3 - a._3 <= w &&
+          (b._3 > a._3 || a._1 < b._1)
+      } yield (a._1, b._1, b._3 - a._3)).toSet
+      assert(got == want,
+        s"case $i (w=$w): missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
+  test("streaks equals the brute-force islands reference on random streams") {
+    for (((rows, b), i) <- samples(eventsGen, 8, 13L)
+        .zip(Seq(10L, 25L, 50L, 100L, 5L, 75L, 40L, 15L)).zipWithIndex) {
+      val df = rows.toDF("event_id", "user_id", "ts_us")
+      val got = CurateOps.streaks(df, b).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = rows.groupBy(_._2).map { case (u, es) =>
+        val days = es.map(_._3 / b).distinct.sorted
+        val runs = days.tail.foldLeft(Vector(Vector(days.head))) { (acc, d) =>
+          if (d == acc.last.last + 1) acc.init :+ (acc.last :+ d)
+          else acc :+ Vector(d)
+        }
+        u -> ((days.size.toLong, runs.size.toLong, runs.map(_.size).max.toLong))
+      }
+      assert(got == want, s"case $i (bucket=$b): $got vs $want")
+    }
+  }
+
   test("budgetSelect equals the single-cumsum reference for any band width") {
     for ((rows, i) <- samples(scoredGen, 8, 13L).zipWithIndex;
          bandWidth <- Seq(1L, 7L, 50L, 1000L)) {
