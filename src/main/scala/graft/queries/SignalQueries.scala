@@ -279,6 +279,74 @@ object SignalQueries {
           col("max_streak").as("max_streak_days"))
     },
 
+    // -- text_zipf ---------------------------------------------------------
+    // Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank) over
+    // the top-100 tokens — the corpus-health signal (natural text slopes
+    // ≈ −1; synthetic/template corpora flatten, boilerplate-heavy ones
+    // steepen). Ranks are deterministic (freq DESC, token); both ln's are
+    // per-row DECIMAL(18,6)-quantized, the OLS moments are exact decimal
+    // sums of those quantized pairs, and the closed-form slope/intercept/r²
+    // is one identical IEEE chain (the agg_corr discipline).
+    Q("text_zipf",
+      """WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |uc AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, c,
+        |             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+        |      FROM uc),
+        |x AS (SELECT lang,
+        |             CAST(ln(rk) AS DECIMAL(18,6)) AS lx,
+        |             CAST(ln(c) AS DECIMAL(18,6)) AS ly
+        |      FROM r WHERE rk <= 100),
+        |m AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+        |             CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |             CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |             CAST(sum(CAST(ly * ly AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |      FROM x GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS zipf_slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 5)
+        |         AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+        |FROM m""".stripMargin) { (s, d) =>
+      // 100 TB shape: rank-frequency derives from the SAME cached tfidf-tf
+      // partial agg summed up to (lang, tok) — no new corpus pass; the
+      // per-lang ranking runs the two-phase topKPerGroup (a lang-only
+      // window would sort each language's whole vocabulary in one task);
+      // the OLS is a lang-sized agg over ≤100 rows per language.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val uc = tf.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok").agg(sum("tf").as("c"))
+      val ranked = graft.operators.TextOps.topKPerGroup(
+        uc, Seq("lang"), Seq(col("c").desc, col("tok")), k = 100,
+        bucketOn = col("tok"))
+      val x = ranked.select(col("lang"),
+        log(col("rank")).cast("decimal(18,6)").as("lx"),
+        log(col("c")).cast("decimal(18,6)").as("ly"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val m = x.groupBy("lang").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("lx").cast("double").as("sx"), sum("ly").cast("double").as("sy"),
+        sum((col("lx") * col("ly")).cast(dec38)).cast("double").as("sxy"),
+        sum((col("lx") * col("lx")).cast(dec38)).cast("double").as("sxx"),
+        sum((col("ly") * col("ly")).cast(dec38)).cast("double").as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("lang"), col("n").cast("long").as("n_ranks"),
+        round(slope, 5).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 5).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 5).as("r2"))
+    },
+
     // -- events_dau_wau ----------------------------------------------------
     // DAU / trailing-7-day WAU / stickiness — the engagement headline
     // metric. The scalable trick is the OFFSET EXPLODE: a sliding count
