@@ -624,4 +624,49 @@ object Differ {
       lstat.as("left_status"), rstat.as("right_status"), ms.as("merge_status"),
       deleted.as("merged_deleted")) ++ valOut: _*)
   }
+
+  /** Slowly-changing-dimension (SCD type 2) history build from a stack of
+    * version-tagged snapshots: per key, maximal runs of consecutive
+    * versions with identical values collapse into one validity interval
+    * `[valid_from, valid_to)` (version units, half-open); `valid_to` is
+    * NULL while the run reaches `maxVersion` (the row is current). A
+    * version gap (key absent, then re-inserted) or any null-safe value
+    * change breaks the run — deletes are represented by the interval
+    * closing, re-inserts by a new interval.
+    *
+    * Scale shape: ONE key-partitioned window (versions per key are few by
+    * construction — this is the warehouse-dimension pattern, not an event
+    * stream) followed by a (key, segment) agg; the snapshots union never
+    * re-shuffles per version. In production the stack is the already
+    * key-bucketed snapshot table family, making the window exchange-free
+    * (the `DiffOptions.nullSafeKeys=false` bucketing note applies).
+    */
+  def scd2(snaps: DataFrame, keys: Seq[String], versionCol: String,
+           valueCols: Seq[String], maxVersion: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    val prevV = lag(col(versionCol), 1).over(w)
+    val valueChanged = valueCols
+      .map(c => !(lag(col(c), 1).over(w) <=> col(c)))
+      .reduce(_ || _)
+    val brk = when(prevV.isNull || prevV =!= col(versionCol) - 1 || valueChanged,
+      1L).otherwise(0L)
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    snaps
+      .withColumn("__graft_brk", brk)
+      .withColumn("__graft_seg", sum(col("__graft_brk")).over(runW))
+      .groupBy((keys :+ "__graft_seg").map(col): _*)
+      // values are constant within a segment by construction; max is the
+      // deterministic way to surface them through the agg
+      .agg(valueCols.map(c => max(col(c)).as(c)).head,
+        valueCols.tail.map(c => max(col(c)).as(c)) ++ Seq(
+          min(col(versionCol)).cast("long").as("valid_from"),
+          max(col(versionCol)).cast("long").as("__graft_vmax")): _*)
+      .select((keys.map(col) ++ valueCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(col("__graft_vmax") === maxVersion, lit(null).cast("long"))
+          .otherwise(col("__graft_vmax") + 1).as("valid_to"))): _*)
+  }
 }

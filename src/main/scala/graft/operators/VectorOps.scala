@@ -606,8 +606,20 @@ object VectorOps {
     *         eigenvalue repeated (constant column), both rounded at 5 dp
     */
   def pcaPowerTop(emb: DataFrame, iters: Int = 2,
+                  vecCol: String = "embedding"): DataFrame =
+    pcaPowerVec(emb, iters, vecCol)
+      .select(col("p").cast("long").as("p"),
+        round(col("v"), 5).as("loading"),
+        round(col("lambda"), 5).as("eigenvalue"))
+
+  /** [[pcaPowerTop]] without the final 5-dp rounding: (p, v, lambda)
+    * with p 0-based — the form downstream consumers (embed_whiten's
+    * projection removal) compose on, so the direction is quantized
+    * exactly once, at each REPORT's boundary, never mid-chain.
+    */
+  def pcaPowerVec(emb: DataFrame, iters: Int = 2,
                   vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, s"pcaPowerTop: iters must be >= 1, got $iters")
+    require(iters >= 1, s"pcaPowerVec: iters must be >= 1, got $iters")
     val dec = DecimalType(27, 12)
     // Raw-moment covariance c = S/n − μ_p·μ_q (not E[(x−μ)(y−μ)]): the
     // centered form needs a per-dim mean join INTO a corpus self-join on
@@ -654,9 +666,7 @@ object VectorOps {
       .agg(sum(((col("c") * col("va")) * col("vb")).cast(dec)).cast("double")
         .as("lambda"))
     v.crossJoin(broadcast(ray))
-      .select(col("p").cast("long").as("p"),
-        round(col("v"), 5).as("loading"),
-        round(col("lambda"), 5).as("eigenvalue"))
+      .select(col("p"), col("v"), col("lambda"))
   }
 
   /** ADC lookup table for one probe: dot(probe-slice, centroid) per

@@ -362,6 +362,51 @@ object CurationQueries {
               .as("score"))
         graft.operators.CurateOps.budgetSelect(m, BudgetTokens, BandWidth)
           .select("lang", "doc_id", "score", "n_tokens", "cum_tokens")
+    },
+
+    // Source-concentration Gini (r7) — the inequality headline behind
+    // domain_mix: per language, how concentrated token mass is across
+    // sources (gini 0 = perfectly balanced mix, →1 = one source dominates;
+    // a rising gini after a new crawl drop is the "one domain flooded the
+    // corpus" alarm). FULLY integer-exact: with sources ranked ascending
+    // by token mass (ties on source name), G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    // needs only BIGINT sums and ONE integer ppm division — no float
+    // anywhere, so the engines cannot drift.
+    Q("domain_gini",
+      """WITH c AS (
+        |  SELECT lang, source,
+        |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, n_tok,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_tok, source) AS i
+        |      FROM c),
+        |g AS (SELECT lang, count(*) AS n, sum(n_tok) AS s, sum(i * n_tok) AS si
+        |      FROM r GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_sources, CAST(s AS BIGINT) AS total_tokens,
+        |       CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+        |FROM g""".stripMargin) {
+      (s, d) =>
+        // The corpus-heavy step is the (lang, source) token agg — one
+        // map-side-combinable pass, domain_mix's shape; everything after
+        // runs on the langs×sources-sized frame (~KBs at any corpus
+        // scale), so the ranking window is tiny by construction — a
+        // partitioned window over ≤|sources| rows per language, never a
+        // corpus sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_tok"), col("source"))
+        Tables.cachedTable(s, d, "documents")
+          .select(col("lang"), col("source"),
+                  size(TextOps.tokens(col("text"))).as("nt"))
+          .groupBy("lang", "source")
+          .agg(sum("nt").cast("long").as("n_tok"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_tok").as("s"),
+               sum(col("i") * col("n_tok")).as("si"))
+          .select(col("lang"), col("n").cast("long").as("n_sources"),
+                  col("s").cast("long").as("total_tokens"),
+                  expr("(2 * si - (n + 1) * s) * 1000000 div (n * s)")
+                    .cast("long").as("gini_ppm"))
     }
   )
 }

@@ -560,6 +560,53 @@ object DiffQueries {
       Differ.merge3(left(s, d), right(s, d), right2(s, d), keys)
     },
 
+    // SCD type-2 history build (r7) — the warehouse pattern that turns a
+    // stack of snapshots into validity intervals: per key, runs of
+    // consecutive versions with identical values collapse to one
+    // [valid_from, valid_to) row; valid_to NULL = current. Deletes close
+    // the interval, re-inserts open a new one, value changes split.
+    // Fixture versions: v0 = orders, v1 = the diff churn, v2 = the merge3
+    // branch — so the history exercises every transition (stable keys,
+    // one-version deletes, price flips that revert, late inserts).
+    Q("diff_scd2",
+      s"""$Prelude,
+         |r2 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
+         |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 113 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 79 = 0
+         |),
+         |snaps AS (
+         |  SELECT o_orderkey AS k, 0 AS v, o_totalprice AS price FROM l
+         |  UNION ALL SELECT o_orderkey, 1, o_totalprice FROM r
+         |  UNION ALL SELECT o_orderkey, 2, o_totalprice FROM r2),
+         |m AS (SELECT *, lag(v) OVER w AS pv, lag(price) OVER w AS pp
+         |      FROM snaps WINDOW w AS (PARTITION BY k ORDER BY v)),
+         |b AS (SELECT *, CASE WHEN pv IS NULL OR pv <> v - 1
+         |                       OR pp IS DISTINCT FROM price THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |sg AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY v
+         |                                ROWS UNBOUNDED PRECEDING) AS seg
+         |       FROM b)
+         |SELECT k AS o_orderkey, max(price) AS o_totalprice,
+         |       CAST(min(v) AS BIGINT) AS valid_from,
+         |       CAST(CASE WHEN max(v) = 2 THEN NULL ELSE max(v) + 1 END AS BIGINT)
+         |         AS valid_to
+         |FROM sg GROUP BY k, seg""".stripMargin) { (s, d) =>
+      def tag(df: DataFrame, v: Int) =
+        df.select(col("o_orderkey"), lit(v).as("version"), col("o_totalprice"))
+      val snaps = tag(left(s, d), 0)
+        .unionByName(tag(right(s, d), 1))
+        .unionByName(tag(right2(s, d), 2))
+      Differ.scd2(snaps, keys, "version", Seq("o_totalprice"), maxVersion = 2)
+    },
+
     // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
     Q.noOracle("schema_diff") { (s, d) =>
       val l = left(s, d)

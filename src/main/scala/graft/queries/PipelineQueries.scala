@@ -100,6 +100,94 @@ object PipelineQueries {
     res.select(col("vec_id"), adc.as("adc_cos"))
   }
 
+  /** Shared oracle WITH-chain replaying the deterministic power-iteration
+    * PCA build (per-dim means → raw second moments → S/n − μμᵀ centered
+    * covariance → two multiply-normalize rounds → Rayleigh quotient).
+    * Consumers append their own final SELECT (embed_pca_power reports the
+    * direction; embed_whiten projects the corpus against it). `p` is
+    * 1-based inside the chain; re-base in the final select if emitted.
+    */
+  private val PcaCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT max(len(v)) AS dim FROM e),
+      |pos AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+      |        FROM e),
+      |mu AS (SELECT p, CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS mu
+      |       FROM pos GROUP BY 1),
+      |nrow AS (SELECT count(*) AS n FROM e),
+      |s2 AS (SELECT a.p AS p, b.p AS q,
+      |              CAST(sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+      |       FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
+      |cov AS (SELECT s2.p, s2.q, sxy / n - ma.mu * mb.mu AS c
+      |        FROM s2 JOIN mu ma ON ma.p = s2.p JOIN mu mb ON mb.p = s2.q, nrow),
+      |v0 AS (SELECT p, 1.0/sqrt(dim) AS v FROM (SELECT DISTINCT p FROM pos), dims),
+      |it1 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v0.v AS DECIMAL(27,12))) AS DOUBLE) AS w
+      |        FROM cov JOIN v0 ON v0.p = cov.q GROUP BY 1),
+      |nm1 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it1),
+      |v1 AS (SELECT p, w/nm AS v FROM it1, nm1),
+      |it2 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v1.v AS DECIMAL(27,12))) AS DOUBLE) AS w
+      |        FROM cov JOIN v1 ON v1.p = cov.q GROUP BY 1),
+      |nm2 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it2),
+      |v2 AS (SELECT p, w/nm AS v FROM it2, nm2),
+      |ray AS (SELECT CAST(sum(CAST((cov.c * va.v) * vb.v AS DECIMAL(27,12))) AS DOUBLE)
+      |               AS lambda
+      |        FROM cov JOIN v2 va ON va.p = cov.p JOIN v2 vb ON vb.p = cov.q)""".stripMargin
+
+  /** Shared oracle WITH-chain replaying the 3-round label propagation
+    * (kNN edges → symmetrize → per-round majority with (count DESC, label)
+    * tie-break); ends at `lp3` (vec_id, lbl) with `ue` (the bidirected
+    * distinct edge set) still in scope. Consumers append their final
+    * SELECT: graph_label_prop reports the census, graph_modularity scores
+    * the partition.
+    */
+  private val LpCtes: String = {
+    def round(i: Int, prev: String) =
+      s""",
+         |md$i AS (SELECT ue.dst, p.lbl, count(*) AS c
+         |         FROM ue JOIN $prev p ON p.vec_id = ue.src GROUP BY 1, 2),
+         |mr$i AS (SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |                  ORDER BY c DESC, lbl) AS rn FROM md$i),
+         |lp$i AS (SELECT n.vec_id, coalesce(m.lbl, p.lbl) AS lbl
+         |         FROM nodes n JOIN $prev p USING (vec_id)
+         |         LEFT JOIN (SELECT dst, lbl FROM mr$i WHERE rn = 1) m
+         |           ON m.dst = n.vec_id)"""
+    val rounds = (1 to 3).map(i => round(i, if (i == 1) "lp0" else s"lp${i - 1}"))
+      .mkString
+    s"""WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+       |       FROM eemb a JOIN eemb b
+       |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+       |                                    ORDER BY cos_sim DESC, dst) AS rank
+       |       FROM pp),
+       |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
+       |ue AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)
+       |$rounds""".stripMargin
+  }
+
+  /** Per-vertex community assignment (3-round label prop over the cached
+    * kNN build), cached per dir — one build shared by graph_label_prop and
+    * graph_modularity.
+    */
+  private def lpComm(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/labelprop/iters=3") {
+      GraphOps.labelPropagation(
+        Tables.cachedTable(s, d, "embeddings").select(col("vec_id").as("id")),
+        knn3(s, d).select("src", "dst"), iters = 3)
+    }
+
+  /** The unrounded top principal direction, cached per dir — one build
+    * shared by every PCA consumer (the codebook-cache convention).
+    */
+  private def pcaVec(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/pca-vec/iters=2") {
+      VectorOps.pcaPowerVec(Tables.cachedTable(s, d, "embeddings"), iters = 2)
+    }
+
   /** The k=3 in-block kNN graph, cached per dir: sim_knn_graph declares it
     * and graph_pagerank consumes its (src, dst) edge set — one build.
     */
@@ -305,36 +393,11 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_triangles"))
     },
 
-    Q("graph_label_prop", {
-      def round(i: Int, prev: String) =
-        s""",
-           |md$i AS (SELECT ue.dst, p.lbl, count(*) AS c
-           |         FROM ue JOIN $prev p ON p.vec_id = ue.src GROUP BY 1, 2),
-           |mr$i AS (SELECT dst, lbl, row_number() OVER (PARTITION BY dst
-           |                  ORDER BY c DESC, lbl) AS rn FROM md$i),
-           |lp$i AS (SELECT n.vec_id, coalesce(m.lbl, p.lbl) AS lbl
-           |         FROM nodes n JOIN $prev p USING (vec_id)
-           |         LEFT JOIN (SELECT dst, lbl FROM mr$i WHERE rn = 1) m
-           |           ON m.dst = n.vec_id)"""
-      val rounds = (1 to 3).map(i => round(i, if (i == 1) "lp0" else s"lp${i - 1}"))
-        .mkString
-      s"""WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
-         |       FROM eemb a JOIN eemb b
-         |         ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
-         |                                    ORDER BY cos_sim DESC, dst) AS rank
-         |       FROM pp),
-         |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
-         |ue AS (SELECT DISTINCT src, dst FROM
-         |        (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
-         |nodes AS (SELECT vec_id FROM embeddings),
-         |lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)
-         |$rounds
-         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-         |FROM lp3 GROUP BY 1""".stripMargin
-    }) { (s, d) =>
+    Q("graph_label_prop",
+      LpCtes +
+      """
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lp3 GROUP BY 1""".stripMargin) { (s, d) =>
       // Label propagation (Raghavan 2007, 3 fixed synchronous rounds) over
       // the kNN similarity graph — COMMUNITIES, not components: unlike
       // dedup_clusters' min-label CC, a bridge edge between two dense
@@ -344,12 +407,68 @@ object PipelineQueries {
       // integer (count DESC, label) tie-break keep the output unique and
       // the oracle an unrolled-CTE replay; per round one edge join +
       // (node, label) partial agg + degree-bounded per-node window — never
-      // a global window. Emits the community-size census.
-      GraphOps.labelPropagation(
-        Tables.cachedTable(s, d, "embeddings").select(col("vec_id").as("id")),
-        knn3(s, d).select("src", "dst"), iters = 3)
+      // a global window. Emits the community-size census; the per-vertex
+      // assignment is cached (lpComm) and shared with graph_modularity.
+      lpComm(s, d)
         .groupBy(col("community"))
         .agg(count(lit(1)).as("n_members"))
+    },
+
+    // Modularity of the label-prop communities (r7, Newman & Girvan 2004)
+    // — the single number that says whether the community structure is
+    // real: Q = Σ_c [e_c/m − (deg_c/2m)²], near 0 for random partitions,
+    // 0.3+ for genuine cluster structure. FULLY integer-exact over the
+    // bidirected edge count M2 = 2m: Q = (M2·I2 − Σ_c deg_c²)/M2² with I2
+    // the bidirected intra-community edge count — three BIGINT aggregates
+    // and ONE ppm division, no float anywhere. COMPOSED: reads the SAME
+    // cached community assignment graph_label_prop declares and the same
+    // cached kNN build, so score and communities cannot drift.
+    Q("graph_modularity",
+      LpCtes +
+      """,
+        |dg AS (SELECT src AS vv, count(*) AS deg FROM ue GROUP BY 1),
+        |vd AS (SELECT lp3.lbl, coalesce(dg.deg, 0) AS deg
+        |       FROM lp3 LEFT JOIN dg ON dg.vv = lp3.vec_id),
+        |dc AS (SELECT lbl, sum(deg) AS deg_c FROM vd GROUP BY 1),
+        |ds AS (SELECT count(*) AS n_comm, sum(deg_c * deg_c) AS dsq FROM dc),
+        |m2 AS (SELECT count(*) AS m2 FROM ue),
+        |i2 AS (SELECT count(*) AS i2 FROM ue
+        |       JOIN lp3 a ON a.vec_id = ue.src JOIN lp3 b ON b.vec_id = ue.dst
+        |       WHERE a.lbl = b.lbl)
+        |SELECT CAST(n_comm AS BIGINT) AS n_communities,
+        |       CAST(m2 // 2 AS BIGINT) AS m_edges,
+        |       CAST(m2 * i2 - dsq AS BIGINT) AS q_num,
+        |       CAST(m2 * m2 AS BIGINT) AS q_den,
+        |       CAST((m2 * i2 - dsq) * 1000000 // (m2 * m2) AS BIGINT)
+        |         AS modularity_ppm
+        |FROM ds, m2, i2""".stripMargin) { (s, d) =>
+      // All marginal work is id-sized: one degree agg over the symmetrized
+      // edges, two id-keyed community fetch joins for the intra count, and
+      // three scalar frames crossJoined into the one-row report. At 100 TB
+      // the community table is the persisted artifact; this is a single
+      // narrow audit pass over it.
+      val comm = lpComm(s, d)
+      val e = knn3(s, d).select("src", "dst")
+      val ue = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ds = comm.join(deg, comm("id") === deg("src"), "left")
+        .select(col("community"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy("community").agg(sum("deg").as("deg_c"))
+        .agg(count(lit(1)).as("n_comm"), sum(col("deg_c") * col("deg_c")).as("dsq"))
+      val m2 = ue.agg(count(lit(1)).as("m2"))
+      val i2 = ue
+        .join(comm.select(col("id").as("src"), col("community").as("ca")), "src")
+        .join(comm.select(col("id").as("dst"), col("community").as("cb")), "dst")
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("i2"))
+      ds.crossJoin(broadcast(m2)).crossJoin(broadcast(i2))
+        .select(col("n_comm").cast("long").as("n_communities"),
+                expr("m2 div 2").cast("long").as("m_edges"),
+                (col("m2") * col("i2") - col("dsq")).cast("long").as("q_num"),
+                (col("m2") * col("m2")).cast("long").as("q_den"),
+                expr("(m2 * i2 - dsq) * 1000000 div (m2 * m2)").cast("long")
+                  .as("modularity_ppm"))
     },
 
     Q("split_assign",
@@ -907,40 +1026,80 @@ object PipelineQueries {
     // Rayleigh quotient, with p re-based to Spark's 0-index in the final
     // select only.
     Q("embed_pca_power",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dims AS (SELECT max(len(v)) AS dim FROM e),
-        |pos AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
-        |        FROM e),
-        |mu AS (SELECT p, CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS mu
-        |       FROM pos GROUP BY 1),
-        |nrow AS (SELECT count(*) AS n FROM e),
-        |s2 AS (SELECT a.p AS p, b.p AS q,
-        |              CAST(sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) AS sxy
-        |       FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
-        |cov AS (SELECT s2.p, s2.q, sxy / n - ma.mu * mb.mu AS c
-        |        FROM s2 JOIN mu ma ON ma.p = s2.p JOIN mu mb ON mb.p = s2.q, nrow),
-        |v0 AS (SELECT p, 1.0/sqrt(dim) AS v FROM (SELECT DISTINCT p FROM pos), dims),
-        |it1 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v0.v AS DECIMAL(27,12))) AS DOUBLE) AS w
-        |        FROM cov JOIN v0 ON v0.p = cov.q GROUP BY 1),
-        |nm1 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it1),
-        |v1 AS (SELECT p, w/nm AS v FROM it1, nm1),
-        |it2 AS (SELECT cov.p, CAST(sum(CAST(cov.c * v1.v AS DECIMAL(27,12))) AS DOUBLE) AS w
-        |        FROM cov JOIN v1 ON v1.p = cov.q GROUP BY 1),
-        |nm2 AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(27,12))) AS DOUBLE)) AS nm FROM it2),
-        |v2 AS (SELECT p, w/nm AS v FROM it2, nm2),
-        |ray AS (SELECT CAST(sum(CAST((cov.c * va.v) * vb.v AS DECIMAL(27,12))) AS DOUBLE)
-        |               AS lambda
-        |        FROM cov JOIN v2 va ON va.p = cov.p JOIN v2 vb ON vb.p = cov.q)
+      PcaCtes +
+      """
         |SELECT v2.p - 1 AS p, round(v2.v, 5) AS loading, round(ray.lambda, 5) AS eigenvalue
         |FROM v2, ray""".stripMargin) { (s, d) =>
       // 100 TB shape: ONE corpus pass builds the dim² covariance via a
       // join-free double posexplode (map-side partial agg → shuffle is
       // dim²·partitions rows, corpus-independent); the iterations run on a
       // materialized LocalRelation and never touch the corpus again. The
-      // 64-row result is cached per dir like the other built-once indexes.
-      Tables.cached(s, s"$d/pca-top/iters=2") {
-        VectorOps.pcaPowerTop(Tables.cachedTable(s, d, "embeddings"), iters = 2)
-      }
+      // 64-row result is cached per dir like the other built-once indexes
+      // (unrounded — each report rounds at its own boundary).
+      pcaVec(s, d)
+        .select(col("p").cast("long").as("p"),
+                round(col("v"), 5).as("loading"),
+                round(col("lambda"), 5).as("eigenvalue"))
+    },
+
+    // Projection-removal report for the dominant direction (r7) — the
+    // measurement half of "All-but-the-Top" (Mu & Viswanath 2018): every
+    // embedding's centered projection onto the top principal axis, rolled
+    // up per label. avg_proj is the label's signed offset along the
+    // dominant axis (how the clusters separate on it); avg_abs_proj is
+    // the energy the whitening step would remove. Exactness: xv and μ·v
+    // come off the same DECIMAL(27,12) quantize-then-sum ladder as the
+    // PCA build, the centered projection is ONE IEEE subtraction of
+    // exactly-derived doubles, then floor(x·10⁶) BIGINT per-row
+    // quantization (floor, not a decimal cast — the pagerank lesson:
+    // double→DECIMAL casts round differently cross-engine) and exact
+    // integer sums with one final division.
+    Q("embed_whiten",
+      PcaCtes +
+      """,
+        |muv AS (SELECT CAST(sum(CAST(mu.mu * v2.v AS DECIMAL(27,12))) AS DOUBLE) AS mv
+        |        FROM mu JOIN v2 USING (p)),
+        |proj AS (SELECT pos.vec_id,
+        |                CAST(sum(CAST(pos.x * v2.v AS DECIMAL(27,12))) AS DOUBLE) AS xv
+        |         FROM pos JOIN v2 USING (p) GROUP BY 1),
+        |pl AS (SELECT emb.label,
+        |              CAST(floor((proj.xv - muv.mv) * 1000000) AS BIGINT) AS pq,
+        |              CAST(floor(abs(proj.xv - muv.mv) * 1000000) AS BIGINT) AS aq
+        |       FROM proj JOIN embeddings emb USING (vec_id), muv)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(CAST(sum(pq) AS DOUBLE) / (count(*) * 1000000), 5) AS avg_proj,
+        |       round(CAST(sum(aq) AS DOUBLE) / (count(*) * 1000000), 5) AS avg_abs_proj
+        |FROM pl GROUP BY label""".stripMargin) { (s, d) =>
+      // Two corpus passes (the quality_outliers budget): one builds the
+      // per-dim means, one computes each vector's projection against the
+      // BROADCAST 64-row direction — the corpus never shuffles; the final
+      // agg is labels-sized. At 100 TB the whitened write-back is the same
+      // scan with x − (x·v)v emitted instead of the rollup.
+      val dec = DecimalType(27, 12)
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val vb = broadcast(pcaVec(s, d).select(col("p"), col("v")))
+      val pos = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"), col("p"),
+                col("x").cast("double").as("x"))
+      val mu = pos.groupBy("p")
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mu"))
+      val muv = broadcast(
+        mu.join(vb, Seq("p"))
+          .agg(sum((col("mu") * col("v")).cast(dec)).cast("double").as("mv")))
+      val proj = pos.join(vb, Seq("p"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") * col("v")).cast(dec)).cast("double").as("xv"))
+      proj.crossJoin(muv)
+        .select(col("label"),
+                floor((col("xv") - col("mv")) * 1000000).cast("long").as("pq"),
+                floor(abs(col("xv") - col("mv")) * 1000000).cast("long").as("aq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             round(sum("pq").cast("double") / (count(lit(1)) * 1000000), 5)
+               .as("avg_proj"),
+             round(sum("aq").cast("double") / (count(lit(1)) * 1000000), 5)
+               .as("avg_abs_proj"))
     },
 
     // In-degree histogram of the kNN graph — the hubness audit (Radovanović
@@ -995,6 +1154,263 @@ object PipelineQueries {
       VectorOps.centroidDrift(
         Tables.cachedTable(s, d, "embeddings"),
         snapA = col("vec_id") % 2 === 0)
+    },
+
+    // Train/eval leakage audit (r7) — the check a pipeline MUST run after
+    // split_assign: a near-duplicate pair straddling the train/test
+    // boundary inflates eval scores exactly like benchmark contamination
+    // (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better" measures the effect). Composed: the pair side is the SAME
+    // persisted near-dup pair list dedup_near declares (oracle embeds its
+    // naive all-pairs SQL), and the split is a PURE FUNCTION of the stable
+    // doc id (the split_assign contract) — so the audit is a projection +
+    // a 6-row agg over the pair list, touching the corpus ZERO times. At
+    // 100 TB this runs in seconds against the stored pair table while a
+    // join-back-to-corpus formulation would re-shuffle terabytes.
+    Q("split_leakage_check",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $DuckTokens AS s FROM documents),
+         |p AS (
+         |  SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b,
+         |         CASE WHEN len(list_distinct(list_concat(a1.s, a2.s))) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(a1.s, x -> list_contains(a2.s, x))) AS DOUBLE)
+         |                   / len(list_distinct(list_concat(a1.s, a2.s))) END AS jaccard
+         |  FROM t a1 JOIN t a2
+         |    ON a1.lang = a2.lang AND a1.doc_id < a2.doc_id),
+         |np AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= $NearDupTau),
+         |bk AS (SELECT
+         |         ('0x' || substr(sha256(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT % 100 AS ba,
+         |         ('0x' || substr(sha256(CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % 100 AS bb
+         |       FROM np),
+         |sp AS (SELECT
+         |         CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val' ELSE 'test' END AS split_a,
+         |         CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val' ELSE 'test' END AS split_b
+         |       FROM bk)
+         |SELECT least(split_a, split_b) AS split_lo,
+         |       greatest(split_a, split_b) AS split_hi,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      def splitOf(idCol: String) = {
+        val b = expr(
+          s"CAST(conv(substr(sha2(CAST($idCol AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 100")
+        when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
+      }
+      sharedNearDupPairs(s, d)
+        .select(splitOf("doc_a").as("split_a"), splitOf("doc_b").as("split_b"))
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+                greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // ANN index QA (r7) — recall@10 of the IVF index vs exact brute force,
+    // per probe: the metric that decides whether nprobe/k are adequate
+    // BEFORE the index serves dedup/search at scale (FAISS ships the same
+    // evaluation as its index benchmark). Both arms use the house ANN rank
+    // rule (cosine rounded to 5 dp before ranking, ties on vec_id) so the
+    // overlap count is integer-exact. The exact arm is the oracle-grade
+    // truth: 8 broadcast probes into ONE corpus scan + two-phase top-k;
+    // the IVF arm reads the SAME cached index + scored assignment every
+    // sim_search_ivf query shares — at 100 TB exact truth comes from a
+    // sampled probe set exactly like this, never the full corpus square.
+    Q("embed_recall_eval",
+      KMeansSql.codebookCtes() +
+      s""",
+         |idx AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()} WHERE rn = 1),
+         |pc AS (SELECT vec_id AS probe_id, cell FROM ${KMeansSql.scoredCte()}
+         |       WHERE vec_id < 8 AND rn <= ${KMeansSql.NProbeSearch}),
+         |el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, v AS pv FROM el WHERE vec_id < 8),
+         |ex AS (SELECT probe_id, vec_id FROM (
+         |  SELECT pr.probe_id, el.vec_id,
+         |         row_number() OVER (PARTITION BY pr.probe_id
+         |           ORDER BY round(list_cosine_similarity(el.v, pr.pv), 5) DESC, el.vec_id) AS rnk
+         |  FROM el, pr WHERE el.vec_id <> pr.probe_id) WHERE rnk <= 10),
+         |iv AS (SELECT probe_id, vec_id FROM (
+         |  SELECT pc.probe_id, el.vec_id,
+         |         row_number() OVER (PARTITION BY pc.probe_id
+         |           ORDER BY round(list_cosine_similarity(el.v, pr.pv), 5) DESC, el.vec_id) AS rnk
+         |  FROM el JOIN idx USING (vec_id) JOIN pc USING (cell)
+         |          JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE el.vec_id <> pc.probe_id) WHERE rnk <= 10),
+         |h AS (SELECT ex.probe_id, count(*) AS n_hit
+         |      FROM ex JOIN iv USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT pr.probe_id, CAST(10 AS BIGINT) AS k,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+         |FROM pr LEFT JOIN h USING (probe_id)""".stripMargin) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val exact = TextOps.topKPerGroup(
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+                  round(VectorOps.cosineF(col("embedding"), col("pv")), 5).as("c")),
+        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
+        bucketOn = col("vec_id"))
+        .select("probe_id", "vec_id")
+      val pcells = KMeansSql.assignments(s, d)
+        .filter(col("vec_id") < 8 && col("rn") <= KMeansSql.NProbeSearch)
+        .select(col("vec_id").as("probe_id"), col("cell"))
+      // A vector sits under exactly one home cell, so (probe_id, vec_id)
+      // is already unique — no distinct needed after the cell join.
+      val ivf = TextOps.topKPerGroup(
+        KMeansSql.index(s, d)
+          .join(broadcast(pcells), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .join(broadcast(probes), "probe_id")
+          .select(col("probe_id"), col("vec_id"),
+                  round(VectorOps.cosineF(col("embedding"), col("pv")), 5).as("c")),
+        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
+        bucketOn = col("vec_id"))
+        .select("probe_id", "vec_id")
+      val hits = exact.join(ivf, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("h"))
+      probes.select("probe_id")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), lit(10L).as("k"),
+                coalesce(col("h"), lit(0L)).cast("long").as("n_hit"))
+    },
+
+    // Link prediction over the kNN similarity graph (r7): common-neighbour
+    // Jaccard for NON-edges — the "should these be connected" score behind
+    // cluster repair and diversity-aware retrieval expansion (Liben-Nowell
+    // & Kleinberg 2003). Composed on the SAME cached kNN build: wedges
+    // (x—n—y) come from one neighbor-keyed self-join of the symmetrized
+    // edge list, so candidate pairs are O(E·d_max), never vertices² — at
+    // 100 TB orient the join by (degree, id) so hubs sit last and fan-out
+    // stays bounded, exactly like graph_triangles. Score is integer ppm
+    // (n_common·10⁶ div union) — no float division anywhere.
+    Q("graph_jaccard",
+      s"""WITH g AS ($KnnOracleSql),
+         |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g),
+         |bi AS (SELECT a AS n, b AS o FROM ue UNION ALL SELECT b, a FROM ue),
+         |deg AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+         |wed AS (SELECT e1.o AS x, e2.o AS y, CAST(count(*) AS BIGINT) AS n_common
+         |        FROM bi e1 JOIN bi e2 ON e1.n = e2.n AND e1.o < e2.o
+         |        GROUP BY 1, 2),
+         |ne AS (SELECT w.x, w.y, w.n_common FROM wed w
+         |       LEFT JOIN ue ON ue.a = w.x AND ue.b = w.y
+         |       WHERE ue.a IS NULL)
+         |SELECT x, y, n_common, da.deg AS deg_x, db.deg AS deg_y,
+         |       CAST(n_common * 1000000 // (da.deg + db.deg - n_common) AS BIGINT)
+         |         AS jaccard_ppm
+         |FROM ne JOIN deg da ON da.v = ne.x JOIN deg db ON db.v = ne.y
+         |ORDER BY jaccard_ppm DESC, x, y LIMIT 50""".stripMargin) { (s, d) =>
+      val ue = knn3(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val bi = ue.select(col("a").as("n"), col("b").as("o"))
+        .unionByName(ue.select(col("b").as("n"), col("a").as("o")))
+      val deg = bi.groupBy(col("n").as("v"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val wed = bi.as("e1")
+        .join(bi.as("e2"),
+              col("e1.n") === col("e2.n") && col("e1.o") < col("e2.o"))
+        .groupBy(col("e1.o").as("x"), col("e2.o").as("y"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      val nonEdge = wed.join(
+        ue, wed("x") === ue("a") && wed("y") === ue("b"), "left_anti")
+      nonEdge
+        .join(deg.select(col("v").as("x"), col("deg").as("deg_x")), "x")
+        .join(deg.select(col("v").as("y"), col("deg").as("deg_y")), "y")
+        .select(col("x"), col("y"), col("n_common"), col("deg_x"), col("deg_y"),
+                expr("n_common * 1000000 div (deg_x + deg_y - n_common)")
+                  .cast("long").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+        .limit(50)
+    },
+
+    // k-core peeling census (r7, k=4, 3 unrolled rounds) over the kNN
+    // similarity graph — the density filter degree alone can't express: a
+    // vertex survives only if ≥4 of its neighbors ALSO survive, so
+    // boilerplate hubs whose neighborhoods are sparse peel away while
+    // genuine semantic clusters (mutually-near vectors) remain (Seidman
+    // 1983; the dense-subgraph miner curation uses to find template
+    // families). k=4 bites on a kNN-3 graph: undirected degree ≥3 is
+    // guaranteed by construction, so k≤3 would peel nothing. Fixed-round
+    // unrolled peel = deterministic output and an unrolled-CTE oracle,
+    // the graph_pagerank convention.
+    Q("graph_kcore",
+      s"""WITH g AS ($KnnOracleSql),
+         |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g),
+         |b0 AS (SELECT a AS n, b AS o FROM ue UNION ALL SELECT b, a FROM ue),
+         |k1 AS (SELECT n FROM b0 GROUP BY n HAVING count(*) >= 4),
+         |b1 AS (SELECT b0.n, b0.o FROM b0 JOIN k1 x ON x.n = b0.n JOIN k1 y ON y.n = b0.o),
+         |k2 AS (SELECT n FROM b1 GROUP BY n HAVING count(*) >= 4),
+         |b2 AS (SELECT b1.n, b1.o FROM b1 JOIN k2 x ON x.n = b1.n JOIN k2 y ON y.n = b1.o),
+         |k3 AS (SELECT n FROM b2 GROUP BY n HAVING count(*) >= 4),
+         |b3 AS (SELECT b2.n, b2.o FROM b2 JOIN k3 x ON x.n = b2.n JOIN k3 y ON y.n = b2.o)
+         |SELECT 1 AS round, (SELECT CAST(count(*) AS BIGINT) FROM k1) AS n_vertices,
+         |       (SELECT CAST(count(*) // 2 AS BIGINT) FROM b1) AS n_edges
+         |UNION ALL
+         |SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM k2),
+         |       (SELECT CAST(count(*) // 2 AS BIGINT) FROM b2)
+         |UNION ALL
+         |SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM k3),
+         |       (SELECT CAST(count(*) // 2 AS BIGINT) FROM b3)""".stripMargin) { (s, d) =>
+      // Per round: one degree agg + two id-keyed semi joins — O(E) narrow
+      // shuffles, the dedup_clusters iteration budget; at cluster scale
+      // each round's survivor edge set would be cached/checkpointed, here
+      // three rounds compose lazily into one plan. Counts stay lazy
+      // (agg + crossJoin), no driver-side peeling.
+      val ue = knn3(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      var bi = ue.select(col("a").as("n"), col("b").as("o"))
+        .unionByName(ue.select(col("b").as("n"), col("a").as("o")))
+      val rounds = (1 to 3).map { r =>
+        val keep = bi.groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 4).select("n")
+        bi = bi.join(keep, Seq("n"), "left_semi")
+          .join(keep.withColumnRenamed("n", "o"), Seq("o"), "left_semi")
+        keep.agg(count(lit(1)).cast("long").as("n_vertices"))
+          .crossJoin(bi.agg(expr("count(1) div 2").cast("long").as("n_edges")))
+          .select(lit(r).as("round"), col("n_vertices"), col("n_edges"))
+      }
+      rounds.reduce(_ unionByName _)
+    },
+
+    // Content-addressable chunk census (r7) — the block-level dedup shape
+    // media/blob stores run (CAS/restic/borg style): fixed 64-byte chunks
+    // of the binary content, hashed, census'd per language. The fixture's
+    // chunking is fixed-size (content-defined FastCDC boundaries change
+    // nothing about the Spark shape — only the boundary expression); the
+    // corpus is ASCII so char offsets ARE byte offsets (pinned by
+    // multimodal_binary's ascii()==byte oracle). Shape: one bounded
+    // explode (len/64 rows per doc) into a (lang, hash) partial agg —
+    // 32-byte keys on the wire, text never shuffles; at 100 TB the chunk
+    // table is the persisted CAS index and dup_ppm is its storage-savings
+    // forecast.
+    Q("multimodal_chunks",
+      """WITH c AS (
+        |  SELECT lang, doc_id,
+        |         sha256(substr(text, CAST(ci * 64 + 1 AS INT), 64)) AS chunk_hash
+        |  FROM (SELECT lang, doc_id, text,
+        |          unnest(generate_series(0, (n_chars - 1) // 64)) AS ci
+        |        FROM documents WHERE n_chars > 0))
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+        |       CAST((count(*) - count(DISTINCT chunk_hash)) * 1000000 // count(*) AS BIGINT)
+        |         AS dup_ppm
+        |FROM c GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), col("text"),
+                explode(expr("sequence(0L, (n_chars - 1) div 64)")).as("ci"))
+        .select(col("lang"), col("doc_id"),
+                sha2(expr("substring(text, CAST(ci * 64 + 1 AS INT), 64)"), 256)
+                  .as("chunk_hash"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_chunks"),
+             countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
+        .select(col("lang"), col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
+                expr("(n_chunks - n_distinct_chunks) * 1000000 div n_chunks")
+                  .cast("long").as("dup_ppm"))
     }
   )
 }

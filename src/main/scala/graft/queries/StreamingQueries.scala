@@ -454,6 +454,132 @@ object StreamingQueries {
           .select(col("event_type"), col("day_idx"), col("n"), col("trail_n"),
             when(col("n_prev_days") === 7 && lit(7) * col("n") > lit(2) * col("trail_n"),
               lit(1)).otherwise(lit(0)).as("is_spike"))
+    },
+
+    // Peak concurrency (r7) — the sweep-line census capacity planning
+    // reads ("how many sessions were live at once"): each event holds a
+    // 30-minute activity interval [ts, ts+30m); concurrency is the
+    // running sum of +1/−1 boundary deltas, peak is its max per type.
+    // Tie semantics pinned for determinism: at an equal instant the −1
+    // sorts before the +1 (delta ASC), i.e. half-open intervals — an
+    // interval ending exactly when another starts never overlaps it;
+    // event_id breaks the remaining ties so the (t, delta, event_id)
+    // order key is unique and ROWS ≡ RANGE framing. The 100 TB shape is
+    // the budget_select band decomposition: a single per-type cumsum
+    // would funnel each type's whole boundary stream through ONE task,
+    // so the running sum splits into per-(type, day) partitioned windows
+    // plus a broadcast join of per-day offsets (the cumulative delta of
+    // all earlier days — a days-sized window, corpus-independent);
+    // integer addition is associative, so the decomposition is exact and
+    // the oracle states the single-cumsum form directly.
+    // Seasonal-naive forecast backtest (r7) — the monitoring baseline every
+    // alerting pipeline needs before anything fancier: predict each
+    // event's value by its (type, hour-of-day) training mean and report
+    // the per-type MAE. Deterministic split: even epoch-days train, odd
+    // days test (no rand(), balanced across the fixture's 30 days).
+    // Exactness ladder: per-row floor(value·10⁶) BIGINT quantization,
+    // the mean ONE IEEE division of exact integers, the error re-quantized
+    // per row, MAE an exact integer division — no float summation.
+    Q("events_forecast",
+      """WITH ev AS (SELECT event_type, value,
+        |              epoch_us(ts) // 86400000000 AS day_idx,
+        |              (epoch_us(ts) // 3600000000) % 24 AS hod
+        |            FROM events),
+        |tr AS (SELECT event_type, hod,
+        |         sum(CAST(floor(value * 1000000) AS BIGINT)) AS svq,
+        |         count(*) AS n
+        |       FROM ev WHERE day_idx % 2 = 0 GROUP BY 1, 2),
+        |pr AS (SELECT event_type, hod,
+        |         CAST(svq AS DOUBLE) / (n * 1000000) AS pred FROM tr),
+        |te AS (SELECT ev.event_type, ev.value, pr.pred
+        |       FROM ev LEFT JOIN pr USING (event_type, hod)
+        |       WHERE ev.day_idx % 2 = 1),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_train
+        |       FROM tr GROUP BY 1),
+        |ag AS (SELECT event_type,
+        |         CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_test,
+        |         CAST(sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_unpred,
+        |         sum(CASE WHEN pred IS NOT NULL
+        |                  THEN CAST(floor(abs(value - pred) * 1000000) AS BIGINT)
+        |                  ELSE 0 END) AS serr
+        |       FROM te GROUP BY event_type)
+        |SELECT ag.event_type, tt.n_train, ag.n_test, ag.n_unpred,
+        |       CAST(ag.serr // ag.n_test AS BIGINT) AS mae_micro
+        |FROM ag JOIN tt USING (event_type)""".stripMargin) {
+      (s, d) =>
+        // Shape: one (type, hod)-keyed map-side-combinable training agg
+        // (≤ types×24 rows — broadcast at any scale) joined back into the
+        // one test scan, then a types-sized rollup: the quality_outliers
+        // two-scan budget, zero wide shuffles.
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+          expr("ts_us div 86400000000").as("day_idx"),
+          expr("(ts_us div 3600000000) % 24").as("hod"))
+        val tr = ev.filter(col("day_idx") % 2 === 0)
+          .groupBy("event_type", "hod")
+          .agg(sum(floor(col("value") * 1000000).cast("long")).as("svq"),
+               count(lit(1)).as("n"))
+        val trTot = tr.groupBy("event_type").agg(sum("n").cast("long").as("n_train"))
+        val pr = tr.select(col("event_type"), col("hod"),
+          (col("svq").cast("double") / (col("n") * 1000000)).as("pred"))
+        ev.filter(col("day_idx") % 2 === 1)
+          .join(broadcast(pr), Seq("event_type", "hod"), "left")
+          .groupBy("event_type")
+          .agg(sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_test"),
+               sum(when(col("pred").isNull, 1L).otherwise(0L)).as("n_unpred"),
+               sum(when(col("pred").isNotNull,
+                     floor(abs(col("value") - col("pred")) * 1000000).cast("long"))
+                   .otherwise(0L)).as("serr"))
+          .join(broadcast(trTot), Seq("event_type"))
+          .select(col("event_type"), col("n_train"),
+                  col("n_test").cast("long").as("n_test"),
+                  col("n_unpred").cast("long").as("n_unpred"),
+                  expr("serr div n_test").cast("long").as("mae_micro"))
+    },
+
+    Q("events_concurrency",
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |dl AS (
+        |  SELECT event_type, ts_us AS t, 1 AS delta, event_id FROM ev
+        |  UNION ALL
+        |  SELECT event_type, ts_us + 1800000000, -1, event_id FROM ev),
+        |rs AS (SELECT event_type, delta,
+        |         sum(delta) OVER (PARTITION BY event_type
+        |                          ORDER BY t, delta, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS conc
+        |       FROM dl)
+        |SELECT event_type,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |       CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |FROM rs GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        val dayUs = 86400000000L
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("ts_us"), col("event_id"))
+        val deltas = ev.select(col("event_type"), col("ts_us").as("t"),
+                               lit(1L).as("delta"), col("event_id"))
+          .unionByName(ev.select(col("event_type"),
+                                 (col("ts_us") + 1800000000L).as("t"),
+                                 lit(-1L).as("delta"), col("event_id")))
+          .withColumn("band", expr(s"t div $dayUs"))
+        val wOff = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("band")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offsets = deltas.groupBy("event_type", "band")
+          .agg(sum("delta").as("bsum"))
+          .withColumn("off", coalesce(sum("bsum").over(wOff), lit(0L)))
+          .select("event_type", "band", "off")
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "band")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        deltas
+          .join(broadcast(offsets), Seq("event_type", "band"))
+          .withColumn("conc", sum("delta").over(wIn) + col("off"))
+          .groupBy("event_type")
+          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).cast("long").as("n_events"),
+               max("conc").cast("long").as("peak_concurrency"))
     }
   )
 }

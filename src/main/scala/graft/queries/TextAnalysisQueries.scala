@@ -744,6 +744,54 @@ object TextAnalysisQueries {
             size(filter(col("toks"), w => sylls(w) === 1)).cast("long").as("n_mono"))
           .withColumn("grade_micro",
             lit(20000000L) - expr("(n_mono * 15000000L) div n_words"))
+    },
+
+    // Tokenizer-fertility report (r7) — the tokenizer-efficiency audit a
+    // multilingual pipeline runs before committing to a vocabulary (Rust
+    // et al. 2021): per language, subword tokens per whitespace word
+    // (fertility) and chars per subword token. High fertility on a
+    // language means its text costs proportionally more context budget —
+    // the signal behind per-language token accounting and vocab rebalance.
+    // Subword model = max-4-char chunks, ⌈len(w)/4⌉ per word (a fixed
+    // char-chunk tokenizer; the BPE regex is degenerate on this all-lower
+    // single-space fixture — it reproduces whitespace tokens exactly, so
+    // its fertility is identically 1). Integer-exact: BIGINT sums, each
+    // reported ratio ONE integer ppm division.
+    Q("tokenizer_fertility",
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+        |         CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+        |                                            w -> (length(w) + 3) // 4),
+        |                             'sum') AS BIGINT) AS n_sub,
+        |         CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(n_sub) AS BIGINT) AS subword_tokens,
+        |       CAST(sum(n_sub) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_ppm,
+        |       CAST(sum(nc) * 1000000 // sum(n_sub) AS BIGINT) AS chars_per_token_ppm
+        |FROM t GROUP BY lang""".stripMargin) {
+      (s, d) =>
+        // Pure per-row HOF counting riding one corpus scan (the token
+        // arrays never exist as rows — no explode) into a langs-sized
+        // map-side-combinable agg.
+        Tables.cachedTable(s, d, "documents")
+          .select(col("lang"), TextOps.tokens(col("text")).as("toks"),
+                  col("n_chars").cast("long").as("nc"))
+          .select(col("lang"), col("nc"),
+            size(col("toks")).cast("long").as("n_ws"),
+            aggregate(transform(col("toks"),
+                w => floor((length(w) + lit(3)) / lit(4)).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("n_sub"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_ws").cast("long").as("ws_tokens"),
+               sum("n_sub").cast("long").as("subword_tokens"),
+               sum("nc").cast("long").as("sum_nc"))
+          .select(col("lang"), col("n_docs"), col("ws_tokens"), col("subword_tokens"),
+            expr("subword_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
+            expr("sum_nc * 1000000 div subword_tokens").as("chars_per_token_ppm"))
     }
   )
 

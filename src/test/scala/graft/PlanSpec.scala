@@ -677,4 +677,118 @@ class PlanSpec extends SparkTestBase {
     assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "embed_drift must be pure aggregation")
   }
+
+  test("events_concurrency: band-partitioned running sums + broadcast offsets, never a global cumsum") {
+    val df = queryNamed(graft.queries.StreamingQueries.all, "events_concurrency")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "a running sum lost its partition spec — whole-type boundary stream in one task")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"day offsets must broadcast into the delta stream:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "events_concurrency went cartesian")
+  }
+
+  test("multimodal_chunks is explode + agg only — no join anywhere") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "multimodal_chunks")
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "the chunk census must not join; 32-byte hashes are the only shuffled payload")
+  }
+
+  test("split_leakage_check reads the cached pair list with zero joins (split is a projection)") {
+    // The audit's scale claim: split assignment is a pure function of the
+    // stable doc id, so once the near-dup pair list exists the leakage
+    // census never touches the corpus — no join back to documents. With
+    // the shared pair cache materialized (as in any real run), the plan is
+    // InMemoryTableScan -> project -> 6-row agg.
+    graft.queries.PipelineQueries.sharedNearDupPairs(spark, sf).count()
+    val df = queryNamed(graft.queries.PipelineQueries.all, "split_leakage_check")
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "split_leakage_check must be a pure projection over the pair list")
+    assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "pair list should come from the shared cache")
+  }
+
+  test("graph_jaccard: equi wedge joins + TakeOrderedAndProject, no cartesian") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "graph_jaccard")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge generation must stay an equi join on the shared vertex:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("diff_scd2: history windows stay key-partitioned (never a global version sort)") {
+    val df = queryNamed(DiffQueries.all, "diff_scd2")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "scd2 lag/segment windows lost their key partitioning")
+  }
+
+  test("graph_modularity: community fetches stay equi; only scalar frames cross-join") {
+    val plan = queryNamed(graft.queries.PipelineQueries.all, "graph_modularity")
+      .queryExecution.executedPlan.toString
+    // The 1-row m2/i2 frames crossJoin by design (BroadcastNestedLoop on a
+    // scalar is the domain_mix convention); a real CartesianProduct would
+    // mean the edge or community sets nested.
+    assert(!plan.contains("CartesianProduct"),
+      s"modularity audit went cartesian:\n${plan.take(1500)}")
+  }
+
+  test("events_forecast: predictions broadcast into the test scan") {
+    val plan = queryNamed(graft.queries.StreamingQueries.all, "events_forecast")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (type, hod) prediction table must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "events_forecast went cartesian")
+  }
+
+  test("tokenizer_fertility: per-row HOF counting — no join, no explode") {
+    val df = queryNamed(graft.queries.TextAnalysisQueries.all, "tokenizer_fertility")
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "fertility is one scan + langs agg, never a join")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.isEmpty,
+      "token arrays must never explode into rows")
+  }
+
+  test("domain_gini: ranking window runs on the sources-sized agg, partitioned by lang") {
+    val df = queryNamed(graft.queries.CurationQueries.all, "domain_gini")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "gini rank window lost its lang partitioning")
+    assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "domain_gini is agg -> tiny window -> agg, never a join")
+  }
+
+  test("graph_kcore peels with equi semi-joins only — no cartesian") {
+    val plan = queryNamed(graft.queries.PipelineQueries.all, "graph_kcore")
+      .queryExecution.executedPlan.toString
+    // The per-round count crossJoins are 1-row scalar frames (the
+    // domain_mix convention); anything nesting real edge sets would
+    // surface as a CartesianProduct.
+    assert(!plan.contains("CartesianProduct"),
+      s"kcore peel went cartesian:\n${plan.take(1500)}")
+  }
+
+  test("embed_whiten: corpus projects against a broadcast direction — no corpus self-join") {
+    val plan = queryNamed(graft.queries.PipelineQueries.all, "embed_whiten")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"projection must join the 64-row direction by broadcast, not shuffle:\n${plan.take(1500)}")
+  }
+
+  test("embed_recall_eval: probe sides broadcast; top-k windows stay probe-partitioned") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "embed_recall_eval")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "a ranking window lost its probe partitioning")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"probe cells / probe vectors must broadcast into the index scan:\n${plan.take(1500)}")
+  }
 }
