@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.FunnelQueries.all ++
-      graft.queries.SignalQueries.all
+      graft.queries.SignalQueries.all ++
+      graft.queries.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -625,6 +625,40 @@ object Differ {
       deleted.as("merged_deleted")) ++ valOut: _*)
   }
 
+  /** Invert a changeset (the [[diff]] output shape) so it describes the
+    * REVERSE transition: `invert(diff(l, r)) == diff(r, l)` row-for-row on
+    * the non-N rows, and therefore
+    * `applyChangeset(right, invertChangeset(diff(l, r))) == left` — the
+    * CDC rollback. I and D swap (an insert undone is a delete), C keeps C
+    * with old/new payloads swapped, N rows are dropped (a changeset is the
+    * non-N subset; N carries no payload to reverse).
+    *
+    * Pure projection — zero shuffles, zero joins, no re-read of either
+    * snapshot. At 100 TB this is the whole point: rolling back a bad load
+    * costs one pass over the (diff-sized) changeset artifact, not a diff
+    * of two full snapshots in the other direction.
+    */
+  def invertChangeset(changes: DataFrame,
+                      opts: DiffOptions = DiffOptions()): DataFrame = {
+    val st = col(opts.statusCol)
+    val lp = opts.leftPrefix
+    val rp = opts.rightPrefix
+    val vcols = changes.columns.toSeq.collect {
+      case c if c.startsWith(lp) => c.stripPrefix(lp)
+    }
+    require(vcols.nonEmpty && vcols.forall(c => changes.columns.contains(s"$rp$c")),
+      s"changes is not a diff output: expected paired $lp*/$rp* value " +
+        s"columns (have: ${changes.columns.mkString(", ")})")
+    val passthrough = changes.columns.toSeq
+      .filterNot(c => c == opts.statusCol || c.startsWith(lp) || c.startsWith(rp))
+    val inv = when(st === "I", lit("D")).when(st === "D", lit("I")).otherwise(st)
+    changes.filter(st =!= "N").select(
+      inv.as(opts.statusCol) +:
+        (passthrough.map(col) ++
+          vcols.map(c => col(s"$rp$c").as(s"$lp$c")) ++
+          vcols.map(c => col(s"$lp$c").as(s"$rp$c"))): _*)
+  }
+
   /** Slowly-changing-dimension (SCD type 2) history build from a stack of
     * version-tagged snapshots: per key, maximal runs of consecutive
     * versions with identical values collapse into one validity interval

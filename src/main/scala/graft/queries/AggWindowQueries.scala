@@ -605,6 +605,30 @@ object AggWindowQueries {
         floor(col("o_totalprice") * 100), buckets = 20)
         .select(col("bucket"), col("n"),
           col("lo").as("lo_cents"), col("hi").as("hi_cents"))
+    },
+
+    // Heavy hitters via Count-Min sketch + exact verify: pass 1 folds the
+    // whole table into a 4×1024-counter sketch (map-side partial merge —
+    // only d·w longs per partition shuffle, not rows); pass 2 keeps rows
+    // whose sketched estimate clears the threshold and exact-counts ONLY
+    // those. CMS never under-counts, so the pre-filter has zero false
+    // negatives and the exact HAVING makes false positives harmless → the
+    // output equals the plain exact heavy-hitter query the oracle runs.
+    // 100 TB shape: the exact groupBy's shuffle shrinks from every row to
+    // the heavy keys' rows; the sketch itself is the mergeable artifact a
+    // streaming/daily pipeline unions for free. Sketch quality is
+    // property-pinned in CountMinSketchSpec (estimate ≥ truth, ε·n bound).
+    Q("agg_countmin",
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 45""".stripMargin) { (s, d) =>
+      val thr = 45L
+      val li = Tables.cachedTable(s, d, "lineitem")
+      val sk = li.agg(graft.functions.CountMinSketch.agg(col("l_partkey")).as("sk"))
+      li.crossJoin(broadcast(sk))
+        .filter(graft.functions.CountMinSketch.estimate(col("sk"), col("l_partkey")) >= thr)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") >= thr)
     }
   )
 }

@@ -607,6 +607,67 @@ object DiffQueries {
       Differ.scd2(snaps, keys, "version", Seq("o_totalprice"), maxVersion = 2)
     },
 
+    Q("mv_incremental",
+      s"""$Prelude
+         |SELECT o_custkey,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,12))) AS DOUBLE), 5)
+         |         AS sum_price
+         |FROM r GROUP BY 1""".stripMargin) {
+      // Incremental materialized-view maintenance: the (custkey → count,
+      // sum) MV over the NEW snapshot is rebuilt from the OLD MV plus the
+      // diff-sized changeset — the new snapshot is NEVER scanned (the
+      // oracle scans it, which is the point: any drift between delta
+      // algebra and recompute fails the hash). Every changeset row explodes
+      // into ≤2 signed contributions (C/D retract the left payload, C/I
+      // assert the right one — C rows may move groups, both sides count),
+      // so the update cost is one changeset-sized agg merged into the
+      // groups-sized MV; groups whose count reaches 0 drop out, matching
+      // recompute semantics. Sums ride DECIMAL(27,12) quantization (exact,
+      // order-free) and surface as rounded doubles. At 100 TB the old MV is
+      // the persisted artifact and the daily refresh costs O(|changeset|).
+      (s, d) =>
+        val price = "o_totalprice"
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(27, 12))
+        val oldMv = left(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(dec(col(price))).as("sum_price"))
+        val ch = Differ.diff(left(s, d), right(s, d), keys)
+          .filter(col("diff_status") =!= "N")
+        val st = col("diff_status")
+        val retract = ch.filter(st.isin("C", "D")).select(
+          col("left_o_custkey").as("o_custkey"),
+          lit(-1L).as("n_orders"), (dec(col(s"left_$price")) * -1).as("sum_price"))
+        val assert_ = ch.filter(st.isin("C", "I")).select(
+          col("right_o_custkey").as("o_custkey"),
+          lit(1L).as("n_orders"), dec(col(s"right_$price")).as("sum_price"))
+        oldMv.unionByName(retract).unionByName(assert_)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("n_orders")).cast("long").as("n_orders"),
+            round(sum(col("sum_price")).cast("double"), 5).as("sum_price"))
+          .filter(col("n_orders") > 0)
+    },
+
+    Q("diff_invert",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN r.o_orderkey IS NULL THEN 'I'
+         |       WHEN l.o_orderkey IS NULL THEN 'D'
+         |       ELSE 'C' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${valueCols.map(c => s"r.$c AS left_$c, l.$c AS right_$c").mkString(", ")}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+         |   OR ${anyDistinct(valueCols)}""".stripMargin) {
+      // CDC rollback: inverting the l→r changeset yields the r→l changeset
+      // WITHOUT diffing in the other direction — a pure projection over the
+      // diff-sized artifact (status swap + payload swap, zero joins). The
+      // oracle IS the reverse diff (r as the left side), so any asymmetry
+      // in the inversion fails the hash; the apply round-trip
+      // applyChangeset(right, invert(diff(l,r))) == left is pinned in
+      // DifferSpec.
+      (s, d) => Differ.invertChangeset(Differ.diff(left(s, d), right(s, d), keys))
+    },
+
     // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
     Q.noOracle("schema_diff") { (s, d) =>
       val l = left(s, d)

@@ -901,6 +901,38 @@ object PipelineQueries {
         VectorOps.centroidHygiene(Tables.cachedTable(s, d, "embeddings"))
     },
 
+    Q("embed_outliers",
+      """WITH pos AS (
+        |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS p) g),
+        |cent AS (
+        |  SELECT label, p,
+        |         CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM pos GROUP BY label, p),
+        |h AS (
+        |  SELECT vec_id, label,
+        |         round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(27,12))
+        |                         ) AS DOUBLE)), 5) AS dist_centroid
+        |  FROM pos JOIN cent USING (label, p)
+        |  GROUP BY vec_id, label)
+        |SELECT vec_id, label, dist_centroid,
+        |       CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY dist_centroid DESC, vec_id) AS BIGINT) AS rank
+        |FROM h QUALIFY rank <= 3""".stripMargin) { (s, d) =>
+      // Per-label embedding outliers: the 3 vectors farthest from their own
+      // label's centroid — the store-QA sweep that surfaces mislabeled /
+      // corrupted vectors before they poison a contrastive batch. Rides
+      // centroidHygiene's exact-DECIMAL distance (multimodal_cols' plan)
+      // and ranks with the two-phase topKPerGroup, ordering on the ROUNDED
+      // distance so both engines see identical sort keys; vec_id breaks
+      // ties. 100 TB: adds only a labels-sized ranking window on top of
+      // the two narrow hygiene shuffles — nothing wide moves.
+      val h = VectorOps.centroidHygiene(Tables.cachedTable(s, d, "embeddings"))
+        .select(col("vec_id"), col("label"), col("dist_centroid"))
+      graft.operators.TextOps.topKPerGroup(h, Seq("label"),
+        Seq(col("dist_centroid").desc, col("vec_id").asc), 3, col("vec_id"))
+    },
+
     // Embedding-distribution drift between two snapshots — the monitor a
     // daily pipeline runs when the embedder version bumps or a new crawl
     // lands: per label, how far did the class centroid move? Snapshots are

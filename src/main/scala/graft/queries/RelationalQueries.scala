@@ -282,6 +282,37 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts_us", "last_signup_us")
     },
 
+    Q("join_bloom_prefilter",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      // Bloom-filter semi-join reduction: the selective dimension side
+      // (urgent orders, ~20%) folds its keys into an 8 KiB bloom (custom
+      // mergeable Aggregator, bitwise-OR partials); the fact side drops
+      // non-matching rows MAP-SIDE via the codegen'd mightContain probe
+      // BEFORE its join exchange, then the real equi-join verifies exactly
+      // — no false negatives, so the result is bit-identical to the plain
+      // join the oracle runs (false positives only cost shuffle bytes).
+      // This is the runtime-filter pattern (Spark's own runtime bloom
+      // injects only under size heuristics; here it is explicit and
+      // guaranteed). At 100 TB the fact exchange shrinks ~5x for this
+      // selectivity while the 8 KiB bloom rides the broadcast for free.
+      val urgent = Tables.cachedTable(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloom = urgent.agg(graft.functions.BloomFilter.agg(col("o_orderkey")).as("bf"))
+      Tables.cachedTable(s, d, "lineitem")
+        .crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomFilter.mightContain(col("bf"), col("l_orderkey")))
+        .drop("bf")
+        .join(urgent.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+    },
+
     Q("join_star",
       """SELECT n_name, p_brand,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,

@@ -218,6 +218,36 @@ class DifferSpec extends SparkTestBase {
     assert(statusCounts(inc) == Map("C" -> 1L))
   }
 
+  test("invertChangeset rolls back: applyChangeset(right, invert(diff(l, r))) == left") {
+    val l = Seq(
+      (Some(1L), Some("a"), Some(1.5)), (Some(2L), Some("b"), Some(2.5)),
+      (Some(3L), Some("c"), None), (None, Some("n"), Some(0.0)),
+      (Some(5L), Some("e"), Some(5.5))).toDF("k", "s", "v")
+    val r = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), Some("B"), Some(2.5)),
+      (Some(3L), Some("c"), Some(3.5)),
+      (None, Some("n2"), Some(0.0)),
+      (Some(6L), Some("f"), Some(6.5))).toDF("k", "s", "v")
+    val inv = Differ.invertChangeset(Differ.diff(l, r, keys))
+    // inversion == the reverse diff, row for row (non-N subset)
+    val reverse = Differ.diff(r, l, keys).filter(col("diff_status") =!= "N")
+    assert(inv.columns.sorted.toSeq == reverse.columns.sorted.toSeq)
+    assert(rowsOf(inv.select(reverse.columns.map(col): _*)) == rowsOf(reverse))
+    assert(statusCounts(inv) == Map("C" -> 3L, "D" -> 1L, "I" -> 1L))
+    // and applying it to the right snapshot rolls back to the left one
+    val rolled = Differ.applyChangeset(r, inv, keys)
+    assert(rowsOf(rolled) == rowsOf(l))
+  }
+
+  test("invertChangeset fails fast on a frame without paired value columns") {
+    val notADiff = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Differ.invertChangeset(notADiff)
+    }
+    assert(e.getMessage.contains("not a diff output"))
+  }
+
   test("applyChangeset fails fast with a precise message on a non-diff frame") {
     val base = Seq((1L, "a")).toDF("k", "s")
     val notADiff = Seq((1L, "x")).toDF("k", "s")
