@@ -618,6 +618,34 @@ object AggWindowQueries {
     // the heavy keys' rows; the sketch itself is the mergeable artifact a
     // streaming/daily pipeline unions for free. Sketch quality is
     // property-pinned in CountMinSketchSpec (estimate ≥ truth, ε·n bound).
+    // Grouped top-k as a bounded mergeable aggregate — the third top-k
+    // form next to global TakeOrderedAndProject (sort_limit_topk) and the
+    // two-phase window (topKPerGroup): each partition folds to ≤k entries,
+    // partials merge MAP-SIDE, and only k rows per (group, partition)
+    // shuffle — for few groups × huge input this beats the window form,
+    // which shuffles every surviving row and sorts. Total order (price
+    // desc, item_id asc) makes the answer partition-shape independent
+    // (spec-pinned); the oracle is the window formulation.
+    Q("agg_topk_heap",
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+        |                  l_orderkey * 16 + l_linenumber AS item_id
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(row_number() OVER (PARTITION BY l_returnflag
+        |              ORDER BY l_extendedprice DESC, item_id) AS BIGINT) AS rank,
+        |       l_extendedprice, item_id
+        |FROM t QUALIFY rank <= 5""".stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice"),
+        (col("l_orderkey") * 16 + col("l_linenumber")).as("item_id"))
+      t.groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKHeap.agg(5,
+          col("l_extendedprice"), col("item_id"), col("item_id")).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.score").as("l_extendedprice"), col("e.tie").as("item_id"))
+    },
+
     Q("agg_countmin",
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 HAVING count(*) >= 45""".stripMargin) { (s, d) =>

@@ -78,6 +78,63 @@ object LayoutQueries {
           .select(lit(name).as("layout"), col("file_id"), col("n_rows"),
             col("p_min"), col("p_max"), col("s_min"), col("s_max"))
       census("zorder", "zb").unionByName(census("linear", "lb"))
+    },
+
+    Q("maintenance_compact",
+      """WITH m AS (
+        |  SELECT o_orderkey % 512 AS file_id,
+        |         CAST(sum(32 + length(o_orderpriority) + length(o_orderstatus))
+        |              AS BIGINT) AS size_bytes
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(size_bytes) AS total, count(*) AS nf FROM m),
+        |f AS (SELECT file_id, size_bytes,
+        |             CASE WHEN size_bytes * nf < total THEN 1 ELSE 0 END AS small
+        |      FROM m, t),
+        |c AS (SELECT file_id, size_bytes,
+        |             coalesce(sum(size_bytes) OVER (ORDER BY file_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS cum_before
+        |      FROM f WHERE small = 1),
+        |ct AS (SELECT sum(size_bytes) AS ctotal FROM c)
+        |SELECT file_id, size_bytes, CAST(1 AS BIGINT) AS compact,
+        |       CAST(cum_before * 8 // ctotal AS BIGINT) AS bin
+        |FROM c, ct
+        |UNION ALL
+        |SELECT file_id, size_bytes, 0, -1 FROM f WHERE small = 0""".stripMargin) {
+      (s, d) =>
+        // Small-file compaction planner — the OPTIMIZE/maintenance job of a
+        // 100 TB lake, run on METADATA only: a per-file size manifest
+        // (synthesized here as 512 pseudo-files over orders with a
+        // deterministic per-row byte estimate; in production it is the FS
+        // listing and never touches data). Below-average files are packed
+        // into 8 target bins by a running-sum cut (bin = bytes-before × 8
+        // div compactable-bytes) — each bin lands within one file-size of
+        // total/8, and the assignment drives a repartition-by-bin rewrite.
+        // The ordered window is metadata-scale (millions of manifest rows
+        // at worst, partitionable by table partition) — the DATA-scale
+        // work stays in the rewrite job this plan feeds.
+        val m = Tables.cachedTable(s, d, "orders")
+          .groupBy((col("o_orderkey") % 512).as("file_id"))
+          .agg(sum(lit(32) + length(col("o_orderpriority")) +
+            length(col("o_orderstatus"))).as("size_bytes"))
+        val t = m.agg(sum(col("size_bytes")).as("total"),
+          count(lit(1)).as("nf"))
+        val f = m.crossJoin(broadcast(t))
+          .withColumn("small",
+            when(col("size_bytes") * col("nf") < col("total"), 1).otherwise(0))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("file_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val c = f.filter(col("small") === 1)
+          .withColumn("cum_before", coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+        val ct = c.agg(sum(col("size_bytes")).as("ctotal"))
+        val packed = c.crossJoin(broadcast(ct))
+          .select(col("file_id"), col("size_bytes"), lit(1L).as("compact"),
+            expr("cum_before * 8L div ctotal").cast("long").as("bin"))
+        val kept = f.filter(col("small") === 0)
+          .select(col("file_id"), col("size_bytes"), lit(0L).as("compact"),
+            lit(-1L).as("bin"))
+        packed.unionByName(kept)
     }
   )
 }

@@ -1329,10 +1329,16 @@ object PipelineQueries {
          |         AS jaccard_ppm
          |FROM ne JOIN deg da ON da.v = ne.x JOIN deg db ON db.v = ne.y
          |ORDER BY jaccard_ppm DESC, x, y LIMIT 50""".stripMargin) { (s, d) =>
+      // ONE lazy checkpoint on the distinct undirected edge set: wed/deg/
+      // anti reference it 6× between them, and without the cut each
+      // reference re-plans the distinct over the kNN cache — 92 exchange
+      // nodes and ~2.5s of pure scheduler overhead at sf0.1 (r7w14
+      // measured; 0.6s after).
       val ue = knn3(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
         .distinct()
+        .localCheckpoint(false)
       val bi = ue.select(col("a").as("n"), col("b").as("o"))
         .unionByName(ue.select(col("b").as("n"), col("a").as("o")))
       val deg = bi.groupBy(col("n").as("v"))
@@ -1383,21 +1389,28 @@ object PipelineQueries {
          |SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM k3),
          |       (SELECT CAST(count(*) // 2 AS BIGINT) FROM b3)""".stripMargin) { (s, d) =>
       // Per round: one degree agg + two id-keyed semi joins — O(E) narrow
-      // shuffles, the dedup_clusters iteration budget; at cluster scale
-      // each round's survivor edge set would be cached/checkpointed, here
-      // three rounds compose lazily into one plan. Counts stay lazy
-      // (agg + crossJoin), no driver-side peeling.
+      // shuffles, the dedup_clusters iteration budget. Each round's
+      // survivor edge set AND its keep-vertex set are lazily
+      // localCheckpoint'd (the GraphOps.connectedComponents discipline):
+      // without the cut, round r's plan embeds round r-1's THREE times
+      // (itself + twice through keep), so three rounds compile to a 3^r
+      // exchange tree — measured 82s at sf0.1 (r7w14) vs ~0.3s
+      // checkpointed. Counts read the checkpointed frames; no driver-side
+      // peeling.
       val ue = knn3(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
         .distinct()
       var bi = ue.select(col("a").as("n"), col("b").as("o"))
         .unionByName(ue.select(col("b").as("n"), col("a").as("o")))
+        .localCheckpoint(false)
       val rounds = (1 to 3).map { r =>
         val keep = bi.groupBy("n").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 4).select("n")
+          .localCheckpoint(false)
         bi = bi.join(keep, Seq("n"), "left_semi")
           .join(keep.withColumnRenamed("n", "o"), Seq("o"), "left_semi")
+          .localCheckpoint(false)
         keep.agg(count(lit(1)).cast("long").as("n_vertices"))
           .crossJoin(bi.agg(expr("count(1) div 2").cast("long").as("n_edges")))
           .select(lit(r).as("round"), col("n_vertices"), col("n_edges"))

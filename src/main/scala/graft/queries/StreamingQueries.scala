@@ -196,6 +196,36 @@ object StreamingQueries {
           .select("user_id", "event_type", "minute_us")
     },
 
+    Q("stream_changelog",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_type, value AS latest_value,
+        |       ts_us AS latest_ts_us, event_id AS latest_event_id
+        |FROM e
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts_us DESC, event_id DESC) = 1""".stripMargin) {
+      (s, d) =>
+        // Changelog compaction: the current row per (user, type) under the
+        // total order (ts, event_id) — the batch materialization of what
+        // StreamOps.applyCdcStream maintains incrementally (its
+        // mapGroupsWithState parity with Differ.applyChangeset is pinned
+        // in StreamingSmokeSpec). ONE key-partitioned window over a
+        // high-cardinality key — no funnel; at 100 TB this is the
+        // compaction job a CDC lake runs to collapse day-files, and the
+        // same single shuffle a groupBy max_by would plan.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts_us"))
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("value").as("latest_value"), col("ts_us").as("latest_ts_us"),
+            col("event_id").as("latest_event_id"))
+    },
+
     Q("stream_join",
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT event_id AS view_id, user_id, ts_us AS t_view_us FROM e

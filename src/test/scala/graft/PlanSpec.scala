@@ -791,4 +791,44 @@ class PlanSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
       s"probe cells / probe vectors must broadcast into the index scan:\n${plan.take(1500)}")
   }
+
+  test("join_bloom_prefilter: bloom probe filters the fact BEFORE its join exchange") {
+    val df = queryNamed(graft.queries.RelationalQueries.all, "join_bloom_prefilter")
+    val plan = df.queryExecution.executedPlan.toString
+    // the dimension join must be a broadcast hash join (urgent orders are
+    // dim-sized) and nothing may plan a cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the mightContain filter (xxhash64 probe) must sit below the join —
+    // i.e. appear in the plan text AFTER the join node it feeds
+    val lines = plan.linesIterator.toSeq
+    val joinLine = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val probeLine = lines.indexWhere(_.contains("xxhash64"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"bloom probe must filter map-side below the join:\n${plan.take(1500)}")
+  }
+
+  test("agg_topk_heap: a two-stage ObjectHashAggregate, no window, no sort-by-all-rows") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "agg_topk_heap")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "heap top-k must not plan a window")
+    val plan = df.queryExecution.executedPlan.toString
+    // typed Aggregator → ObjectHashAggregate with a partial stage: only
+    // k-entry buffers cross the exchange, never the input rows
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"partial-merge stage missing (map-side combine lost):\n${plan.take(1500)}")
+  }
+
+  test("sort_zorder: scalar maxima broadcast; no global sort anywhere in the census") {
+    val df = queryNamed(graft.queries.LayoutQueries.all, "sort_zorder")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // value-based file cut: the only exchanges are the two census
+    // aggregations and the scalar-maxima broadcast — never a range
+    // partitioning (that belongs to the WRITE path, not the report)
+    assert(!plan.contains("rangepartitioning"),
+      s"census must not globally sort:\n${plan.take(1500)}")
+  }
 }
