@@ -304,6 +304,23 @@ object AggWindowQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_n_cust"))
     },
 
+    // Own HyperLogLog as a persistable, composable artifact (r7w15): the
+    // 4 KiB register array is what a 100 TB pipeline keeps per
+    // partition/day — any rollup is a register max, no re-scan. The query
+    // surfaces estimate vs exact side by side (self-auditing report);
+    // estimate-valued → no cross-engine oracle, HyperLogLogSpec pins the
+    // ≤5% band (design σ ≈ 1.6%) and merge shape-independence.
+    Q.noOracle("agg_hll_sketch") { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          graft.functions.HyperLogLog.agg(col("l_partkey")).as("n_hll"))
+        .withColumn("err_ppm",
+          ((abs(col("n_hll") - col("n_exact")) * 1000000) / col("n_exact"))
+            .cast("long"))
+    },
+
     // Mergeable quantile sketch (Greenwald-Khanna / percentile_approx) —
     // the OTHER sketch a 100 TB profiler needs beside HLL: exact
     // percentiles need a full sort per group, the sketch is one partial
@@ -396,6 +413,34 @@ object AggWindowQueries {
         .withColumn("prev_value", lag("value", 1).over(w))
         .withColumn("next_value", lead("value", 1).over(w))
         .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+    },
+
+    Q("window_first_last",
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_orderkey) OVER w AS first_key,
+        |       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS last_key,
+        |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) {
+      (s, d) =>
+        // first/last/nth_value frame semantics — the window-catalog corner
+        // lag/lead can't express (positional access inside an explicit
+        // frame; last/nth need the FULL frame or they silently mean
+        // "current row so far"). Total order (date, key) per customer; one
+        // key-partitioned window, no funnel.
+        val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.cachedTable(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_orderkey")).over(ord).as("first_key"),
+            last(col("o_orderkey")).over(full).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
     },
 
     Q("window_running",

@@ -44,6 +44,14 @@ object DedupVariantQueries {
     * dedup_keep_best selects survivors over it. Cached per (session, dir)
     * so the iterative CC runs once.
     */
+  /** Blocked exact-cosine pair list at the sweep floor τ=0.4, cached per
+    * dir — one build shared by dedup_embed_cosine + dedup_threshold_sweep.
+    */
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/embed-pairs-tau0.4") {
+      VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = 0.4)
+    }
+
   private def clusterFrame(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.cached(s, s"$d/neardup-clusters") {
       val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
@@ -406,8 +414,37 @@ object DedupVariantQueries {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin) {
       (s, d) =>
         // Embedding-space near-dup: same blocked kernel as
-        // sim_join_threshold at a dedup-grade threshold.
-        VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = 0.4)
+        // sim_join_threshold at a dedup-grade threshold. Cached at the
+        // SWEEP floor τ=0.4 and shared with dedup_threshold_sweep (the
+        // pair-list-sharing convention, cf. KMeansSql.dedupPairs).
+        cosinePairs(s, d)
+    },
+
+    Q("dedup_threshold_sweep",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.label, round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT label, tau_pct, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p CROSS JOIN (SELECT unnest([40, 60, 80, 90]) AS tau_pct) t
+        |WHERE cos_sim >= tau_pct / 100.0
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // Dedup-threshold tuning table (r7w15): cumulative near-dup pair
+      // counts per (label, τ) over a τ grid — the artifact that decides
+      // where to set the semantic-dedup knife before committing to a
+      // corpus-wide drop. One blocked-cosine pair build at the grid FLOOR
+      // (shared cache with dedup_embed_cosine), then a pairs×4 banded agg
+      // — the expensive geometry runs once regardless of grid size; the
+      // comparison uses the ROUNDED similarity so both engines band
+      // identically. At 100 TB the pair list is the persisted artifact
+      // and each re-tune is a metadata-scale agg.
+      import s.implicits._
+      val taus = Seq(40, 60, 80, 90).toDF("tau_pct")
+      cosinePairs(s, d)
+        .crossJoin(broadcast(taus))
+        .filter(col("cos_sim") >= col("tau_pct") / 100.0)
+        .groupBy(col("label"), col("tau_pct"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
     },
 
     Q("dedup_lines",

@@ -30,6 +30,24 @@ object FnQueries {
         .unionByName(e.filter(col("event_type") === "signup"))
     },
 
+    Q("set_union_distinct",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin) {
+      (s, d) =>
+        // Plain UNION (distinct): the set form the ALL variant can't
+        // express — one hash-dedup shuffle over the concatenated sides
+        // with map-side partial dedup; at 100 TB the dedup key is the
+        // projected column only, never whole rows.
+        Tables.cachedTable(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+          .union(Tables.cachedTable(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("o_custkey")))
+          .distinct()
+    },
+
     Q("set_intersect",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT

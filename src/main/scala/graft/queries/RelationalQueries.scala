@@ -29,6 +29,51 @@ object RelationalQueries {
       Tables.table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     },
 
+    Q("scan_stats_collect",
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+        |         CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |         count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+        |         CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |         count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+        |         min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+        |         count(o_orderpriority) AS c4, count(DISTINCT o_orderpriority) AS d4,
+        |         min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+        |  FROM orders)
+        |SELECT col_name, CAST(n AS BIGINT) AS n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       CAST(ndv AS BIGINT) AS ndv, min_val, max_val
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n, n - c1 AS n_nulls, d1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM m
+        |  UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM m
+        |  UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM m
+        |  UNION ALL SELECT 'o_orderpriority', n, n - c4, d4, mn4, mx4 FROM m)""".stripMargin) {
+      (s, d) =>
+        // ANALYZE-style statistics collection — the job that feeds a
+        // cost-based optimizer and every data-contract dashboard: per
+        // column, null count, exact NDV, min/max — in ONE aggregation
+        // pass over the table (never a job per column), then a 4-row
+        // unpivot (the quality_checks shape). At 100 TB the per-column
+        // NDVs would ride HLL registers (agg_hll_sketch) in the same
+        // single pass; min/max surface as strings so one report row
+        // schema fits every column type.
+        val o = Tables.cachedTable(s, d, "orders")
+        val stats = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val m = o.agg(
+          count(lit(1)).as("n"),
+          stats.flatMap { c =>
+            Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+              min(col(c)).cast("string").as(s"mn_$c"),
+              max(col(c)).cast("string").as(s"mx_$c"))
+          }: _*)
+        stats.map { c =>
+          m.select(lit(c).as("col_name"), col("n").cast("long").as("n_rows"),
+            (col("n") - col(s"c_$c")).cast("long").as("n_nulls"),
+            col(s"d_$c").cast("long").as("ndv"),
+            col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+        }.reduce(_ unionByName _)
+    },
+
     Q("scan_events_ns",
       "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events") { (s, d) =>
       Tables.events(s, d).select("event_id", "ts_us", "event_type")

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HyperLogLog
+
+class HyperLogLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("estimate within 5% of exact across two decades of cardinality") {
+    for (n <- Seq(500, 5000, 50000)) {
+      val est = (0 until n).map(i => i * 2654435761L).toDF("k")
+        .repartition(9)
+        .agg(HyperLogLog.agg(col("k"))).as[Double].head()
+      val err = math.abs(est - n) / n
+      assert(err < 0.05, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("merge is partition-shape independent and duplicate-insensitive") {
+    val keys = (0 until 3000).map(i => (i % 700) * 77L)
+    def est(parts: Int) = keys.toDF("k").repartition(parts)
+      .agg(HyperLogLog.agg(col("k"))).as[Double].head()
+    assert(est(1) == est(23), "register merge must be order/shape independent")
+    val exact = keys.distinct.size
+    assert(math.abs(est(1) - exact) / exact < 0.05)
+  }
+
+  test("agg_hll_sketch reports err_ppm under 50000 (5%) per group at sf0.001") {
+    val out = SparkEntry.queries("agg_hll_sketch")(spark, "/root/testdata/sf0.001")
+      .select(col("err_ppm")).as[Long].collect()
+    assert(out.nonEmpty && out.forall(_ < 50000), out.mkString(","))
+  }
+}
