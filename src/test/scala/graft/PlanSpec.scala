@@ -20,7 +20,16 @@ class PlanSpec extends SparkTestBase {
     queryNamed(all, name).queryExecution.executedPlan.toString
 
   test("project_filter pushes predicates and prunes columns at the parquet scan") {
-    val plan = physical(RelationalQueries.all, "project_filter")
+    // Other suites may have cached lineitem@sf0.001 (Tables.cachedTable);
+    // the cache manager would then substitute the InMemoryRelation into
+    // this fresh read and hide the parquet pushdown this test pins.
+    // Unpersist just that frame (NOT clearCache — other pins depend on
+    // other cached frames) and restore it after; later uses re-cache
+    // lazily off the same reference.
+    val li = Tables.cachedTable(spark, sf, "lineitem")
+    li.unpersist(blocking = true)
+    val plan = try physical(RelationalQueries.all, "project_filter")
+    finally li.cache()
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
     assert(plan.contains("GreaterThan(l_quantity"), plan.take(2000))
     // pruned read schema: no l_partkey/l_suppkey etc. in ReadSchema
