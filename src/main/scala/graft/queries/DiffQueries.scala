@@ -647,6 +647,53 @@ object DiffQueries {
           .filter(col("n_orders") > 0)
     },
 
+    Q("mv_incremental_join",
+      s"""$Prelude
+         |SELECT c.c_mktsegment,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       round(CAST(sum(CAST(r.o_totalprice AS DECIMAL(27,12))) AS DOUBLE), 5)
+         |         AS sum_price
+         |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+         |GROUP BY 1""".stripMargin) {
+      // Incremental maintenance of a JOIN view — the harder delta-algebra
+      // case beyond mv_incremental's single-table MV: the view is
+      // orders ⋈ customer rolled up to market segment, and the refresh is
+      // old MV ⊕ (Δorders ⋈ customer) — the NEW fact snapshot is never
+      // scanned and the join runs only over the changeset (broadcast dim
+      // at this size; at 100 TB a shuffled dim-equi join of the
+      // changeset). C rows may move segments via o_custkey, so both the
+      // left retraction and the right assertion join independently.
+      // Groups reaching zero count drop out, matching recompute. The
+      // oracle recomputes from scratch, so any drift in the join-delta
+      // rule fails the hash.
+      (s, d) =>
+        val price = "o_totalprice"
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(27, 12))
+        val cust = Tables.cachedTable(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def seg(of: DataFrame, custCol: String): DataFrame =
+          of.join(cust, of(custCol) === cust("c_custkey"))
+        val oldMv = seg(left(s, d), "o_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), sum(dec(col(price))).as("sum_price"))
+        val ch = Differ.diff(left(s, d), right(s, d), keys)
+          .filter(col("diff_status") =!= "N")
+        val st = col("diff_status")
+        val retract = seg(ch.filter(st.isin("C", "D"))
+            .select(col("left_o_custkey").as("ck"), col(s"left_$price").as("p")), "ck")
+          .select(col("c_mktsegment"), lit(-1L).as("n_orders"),
+            (dec(col("p")) * -1).as("sum_price"))
+        val assert_ = seg(ch.filter(st.isin("C", "I"))
+            .select(col("right_o_custkey").as("ck"), col(s"right_$price").as("p")), "ck")
+          .select(col("c_mktsegment"), lit(1L).as("n_orders"),
+            dec(col("p")).as("sum_price"))
+        oldMv.unionByName(retract).unionByName(assert_)
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("n_orders")).cast("long").as("n_orders"),
+            round(sum(col("sum_price")).cast("double"), 5).as("sum_price"))
+          .filter(col("n_orders") > 0)
+    },
+
     Q("diff_invert",
       s"""$Prelude
          |SELECT

@@ -10,71 +10,82 @@ import graft.{Q, Tables}
   */
 object LayoutQueries {
 
-  /** Bit-interleave of the low 16 bits of two columns (Morton/Z-order
-    * curve): p's bit i lands at position 2i+1, s's at 2i. Pure integer
-    * shift/mask arithmetic, whole-stage-codegen'd, and regenerated
+  /** Bit-interleave of two 8-bit NORMALIZED coordinates (Morton/Z-order
+    * curve): p's bit i lands at position 2i+1, s's at 2i — a 16-bit
+    * z-value. Interleaving normalized coordinates, not raw values, is
+    * what makes the curve balance dimensions of unequal range (raw-bit
+    * interleave degenerates to "sort by the wider column": the narrow
+    * column's high bits are all zero, so they never split a file — the
+    * production z-order implementations all rank/normalize first). Pure
+    * integer shift/mask arithmetic, whole-stage-codegen'd, regenerated
     * verbatim in the DuckDB oracle.
     */
-  private def zValue(p: Column, s: Column): Column =
-    (0 until 16).map { i =>
+  private[graft] def zValue(p: Column, s: Column): Column =
+    (0 until 8).map { i =>
       shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
   private def zValueSql(p: String, s: String): String =
-    (0 until 16).map { i =>
+    (0 until 8).map { i =>
       s"((($p >> $i) & 1) << ${2 * i + 1}) + ((($s >> $i) & 1) << ${2 * i})"
     }.mkString(" + ")
 
   def all: Seq[Q] = Seq(
 
     Q("sort_zorder",
-      s"""WITH b AS (SELECT l_partkey & 65535 AS p16, l_suppkey & 65535 AS s16
-         |           FROM lineitem),
-         |z AS (SELECT p16, s16, ${zValueSql("p16", "s16")} AS zv FROM b),
-         |m AS (SELECT max(zv) AS zmax, max(p16) AS pmax FROM z),
-         |a AS (SELECT p16, s16,
-         |             zv * 64 // (zmax + 1) AS zb,
-         |             p16 * 64 // (pmax + 1) AS lb
-         |      FROM z, m)
+      s"""WITH st AS (SELECT min(l_partkey) AS pmin, max(l_partkey) + 1 AS pmax1,
+         |                   min(l_suppkey) AS smin, max(l_suppkey) + 1 AS smax1
+         |            FROM lineitem),
+         |n AS (SELECT l_partkey AS p, l_suppkey AS s,
+         |             (l_partkey - pmin) * 256 // (pmax1 - pmin) AS np,
+         |             (l_suppkey - smin) * 256 // (smax1 - smin) AS ns
+         |      FROM lineitem, st),
+         |z AS (SELECT p, s, np, ${zValueSql("np", "ns")} AS zv FROM n),
+         |a AS (SELECT p, s, zv // 1024 AS zb, np // 4 AS lb FROM z)
          |SELECT 'zorder' AS layout, CAST(zb AS BIGINT) AS file_id,
          |       CAST(count(*) AS BIGINT) AS n_rows,
-         |       min(p16) AS p_min, max(p16) AS p_max,
-         |       min(s16) AS s_min, max(s16) AS s_max
+         |       min(p) AS p_min, max(p) AS p_max,
+         |       min(s) AS s_min, max(s) AS s_max
          |FROM a GROUP BY 2
          |UNION ALL
          |SELECT 'linear', CAST(lb AS BIGINT),
          |       CAST(count(*) AS BIGINT),
-         |       min(p16), max(p16), min(s16), max(s16)
+         |       min(p), max(p), min(s), max(s)
          |FROM a GROUP BY 2""".stripMargin) { (s, d) =>
       // Z-order layout planner: assign every row to one of 64 target files
-      // by Morton z-value over (l_partkey, l_suppkey), and report each
-      // file's min/max in BOTH dimensions — exactly the parquet footer
-      // stats a scan's data-skipping consults. The 'linear' rows are the
-      // control (sort by partkey alone): its files span the FULL suppkey
-      // range, so a suppkey predicate skips nothing, while the z-order
-      // files bound both dimensions (~sqrt(n) span each) and prune 2-D
-      // point/range queries. File cut = value-based integer division on
-      // the z-value (exact in both engines, no data-dependent quantiles,
-      // no global sort in the report). At 100 TB the write path is
-      // repartitionByRange(zv).sortWithinPartitions(zv) — one range
-      // shuffle, the same one a plain sorted write pays — making this the
-      // free 2-D upgrade of a 1-D layout; only the 64-file census ever
-      // aggregates here.
+      // by Morton z-value over NORMALIZED (l_partkey, l_suppkey) — each
+      // dim min-max-scaled to 8 bits first, so both contribute equally to
+      // the curve regardless of raw range (rank/quantile scaling is the
+      // skew-proof production variant; min-max keeps the oracle exact on
+      // this uniform fixture). Per file the report carries min/max of the
+      // RAW values in BOTH dims — exactly the parquet footer stats
+      // data-skipping consults. The 'linear' control (sort by partkey
+      // alone) spans the FULL suppkey range per file, so a suppkey
+      // predicate skips nothing; z-order splits each dim into ~8 ranges
+      // across the 64 files (top 6 z bits = 3 from each dim) and prunes
+      // 2-D point/range queries (LayoutSpec pins the >=4x second-dim
+      // span win). File cut = value-based integer division — no
+      // data-dependent quantiles, no global sort in the report. At 100 TB
+      // the write path is repartitionByRange(zv).sortWithinPartitions(zv),
+      // the same one-shuffle cost as a plain sorted write; only the
+      // 64-file census ever aggregates here.
       val li = Tables.cachedTable(s, d, "lineitem")
-      val base = li.select(
-        col("l_partkey").bitwiseAND(lit(65535L)).as("p16"),
-        col("l_suppkey").bitwiseAND(lit(65535L)).as("s16"))
-        .withColumn("zv", zValue(col("p16"), col("s16")))
-      val mx = base.agg(max(col("zv")).as("zmax"), max(col("p16")).as("pmax"))
-      val a = base.crossJoin(broadcast(mx))
-        .withColumn("zb", expr("zv * 64L div (zmax + 1)"))
-        .withColumn("lb", expr("p16 * 64L div (pmax + 1)"))
+      val st = li.agg(
+        min(col("l_partkey")).as("pmin"), (max(col("l_partkey")) + 1).as("pmax1"),
+        min(col("l_suppkey")).as("smin"), (max(col("l_suppkey")) + 1).as("smax1"))
+      val a = li.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .crossJoin(broadcast(st))
+        .withColumn("np", expr("(p - pmin) * 256L div (pmax1 - pmin)"))
+        .withColumn("ns", expr("(s - smin) * 256L div (smax1 - smin)"))
+        .withColumn("zv", zValue(col("np"), col("ns")))
+        .withColumn("zb", expr("zv div 1024L"))
+        .withColumn("lb", expr("np div 4L"))
       def census(name: String, bucket: String): DataFrame =
         a.groupBy(col(bucket).cast("long").as("file_id"))
           .agg(count(lit(1)).cast("long").as("n_rows"),
-            min(col("p16")).as("p_min"), max(col("p16")).as("p_max"),
-            min(col("s16")).as("s_min"), max(col("s16")).as("s_max"))
+            min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+            min(col("s")).as("s_min"), max(col("s")).as("s_max"))
           .select(lit(name).as("layout"), col("file_id"), col("n_rows"),
             col("p_min"), col("p_max"), col("s_min"), col("s_max"))
       census("zorder", "zb").unionByName(census("linear", "lb"))

@@ -96,6 +96,16 @@ class DifferPropSpec extends SparkTestBase {
     }
   }
 
+  test("invertChangeset == reverse diff; apply(b, invert) rolls back to a (generated)") {
+    for ((ta, tb) <- samples(Gen.zip(tblGen, tblGen), 8, seed = 8844L)) {
+      val (a, b) = (toDF(ta), toDF(tb))
+      val inv = Differ.invertChangeset(Differ.diff(a, b, Seq("k")))
+      val reverse = Differ.diff(b, a, Seq("k")).filter(col("diff_status") =!= "N")
+      assert(rowsOf(inv.select(reverse.columns.map(col): _*)) == rowsOf(reverse))
+      assert(rowsOf(Differ.applyChangeset(b, inv, Seq("k"))) == rowsOf(a))
+    }
+  }
+
   test("exceptAll/anti-join agreement on key-unique tables") {
     val cases = samples(Gen.zip(tblGen, tblGen), 6, seed = 7L)
     for ((ta, tb) <- cases) {
