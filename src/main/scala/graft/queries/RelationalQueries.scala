@@ -327,6 +327,46 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts_us", "last_signup_us")
     },
 
+    Q("join_asof_nearest",
+      """SELECT event_id, user_id, ts_us,
+        |       CASE WHEN prev_us IS NULL THEN next_us
+        |            WHEN next_us IS NULL THEN prev_us
+        |            WHEN ts_us - prev_us <= next_us - ts_us THEN prev_us
+        |            ELSE next_us END AS nearest_signup_us
+        |FROM (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |         last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+        |         first_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events))
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      // NEAREST as-of (the feature-store variant: backward join_asof can
+      // only look into the past; model-eval alignment wants the closest
+      // observation either side, ties to the past). Two mirrored
+      // IGNORE-NULLS windows over the SAME (user, ts) sort — Spark plans
+      // ONE exchange + one sort feeding both window frames, so nearest
+      // costs exactly what backward alone costs; a range self-join
+      // formulation would be quadratic in hot users.
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val sig = when(col("event_type") === "signup", col("ts_us"))
+      Tables.events(s, d)
+        .withColumn("prev_us", last(sig, ignoreNulls = true).over(back))
+        .withColumn("next_us", first(sig, ignoreNulls = true).over(fwd))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("prev_us").isNull, col("next_us"))
+            .when(col("next_us").isNull, col("prev_us"))
+            .when(col("ts_us") - col("prev_us") <= col("next_us") - col("ts_us"),
+              col("prev_us"))
+            .otherwise(col("next_us")).as("nearest_signup_us"))
+    },
+
     Q("join_bloom_prefilter",
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

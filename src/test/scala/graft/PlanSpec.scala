@@ -801,6 +801,17 @@ class PlanSpec extends SparkTestBase {
       s"probe cells / probe vectors must broadcast into the index scan:\n${plan.take(1500)}")
   }
 
+  test("join_asof_nearest: both direction windows share ONE user-keyed exchange") {
+    val plan = queryNamed(graft.queries.RelationalQueries.all, "join_asof_nearest")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"nearest must cost exactly what backward costs (1 exchange), got $exchanges:\n${plan.take(1200)}")
+    assert(plan.linesIterator.count(_.contains("Window [")) >= 2,
+      s"both direction frames must plan as windows:\n${plan.take(600)}")
+  }
+
   test("join_bloom_prefilter: bloom probe filters the fact BEFORE its join exchange") {
     val df = queryNamed(graft.queries.RelationalQueries.all, "join_bloom_prefilter")
     val plan = df.queryExecution.executedPlan.toString
