@@ -296,6 +296,32 @@ object AggWindowQueries {
         .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"))
     },
 
+    Q("agg_unpivot",
+      """WITH m AS (SELECT l_returnflag,
+        |                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |                  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |                  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM m UNPIVOT (value FOR metric IN (sum_qty, sum_disc, sum_tax))""".stripMargin) {
+      (s, d) =>
+        // UNPIVOT/melt — the inverse of agg_pivot and the other half of the
+        // reshaping surface: wide per-group metrics to (group, metric,
+        // value) rows, the shape dashboards and metric stores ingest.
+        // Dataset.unpivot is a zero-shuffle projection (each input row
+        // fans out to 3 fixed rows), so the only exchange is the 3-group
+        // agg that feeds it. DECIMAL-exact sums per house discipline.
+        val dec = (c: String) =>
+          sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+        Tables.cachedTable(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(dec("l_quantity").as("sum_qty"), dec("l_discount").as("sum_disc"),
+            dec("l_tax").as("sum_tax"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
+            "metric", "value")
+    },
+
     // HyperLogLog sketch — implementation-specific, no cross-engine oracle;
     // its error bound is pinned by a scalatest spec instead.
     Q.noOracle("agg_approx_distinct") { (s, d) =>

@@ -95,6 +95,39 @@ object RelationalQueries {
       s.read.option("header", "true").schema(src.schema).csv(path)
     },
 
+    Q("scan_csv_malformed",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      // PERMISSIVE malformed-row handling — the ingestion-robustness
+      // surface a real feed needs: a CSV carrying the region rows plus
+      // two corrupt lines (wrong arity; unparseable int) is read with an
+      // explicit schema + _corrupt_record column; corrupt rows are
+      // quarantined (IS NOT NULL), clean rows pass through — the oracle
+      // is the parquet region table itself, so any silently-dropped OR
+      // silently-coerced row fails the compare. RelationalSpec pins that
+      // exactly the 2 bad lines land in quarantine (the path is
+      // exercised, not vacuous). At 100 TB quarantine is a partitioned
+      // sink, not a filter — same plan shape, per-row cost only.
+      val rows = Tables.cachedTable(s, d, "region")
+        .select("r_regionkey", "r_name").collect()
+        .map(r => s"${r.getInt(0)},${r.getString(1)}").sorted
+      val path = java.nio.file.Paths.get(s"$roundtripRoot/csv-malformed" +
+        s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      java.nio.file.Files.createDirectories(path)
+      java.nio.file.Files.write(path.resolve("part-0.csv"),
+        (Seq("r_regionkey,r_name") ++ rows ++
+          Seq("4,extra,columns,here", "notanint,MALFORMED")).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(path.toString)
+        .filter(col("_corrupt_record").isNull)
+        .select(col("r_regionkey"), col("r_name"))
+    },
+
     Q("scan_json_roundtrip",
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
       // JSON-lines source coverage, same lossless round-trip discipline as
