@@ -49,6 +49,31 @@ object StreamingQueries {
             col("event_type"), col("n"), col("sum_value"))
     },
 
+    Q("stream_distinct_users",
+      s"""WITH e AS (SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
+         |                  user_id FROM events)
+         |SELECT window_start_us,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM e GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        // Windowed distinct-user census — the audience metric every event
+        // pipeline publishes. Batch: per-window exact distinct (two-level
+        // agg). Streaming twin (StreamBatchParitySpec): COUNT DISTINCT is
+        // not incrementally maintainable, so the stream plans
+        // dropDuplicates(user, window) inside the watermark THEN a
+        // windowed count — state = live (window, user) keys, exactly the
+        // stream_dedup state shape; at 100 TB horizon the HLL registers
+        // (agg_hll_sketch) replace exact state per window.
+        Tables.events(s, d)
+          .withColumn("tsm", timestamp_micros(col("ts_us")))
+          .groupBy(window(col("tsm"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_events"), col("n_users"))
+    },
+
     Q("stream_sliding",
       s"""SELECT ((epoch_us(ts) // $SlideUs) - g.k) * $SlideUs AS window_start_us, event_type,
          |       CAST(count(*) AS BIGINT) AS n,

@@ -113,4 +113,42 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(streamRows == batchRows)
     } finally q.stop()
   }
+
+  test("stream_distinct_users: streaming (window, user) dedup state == batch exact distinct") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+
+    // batch truth: (window_start_us, n_users) from the declared query
+    val batchUsers = rowsOf(SparkEntry.queries("stream_distinct_users")(spark, sfDir)
+      .select("window_start_us", "n_users"))
+
+    val streamDir = Files.createTempDirectory("graft_parity_users").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val hourUs = 3600L * 1000000L
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .withColumn("window_start_us", expr(s"(ts_us div $hourUs) * $hourUs"))
+    // COUNT DISTINCT is not incrementally maintainable: the streaming form
+    // is watermark-bounded dedup state on (user, window) — emit the live
+    // key set, count it per window downstream (here: batch over the sink,
+    // isolating the stateful component under test).
+    val dedup = StreamOps
+      .dedupStream(events, "tsm", "3650 days", Seq("user_id", "window_start_us"))
+      .select("user_id", "window_start_us")
+    val q = dedup.writeStream.format("memory").queryName("parity_users")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamUsers = rowsOf(spark.table("parity_users")
+        .groupBy("window_start_us")
+        .agg(count(lit(1)).cast("long").as("n_users")))
+      assert(streamUsers == batchUsers,
+        s"stream ${streamUsers.take(3)} vs batch ${batchUsers.take(3)}")
+    } finally q.stop()
+  }
 }
