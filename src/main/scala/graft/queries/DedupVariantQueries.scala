@@ -406,6 +406,43 @@ object DedupVariantQueries {
         KMeansSql.deltaPairs(s, d)
     },
 
+    Q("embed_cluster_purity",
+      KMeansSql.codebookCtes() +
+      s""",
+        |home AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()} WHERE rn = 1),
+        |jl AS (SELECT h.cell, emb.label FROM home h
+        |       JOIN embeddings emb USING (vec_id)),
+        |cl AS (SELECT cell, label, count(*) AS c FROM jl GROUP BY 1, 2),
+        |r AS (SELECT cell, label, c,
+        |             row_number() OVER (PARTITION BY cell
+        |               ORDER BY c DESC, label) AS rn2,
+        |             sum(c) OVER (PARTITION BY cell) AS n FROM cl)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_vecs,
+        |       CAST(label AS BIGINT) AS majority_label,
+        |       CAST(c * 1000000 // n AS BIGINT) AS purity_ppm
+        |FROM r WHERE rn2 = 1""".stripMargin) { (s, d) =>
+      // Cluster-quality QA over the SHARED IVF assignment (zero extra
+      // geometry): per k-means cell, size + majority label + purity —
+      // the report that tells you whether the quantizer's cells align
+      // with semantics (high purity ⇒ IVF probes stay label-coherent ⇒
+      // dedup_embed_ivf recall holds; low purity flags a stale codebook).
+      // Majority via one (cnt, -label) struct-max — deterministic ties,
+      // no per-cell window. Cells-sized output; at 100 TB this is the
+      // daily index-health dashboard, cost = one ids-only join + two aggs.
+      val home = KMeansSql.assignments(s, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"))
+      val lab = Tables.cachedTable(s, d, "embeddings").select(col("vec_id"), col("label"))
+      home.join(lab, "vec_id")
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(sum(col("c")).cast("long").as("n_vecs"),
+          max(struct(col("c").as("c"), (lit(0L) - col("label")).as("nl"))).as("mx"))
+        .select(col("cell"), col("n_vecs"),
+          (lit(0L) - col("mx.nl")).cast("long").as("majority_label"),
+          expr("mx.c * 1000000L div n_vecs").cast("long").as("purity_ppm"))
+    },
+
     Q("dedup_embed_cosine",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

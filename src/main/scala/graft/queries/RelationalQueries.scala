@@ -107,24 +107,32 @@ object RelationalQueries {
       // exactly the 2 bad lines land in quarantine (the path is
       // exercised, not vacuous). At 100 TB quarantine is a partitioned
       // sink, not a filter — same plan shape, per-row cost only.
-      val rows = Tables.cachedTable(s, d, "region")
-        .select("r_regionkey", "r_name").collect()
-        .map(r => s"${r.getInt(0)},${r.getString(1)}").sorted
-      val path = java.nio.file.Paths.get(s"$roundtripRoot/csv-malformed" +
-        s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
-      java.nio.file.Files.createDirectories(path)
-      java.nio.file.Files.write(path.resolve("part-0.csv"),
-        (Seq("r_regionkey,r_name") ++ rows ++
-          Seq("4,extra,columns,here", "notanint,MALFORMED")).mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("r_regionkey", IntegerType), StructField("r_name", StringType),
-        StructField("_corrupt_record", StringType)))
-      s.read.option("header", "true").option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(schema).csv(path.toString)
-        .filter(col("_corrupt_record").isNull)
+      // The parsed frame is cached (Tables.cached): Spark refuses raw-CSV
+      // plans whose pruned scan references ONLY _corrupt_record — exactly
+      // what a downstream count() leaves after column pruning. Reading
+      // through the cache keeps every column in the parse (corrupt
+      // detection fires per-column, see IngestSpec) and lifts the
+      // restriction, which is the documented remedy.
+      val parsed = Tables.cached(s, s"$d/csv-malformed-parsed") {
+        val rows = Tables.cachedTable(s, d, "region")
+          .select("r_regionkey", "r_name").collect()
+          .map(r => s"${r.getInt(0)},${r.getString(1)}").sorted
+        val path = java.nio.file.Paths.get(s"$roundtripRoot/csv-malformed" +
+          s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        java.nio.file.Files.createDirectories(path)
+        java.nio.file.Files.write(path.resolve("part-0.csv"),
+          (Seq("r_regionkey,r_name") ++ rows ++
+            Seq("4,extra,columns,here", "notanint,MALFORMED")).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(path.toString)
+      }
+      parsed.filter(col("_corrupt_record").isNull)
         .select(col("r_regionkey"), col("r_name"))
     },
 
