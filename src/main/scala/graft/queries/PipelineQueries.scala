@@ -254,6 +254,82 @@ object PipelineQueries {
         VectorOps.topKByCosine(Tables.cachedTable(s, d, "embeddings"), probeId = 0L, k = 10)
     },
 
+    Q("sim_search_mmr",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, p.pv), 5) AS cos_sim
+        |         FROM e, p WHERE e.vec_id <> 0
+        |         ORDER BY cos_sim DESC, e.vec_id LIMIT 8),
+        |cu AS (SELECT vec_id, cos_sim,
+        |              CAST(round(cos_sim * 100000) AS BIGINT) AS rel_u FROM cand),
+        |cv AS (SELECT c.vec_id, e.v FROM cu c JOIN e USING (vec_id)),
+        |pw AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |              CAST(round(round(list_cosine_similarity(a.v, b.v), 5) * 100000)
+        |                   AS BIGINT) AS sim_u
+        |       FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, cos_sim, 7 * rel_u AS mmr_u FROM cu
+        |       ORDER BY rel_u DESC, vec_id LIMIT 1),
+        |r2 AS (SELECT cu.vec_id, cu.cos_sim,
+        |              7 * cu.rel_u - 3 * (SELECT max(sim_u) FROM pw, s1
+        |                                  WHERE pw.va = cu.vec_id
+        |                                    AND pw.vb = s1.vec_id) AS mmr_u
+        |       FROM cu WHERE cu.vec_id NOT IN (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT * FROM r2 ORDER BY mmr_u DESC, vec_id LIMIT 1),
+        |sel AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |r3 AS (SELECT cu.vec_id, cu.cos_sim,
+        |              7 * cu.rel_u - 3 * (SELECT max(sim_u) FROM pw
+        |                                  WHERE pw.va = cu.vec_id
+        |                                    AND pw.vb IN (SELECT vec_id FROM sel)) AS mmr_u
+        |       FROM cu WHERE cu.vec_id NOT IN (SELECT vec_id FROM sel)),
+        |s3 AS (SELECT * FROM r3 ORDER BY mmr_u DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, vec_id, cos_sim, mmr_u FROM s1
+        |UNION ALL SELECT 2, vec_id, cos_sim, mmr_u FROM s2
+        |UNION ALL SELECT 3, vec_id, cos_sim, mmr_u FROM s3""".stripMargin) { (s, d) =>
+      // Diversified retrieval: MMR (Carbonell & Goldstein 1998) rerank of
+      // the exact top-8 — pick 3 with score λ·rel − (1−λ)·max-sim-to-
+      // selected (λ=0.7), the de-dup-at-selection-time step a training-
+      // data sampler runs so near-identical neighbors don't all make the
+      // batch. Greedy selection is inherently sequential, so the 3 steps
+      // unroll (the graph_pagerank fixed-round convention) over
+      // CHECKPOINTED candidate/pairwise frames — candidates are k-sized,
+      // so each step is a trivial job; the corpus is scanned once for the
+      // top-k and once for the 8 candidate vectors. Scores ride integer
+      // micro-units of the ROUNDED cosines (7·rel_u − 3·sim_u), so both
+      // engines rank identical integers — no float ordering anywhere.
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val cu = VectorOps.topKByCosine(emb, probeId = 0L, k = 8)
+        .withColumn("rel_u", round(col("cos_sim") * 100000).cast("long"))
+        .localCheckpoint(false)
+      val cv = cu.select(col("vec_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      val pw = cv.alias("a")
+        .join(cv.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(round(VectorOps.cosineF(col("a.embedding"), col("b.embedding")), 5)
+            * 100000).cast("long").as("sim_u"))
+        .localCheckpoint(false)
+      // no checkpoint on the picks: they re-derive from the CHECKPOINTED
+      // 8-row cu/pw frames, so each re-reference costs a limit-1 sort over
+      // 8 rows — cheaper than the extra job a checkpoint would run
+      def pick(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        r.orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
+      def maxSimTo(sel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        pw.join(sel.select(col("vec_id").as("vb")), "vb")
+          .groupBy(col("va")).agg(max(col("sim_u")).as("msim"))
+      val s1 = pick(cu.select(col("vec_id"), col("cos_sim"), col("rel_u"),
+        (col("rel_u") * 7).as("mmr_u")))
+      def step(selected: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        pick(cu.join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(maxSimTo(selected), cu("vec_id") === col("va"))
+          .select(cu("vec_id"), col("cos_sim"), col("rel_u"),
+            (col("rel_u") * 7 - col("msim") * 3).as("mmr_u")))
+      val s2 = step(s1)
+      val s3 = step(s1.unionByName(s2))
+      Seq((s1, 1L), (s2, 2L), (s3, 3L)).map { case (df, r) =>
+        df.select(lit(r).as("rank"), col("vec_id"), col("cos_sim"), col("mmr_u"))
+      }.reduce(_ unionByName _)
+    },
+
     Q("sim_search_batch",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
