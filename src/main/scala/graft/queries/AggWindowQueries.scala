@@ -689,6 +689,108 @@ object AggWindowQueries {
     // the heavy keys' rows; the sketch itself is the mergeable artifact a
     // streaming/daily pipeline unions for free. Sketch quality is
     // property-pinned in CountMinSketchSpec (estimate ≥ truth, ε·n bound).
+    Q("agg_regression",
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,12))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS slope,
+        |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 5)
+        |         AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+        |FROM m""".stripMargin) { (s, d) =>
+      // Grouped OLS (price ~ quantity per returnflag) — the regression
+      // sibling of agg_corr: one aggregation pass collecting the five
+      // DECIMAL-exact moment sums (order-free ⇒ deterministic under any
+      // partitioning), then the closed-form slope/intercept/r² in plain
+      // IEEE arithmetic written identically in both engines. At 100 TB
+      // this is a single map-side-combined agg — the moments ARE the
+      // mergeable state (same discipline as udaf_typed/ExactMoments).
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(org.apache.spark.sql.types.DecimalType(27, 12))
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(q)).cast("double").as("sx"),
+          sum(dec(p)).cast("double").as("sy"),
+          sum(dec(q * q)).cast("double").as("sxx"),
+          sum(dec(p * p)).cast("double").as("syy"),
+          sum(dec(q * p)).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 5).as("slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 5)
+            .as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy"))
+              * (col("n") * col("sxy") - col("sx") * col("sy")))
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 5).as("r2"))
+    },
+
+    Q("events_ab_test",
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sv,
+        |         CAST(sum(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE) AS svv
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |ab AS (SELECT
+        |  (SELECT n FROM m WHERE event_type = 'purchase') AS na,
+        |  (SELECT sv FROM m WHERE event_type = 'purchase') AS sa,
+        |  (SELECT svv FROM m WHERE event_type = 'purchase') AS saa,
+        |  (SELECT n FROM m WHERE event_type = 'click') AS nb,
+        |  (SELECT sv FROM m WHERE event_type = 'click') AS sb,
+        |  (SELECT svv FROM m WHERE event_type = 'click') AS sbb),
+        |v AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+        |             (saa - sa * sa / na) / (na - 1) AS va,
+        |             (sbb - sb * sb / nb) / (nb - 1) AS vb
+        |      FROM ab)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(ma, 5) AS mean_a, round(mb, 5) AS mean_b,
+        |       round((ma - mb) / sqrt(va / na + vb / nb), 5) AS t_stat,
+        |       round(((va / na + vb / nb) * (va / na + vb / nb))
+        |             / ((va / na) * (va / na) / (na - 1)
+        |                + (vb / nb) * (vb / nb) / (nb - 1)), 5) AS welch_dof
+        |FROM v""".stripMargin) { (s, d) =>
+      // Welch two-sample t — the experimentation primitive (A/B value
+      // comparison between event types): one grouped pass collects
+      // DECIMAL-exact (n, Σv, Σv²) per arm, then mean/variance/t/dof in
+      // the identical IEEE sequence both engines run. The t statistic and
+      // Welch–Satterthwaite dof are emitted (p-values need erf — the
+      // caller's lookup); at 100 TB one map-side-combined agg, and the
+      // per-arm moments are the mergeable daily artifact.
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(org.apache.spark.sql.types.DecimalType(27, 12))
+      val m = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sv"),
+          sum(dec(col("value") * col("value"))).cast("double").as("svv"))
+      def side(t: String, suffix: String) = m.filter(col("event_type") === t)
+        .select(col("n").as(s"n$suffix"), col("sv").as(s"s$suffix"),
+          col("svv").as(s"s$suffix$suffix"))
+      val ab = side("purchase", "a").crossJoin(side("click", "b"))
+      val v = ab.select(col("na"), col("nb"),
+        (col("sa") / col("na")).as("ma"), (col("sb") / col("nb")).as("mb"),
+        ((col("saa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)).as("va"),
+        ((col("sbb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)).as("vb"))
+      v.select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("ma"), 5).as("mean_a"), round(col("mb"), 5).as("mean_b"),
+        round((col("ma") - col("mb"))
+          / sqrt(col("va") / col("na") + col("vb") / col("nb")), 5).as("t_stat"),
+        round(((col("va") / col("na") + col("vb") / col("nb"))
+            * (col("va") / col("na") + col("vb") / col("nb")))
+          / ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1)
+            + (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1)), 5)
+          .as("welch_dof"))
+    },
+
     // Grouped top-k as a bounded mergeable aggregate — the third top-k
     // form next to global TakeOrderedAndProject (sort_limit_topk) and the
     // two-phase window (topKPerGroup): each partition folds to ≤k entries,
