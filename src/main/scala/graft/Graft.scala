@@ -78,6 +78,74 @@ object Graft {
                      keys: Seq[String]): DataFrame =
     Differ.applyChangeset(base, changes, keys)
 
+  /** CDC rollback: invert a changeset so it describes the reverse
+    * transition — `applyChangeset(right, invertChangeset(diff(l, r))) == l`.
+    * Pure projection over the diff-sized artifact (zero joins/shuffles).
+    */
+  def invertChangeset(changes: DataFrame): DataFrame =
+    Differ.invertChangeset(changes)
+
+  /** Three-way keyed merge (git-style): per key, branch statuses vs base
+    * and an N/L/R/A/X verdict with the mechanical resolution applied;
+    * conflicts surface as NULL-payload rows, never silently resolved.
+    */
+  def merge3(base: DataFrame, left: DataFrame, right: DataFrame,
+             keys: Seq[String]): DataFrame =
+    Differ.merge3(base, left, right, keys)
+
+  /** Diff across a column rename: `columnMap` maps left names to right
+    * names; the right side is rebound before the diff.
+    */
+  def diffMapped(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 columnMap: Map[String, String]): DataFrame =
+    Differ.diffMapped(left, right, keys, columnMap)
+
+  /** SCD type-2 history from version-tagged snapshots: per key, maximal
+    * constant-value version runs collapse to `[valid_from, valid_to)`
+    * intervals; `valid_to` NULL marks the current row.
+    */
+  def scd2History(snaps: DataFrame, keys: Seq[String], versionCol: String,
+                  valueCols: Seq[String], maxVersion: Long): DataFrame =
+    Differ.scd2(snaps, keys, versionCol, valueCols, maxVersion)
+
+  // ---- mergeable sketches (functions.*) -------------------------------
+
+  /** Count-Min sketch aggregate Column (array<bigint>, d×w counters);
+    * probe with [[cmsEstimate]]. Never under-counts.
+    */
+  def cmsAgg(key: Column): Column = functions.CountMinSketch.agg(key)
+
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    functions.CountMinSketch.estimate(sketch, key)
+
+  /** Bloom filter aggregate Column (array<bigint> bit words); probe with
+    * [[bloomMightContain]] — no false negatives, so filtering a fact side
+    * before a join is a lossless semi-join reduction.
+    */
+  def bloomAgg(key: Column): Column = functions.BloomFilter.agg(key)
+
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    functions.BloomFilter.mightContain(bloom, key)
+
+  /** HyperLogLog distinct-count estimate as a Double-valued aggregate
+    * Column (2^12 registers folded internally; ≈1.6% standard error).
+    */
+  def hllDistinct(key: Column): Column = functions.HyperLogLog.agg(key)
+
+  /** Bounded top-k per group as a mergeable aggregate: array of
+    * (score, tie, payload) structs sorted by (score desc, tie asc) — only
+    * k entries per (group, partition) ever shuffle.
+    */
+  def topKAgg(k: Int, score: Column, tie: Column, payload: Column): Column =
+    functions.TopKHeap.agg(k, score, tie, payload)
+
+  /** Morton z-value over two 8-bit normalized coordinates — the sort key
+    * for a 2-D data-skipping layout (`repartitionByRange(z)` +
+    * `sortWithinPartitions(z)` on write).
+    */
+  def zOrderValue(p8: Column, s8: Column): Column =
+    queries.LayoutQueries.zValue(p8, s8)
+
   // ---- training-data pipeline (operators.TextOps / VectorOps) ---------
 
   def dedupExact(docs: DataFrame, idCol: String = "doc_id",
