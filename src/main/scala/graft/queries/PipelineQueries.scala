@@ -1446,6 +1446,52 @@ object PipelineQueries {
     // guaranteed by construction, so k≤3 would peel nothing. Fixed-round
     // unrolled peel = deterministic output and an unrolled-CTE oracle,
     // the graph_pagerank convention.
+    Q("graph_bfs",
+      s"""WITH g AS ($KnnOracleSql),
+         |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g),
+         |bi AS (SELECT a AS n, b AS o FROM ue UNION ALL SELECT b, a FROM ue),
+         |f1 AS (SELECT DISTINCT o AS id FROM bi WHERE n = 0 AND o <> 0),
+         |f2 AS (SELECT DISTINCT bi.o AS id FROM bi JOIN f1 ON bi.n = f1.id
+         |       WHERE bi.o <> 0 AND bi.o NOT IN (SELECT id FROM f1)),
+         |f3 AS (SELECT DISTINCT bi.o AS id FROM bi JOIN f2 ON bi.n = f2.id
+         |       WHERE bi.o <> 0 AND bi.o NOT IN (SELECT id FROM f1)
+         |         AND bi.o NOT IN (SELECT id FROM f2))
+         |SELECT CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist
+         |UNION ALL SELECT id, 1 FROM f1
+         |UNION ALL SELECT id, 2 FROM f2
+         |UNION ALL SELECT id, 3 FROM f3""".stripMargin) { (s, d) =>
+      // BFS distances (≤3 hops) from vector 0 over the kNN similarity
+      // graph — "how far does this example's semantic neighborhood
+      // reach", the frontier primitive under influence/contamination
+      // spread analyses. Per round: one edge-keyed join + distinct +
+      // anti-join against the visited set, frontier and visited lazily
+      // localCheckpoint'd (the graph_kcore discipline — an un-cut BFS
+      // lineage re-embeds every earlier round per reference). Rounds are
+      // O(frontier·degree) narrow shuffles; at 100 TB this is the
+      // Pregel-style frontier walk with the edge set pre-partitioned on n.
+      val ue = knn3(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val bi = ue.select(col("a").as("n"), col("b").as("o"))
+        .unionByName(ue.select(col("b").as("n"), col("a").as("o")))
+        .localCheckpoint(false)
+      var visited = s.range(1)
+        .select(lit(0L).as("vec_id"), lit(0L).as("dist"))
+        .localCheckpoint(false)
+      var frontier = visited.select(col("vec_id"))
+      for (r <- 1 to 3) {
+        val next = bi.join(frontier.select(col("vec_id").as("n")), "n")
+          .select(col("o").as("vec_id")).distinct()
+          .join(visited.select("vec_id"), Seq("vec_id"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint(false)
+        visited = visited.unionByName(next).localCheckpoint(false)
+        frontier = next.select(col("vec_id"))
+      }
+      visited
+    },
+
     Q("graph_kcore",
       s"""WITH g AS ($KnnOracleSql),
          |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g),
