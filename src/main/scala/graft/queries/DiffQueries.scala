@@ -322,6 +322,43 @@ object DiffQueries {
       (s, d) => Differ.changedCols(left(s, d), right(s, d), keys)
     },
 
+    Q("diff_cells",
+      s"""$Prelude
+         |SELECT l.o_orderkey AS o_orderkey, 'o_custkey' AS column_name,
+         |       CAST(l.o_custkey AS DOUBLE) AS left_val,
+         |       CAST(r.o_custkey AS DOUBLE) AS right_val
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_custkey IS DISTINCT FROM r.o_custkey
+         |UNION ALL
+         |SELECT l.o_orderkey, 'o_totalprice', l.o_totalprice, r.o_totalprice
+         |FROM l JOIN r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_totalprice IS DISTINCT FROM r.o_totalprice""".stripMargin) {
+      // Cell-level diff in LONG format — the remediation feed: one row per
+      // changed CELL (key, column, old, new), the shape an UPDATE
+      // generator or a column-quality dashboard consumes directly (the
+      // wide diff answers "which rows", changed_cols "which columns per
+      // row"; this is the join of both). One inner key join; each row
+      // explodes into its ≤2 changed numeric cells via an array-of-structs
+      // projection (no per-column re-join, no shuffle beyond the join);
+      // values surface as doubles — cross-engine string formatting of
+      // floats is exactly the trap the house discipline avoids.
+      (s, d) =>
+        val numCols = Seq("o_custkey", "o_totalprice")
+        val l = left(s, d).alias("l")
+        val r = right(s, d).alias("r")
+        val cells = array(numCols.map { c =>
+          struct(lit(c).as("column_name"),
+            col(s"l.$c").cast("double").as("left_val"),
+            col(s"r.$c").cast("double").as("right_val"),
+            (!(col(s"l.$c") <=> col(s"r.$c"))).as("chg"))
+        }: _*)
+        l.join(r, col("l.o_orderkey") === col("r.o_orderkey"))
+          .select(col("l.o_orderkey").as("o_orderkey"), explode(cells).as("c"))
+          .filter(col("c.chg"))
+          .select(col("o_orderkey"), col("c.column_name").as("column_name"),
+            col("c.left_val").as("left_val"), col("c.right_val").as("right_val"))
+    },
+
     Q("diff_numeric_stats",
       s"""$Prelude, j AS (
          |  SELECT CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN 1 ELSE 0 END AS d_ck,
