@@ -52,6 +52,17 @@ object DedupVariantQueries {
       VectorOps.cosineJoinThreshold(Tables.cachedTable(s, d, "embeddings"), tau = 0.4)
     }
 
+  /** Trigram-containment pair list at τ=0.5, cached per dir — one build
+    * shared by dedup_containment + dedup_method_venn.
+    */
+  private[queries] def containPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/contain-pairs/tau=0.5") {
+      TextOps.containmentPairs(
+        Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
+        minContainment = 0.5,
+        tokenizer = c => array_distinct(TextOps.trigrams(TextOps.tokens(c))))
+    }
+
   private def clusterFrame(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.cached(s, s"$d/neardup-clusters") {
       val docs = Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text")
@@ -537,10 +548,77 @@ object DedupVariantQueries {
         // long side), so this is the contamination-adjacent dedup flavor
         // the Jaccard family misses. See TextOps.containmentPairs for the
         // prefix×postings candidate path and its losslessness argument.
-        TextOps.containmentPairs(
-          Tables.cachedTable(s, d, "documents").select("doc_id", "lang", "text"),
-          minContainment = 0.5,
-          tokenizer = c => array_distinct(TextOps.trigrams(TextOps.tokens(c))))
+        // Cached + shared with dedup_method_venn (the pair-list-sharing
+        // convention).
+        containPairs(s, d)
+    },
+
+    Q("dedup_method_venn",
+      s"""WITH dt AS (SELECT doc_id, lang, lower(trim(text)) AS lt,
+         |                   list_distinct(string_split(lower(text), ' ')) AS ws,
+         |                   string_split(lower(text), ' ') AS t
+         |            FROM documents),
+         |ex AS (SELECT doc_id FROM (
+         |         SELECT doc_id, count(*) OVER (PARTITION BY sha256(lt)) AS nc FROM dt)
+         |       WHERE nc > 1),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |       WHERE len(list_distinct(list_concat(a.ws, b.ws))) > 0
+         |         AND CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+         |jd AS (SELECT doc_a AS doc_id FROM jp UNION SELECT doc_b FROM jp),
+         |g AS (SELECT doc_id, lang,
+         |        list_sort(list_distinct(CASE WHEN len(t) < 3 THEN []
+         |          ELSE list_transform(generate_series(1, len(t) - 2),
+         |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+         |      FROM dt),
+         |m AS (SELECT doc_id, lang, s, len(s) AS n FROM g WHERE len(s) > 0),
+         |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |       WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+         |             / least(a.n, b.n) >= 0.5),
+         |cd AS (SELECT doc_a AS doc_id FROM cp UNION SELECT doc_b FROM cp),
+         |sets AS (SELECT DISTINCT 'exact' AS method, doc_id FROM ex
+         |         UNION SELECT 'jaccard', doc_id FROM jd
+         |         UNION SELECT 'containment', doc_id FROM cd),
+         |tot AS (SELECT method, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY 1)
+         |SELECT a.method AS method_a, b.method AS method_b,
+         |       ta.n AS n_a, tb.n AS n_b, CAST(count(*) AS BIGINT) AS n_both
+         |FROM sets a JOIN sets b USING (doc_id)
+         |JOIN tot ta ON ta.method = a.method
+         |JOIN tot tb ON tb.method = b.method
+         |GROUP BY 1, 2, ta.n, tb.n""".stripMargin) { (s, d) =>
+      // Dedup-method Venn (r7w21) — the capstone QA across the family:
+      // which docs does each method flag, and how much do the methods
+      // agree? Exact (hash groups >1), Jaccard ≥0.9, trigram containment
+      // ≥0.5 — the EXACT formulations only (the banded approximations are
+      // lossless replays of these, so including them would be tautology).
+      // All three flag sets ride already-cached builds (hash window;
+      // sharedNearDupPairs; containPairs) → incremental cost is three
+      // ids-only projections + one doc_id self-join of the tagged set.
+      // At 100 TB the flag sets ARE the persisted dedup verdicts and the
+      // matrix is a metadata-scale report.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val ex = docs.select(col("doc_id"), TextOps.normHash(col("text")).as("h"))
+        .withColumn("nc", count(lit(1)).over(w))
+        .filter(col("nc") > 1).select(col("doc_id"))
+      def pairIds(p: org.apache.spark.sql.DataFrame) =
+        p.select(col("doc_a").as("doc_id"))
+          .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+      val jd = pairIds(PipelineQueries.sharedNearDupPairs(s, d))
+      val cd = pairIds(containPairs(s, d))
+      val sets = ex.select(lit("exact").as("method"), col("doc_id"))
+        .unionByName(jd.select(lit("jaccard").as("method"), col("doc_id")))
+        .unionByName(cd.select(lit("containment").as("method"), col("doc_id")))
+        .distinct()
+      val tot = sets.groupBy(col("method")).agg(count(lit(1)).cast("long").as("n"))
+      sets.alias("a").join(sets.alias("b"), "doc_id")
+        .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+        .join(tot.select(col("method").as("method_a"), col("n").as("n_a")), "method_a")
+        .join(tot.select(col("method").as("method_b"), col("n").as("n_b")), "method_b")
+        .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"), col("n_both"))
     },
 
     // Entity-resolution dedup: nation-blocked Levenshtein over customer
