@@ -653,9 +653,12 @@ object DiffQueries {
          |FROM r GROUP BY 1""".stripMargin) {
       // Incremental materialized-view maintenance: the (custkey → count,
       // sum) MV over the NEW snapshot is rebuilt from the OLD MV plus the
-      // diff-sized changeset — the new snapshot is NEVER scanned (the
-      // oracle scans it, which is the point: any drift between delta
-      // algebra and recompute fails the hash). Every changeset row explodes
+      // diff-sized changeset — the REFRESH path consumes only those two
+      // frames (here the changeset is built by the diff, which reads the
+      // new snapshot once; in production it is the persisted CDC artifact
+      // and the refresh touches no snapshot at all). The oracle recomputes
+      // from scratch, so any drift between delta algebra and recompute
+      // fails the hash. Every changeset row explodes
       // into ≤2 signed contributions (C/D retract the left payload, C/I
       // assert the right one — C rows may move groups, both sides count),
       // so the update cost is one changeset-sized agg merged into the
@@ -695,8 +698,9 @@ object DiffQueries {
       // Incremental maintenance of a JOIN view — the harder delta-algebra
       // case beyond mv_incremental's single-table MV: the view is
       // orders ⋈ customer rolled up to market segment, and the refresh is
-      // old MV ⊕ (Δorders ⋈ customer) — the NEW fact snapshot is never
-      // scanned and the join runs only over the changeset (broadcast dim
+      // old MV ⊕ (Δorders ⋈ customer) — the refresh path consumes only
+      // the changeset (produced here by the diff; in production the
+      // persisted CDC artifact) and the join runs only over it (broadcast dim
       // at this size; at 100 TB a shuffled dim-equi join of the
       // changeset). C rows may move segments via o_custkey, so both the
       // left retraction and the right assertion join independently.
