@@ -61,6 +61,36 @@ final class HyperLogLogAgg extends Aggregator[Long, Array[Byte], Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** The register-valued variant: `finish` emits the raw 4 KiB register
+  * array instead of the estimate — the PERSISTED artifact form (write
+  * per-partition/day sketches, roll them up later with
+  * [[HyperLogLogMergeAgg]] without re-scanning data).
+  */
+final class HyperLogLogRegistersAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  private val inner = new HyperLogLogAgg
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(b: Array[Byte], k: Long): Array[Byte] = inner.reduce(b, k)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Rollup of PERSISTED register arrays: element-wise max over sketch
+  * columns, then the standard estimate — `merge(sketch(A), sketch(B)) ==
+  * sketch(A ∪ B)` exactly (registers are maxima), so a month's distinct
+  * count is a metadata-scale fold over daily artifacts.
+  */
+final class HyperLogLogMergeAgg extends Aggregator[Array[Byte], Array[Byte], Double] {
+  private val inner = new HyperLogLogAgg
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = inner.merge(b, sk)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+  override def finish(b: Array[Byte]): Double = inner.finish(b)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 object HyperLogLog {
   val P = 12
   val M: Int = 1 << P
@@ -69,4 +99,12 @@ object HyperLogLog {
 
   def agg(key: Column): Column =
     udaf(new HyperLogLogAgg, Encoders.scalaLong).apply(key)
+
+  /** Register-array-valued aggregate (binary) — the persistable artifact. */
+  def registers(key: Column): Column =
+    udaf(new HyperLogLogRegistersAgg, Encoders.scalaLong).apply(key)
+
+  /** Fold persisted register arrays back into one estimate. */
+  def mergeRegisters(sketch: Column): Column =
+    udaf(new HyperLogLogMergeAgg, Encoders.BINARY).apply(sketch)
 }

@@ -347,6 +347,29 @@ object AggWindowQueries {
             .cast("long"))
     },
 
+    // The re-aggregation claim made CONCRETE (r7w21): stage 1 builds one
+    // HLL register array per day (the persisted daily artifact — at 100 TB
+    // these are parquet binary cells, one per partition); stage 2 folds
+    // the day sketches with a register-max merge into the month's distinct
+    // users — data is scanned once by stage 1 and NEVER again, and
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly. Exact global
+    // distinct rides alongside for the self-audit. Estimate-valued → no
+    // cross-engine oracle; HyperLogLogSpec pins the rollup == direct-
+    // sketch identity and the error band.
+    Q.noOracle("agg_hll_rollup") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("day_us", expr("(ts_us div 86400000000) * 86400000000"))
+        .groupBy(col("day_us"))
+        .agg(graft.functions.HyperLogLog.registers(col("user_id")).as("sk"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      daily.agg(count(lit(1)).cast("long").as("n_days"),
+        graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("n_est"))
+        .crossJoin(broadcast(exact))
+        .withColumn("err_ppm",
+          ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact")).cast("long"))
+    },
+
     // Mergeable quantile sketch (Greenwald-Khanna / percentile_approx) —
     // the OTHER sketch a 100 TB profiler needs beside HLL: exact
     // percentiles need a full sort per group, the sketch is one partial

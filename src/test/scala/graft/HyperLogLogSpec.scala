@@ -25,6 +25,24 @@ class HyperLogLogSpec extends SparkTestBase {
     assert(math.abs(est(1) - exact) / exact < 0.05)
   }
 
+  test("rollup of per-day register arrays == direct sketch of the union") {
+    val keys = (0 until 4000).map(i => (i % 11, (i % 900) * 31L)) // (day, user)
+    val df = keys.toDF("day", "k").repartition(7)
+    val direct = df.agg(HyperLogLog.agg(col("k"))).as[Double].head()
+    val rolled = df.groupBy(col("day"))
+      .agg(HyperLogLog.registers(col("k")).as("sk"))
+      .agg(HyperLogLog.mergeRegisters(col("sk"))).as[Double].head()
+    assert(rolled == direct, s"register rollup must equal the direct sketch: $rolled vs $direct")
+    val exact = keys.map(_._2).distinct.size
+    assert(math.abs(rolled - exact) / exact < 0.05)
+  }
+
+  test("agg_hll_rollup reports err_ppm under 50000 at sf0.001") {
+    val r = SparkEntry.queries("agg_hll_rollup")(spark, "/root/testdata/sf0.001").head()
+    assert(r.getAs[Long]("err_ppm") < 50000, r.toString)
+    assert(r.getAs[Long]("n_days") > 1, "fixture must span multiple days")
+  }
+
   test("agg_hll_sketch reports err_ppm under 50000 (5%) per group at sf0.001") {
     val out = SparkEntry.queries("agg_hll_sketch")(spark, "/root/testdata/sf0.001")
       .select(col("err_ppm")).as[Long].collect()
