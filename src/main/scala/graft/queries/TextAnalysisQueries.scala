@@ -228,6 +228,52 @@ object TextAnalysisQueries {
           k = 3, w = 4)
     },
 
+    Q("text_kl_sources",
+      """WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |             FROM documents),
+        |ns AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS t,
+        |              CAST(count(*) AS BIGINT) AS vs FROM ns GROUP BY 1),
+        |nc AS (SELECT tk, CAST(sum(n) AS BIGINT) AS n FROM ns GROUP BY 1),
+        |tc AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM nc),
+        |term AS (SELECT ns.source, ns.n,
+        |           CAST(ln(CAST(ns.n * tc.t AS DOUBLE) / CAST(ts.t * nc.n AS DOUBLE))
+        |                AS DECIMAL(18,6)) AS lq
+        |         FROM ns JOIN ts USING (source) JOIN nc USING (tk), tc),
+        |agg AS (SELECT source, CAST(sum(n * lq) AS DOUBLE) AS s FROM term GROUP BY 1)
+        |SELECT a.source, ts.t AS n_tokens, ts.vs AS vocab,
+        |       round(a.s / ts.t, 5) AS kl_nats
+        |FROM agg a JOIN ts USING (source)""".stripMargin) { (s, d) =>
+      // Per-source vocabulary divergence from the corpus mix — KL(P_src ‖
+      // P_corpus) over unigrams, the domain-mixing QA that flags a source
+      // whose language drifted from the blend it was weighted into
+      // (corpus ⊇ source ⇒ p_corpus > 0 wherever p_src > 0, so KL is
+      // finite by construction). Determinism follows the text_ngram_lm
+      // ladder: the probability ratio is ONE IEEE division of exact
+      // integer products, ln is the only transcendental and is quantized
+      // per term to DECIMAL(18,6); KL·T = Σ n·ln_q is then an exact
+      // integer×decimal sum (order-free), divided once at the end. Shape:
+      // one token explode into vocab-sized partial aggs; term join keyed
+      // by token — the text_idf budget.
+      val tok = Tables.cachedTable(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val ns = tok.groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val ts = ns.groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("t"), count(lit(1)).cast("long").as("vs"))
+      val nc = ns.groupBy(col("tk")).agg(sum(col("n")).cast("long").as("nc"))
+      val tc = nc.agg(sum(col("nc")).cast("long").as("tc"))
+      val term = ns.join(ts, "source").join(nc, "tk").crossJoin(broadcast(tc))
+        .withColumn("lq",
+          log((col("n") * col("tc")).cast("double")
+            / (col("t") * col("nc")).cast("double")).cast(DecimalType(18, 6)))
+      term.groupBy(col("source"))
+        .agg(sum(col("n") * col("lq")).cast("double").as("s"))
+        .join(ts, "source")
+        .select(col("source"), col("t").as("n_tokens"), col("vs").as("vocab"),
+          round(col("s") / col("t"), 5).as("kl_nats"))
+    },
+
     Q("text_ngram_lm",
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |occ AS (
