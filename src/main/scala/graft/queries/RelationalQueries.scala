@@ -368,6 +368,43 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts_us", "last_signup_us")
     },
 
+    Q("join_asof_tolerance",
+      """SELECT event_id, user_id, ts_us,
+        |       CASE WHEN ts_us - last_signup_us <= 1800000000
+        |            THEN last_signup_us END AS fresh_signup_us,
+        |       CAST(CASE WHEN last_signup_us IS NULL THEN 'never'
+        |                 WHEN ts_us - last_signup_us <= 1800000000 THEN 'fresh'
+        |                 ELSE 'stale' END AS VARCHAR) AS staleness
+        |FROM (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |         last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS last_signup_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events))
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      // As-of with a max-staleness tolerance (30 min) — the feature-store
+      // correctness knob plain backward as-of lacks: a feature older than
+      // the tolerance must surface as NULL (training on stale joins is
+      // silent label leakage), and the staleness class is reported so the
+      // pipeline can alert on its stale fraction. Same single-window plan
+      // as join_asof; the tolerance is a per-row CASE on top.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tolUs = 1800000000L
+      Tables.events(s, d)
+        .withColumn("last_signup_us",
+          last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("ts_us") - col("last_signup_us") <= tolUs, col("last_signup_us"))
+            .as("fresh_signup_us"),
+          when(col("last_signup_us").isNull, "never")
+            .when(col("ts_us") - col("last_signup_us") <= tolUs, "fresh")
+            .otherwise("stale").as("staleness"))
+    },
+
     Q("join_asof_nearest",
       """SELECT event_id, user_id, ts_us,
         |       CASE WHEN prev_us IS NULL THEN next_us
