@@ -357,6 +357,41 @@ object SignalQueries {
     // the event stream. Stickiness = DAU/WAU as exact integer ppm.
     // Epoch micros assumed >= 0 (div truncates, // floors — they agree
     // only for nonnegative timestamps; cf. CurateOps.streaks).
+    Q("events_user_entropy",
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS t,
+        |             CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+        |term AS (SELECT c.user_id, c.n,
+        |           CAST(ln(CAST(c.n AS DOUBLE) / t.t) AS DECIMAL(18,6)) AS lq
+        |         FROM c JOIN t USING (user_id))
+        |SELECT tm.user_id, t.t AS n_events, t.n_types,
+        |       round(-CAST(sum(tm.n * tm.lq) AS DOUBLE) / t.t, 5) AS entropy_nats
+        |FROM term tm JOIN t USING (user_id)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      // Behavioral entropy per user: H(event-type distribution) — the
+      // bot/anomaly signal a funnel can't see (a scripted account hammers
+      // one type → H≈0; organic users mix). Same determinism ladder as
+      // text_kl_sources: ln of an exact integer ratio quantized per term
+      // to DECIMAL(18,6), H·t = −Σ n·ln_q exact and order-free, ONE
+      // division at the end. Shape: two (user, type)-grained partial
+      // aggs + a users-sized join — nothing wider than the type marginals.
+      val c = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val t = c.groupBy(col("user_id"))
+        .agg(sum(col("n")).cast("long").as("t"), count(lit(1)).cast("long").as("n_types"))
+      c.join(t, "user_id")
+        .withColumn("lq",
+          log(col("n").cast("double") / col("t"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .groupBy(col("user_id"), col("t"), col("n_types"))
+        .agg((round((sum(col("n") * col("lq")) * -1).cast("double") / col("t"), 5))
+          .as("entropy_nats"))
+        .select(col("user_id"), col("t").as("n_events"), col("n_types"),
+          col("entropy_nats"))
+    },
+
     Q("events_dau_wau",
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |           FROM events),
