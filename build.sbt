@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW instead of re-logging it with
+// an "[info] " prefix: the driver parses Bench's final JSON line from the
+// captured stdout tail, and the logger prefix made it unparseable
+// ("parsed": null) every round.
+// (runMain shares Compile / run / forkOptions, so this one scope covers both.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

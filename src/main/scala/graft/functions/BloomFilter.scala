@@ -54,8 +54,12 @@ object BloomFilter {
     (org.apache.spark.sql.catalyst.expressions.XXH64
       .hashLong(k, CountMinSketch.SeedBase + i) >>> Shift).toInt
 
+  /** Key cast to BIGINT so build and probe ([[CountMinSketch.slotCol]])
+    * agree for any integral key type (INT keys would otherwise hash via
+    * hashInt on the probe side — silent false negatives).
+    */
   def agg(key: Column): Column =
-    udaf(new BloomFilterAgg, Encoders.scalaLong).apply(key)
+    udaf(new BloomFilterAgg, Encoders.scalaLong).apply(key.cast("long"))
 
   /** Membership probe as codegen'd Column arithmetic (mirrors `reduce`).
     * The in-word test builds a 1-bit mask with a column-valued shiftleft

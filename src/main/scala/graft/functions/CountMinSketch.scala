@@ -57,19 +57,28 @@ object CountMinSketch {
       .hashLong(k, SeedBase + i) >>> Shift).toInt
 
   /** The probe-side twin of [[slot]]: xxhash64 of the key column under the
-    * row-i seed, as the native codegen'd `XxHash64` expression.
+    * row-i seed, as the native codegen'd `XxHash64` expression. The key is
+    * cast to BIGINT first: the aggregate side hashes the Long-encoded UDAF
+    * input via `XXH64.hashLong` (an INT key column is implicitly up-cast by
+    * the encoder), while `XxHash64` dispatches on the column's own type —
+    * hashInt for IntegerType — so without the cast an INT probe key lands
+    * in different slots than the build side and the no-false-negative
+    * contract silently breaks.
     */
   private[functions] def slotCol(i: Int, key: Column, shift: Int): Column =
     shiftrightunsigned(
       org.apache.spark.sql.graft.ColumnBridge.column(
         org.apache.spark.sql.catalyst.expressions.XxHash64(
-          Seq(org.apache.spark.sql.graft.ColumnBridge.expression(key)),
+          Seq(org.apache.spark.sql.graft.ColumnBridge.expression(key.cast("long"))),
           SeedBase + i)),
       shift)
 
-  /** Aggregate Column: builds the sketch (array<bigint> of length D·W). */
+  /** Aggregate Column: builds the sketch (array<bigint> of length D·W).
+    * Key is cast to BIGINT so build and probe ([[slotCol]]) agree for any
+    * integral key type.
+    */
   def agg(key: Column): Column =
-    udaf(new CountMinSketchAgg, Encoders.scalaLong).apply(key)
+    udaf(new CountMinSketchAgg, Encoders.scalaLong).apply(key.cast("long"))
 
   /** Point estimate of key's count from a sketch column — same hash family
     * as the update path, fully codegen'd.

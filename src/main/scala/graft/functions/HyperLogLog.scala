@@ -84,7 +84,17 @@ final class HyperLogLogRegistersAgg extends Aggregator[Long, Array[Byte], Array[
 final class HyperLogLogMergeAgg extends Aggregator[Array[Byte], Array[Byte], Double] {
   private val inner = new HyperLogLogAgg
   override def zero: Array[Byte] = inner.zero
-  override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = inner.merge(b, sk)
+  override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+    // Persisted artifacts can be corrupt: fail fast with a precise message
+    // instead of an opaque NPE/AIOOBE deep in the register loop (a short
+    // array) or a silent ignore of trailing bytes (an oversized one).
+    require(sk != null,
+      "hll_merge: null sketch cell — persisted register artifact is corrupt")
+    require(sk.length == HyperLogLog.M,
+      s"hll_merge: sketch has ${sk.length} registers, expected ${HyperLogLog.M} " +
+        "(truncated/corrupt persisted artifact, or a different precision P)")
+    inner.merge(b, sk)
+  }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
   override def finish(b: Array[Byte]): Double = inner.finish(b)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY

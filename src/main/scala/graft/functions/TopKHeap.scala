@@ -22,8 +22,17 @@ final case class TopKEntry(score: Double, tie: Long, payload: Long)
   * small by contract). `finish` emits the exact sorted top k.
   */
 final class TopKHeapAgg(k: Int) extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
-  private val ord: Ordering[TopKEntry] =
-    Ordering.by[TopKEntry, (Double, Long)](e => (-e.score, e.tie))
+  // NOT Ordering.by(e => (-e.score, e.tie)): -NaN is NaN, which the tuple
+  // ordering sorts last (worst), while Spark's ORDER BY score DESC places
+  // NaN first (greatest) — heap-vs-window parity would break on NaN input.
+  // java.lang.Double.compare treats NaN as greater than everything, so
+  // comparing (b, a) gives exactly Spark's descending NaN placement.
+  private val ord: Ordering[TopKEntry] = new Ordering[TopKEntry] {
+    def compare(a: TopKEntry, b: TopKEntry): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
+    }
+  }
 
   private def trim(b: Seq[TopKEntry]): Seq[TopKEntry] = b.sorted(ord).take(k)
 

@@ -643,14 +643,21 @@ object Differ {
     val st = col(opts.statusCol)
     val lp = opts.leftPrefix
     val rp = opts.rightPrefix
+    // A value column is one where BOTH prefixed forms exist — a key or
+    // passthrough column that merely happens to start with the prefix
+    // (e.g. a key named "left_id") must not be misclassified as a value
+    // column, so membership of the paired name is the test, not the prefix
+    // alone.
     val vcols = changes.columns.toSeq.collect {
-      case c if c.startsWith(lp) => c.stripPrefix(lp)
+      case c if c.startsWith(lp) && changes.columns.contains(s"$rp${c.stripPrefix(lp)}") =>
+        c.stripPrefix(lp)
     }
-    require(vcols.nonEmpty && vcols.forall(c => changes.columns.contains(s"$rp$c")),
+    require(vcols.nonEmpty,
       s"changes is not a diff output: expected paired $lp*/$rp* value " +
         s"columns (have: ${changes.columns.mkString(", ")})")
+    val paired = vcols.flatMap(c => Seq(s"$lp$c", s"$rp$c")).toSet
     val passthrough = changes.columns.toSeq
-      .filterNot(c => c == opts.statusCol || c.startsWith(lp) || c.startsWith(rp))
+      .filterNot(c => c == opts.statusCol || paired.contains(c))
     val inv = when(st === "I", lit("D")).when(st === "D", lit("I")).otherwise(st)
     changes.filter(st =!= "N").select(
       inv.as(opts.statusCol) +:

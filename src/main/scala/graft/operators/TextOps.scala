@@ -563,4 +563,64 @@ object TextOps {
             x => x.getField("line")),
           " ").as("clean_text"))
   }
+
+  /** Lossless candidate pairs for bounded edit distance `ed <= k` via the
+    * delete-neighborhood (SymSpell) filter: if `ed(a,b) <= k` then some
+    * string is reachable from BOTH a and b by deleting at most k
+    * characters. (Proof: take an optimal alignment with s substitutions,
+    * i insertions, d deletions, s+i+d <= k; deleting from a its s
+    * substituted + d deleted characters and from b its s substituted + i
+    * inserted characters leaves the identical aligned core, with
+    * s+d <= k and s+i <= k deletions respectively.) So exploding every
+    * string into its delete-(<=k) variants and self-joining on the
+    * (block, variant) key yields a candidate SUPERSET of all ed<=k
+    * pairs — callers verify survivors with [[boundedLevenshtein]].
+    *
+    * Why this filter and not q-gram prefix filtering (ED-Join): on
+    * entity-name corpora where strings share long constant affixes and
+    * differ only in a short distinctive region ("Customer#000014999"),
+    * ANY gram-count filter degenerates — two names at ed<=2 can have
+    * both edits inside the 5-char distinctive region, destroying every
+    * distinctive gram, so completeness forces the filter to admit pairs
+    * on constant-region grams alone, i.e. whole blocks (measured: the
+    * k·q+1 frequency-ordered prefix admitted exactly block² candidates
+    * on this fixture). Delete variants never lose the distinctive
+    * characters — a variant retains >= (distinctive_len - k) of them in
+    * order, so the join key stays selective no matter how long the
+    * shared affix is.
+    *
+    * Scale shape: the index explodes each string into 1 + L + C(L,2)
+    * variants for k=2 (~170 rows for L=18) — a CONSTANT factor,
+    * independent of block or corpus size, unlike block-keyed self-joins
+    * whose pair count grows as block². Variants ride the wire as 64-bit
+    * xxhash64 keys, not strings (hash collisions only ADD candidates —
+    * verification keeps the output exact). One explode + one
+    * (block, vhash) self-join + one pair distinct; only ids and lengths
+    * ride the join. Returns distinct (a_id, b_id), a_id < b_id.
+    */
+  def editDeleteCandidates(rows: DataFrame, k: Int,
+                           idCol: String = "id", nameCol: String = "name",
+                           blockCols: Seq[String] = Nil): DataFrame = {
+    require(k == 1 || k == 2, s"editDeleteCandidates supports k in {1, 2}, got $k")
+    // Variants never exist as strings: the native DeleteVariantHashes
+    // kernel emits the ~1+L+C(L,2) 64-bit variant hashes in one pass per
+    // row (the HOF concat build it replaced cost ~2s/15k rows and was
+    // re-evaluated per self-join side). reuse() persists the exploded
+    // postings so the self-join's two branches share one build.
+    val v = reuse(rows
+      .select((col(idCol) +: blockCols.map(col)) :+
+        length(col(nameCol)).as("__len") :+
+        explode(ColumnBridge.column(graft.functions.DeleteVariantHashes(
+          ColumnBridge.expression(col(nameCol)), k))).as("__vh"): _*))
+    def side(df: DataFrame, p: String) =
+      df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
+    val a = side(v, "a_"); val b = side(v, "b_")
+    val joinKeys = (blockCols ++ Seq("__vh"))
+      .map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _)
+    a.join(b, joinKeys &&
+        col(s"a_$idCol") < col(s"b_$idCol") &&
+        abs(col("a___len") - col("b___len")) <= k)
+      .select(col(s"a_$idCol").as("a_id"), col(s"b_$idCol").as("b_id"))
+      .distinct()
+  }
 }

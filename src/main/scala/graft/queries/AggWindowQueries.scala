@@ -377,12 +377,19 @@ object AggWindowQueries {
     // no cross-engine oracle; ApproxPercentileSpec pins the rank-error
     // bound against the exact quantile and run-to-run determinism.
     Q.noOracle("agg_approx_percentile") { (s, d) =>
+      // Flattened to scalar p50/p95 (not one array<double> column): the
+      // driver's pandas-side sort/compare can't hash numpy arrays, so the
+      // array form records an artifact error even on a no-oracle key.
       Tables.cachedTable(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(
           percentile_approx(col("o_totalprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)).as("approx_p50_p95"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("pq"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          element_at(col("pq"), 1).as("approx_p50"),
+          element_at(col("pq"), 2).as("approx_p95"),
+          col("n"))
     },
 
     Q("agg_rollup",
@@ -701,17 +708,6 @@ object AggWindowQueries {
           col("lo").as("lo_cents"), col("hi").as("hi_cents"))
     },
 
-    // Heavy hitters via Count-Min sketch + exact verify: pass 1 folds the
-    // whole table into a 4×1024-counter sketch (map-side partial merge —
-    // only d·w longs per partition shuffle, not rows); pass 2 keeps rows
-    // whose sketched estimate clears the threshold and exact-counts ONLY
-    // those. CMS never under-counts, so the pre-filter has zero false
-    // negatives and the exact HAVING makes false positives harmless → the
-    // output equals the plain exact heavy-hitter query the oracle runs.
-    // 100 TB shape: the exact groupBy's shuffle shrinks from every row to
-    // the heavy keys' rows; the sketch itself is the mergeable artifact a
-    // streaming/daily pipeline unions for free. Sketch quality is
-    // property-pinned in CountMinSketchSpec (estimate ≥ truth, ε·n bound).
     Q("agg_regression",
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
@@ -842,6 +838,17 @@ object AggWindowQueries {
           col("e.score").as("l_extendedprice"), col("e.tie").as("item_id"))
     },
 
+    // Heavy hitters via Count-Min sketch + exact verify: pass 1 folds the
+    // whole table into a 4×1024-counter sketch (map-side partial merge —
+    // only d·w longs per partition shuffle, not rows); pass 2 keeps rows
+    // whose sketched estimate clears the threshold and exact-counts ONLY
+    // those. CMS never under-counts, so the pre-filter has zero false
+    // negatives and the exact HAVING makes false positives harmless → the
+    // output equals the plain exact heavy-hitter query the oracle runs.
+    // 100 TB shape: the exact groupBy's shuffle shrinks from every row to
+    // the heavy keys' rows; the sketch itself is the mergeable artifact a
+    // streaming/daily pipeline unions for free. Sketch quality is
+    // property-pinned in CountMinSketchSpec (estimate ≥ truth, ε·n bound).
     Q("agg_countmin",
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 HAVING count(*) >= 45""".stripMargin) { (s, d) =>

@@ -33,6 +33,15 @@ class ApproxPercentileSpec extends SparkTestBase {
     }
   }
 
+  test("declared agg_approx_percentile query emits only scalar columns") {
+    // The driver's pandas-side compare can't hash array cells — the
+    // artifact row goes red if an array<double> column ever reappears.
+    val df = SparkEntry.queries("agg_approx_percentile")(spark, "/root/testdata/sf0.001")
+    assert(df.schema.fields.forall(!_.dataType.typeName.startsWith("array")),
+      s"array column in ${df.schema.treeString}")
+    assert(df.columns.toSeq == Seq("o_orderstatus", "approx_p50", "approx_p95", "n"))
+  }
+
   test("percentile_approx is deterministic across runs (no sampling)") {
     def run(): Map[String, Seq[Double]] = orders.groupBy("o_orderstatus")
       .agg(percentile_approx(col("o_totalprice"),

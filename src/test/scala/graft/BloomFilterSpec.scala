@@ -22,6 +22,20 @@ class BloomFilterSpec extends SparkTestBase {
     assert(fp <= out.size / 50, s"false-positive rate implausibly high: $fp/${out.size}")
   }
 
+  test("INT key column: build/probe hash parity (no false negatives)") {
+    // Regression: probe side used to hash the raw column (hashInt for an
+    // IntegerType key) while the build side hashes the Long-encoded UDAF
+    // input — mismatched slots, silent false negatives. Both sides now
+    // cast to BIGINT first.
+    val members = (0 until 3000).map(_ * 11 + 5)
+    val bloomDF = members.toDF("k") // IntegerType column
+      .agg(BloomFilter.agg(col("k")).as("bf"))
+    val hits = members.toDF("k").crossJoin(broadcast(bloomDF))
+      .filter(BloomFilter.mightContain(col("bf"), col("k"))).count()
+    assert(hits == members.size.toLong,
+      s"bloom dropped ${members.size - hits} INT-keyed members (hash mismatch)")
+  }
+
   test("join_bloom_prefilter == plain join+agg on the sf0.001 fixture") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("join_bloom_prefilter")(spark, d)

@@ -39,6 +39,22 @@ class CountMinSketchSpec extends SparkTestBase {
     assert(sketchOf(1) == sketchOf(13))
   }
 
+  test("INT key column: estimate never under-counts (build/probe hash parity)") {
+    // Regression twin of BloomFilterSpec's INT-key test: probe hashing
+    // must match the Long-encoded build side for IntegerType keys too.
+    val keys = keyStream(4000).map(_.toInt)
+    val df = keys.toDF("k") // IntegerType column
+    val sk = df.agg(CountMinSketch.agg(col("k")).as("sk"))
+    val est = df.select(col("k")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("k"), CountMinSketch.estimate(col("sk"), col("k")).as("est"))
+      .as[(Int, Long)].collect().toMap
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"INT-key under-count for $k: est ${est(k)} < exact $c")
+    }
+  }
+
   test("agg_countmin == exact heavy hitters on the sf0.001 fixture") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("agg_countmin")(spark, d)

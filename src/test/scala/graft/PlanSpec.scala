@@ -517,7 +517,7 @@ class PlanSpec extends SparkTestBase {
       s"containment went non-equi ($bnlj BNLJ, $cart cartesian) — the prefix×postings join must key on the shingle")
   }
 
-  test("dedup_edit is one nation-equi self-join with the bounded levenshtein") {
+  test("dedup_edit: variant-hash-keyed equi joins + both native kernels") {
     val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_edit")
     val (_, bnlj, cart) = joinCensus(df)
     assert(cart == 0 && bnlj == 0, s"dedup_edit went non-equi ($bnlj BNLJ, $cart cartesian)")
@@ -525,6 +525,11 @@ class PlanSpec extends SparkTestBase {
     // built-in (no trim) costs 2.5x, to the unbounded 2-arg form O(len²).
     assert(df.queryExecution.optimizedPlan.toString.contains("bounded_levenshtein"),
       "native BoundedLevenshtein kernel lost")
+    // r8: candidates must come from the SymSpell delete-neighborhood
+    // postings (delete_variant_hashes), NOT a nation-block self-join —
+    // a regression to block² is the scale-killer the r7 verdict flagged.
+    assert(df.queryExecution.optimizedPlan.toString.contains("delete_variant_hashes"),
+      "SymSpell DeleteVariantHashes kernel lost — candidate space degenerated")
   }
 
   test("graph_triangles: three vertex-equi joins, no cartesian") {

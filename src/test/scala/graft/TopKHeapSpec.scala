@@ -27,6 +27,24 @@ class TopKHeapSpec extends SparkTestBase {
     assert(a == rowsOf(ref))
   }
 
+  test("NaN scores rank first, matching Spark's ORDER BY score DESC") {
+    // Regression: Ordering.by(e => (-e.score, ...)) sorted NaN last
+    // (because -NaN is NaN), diverging from the window formulation.
+    val rows = Seq(("a", Double.NaN, 1L), ("a", 5.0, 2L),
+      ("a", Double.NaN, 3L), ("a", 7.0, 4L), ("a", 3.0, 5L))
+    val heap = rows.toDF("g", "score", "id")
+      .groupBy(col("g"))
+      .agg(TopKHeap.agg(3, col("score"), col("id"), col("id")).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), col("pos"), col("e.score"), col("e.tie"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val ref = rows.toDF("g", "score", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("g"), (col("rn") - 1).as("pos"), col("score"), col("id").as("tie"))
+    assert(rowsOf(heap) == rowsOf(ref))
+  }
+
   test("groups smaller than k emit all their rows, sorted") {
     val df = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("b", 2.0, 3L)).toDF("g", "score", "id")
     val out = df.groupBy(col("g"))
