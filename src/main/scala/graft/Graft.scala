@@ -222,8 +222,10 @@ object Graft {
 
   /** Embedding near-dup blocked by a coarse quantizer (IVF cells) instead
     * of a given label — the 100 TB path; see VectorOps.dedupByQuantizer.
+    * nprobe <= 0 (the default) auto-scales probes with sqrt(corpus size)
+    * so recall holds as n grows past the cell-count cap.
     */
-  def dedupEmbeddings(emb: DataFrame, tau: Double, nprobe: Int = 2): DataFrame =
+  def dedupEmbeddings(emb: DataFrame, tau: Double, nprobe: Int = 0): DataFrame =
     VectorOps.dedupByQuantizer(emb, tau, nprobe)
 
   /** Winnowing k-gram fingerprints (rolling-hash document fingerprinting). */

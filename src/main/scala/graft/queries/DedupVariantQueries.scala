@@ -350,7 +350,7 @@ object DedupVariantQueries {
       KMeansSql.codebookCtes() +
       s""",
         |assign AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
-        |           WHERE rn <= ${KMeansSql.NProbeDedup}),
+        |           WHERE rn <= ${KMeansSql.nProbeDedupSql}),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id)
@@ -372,7 +372,7 @@ object DedupVariantQueries {
       KMeansSql.codebookCtes() +
       s""",
         |assign AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
-        |           WHERE rn <= ${KMeansSql.NProbeDedup}),
+        |           WHERE rn <= ${KMeansSql.nProbeDedupSql}),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -400,7 +400,7 @@ object DedupVariantQueries {
       KMeansSql.codebookCtes() +
       s""",
         |probe AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
-        |          WHERE rn <= ${KMeansSql.NProbeDedup} AND vec_id % 10 = 7),
+        |          WHERE rn <= ${KMeansSql.nProbeDedupSql} AND vec_id % 10 = 7),
         |home AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()}
         |         WHERE rn = 1 AND vec_id % 10 <> 7)
         |SELECT p.vec_id AS new_id, h.vec_id AS old_id,

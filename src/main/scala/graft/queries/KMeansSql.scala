@@ -32,12 +32,36 @@ private[graft] object KMeansSql {
   val KCap = 24
   /** Fixed Lloyd rounds (no data-dependent stopping — determinism). */
   val Iters = 2
-  /** Probe cells per vector for the pair-dedup query (dedup_embed_ivf). */
-  val NProbeDedup = 4
+  /** Floor on probe cells for the pair-dedup family (dedup_embed_ivf). */
+  val NProbeDedupMin = 4
+  /** √n divisor for the dedup probe count — see [[nProbeDedup]]. */
+  val NProbeDiv = 8.0
   /** Probe cells for the single-probe ANN query (sim_search_ivf). */
   val NProbeSearch = 3
-  /** Deepest rank any consumer reads — the shared assignment keeps rn ≤ this. */
-  val MaxRn: Int = math.max(NProbeDedup, NProbeSearch)
+
+  /** Probe cells for the pair-dedup family, scaled with corpus size:
+    * max(NProbeDedupMin, ⌈√n / NProbeDiv⌉). Once k hits its [[KCap]] the
+    * cell count stops growing with n, so a FIXED probe count decays in
+    * recall as the corpus grows (measured at tau = 0.4: nprobe = 4 gave
+    * recall 1.00 at n = 500 but 0.91 at n = 2000). Growing probes with √n
+    * restores it: this rule gives 4 at n = 500 (recall 1.00) and 6 at
+    * n = 2000 (recall 0.9935 ≥ the 0.95 floor PipelineSpec pins). The
+    * oracle derives the same count in SQL from its `params` CTE
+    * ([[nProbeDedupSql]]) so Spark/DuckDB parity is structural.
+    */
+  def nProbeDedup(n: Long): Int =
+    math.max(NProbeDedupMin, math.ceil(math.sqrt(n.toDouble) / NProbeDiv).toInt)
+
+  /** The SQL twin of [[nProbeDedup]] — a scalar subquery over the `params`
+    * CTE emitted by [[codebookCtes]]; splice into `WHERE rn <= ...`.
+    */
+  def nProbeDedupSql: String =
+    s"(SELECT greatest($NProbeDedupMin, CAST(ceil(sqrt(n) / $NProbeDiv) AS INT)) FROM params)"
+
+  /** Deepest rank any consumer reads for corpus size n — the shared
+    * assignment keeps rn ≤ this.
+    */
+  def maxRn(n: Long): Int = math.max(nProbeDedup(n), NProbeSearch)
 
   /** Name of the final affinity-ranking CTE emitted by [[codebookCtes]] —
     * consumers MUST read the scored assignment from here, never from a
@@ -54,12 +78,12 @@ private[graft] object KMeansSql {
     * independently per consumer branch (60× sim_search_ivf regression).
     */
   def assignments(spark: SparkSession, dir: String): DataFrame =
-    Tables.cached(spark, s"$dir/ivf-scored/k=$KCap/iters=$Iters/maxrn=$MaxRn") {
+    Tables.cached(spark, s"$dir/ivf-scored/k=$KCap/iters=$Iters/maxrn=sqrtn$NProbeDiv") {
       val emb = Tables.cachedTable(spark, dir, "embeddings")
       val n = emb.count()
       val k = math.min(KCap, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cent = VectorOps.kmeansCodebook(emb, k, Iters)
-      VectorOps.scoredCells(emb, cent, MaxRn)
+      VectorOps.scoredCells(emb, cent, maxRn(n))
     }
 
   /** Dedup-grade cosine threshold for the IVF pair family. */
@@ -74,9 +98,10 @@ private[graft] object KMeansSql {
     * for.
     */
   def dedupPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.cached(spark, s"$dir/ivf-pairs/tau=$DedupTau/nprobe=$NProbeDedup") {
+    Tables.cached(spark, s"$dir/ivf-pairs/tau=$DedupTau/nprobe=sqrtn$NProbeDiv") {
       import org.apache.spark.sql.functions.col
-      val assign = assignments(spark, dir).filter(col("rn") <= NProbeDedup)
+      val n = Tables.cachedTable(spark, dir, "embeddings").count()
+      val assign = assignments(spark, dir).filter(col("rn") <= nProbeDedup(n))
       VectorOps.pairsByAssignment(
         Tables.cachedTable(spark, dir, "embeddings"), assign, tau = DedupTau)
     }
@@ -99,9 +124,10 @@ private[graft] object KMeansSql {
     */
   def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val nAll = Tables.cachedTable(spark, dir, "embeddings").count()
     val newShard = col("vec_id") % 10 === 7
     val probeCells = assignments(spark, dir)
-      .filter(col("rn") <= NProbeDedup && newShard)
+      .filter(col("rn") <= nProbeDedup(nAll) && newShard)
       .select(col("vec_id"), col("cell"))
     val batch = Tables.cachedTable(spark, dir, "embeddings")
       .filter(newShard)

@@ -842,8 +842,8 @@ object PipelineQueries {
       val sc = KMeansSql.scoredCte()
       s"""${KMeansSql.codebookCtes()},
          |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |         FROM (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.NProbeDedup}) a
-         |         JOIN (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.NProbeDedup}) b
+         |         FROM (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.nProbeDedupSql}) a
+         |         JOIN (SELECT vec_id, cell FROM $sc WHERE rn <= ${KMeansSql.nProbeDedupSql}) b
          |           USING (cell)
          |         WHERE a.vec_id <> b.vec_id),
          |x AS (SELECT c.src, c.dst,
@@ -877,9 +877,9 @@ object PipelineQueries {
       // index prunes the quadratic); one distinct pair shuffle + two id
       // fetch joins; the per-anchor top-3 window runs over cell-bounded
       // candidate sets, never the corpus.
-      val probe = KMeansSql.assignments(s, d)
-        .filter(col("rn") <= KMeansSql.NProbeDedup).select("vec_id", "cell")
       val emb = Tables.cachedTable(s, d, "embeddings")
+      val probe = KMeansSql.assignments(s, d)
+        .filter(col("rn") <= KMeansSql.nProbeDedup(emb.count())).select("vec_id", "cell")
       val cand = probe.select(col("vec_id").as("src"), col("cell"))
         .join(probe.select(col("vec_id").as("dst"), col("cell")), "cell")
         .filter(col("src") =!= col("dst"))

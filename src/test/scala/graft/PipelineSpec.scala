@@ -473,4 +473,25 @@ class PipelineSpec extends SparkTestBase {
     val budgets = df.map(r => r.getAs[Double]("weight") * r.getAs[Long]("n_tokens"))
     assert((budgets.max - budgets.min) / budgets.max < 1e-3, budgets.mkString(","))
   }
+
+  test("dedupByQuantizer auto-nprobe: recall >= 0.95 vs all-pairs truth at both gate SFs") {
+    // Once k hits its cap the cell count stops growing with n, so a FIXED
+    // probe count decays in recall as the corpus grows (nprobe = 4 measured
+    // 0.91 at sf0.1). The auto rule max(4, ceil(sqrt(n)/8)) is pinned here
+    // at BOTH driver scale factors; found pairs are exact-cosine verified,
+    // so found <= truth and the count ratio IS recall (precision is 1).
+    val tau = 0.4
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.table(spark, dir, "embeddings").select("vec_id", "embedding")
+      val a = emb.select(col("vec_id").as("va_id"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("vb_id"), col("embedding").as("vb"))
+      val truth = a.join(b, col("va_id") < col("vb_id"))
+        .filter(VectorOps.cosineF(col("va"), col("vb")) >= tau)
+        .count()
+      val found = VectorOps.dedupByQuantizer(emb, tau).count()
+      assert(found <= truth, s"$dir: $found found > $truth truth — verify not exact")
+      assert(found >= 0.95 * truth,
+        s"$dir: recall ${found.toDouble / truth} ($found/$truth) below 0.95 floor")
+    }
+  }
 }

@@ -155,8 +155,9 @@ class PlanSpec extends SparkTestBase {
     // is just an InMemoryTableScan; the property under test is the plan
     // that executes inside that cache build.
     val df = {
+      val n = Tables.cachedTable(spark, sf, "embeddings").count()
       val assign = graft.queries.KMeansSql.assignments(spark, sf)
-        .filter(col("rn") <= graft.queries.KMeansSql.NProbeDedup)
+        .filter(col("rn") <= graft.queries.KMeansSql.nProbeDedup(n))
       graft.operators.VectorOps.pairsByAssignment(
         Tables.cachedTable(spark, sf, "embeddings"), assign,
         tau = graft.queries.KMeansSql.DedupTau)
