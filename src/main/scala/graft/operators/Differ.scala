@@ -120,7 +120,12 @@ object Differ {
     if (useTol) {
       val bound = lit(opts.absTol) +
         (if (opts.relTol > 0.0) lit(opts.relTol) * greatest(abs(l), abs(r)) else lit(0.0))
-      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull && abs(l - r) <= bound)
+      // `<=>` first: tolerance RELAXES exact equality, never tightens it —
+      // without this disjunct an equal NaN/NaN or Inf/Inf pair would flip
+      // to C under tolerance (abs(NaN) <= bound and Inf - Inf are NaN,
+      // i.e. false). Pinned by DifferPropSpec's tolerance×sparse property
+      // (NaN and +Inf are in its generator domain).
+      (l <=> r) || (l.isNotNull && r.isNotNull && abs(l - r) <= bound)
     } else l <=> r
   }
 

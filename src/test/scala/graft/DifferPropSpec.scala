@@ -106,6 +106,147 @@ class DifferPropSpec extends SparkTestBase {
     }
   }
 
+  // ---- pairwise DiffOptions interactions (r7 verdict ask #6) -------------
+  // Each option is covered alone by DifferSpec; these pin the PAIRS on
+  // generated tables: sparse×tolerance, mapped×ignore, tolCols×relTol,
+  // nullSafeKeys×(sparse,tolerance), tolerance×flip.
+
+  private case class Tbl5(
+      rows: Seq[(Long, Option[String], Option[Double], Option[Double], Option[Int])])
+
+  private val rowGen5: Gen[(Long, Option[String], Option[Double], Option[Double], Option[Int])] =
+    for {
+      k <- Gen.choose(0L, 25L)
+      s <- Gen.option(Gen.oneOf("a", "b"))
+      v <- Gen.option(Gen.oneOf(1.0, 1.05, 2.5, Double.NaN, -0.0,
+        Double.PositiveInfinity))
+      w <- Gen.option(Gen.oneOf(10.0, 10.4, 20.0))
+      n <- Gen.option(Gen.oneOf(1, 2, 3, 100))
+    } yield (k, s, v, w, n)
+
+  private val tbl5Gen: Gen[Tbl5] =
+    Gen.listOf(rowGen5).map(rs => Tbl5(rs.distinctBy(_._1)))
+
+  private def toDF5(t: Tbl5): DataFrame = t.rows.toDF("k", "s", "v", "w", "n")
+
+  /** Scala mirror of Differ.colEqual's tolerance predicate on doubles:
+    * exact `<=>` (NaN == NaN, both-null) OR |l-r| within the bound.
+    */
+  private def tolEq(l: Option[Double], r: Option[Double],
+                    absTol: Double, relTol: Double): Boolean = (l, r) match {
+    case (None, None) => true
+    case (Some(x), Some(y)) =>
+      (x == y) || (x.isNaN && y.isNaN) ||
+        math.abs(x - y) <= absTol + relTol * math.max(math.abs(x), math.abs(y))
+    case _ => false
+  }
+
+  test("sparse × tolerance: C rows null exactly the columns equal UNDER the tolerance") {
+    import graft.operators.DiffOptions
+    val opts = DiffOptions(absTol = 0.1, sparse = true)
+    for (((ta, tb), i) <- samples(Gen.zip(tbl5Gen, tbl5Gen), 8, seed = 555L).zipWithIndex) {
+      val (a, b) = (toDF5(ta), toDF5(tb))
+      val am = ta.rows.map(r => r._1 -> r).toMap
+      val bm = tb.rows.map(r => r._1 -> r).toMap
+      val out = Differ.diff(a, b, Seq("k"), opts).collect()
+      for (row <- out if row.getAs[String]("diff_status") == "C") {
+        val k = row.getAs[Long]("k")
+        val (ra, rb) = (am(k), bm(k))
+        // tolerance applies to the floating v/w columns (tolCols empty),
+        // NOT to the string s or int n columns
+        val eqByCol = Map(
+          "s" -> (ra._2 == rb._2),
+          "v" -> tolEq(ra._3, rb._3, 0.1, 0.0),
+          "w" -> tolEq(ra._4, rb._4, 0.1, 0.0),
+          "n" -> (ra._5 == rb._5))
+        for ((c, eq) <- eqByCol) {
+          val (lv, rv) = (row.getAs[Any](s"left_$c"), row.getAs[Any](s"right_$c"))
+          if (eq)
+            assert(lv == null && rv == null,
+              s"case $i k=$k col $c equal-under-tol but not nulled: $lv/$rv")
+          else {
+            // the differing column keeps both sides verbatim (null only
+            // where the source value itself was null)
+            assert(colVal(ra, c).map(_.toString) == Option(lv).map(_.toString) &&
+                   colVal(rb, c).map(_.toString) == Option(rv).map(_.toString),
+              s"case $i k=$k col $c differing column must keep source values: $lv/$rv")
+          }
+        }
+      }
+    }
+  }
+
+  private def colIdx(c: String): Int =
+    Map("s" -> 1, "v" -> 2, "w" -> 3, "n" -> 4)(c)
+
+  private def colVal(r: (Long, Option[String], Option[Double], Option[Double], Option[Int]),
+                     c: String): Option[Any] =
+    r.productElement(colIdx(c)).asInstanceOf[Option[Any]]
+
+  test("mapped × ignore: ignoreCols resolves post-mapping; equals plain diff with ignore") {
+    import graft.operators.DiffOptions
+    val opts = DiffOptions(ignoreCols = Set("w"), absTol = 0.1)
+    for ((ta, tb) <- samples(Gen.zip(tbl5Gen, tbl5Gen), 6, seed = 777L)) {
+      val (a, b) = (toDF5(ta), toDF5(tb))
+      val bRenamed = b.withColumnRenamed("v", "vv").withColumnRenamed("w", "ww")
+      val mapped = Differ.diffMapped(a, bRenamed, Seq("k"),
+        Map("v" -> "vv", "w" -> "ww"), opts)
+      val plain = Differ.diff(a, b, Seq("k"), opts)
+      // the ignored (left-named, mapped) column is absent from the output
+      assert(!mapped.columns.exists(_.endsWith("_w")) &&
+             !mapped.columns.exists(_.endsWith("_ww")))
+      assert(rowsOf(mapped) == rowsOf(plain))
+    }
+  }
+
+  test("tolCols × relTol: tolerance lands ONLY on the named int column, floats go exact") {
+    import graft.operators.DiffOptions
+    val opts = DiffOptions(relTol = 0.5, tolCols = Set("n"))
+    for (((ta, tb), i) <- samples(Gen.zip(tbl5Gen, tbl5Gen), 8, seed = 888L).zipWithIndex) {
+      val (a, b) = (toDF5(ta), toDF5(tb))
+      val am = ta.rows.map(r => r._1 -> r).toMap
+      val bm = tb.rows.map(r => r._1 -> r).toMap
+      val got = Differ.diff(a, b, Seq("k"), opts).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("diff_status")).toMap
+      for (k <- am.keySet ++ bm.keySet) {
+        val expect = (am.get(k), bm.get(k)) match {
+          case (Some(ra), Some(rb)) =>
+            val eq = ra._2 == rb._2 &&
+              tolEq(ra._3, rb._3, 0, 0) && tolEq(ra._4, rb._4, 0, 0) &&
+              tolEq(ra._5.map(_.toDouble), rb._5.map(_.toDouble), 0, 0.5)
+            if (eq) "N" else "C"
+          case (Some(_), None) => "D"
+          case (None, Some(_)) => "I"
+          case _ => sys.error("unreachable")
+        }
+        assert(got(k) == expect, s"case $i k=$k: got ${got(k)}, expect $expect")
+      }
+    }
+  }
+
+  test("nullSafeKeys=false ≡ default on non-null-keyed tables, with sparse+tolerance on") {
+    import graft.operators.DiffOptions
+    for ((ta, tb) <- samples(Gen.zip(tbl5Gen, tbl5Gen), 6, seed = 9999L)) {
+      val (a, b) = (toDF5(ta), toDF5(tb)) // k is Long — never null
+      val base = DiffOptions(absTol = 0.1, sparse = true)
+      val fast = Differ.diff(a, b, Seq("k"), base.copy(nullSafeKeys = false))
+      val safe = Differ.diff(a, b, Seq("k"), base)
+      assert(rowsOf(fast) == rowsOf(safe))
+    }
+  }
+
+  test("tolerance × flip: symmetric bound ⇒ flip swaps I<->D, preserves C/N") {
+    import graft.operators.DiffOptions
+    val opts = DiffOptions(absTol = 0.05, relTol = 0.1)
+    for ((ta, tb) <- samples(Gen.zip(tbl5Gen, tbl5Gen), 6, seed = 31337L)) {
+      val (a, b) = (toDF5(ta), toDF5(tb))
+      val ab = counts(Differ.diff(a, b, Seq("k"), opts))
+      val ba = counts(Differ.diff(b, a, Seq("k"), opts))
+      assert(ab("I") == ba("D") && ab("D") == ba("I"))
+      assert(ab("C") == ba("C") && ab("N") == ba("N"))
+    }
+  }
+
   test("exceptAll/anti-join agreement on key-unique tables") {
     val cases = samples(Gen.zip(tblGen, tblGen), 6, seed = 7L)
     for ((ta, tb) <- cases) {
