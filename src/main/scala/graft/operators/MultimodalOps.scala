@@ -13,14 +13,23 @@ final case class MediaFeature(
 /** One sampled "frame" (fixed-size byte window) of a media object. */
 final case class MediaFrame(id: Long, frameIdx: Int, nBytes: Int, fingerprint: Long)
 
+/** Decoded image features for one media object: real pixel dims + a
+  * grid-pooled luminance feature. `decoded = false` rows fell back to the
+  * byte-level stub (payload was not a decodable image).
+  */
+final case class ImageFeature(
+    id: Long, width: Int, height: Int, decoded: Boolean, feature: Array[Float])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual codecs (JPEG decode, audio resample, video frame grab) are
-  * NOT available in this environment, so [[fakeDecode]] is a STUB — a
-  * deterministic rolling-hash "decoder" standing in for the real library
-  * call. Everything around it is the real production shape and is pinned
-  * by MultimodalSpec:
+  * The IMAGE decode layer is real: [[decodeImage]] /
+  * [[extractImageFeatures]] / [[thumbnail]] run `javax.imageio` (ships in
+  * the JDK — PNG/JPEG/BMP/GIF codecs) inside the per-partition batch, with
+  * the deterministic [[fakeDecode]] stub as the fallback for payloads that
+  * are not decodable images. Audio/video codecs are NOT available in this
+  * environment, so those families keep the stub. Everything around the
+  * codec is the real production shape and is pinned by MultimodalSpec:
   *   - schema: (id, mime, content binary) in / typed case-class out, so
   *     Parquet round-trips and Catalyst prunes metadata without touching
   *     payloads;
@@ -47,6 +56,103 @@ object MultimodalOps {
       i += 1
     }
     (h, feature)
+  }
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF): None for
+    * payloads no installed codec accepts — the caller decides the
+    * fallback, nothing throws on garbage bytes.
+    */
+  def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Grid-pooled mean luminance (ITU-R 601 integer weights, normalized to
+    * [0, 1]) — a real pixel-domain feature: grid×grid cells, each the mean
+    * luminance of its pixel block (cells an image smaller than the grid
+    * never touches stay 0).
+    */
+  def luminanceGrid(img: java.awt.image.BufferedImage, grid: Int): Array[Float] = {
+    require(grid > 0, "grid must be positive")
+    val feature = new Array[Float](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val rowCell = (y.toLong * grid / h).toInt * grid
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f / 255f
+        val cell = rowCell + (x.toLong * grid / w).toInt
+        feature(cell) += lum; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < feature.length) { if (counts(c) > 0) feature(c) /= counts(c); c += 1 }
+    feature
+  }
+
+  /** Per-partition batch image feature extraction with the REAL decoder:
+    * ImageIO decode → dims + [[luminanceGrid]]; undecodable payloads fall
+    * back to [[fakeDecode]] over the raw bytes (decoded = false, dims -1)
+    * instead of failing the batch — at 100 TB a corrupt object must cost
+    * one row, not a task retry storm.
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord], grid: Int = 4): Dataset[ImageFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      // per-partition codec init site: keep ImageIO off its disk cache
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { m =>
+        decodeImage(m.content) match {
+          case Some(img) =>
+            ImageFeature(m.id, img.getWidth, img.getHeight, decoded = true,
+              luminanceGrid(img, grid))
+          case None =>
+            val (_, feat) = fakeDecode(m.content, grid * grid)
+            ImageFeature(m.id, -1, -1, decoded = false, feat)
+        }
+      }
+    }
+  }
+
+  /** Real image resize: decode, scale so the longer side is `maxSide`
+    * (never upscale), re-encode PNG — the thumbnailing batch job. Payloads
+    * that don't decode pass through unchanged (same corrupt-object
+    * contract as [[extractImageFeatures]]); mime flips to image/png on
+    * re-encoded rows.
+    */
+  def thumbnail(media: Dataset[MediaRecord], maxSide: Int): Dataset[MediaRecord] = {
+    require(maxSide > 0, "maxSide must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { m =>
+        decodeImage(m.content) match {
+          case Some(img) if math.max(img.getWidth, img.getHeight) > maxSide =>
+            val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+            val (tw, th) = (math.max(1, math.round(img.getWidth * scale).toInt),
+              math.max(1, math.round(img.getHeight * scale).toInt))
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            MediaRecord(m.id, "image/png", bos.toByteArray)
+          case _ => m
+        }
+      }
+    }
   }
 
   /** Wrap a DataFrame with a binary column into the typed media Dataset. */

@@ -919,6 +919,53 @@ object PipelineQueries {
           ascii(expr("substr(text, CAST(n_chars AS INT), 1)")).cast("long").as("last_byte"))
     },
 
+    Q("multimodal_decode",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(4 + n_nationkey % 5 AS INT) AS width,
+        |       CAST(3 + n_nationkey % 4 AS INT) AS height,
+        |       CAST((n_nationkey * 37) % 256 AS INT) AS gray_level
+        |FROM nation""".stripMargin) {
+      (s, d) =>
+        // REAL codec in the gate (r7 ask #7): encode one genuine PNG per
+        // nation row — dims and uniform gray level are closed-form
+        // functions of the key — then decode it back with the JDK's
+        // ImageIO (MultimodalOps.extractImageFeatures) inside the
+        // per-partition batch and report what the DECODER measured. The
+        // oracle recomputes the closed form, so a wrong decode (dims off,
+        // pixel values off, fallback row) flips the hash. gray_level is
+        // the decoded mean luminance re-scaled to the byte domain:
+        // round(mean·255) is integer-exact for a uniform image (float
+        // accumulation error « 0.5), sidestepping float-vs-double
+        // round(…, 5) boundary fragility. 100 TB shape: row-local
+        // encode→decode, no shuffle; the codec initializes once per
+        // partition, and a corrupt payload costs one fallback row, not a
+        // task retry (pinned in MultimodalSpec).
+        import s.implicits._
+        import graft.operators.{MediaRecord, MultimodalOps}
+        val media = Tables.cachedTable(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("id")).as[Long]
+          .map { id =>
+            val w = (4 + id % 5).toInt
+            val h = (3 + id % 4).toInt
+            val g = ((id * 37) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRecord(id, "image/png", bos.toByteArray)
+          }
+        MultimodalOps.extractImageFeatures(media, grid = 1)
+          .map(f => (f.id, f.width, f.height, math.round(f.feature(0) * 255f)))
+          .toDF("id", "width", "height", "gray_level")
+    },
+
     Q("embed_quantize",
       """WITH a AS (
         |  SELECT vec_id, label, embedding AS v,

@@ -79,4 +79,53 @@ class MultimodalSpec extends SparkTestBase {
     val b = MultimodalOps.extractFeatures(back, 4).collect().sortBy(_.id).map(_.fingerprint).toSeq
     assert(a == b)
   }
+
+  // ---- real javax.imageio decode path (r7 verdict ask #7) ----------------
+
+  /** Deterministic PNG fixture: w×h image, pixel (x, y) colored by f. */
+  private def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("extractImageFeatures decodes GENUINE png bytes: dims + luminance grid") {
+    // left half black, right half white, 8x4 -> 2x2 grid means [0, 1, 0, 1]
+    val png = pngBytes(8, 4)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val gray = pngBytes(3, 3)((_, _) => 0x808080) // uniform 128-gray
+    val junk = "not an image at all".getBytes("UTF-8")
+    val media = MultimodalOps.toMedia(
+      Seq((1L, png), (2L, gray), (3L, junk)).toDF("id", "payload"),
+      "id", "payload", "image/png")
+    val feats = MultimodalOps.extractImageFeatures(media, grid = 2)
+      .collect().sortBy(_.id)
+    val Array(half, uniform, bad) = feats
+    assert(half.decoded && half.width == 8 && half.height == 4)
+    assert(half.feature.length == 4)
+    assert(half.feature(0) == 0f && half.feature(2) == 0f, "black cells")
+    assert(half.feature(1) == 1f && half.feature(3) == 1f, "white cells")
+    assert(uniform.decoded && uniform.width == 3 && uniform.height == 3)
+    // uniform 128-gray: every cell is exactly 128*1000/1000/255
+    assert(uniform.feature.forall(v => math.abs(v - 128f / 255f) < 1e-6))
+    // garbage bytes: stub fallback, never a task failure
+    assert(!bad.decoded && bad.width == -1 && bad.height == -1)
+    assert(bad.feature.sameElements(MultimodalOps.fakeDecode(junk, 4)._2))
+  }
+
+  test("thumbnail really rescales: re-decoded dims shrink to maxSide, aspect kept") {
+    val png = pngBytes(16, 8)((x, y) => if ((x + y) % 2 == 0) 0xff0000 else 0x00ff00)
+    val small = pngBytes(3, 2)((_, _) => 0x123456)
+    val junk = Array[Byte](1, 2, 3)
+    val media = MultimodalOps.toMedia(
+      Seq((1L, png), (2L, small), (3L, junk)).toDF("id", "payload"),
+      "id", "payload", "image/png")
+    val out = MultimodalOps.thumbnail(media, maxSide = 4).collect().sortBy(_.id)
+    val big = MultimodalOps.decodeImage(out(0).content).get
+    assert(big.getWidth == 4 && big.getHeight == 2, "16x8 -> 4x2 at maxSide 4")
+    // already-small image and undecodable payload pass through byte-identical
+    assert(out(1).content.sameElements(small) && out(2).content.sameElements(junk))
+  }
 }
