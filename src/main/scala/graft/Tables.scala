@@ -64,6 +64,26 @@ object Tables {
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, s"$dir/$name")(table(spark, dir, name))
 
+  /** Explicit unpersist hook for everything [[cached]] registered against
+    * one session: each frame is unpersisted individually and dropped from
+    * the registry. NEVER `spark.catalog.clearCache()` — that would also
+    * evict cache entries the caller doesn't own (a shared test session's
+    * other suites, a notebook's own frames). Suites and long-lived
+    * sessions call this to release the shared codebooks/tf frames without
+    * cross-suite InMemoryRelation substitution hazards.
+    */
+  def unpersistAll(spark: SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
   /** events with `ts_us`: microsecond bigint timestamp, the canonical
     * cross-engine time column (== DuckDB `epoch_us(ts)`). The fixture's `ts`
     * physical type has varied across generator versions — timestamp[ns]

@@ -39,4 +39,26 @@ class TablesSpec extends SparkTestBase {
       assert(got == us, s"${df.schema("ts").dataType} bridged to $got, want $us")
     }
   }
+
+  test("unpersistAll releases exactly this session's registry entries") {
+    import spark.implicits._
+    val df = Tables.cached(spark, "tablesspec-unpersist-probe") {
+      Seq(1, 2, 3).toDF("x")
+    }
+    df.count()
+    assert(df.storageLevel.useMemory, "registered frame should be cached")
+    // an independently-cached frame the registry does NOT own must survive
+    val foreign = Seq(9).toDF("y").cache()
+    foreign.count()
+    Tables.unpersistAll(spark)
+    assert(!df.storageLevel.useMemory, "registry frame still cached after hook")
+    assert(foreign.storageLevel.useMemory, "hook must not clearCache foreign frames")
+    foreign.unpersist()
+    // the registry key is free again: a rebuild gets a fresh cached frame
+    val rebuilt = Tables.cached(spark, "tablesspec-unpersist-probe") {
+      Seq(4).toDF("x")
+    }
+    assert(rebuilt.head().getInt(0) == 4, "stale registry entry returned after unpersistAll")
+    Tables.unpersistAll(spark)
+  }
 }
