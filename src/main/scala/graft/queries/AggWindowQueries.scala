@@ -471,6 +471,43 @@ object AggWindowQueries {
         .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
     },
 
+    // Exponentially weighted moving average (r8) — the signal-smoothing
+    // primitive (metric dashboards, anomaly baselines): per user over the
+    // event sequence, EWMA with decay 1/2 over the last 8 observations,
+    // renormalized over the lags actually present at the partition head.
+    // An unbounded-history EWMA is inherently sequential (state carried
+    // row to row — a streaming op, cf. mapGroupsWithState); the BOUNDED
+    // formulation is the batch-window shape: 8 lag() frames over ONE
+    // (user, ts) sort, no state, no self-join. Bit-exact across engines
+    // with no rounding: 0.5^j scales are exponent shifts (exact), both
+    // engines sum the terms in the same left-associated order, one IEEE
+    // division at the end.
+    Q("window_ewma", {
+      val num = (1 to 7).map(j =>
+        s"coalesce(v$j * ${math.pow(0.5, j)}, 0)").mkString(" + ")
+      val den = (1 to 7).map(j =>
+        s"CASE WHEN v$j IS NULL THEN 0 ELSE ${math.pow(0.5, j)} END").mkString(" + ")
+      s"""SELECT event_id, user_id, ts_us, value,
+         |       (value + $num) / (1 + $den) AS ewma
+         |FROM (
+         |  SELECT event_id, user_id, ts_us, value,
+         |         ${(1 to 7).map(j => s"lag(value, $j) OVER w AS v$j").mkString(", ")}
+         |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val lags = (1 to 7).map(j => (lag("value", j).over(w), math.pow(0.5, j)))
+      val num = lags.foldLeft(col("value")) { case (acc, (lg, p)) =>
+        acc + coalesce(lg * lit(p), lit(0.0))
+      }
+      val den = lags.foldLeft(lit(1.0)) { case (acc, (lg, p)) =>
+        acc + when(lg.isNull, lit(0.0)).otherwise(lit(p))
+      }
+      Tables.events(s, d)
+        .select("event_id", "user_id", "ts_us", "value")
+        .withColumn("ewma", num / den)
+    },
+
     Q("window_first_last",
       """SELECT o_orderkey, o_custkey,
         |       first_value(o_orderkey) OVER w AS first_key,

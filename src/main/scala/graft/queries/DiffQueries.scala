@@ -82,6 +82,55 @@ object DiffQueries {
   private val valueCols =
     Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** Spark twin of [[Scd2Ctes]]'s `dim`: the SCD2 history built from the
+    * three snapshot versions via [[Differ.scd2]].
+    */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    def tag(df: DataFrame, v: Int) =
+      df.select(col("o_orderkey"), lit(v).as("version"), col("o_totalprice"))
+    val snaps = tag(left(s, d), 0)
+      .unionByName(tag(right(s, d), 1))
+      .unionByName(tag(right2(s, d), 2))
+    Differ.scd2(snaps, keys, "version", Seq("o_totalprice"), maxVersion = 2)
+  }
+
+  /** Shared SCD2 oracle chain: snapshots v0/v1/v2 → `dim(o_orderkey,
+    * o_totalprice, valid_from, valid_to)` — the history table diff_scd2
+    * emits and join_scd2_pit point-in-time-joins facts against.
+    */
+  private val Scd2Ctes: String =
+    s"""$Prelude,
+       |r2 AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
+       |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+       |              ELSE o_totalprice END AS o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 113 <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 79 = 0
+       |),
+       |snaps AS (
+       |  SELECT o_orderkey AS k, 0 AS v, o_totalprice AS price FROM l
+       |  UNION ALL SELECT o_orderkey, 1, o_totalprice FROM r
+       |  UNION ALL SELECT o_orderkey, 2, o_totalprice FROM r2),
+       |m AS (SELECT *, lag(v) OVER w AS pv, lag(price) OVER w AS pp
+       |      FROM snaps WINDOW w AS (PARTITION BY k ORDER BY v)),
+       |b AS (SELECT *, CASE WHEN pv IS NULL OR pv <> v - 1
+       |                       OR pp IS DISTINCT FROM price THEN 1 ELSE 0 END AS brk
+       |      FROM m),
+       |sg AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY v
+       |                                ROWS UNBOUNDED PRECEDING) AS seg
+       |       FROM b),
+       |dim AS (
+       |  SELECT k AS o_orderkey, max(price) AS o_totalprice,
+       |         CAST(min(v) AS BIGINT) AS valid_from,
+       |         CAST(CASE WHEN max(v) = 2 THEN NULL ELSE max(v) + 1 END AS BIGINT)
+       |           AS valid_to
+       |  FROM sg GROUP BY k, seg)""".stripMargin
+
   private def anyDistinct(cols: Seq[String]): String =
     cols.map(c => s"l.$c IS DISTINCT FROM r.$c").mkString(" OR ")
 
@@ -605,43 +654,56 @@ object DiffQueries {
     // Fixture versions: v0 = orders, v1 = the diff churn, v2 = the merge3
     // branch — so the history exercises every transition (stable keys,
     // one-version deletes, price flips that revert, late inserts).
-    Q("diff_scd2",
-      s"""$Prelude,
-         |r2 AS (
-         |  SELECT o_orderkey, o_custkey, o_orderstatus,
-         |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
-         |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
-         |              ELSE o_totalprice END AS o_totalprice,
-         |         o_orderdate, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 113 <> 0
-         |  UNION ALL
-         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
-         |         o_orderdate, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 79 = 0
-         |),
-         |snaps AS (
-         |  SELECT o_orderkey AS k, 0 AS v, o_totalprice AS price FROM l
-         |  UNION ALL SELECT o_orderkey, 1, o_totalprice FROM r
-         |  UNION ALL SELECT o_orderkey, 2, o_totalprice FROM r2),
-         |m AS (SELECT *, lag(v) OVER w AS pv, lag(price) OVER w AS pp
-         |      FROM snaps WINDOW w AS (PARTITION BY k ORDER BY v)),
-         |b AS (SELECT *, CASE WHEN pv IS NULL OR pv <> v - 1
-         |                       OR pp IS DISTINCT FROM price THEN 1 ELSE 0 END AS brk
-         |      FROM m),
-         |sg AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY v
-         |                                ROWS UNBOUNDED PRECEDING) AS seg
-         |       FROM b)
-         |SELECT k AS o_orderkey, max(price) AS o_totalprice,
-         |       CAST(min(v) AS BIGINT) AS valid_from,
-         |       CAST(CASE WHEN max(v) = 2 THEN NULL ELSE max(v) + 1 END AS BIGINT)
-         |         AS valid_to
-         |FROM sg GROUP BY k, seg""".stripMargin) { (s, d) =>
-      def tag(df: DataFrame, v: Int) =
-        df.select(col("o_orderkey"), lit(v).as("version"), col("o_totalprice"))
-      val snaps = tag(left(s, d), 0)
-        .unionByName(tag(right(s, d), 1))
-        .unionByName(tag(right2(s, d), 2))
-      Differ.scd2(snaps, keys, "version", Seq("o_totalprice"), maxVersion = 2)
+    Q("diff_scd2", s"""$Scd2Ctes
+         |SELECT o_orderkey, o_totalprice, valid_from, valid_to FROM dim""".stripMargin) { (s, d) =>
+      scd2Dim(s, d)
+    },
+
+    // Point-in-time (PIT) dimension join (r8) — the feature-store
+    // correctness primitive: each fact row joins the SCD2 dimension row
+    // that was VALID AT the fact's as-of version, never today's value
+    // (training-serving skew guard). Facts are lineitems with as-of
+    // version l_linenumber % 3; a fact whose as-of falls in a validity
+    // GAP (key deleted at that version) correctly drops — "no dimension
+    // existed then" IS the PIT answer.
+    //
+    // Scale shape: the range predicate (valid_from <= v < valid_to) is
+    // NOT executed as a range join — each dim interval explodes to its
+    // ≤ maxVersion+1 integer versions (bounded fan-out) and the join
+    // becomes a plain equi-join on (key, version) that shuffles/SMJs on
+    // the fact key. At 100 TB: the exploded dim is still dim-sized×3,
+    // the fact table shuffles once on its join key, no BNLJ anywhere
+    // (timestamp-valid dims use join_asof's window machinery instead).
+    Q("join_scd2_pit",
+      s"""$Scd2Ctes,
+         |dimv AS (
+         |  SELECT o_orderkey, o_totalprice, valid_from, valid_to, g.v AS v
+         |  FROM dim,
+         |       (SELECT unnest(generate_series(0, 2)) AS v) g
+         |  WHERE g.v >= valid_from AND g.v < coalesce(valid_to, 3)),
+         |fact AS (
+         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |         CAST(l_linenumber % 3 AS BIGINT) AS asof_v
+         |  FROM lineitem)
+         |SELECT f.l_orderkey, f.l_linenumber, f.asof_v,
+         |       d.o_totalprice AS price_at_v, d.valid_from, d.valid_to
+         |FROM fact f JOIN dimv d
+         |  ON d.o_orderkey = f.l_orderkey AND d.v = f.asof_v""".stripMargin) {
+      (s, d) =>
+        val dim = scd2Dim(s, d)
+        val dimv = dim.withColumn("v",
+          explode(sequence(col("valid_from"),
+            coalesce(col("valid_to"), lit(3L)) - 1L)))
+        val fact = Tables.cachedTable(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (col("l_linenumber") % 3).cast("long").as("asof_v"))
+        fact.join(dimv,
+            fact("l_orderkey") === dimv("o_orderkey") &&
+              fact("asof_v") === dimv("v"))
+          .select(fact("l_orderkey"), col("l_linenumber"), col("asof_v"),
+            dimv("o_totalprice").as("price_at_v"),
+            col("valid_from"), col("valid_to"))
     },
 
     Q("mv_incremental",

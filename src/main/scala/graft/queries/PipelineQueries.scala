@@ -1427,6 +1427,56 @@ object PipelineQueries {
                 coalesce(col("h"), lit(0L)).cast("long").as("n_hit"))
     },
 
+    // Matryoshka truncation eval (r8, Kusupati et al. 2022): how much
+    // retrieval quality survives if vectors are cut to their first 16 of
+    // 64 dims (the 4× memory/latency lever MRL-trained embedders are sold
+    // on — and the eval a pipeline runs BEFORE flipping a serving index to
+    // truncated vectors). Per probe: |top-10 by full cosine ∩ top-10 by
+    // truncated cosine|. One corpus×probes scan computes BOTH scores
+    // (the truncated ranking reads a slice of the same row — no second
+    // scan, no second shuffle); each ranking is the two-phase bucketed
+    // top-k, overlap is an id-only join. Parity: identical float→double
+    // slice semantics, round(·,5) before ranking, vec_id tiebreak.
+    Q("embed_matryoshka_eval",
+      """WITH el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, v AS pv FROM el WHERE vec_id < 8),
+        |sc AS (SELECT pr.probe_id, el.vec_id,
+        |              round(list_cosine_similarity(el.v, pr.pv), 5) AS c_full,
+        |              round(list_cosine_similarity(el.v[1:16], pr.pv[1:16]), 5) AS c_trunc
+        |       FROM el, pr WHERE el.vec_id <> pr.probe_id),
+        |fu AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY c_full DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 10),
+        |tr AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY c_trunc DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 10),
+        |h AS (SELECT fu.probe_id, count(*) AS n_hit
+        |      FROM fu JOIN tr USING (probe_id, vec_id) GROUP BY 1)
+        |SELECT pr.probe_id, CAST(16 AS BIGINT) AS trunc_dim, CAST(10 AS BIGINT) AS k,
+        |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+        |FROM pr LEFT JOIN h USING (probe_id)""".stripMargin) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorOps.cosineF(col("embedding"), col("pv")), 5).as("c_full"),
+          round(VectorOps.cosineF(
+            slice(col("embedding"), 1, 16), slice(col("pv"), 1, 16)), 5).as("c_trunc"))
+      def top10(c: String) = TextOps.topKPerGroup(
+        scored.select("probe_id", "vec_id", c),
+        Seq("probe_id"), Seq(col(c).desc, col("vec_id")), 10,
+        bucketOn = col("vec_id"))
+        .select("probe_id", "vec_id")
+      val hits = top10("c_full").join(top10("c_trunc"), Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("h"))
+      probes.select("probe_id")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), lit(16L).as("trunc_dim"), lit(10L).as("k"),
+          coalesce(col("h"), lit(0L)).cast("long").as("n_hit"))
+    },
+
     // Link prediction over the kNN similarity graph (r7): common-neighbour
     // Jaccard for NON-edges — the "should these be connected" score behind
     // cluster repair and diversity-aware retrieval expansion (Liben-Nowell

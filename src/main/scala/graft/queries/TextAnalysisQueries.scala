@@ -31,6 +31,57 @@ object TextAnalysisQueries {
   private val ScrubPattern = "\\b(customer|spark|vector)\\b"
   private val ScrubMask = "[SCRUBBED]"
 
+  /** Per-doc add-1-smoothed bigram LM score (sc_doc_id, n_bigrams,
+    * avg_logp) under the corpus's own LM — built ONCE per (session, dir)
+    * over the shared cached bigram-occurrence frame and consumed by both
+    * quality_perplexity (the keep/drop gate) and domain_ppl_buckets (the
+    * CCNet head/middle/tail split). Per-row DECIMAL(18,6) ln quantization
+    * keeps the cross-row sum order-free and engine-exact.
+    */
+  private def docLogp(s: SparkSession, d: String): DataFrame =
+    Tables.cached(s, s"$d/doc-avg-logp") {
+      val docs = Tables.cachedTable(s, d, "documents")
+      val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val occ = Tables.cached(s, s"$d/bigram-occ") {
+        t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+      }
+      val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
+      val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val v = t.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+      occ.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+        .withColumn("lp",
+          log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))
+            .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
+        .withColumnRenamed("doc_id", "sc_doc_id")
+    }
+
+  /** The SQL chain computing the same per-doc scores — CTEs ending in
+    * `sc(doc_id, n_bigrams, avg_logp)`; consumers append their tail.
+    */
+  private val DocLogpCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+      |           ELSE list_transform(generate_series(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+      |  FROM t),
+      |o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM occ),
+      |c2 AS (SELECT bg, count(*) AS n2 FROM o GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM o GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS vocab
+      |      FROM (SELECT unnest(toks) AS tok FROM t)),
+      |lp AS (SELECT o.doc_id,
+      |         CAST(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS DECIMAL(18,6)) AS lp
+      |       FROM o JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |              CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+      |       FROM lp GROUP BY 1)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("text_quality",
       s"""WITH t AS (
@@ -326,23 +377,7 @@ object TextAnalysisQueries {
     },
 
     Q("quality_perplexity",
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |occ AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
-        |           ELSE list_transform(generate_series(1, len(toks) - 1),
-        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
-        |  FROM t),
-        |o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM occ),
-        |c2 AS (SELECT bg, count(*) AS n2 FROM o GROUP BY 1),
-        |c1 AS (SELECT w1, count(*) AS n1 FROM o GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok) AS vocab
-        |      FROM (SELECT unnest(toks) AS tok FROM t)),
-        |lp AS (SELECT o.doc_id,
-        |         CAST(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS DECIMAL(18,6)) AS lp
-        |       FROM o JOIN c2 USING (bg) JOIN c1 USING (w1), v),
-        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |              CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
-        |       FROM lp GROUP BY 1)
+      s"""$DocLogpCtes
         |SELECT d.doc_id, d.lang,
         |       coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
         |       sc.avg_logp,
@@ -366,23 +401,7 @@ object TextAnalysisQueries {
         // + one occurrence shuffle (all shared with text_ngram_lm), then a
         // doc-keyed left join back to the corpus scan.
         val docs = Tables.cachedTable(s, d, "documents")
-        val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val occ = Tables.cached(s, s"$d/bigram-occ") {
-          t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
-            .withColumn("w1", substring_index(col("bg"), " ", 1))
-        }
-        val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
-        val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
-        val v = t.select(explode(col("toks")).as("tok"))
-          .agg(countDistinct(col("tok")).as("vocab"))
-        val sc = occ.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
-          .withColumn("lp",
-            log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))
-              .cast(DecimalType(18, 6)))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
-          .withColumnRenamed("doc_id", "sc_doc_id")
+        val sc = docLogp(s, d)
         docs.select(col("doc_id"), col("lang"))
           .join(sc, col("doc_id") === col("sc_doc_id"), "left")
           .select(
@@ -394,6 +413,55 @@ object TextAnalysisQueries {
             when(col("sc_doc_id").isNull, "no_bigrams")
               .when(col("avg_logp") >= -3.425, "ok")
               .otherwise("high_perplexity").as("reason"))
+    },
+
+    // CCNet head/middle/tail split (r8, Wenzek et al. 2020): per language,
+    // docs bucket into perplexity TERCILES (head = least perplex third —
+    // the slice CCNet keeps for LM pretraining; tail = the noisy third).
+    // Unlike quality_perplexity's fixed threshold this is the
+    // self-calibrating form — thresholds are exact per-lang percentiles of
+    // the corpus's own scores, so the split survives domain shift without
+    // retuning. Rides the ONE cached per-doc LM score frame (docLogp);
+    // thresholds are a langs-sized broadcast; census + ppm share are
+    // integer-exact. 100 TB: score pass is shared, percentile is per-lang
+    // (the agg_percentile machinery), bucket assignment is a projection.
+    Q("domain_ppl_buckets",
+      s"""$DocLogpCtes,
+        |sl AS (SELECT d.doc_id, d.lang, sc.avg_logp
+        |       FROM documents d LEFT JOIN sc USING (doc_id)),
+        |th AS (SELECT lang, quantile_cont(avg_logp, 1.0/3) AS q1,
+        |              quantile_cont(avg_logp, 2.0/3) AS q2
+        |       FROM sl WHERE avg_logp IS NOT NULL GROUP BY 1),
+        |bk AS (SELECT sl.lang,
+        |              CASE WHEN sl.avg_logp IS NULL THEN 'unscored'
+        |                   WHEN sl.avg_logp >= th.q2 THEN 'head'
+        |                   WHEN sl.avg_logp >= th.q1 THEN 'middle'
+        |                   ELSE 'tail' END AS bucket
+        |       FROM sl LEFT JOIN th USING (lang)),
+        |ct AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n_docs) AS t FROM ct GROUP BY 1)
+        |SELECT ct.lang, ct.bucket, ct.n_docs,
+        |       CAST(ct.n_docs * 1000000 // tot.t AS BIGINT) AS ppm
+        |FROM ct JOIN tot USING (lang)""".stripMargin) { (s, d) =>
+      val docs = Tables.cachedTable(s, d, "documents")
+      val sl = docs.select(col("doc_id"), col("lang"))
+        .join(docLogp(s, d), col("doc_id") === col("sc_doc_id"), "left")
+        .select(col("lang"), col("avg_logp"))
+      val th = sl.filter(col("avg_logp").isNotNull).groupBy("lang")
+        .agg(percentile(col("avg_logp"), lit(1.0 / 3)).as("q1"),
+          percentile(col("avg_logp"), lit(2.0 / 3)).as("q2"))
+      val bk = sl.join(broadcast(th), Seq("lang"), "left")
+        .select(col("lang"),
+          when(col("avg_logp").isNull, "unscored")
+            .when(col("avg_logp") >= col("q2"), "head")
+            .when(col("avg_logp") >= col("q1"), "middle")
+            .otherwise("tail").as("bucket"))
+      val ct = bk.groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+      val tot = ct.groupBy("lang").agg(sum("n_docs").as("t"))
+      ct.join(broadcast(tot), "lang")
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          expr("CAST(n_docs * 1000000 DIV t AS BIGINT)").as("ppm"))
     },
 
     Q("text_idf",
@@ -490,6 +558,64 @@ object TextAnalysisQueries {
             col("topn").cast("long").as("top_tok_n"), col("nstop").as("n_stop"),
             reason.as("reason"),
             (reason === "ok").cast("long").as("keep"))
+    },
+
+    // PII detection + redaction (r8) — the privacy gate every training
+    // corpus runs before release (emails, phone numbers; production adds
+    // SSNs/credit cards to the same pattern table). The fixture corpus is
+    // digit-free, so the query first plants synthetic PII as a CLOSED-FORM
+    // function of doc_id (the multimodal_decode trick) — both engines
+    // build the identical dirty text, then both run the identical
+    // leftmost-longest regexes, so the oracle checks the DETECTOR, not
+    // the plant. Patterns stay in the RE2 ∩ java.util.regex common
+    // dialect (no lookaround/backrefs). 100 TB shape: pure per-row
+    // projection — regex scan + replace, zero shuffles; the pattern table
+    // broadcasts as a constant.
+    Q("text_pii_scrub", {
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "\\d{3}-\\d{4}"
+      s"""WITH dirty AS (
+         |  SELECT doc_id, lang,
+         |         text ||
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN ' contact user' || doc_id || '@example.com now'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         |                   || ' today'
+         |              ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |       CAST(length(t) AS BIGINT) AS len_raw,
+         |       CAST(length(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |                                  '$phone', '<PHONE>', 'g')) AS BIGINT)
+         |         AS len_scrubbed
+         |FROM dirty""".stripMargin
+    }) { (s, d) =>
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "\\d{3}-\\d{4}"
+      val dirty = Tables.cachedTable(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit(" today"))).otherwise(lit(""))).as("t"))
+      dirty.select(
+        col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        length(col("t")).cast("long").as("len_raw"),
+        length(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>")).cast("long").as("len_scrubbed"))
     },
 
     Q("text_scrub_blocklist",
