@@ -23,6 +23,11 @@ object RelationalQueries {
     s"/tmp/graft-roundtrip-$run"
   }
 
+  /** Fresh-per-call suffix for TxnLog tables (init refuses to reuse a
+    * log dir, unlike the overwrite-mode roundtrip sinks).
+    */
+  private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def all: Seq[Q] = Seq(
     Q("scan_parquet",
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem") { (s, d) =>
@@ -93,6 +98,55 @@ object RelationalQueries {
       val path = s"$roundtripRoot/csv/${d.replaceAll("[^A-Za-z0-9]", "_")}"
       src.write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true").schema(src.schema).csv(path)
+    },
+
+    // Transactional-table-format coverage (r8) — the lakehouse story the
+    // format matrix (parquet/csv/json/orc/text) stopped short of, built
+    // with ZERO connector jars: graft.sources.TxnLog is a Delta-style
+    // commit log (JSON add/remove actions, atomic-rename commit gate,
+    // snapshot isolation, time travel, copy-on-write overwrite, compaction
+    // as a metadata swap). The query materializes orders as a TxnLog
+    // table, APPENDS a closed-form delta as commit 1, then aggregates the
+    // version-0 (time travel) and version-1 (latest) snapshots; the
+    // oracle recomputes both snapshots from raw orders — a torn read,
+    // wrong live-file set, or time-travel bug flips the hash. Exact
+    // DECIMAL cents keep the sums engine-bit-equal. TxnLogSpec covers the
+    // mechanics (atomicity, overwrite, compaction, concurrent-commit
+    // loser, torn-log fail-fast) directly.
+    Q("scan_txn_log",
+      """WITH delta AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |v1 AS (SELECT * FROM orders UNION ALL SELECT * FROM delta),
+        |a0 AS (SELECT CAST(0 AS BIGINT) AS version, o_orderstatus,
+        |              CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |                AS sum_cents
+        |       FROM orders GROUP BY 2),
+        |a1 AS (SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+        |              CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |                AS sum_cents
+        |       FROM v1 GROUP BY 2)
+        |SELECT * FROM a0 UNION ALL SELECT * FROM a1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/t${txnSeq.incrementAndGet()}"
+      TxnLog.init(orders, table)
+      val delta = orders
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .filter((col("o_orderkey") - 10000000L) % 89 === 0)
+      TxnLog.append(delta, table)
+      def snap(v: Long) = TxnLog.read(s, table, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("o_totalprice").cast("decimal(27,2)")) * 100)
+            .cast("long").as("sum_cents"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+          col("n_rows"), col("sum_cents"))
+      snap(0).unionByName(snap(1))
     },
 
     Q("scan_csv_malformed",
