@@ -857,4 +857,32 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"),
       s"census must not globally sort:\n${plan.take(1500)}")
   }
+
+  test("join_scd2_pit: validity explode makes it an equi-join — no range join fallback") {
+    val plan = physical(DiffQueries.all, "join_scd2_pit")
+    assert(!plan.contains("CartesianProduct"), "PIT join went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "PIT join went nested-loop")
+    assert(plan.contains("Generate explode"), "bounded validity explode missing")
+  }
+
+  test("window_ewma: all 8 lag frames share ONE user-keyed exchange and sort") {
+    val plan = physical(graft.queries.AggWindowQueries.all, "window_ewma")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sorts = plan.linesIterator.count(l => l.contains("Sort ") && !l.contains("SortAgg"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(sorts == 1, s"expected 1 sort feeding every lag, got $sorts")
+  }
+
+  test("text_pii_scrub is a pure projection: zero exchanges, zero joins") {
+    val plan = physical(graft.queries.TextAnalysisQueries.all, "text_pii_scrub")
+    assert(!plan.contains("Exchange"), s"PII scrub must not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), "PII scrub must not join")
+  }
+
+  test("embed_matryoshka_eval: both rankings stay probe-partitioned; probes broadcast") {
+    val plan = physical(graft.queries.PipelineQueries.all, "embed_matryoshka_eval")
+    assert(plan.contains("BroadcastExchange"), "probe side must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus x probes must be the broadcast scan, not a cartesian")
+  }
 }
