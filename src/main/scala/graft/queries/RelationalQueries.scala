@@ -149,6 +149,44 @@ object RelationalQueries {
       snap(0).unionByName(snap(1))
     },
 
+    // MERGE INTO over the TxnLog table (r8) — the Delta-style upsert with
+    // DATA SKIPPING: the update batch (price bump on matched keys + brand
+    //-new keys) rewrites ONLY live files whose [kmin, kmax] stats contain
+    // an update key; every other file is neither read nor moved (pinned
+    // file-granularly in TxnLogSpec). The oracle recomputes the merged
+    // end state from raw orders — a dropped update, resurrected old row,
+    // or lost untouched file flips the hash. At 100 TB this is the nightly
+    // CDC apply: cost O(touched files), not O(table).
+    Q("txn_merge",
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 1.1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/m${txnSeq.incrementAndGet()}"
+      TxnLog.initKeyed(orders, table, "o_orderkey")
+      val updates = orders.filter(col("o_orderkey") % 31 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      TxnLog.merge(s, table, updates, "o_orderkey")
+      TxnLog.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+            .as("sum_price"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness

@@ -60,8 +60,23 @@ object TxnLog {
     s"""{"op":"$op","file":"$file"}"""
   }
 
+  /** Add action with per-file key min/max stats — Delta-style data
+    * skipping: MERGE prunes untouched files by stat overlap without
+    * opening them.
+    */
+  private def statsActionLine(file: String, kmin: Long, kmax: Long): String = {
+    require(!file.exists(c => c == '"' || c == '\\' || c.isControl),
+      s"TxnLog: data file name needs JSON escaping, refusing: $file")
+    s"""{"op":"add","file":"$file","kmin":$kmin,"kmax":$kmax}"""
+  }
+
   private val ActionRe = """\{"op":"(add|remove)","file":"([^"]+)"\}""".r
+  private val StatsRe =
+    """\{"op":"add","file":"([^"]+)","kmin":(-?\d+),"kmax":(-?\d+)\}""".r
   private val HeaderRe = """\{"commit":(\d+),"n_add":(\d+),"n_remove":(\d+)\}""".r
+
+  /** One live data file with its optional key-range stats. */
+  final case class FileStat(file: String, keyRange: Option[(Long, Long)])
 
   /** Latest committed version, or -1 for an empty/absent log. */
   def latestVersion(table: String): Long = {
@@ -74,28 +89,33 @@ object TxnLog {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Live data files at `asOf` (default: latest), by commit replay. */
-  def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
+  /** Live data files with stats at `asOf` (default: latest), by replay. */
+  def liveFileStats(table: String, asOf: Option[Long] = None): Seq[FileStat] = {
     val last = latestVersion(table)
     require(last >= 0, s"TxnLog: no log at $table/$LogDir")
     val v = asOf.getOrElse(last)
     require(v >= 0 && v <= last,
       s"TxnLog: version $v out of range [0, $last] at $table")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
     (0L to v).foreach { c =>
       val f = commitFile(table, c)
       require(Files.exists(f), s"TxnLog: missing commit $c at $table (log is torn)")
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach {
-        case ActionRe("add", file)    => live += file
-        case ActionRe("remove", file) =>
-          require(live.remove(file),
+        case StatsRe(file, kmin, kmax) => live(file) = Some((kmin.toLong, kmax.toLong))
+        case ActionRe("add", file)     => live(file) = None
+        case ActionRe("remove", file)  =>
+          require(live.remove(file).isDefined,
             s"TxnLog: commit $c removes unknown file $file")
         case HeaderRe(_, _, _) => ()
         case other => sys.error(s"TxnLog: unparseable action in commit $c: $other")
       }
     }
-    live.toSeq
+    live.iterator.map { case (f, st) => FileStat(f, st) }.toSeq
   }
+
+  /** Live data files at `asOf` (default: latest), by commit replay. */
+  def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] =
+    liveFileStats(table, asOf).map(_.file)
 
   /** Atomically publish one commit of adds/removes. Data files MUST
     * already be on disk. Returns the committed version. A concurrent
@@ -108,6 +128,16 @@ object TxnLog {
     version
   }
 
+  /** [[commit]] with per-file key stats on the adds (data-skipping). */
+  def commitWithStats(table: String, adds: Seq[(String, Long, Long)],
+                      removes: Seq[String]): Long = {
+    val version = latestVersion(table) + 1
+    commitLines(table, version,
+      adds.map { case (f, lo, hi) => statsActionLine(f, lo, hi) },
+      removes)
+    version
+  }
+
   /** Publish one specific version (the optimistic-concurrency gate
     * commit() rides). The commit file is written to a temp name, then
     * published with an atomic HARD LINK — createLink fails if the target
@@ -117,10 +147,14 @@ object TxnLog {
     * TxnLogSpec's race test.)
     */
   private[graft] def commitAt(table: String, version: Long,
-                                adds: Seq[String], removes: Seq[String]): Unit = {
+                              adds: Seq[String], removes: Seq[String]): Unit =
+    commitLines(table, version, adds.map(actionLine("add", _)), removes)
+
+  private def commitLines(table: String, version: Long,
+                          addLines: Seq[String], removes: Seq[String]): Unit = {
     Files.createDirectories(logPath(table))
-    val body = (Seq(s"""{"commit":$version,"n_add":${adds.size},"n_remove":${removes.size}}""") ++
-      removes.map(actionLine("remove", _)) ++ adds.map(actionLine("add", _)))
+    val body = (Seq(s"""{"commit":$version,"n_add":${addLines.size},"n_remove":${removes.size}}""") ++
+      removes.map(actionLine("remove", _)) ++ addLines)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logPath(table), s".commit-$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -153,11 +187,96 @@ object TxnLog {
     names
   }
 
+  /** [[writeDataFiles]] plus a single Spark job computing each new file's
+    * key min/max (the Delta-style stats MERGE prunes by). Integral key
+    * columns only — stats are stored as BIGINT ranges.
+    */
+  private def writeDataFilesKeyed(df: DataFrame, table: String,
+                                  keyCol: String): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val names = writeDataFiles(df, table)
+    if (names.isEmpty) Nil
+    else {
+      val spark = df.sparkSession
+      val byName: Map[String, (Long, Long)] = spark.read
+        .parquet(names.map(f => Paths.get(table, f).toString): _*)
+        .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+        .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+        .collect() // file-count-sized, never row-sized
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // empty part files (row-less partitions) have no stats — leave them
+      // out of the commit entirely; they hold no data to see
+      names.flatMap(f => byName.get(f).map { case (lo, hi) => (f, lo, hi) })
+    }
+  }
+
   /** Create the table at version 0 (fails if a log already exists). */
   def init(df: DataFrame, table: String): Long = {
     require(latestVersion(table) < 0, s"TxnLog: $table already initialized")
     commit(table, writeDataFiles(df, table), Nil)
   }
+
+  /** [[init]] recording per-file min/max stats of `keyCol` — required for
+    * [[merge]]'s file pruning to skip anything.
+    */
+  def initKeyed(df: DataFrame, table: String, keyCol: String): Long = {
+    require(latestVersion(table) < 0, s"TxnLog: $table already initialized")
+    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil)
+  }
+
+  /** [[append]] recording per-file key stats (keeps [[merge]] prunable). */
+  def appendKeyed(df: DataFrame, table: String, keyCol: String): Long =
+    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil)
+
+  /** MERGE (upsert) `updates` into the table by `keyCol`, Delta-style:
+    * rows whose key matches an existing row replace it; new keys append.
+    * File-granular copy-on-write with data skipping: only live files
+    * whose [kmin, kmax] stat range CONTAINS an update key are read and
+    * rewritten — every other file is untouched (not read, not moved),
+    * which is what makes a small daily upsert into a 100 TB table cost
+    * O(touched files), not O(table). Files without stats (plain init/
+    * append) are conservatively rewritten.
+    *
+    * The update key set is collected to the driver (sorted array +
+    * binary search per file range) — batch-sized by contract, same bound
+    * as a broadcast join's build side. A huge backfill batch should use
+    * [[overwrite]] instead.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            keyCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val upKeys = updates.select(col(keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(upKeys.nonEmpty, "TxnLog.merge: empty update batch")
+    def overlaps(lo: Long, hi: Long): Boolean = {
+      // any update key in [lo, hi]? — binary search for the first >= lo
+      val i = java.util.Arrays.binarySearch(upKeys, lo)
+      val first = if (i >= 0) i else -(i + 1)
+      first < upKeys.length && upKeys(first) <= hi
+    }
+    val (touched, skipped) = liveFileStats(table).partition {
+      case FileStat(_, Some((lo, hi))) => overlaps(lo, hi)
+      case FileStat(_, None)           => true // no stats: rewrite conservatively
+    }
+    val survivors =
+      if (touched.isEmpty) updates
+      else spark.read
+        .parquet(touched.map(f => Paths.get(table, f.file).toString): _*)
+        .join(broadcast(updates.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    val adds = writeDataFilesKeyed(survivors, table, keyCol)
+    val v = commitWithStats(table, adds, touched.map(_.file))
+    // merge cost transparency: callers/tests can assert the skip worked
+    lastMergeSkipped.set(skipped.size)
+    v
+  }
+
+  /** Files the most recent [[merge]] on this JVM left untouched —
+    * observability hook for specs/ops (not part of the data contract).
+    */
+  val lastMergeSkipped = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Append rows — new files only, existing data never rewritten. */
   def append(df: DataFrame, table: String): Long =

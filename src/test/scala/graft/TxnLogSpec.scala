@@ -72,6 +72,37 @@ class TxnLogSpec extends SparkTestBase {
     assert(e.getMessage.contains("missing commit"), e.getMessage)
   }
 
+  test("merge upserts file-granularly: stat-pruned files are neither read nor moved") {
+    val t = freshTable()
+    // 4 range-disjoint files via repartitionByRange on the key
+    val base = spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("old-"), col("id")))
+      .repartitionByRange(4, col("id"))
+    TxnLog.initKeyed(base, t, "id")
+    val before = TxnLog.liveFileStats(t)
+    assert(before.size == 4 && before.forall(_.keyRange.isDefined))
+    // updates touch keys 0..49 (one file's range) + brand-new keys 1000..1009
+    val updates = spark.range(0, 50).toDF("id")
+      .withColumn("v", concat(lit("new-"), col("id")))
+      .unionByName(spark.range(1000, 1010).toDF("id")
+        .withColumn("v", concat(lit("ins-"), col("id"))))
+    TxnLog.merge(spark, t, updates, "id")
+    // exactly 3 of the 4 original files survived untouched
+    val after = TxnLog.liveFiles(t).toSet
+    val surviving = before.map(_.file).filter(after.contains)
+    assert(surviving.size == 3, s"pruning failed: ${surviving.size} survived")
+    assert(TxnLog.lastMergeSkipped.get() == 3)
+    // data: updated keys replaced, others intact, inserts present
+    val out = TxnLog.read(spark, t)
+    assert(out.count() == 410)
+    assert(out.filter(col("id") < 50 && !col("v").startsWith("new-")).count() == 0)
+    assert(out.filter(col("id") >= 50 && col("id") < 400 &&
+      !col("v").startsWith("old-")).count() == 0)
+    assert(out.filter(col("id") >= 1000).count() == 10)
+    // time travel still sees the pre-merge table
+    assert(TxnLog.read(spark, t, Some(0)).filter(col("v").startsWith("old-")).count() == 400)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
