@@ -30,6 +30,13 @@ object StreamingQueries {
     */
   private def sumValue = sum(col("value").cast(DecimalType(18, 6))).cast("double")
 
+  /** Fresh-per-call TxnLog sink tables for stream_txn_sink (pid-scoped
+    * root + counter, same discipline as RelationalQueries' roundtrips).
+    */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val sinkRoot: String =
+    s"/tmp/graft-streamsink-${java.lang.ProcessHandle.current().pid()}"
+
   def all: Seq[Q] = Seq(
     Q("stream_tumbling",
       s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us, event_type,
@@ -219,6 +226,36 @@ object StreamingQueries {
           .withColumn("minute_us", expr("(ts_us div 60000000) * 60000000"))
           .dropDuplicates("user_id", "event_type", "minute_us")
           .select("user_id", "event_type", "minute_us")
+    },
+
+    // Exactly-once streaming sink into the transactional table (r8): the
+    // foreachBatch + TxnLog integration — micro-batch N commits as table
+    // version N, so a REPLAYED batch id (crash between "sink ran" and
+    // "offsets committed", Spark's documented at-least-once foreachBatch
+    // contract) is a structural no-op. The query drives the sink function
+    // through a deterministic 3-micro-batch schedule (event_id % 3) AND
+    // REPLAYS batch 1; the oracle is the plain batch aggregate of events
+    // — if the replay double-committed, every batch-1 count/sum doubles
+    // and the hash flips. True-streaming twin (MemoryStream + foreachBatch
+    // + checkpoint) is pinned in StreamBatchParitySpec; snapshot isolation
+    // means readers never see a half-written micro-batch and time travel
+    // reproduces any stream prefix.
+    Q("stream_txn_sink",
+      """WITH e AS (SELECT event_type, value FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamOps
+      val table = s"$sinkRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/t${sinkSeq.incrementAndGet()}"
+      val sink = StreamOps.txnLogSink(table)
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "ts_us", "event_type", "value")
+      (0L to 2L).foreach(b => sink(ev.filter(col("event_id") % 3 === b), b))
+      sink(ev.filter(col("event_id") % 3 === 1), 1L) // crash-replay: no-op
+      graft.sources.TxnLog.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
     },
 
     Q("stream_changelog",

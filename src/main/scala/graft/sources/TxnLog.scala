@@ -278,6 +278,23 @@ object TxnLog {
     */
   val lastMergeSkipped = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Exactly-once micro-batch append: commit `df` as exactly `version`,
+    * or do NOTHING if that version (or a later one) is already committed
+    * — the idempotence a Structured Streaming foreachBatch sink needs,
+    * since Spark replays a micro-batch id after a crash between "sink ran"
+    * and "offsets committed". Version = batchId works because batch ids
+    * are dense from 0 per checkpointed query, exactly like commit ids. A
+    * replayed batch's staged files (if the crash was mid-write) stay
+    * invisible orphans; the winning commit is never touched. Returns
+    * whether this call committed.
+    */
+  def commitBatch(df: DataFrame, table: String, version: Long): Boolean =
+    if (latestVersion(table) >= version) false
+    else {
+      try { commitAt(table, version, writeDataFiles(df, table), Nil); true }
+      catch { case _: IllegalStateException => false } // lost the replay race
+    }
+
   /** Append rows — new files only, existing data never rewritten. */
   def append(df: DataFrame, table: String): Long =
     commit(table, writeDataFiles(df, table), Nil)

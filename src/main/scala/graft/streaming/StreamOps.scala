@@ -107,6 +107,20 @@ object StreamOps {
     (batch, batchId) =>
       batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Exactly-once foreachBatch sink into a [[graft.sources.TxnLog]]
+    * table: micro-batch N commits as table version N; a replayed batch id
+    * (crash between sink and offset commit) is a no-op because the
+    * version already exists. Unlike [[idempotentParquetSink]]'s
+    * overwrite-by-batch-dir, readers here get SNAPSHOT isolation — they
+    * never observe a half-written batch, and time travel reproduces any
+    * prefix of the stream.
+    */
+  def txnLogSink(table: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.sources.TxnLog.commitBatch(batch, table, batchId)
+      ()
+    }
+
   /** Stream-stream interval join: each left event matches right events
     * with the same key whose event time lies in
     * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks,
