@@ -187,6 +187,34 @@ object RelationalQueries {
             .as("sum_price"))
     },
 
+    // Data-skipping READ over the TxnLog table (r8): the key-range query
+    // prunes files from the commit log's per-file stats BEFORE Spark ever
+    // lists them — KB driver metadata vs footer-checking every file (how
+    // Delta serves point lookups on 100 TB tables). Table is
+    // range-partitioned on the key at write time so the skip actually
+    // bites (TxnLogSpec pins 3-of-4 files skipped); the residual filter
+    // inside surviving files keeps results exact, and the oracle is the
+    // plain filtered aggregate over raw orders.
+    Q("txn_skip_scan",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 9000
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/s${txnSeq.incrementAndGet()}"
+      TxnLog.initKeyed(orders.repartitionByRange(4, col("o_orderkey")),
+        table, "o_orderkey")
+      val (df, _) = TxnLog.readRange(s, table, "o_orderkey", 1000L, 9000L)
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness

@@ -30,6 +30,40 @@ object StreamingQueries {
     */
   private def sumValue = sum(col("value").cast(DecimalType(18, 6))).cast("double")
 
+  /** Shared ordered-funnel CTE prefix: `v`/`c`/`p` are the per-user first
+    * view / first click-after-view / first purchase-after-click times —
+    * consumed by events_funnel (stage census) and events_funnel_time
+    * (latency distribution).
+    */
+  private val FunnelCtes: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND e.ts_us >= v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND e.ts_us >= c.t_click GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[FunnelCtes]], built ONCE per (session, dir):
+    * (user_id, t_view, t_click, t_purchase) with left-join nulls for
+    * users who stalled mid-funnel.
+    */
+  private def funnelFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/funnel-frame") {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_us") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts_us").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_us") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    }
+
   /** Fresh-per-call TxnLog sink tables for stream_txn_sink (pid-scoped
     * root + counter, same discipline as RelationalQueries' roundtrips).
     */
@@ -393,15 +427,7 @@ object StreamingQueries {
     },
 
     Q("events_funnel",
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
-        |      FROM e JOIN v USING (user_id)
-        |      WHERE event_type = 'click' AND e.ts_us >= v.t_view GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
-        |      FROM e JOIN c USING (user_id)
-        |      WHERE event_type = 'purchase' AND e.ts_us >= c.t_click GROUP BY 1)
+      s"""$FunnelCtes
         |SELECT v.user_id, v.t_view AS t_view_us, c.t_click AS t_click_us,
         |       p.t_purchase AS t_purchase_us,
         |       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
@@ -414,16 +440,7 @@ object StreamingQueries {
         // narrow equi-joins — each stage's state is one timestamp per
         // user, so the whole funnel is a few user-hash shuffles at any
         // scale (never a per-user event-array collect).
-        val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
-        val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts_us").as("t_view"))
-        val c = e.filter(col("event_type") === "click").join(v, "user_id")
-          .filter(col("ts_us") >= col("t_view"))
-          .groupBy("user_id").agg(min("ts_us").as("t_click"))
-        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-          .filter(col("ts_us") >= col("t_click"))
-          .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        funnelFrame(s, d)
           .select(
             col("user_id"),
             col("t_view").as("t_view_us"),
@@ -432,6 +449,42 @@ object StreamingQueries {
             (lit(1) +
               when(col("t_click").isNotNull, 1).otherwise(0) +
               when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+    },
+
+    // Time-to-convert distribution per funnel transition (r8) — the "how
+    // long does the funnel take", the product-analytics twin of "how many
+    // make it": per transition, exact count / mean / median / p90 of the
+    // inter-stage latency. Integer-exact: latencies are bigint micro
+    // deltas, the mean is a DECIMAL sum over count (one IEEE division),
+    // the percentiles ride the pinned exact-interpolation parity
+    // (agg_percentile) on integer inputs. Rides the SAME funnel frame as
+    // events_funnel; the extra cost is one two-row aggregate.
+    Q("events_funnel_time",
+      s"""$FunnelCtes,
+         |f AS (
+         |  SELECT 'view->click' AS transition, c.t_click - v.t_view AS dt_us
+         |  FROM v JOIN c USING (user_id)
+         |  UNION ALL
+         |  SELECT 'click->purchase', p.t_purchase - c.t_click
+         |  FROM c JOIN p USING (user_id))
+         |SELECT transition, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(dt_us AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS mean_us,
+         |       quantile_cont(dt_us, 0.5) AS median_us,
+         |       quantile_cont(dt_us, 0.9) AS p90_us
+         |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val fr = funnelFrame(s, d)
+      val dts = fr.filter(col("t_click").isNotNull)
+        .select(lit("view->click").as("transition"),
+          (col("t_click") - col("t_view")).as("dt_us"))
+        .unionByName(fr.filter(col("t_purchase").isNotNull)
+          .select(lit("click->purchase").as("transition"),
+            (col("t_purchase") - col("t_click")).as("dt_us")))
+      dts.groupBy("transition")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dt_us").cast(DecimalType(27, 0))).cast("double") /
+            count(lit(1))).as("mean_us"),
+          percentile(col("dt_us"), lit(0.5)).as("median_us"),
+          percentile(col("dt_us"), lit(0.9)).as("p90_us"))
     },
 
     Q("events_sessionize",

@@ -315,6 +315,33 @@ object TxnLog {
     commit(table, adds, old)
   }
 
+  /** Data-skipping snapshot read: scan ONLY live files whose key stats
+    * overlap [lo, hi], then apply the residual filter (a surviving file
+    * may still hold out-of-range keys). The log-level skip happens before
+    * Spark ever lists the file, on KB-sized driver metadata — at 100 TB
+    * this is the difference between "open 3 files" and "footer-check a
+    * million": parquet row-group stats only prune AFTER every footer is
+    * read. Files without stats are conservatively scanned. Returns the
+    * number of files skipped alongside the frame (spec observability).
+    */
+  def readRange(spark: SparkSession, table: String, keyCol: String,
+                lo: Long, hi: Long, asOf: Option[Long] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"TxnLog.readRange: empty range [$lo, $hi]")
+    val all = liveFileStats(table, asOf)
+    val (scan, skip) = all.partition {
+      case FileStat(_, Some((fLo, fHi))) => fLo <= hi && lo <= fHi
+      case FileStat(_, None)             => true
+    }
+    require(scan.nonEmpty || all.isEmpty,
+      s"TxnLog.readRange: no file overlaps [$lo, $hi]; empty result has no schema " +
+        s"— widen the range or use read()")
+    val df = spark.read
+      .parquet(scan.map(f => Paths.get(table, f.file).toString): _*)
+      .filter(col(keyCol).cast("long").between(lo, hi))
+    (df, skip.size)
+  }
+
   /** Snapshot read at `asOf` (default: latest) — scans live files only. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val files = liveFiles(table, asOf)

@@ -103,6 +103,25 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, t, Some(0)).filter(col("v").startsWith("old-")).count() == 400)
   }
 
+  test("readRange skips non-overlapping files from the log stats alone") {
+    val t = freshTable()
+    val base = spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("r-"), col("id")))
+      .repartitionByRange(4, col("id"))
+    TxnLog.initKeyed(base, t, "id")
+    val (df, skipped) = TxnLog.readRange(spark, t, "id", 10, 40)
+    assert(skipped == 3, s"expected 3 of 4 files skipped, got $skipped")
+    assert(df.count() == 31) // residual filter still applies inside the file
+    // range spanning two files skips two
+    val (df2, skipped2) = TxnLog.readRange(spark, t, "id", 90, 110)
+    assert(skipped2 == 2 && df2.count() == 21)
+    // stats-less tables degrade to scan-everything, never wrong results
+    val t2 = freshTable()
+    TxnLog.init(base, t2)
+    val (df3, skipped3) = TxnLog.readRange(spark, t2, "id", 10, 40)
+    assert(skipped3 == 0 && df3.count() == 31)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
