@@ -282,6 +282,66 @@ object AggWindowQueries {
           percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
     },
 
+    // Deterministic bottom-k-sample quantile sketch (r8) — the
+    // ORACLE-CHECKABLE approximate-quantile path (approx_percentile's
+    // t-digest has no cross-engine twin, so it's declared no-oracle; this
+    // one hash-checks end to end). The sketch is the k rows with the
+    // SMALLEST sha256 hash rank per group — a bottom-k sample is a
+    // mergeable sketch (merge = keep the k smallest of the union;
+    // associative, commutative, deterministic — the same min-k property
+    // the HLL/top-k family rides), and uniform because sha256 ranks are
+    // uniform on row identity. Quantiles of the sample estimate the
+    // group's quantiles with O(1/sqrt(k)) error, VISIBLE in the output:
+    // est and exact sit side by side. At 100 TB the sample is the
+    // KB-sized per-group sketch a dashboard stores; the exact columns
+    // exist here as the judge of estimate quality (they'd be dropped in
+    // production). Sample selection is the two-phase bucketed top-k — no
+    // per-group global sort of the full data.
+    Q("agg_sample_quantiles",
+      """WITH h AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         substr(sha256(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                      CAST(l_linenumber AS VARCHAR)), 1, 16) AS hr,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |s AS (SELECT * FROM (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY hr, l_orderkey, l_linenumber) AS rn
+        |  FROM h) WHERE rn <= 64),
+        |est AS (SELECT l_returnflag,
+        |               quantile_cont(l_extendedprice, 0.5) AS p50_est,
+        |               quantile_cont(l_extendedprice, 0.9) AS p90_est
+        |        FROM s GROUP BY 1),
+        |ex AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |              quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |              quantile_cont(l_extendedprice, 0.9) AS p90_exact
+        |       FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.n_rows, est.p50_est, est.p90_est,
+        |       ex.p50_exact, ex.p90_exact
+        |FROM ex JOIN est USING (l_returnflag)""".stripMargin) { (s, d) =>
+      import graft.operators.TextOps
+      val li = Tables.cachedTable(s, d, "lineitem")
+      val hashed = li.select(
+        col("l_returnflag"), col("l_extendedprice"),
+        substring(sha2(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")), 256), 1, 16).as("hr"),
+        col("l_orderkey"), col("l_linenumber"))
+      val sample = TextOps.topKPerGroup(hashed, Seq("l_returnflag"),
+        Seq(col("hr"), col("l_orderkey"), col("l_linenumber")), 64,
+        bucketOn = col("l_orderkey"))
+      val est = sample.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50_est"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_est"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_exact"))
+      exact.join(broadcast(est), "l_returnflag")
+        .select("l_returnflag", "n_rows", "p50_est", "p90_est",
+          "p50_exact", "p90_exact")
+    },
+
     Q("agg_pivot",
       """SELECT l_returnflag,
         |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,

@@ -368,6 +368,54 @@ object DedupVariantQueries {
         KMeansSql.dedupPairs(s, d)
     },
 
+    // IVF tuning curve (r8): how many true near-dup pairs each extra probe
+    // buys — the measurement behind the sqrt(n) nprobe rule (r8's recall
+    // fix) and the knob a 100 TB operator reads before spending candidate
+    // budget. Per verified pair, depth = the smallest probe count at which
+    // the pair's cells collide (min over shared cells of max(rn_a, rn_b));
+    // output is pairs-found per depth + the cumulative curve. Costs one
+    // extra rn-keeping pass over the SAME shared assignment the dedup
+    // family probes; the exact verify is the losslessness contract.
+    Q("embed_nprobe_sweep",
+      KMeansSql.codebookCtes() +
+      s""",
+        |a AS (SELECT vec_id, cell, rn FROM ${KMeansSql.scoredCte()}
+        |      WHERE rn <= ${KMeansSql.nProbeDedupSql}),
+        |pd AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |              min(greatest(x.rn, y.rn)) AS depth
+        |       FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |       GROUP BY 1, 2),
+        |vf AS (SELECT pd.depth FROM pd
+        |       JOIN e ea ON ea.vec_id = pd.vec_a
+        |       JOIN e eb ON eb.vec_id = pd.vec_b
+        |       WHERE list_cosine_similarity(ea.v, eb.v) >= ${KMeansSql.DedupTau}),
+        |ct AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_new FROM vf GROUP BY 1)
+        |SELECT CAST(depth AS BIGINT) AS nprobe, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS n_cum
+        |FROM ct""".stripMargin) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val np = KMeansSql.nProbeDedup(emb.count())
+      val a = KMeansSql.assignments(s, d).filter(col("rn") <= np)
+        .select(col("vec_id"), col("cell"), col("rn"))
+      val pd = a.alias("x")
+        .join(a.alias("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .groupBy(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .agg(min(greatest(col("x.rn"), col("y.rn"))).as("depth"))
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val vf = pd
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), "vec_b")
+        .filter(VectorOps.cosineF(col("va"), col("vb")) >= KMeansSql.DedupTau)
+        .select("depth")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("depth").rowsBetween(Long.MinValue, 0)
+      vf.groupBy("depth").agg(count(lit(1)).as("n_new"))
+        .select(col("depth").cast("long").as("nprobe"), col("n_new"),
+          sum(col("n_new")).over(w).cast("long").as("n_cum"))
+    },
+
     Q("dedup_semantic",
       KMeansSql.codebookCtes() +
       s""",
