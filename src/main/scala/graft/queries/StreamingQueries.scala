@@ -292,6 +292,54 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
     },
 
+    // Exactly-once streaming CDC UPSERT into the transactional table (r8):
+    // the composite a production pipeline actually runs — base snapshot at
+    // version 0, then each micro-batch of change rows MERGES
+    // file-granularly (stat-pruned copy-on-write) as version batchId + 1.
+    // The query applies two deterministic change batches (price bump on
+    // %31 keys; then %41 re-price + %89 new keys) and REPLAYS batch 0;
+    // a replayed id is a structural no-op, so the oracle — the closed-form
+    // merged end state over raw orders, last-writer-wins per key — flips
+    // if replay double-applies or the merge loses an untouched file. The
+    // table IS the streaming state: readers time-travel to any batch with
+    // snapshot isolation.
+    Q("stream_txn_merge",
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+        |              WHEN o_orderkey % 31 = 0 THEN o_totalprice * 1.1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      import graft.streaming.StreamOps
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val table = s"$sinkRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/m${sinkSeq.incrementAndGet()}"
+      TxnLog.initKeyed(orders, table, "o_orderkey")
+      val sink = StreamOps.txnLogMergeSink(table, "o_orderkey")
+      val b0 = orders.filter(col("o_orderkey") % 31 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val b1 = orders.filter(col("o_orderkey") % 41 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      sink(b0, 0L)
+      sink(b1, 1L)
+      sink(b0, 0L) // crash-replayed micro-batch: structural no-op
+      TxnLog.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+            .as("sum_price"))
+    },
+
     Q("stream_changelog",
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |                  epoch_us(ts) AS ts_us FROM events)

@@ -295,6 +295,28 @@ object TxnLog {
       catch { case _: IllegalStateException => false } // lost the replay race
     }
 
+  /** Exactly-once micro-batch MERGE: upsert `updates` as exactly version
+    * `version` (batchId + 1 — version 0 is the initKeyed base), or do
+    * NOTHING if that version is already committed. The streaming CDC
+    * apply into a lakehouse table: each micro-batch of changes lands
+    * file-granularly ([[merge]]'s stat pruning), a crash-replayed batch
+    * is a structural no-op, and readers time-travel to the table as of
+    * any batch. Requires dense versions, which checkpointed batch ids
+    * guarantee.
+    */
+  def mergeBatch(spark: SparkSession, table: String, updates: DataFrame,
+                 keyCol: String, version: Long): Boolean = {
+    val latest = latestVersion(table)
+    if (latest >= version) false
+    else {
+      require(latest == version - 1,
+        s"TxnLog.mergeBatch: version gap — latest $latest, merging $version " +
+          s"(a skipped micro-batch would corrupt replay idempotence)")
+      merge(spark, table, updates, keyCol)
+      true
+    }
+  }
+
   /** Append rows — new files only, existing data never rewritten. */
   def append(df: DataFrame, table: String): Long =
     commit(table, writeDataFiles(df, table), Nil)

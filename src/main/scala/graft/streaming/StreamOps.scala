@@ -121,6 +121,22 @@ object StreamOps {
       ()
     }
 
+  /** Exactly-once streaming CDC UPSERT into a keyed TxnLog table: each
+    * micro-batch of change rows merges file-granularly (stat-pruned
+    * copy-on-write) as table version batchId + 1 — version 0 is the
+    * initKeyed base snapshot. Replayed batch ids are structural no-ops;
+    * time travel reproduces the table as of any applied batch. This is
+    * the streaming twin of [[applyCdcStream]]'s in-memory state: the
+    * state lives in the TABLE, so it survives the query and serves
+    * readers mid-stream with snapshot isolation.
+    */
+  def txnLogMergeSink(table: String, keyCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.sources.TxnLog.mergeBatch(
+        batch.sparkSession, table, batch, keyCol, batchId + 1)
+      ()
+    }
+
   /** Stream-stream interval join: each left event matches right events
     * with the same key whose event time lies in
     * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks,

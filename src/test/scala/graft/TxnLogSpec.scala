@@ -122,6 +122,22 @@ class TxnLogSpec extends SparkTestBase {
     assert(skipped3 == 0 && df3.count() == 31)
   }
 
+  test("mergeBatch: replayed batch is a no-op; a version gap fails fast") {
+    val t = freshTable()
+    TxnLog.initKeyed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, "id")
+    val up = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    assert(TxnLog.mergeBatch(spark, t, up, "id", 1))
+    assert(rowsOf(TxnLog.read(spark, t)) == Seq("1|a", "2|B", "3|c"))
+    // crash-replay of the same batch id: no-op, state unchanged
+    assert(!TxnLog.mergeBatch(spark, t, up, "id", 1))
+    assert(rowsOf(TxnLog.read(spark, t)) == Seq("1|a", "2|B", "3|c"))
+    assert(TxnLog.latestVersion(t) == 1)
+    // a skipped batch id would corrupt replay idempotence — fail fast
+    val e = intercept[IllegalArgumentException](
+      TxnLog.mergeBatch(spark, t, up, "id", 3))
+    assert(e.getMessage.contains("version gap"), e.getMessage)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
