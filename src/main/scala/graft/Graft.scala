@@ -314,4 +314,31 @@ object Graft {
     */
   def writeCompacted(df: DataFrame, path: String, targetRowsPerFile: Long): Unit =
     Sinks.writeCompacted(df, path, targetRowsPerFile)
+
+  // ---- transactional tables (graft.sources.TxnLog) --------------------
+
+  /** Create a transactional (commit-log) table with per-file key stats —
+    * snapshot isolation, time travel, data-skipping reads, MERGE.
+    */
+  def txnInit(df: DataFrame, table: String, keyCol: String): Long =
+    graft.sources.TxnLog.initKeyed(df, table, keyCol)
+
+  /** MERGE (upsert) into a keyed transactional table: only files whose
+    * key-stat range contains an update key are rewritten.
+    */
+  def txnMerge(spark: org.apache.spark.sql.SparkSession, table: String,
+               updates: DataFrame, keyCol: String): Long =
+    graft.sources.TxnLog.merge(spark, table, updates, keyCol)
+
+  /** Snapshot read (latest, or time travel via `asOf`). */
+  def txnRead(spark: org.apache.spark.sql.SparkSession, table: String,
+              asOf: Option[Long] = None): DataFrame =
+    graft.sources.TxnLog.read(spark, table, asOf)
+
+  /** Key-range read that prunes files from commit-log stats before Spark
+    * lists them; returns (frame, filesSkipped).
+    */
+  def txnReadRange(spark: org.apache.spark.sql.SparkSession, table: String,
+                   keyCol: String, lo: Long, hi: Long): (DataFrame, Int) =
+    graft.sources.TxnLog.readRange(spark, table, keyCol, lo, hi)
 }
