@@ -215,6 +215,56 @@ object RelationalQueries {
           max(col("o_orderkey")).cast("long").as("max_key"))
     },
 
+    // Time-travel CHANGE FEED (r8): diff two VERSIONS of the same
+    // transactional table — the Delta CDF story married to the diff core
+    // (this library's raison d'être): "what did last night's merge do to
+    // the table" answered without any separately-maintained changelog,
+    // because the log's old snapshot is still readable. Version 0 is the
+    // base, version 1 the post-merge state; Differ.diff over the two
+    // time-travel reads emits the keyed N/C/I/D feed, and the oracle
+    // derives the same statuses closed-form from the update rule. At
+    // 100 TB both sides shuffle once on the key — and the diff could
+    // further skip files whose stats match on both sides (the
+    // bucket-digest incremental-diff machinery applies verbatim).
+    Q("txn_diff_versions",
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 31 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |            WHEN n.o_orderkey IS NULL THEN 'D'
+        |            WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       b.o_totalprice AS left_o_totalprice,
+        |       n.o_totalprice AS right_o_totalprice
+        |FROM base b FULL OUTER JOIN v1 n USING (o_orderkey)""".stripMargin) {
+      (s, d) =>
+        import graft.sources.TxnLog
+        import graft.operators.Differ
+        val orders = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/d${txnSeq.incrementAndGet()}"
+        TxnLog.initKeyed(orders, table, "o_orderkey")
+        val updates = orders.filter(col("o_orderkey") % 31 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        TxnLog.merge(s, table, updates, "o_orderkey")
+        Differ.diff(
+          TxnLog.read(s, table, Some(0)),
+          TxnLog.read(s, table, Some(1)),
+          Seq("o_orderkey"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness
