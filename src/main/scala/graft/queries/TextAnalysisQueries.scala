@@ -929,6 +929,54 @@ object TextAnalysisQueries {
     // single-space fixture — it reproduces whitespace tokens exactly, so
     // its fertility is identically 1). Integer-exact: BIGINT sums, each
     // reported ratio ONE integer ppm division.
+    // Vocabulary-coverage / OOV-rate eval (r8) — the tokenizer-QA twin of
+    // tokenizer_fertility: fix the vocab to the corpus's top-20 tokens by
+    // total frequency (ties by token — deterministic) and report, per
+    // language, how many token OCCURRENCES and distinct TYPES fall
+    // outside it. The production question is "does my tokenizer's vocab
+    // cover the incoming language mix"; rising oov_ppm per lang is the
+    // drift alarm. Integer-exact: counts + ppm by integer division.
+    // 100 TB shape: rides the shared cached (doc, tok) tf frame; the
+    // vocab is a top-k (TakeOrderedAndProject) broadcast as a tiny
+    // coverage map; one lang-keyed agg.
+    Q("tokenizer_oov",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM o GROUP BY 1, 2),
+        |tot AS (SELECT tok, sum(tf) AS n FROM tf GROUP BY 1),
+        |voc AS (SELECT tok FROM tot ORDER BY n DESC, tok LIMIT 20),
+        |x AS (SELECT d.lang, tf.tok, tf.tf,
+        |             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tf JOIN documents d USING (doc_id)
+        |      LEFT JOIN voc v ON v.tok = tf.tok)
+        |SELECT lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN oov = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT)
+        |         AS n_oov_types,
+        |       CAST(sum(CASE WHEN oov = 1 THEN tf ELSE 0 END) * 1000000
+        |            // sum(tf) AS BIGINT) AS oov_ppm
+        |FROM x GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val voc = tf.groupBy("tok").agg(sum("tf").as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("in_voc"))
+      val x = tf.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(broadcast(voc), Seq("tok"), "left")
+      x.groupBy("lang")
+        .agg(sum("tf").cast("long").as("n_tokens"),
+          sum(when(col("in_voc").isNull, col("tf")).otherwise(lit(0L)))
+            .cast("long").as("n_oov"),
+          countDistinct(when(col("in_voc").isNull, col("tok")))
+            .cast("long").as("n_oov_types"))
+        .withColumn("oov_ppm",
+          expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)"))
+    },
+
     Q("tokenizer_fertility",
       """WITH t AS (
         |  SELECT lang,
