@@ -282,6 +282,50 @@ object AggWindowQueries {
           percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
     },
 
+    // Mergeable EXACT-distinct artifacts (r8) — the bitmap-rollup pattern
+    // (Druid/ClickHouse groupBitmap, roaring bitmaps): per (type, day),
+    // persist the distinct-user SET as a sorted artifact; any horizon's
+    // exact distinct is then the artifact UNION's cardinality — no rescan
+    // of raw events, and merge is associative/commutative like the HLL
+    // registers (agg_hll_rollup's exact twin — use this while the daily
+    // sets fit, HLL past that). The query materializes the per-day
+    // artifacts, merges them, and emits merged-vs-direct side by side:
+    // the identity IS the check, and sum(per-day) − merged is the
+    // cross-day repeat-visitor overlap a dashboard reads for free.
+    Q("agg_bitmap_distinct",
+      s"""WITH e AS (SELECT event_type,
+         |                  (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+         |                  user_id
+         |           FROM events),
+         |d AS (SELECT event_type, day_us, count(DISTINCT user_id) AS n_day
+         |      FROM e GROUP BY 1, 2)
+         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum(n_day) AS BIGINT) AS sum_day_distinct,
+         |       CAST(t.n_direct AS BIGINT) AS merged_distinct,
+         |       CAST(t.n_direct AS BIGINT) AS direct_distinct
+         |FROM d JOIN (SELECT event_type, count(DISTINCT user_id) AS n_direct
+         |             FROM e GROUP BY 1) t USING (event_type)
+         |GROUP BY 1, t.n_direct""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr(s"CAST(ts_us DIV $dayUs AS BIGINT) * $dayUs").as("day_us"),
+        col("user_id"))
+      // the per-day artifact: a sorted distinct-id array (the portable
+      // stand-in for a roaring bitmap — identical merge algebra)
+      val artifacts = e.groupBy("event_type", "day_us")
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+      val merged = artifacts.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(size(col("users"))).cast("long").as("sum_day_distinct"),
+          size(array_distinct(flatten(collect_list(col("users")))))
+            .cast("long").as("merged_distinct"))
+      val direct = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("direct_distinct"))
+      merged.join(direct, "event_type")
+        .select("event_type", "n_days", "sum_day_distinct",
+          "merged_distinct", "direct_distinct")
+    },
+
     // Deterministic bottom-k-sample quantile sketch (r8) — the
     // ORACLE-CHECKABLE approximate-quantile path (approx_percentile's
     // t-digest has no cross-engine twin, so it's declared no-oracle; this

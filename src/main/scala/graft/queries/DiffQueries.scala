@@ -706,6 +706,54 @@ object DiffQueries {
             col("valid_from"), col("valid_to"))
     },
 
+    // Join-key discovery (r8) — the datacompy-style "what should I diff
+    // on" helper: before any diff runs, report per column its distinct
+    // count, null count, and whether it is unique — the unique, null-free
+    // columns are the key candidates the differ's dup-key precondition
+    // (diff_dup_keys) will accept. One pass, all columns measured
+    // simultaneously (count(DISTINCT x) per column rides Spark's expand
+    // into one aggregate — no per-column scans).
+    Q("diff_key_candidates",
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT o_orderkey) AS d1, count(o_orderkey) AS c1,
+        |         count(DISTINCT o_custkey) AS d2, count(o_custkey) AS c2,
+        |         count(DISTINCT o_orderstatus) AS d3, count(o_orderstatus) AS c3,
+        |         count(DISTINCT o_orderdate) AS d4, count(o_orderdate) AS c4
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       CAST(CASE WHEN n_distinct = n_rows AND n_nulls = 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS key_candidate
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, d1 AS n_distinct,
+        |         n_rows - c1 AS n_nulls FROM m
+        |  UNION ALL SELECT 'o_custkey', n_rows, d2, n_rows - c2 FROM m
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, d3, n_rows - c3 FROM m
+        |  UNION ALL SELECT 'o_orderdate', n_rows, d4, n_rows - c4 FROM m)""".stripMargin) {
+      (s, d) =>
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        val m = Tables.cachedTable(s, d, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            countDistinct(col(c)).as(s"d_$c"),
+            count(col(c)).as(s"c_$c"))): _*)
+        // widen the 1-row stats frame to one row per column via a bounded
+        // explode — the agg runs ONCE, not once per unioned branch
+        val entries = cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(s"d_$c").cast("long").as("n_distinct"),
+            (col("n_rows") - col(s"c_$c")).cast("long").as("n_nulls")))
+        m.select(col("n_rows").cast("long").as("n_rows"),
+            explode(array(entries: _*)).as("e"))
+          .select(col("e.col_name"), col("n_rows"),
+            col("e.n_distinct"), col("e.n_nulls"))
+          .withColumn("key_candidate",
+            when(col("n_distinct") === col("n_rows") && col("n_nulls") === 0, 1L)
+              .otherwise(0L))
+    },
+
     Q("mv_incremental",
       s"""$Prelude
          |SELECT o_custkey,
