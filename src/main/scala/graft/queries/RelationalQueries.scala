@@ -265,6 +265,32 @@ object RelationalQueries {
           Seq("o_orderkey"))
     },
 
+    // Hive-partitioned write + partition-PRUNED read (r8): the one scan
+    // family member the matrix was missing. orders lands partitioned by
+    // o_orderstatus; the status-filtered read must touch only its own
+    // directory — at 100 TB partition pruning is list-time elimination
+    // (never opens the other partitions' files), one level coarser than
+    // the TxnLog stat skip and the parquet footer skip. PlanSpec pins the
+    // plan carries the filter as a PartitionFilter with nothing left to
+    // post-filter; the oracle recomputes from raw orders.
+    Q("scan_partition_prune",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |         AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = s"$roundtripRoot/partitioned/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Sinks.writePartitioned(src, path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("o_totalprice").cast("decimal(27,2)")) * 100)
+            .cast("long").as("sum_cents"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness

@@ -929,6 +929,56 @@ object TextAnalysisQueries {
     // single-space fixture — it reproduces whitespace tokens exactly, so
     // its fertility is identically 1). Integer-exact: BIGINT sums, each
     // reported ratio ONE integer ppm division.
+    // Corpus-saturation / novelty curve (r8) — "is more data still adding
+    // anything new": per doc (in ingest = doc_id order), the fraction of
+    // its distinct bigrams appearing for the FIRST time in the corpus.
+    // The macro signal behind data-scaling decisions (novelty decaying to
+    // ~0 ⇒ the source is mined out ⇒ stop crawling it); reported per
+    // source so the decision is actionable. First-occurrence attribution
+    // is a bigram-keyed min(doc_id) — one vocab-sized agg on the SAME
+    // cached bigram-occurrence frame the LM family shares; novelty is an
+    // integer ppm ratio.
+    Q("text_ngram_novelty",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |db AS (SELECT DISTINCT doc_id, bg FROM occ),
+        |fo AS (SELECT bg, min(doc_id) AS first_doc FROM db GROUP BY 1),
+        |nv AS (SELECT db.doc_id,
+        |              count(*) AS n_bigrams,
+        |              sum(CASE WHEN fo.first_doc = db.doc_id THEN 1 ELSE 0 END) AS n_new
+        |       FROM db JOIN fo USING (bg) GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nv.n_bigrams) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(nv.n_new) AS BIGINT) AS n_new,
+        |       CAST(sum(nv.n_new) * 1000000 // sum(nv.n_bigrams) AS BIGINT)
+        |         AS novelty_ppm
+        |FROM nv JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.cachedTable(s, d, "documents")
+      val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val occ = Tables.cached(s, s"$d/bigram-occ") {
+        t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+      }
+      val db = occ.select("doc_id", "bg").distinct()
+      val fo = db.groupBy("bg").agg(min("doc_id").as("first_doc"))
+      val nv = db.join(fo, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      nv.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_bigrams").cast("long").as("n_bigrams"),
+          sum("n_new").cast("long").as("n_new"))
+        .withColumn("novelty_ppm",
+          expr("CAST(n_new * 1000000 DIV n_bigrams AS BIGINT)"))
+    },
+
     // Vocabulary-coverage / OOV-rate eval (r8) — the tokenizer-QA twin of
     // tokenizer_fertility: fix the vocab to the corpus's top-20 tokens by
     // total frequency (ties by token — deterministic) and report, per

@@ -858,6 +858,20 @@ class PlanSpec extends SparkTestBase {
       s"census must not globally sort:\n${plan.take(1500)}")
   }
 
+  test("scan_partition_prune: the status filter is a PartitionFilter at the scan") {
+    val plan = physical(RelationalQueries.all, "scan_partition_prune")
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderstatus"),
+      s"status filter not pushed to partition pruning:\n${plan.take(1500)}")
+    // pruned at list time: the data filter must NOT reappear as a pushed
+    // parquet filter (the column only exists in the directory name) —
+    // extract the PushedFilters bracket alone; the whole FileScan prints
+    // as one line that also holds the PartitionFilters
+    val pushed = """PushedFilters: \[([^\]]*)\]""".r
+      .findFirstMatchIn(scanLine).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("o_orderstatus"), s"PushedFilters: [$pushed]")
+  }
+
   test("join_scd2_pit: validity explode makes it an equi-join — no range join fallback") {
     val plan = physical(DiffQueries.all, "join_scd2_pit")
     assert(!plan.contains("CartesianProduct"), "PIT join went cartesian")
