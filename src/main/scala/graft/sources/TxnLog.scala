@@ -96,6 +96,9 @@ object TxnLog {
     val v = asOf.getOrElse(last)
     require(v >= 0 && v <= last,
       s"TxnLog: version $v out of range [0, $last] at $table")
+    val floor = minVersion(table)
+    require(v >= floor,
+      s"TxnLog: version $v was vacuumed away (time-travel floor is $floor) at $table")
     val live = scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
     (0L to v).foreach { c =>
       val f = commitFile(table, c)
@@ -362,6 +365,55 @@ object TxnLog {
       .parquet(scan.map(f => Paths.get(table, f.file).toString): _*)
       .filter(col(keyCol).cast("long").between(lo, hi))
     (df, skip.size)
+  }
+
+  private def vacuumMarker(table: String): Path =
+    logPath(table).resolve("_vacuum")
+
+  /** Oldest version still time-travelable (0 unless [[vacuum]] ran). */
+  def minVersion(table: String): Long = {
+    val m = vacuumMarker(table)
+    if (Files.exists(m))
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** VACUUM: physically delete data files referenced ONLY by versions
+    * older than `latest − retainVersions`, and record the new time-travel
+    * floor. Reads at or above the floor are untouched; a read below it
+    * fails fast with a precise error instead of a missing-file crash
+    * mid-scan. Commit files are never deleted (the log stays an auditable
+    * history of WHAT changed — only the bytes are gone), and files still
+    * live in ANY retained version are never touched — so unlike a naive
+    * mtime-based cleanup this cannot break a concurrent reader pinned to
+    * a retained snapshot. Returns the file names deleted.
+    */
+  def vacuum(table: String, retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 0, "retainVersions must be >= 0")
+    val last = latestVersion(table)
+    require(last >= 0, s"TxnLog: no log at $table/$LogDir")
+    val cutoff = math.max(minVersion(table), last - retainVersions)
+    val retainedLive: Set[String] =
+      (cutoff to last).flatMap(v => liveFiles(table, Some(v))).toSet
+    // every file ever added (replay all commits, adds only)
+    val everAdded = scala.collection.mutable.LinkedHashSet[String]()
+    (0L to last).foreach { c =>
+      Files.readAllLines(commitFile(table, c), StandardCharsets.UTF_8)
+        .asScala.foreach {
+          case StatsRe(file, _, _)   => everAdded += file
+          case ActionRe("add", file) => everAdded += file
+          case _                     => ()
+        }
+    }
+    // report only files this call actually removed — a re-run over an
+    // already-vacuumed log is an honest no-op
+    val deleted = (everAdded -- retainedLive).toSeq
+      .filter(f => Files.deleteIfExists(Paths.get(table, f)))
+    // publish the floor AFTER the deletes so a crash mid-vacuum leaves the
+    // floor where it was (some orphan bytes survive; nothing breaks)
+    Files.write(vacuumMarker(table),
+      (cutoff.toString + "\n").getBytes(StandardCharsets.UTF_8))
+    deleted
   }
 
   /** Snapshot read at `asOf` (default: latest) — scans live files only. */

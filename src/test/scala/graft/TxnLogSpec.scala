@@ -138,6 +138,26 @@ class TxnLogSpec extends SparkTestBase {
     assert(e.getMessage.contains("version gap"), e.getMessage)
   }
 
+  test("vacuum deletes only pre-floor bytes; retained snapshots and the log survive") {
+    val t = freshTable()
+    TxnLog.init(spark.range(100).toDF("id").repartition(4), t)      // v0: 4 files
+    TxnLog.overwrite(spark.range(100, 150).toDF("id"), t)           // v1: swap
+    TxnLog.append(Seq(999L).toDF("id"), t)                          // v2
+    val v0Files = TxnLog.liveFiles(t, Some(0))
+    val deleted = TxnLog.vacuum(t, retainVersions = 1)               // floor = v1
+    // exactly v0's swapped-out files died; v1/v2's files are intact
+    assert(deleted.toSet == v0Files.toSet, s"deleted $deleted")
+    assert(TxnLog.read(spark, t, Some(1)).count() == 50)
+    assert(TxnLog.read(spark, t).count() == 51)
+    // time travel below the floor fails precisely, never a missing-file crash
+    val e = intercept[IllegalArgumentException](TxnLog.read(spark, t, Some(0)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // commit history itself is never deleted (auditable log)
+    assert(Files.exists(Paths.get(t, "_graft_log", "00000000.json")))
+    // idempotent: a second vacuum with the same retention deletes nothing
+    assert(TxnLog.vacuum(t, retainVersions = 1).isEmpty)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
