@@ -265,6 +265,119 @@ object RelationalQueries {
           Seq("o_orderkey"))
     },
 
+    // DESCRIBE HISTORY over the TxnLog table (r8): the audit surface every
+    // governed lakehouse table needs — per commit: operation tag, files
+    // added/removed, live-file count after, snapshot row count. The first
+    // four columns come from the commit-log HEADERS alone (KB of driver
+    // JSON regardless of table size — no data file is opened); row counts
+    // are per-version time-travel count jobs here, and at 100 TB would
+    // ride row-count stats in the header the same way the key min/max
+    // already do. Oracle is fully closed-form: the op sequence
+    // (init 2 files → append 1 → overwrite 2-for-3 → compact 1-for-2) is
+    // fixed by the query, so file counts are literals and row counts
+    // recompute from raw orders — a wrong replay, op tag, or time-travel
+    // read flips the hash.
+    Q("txn_history",
+      """WITH base AS (SELECT count(*) AS n FROM orders),
+        |d89 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 89 = 0),
+        |f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+        |f89 AS (SELECT count(*) AS n FROM orders
+        |        WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F')
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |       CAST(n_add AS BIGINT) AS n_add,
+        |       CAST(n_remove AS BIGINT) AS n_remove,
+        |       CAST(n_live AS BIGINT) AS n_live,
+        |       CAST(n_rows AS BIGINT) AS n_rows
+        |FROM (VALUES
+        |  (0, 'init',      2, 0, 2, (SELECT n FROM base)),
+        |  (1, 'append',    1, 0, 3, (SELECT n FROM base) + (SELECT n FROM d89)),
+        |  (2, 'overwrite', 2, 3, 2, (SELECT n FROM f) + (SELECT n FROM f89)),
+        |  (3, 'compact',   1, 2, 1, (SELECT n FROM f) + (SELECT n FROM f89))
+        |) AS t(version, op, n_add, n_remove, n_live, n_rows)""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        import graft.sources.TxnLog
+        val orders = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/h${txnSeq.incrementAndGet()}"
+        TxnLog.init(orders.repartition(2), table)
+        val delta = orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        TxnLog.append(delta.repartition(1), table)
+        TxnLog.overwrite(TxnLog.read(s, table, Some(1))
+          .filter(col("o_orderstatus") === "F").repartition(2), table)
+        TxnLog.compact(s, table, 1)
+        val audit = TxnLog.history(table)
+          .map(c => (c.version, c.op, c.nAdd.toLong, c.nRemove.toLong,
+            c.nLiveAfter.toLong))
+          .toDF("version", "op", "n_add", "n_remove", "n_live")
+        val counts = (0L to 3L).map(v =>
+          TxnLog.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(v).as("version"), col("n_rows")))
+          .reduce(_ unionByName _)
+        audit.join(counts, Seq("version"))
+    },
+
+    // VACUUM over the TxnLog table (r8): physically delete data bytes
+    // referenced ONLY by versions older than the retention window, and
+    // record the new time-travel floor. The safety contract is what the
+    // oracle gates: every RETAINED snapshot must read byte-identically
+    // after the vacuum (a file shared between an expired and a retained
+    // version must survive — deletion is computed against the union of
+    // retained live sets, never per-version). n_deleted is closed-form (4
+    // = exactly v0's swapped-out files) and reads below the floor fail
+    // fast with a precise error instead of a missing-file crash mid-scan
+    // (TxnLogSpec). At 100 TB vacuum is the storage-cost lever: expired
+    // copy-on-write generations are the dominant dead weight, and the
+    // commit log itself (KB JSON, never deleted) stays the full audit
+    // trail.
+    Q("txn_vacuum",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |a1 AS (SELECT CAST(1 AS BIGINT) AS version,
+        |              CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |                AS sum_cents
+        |       FROM v1),
+        |a2 AS (SELECT CAST(2 AS BIGINT) AS version,
+        |              CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |                AS sum_cents
+        |       FROM v2)
+        |SELECT version, n_rows, sum_cents,
+        |       CAST(4 AS BIGINT) AS n_deleted, CAST(1 AS BIGINT) AS floor_v
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)""".stripMargin) {
+      (s, d) =>
+        import graft.sources.TxnLog
+        val orders = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/v${txnSeq.incrementAndGet()}"
+        TxnLog.init(orders.repartition(4), table)
+        TxnLog.overwrite(orders.filter(col("o_orderkey") % 2 === 0)
+          .repartition(2), table)
+        TxnLog.append(orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .repartition(1), table)
+        val deleted = TxnLog.vacuum(table, retainVersions = 1)
+        def snap(v: Long) = TxnLog.read(s, table, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("o_totalprice").cast("decimal(27,2)")) * 100)
+              .cast("long").as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+        snap(1).unionByName(snap(2))
+          .withColumn("n_deleted", lit(deleted.size.toLong))
+          .withColumn("floor_v", lit(TxnLog.minVersion(table)))
+    },
+
     // Hive-partitioned write + partition-PRUNED read (r8): the one scan
     // family member the matrix was missing. orders lands partitioned by
     // o_orderstatus; the status-filtered read must touch only its own

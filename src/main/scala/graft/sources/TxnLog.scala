@@ -73,7 +73,9 @@ object TxnLog {
   private val ActionRe = """\{"op":"(add|remove)","file":"([^"]+)"\}""".r
   private val StatsRe =
     """\{"op":"add","file":"([^"]+)","kmin":(-?\d+),"kmax":(-?\d+)\}""".r
-  private val HeaderRe = """\{"commit":(\d+),"n_add":(\d+),"n_remove":(\d+)\}""".r
+  // op tag is optional so pre-r8 logs (headers without it) still replay
+  private val HeaderRe =
+    """\{"commit":(\d+)(?:,"op":"([a-z]+)")?,"n_add":(\d+),"n_remove":(\d+)\}""".r
 
   /** One live data file with its optional key-range stats. */
   final case class FileStat(file: String, keyRange: Option[(Long, Long)])
@@ -109,7 +111,7 @@ object TxnLog {
         case ActionRe("remove", file)  =>
           require(live.remove(file).isDefined,
             s"TxnLog: commit $c removes unknown file $file")
-        case HeaderRe(_, _, _) => ()
+        case HeaderRe(_, _, _, _) => ()
         case other => sys.error(s"TxnLog: unparseable action in commit $c: $other")
       }
     }
@@ -125,19 +127,20 @@ object TxnLog {
     * writer racing to the same version loses with a precise error (its
     * data files stay invisible orphans) and can retry.
     */
-  def commit(table: String, adds: Seq[String], removes: Seq[String]): Long = {
+  def commit(table: String, adds: Seq[String], removes: Seq[String],
+             op: String = "commit"): Long = {
     val version = latestVersion(table) + 1
-    commitAt(table, version, adds, removes)
+    commitAt(table, version, adds, removes, op)
     version
   }
 
   /** [[commit]] with per-file key stats on the adds (data-skipping). */
   def commitWithStats(table: String, adds: Seq[(String, Long, Long)],
-                      removes: Seq[String]): Long = {
+                      removes: Seq[String], op: String = "commit"): Long = {
     val version = latestVersion(table) + 1
     commitLines(table, version,
       adds.map { case (f, lo, hi) => statsActionLine(f, lo, hi) },
-      removes)
+      removes, op)
     version
   }
 
@@ -150,13 +153,17 @@ object TxnLog {
     * TxnLogSpec's race test.)
     */
   private[graft] def commitAt(table: String, version: Long,
-                              adds: Seq[String], removes: Seq[String]): Unit =
-    commitLines(table, version, adds.map(actionLine("add", _)), removes)
+                              adds: Seq[String], removes: Seq[String],
+                              op: String = "commit"): Unit =
+    commitLines(table, version, adds.map(actionLine("add", _)), removes, op)
 
   private def commitLines(table: String, version: Long,
-                          addLines: Seq[String], removes: Seq[String]): Unit = {
+                          addLines: Seq[String], removes: Seq[String],
+                          op: String): Unit = {
+    require(op.nonEmpty && op.forall(c => c >= 'a' && c <= 'z'),
+      s"TxnLog: op tag must be lowercase ascii, got '$op'")
     Files.createDirectories(logPath(table))
-    val body = (Seq(s"""{"commit":$version,"n_add":${addLines.size},"n_remove":${removes.size}}""") ++
+    val body = (Seq(s"""{"commit":$version,"op":"$op","n_add":${addLines.size},"n_remove":${removes.size}}""") ++
       removes.map(actionLine("remove", _)) ++ addLines)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logPath(table), s".commit-$version-", ".tmp")
@@ -218,7 +225,7 @@ object TxnLog {
   /** Create the table at version 0 (fails if a log already exists). */
   def init(df: DataFrame, table: String): Long = {
     require(latestVersion(table) < 0, s"TxnLog: $table already initialized")
-    commit(table, writeDataFiles(df, table), Nil)
+    commit(table, writeDataFiles(df, table), Nil, "init")
   }
 
   /** [[init]] recording per-file min/max stats of `keyCol` — required for
@@ -226,12 +233,12 @@ object TxnLog {
     */
   def initKeyed(df: DataFrame, table: String, keyCol: String): Long = {
     require(latestVersion(table) < 0, s"TxnLog: $table already initialized")
-    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil)
+    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil, "init")
   }
 
   /** [[append]] recording per-file key stats (keeps [[merge]] prunable). */
   def appendKeyed(df: DataFrame, table: String, keyCol: String): Long =
-    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil)
+    commitWithStats(table, writeDataFilesKeyed(df, table, keyCol), Nil, "append")
 
   /** MERGE (upsert) `updates` into the table by `keyCol`, Delta-style:
     * rows whose key matches an existing row replace it; new keys append.
@@ -270,7 +277,7 @@ object TxnLog {
         .join(broadcast(updates.select(col(keyCol))), Seq(keyCol), "left_anti")
         .unionByName(updates)
     val adds = writeDataFilesKeyed(survivors, table, keyCol)
-    val v = commitWithStats(table, adds, touched.map(_.file))
+    val v = commitWithStats(table, adds, touched.map(_.file), "merge")
     // merge cost transparency: callers/tests can assert the skip worked
     lastMergeSkipped.set(skipped.size)
     v
@@ -294,7 +301,7 @@ object TxnLog {
   def commitBatch(df: DataFrame, table: String, version: Long): Boolean =
     if (latestVersion(table) >= version) false
     else {
-      try { commitAt(table, version, writeDataFiles(df, table), Nil); true }
+      try { commitAt(table, version, writeDataFiles(df, table), Nil, "append"); true }
       catch { case _: IllegalStateException => false } // lost the replay race
     }
 
@@ -322,13 +329,13 @@ object TxnLog {
 
   /** Append rows — new files only, existing data never rewritten. */
   def append(df: DataFrame, table: String): Long =
-    commit(table, writeDataFiles(df, table), Nil)
+    commit(table, writeDataFiles(df, table), Nil, "append")
 
   /** Copy-on-write overwrite: replace the whole live set with df in ONE
     * commit (readers see the old or the new snapshot, never a mix).
     */
   def overwrite(df: DataFrame, table: String): Long =
-    commit(table, writeDataFiles(df, table), liveFiles(table))
+    commit(table, writeDataFiles(df, table), liveFiles(table), "overwrite")
 
   /** Compaction as a metadata swap: rewrite the current snapshot into
     * `numFiles` files; one commit adds them and removes the old set. Old
@@ -337,7 +344,38 @@ object TxnLog {
   def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
     val old = liveFiles(table)
     val adds = writeDataFiles(read(spark, table).repartition(numFiles), table)
-    commit(table, adds, old)
+    commit(table, adds, old, "compact")
+  }
+
+  /** One audited commit, as [[history]] reports it. `nLiveAfter` is the
+    * size of the live file set the moment this commit landed.
+    */
+  final case class CommitInfo(version: Long, op: String,
+                              nAdd: Int, nRemove: Int, nLiveAfter: Int)
+
+  /** DESCRIBE HISTORY: the full audit trail, one row per commit, from the
+    * headers alone — no data file is opened, so this is KB-of-JSON cheap
+    * regardless of table size, and it survives [[vacuum]] (commit files
+    * are never deleted, only pre-floor data bytes). Headers written before
+    * the op tag existed report op = "commit".
+    */
+  def history(table: String): Seq[CommitInfo] = {
+    val last = latestVersion(table)
+    require(last >= 0, s"TxnLog: no log at $table/$LogDir")
+    var nLive = 0
+    (0L to last).map { c =>
+      val f = commitFile(table, c)
+      require(Files.exists(f), s"TxnLog: missing commit $c at $table (log is torn)")
+      val header = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.head
+      header match {
+        case HeaderRe(v, op, nAdd, nRemove) =>
+          require(v.toLong == c, s"TxnLog: commit file $c has header version $v")
+          nLive += nAdd.toInt - nRemove.toInt
+          CommitInfo(c, Option(op).getOrElse("commit"),
+            nAdd.toInt, nRemove.toInt, nLive)
+        case other => sys.error(s"TxnLog: unparseable header in commit $c: $other")
+      }
+    }
   }
 
   /** Data-skipping snapshot read: scan ONLY live files whose key stats

@@ -158,6 +158,25 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.vacuum(t, retainVersions = 1).isEmpty)
   }
 
+  test("history audits every commit: op tags, add/remove counts, live-file count") {
+    val t = freshTable()
+    TxnLog.init(spark.range(10).toDF("id").repartition(2), t)
+    TxnLog.append(Seq(99L).toDF("id").repartition(1), t)
+    TxnLog.overwrite(spark.range(5).toDF("id").repartition(1), t)
+    TxnLog.compact(spark, t, 1)
+    TxnLog.commit(t, Nil, Nil) // untagged low-level commit → default op
+    val h = TxnLog.history(t)
+    assert(h.map(c => (c.version, c.op, c.nAdd, c.nRemove, c.nLiveAfter)) == Seq(
+      (0L, "init", 2, 0, 2),
+      (1L, "append", 1, 0, 3),
+      (2L, "overwrite", 1, 3, 1),
+      (3L, "compact", 1, 1, 1),
+      (4L, "commit", 0, 0, 1)))
+    // header-only: vacuum never erases the audit trail
+    TxnLog.vacuum(t, retainVersions = 0)
+    assert(TxnLog.history(t).size == 5)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
