@@ -155,6 +155,74 @@ object MultimodalOps {
     }
   }
 
+  /** dHash perceptual fingerprint of a decoded image: pool luminance into
+    * a (cols+1)×rows grid (box means — exact pass-through when the image
+    * is already that size), then one bit per horizontal gradient:
+    * bit(y·cols + x) = cell(x+1, y) > cell(x, y). Gradient signs survive
+    * brightness/contrast shifts, which is what makes the 64-bit hash a
+    * NEAR-duplicate key where a byte hash is an exact one.
+    */
+  def dHash(img: java.awt.image.BufferedImage, cols: Int = 8, rows: Int = 8): Long = {
+    require(cols > 0 && rows > 0 && cols.toLong * rows <= 64,
+      s"dHash: cols*rows must fit in 64 bits, got ${cols}x$rows")
+    val gw = cols + 1
+    val feature = new Array[Float](gw * rows)
+    val counts = new Array[Int](gw * rows)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val rowCell = (y.toLong * rows / h).toInt * gw
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f / 255f
+        val cell = rowCell + (x.toLong * gw / w).toInt
+        feature(cell) += lum; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < feature.length) { if (counts(c) > 0) feature(c) /= counts(c); c += 1 }
+    var hash = 0L
+    var cy = 0
+    while (cy < rows) {
+      var cx = 0
+      while (cx < cols) {
+        if (feature(cy * gw + cx + 1) > feature(cy * gw + cx))
+          hash |= 1L << (cy * cols + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash of one media object ([[dHash]] over the real decode). */
+  final case class ImageHash(id: Long, hash: Long, decoded: Boolean)
+
+  /** Per-partition batch perceptual hashing: real ImageIO decode →
+    * [[dHash]]; undecodable payloads fall back to the byte-level
+    * [[fakeDecode]] fingerprint (decoded = false) — same
+    * one-row-not-a-task-retry corrupt-object contract as
+    * [[extractImageFeatures]].
+    */
+  def imageDHash(media: Dataset[MediaRecord],
+                 cols: Int = 8, rows: Int = 8): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { m =>
+        decodeImage(m.content) match {
+          case Some(img) => ImageHash(m.id, dHash(img, cols, rows), decoded = true)
+          case None      => ImageHash(m.id, fakeDecode(m.content, 1)._1, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Wrap a DataFrame with a binary column into the typed media Dataset. */
   def toMedia(df: DataFrame, idCol: String, binCol: String, mime: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession

@@ -966,6 +966,70 @@ object PipelineQueries {
           .toDF("id", "width", "height", "gray_level")
     },
 
+    Q("multimodal_phash",
+      """WITH ids AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         1 + c_custkey % 16 AS a, (c_custkey % 7) * 3 AS b
+        |  FROM customer),
+        |bits AS (
+        |  SELECT id,
+        |         string_agg(CASE WHEN (a*(x+1) + b*y) % 256 > (a*x + b*y) % 256
+        |                         THEN '1' ELSE '0' END, '' ORDER BY y * 8 + x)
+        |           AS phash
+        |  FROM ids, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+        |  GROUP BY id)
+        |SELECT id, phash,
+        |       min(id) OVER (PARTITION BY phash) AS keep_id,
+        |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS group_n
+        |FROM bits""".stripMargin) {
+      (s, d) =>
+        // Perceptual-hash image dedup over the REAL codec: one genuine
+        // 9x8 gradient PNG per customer row (pixel luminance is the
+        // closed form (a·x + b·y) mod 256 with (a, b) functions of the
+        // key), decoded back with ImageIO and dHashed — 64 horizontal
+        // gradient-sign bits (MultimodalOps.dHash). The oracle recomputes
+        // every bit arithmetically, so a decode, pooling, or bit-order
+        // bug flips the hash; rows sharing (a, b) collide by construction
+        // and the exact-hash group becomes the near-dup cluster
+        // (keep = min id — the dedup_exact survivor rule). 100 TB shape:
+        // hashing is row-local behind a per-partition codec batch; only
+        // the 8-byte fingerprint shuffles for the group; at
+        // hamming-distance > 0 the 64 bits band into 4x16-bit keys and
+        // ride the dedup_simhash bucket-join machinery unchanged.
+        import s.implicits._
+        import graft.operators.{MediaRecord, MultimodalOps}
+        val media = Tables.cachedTable(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id")).as[Long]
+          .map { id =>
+            val a = (1 + id % 16).toInt
+            val b = ((id % 7) * 3).toInt
+            val img = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v = (a * x + b * y) % 256
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRecord(id, "image/png", bos.toByteArray)
+          }
+        val bits = MultimodalOps.imageDHash(media)
+          .map(ih => (ih.id,
+            (0 until 64).map(i => if (((ih.hash >> i) & 1L) == 1L) '1' else '0')
+              .mkString))
+          .toDF("id", "phash")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+        bits
+          .withColumn("keep_id", min(col("id")).over(w))
+          .withColumn("group_n", count(lit(1)).over(w))
+    },
+
     Q("embed_quantize",
       """WITH a AS (
         |  SELECT vec_id, label, embedding AS v,

@@ -115,6 +115,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.feature.sameElements(MultimodalOps.fakeDecode(junk, 4)._2))
   }
 
+  test("dHash: gradient-sign bits, brightness-invariant, scale-invariant pooling") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // horizontal ramp: every gradient bit set; vertical ramp: none
+    val ramp = MultimodalOps.decodeImage(pngBytes(9, 8)((x, _) => gray(x * 20))).get
+    val vert = MultimodalOps.decodeImage(pngBytes(9, 8)((_, y) => gray(y * 20))).get
+    assert(MultimodalOps.dHash(ramp) == -1L, "all 64 bits set")
+    assert(MultimodalOps.dHash(vert) == 0L, "no horizontal gradient")
+    // NEAR-dup key: a global brightness shift keeps every gradient sign
+    val brighter = MultimodalOps.decodeImage(pngBytes(9, 8)((x, _) => gray(x * 20 + 50))).get
+    assert(MultimodalOps.dHash(brighter) == MultimodalOps.dHash(ramp))
+    // pooling: 2x-upscaled image (each cell a uniform 2x2 block) hashes equal
+    val up = MultimodalOps.decodeImage(pngBytes(18, 16)((x, y) => gray((x / 2) * 20))).get
+    assert(MultimodalOps.dHash(up) == MultimodalOps.dHash(ramp))
+    // undecodable payloads fall back deterministically, decoded = false
+    val junk = Array[Byte](9, 9, 9)
+    val media = MultimodalOps.toMedia(
+      Seq((1L, junk)).toDF("id", "payload"), "id", "payload", "image/png")
+    val fh = MultimodalOps.imageDHash(media).collect().head
+    assert(!fh.decoded && fh.hash == MultimodalOps.fakeDecode(junk, 1)._1)
+  }
+
   test("thumbnail really rescales: re-decoded dims shrink to maxSide, aspect kept") {
     val png = pngBytes(16, 8)((x, y) => if ((x + y) % 2 == 0) 0xff0000 else 0x00ff00)
     val small = pngBytes(3, 2)((_, _) => 0x123456)
