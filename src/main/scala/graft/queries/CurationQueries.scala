@@ -407,6 +407,57 @@ object CurationQueries {
                   col("s").cast("long").as("total_tokens"),
                   expr("(2 * si - (n + 1) * s) * 1000000 div (n * s)")
                     .cast("long").as("gini_ppm"))
+    },
+
+    // Curriculum ordering (r8b) — difficulty-staged training schedule
+    // (Bengio et al. 2009): score every doc by a difficulty proxy (mean
+    // token length in exact ppm), cut the corpus into quartile buckets,
+    // and train easy→hard. The bucket boundaries are GLOBAL exact
+    // percentiles computed as one aggregate and broadcast back — never an
+    // ntile window over the whole corpus (that is a single-task sort at
+    // 100 TB; three scalar quantiles + a per-row comparison ladder is the
+    // scale-safe equivalent, same two-phase discipline as budget_select).
+    // Spark `percentile` and DuckDB `quantile_cont` share the ANSI
+    // (n−1)·p interpolation rule on identical BIGINT inputs, so the
+    // boundaries are bit-equal doubles and bucket assignment cannot
+    // drift.
+    Q("curriculum_order",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split(lower(text), ' ')) AS n_tokens,
+        |         list_aggregate(list_transform(string_split(lower(text), ' '),
+        |           t -> len(t)), 'sum') AS sum_chars
+        |  FROM documents),
+        |dd AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |              CAST(sum_chars * 1000000 // n_tokens AS BIGINT) AS difficulty_ppm
+        |       FROM t),
+        |q AS (SELECT quantile_cont(difficulty_ppm, [0.25, 0.5, 0.75]) AS qs FROM dd),
+        |b AS (SELECT doc_id, n_tokens, difficulty_ppm,
+        |             CAST(1 + CAST(difficulty_ppm > qs[1] AS INT)
+        |                    + CAST(difficulty_ppm > qs[2] AS INT)
+        |                    + CAST(difficulty_ppm > qs[3] AS INT) AS BIGINT) AS bucket
+        |      FROM dd, q),
+        |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_n FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.difficulty_ppm, b.bucket, n.bucket_n
+        |FROM b JOIN n USING (bucket)""".stripMargin) {
+      (s, d) =>
+        val t = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_chars"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("sum_chars * 1000000 div n_tokens").as("difficulty_ppm"))
+        val q = t.agg(
+          expr("percentile(difficulty_ppm, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        val b = t.crossJoin(broadcast(q))
+          .select(col("doc_id"), col("n_tokens"), col("difficulty_ppm"),
+            (lit(1) + (col("difficulty_ppm") > expr("qs[0]")).cast("int")
+              + (col("difficulty_ppm") > expr("qs[1]")).cast("int")
+              + (col("difficulty_ppm") > expr("qs[2]")).cast("int"))
+              .cast("long").as("bucket"))
+        val n = b.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        b.join(broadcast(n), Seq("bucket"))
+          .select("doc_id", "n_tokens", "difficulty_ppm", "bucket", "bucket_n")
     }
   )
 }

@@ -1062,6 +1062,68 @@ object TextAnalysisQueries {
           .select(col("lang"), col("n_docs"), col("ws_tokens"), col("subword_tokens"),
             expr("subword_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
             expr("sum_nc * 1000000 div subword_tokens").as("chars_per_token_ppm"))
+    },
+
+    // Per-SOURCE boilerplate detection (r8b) — the CCNet/RefinedWeb
+    // cleanup step the corpus-wide span dedup (dedup_lines) is not:
+    // headers, footers, and cookie banners repeat across one domain's
+    // pages, so a span is "boilerplate" when it appears in ≥ 10% of its
+    // OWN source's docs (and ≥ 3 of them — the absolute floor keeps a
+    // 5-doc source from flagging every shared bigram). Span = 2-token
+    // shingle on this boundary-free fixture (real pages would use lines).
+    // Report: per doc, total spans, boilerplate-hit spans, exact-ppm
+    // ratio — simultaneously the strip plan and the contamination audit.
+    Q("text_boilerplate",
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS sp
+        |  FROM t),
+        |srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |df AS (SELECT source, sp, count(DISTINCT doc_id) AS df FROM s GROUP BY 1, 2),
+        |boiler AS (SELECT source, sp FROM df JOIN srcn USING (source)
+        |           WHERE df >= 3 AND df * 10 >= n_docs),
+        |per AS (SELECT s.doc_id, count(*) AS n_spans,
+        |               sum(CASE WHEN b.sp IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |        FROM s LEFT JOIN boiler b ON s.source = b.source AND s.sp = b.sp
+        |        GROUP BY 1)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |       CAST(n_boiler AS BIGINT) AS n_boiler,
+        |       CAST(n_boiler * 1000000 // n_spans AS BIGINT) AS boiler_ppm
+        |FROM per""".stripMargin) {
+      (s, d) =>
+        // Scale shape: ONE span explode feeds both the document-frequency
+        // agg and the per-doc probe (cached — the text column never
+        // shuffles, only (doc, source, span) rows); the boilerplate set is
+        // per-source-vocabulary-sized (hundreds of rows at any corpus
+        // scale — a frequency cut, not a corpus product) and BROADCASTS
+        // to the probe, so the whole query is two map-side-combinable
+        // aggs + one broadcast join. At 100 TB nothing here is quadratic:
+        // df is a (source, span)-keyed count, never a pair join.
+        val docs = Tables.cachedTable(s, d, "documents")
+        val spans = Tables.cached(s, s"$d/boiler-spans") {
+          docs.select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+            .select(col("doc_id"), col("source"),
+              explode(expr("CASE WHEN size(toks) < 2 THEN array() " +
+                "ELSE transform(sequence(0, size(toks) - 2), " +
+                "i -> concat(toks[i], ' ', toks[i+1])) END")).as("sp"))
+        }
+        val srcn = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val boiler = spans.groupBy("source", "sp")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .join(broadcast(srcn), Seq("source"))
+          .filter(col("df") >= 3 && col("df") * 10 >= col("n_docs"))
+          .select(col("source"), col("sp"), lit(1).as("is_b"))
+        spans.join(broadcast(boiler), Seq("source", "sp"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
+          .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+            expr("n_boiler * 1000000 div n_spans").as("boiler_ppm"))
     }
   )
 
