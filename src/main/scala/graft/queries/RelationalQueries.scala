@@ -820,6 +820,43 @@ object RelationalQueries {
       Tables.table(s, d, "region")
         .crossJoin(Tables.table(s, d, "nation"))
         .select("r_name", "n_name")
+    },
+
+    // Bucketed CO-LOCATED fact-fact join (r8b): both sides land bucketed
+    // (+ sorted) on the join key ONCE, then every subsequent join on that
+    // key is a sort-merge with NO shuffle and NO per-bucket sort — the
+    // write-once, join-many amortization that is the answer when BOTH
+    // sides outgrow broadcast (the regime join_star's dimension
+    // broadcasts stop covering at 100 TB). The merge hint keeps the plan
+    // in that regime at toy scale; SinksSpec separately pins the
+    // zero-Exchange, zero-Sort plan shape. Oracle = the plain join
+    // aggregate, so a bucket-pruned row or hash-vs-range bucketing
+    // mismatch flips the hash.
+    Q("join_bucketed_colocated",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Sinks
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.ProcessHandle.current().pid()
+      val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      Sinks.writeBucketed(
+        Tables.cachedTable(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$roundtripRoot/bkt/$tag/orders"))
+      Sinks.writeBucketed(
+        Tables.cachedTable(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        lt, Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
+        path = Some(s"$roundtripRoot/bkt/$tag/lineitem"))
+      s.table(lt)
+        .join(s.table(ot).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long").as("qty_cents"))
     }
   )
 }
