@@ -378,6 +378,141 @@ object RelationalQueries {
           .withColumn("floor_v", lit(TxnLog.minVersion(table)))
     },
 
+    // Additive SCHEMA EVOLUTION over the TxnLog table (r8b): a later
+    // commit appends files carrying a column the base files never had;
+    // the mergeSchema read surfaces the union schema with NULLs for
+    // pre-evolution rows — Delta's additive column evolution without a
+    // metastore, paid for only on the read that asks (the merged-footer
+    // pass is per-file metadata, KBs — never a data scan). The oracle
+    // rebuilds the evolved snapshot closed-form (base rows with NULL,
+    // delta rows with values), so a dropped column, wrongly-defaulted
+    // row, or misaligned union flips the hash.
+    Q("txn_schema_evolution",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100, 0)
+        |            AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/e${txnSeq.incrementAndGet()}"
+      TxnLog.init(orders.select("o_orderkey", "o_orderstatus"), table)
+      TxnLog.append(orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"), table)
+      TxnLog.read(s, table, mergeSchema = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          coalesce(sum(col("o_totalprice").cast("decimal(27,2)")) * 100, lit(0))
+            .cast("long").as("sum_cents"))
+    },
+
+    // Zero-copy CLONE of the TxnLog table (r8b): fork a table by
+    // hard-linking its live files under a fresh commit log — no bytes
+    // copied (forking 100 TB costs one KB commit + a directory of
+    // links), yet the fork is fully independent: the query appends to
+    // the CLONE and the oracle pins the SOURCE unchanged alongside the
+    // diverged clone — shared-file mutation or cross-table interference
+    // flips the hash. The experiment-fork/staging-copy story; per-file
+    // key stats carry over so merge prunes on the clone too.
+    Q("txn_clone",
+      """WITH d97 AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS cents
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |base AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS cents
+        |  FROM orders)
+        |SELECT 'source' AS side, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(cents AS BIGINT) AS sum_cents FROM base
+        |UNION ALL
+        |SELECT 'clone', CAST(base.n + d97.n AS BIGINT),
+        |       CAST(base.cents + d97.cents AS BIGINT)
+        |FROM base, d97""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = s"$root/c${txnSeq.incrementAndGet()}"
+      val dst = s"$root/c${txnSeq.incrementAndGet()}"
+      TxnLog.initKeyed(orders, src, "o_orderkey")
+      TxnLog.clone(src, dst)
+      TxnLog.append(orders.filter(col("o_orderkey") % 97 === 0), dst)
+      def tally(side: String, table: String) =
+        TxnLog.read(s, table)
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("o_totalprice").cast("decimal(27,2)")) * 100)
+              .cast("long").as("sum_cents"))
+          .select(lit(side).as("side"), col("n_rows"), col("sum_cents"))
+      tally("source", src).unionByName(tally("clone", dst))
+    },
+
+    // INCREMENTAL version diff over the TxnLog table (r8b): the change
+    // feed between two versions computed by reading ONLY the files that
+    // differ in the commit log (TxnLog.changedFiles — a set difference
+    // over KB driver metadata). Copy-on-write guarantees every changed
+    // row lives in a swapped file, so diffing (removed-files vs
+    // added-files) and dropping the N rows (rows a rewrite carried over
+    // unchanged) yields EXACTLY the global C/I/D set — the oracle derives
+    // it closed-form from the update rule. At 100 TB this is the nightly
+    // "what did the merge do" answered at O(changed files), not
+    // O(table) — the full-snapshot diff (txn_diff_versions) exists for
+    // when the log is absent.
+    Q("txn_diff_incremental",
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey BETWEEN 2000 AND 6000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd),
+        |full_diff AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |              WHEN n.o_orderkey IS NULL THEN 'D'
+        |              WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'C'
+        |              ELSE 'N' END AS diff_status,
+        |         coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         b.o_totalprice AS left_o_totalprice,
+        |         n.o_totalprice AS right_o_totalprice
+        |  FROM base b FULL OUTER JOIN v1 n USING (o_orderkey))
+        |SELECT * FROM full_diff WHERE diff_status <> 'N'""".stripMargin) {
+      (s, d) =>
+        import graft.sources.TxnLog
+        import graft.operators.Differ
+        val orders = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/i${txnSeq.incrementAndGet()}"
+        TxnLog.initKeyed(orders.repartitionByRange(4, col("o_orderkey")),
+          table, "o_orderkey")
+        val updates = orders
+          .filter(col("o_orderkey") % 31 === 0 &&
+            col("o_orderkey").between(2000, 6000))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        TxnLog.merge(s, table, updates, "o_orderkey")
+        val (onlyOld, onlyNew) = TxnLog.changedFiles(table, 0, 1)
+        Differ.diff(
+          TxnLog.readFiles(s, table, onlyOld),
+          TxnLog.readFiles(s, table, onlyNew),
+          Seq("o_orderkey"))
+          .filter(col("diff_status") =!= "N")
+    },
+
     // Hive-partitioned write + partition-PRUNED read (r8): the one scan
     // family member the matrix was missing. orders lands partitioned by
     // o_orderstatus; the status-filtered read must touch only its own

@@ -454,13 +454,71 @@ object TxnLog {
     deleted
   }
 
-  /** Snapshot read at `asOf` (default: latest) — scans live files only. */
-  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+  /** Snapshot read at `asOf` (default: latest) — scans live files only.
+    * `mergeSchema = true` is the schema-evolution read: the snapshot's
+    * schema is the UNION of every live file's footer schema, and files
+    * written before a column existed surface NULL for it — Delta's
+    * additive column evolution, paid for only when asked (the merged-
+    * footer pass reads every footer; the default read takes the first).
+    */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(table, asOf)
     if (files.isEmpty)
       // empty snapshot: preserve "no rows" without a schema source
       sys.error(s"TxnLog: empty snapshot at $table (asOf=$asOf) has no schema")
     else
-      spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+  }
+
+  /** Zero-copy CLONE: create `dst` as a new TxnLog table whose version 0
+    * is `src`'s snapshot at `asOf`, by HARD-LINKING the live data files —
+    * no bytes are copied, yet the tables are fully independent afterwards
+    * (a commit to either never touches the other; deleting a link leaves
+    * the other table's link intact — which also means [[vacuum]] on one
+    * side only unlinks its own name). Per-file key stats carry over, so
+    * [[merge]] prunes on the clone exactly as on the source. The
+    * dev/staging-copy and experiment-fork story: forking a 100 TB table
+    * costs one KB commit + one directory of hard links.
+    */
+  def clone(src: String, dst: String, asOf: Option[Long] = None): Long = {
+    require(latestVersion(dst) < 0, s"TxnLog: $dst already initialized")
+    val stats = liveFileStats(src, asOf)
+    require(stats.nonEmpty, s"TxnLog: refusing to clone an empty snapshot of $src")
+    Files.createDirectories(Paths.get(dst))
+    stats.foreach(f =>
+      Files.createLink(Paths.get(dst, f.file), Paths.get(src, f.file)))
+    val (withStats, bare) = stats.partition(_.keyRange.isDefined)
+    // one commit carrying every link; stats ride along where the source had them
+    commitLines(dst, 0,
+      withStats.map { f =>
+        val (lo, hi) = f.keyRange.get; statsActionLine(f.file, lo, hi)
+      } ++ bare.map(f => actionLine("add", f.file)),
+      Nil, "clone")
+    0L
+  }
+
+  /** File-level change scope between two versions, from the log alone:
+    * (files live only at `v0`, files live only at `v1`). Every row that
+    * differs between the snapshots lives in one of these files — files in
+    * neither list are byte-identical in both versions and need never be
+    * read. This is the input to the incremental version diff: cost
+    * O(changed files), not O(table).
+    */
+  def changedFiles(table: String, v0: Long, v1: Long): (Seq[String], Seq[String]) = {
+    val f0 = liveFiles(table, Some(v0))
+    val f1 = liveFiles(table, Some(v1))
+    val s0 = f0.toSet
+    val s1 = f1.toSet
+    (f0.filterNot(s1), f1.filterNot(s0))
+  }
+
+  /** Read a specific file subset of `table` (as produced by
+    * [[changedFiles]]).
+    */
+  def readFiles(spark: SparkSession, table: String, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "TxnLog.readFiles: empty file list has no schema")
+    spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 }

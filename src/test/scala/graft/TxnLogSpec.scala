@@ -177,6 +177,33 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.history(t).size == 5)
   }
 
+  test("clone is zero-copy yet independent; changedFiles prunes untouched files") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxnLog.initKeyed(
+      spark.range(100).toDF("id").repartitionByRange(4, $"id"), src, "id")
+    TxnLog.clone(src, dst)
+    // zero-copy: every clone file is a hard link to the source's inode
+    TxnLog.liveFiles(dst).foreach { f =>
+      assert(java.nio.file.Files.isSameFile(
+        java.nio.file.Paths.get(src, f), java.nio.file.Paths.get(dst, f)))
+    }
+    // stats carried: a clone-side merge still prunes by the source's stats
+    TxnLog.merge(spark, dst, Seq(3L).toDF("id"), "id")
+    assert(TxnLog.lastMergeSkipped.get == 3, "3 of 4 files stat-pruned on the clone")
+    // independence: the clone-side merge never touched the source
+    assert(TxnLog.read(spark, src).count() == 100)
+    assert(TxnLog.latestVersion(src) == 0)
+    // changedFiles: only the rewritten file pair differs between versions
+    val (onlyOld, onlyNew) = TxnLog.changedFiles(dst, 0, 1)
+    assert(onlyOld.size == 1, s"one touched file, got $onlyOld")
+    assert(onlyNew.nonEmpty)
+    assert((TxnLog.liveFiles(dst, Some(0)).toSet -- onlyOld.toSet).size == 3)
+    // vacuum on the clone unlinks only its own names; source bytes survive
+    TxnLog.vacuum(dst, retainVersions = 0)
+    assert(TxnLog.read(spark, src).count() == 100)
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
