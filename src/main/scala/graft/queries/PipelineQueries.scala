@@ -1192,6 +1192,74 @@ object PipelineQueries {
             / count(lit(1)), 5).as("avg_norm"))
     },
 
+    // Johnson-Lindenstrauss RANDOM PROJECTION audit (r8b): project the
+    // 64-dim store to 16 dims with a ±1 sign matrix (sign(i, j) closed-
+    // form in (i, j) so the oracle rebuilds the same matrix — production
+    // would hash-seed it identically: the matrix is NEVER materialized,
+    // each entry recomputes in registers on both sides of a 1000-executor
+    // cluster for free) and report, per label, how well squared norms
+    // survive: ratio = ‖y‖² / (16·‖v‖²) ≈ 1 by the JL guarantee. This is
+    // the pre-flight check before swapping the 4×-cheaper projected
+    // vectors into the ANN family. Per-coordinate sums fold through the
+    // exact DECIMAL ladder (order-free), so both engines produce
+    // bit-equal doubles before the one rounded division.
+    Q("embed_random_projection",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |y AS (
+        |  SELECT vec_id, label, j,
+        |         CAST(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |           i -> CAST((1 - 2 * ((i * 31 + j * 17) % 2))
+        |                     * CAST(embedding[i] AS DOUBLE)
+        |                AS DECIMAL(27,12))), 'sum') AS DOUBLE) AS yj
+        |  FROM e, generate_series(0, 15) gj(j)),
+        |ny AS (SELECT vec_id, label,
+        |              CAST(sum(CAST(yj * yj AS DECIMAL(27,12))) AS DOUBLE) AS ny2
+        |       FROM y GROUP BY 1, 2),
+        |nv AS (SELECT vec_id,
+        |              CAST(list_aggregate(list_transform(embedding,
+        |                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |                     AS DECIMAL(27,12))), 'sum') AS DOUBLE) AS nv2
+        |       FROM e),
+        |r AS (SELECT ny.label, ny.ny2 / (16 * nv.nv2) AS ratio
+        |      FROM ny JOIN nv USING (vec_id) WHERE nv.nv2 > 0)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(min(ratio), 5) AS min_ratio, round(max(ratio), 5) AS max_ratio,
+        |       round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 5)
+        |         AS avg_ratio
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      // 100 TB shape: the entire projection + both norms fold PER ROW
+      // (nested HOFs — the oracle's j-explode is oracle-only); nothing
+      // wide shuffles, the only exchange is the final labels-sized agg.
+      Tables.cachedTable(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"), col("label"),
+          expr("""transform(sequence(0, 15), j ->
+            |  CAST(aggregate(sequence(1, size(embedding)), CAST(0 AS DECIMAL(38,12)),
+            |    (acc, i) -> CAST(acc +
+            |      CAST((1 - 2 * ((i * 31 + j * 17) % 2))
+            |           * CAST(element_at(embedding, i) AS DOUBLE)
+            |        AS DECIMAL(27,12))
+            |    AS DECIMAL(38,12))) AS DOUBLE))""".stripMargin).as("ys"),
+          expr("""CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,12)),
+            |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+            |                              AS DECIMAL(27,12))
+            |              AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin).as("nv2"))
+        .withColumn("ny2",
+          expr("""CAST(aggregate(ys, CAST(0 AS DECIMAL(38,12)),
+            |  (acc, y) -> CAST(acc + CAST(y * y AS DECIMAL(27,12))
+            |              AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin))
+        .filter(col("nv2") > 0)
+        .withColumn("ratio", col("ny2") / (lit(16) * col("nv2")))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          round(min("ratio"), 5).as("min_ratio"),
+          round(max("ratio"), 5).as("max_ratio"),
+          round(sum(col("ratio").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 5).as("avg_ratio"))
+    },
+
     // TwoNN intrinsic-dimension estimate (Facco et al. 2017) per label —
     // the embedding-geometry diagnostic: if a 64-dim store has intrinsic
     // dimension ~8, most coordinates are redundant (quantize/compress

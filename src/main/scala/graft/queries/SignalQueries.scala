@@ -247,6 +247,51 @@ object SignalQueries {
         .agg(sum(col("sgn") * col("tf")).cast("long").as("fval"))
     },
 
+    // -- quality_fasttext_score --------------------------------------------
+    // Linear quality-classifier SCORING at corpus scale — the fastText
+    // filter step of CCNet/LLaMA data curation: a model trained offline
+    // (here a closed-form weight per hashed bucket, w(b) = b − 8, so the
+    // oracle can recompute it) is applied as score = Σ_b w(b)·feature(b)
+    // over text_feature_hash's 16 signed hashed-tf buckets; keep =
+    // score ≥ 0. Integer-exact end to end — the score is a BIGINT dot
+    // product, so the keep/drop frontier cannot drift between engines.
+    Q("quality_fasttext_score",
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |h AS (SELECT doc_id, tf,
+        |             ('0x' || substr(sha256(tok), 1, 8))::BIGINT AS hv
+        |      FROM tf),
+        |f AS (SELECT doc_id, hv % 16 AS bucket,
+        |             sum((1 - 2 * ((hv // 16) % 2)) * tf) AS fval
+        |      FROM h GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum((bucket - 8) * fval) AS BIGINT) AS score_raw,
+        |       CAST(CASE WHEN sum((bucket - 8) * fval) >= 0 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS keep_flag
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      // 100 TB shape: same cached vocab-sized tf frame as
+      // text_feature_hash (no new corpus pass); inference is a 16-rows-
+      // per-doc weighted sum — model application costs one map-side-
+      // combinable agg, which is why the fastText filter runs over
+      // CommonCrawl at all. Real learned weights would arrive as a
+      // 16-row broadcast instead of a closed form; nothing else changes.
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      tf.withColumn("hv",
+          expr("CAST(conv(substr(sha2(tok, 256), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("bucket", col("hv") % 16)
+        .withColumn("sgn", lit(1L) - lit(2L) * (expr("hv div 16") % 2))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn") * col("tf")).as("fval"))
+        .groupBy("doc_id")
+        .agg(sum((col("bucket") - 8) * col("fval")).cast("long").as("score_raw"))
+        .select(col("doc_id"), col("score_raw"),
+          when(col("score_raw") >= 0, 1L).otherwise(0L).as("keep_flag"))
+    },
+
     // -- window_gaps_islands -----------------------------------------------
     // Gaps-and-islands: per-user consecutive-active-day streaks (the
     // engagement-streak / churn-gap report). The classic trick — island id

@@ -1124,6 +1124,65 @@ object TextAnalysisQueries {
             sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
           .select(col("doc_id"), col("n_spans"), col("n_boiler"),
             expr("n_boiler * 1000000 div n_spans").as("boiler_ppm"))
+    },
+
+    // T5-style SPAN CORRUPTION (r8b, Raffel et al. 2020 §3.1.4) — the
+    // denoising-objective data transform: mask fixed spans (3 tokens
+    // every 10 — deterministic here so the oracle can rebuild both
+    // strings; production would hash-seed the offsets), replace each span
+    // with a sentinel <x_k>, and emit the (corrupted, target) pair —
+    // corrupted feeds the encoder, target is sentinel+original-span
+    // concatenation for the decoder. The full output strings are in the
+    // hash gate, so an off-by-one span boundary, sentinel numbering slip,
+    // or join-order bug flips it.
+    Q("text_span_corruption",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |parts AS (
+        |  SELECT doc_id, n,
+        |    list_transform(generate_series(1, n), pos ->
+        |      CASE WHEN (pos - 1) % 10 = 0
+        |             THEN '<x_' || CAST((pos - 1) // 10 AS VARCHAR) || '>'
+        |           WHEN (pos - 1) % 10 <= 2 THEN NULL
+        |           ELSE toks[pos] END) AS corr_parts,
+        |    list_transform(generate_series(1, n), pos ->
+        |      CASE WHEN (pos - 1) % 10 = 0
+        |             THEN '<x_' || CAST((pos - 1) // 10 AS VARCHAR) || '> ' || toks[pos]
+        |           WHEN (pos - 1) % 10 <= 2 THEN toks[pos]
+        |           ELSE NULL END) AS tgt_parts
+        |  FROM p)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(tgt_parts, x -> x IS NOT NULL)) AS BIGINT)
+        |         AS n_masked,
+        |       array_to_string(list_filter(corr_parts, x -> x IS NOT NULL), ' ')
+        |         AS corrupted,
+        |       array_to_string(list_filter(tgt_parts, x -> x IS NOT NULL), ' ')
+        |         AS target
+        |FROM parts""".stripMargin) { (s, d) =>
+      // Pure per-row HOF arithmetic — no shuffle anywhere, no UDF (stays
+      // inside whole-stage codegen): at 100 TB this is a map-only pass
+      // whose output is the training corpus itself, exactly the shape a
+      // downstream pack_sequences consumes.
+      Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("CAST(size(filter(sequence(1, size(toks)), " +
+            "pos -> (pos - 1) % 10 <= 2)) AS BIGINT)").as("n_masked"),
+          expr("""array_join(filter(transform(sequence(1, size(toks)), pos ->
+            |  CASE WHEN (pos - 1) % 10 = 0
+            |         THEN concat('<x_', CAST((pos - 1) DIV 10 AS STRING), '>')
+            |       WHEN (pos - 1) % 10 <= 2 THEN NULL
+            |       ELSE element_at(toks, pos) END), x -> x IS NOT NULL), ' ')"""
+            .stripMargin).as("corrupted"),
+          expr("""array_join(filter(transform(sequence(1, size(toks)), pos ->
+            |  CASE WHEN (pos - 1) % 10 = 0
+            |         THEN concat('<x_', CAST((pos - 1) DIV 10 AS STRING), '> ',
+            |                     element_at(toks, pos))
+            |       WHEN (pos - 1) % 10 <= 2 THEN element_at(toks, pos)
+            |       ELSE NULL END), x -> x IS NOT NULL), ' ')"""
+            .stripMargin).as("target"))
     }
   )
 
