@@ -506,10 +506,13 @@ object RelationalQueries {
             .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
         TxnLog.merge(s, table, updates, "o_orderkey")
         val (onlyOld, onlyNew) = TxnLog.changedFiles(table, 0, 1)
-        Differ.diff(
-          TxnLog.readFiles(s, table, onlyOld),
-          TxnLog.readFiles(s, table, onlyNew),
-          Seq("o_orderkey"))
+        // an empty side is a legitimate change scope (pure append shows up
+        // as onlyOld = ∅, pure delete as onlyNew = ∅) — diff against an
+        // empty frame of the table's schema, yielding all-I / all-D
+        def side(files: Seq[String]) =
+          if (files.isEmpty) TxnLog.read(s, table).limit(0)
+          else TxnLog.readFiles(s, table, files)
+        Differ.diff(side(onlyOld), side(onlyNew), Seq("o_orderkey"))
           .filter(col("diff_status") =!= "N")
     },
 
