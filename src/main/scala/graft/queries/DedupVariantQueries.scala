@@ -715,6 +715,71 @@ object DedupVariantQueries {
           .filter(col("dist") >= 0)
           .groupBy("c_nationkey", "dist")
           .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // URL-canonicalization dedup (r8b) — the step a crawl pipeline runs
+    // BEFORE any content dedup: the same page arrives as
+    // HTTPS://Host:443/p/1/?utm_source=x#frag and https://host/p/1, and
+    // canonicalizing (lowercase host, drop the default port, strip the
+    // fragment, drop utm_* tracking params, trim the trailing slash)
+    // collapses them without reading a byte of content. URLs here are
+    // messy closed-form constructions over customer keys; Spark REALLY
+    // parses them (parse_url HOST/PATH/QUERY — the port and fragment
+    // vanish because HOST and FILE-less rebuild exclude them), while the
+    // oracle rebuilds the canonical form arithmetically — so a parse,
+    // case, port, or param-filter bug flips the hash. Exact-URL groups
+    // then dedup with the usual keep = min id rule.
+    Q("dedup_url_normalize",
+      """WITH u AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         'https://www.site' || CAST(c_custkey % 50 AS VARCHAR) ||
+        |           '.example.com/p/' || CAST(c_custkey % 100 AS VARCHAR) ||
+        |           CASE WHEN c_custkey % 5 <= 1
+        |                THEN '?ref=' || CAST(c_custkey % 7 AS VARCHAR)
+        |                ELSE '' END AS normalized
+        |  FROM customer)
+        |SELECT id, normalized,
+        |       min(id) OVER (PARTITION BY normalized) AS keep_id,
+        |       CAST(count(*) OVER (PARTITION BY normalized) AS BIGINT) AS group_n
+        |FROM u""".stripMargin) { (s, d) =>
+      // 100 TB shape: normalization is row-local string arithmetic (all
+      // codegen'd builtins, no UDF); only the canonical-URL key shuffles
+      // for the group — the census that decides which of a trillion crawl
+      // records even enter content dedup.
+      val messy = Tables.cachedTable(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("id"))
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("id") % 2 === 0, lit("WWW.Site")).otherwise(lit("www.site")),
+          (col("id") % 50).cast("string"),
+          when(col("id") % 3 === 0, lit(".Example.COM")).otherwise(lit(".example.com")),
+          when(col("id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), (col("id") % 100).cast("string"),
+          when(col("id") % 4 === 0, lit("/")).otherwise(lit("")),
+          when(col("id") % 5 === 0,
+            concat(lit("?utm_source=feed&ref="), (col("id") % 7).cast("string")))
+            .when(col("id") % 5 === 1,
+              concat(lit("?ref="), (col("id") % 7).cast("string")))
+            .otherwise(lit("")),
+          when(col("id") % 6 === 0, lit("#frag")).otherwise(lit(""))))
+      val parsed = messy
+        .withColumn("host", lower(expr("parse_url(url, 'HOST')")))
+        .withColumn("path",
+          expr("CASE WHEN parse_url(url, 'PATH') LIKE '%/' " +
+            "THEN substring(parse_url(url, 'PATH'), 1, " +
+            "length(parse_url(url, 'PATH')) - 1) " +
+            "ELSE parse_url(url, 'PATH') END"))
+        .withColumn("params",
+          expr("array_join(array_sort(filter(" +
+            "split(coalesce(parse_url(url, 'QUERY'), ''), '&'), " +
+            "p -> p != '' AND p NOT LIKE 'utm\\\\_%')), '&')"))
+        .withColumn("normalized", concat(lit("https://"), col("host"), col("path"),
+          when(col("params") =!= "", concat(lit("?"), col("params")))
+            .otherwise(lit(""))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("normalized")
+      parsed.select(col("id"), col("normalized"))
+        .withColumn("keep_id", min(col("id")).over(w))
+        .withColumn("group_n", count(lit(1)).over(w))
     }
   )
 }
