@@ -874,6 +874,95 @@ object DiffQueries {
         .withColumn("o_comment", lit("x"))
         .drop("o_orderpriority")
       Differ.schemaDiff(s, l, r)
+    },
+
+    // COMPOSITE-key diff (r8b): row identity = (l_orderkey, l_linenumber)
+    // — the common production case the single-key surface never gated
+    // (order lines, (user, day) facts, (file, chunk) tables). The oracle
+    // full-outer-joins on BOTH columns, so a diff that hashed keys
+    // jointly-wrong, matched on one column, or mis-coalesced the key pair
+    // flips the hash. Inserts use linenumber+10 (disjoint from TPC-H's
+    // 1..7 range) so I rows are structural, not accidental.
+    Q("diff_composite_key",
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN (l_orderkey + l_linenumber) % 37 = 0
+        |              THEN l_quantity + 5 ELSE l_quantity END AS l_quantity
+        |  FROM l WHERE (l_orderkey + l_linenumber) % 41 <> 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber + 10, l_quantity
+        |  FROM l WHERE (l_orderkey + l_linenumber) % 43 = 0)
+        |SELECT CASE WHEN a.l_orderkey IS NULL THEN 'I'
+        |            WHEN b.l_orderkey IS NULL THEN 'D'
+        |            WHEN a.l_quantity IS DISTINCT FROM b.l_quantity THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+        |       coalesce(a.l_linenumber, b.l_linenumber) AS l_linenumber,
+        |       a.l_quantity AS left_l_quantity,
+        |       b.l_quantity AS right_l_quantity
+        |FROM l a FULL OUTER JOIN r b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber"""
+        .stripMargin) { (s, d) =>
+      // Scale note: the composite key shuffles ONCE as a pair — identical
+      // plan shape to the single-key diff (hash partitioning on both
+      // columns), no extra exchange for the second key column.
+      val l = Tables.cachedTable(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val keySum = col("l_orderkey") + col("l_linenumber")
+      val r = l.filter(keySum % 41 =!= 0)
+        .withColumn("l_quantity",
+          when(keySum % 37 === 0, col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+        .unionByName(l.filter(keySum % 43 === 0)
+          .withColumn("l_linenumber", col("l_linenumber") + 10))
+      Differ.diff(l, r, Seq("l_orderkey", "l_linenumber"))
+    },
+
+    // NULL-key diff (r8b): the nullSafeKeys=true contract in the gate — a
+    // row whose key is NULL must MATCH its NULL-keyed counterpart (<=>
+    // join), not silently fall out of an equi-join into a spurious D + I
+    // pair. One NULL-key row exists per side (NULL keys are unique row
+    // identities here, same as the dup-key precondition demands), its
+    // value doubled on the right so the expected answer is a 'C' row WITH
+    // a NULL key — the exact row a null-naive diff cannot produce. The
+    // oracle joins on IS NOT DISTINCT FROM and detects side-absence via
+    // presence markers (key IS NULL no longer means "absent" — the
+    // coalesce idiom is wrong here by construction, which is the point).
+    Q("diff_null_keys",
+      """WITH mn AS (SELECT min(o_orderkey) AS m FROM orders WHERE o_orderkey <= 5000),
+        |l AS (SELECT CASE WHEN o_orderkey = (SELECT m FROM mn) THEN NULL
+        |             ELSE o_orderkey END AS k,
+        |             o_totalprice AS v
+        |      FROM orders WHERE o_orderkey <= 5000),
+        |r AS (SELECT k, CASE WHEN k IS NULL OR k % 13 = 0 THEN v * 2 ELSE v END AS v
+        |      FROM l WHERE k IS NULL OR k % 17 <> 0
+        |      UNION ALL
+        |      SELECT k + 1000000, v FROM l WHERE k % 19 = 0),
+        |j AS (SELECT a.k AS ak, a.v AS av, a.pa, b.k AS bk, b.v AS bv, b.pb
+        |      FROM (SELECT *, 1 AS pa FROM l) a
+        |      FULL OUTER JOIN (SELECT *, 1 AS pb FROM r) b
+        |        ON a.k IS NOT DISTINCT FROM b.k)
+        |SELECT CASE WHEN pa IS NULL THEN 'I' WHEN pb IS NULL THEN 'D'
+        |            WHEN av IS DISTINCT FROM bv THEN 'C' ELSE 'N' END AS diff_status,
+        |       CASE WHEN pa IS NOT NULL THEN ak ELSE bk END AS k,
+        |       av AS left_v, bv AS right_v
+        |FROM j""".stripMargin) { (s, d) =>
+      val o = Tables.cachedTable(s, d, "orders")
+        .filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val mn = o.agg(min("o_orderkey").as("m"))
+      val l = o.crossJoin(broadcast(mn))
+        .select(when(col("o_orderkey") === col("m"), lit(null))
+          .otherwise(col("o_orderkey")).as("k"),
+          col("o_totalprice").as("v"))
+      val r = l.filter(col("k").isNull || col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k").isNull || col("k") % 13 === 0, col("v") * 2)
+            .otherwise(col("v")).as("v"))
+        .unionByName(l.filter(col("k") % 19 === 0)
+          .select((col("k") + 1000000L).as("k"), col("v")))
+      Differ.diff(l, r, Seq("k"))
     }
   )
 }
