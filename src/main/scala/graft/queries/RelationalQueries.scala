@@ -980,14 +980,25 @@ object RelationalQueries {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + java.lang.ProcessHandle.current().pid()
       val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      // repartition on the bucket key into exactly nBuckets first: the
+      // writer then emits ONE file per bucket (task hash == bucket hash),
+      // which is the precondition for the reader to trust sortBy — with
+      // multiple files per bucket Spark must re-Sort before the SMJ
       Sinks.writeBucketed(
-        Tables.cachedTable(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        Tables.cachedTable(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey")),
         ot, Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
         path = Some(s"$roundtripRoot/bkt/$tag/orders"))
       Sinks.writeBucketed(
-        Tables.cachedTable(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        Tables.cachedTable(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .repartition(8, col("l_orderkey")),
         lt, Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
         path = Some(s"$roundtripRoot/bkt/$tag/lineitem"))
+      // one-file-per-bucket sorted scans are behind a default-off flag
+      // since SPARK-28595 (verifying the one-file precondition needs a
+      // listing); this table is written to satisfy it, so opt in — with
+      // it, the SMJ consumes bucket order directly and plans no Sort
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       s.table(lt)
         .join(s.table(ot).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))

@@ -899,4 +899,45 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "corpus x probes must be the broadcast scan, not a cartesian")
   }
+
+  test("text_span_corruption is map-only: zero exchanges, zero joins") {
+    val plan = physical(graft.queries.TextAnalysisQueries.all, "text_span_corruption")
+    assert(!plan.contains("Exchange"), s"span corruption must not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), "span corruption must not join")
+  }
+
+  test("embed_random_projection folds per row: no join, one label-agg exchange") {
+    val plan = physical(graft.queries.PipelineQueries.all, "embed_random_projection")
+    assert(!plan.contains("Join"), "projection must not join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected only the labels-sized agg exchange, got $exchanges")
+  }
+
+  test("quality_fasttext_score: model application is agg-only — no join anywhere") {
+    val plan = physical(graft.queries.SignalQueries.all, "quality_fasttext_score")
+    assert(!plan.contains("Join"), s"scoring must not join:\n${plan.take(1500)}")
+  }
+
+  test("join_bucketed_colocated: SMJ over bucketed scans — no shuffle, no sort") {
+    val plan = physical(RelationalQueries.all, "join_bucketed_colocated")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+    // the ONLY exchange is the final 5-group agg — the join itself reads
+    // co-located buckets with nothing in between
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"bucketed join must not shuffle (1 agg exchange only), got $exchanges:\n${plan.take(2000)}")
+    // one file per bucket + sortBy at write time: no Sort feeds the SMJ
+    val sorts = plan.linesIterator.count(l => l.contains("+- Sort ") || l.contains(":- Sort "))
+    assert(sorts == 0, s"pre-sorted buckets must not re-sort, got $sorts:\n${plan.take(2000)}")
+  }
+
+  test("multimodal_phash / dedup_url_normalize: only the fingerprint key shuffles") {
+    for ((all, name) <- Seq(
+      (graft.queries.PipelineQueries.all: Seq[Q], "multimodal_phash"),
+      (graft.queries.DedupVariantQueries.all: Seq[Q], "dedup_url_normalize"))) {
+      val plan = physical(all, name)
+      assert(!plan.contains("Join"), s"$name must not join:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
+    }
+  }
 }
