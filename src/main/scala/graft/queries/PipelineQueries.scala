@@ -676,6 +676,47 @@ object PipelineQueries {
           .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
+    // FILTERED vector search (r8b) — the production ANN feature every
+    // store ships after plain top-k: "nearest neighbors of the probe
+    // AMONG label = 3 rows only". The metadata predicate applies BEFORE
+    // the distance computation inside the probed cells (pre-filtering) —
+    // post-filtering a global top-k instead starves arbitrarily when the
+    // predicate is selective, which is why engines moved the filter into
+    // the index walk. Cell-blocked semantics are declared (the oracle
+    // replicates the nprobe cells, as dedup_embed_ivf's does); at 100 TB
+    // a hot predicate column graduates into the index layout itself —
+    // bucket by (label, cell) — leaving this exact plan intact.
+    Q("sim_search_filtered",
+      KMeansSql.codebookCtes() +
+      s""",
+        |idx AS (SELECT vec_id, cell FROM ${KMeansSql.scoredCte()} WHERE rn = 1),
+        |pcells AS (SELECT cell FROM ${KMeansSql.scoredCte()}
+        |           WHERE vec_id = 0 AND rn <= ${KMeansSql.NProbeSearch}),
+        |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |probe AS (SELECT v AS pv FROM el WHERE vec_id = 0)
+        |SELECT el.vec_id, el.label,
+        |       round(list_cosine_similarity(el.v, probe.pv), 5) AS cos_sim
+        |FROM el JOIN idx USING (vec_id) JOIN pcells USING (cell), probe
+        |WHERE el.vec_id <> 0 AND el.label = 3
+        |ORDER BY cos_sim DESC, el.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // Same zero-corpus-exchange plan as sim_search_ivf (shared cached
+        // assignment + materialized index), plus one pushed predicate.
+        val emb = Tables.cachedTable(s, d, "embeddings")
+        val pcells = KMeansSql.assignments(s, d)
+          .filter(col("vec_id") === 0 && col("rn") <= KMeansSql.NProbeSearch)
+          .select("cell")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pv"))
+        val cos = VectorOps.cosineF(col("embedding"), col("pv"))
+        KMeansSql.index(s, d)
+          .join(broadcast(pcells), "cell")
+          .filter(col("vec_id") =!= 0 && col("label") === 3)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("label"), round(cos, 5).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
     Q("sim_search_lsh",
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |pos AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p1, unnest(v) AS x

@@ -437,6 +437,50 @@ object SignalQueries {
           col("entropy_nats"))
     },
 
+    // Inter-event-time regularity (r8b) — the bot signal entropy can't
+    // see: a scripted account fires on a TIMER, so its gap distribution
+    // is abnormally regular (coefficient of variation ≪ 1), while
+    // organic arrivals are bursty (CV ≈ 1 for Poisson). Flag = m ≥ 5
+    // gaps AND CV < 0.7, evaluated as the cross-multiplied integer
+    // inequality 100·(m·Σg² − (Σg)²) < 49·(Σg)² — exact BIGINT
+    // second-granular arithmetic end to end, no float frontier to drift.
+    Q("events_bot_score",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id,
+        |             (ts_us - lag(ts_us) OVER
+        |               (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |               // 1000000 AS gp
+        |      FROM e),
+        |a AS (SELECT user_id, CAST(count(gp) AS BIGINT) AS m,
+        |             CAST(sum(gp) AS BIGINT) AS sg,
+        |             CAST(sum(gp * gp) AS BIGINT) AS sg2
+        |      FROM g WHERE gp IS NOT NULL GROUP BY 1)
+        |SELECT user_id, m, sg, sg2,
+        |       CAST(CASE WHEN m >= 5 AND sg > 0
+        |                  AND 100 * (m * sg2 - sg * sg) < 49 * sg * sg
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+        |FROM a""".stripMargin) { (s, d) =>
+      // Shape: ONE user-keyed exchange feeds the lag window, then a
+      // user-grained partial agg — the sessionize plan. Gaps are DIV'd
+      // to seconds before squaring so Σg² stays far from BIGINT range
+      // at any corpus scale (µs² would overflow at day-long gaps).
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("gp",
+          expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id " +
+            "ORDER BY ts_us, event_id)) div 1000000"))
+        .filter(col("gp").isNotNull)
+        .groupBy("user_id")
+        .agg(count(col("gp")).cast("long").as("m"),
+          sum(col("gp")).cast("long").as("sg"),
+          sum(col("gp") * col("gp")).cast("long").as("sg2"))
+        .select(col("user_id"), col("m"), col("sg"), col("sg2"),
+          when(col("m") >= 5 && col("sg") > 0 &&
+            lit(100) * (col("m") * col("sg2") - col("sg") * col("sg")) <
+              lit(49) * col("sg") * col("sg"), 1L)
+            .otherwise(0L).as("bot_flag"))
+    },
+
     Q("events_dau_wau",
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |           FROM events),
