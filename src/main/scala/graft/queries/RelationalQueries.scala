@@ -542,6 +542,39 @@ object RelationalQueries {
             .cast("long").as("sum_cents"))
     },
 
+    // binaryFile source (r8b): how 100 TB of images/audio actually ENTERS
+    // Spark — whole files as (path, mtime, length, content) rows, no
+    // parsing, lazy content materialization, partitioned by file. One
+    // file per nation row with closed-form ASCII content; the query
+    // re-derives the key from the file NAME and decodes the payload, so
+    // a truncated read, path mangling, or charset slip flips the hash.
+    // This is the front door of the MultimodalOps family (toMedia takes
+    // exactly this shape).
+    Q("scan_binary_files",
+      """SELECT CAST(n_nationkey AS BIGINT) AS file_key,
+        |       CAST(length(n_name || ':' || CAST(n_nationkey AS VARCHAR))
+        |            AS BIGINT) AS n_bytes,
+        |       n_name || ':' || CAST(n_nationkey AS VARCHAR) AS content_str
+        |FROM nation""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Paths.get(s"$roundtripRoot/binfiles" +
+        s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      java.nio.file.Files.createDirectories(dir)
+      Tables.cachedTable(s, d, "nation")
+        .select("n_nationkey", "n_name").collect()  // 25 rows — fixture synthesis
+        .foreach { r =>
+          java.nio.file.Files.write(dir.resolve(s"${r.getInt(0)}.bin"),
+            s"${r.getString(1)}:${r.getInt(0)}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir.toString)
+        .select(
+          regexp_extract(col("path"), """(\d+)\.bin$""", 1)
+            .cast("long").as("file_key"),
+          col("length").cast("long").as("n_bytes"),
+          col("content").cast("string").as("content_str"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness
