@@ -341,4 +341,34 @@ object Graft {
   def txnReadRange(spark: org.apache.spark.sql.SparkSession, table: String,
                    keyCol: String, lo: Long, hi: Long): (DataFrame, Int) =
     graft.sources.TxnLog.readRange(spark, table, keyCol, lo, hi)
+
+  /** DESCRIBE HISTORY: one audited row per commit (op tag, files
+    * added/removed, live-file count) from the log headers alone.
+    */
+  def txnHistory(table: String): Seq[graft.sources.TxnLog.CommitInfo] =
+    graft.sources.TxnLog.history(table)
+
+  /** VACUUM: delete data bytes only pre-retention versions reference and
+    * record the time-travel floor; returns the deleted file names.
+    */
+  def txnVacuum(table: String, retainVersions: Int): Seq[String] =
+    graft.sources.TxnLog.vacuum(table, retainVersions)
+
+  /** Zero-copy CLONE via hard links; the fork is fully independent. */
+  def txnClone(src: String, dst: String, asOf: Option[Long] = None): Long =
+    graft.sources.TxnLog.clone(src, dst, asOf)
+
+  /** Schema-evolution read: union of every live file's schema, NULLs for
+    * columns a file predates.
+    */
+  def txnReadEvolved(spark: org.apache.spark.sql.SparkSession,
+                     table: String, asOf: Option[Long] = None): DataFrame =
+    graft.sources.TxnLog.read(spark, table, asOf, mergeSchema = true)
+
+  /** File-level change scope between two versions (from the log alone):
+    * (files live only at v0, files live only at v1) — the O(changed
+    * files) input to an incremental version diff.
+    */
+  def txnChangedFiles(table: String, v0: Long, v1: Long): (Seq[String], Seq[String]) =
+    graft.sources.TxnLog.changedFiles(table, v0, v1)
 }
