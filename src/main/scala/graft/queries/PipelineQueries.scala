@@ -1071,6 +1071,101 @@ object PipelineQueries {
           .withColumn("group_n", count(lit(1)).over(w))
     },
 
+    // Banded HAMMING near-dup over perceptual hashes (r8b): the
+    // multimodal_phash exact-group dedup extended to hamming ≤ 3 — the
+    // "same image, slightly re-encoded" case an exact 64-bit match
+    // misses. LOSSLESS by pigeonhole: 4 disjoint 16-bit bands, d ≤ 3
+    // bit flips can dirty at most 3 bands, so every qualifying pair
+    // collides in ≥ 1 band — the banded bucket join generates candidates
+    // and bit_count(XOR) verifies exactly (the dedup_simhash machinery
+    // on image fingerprints). The ORACLE is the naive all-pairs scan, so
+    // the gate checks losslessness itself, the house rule for every
+    // banded family. Report: pair census per distance (0..3).
+    Q("multimodal_phash_band",
+      """WITH ids AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         1 + (c_custkey // 2) % 16 AS a, ((c_custkey // 2) % 7) * 3 AS b,
+        |         c_custkey % 2 AS odd
+        |  FROM customer WHERE c_custkey <= 3000),
+        |px AS (
+        |  SELECT id, x, y,
+        |         CASE WHEN x = 0 AND y = 0 AND odd = 1 THEN 128
+        |              ELSE (a*x + b*y) % 256 END AS v,
+        |         (a*(x+1) + b*y) % 256 AS vr
+        |  FROM ids, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)),
+        |bits AS (
+        |  SELECT id,
+        |         CAST(sum(CASE WHEN vr > v
+        |                       THEN CASE WHEN y*8 + x = 63
+        |                                 THEN -9223372036854775808
+        |                                 ELSE (CAST(1 AS BIGINT) << (y*8 + x)) END
+        |                       ELSE 0 END) AS BIGINT) AS h
+        |  FROM px
+        |  GROUP BY id),
+        |pairs AS (
+        |  SELECT bit_count(xor(l.h, r.h)) AS hd
+        |  FROM bits l JOIN bits r ON l.id < r.id
+        |  WHERE bit_count(xor(l.h, r.h)) <= 3)
+        |SELECT CAST(hd AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        import graft.operators.{MediaRecord, MultimodalOps}
+        // fixed key range: the synthetic gradient space has only 224
+        // distinct hashes, so an unbounded corpus would grow collision
+        // groups (and the pair census) quadratically with SF — a fixture
+        // artifact, not an operator property (real perceptual hashes
+        // diversify with the corpus). 3000 keys keep the census identical
+        // at every SF >= 0.02 and the banded join bounded.
+        val media = Tables.cachedTable(s, d, "customer")
+          .filter(col("c_custkey") <= 3000)
+          .select(col("c_custkey").cast("long").as("id")).as[Long]
+          .map { id =>
+            // even/odd twins share the gradient (a, b from id/2); odd ids
+            // carry a single-pixel "re-encode scar" at (0, 0) that flips
+            // exactly ONE dHash bit — hamming-1 pairs by construction
+            val a = (1 + (id / 2) % 16).toInt
+            val b = (((id / 2) % 7) * 3).toInt
+            val img = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v =
+                  if (x == 0 && y == 0 && id % 2 == 1) 128
+                  else (a * x + b * y) % 256
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRecord(id, "image/png", bos.toByteArray)
+          }
+        val hashed = Tables.cached(s, s"$d/phash-hashes") {
+          MultimodalOps.imageDHash(media).toDF().select("id", "hash")
+        }
+        // explode into 4 disjoint 16-bit bands; candidates = one bucket
+        // self-join on (band, value) — never an all-pairs product
+        val banded = hashed.select(col("id"), col("hash"),
+          explode(expr("transform(sequence(0, 3), " +
+            "t -> named_struct('band', t, " +
+            "'bv', (hash >> (t * 16)) & 65535))")).as("bk"))
+          .select(col("id"), col("hash"),
+            col("bk.band").as("band"), col("bk.bv").as("bv"))
+        banded.as("l").join(banded.as("r"),
+            col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+              col("l.id") < col("r.id"))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            expr("bit_count(l.hash ^ r.hash)").as("hd"))
+          .distinct()  // a pair may collide in several bands
+          .filter(col("hd") <= 3)
+          .groupBy(col("hd").cast("long").as("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+    },
+
     Q("embed_quantize",
       """WITH a AS (
         |  SELECT vec_id, label, embedding AS v,
