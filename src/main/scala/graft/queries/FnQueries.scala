@@ -198,6 +198,42 @@ object FnQueries {
               |FROM graft_emb""".stripMargin)
     },
 
+    // Recursive CTE (r8b) — the iterative-query operator Spark lacked
+    // until 4.0 (SPARK-24497): walk every orderkey <= 1000 up its
+    // implicit binary-tree ancestry (parent = k DIV 2) to the root and
+    // report the depth census — the hierarchy/BOM/org-chart query class,
+    // now expressible in pure SQL in BOTH engines (DuckDB has WITH
+    // RECURSIVE natively; only the integer-division spelling differs,
+    // DIV vs //). Depth = floor(log2 k), so the census is closed-form
+    // verifiable too. Scale note: Spark executes recursion as iterative
+    // union materialization — depth-bounded (10 here); an UNBOUNDED
+    // frontier at 100 TB belongs to GraphOps' checkpointed
+    // pointer-jumping loops instead (graph_bfs), which converge in
+    // O(log n) rounds.
+    Q("sql_recursive_cte",
+      """WITH RECURSIVE walk(k, anc, depth) AS (
+        |  SELECT o_orderkey AS k, o_orderkey AS anc, 0 AS depth
+        |  FROM orders WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT k, anc // 2, depth + 1 FROM walk WHERE anc > 1)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM walk WHERE anc = 1
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.Tables.cachedTable(s, d, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""WITH RECURSIVE walk(k, anc, depth) AS (
+              |  SELECT o_orderkey AS k, o_orderkey AS anc, 0 AS depth
+              |  FROM graft_orders WHERE o_orderkey <= 1000
+              |  UNION ALL
+              |  SELECT k, anc DIV 2, depth + 1 FROM walk WHERE anc > 1)
+              |SELECT CAST(depth AS BIGINT) AS depth,
+              |       CAST(count(*) AS BIGINT) AS n_keys,
+              |       CAST(sum(k) AS BIGINT) AS sum_keys
+              |FROM walk WHERE anc = 1
+              |GROUP BY 1""".stripMargin)
+    },
+
     Q("udf_scalar",
       """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
