@@ -198,6 +198,53 @@ object FnQueries {
               |FROM graft_emb""".stripMargin)
     },
 
+    // VARIANT semi-structured type (r8b, Spark 4.0) — the open-format
+    // answer to "a JSON column you can query at columnar speed": parse
+    // ONCE into the binary VARIANT encoding, then typed variant_get path
+    // extraction (no per-row string re-parse, shreddable at the scan at
+    // 100 TB). events.props is the real semi-structured column; the
+    // oracle extracts the same path with DuckDB's JSON machinery, so a
+    // path, type-coercion, or null-semantics mismatch flips the hash.
+    Q("fn_variant",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+          min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
+    },
+
+    // Ordered string aggregation (r8b, Spark 4.0 listagg): the report
+    // column every BI export wants — LISTAGG ... WITHIN GROUP (ORDER BY)
+    // with a deterministic unique sort key, vs DuckDB's ordered
+    // string_agg. Bounded input (keys <= 200) because a group-sized
+    // string is a driver-bound artifact by nature — at 100 TB this runs
+    // AFTER a top-k/filter, never over a raw group.
+    Q("agg_listagg",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       string_agg(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR),
+        |                  ',' ORDER BY o_orderkey) AS members
+        |FROM orders WHERE o_orderkey <= 200
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .createOrReplaceTempView("graft_orders_small")
+      s.sql("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+              |       listagg(o_orderpriority || ':' || CAST(o_orderkey AS STRING), ',')
+              |         WITHIN GROUP (ORDER BY o_orderkey) AS members
+              |FROM graft_orders_small
+              |GROUP BY o_orderstatus""".stripMargin)
+    },
+
     // Recursive CTE (r8b) — the iterative-query operator Spark lacked
     // until 4.0 (SPARK-24497): walk every orderkey <= 1000 up its
     // implicit binary-tree ancestry (parent = k DIV 2) to the root and
