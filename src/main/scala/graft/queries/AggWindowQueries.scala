@@ -704,6 +704,36 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // LOCF gap-fill (r8b) — last-observation-carried-forward imputation,
+    // the time-series repair every sensor/metrics pipeline runs before
+    // aggregation: NULLs (injected closed-form at event_id % 7 = 0) are
+    // replaced by the user's most recent non-NULL reading via
+    // last_value ... IGNORE NULLS over a running frame; leading NULLs
+    // (no prior observation) stay NULL in both engines. Filled values
+    // are bit-copies of earlier doubles — no arithmetic, so the hash
+    // gate is exact. Only the dialect spelling differs (Spark: postfix
+    // IGNORE NULLS; DuckDB: inside the call).
+    Q("window_fill_forward",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |           FROM events)
+        |SELECT event_id, user_id, v,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM e""".stripMargin) { (s, d) =>
+      // user-partitioned running frame: one keyed exchange, no global
+      // window — the sessionize plan shape
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "v", "filled")
+    },
+
     Q("window_range_frame",
       """SELECT o_custkey, o_orderkey, od_us,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

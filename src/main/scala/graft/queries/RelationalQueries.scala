@@ -993,6 +993,31 @@ object RelationalQueries {
         .select("r_name", "n_name")
     },
 
+    // LATERAL correlated subquery (r8b, Spark 4 lateral join): the
+    // "top-k rows PER outer row" SQL pattern — each order pulls its two
+    // priciest lineitems via a correlated ORDER BY ... LIMIT 2 — the
+    // query BI tools emit and engines must decorrelate (Spark plans it
+    // as a ranked window under the hood; DuckDB runs its own lateral
+    // unnesting). Bounded outer (keys ≤ 500) keeps the artifact small;
+    // tie-broken on the unique line number so both engines pick the
+    // same two rows.
+    Q("join_lateral",
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey <= 500) o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t"""
+        .stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      Tables.cachedTable(s, d, "lineitem").createOrReplaceTempView("graft_lat_lineitem")
+      s.sql("""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+              |FROM (SELECT o_orderkey FROM graft_lat_orders WHERE o_orderkey <= 500) o,
+              |LATERAL (SELECT l_linenumber, l_extendedprice FROM graft_lat_lineitem
+              |         WHERE l_orderkey = o.o_orderkey
+              |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t"""
+        .stripMargin)
+    },
+
     // Bucketed CO-LOCATED fact-fact join (r8b): both sides land bucketed
     // (+ sorted) on the join key ONCE, then every subsequent join on that
     // key is a sort-merge with NO shuffle and NO per-bucket sort — the
