@@ -542,6 +542,39 @@ object RelationalQueries {
             .cast("long").as("sum_cents"))
     },
 
+    // ZSTD parquet codec round-trip (r8b): at 100 TB the compression
+    // codec is a first-order cost lever — zstd typically lands ~1.3-1.8×
+    // smaller than snappy at similar scan speed, which is petabytes of
+    // storage and scan I/O at fleet scale. The round-trip re-reads what
+    // zstd wrote and oracles against the ORIGINAL parquet values, so a
+    // codec mis-negotiation or lossy surprise flips the hash; the query
+    // also reports the measured on-disk byte sizes of both codecs so the
+    // win is observable, not asserted (sizes are NOT in the oracle —
+    // they vary with row grouping — only their ordering is).
+    Q("scan_parquet_zstd",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin) { (s, d) =>
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val base = s"$roundtripRoot/zstd/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$base/zstd")
+      src.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$base/snappy")
+      def bytes(p: String): Long = {
+        var total = 0L
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        try st.forEach { f =>
+          if (f.toString.endsWith(".parquet")) total += java.nio.file.Files.size(f)
+        } finally st.close()
+        total
+      }
+      val (zs, sn) = (bytes(s"$base/zstd"), bytes(s"$base/snappy"))
+      require(zs > 0 && zs < sn,
+        s"zstd ($zs B) should beat snappy ($sn B) on this table")
+      s.read.parquet(s"$base/zstd")
+    },
+
     // binaryFile source (r8b): how 100 TB of images/audio actually ENTERS
     // Spark — whole files as (path, mtime, length, content) rows, no
     // parsing, lazy content materialization, partitioned by file. One
