@@ -876,6 +876,62 @@ object DiffQueries {
       Differ.schemaDiff(s, l, r)
     },
 
+    // Column-MAPPING discovery (r8b) — the schema-matching step before
+    // any diff of a renamed table can run: which right column is which
+    // left column, decided by distinct-VALUE overlap, not by name
+    // (diff_mapped_cols consumes the mapping this produces; diff_key_
+    // candidates answered the sibling question for keys). The right side
+    // carries a decoy (o_orderkey values) that PARTIALLY overlaps
+    // o_custkey's, so the report must discriminate full from partial
+    // overlap — exact ppm ratios on distinct counts, no floats.
+    Q("diff_column_mapping",
+      """WITH lf AS (
+        |  SELECT 'o_orderstatus' AS lc, CAST(o_orderstatus AS VARCHAR) AS val
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders GROUP BY 2),
+        |rf AS (
+        |  SELECT 'st' AS rc, CAST(o_orderstatus AS VARCHAR) AS val
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'prio', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'ck', CAST(o_custkey AS VARCHAR)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'ok_decoy', CAST(o_orderkey AS VARCHAR)
+        |  FROM orders GROUP BY 2),
+        |n AS (SELECT lc, count(*) AS n_left FROM lf GROUP BY 1),
+        |m AS (SELECT lf.lc, rf.rc, count(*) AS n_shared
+        |      FROM lf JOIN rf USING (val) GROUP BY 1, 2)
+        |SELECT m.lc, m.rc, CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_shared * 1000000 // n_left AS BIGINT) AS overlap_ppm
+        |FROM m JOIN n USING (lc)""".stripMargin) { (s, d) =>
+      // Scale shape: per-column DISTINCT sets are the only thing that
+      // moves (each bounded by the column's cardinality, never the row
+      // count — at 100 TB high-cardinality columns would ride an HLL or
+      // a bottom-k value sample instead, same plan); the value join is
+      // distinct-set-sized on both sides.
+      val o = Tables.cachedTable(s, d, "orders")
+      def longForm(side: String, cols: Seq[(String, String)]) =
+        cols.map { case (src, out) =>
+          o.select(lit(out).as(side), col(src).cast("string").as("val")).distinct()
+        }.reduce(_ unionByName _)
+      val lf = longForm("lc", Seq(
+        "o_orderstatus" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderpriority",
+        "o_custkey" -> "o_custkey"))
+      val rf = longForm("rc", Seq(
+        "o_orderstatus" -> "st", "o_orderpriority" -> "prio",
+        "o_custkey" -> "ck", "o_orderkey" -> "ok_decoy"))
+      val n = lf.groupBy("lc").agg(count(lit(1)).as("n_left"))
+      lf.join(rf, "val")
+        .groupBy("lc", "rc").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(n), "lc")
+        .select(col("lc"), col("rc"), col("n_shared"),
+          expr("n_shared * 1000000 div n_left").as("overlap_ppm"))
+    },
+
     // COMPOSITE-key diff (r8b): row identity = (l_orderkey, l_linenumber)
     // — the common production case the single-key surface never gated
     // (order lines, (user, day) facts, (file, chunk) tables). The oracle

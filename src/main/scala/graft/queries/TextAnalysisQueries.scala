@@ -82,6 +82,55 @@ object TextAnalysisQueries {
       |              CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
       |       FROM lp GROUP BY 1)""".stripMargin
 
+  /** text_langid's per-doc prediction CTEs (through `pred`) — shared
+    * verbatim with text_langid_confusion, the KnnOracleSql composition
+    * rule: the eval's oracle references the same classification it
+    * evaluates.
+    */
+  private val LangidPredCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      |  FROM documents),
+      |freq AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT lang AS p_lang, tok
+      |  FROM (SELECT lang, tok,
+      |               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+      |        FROM freq)
+      |  WHERE rn <= 30),
+      |overlap AS (
+      |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS n_shared
+      |  FROM tok t JOIN prof p ON t.tok = p.tok
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, lang, p_lang,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, p_lang) AS rn
+      |  FROM overlap)""".stripMargin
+
+  /** Shared per-doc language prediction (doc_id, lang, p_lang) — the
+    * cached build text_langid and text_langid_confusion both read.
+    * Profiles rank via two-phase top-k (a lang-only window would sort
+    * each language's whole vocabulary in one task at scale) and
+    * BROADCAST into the overlap join (langs × 30 rows); per-doc argmax
+    * is a partial-aggregatable min-of-struct, not a row_number window.
+    */
+  private def langidPred(s: SparkSession, d: String): DataFrame =
+    Tables.cached(s, s"$d/langid-pred") {
+      val tok = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokenSet(col("text"))).as("tok"))
+      val prof = TextOps.topKPerGroup(
+        tok.groupBy("lang", "tok").agg(count(lit(1)).as("c")),
+        Seq("lang"), Seq(col("c").desc, col("tok")), k = 30, bucketOn = col("tok"))
+        .select(col("lang").as("p_lang"), col("tok"))
+      tok.join(broadcast(prof), "tok")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(count(lit(1)).as("n_shared"))
+        .groupBy("doc_id", "lang")
+        .agg(min(struct((-col("n_shared")).as("neg"), col("p_lang"))).as("best"))
+        .select(col("doc_id"), col("lang"), col("best.p_lang").as("p_lang"))
+    }
+
   def all: Seq[Q] = Seq(
     Q("text_quality",
       s"""WITH t AS (
@@ -116,24 +165,8 @@ object TextAnalysisQueries {
     },
 
     Q("text_langid",
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |  FROM documents),
-        |freq AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-        |prof AS (
-        |  SELECT lang AS p_lang, tok
-        |  FROM (SELECT lang, tok,
-        |               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
-        |        FROM freq)
-        |  WHERE rn <= 30),
-        |overlap AS (
-        |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS n_shared
-        |  FROM tok t JOIN prof p ON t.tok = p.tok
-        |  GROUP BY 1, 2, 3),
-        |pred AS (
-        |  SELECT doc_id, lang, p_lang,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, p_lang) AS rn
-        |  FROM overlap)
+      LangidPredCtes +
+      """
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM pred WHERE rn = 1 GROUP BY lang""".stripMargin) {
@@ -141,38 +174,33 @@ object TextAnalysisQueries {
         // Self-supervised n-gram language ID: per-lang top-30 token
         // profiles from the corpus itself, classify each doc by max
         // profile overlap (ties -> lexicographic lang), report per-lang
-        // accuracy. One narrow shuffle per stage; profiles are
-        // dimension-sized (langs x 30) and broadcast into the overlap
-        // join at scale.
-        val tok = Tables.cachedTable(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.tokenSet(col("text"))).as("tok"))
-        // profile rank via two-phase top-k: a lang-only window would sort
-        // each language's entire vocabulary in a single task at scale.
-        val prof = TextOps.topKPerGroup(
-          tok.groupBy("lang", "tok").agg(count(lit(1)).as("c")),
-          Seq("lang"), Seq(col("c").desc, col("tok")), k = 30, bucketOn = col("tok"))
-          .select(col("lang").as("p_lang"), col("tok"))
-        // broadcast the dimension-sized profile (langs × 30 rows): the
-        // exploded corpus side must NOT be shuffled by token just to meet
-        // 150 profile rows (r7 — the scaladoc promised this; now the plan
-        // does it).
-        val overlap = tok.join(broadcast(prof), "tok")
-          .groupBy("doc_id", "lang", "p_lang")
-          .agg(count(lit(1)).as("n_shared"))
-        // per-doc argmax as a partial-aggregatable min-of-struct
-        // (-n_shared asc, p_lang asc) ≡ (n_shared desc, p_lang asc) —
-        // replaces a row_number window (shuffle + full per-partition sort,
-        // no map-side combine) with a plain aggregate (r7).
-        overlap
-          .groupBy("doc_id", "lang")
-          .agg(min(struct((-col("n_shared")).as("neg"), col("p_lang"))).as("best"))
-          .select(col("lang"), col("best.p_lang").as("p_lang"))
+        // accuracy. Per-doc predictions come from the shared cached
+        // frame [[langidPred]] (text_langid_confusion reads the same
+        // build).
+        langidPred(s, d)
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("p_lang") === col("lang"), 1).otherwise(0))
               .cast("long").as("n_correct"))
+    },
+
+    // Language-ID CONFUSION MATRIX (r8b) — the eval artifact per-class
+    // accuracy hides: WHICH languages leak into which (es↔fr confusion
+    // reads very differently from es→en), the report that decides
+    // whether to fix the classifier or drop the ambiguous slice. Same
+    // shared cached prediction build as text_langid; the oracle embeds
+    // the same CTEs (composition rule — the eval cannot drift from the
+    // classifier it evaluates).
+    Q("text_langid_confusion",
+      LangidPredCtes +
+      """
+        |SELECT lang, p_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        langidPred(s, d)
+          .groupBy("lang", "p_lang")
+          .agg(count(lit(1)).as("n"))
     },
 
     Q("text_tokens_bpe",
