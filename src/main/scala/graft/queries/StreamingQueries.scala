@@ -402,6 +402,44 @@ object StreamingQueries {
             col("click_id"), (col("t_click_us") - col("t_view_us")).as("delta_us"))
     },
 
+    // LEFT OUTER interval join (r8b) — the funnel question stream_join's
+    // inner form cannot answer: which views got NO click within their 10
+    // minutes (the unconverted rows ARE the product — abandonment
+    // analytics). In batch it is one left-outer with the range bounds in
+    // the ON clause (a post-filter would silently delete the NULL rows —
+    // the classic outer-join bug the oracle would catch). The streaming
+    // twin is real: StreamOps.intervalJoin(joinType = leftOuter), where
+    // NULL rows legally emit only after the watermark passes the view's
+    // window — StreamBatchParitySpec forces the horizon with a flush
+    // event and pins stream == batch exactly.
+    Q("stream_join_outer",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, ts_us AS t_view_us FROM e
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS t_click_us FROM e
+        |      WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, t_view_us, click_id,
+        |       t_click_us - t_view_us AS delta_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        | AND c.t_click_us >= v.t_view_us
+        | AND c.t_click_us <= v.t_view_us + 600000000""".stripMargin) {
+      (s, d) =>
+        val e = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts_us")
+        val v = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts_us").as("t_view_us"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user_id"), col("ts_us").as("t_click_us"))
+        v.join(c,
+            col("user_id") === col("c_user_id") &&
+              col("t_click_us") >= col("t_view_us") &&
+              col("t_click_us") <= col("t_view_us") + 600000000L,
+            "left_outer")
+          .select(col("user_id"), col("view_id"), col("t_view_us"),
+            col("click_id"), (col("t_click_us") - col("t_view_us")).as("delta_us"))
+    },
+
     Q("events_resample",
       s"""WITH e AS (SELECT user_id, (epoch_us(ts) // $HourUs) * $HourUs AS hour_us, value
          |           FROM events),

@@ -144,16 +144,27 @@ object StreamOps {
     * state would grow forever. The time-range condition on raw micros
     * keeps the predicate sargable for the state-store range scan.
     */
+  /** Stream-stream interval join. `joinType = "leftOuter"` adds the
+    * unmatched-left rows with a NULL right side — but ONLY once the
+    * watermark passes the left row's join window (the engine cannot know
+    * "no match will come" earlier), so outer results trail the inner ones
+    * by the watermark delay and rows inside the final horizon of an
+    * ending stream never emit. StreamBatchParitySpec drives a future
+    * flush event through both streams to force the horizon past every
+    * real row and pins stream == batch left-outer exactly.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
-                   lowerUs: Long, upperUs: Long, delay: String): DataFrame = {
+                   lowerUs: Long, upperUs: Long, delay: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
     l.join(
       r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerUs MICROSECOND") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperUs MICROSECOND"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperUs MICROSECOND"),
+      joinType)
   }
 
   /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape

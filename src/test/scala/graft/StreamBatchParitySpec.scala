@@ -152,6 +152,65 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream_join_outer: streaming left-outer interval join == batch after a watermark flush") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+
+    val batchRows = rowsOf(SparkEntry.queries("stream_join_outer")(spark, sfDir))
+
+    // stream dir = the real events + one far-future flush event per side:
+    // outer NULL rows only emit once the watermark passes a view's window,
+    // so without the flush every tail view would be silently withheld —
+    // exactly the caveat this test exists to demonstrate.
+    val streamDir = Files.createTempDirectory("graft_outer_parity").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = batchEvents.schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    val flushUs = maxUs + 86400L * 1000000L
+    spark.range(2).select(
+        (col("id") * -1 - 1).as("event_id"),
+        expr(s"CAST(timestamp_micros(${flushUs}L) AS ${schema("ts").dataType.sql})")
+          .as("ts"),
+        lit(-999L).as("user_id"),
+        when(col("id") === 0, "view").otherwise("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(streamDir)
+
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    def side(tpe: String, idAs: String, tsAs: String) = events
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("user_id"), col("tsm"),
+        col("ts_us").as(tsAs))
+    val v = side("view", "view_id", "t_view_us")
+      .withColumnRenamed("tsm", "v_tsm")
+    val c = side("click", "click_id", "t_click_us")
+      .withColumnRenamed("tsm", "c_tsm")
+    val joined = StreamOps.intervalJoin(
+        v, c, keyCol = "user_id", leftTs = "v_tsm", rightTs = "c_tsm",
+        lowerUs = 0L, upperUs = 600000000L, delay = "10 minutes",
+        joinType = "leftOuter")
+      // project BEFORE the sink: the join carries user_id on both sides
+      .select(col("l.user_id").as("user_id"), col("view_id"), col("t_view_us"),
+        col("click_id"), (col("t_click_us") - col("t_view_us")).as("delta_us"))
+    val q = joined.writeStream.format("memory").queryName("outer_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("outer_parity")
+        .filter(col("view_id") >= 0)) // drop the flush sentinel's own row
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
   test("txnLogSink: true streaming foreachBatch lands every row exactly once; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.TxnLog
