@@ -704,6 +704,34 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // Two-phase top-k PER GROUP as a declared operator (r8b): the house
+    // workhorse every report in this repo leans on (diff_examples,
+    // text_langid profiles, budget_select...) finally gated directly —
+    // per order priority, the 3 priciest orders. Phase 1 ranks inside
+    // (group, hash-bucket) sub-windows and keeps k per bucket; phase 2
+    // ranks the ≤ k·buckets survivors per group — so no task ever sorts
+    // a whole group (the single-task window is THE top-k scale bug; the
+    // oracle is exactly that naive global-window form, proving the
+    // decomposition lossless). Ties break on the unique key.
+    Q("window_topk_group",
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+        |       o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3""".stripMargin) { (s, d) =>
+      graft.operators.TextOps.topKPerGroup(
+        Tables.cachedTable(s, d, "orders")
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3, bucketOn = col("o_orderkey"))
+        .select(col("o_orderpriority"), col("rank"),
+          col("o_orderkey"), col("o_totalprice"))
+    },
+
     // LOCF gap-fill (r8b) — last-observation-carried-forward imputation,
     // the time-series repair every sensor/metrics pipeline runs before
     // aggregation: NULLs (injected closed-form at event_id % 7 = 0) are
