@@ -12,6 +12,23 @@ final case class OpenSession(startUs: Long, endUs: Long, n: Long)
 final case class SessionOut(
     user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
+/** One typed event for [[StreamOps.funnelWithState]] (kind: 0 = view,
+  * 1 = click, 2 = purchase — the fold's tie-break order at equal ts).
+  */
+final case class FunnelEvent(
+    user_id: Long, ts_us: Long, kind: Int, tsm: java.sql.Timestamp)
+
+/** Per-user funnel state: the three conditional-min scalars (−1 = unset)
+  * plus the not-yet-finalizable buffer of events above the watermark.
+  */
+final case class FunnelState(
+    tView: Long, tClick: Long, tPurchase: Long, buf: List[FunnelEvent])
+
+/** One user's final funnel row (stage 1..3; nulls where the user stalled). */
+final case class FunnelAnswer(
+    user_id: Long, t_view_us: Long, t_click_us: Option[Long],
+    t_purchase_us: Option[Long], stage: Long)
+
 /** One CDC change row for [[StreamOps.applyCdcStream]]: seq orders changes
   * within a key; status follows the diff vocabulary (I/C/D).
   */
@@ -178,6 +195,81 @@ object StreamOps {
     * [start, last-event] in epoch micros (note: session_window's `end` is
     * last-event + gap; this emits the tighter bound).
     */
+  /** Streaming ORDERED FUNNEL via `flatMapGroupsWithState` — the stateful
+    * operator the windowed aggs can't express: t_view = first view,
+    * t_click = first click AT OR AFTER t_view, t_purchase = first
+    * purchase at or after t_click (the events_funnel batch semantics),
+    * maintained incrementally under out-of-order arrival.
+    *
+    * The conditional mins cannot be finalized from arrival order alone (a
+    * still-earlier view could retroactively qualify an already-seen
+    * click), so per user the state buffers events ABOVE the watermark and,
+    * each batch, drains the now-complete prefix (ts ≤ watermark) through
+    * an event-time-ordered fold with kind as the tie-break — after which
+    * those events are dropped. State is therefore bounded by the
+    * watermark horizon, exactly like the native streaming aggs; the final
+    * row emits when the event-time timeout fires (watermark passed the
+    * user's last buffered event). Users with no view emit nothing, like
+    * the batch form's view-anchored base. StreamBatchParitySpec pins
+    * stream == events_funnel exactly (flush event forces the horizon).
+    */
+  def funnelWithState(events: DataFrame, tsCol: String, delay: String): Dataset[FunnelAnswer] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fold(st: FunnelState, upToUs: Long): FunnelState = {
+      val (ready, later) = st.buf.partition(_.ts_us <= upToUs)
+      var (v, c, p) = (st.tView, st.tClick, st.tPurchase)
+      ready.sortBy(e => (e.ts_us, e.kind)).foreach { e =>
+        e.kind match {
+          case 0 => if (v < 0) v = e.ts_us
+          case 1 => if (v >= 0 && c < 0 && e.ts_us >= v) c = e.ts_us
+          case _ => if (c >= 0 && p < 0 && e.ts_us >= c) p = e.ts_us
+        }
+      }
+      FunnelState(v, c, p, later)
+    }
+
+    def step(user: Long, it: Iterator[FunnelEvent],
+             state: GroupState[FunnelState]): Iterator[FunnelAnswer] = {
+      val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, Nil))
+      if (state.hasTimedOut) {
+        val fin = fold(st0, Long.MaxValue)
+        state.remove()
+        if (fin.tView < 0) Iterator.empty
+        else Iterator.single(FunnelAnswer(user, fin.tView,
+          Some(fin.tClick).filter(_ >= 0), Some(fin.tPurchase).filter(_ >= 0),
+          1L + (if (fin.tClick >= 0) 1 else 0) + (if (fin.tPurchase >= 0) 1 else 0)))
+      } else {
+        val wmMs = state.getCurrentWatermarkMs()
+        val st1 = fold(st0.copy(buf = st0.buf ++ it), wmMs * 1000L)
+        state.update(st1)
+        // wake when the watermark passes the last unfinalized event (or
+        // just past the current watermark if everything already drained)
+        val next = if (st1.buf.isEmpty) wmMs + 1
+                   else st1.buf.map(_.ts_us).max / 1000L + 1
+        state.setTimeoutTimestamp(next)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark(tsCol, delay)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts_us").cast("long").as("ts_us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).cast("int").as("kind"),
+        // the watermark-tagged column must reach the stateful operator
+        // verbatim (a cast would strip the tag) — tsCol must already be
+        // TimestampType
+        col(tsCol).as("tsm"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
   /** Streaming CDC apply — the incremental twin of
     * [[graft.operators.Differ.applyChangeset]]: maintain the current value
     * of every key from a stream of I/C/D change rows, emitting each key's

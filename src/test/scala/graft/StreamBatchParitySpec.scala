@@ -211,6 +211,44 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelWithState: stateful streaming funnel == batch events_funnel exactly") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(SparkEntry.queries("events_funnel")(spark, sfDir))
+
+    val streamDir = Files.createTempDirectory("graft_funnel_parity").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    // flush: a purchase from a never-viewing user — advances the watermark
+    // past every real event (firing every timeout) and emits no row itself
+    spark.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"CAST(timestamp_micros(${maxUs + 86400L * 1000000L}L) " +
+          s"AS ${schema("ts").dataType.sql})").as("ts"),
+        lit(-999L).as("user_id"), lit("purchase").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(streamDir)
+
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.funnelWithState(events, "tsm", "10 minutes")
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("funnel_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
   test("txnLogSink: true streaming foreachBatch lands every row exactly once; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.TxnLog
