@@ -20,6 +20,18 @@ object Graft {
            opts: DiffOptions = DiffOptions()): DataFrame =
     Differ.diff(left, right, keys, opts)
 
+  /** Typed entry point: diff two `Dataset[T]`s of the same case class —
+    * the compiler guarantees the schemas agree (the untyped form checks at
+    * runtime). The result stays a DataFrame: diff output is inherently
+    * dynamic (left_/right_ column pairs + a status), so no fixed `T`
+    * describes it.
+    */
+  def diffTyped[T](left: org.apache.spark.sql.Dataset[T],
+                   right: org.apache.spark.sql.Dataset[T],
+                   keys: Seq[String],
+                   opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.diff(left.toDF(), right.toDF(), keys, opts)
+
   /** Two-phase hash diff: shuffles 32-byte hashes first, fetches full rows
     * only for differing keys. Returns only non-N rows — the 100 TB path.
     */

@@ -8,6 +8,9 @@ import graft.operators.{DiffOptions, Differ}
   * NaN / -0.0, empty sides, duplicate keys, tolerance boundaries incl. the
   * integer-column leak, schema mismatch, and diffViaHash equivalence.
   */
+/** Typed-facade fixture (file-scope so an Encoder derives). */
+case class DifferSpecRec(k: Long, s: String, v: Double)
+
 class DifferSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -20,6 +23,17 @@ class DifferSpec extends SparkTestBase {
   test("diff(a, a) is all-N") {
     val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
     assert(statusCounts(Differ.diff(a, a, keys)) == Map("N" -> 2L))
+  }
+
+  test("diffTyped: Dataset[T] facade matches the untyped diff row-for-row") {
+    val l = Seq(DifferSpecRec(1L, "x", 1.0), DifferSpecRec(2L, "y", 2.0),
+      DifferSpecRec(3L, "z", 3.0)).toDS()
+    val r = Seq(DifferSpecRec(1L, "x", 1.0), DifferSpecRec(2L, "y", 9.0),
+      DifferSpecRec(4L, "w", 4.0)).toDS()
+    val typed = Graft.diffTyped(l, r, keys)
+    val untyped = Differ.diff(l.toDF(), r.toDF(), keys)
+    assert(rowsOf(typed) == rowsOf(untyped))
+    assert(statusCounts(typed) == Map("N" -> 1L, "C" -> 1L, "D" -> 1L, "I" -> 1L))
   }
 
   test("null keys match null keys via <=> (not dropped, not I+D)") {
