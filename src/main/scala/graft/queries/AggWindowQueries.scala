@@ -704,6 +704,32 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // DISCRETE percentiles (r8b, ANSI ordered-set aggregate): unlike the
+    // interpolating percentile_cont (agg_percentile), percentile_disc
+    // returns an ACTUAL data value — the smallest with cumulative
+    // distribution ≥ p — which is what latency SLO reporting wants (an
+    // interpolated p99 of 103.2ms names a latency no request had). Both
+    // families side by side per return flag; the cont leg rides the
+    // pinned Spark-percentile == DuckDB-quantile_cont parity, the disc
+    // leg is set-membership exact.
+    Q("agg_percentile_disc",
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.25) AS p25_disc,
+        |       quantile_disc(l_quantity, 0.50) AS p50_disc,
+        |       quantile_disc(l_quantity, 0.75) AS p75_disc,
+        |       quantile_cont(l_quantity, 0.50) AS p50_cont
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .createOrReplaceTempView("graft_li_pd")
+      s.sql("""SELECT l_returnflag,
+              |       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+              |       percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+              |       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_disc,
+              |       percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50_cont
+              |FROM graft_li_pd
+              |GROUP BY l_returnflag""".stripMargin)
+    },
+
     // Two-phase top-k PER GROUP as a declared operator (r8b): the house
     // workhorse every report in this repo leans on (diff_examples,
     // text_langid profiles, budget_select...) finally gated directly —
