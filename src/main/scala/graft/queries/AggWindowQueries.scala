@@ -704,6 +704,69 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // Kolmogorov-Smirnov two-sample test (r8b) — the binning-free drift
+    // statistic diff_drift's fixed histogram cannot be: KS = sup over x of
+    // |F1(x) − F2(x)| between the even-key and odd-key order-price
+    // samples, reported as the exact integer numerator max|c1·n2 − c2·n1|
+    // plus its ppm ratio — no float ever enters, so the sup over 100k+
+    // candidate points cannot drift between engines. The oracle computes
+    // the ECDFs with one naive global cumulative window; the Spark side
+    // runs the banded TWO-PHASE cumulative (per-band partial sums +
+    // band-offset broadcast, budget_select's discipline) so no task ever
+    // sorts the whole value set — the decomposition's losslessness is
+    // what the hash gate proves.
+    Q("quality_ks_test",
+      """WITH t AS (SELECT o_totalprice AS v, o_orderkey % 2 AS side FROM orders),
+        |n AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2 FROM t),
+        |pv AS (SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1p,
+        |              sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2p
+        |       FROM t GROUP BY 1),
+        |c AS (SELECT v,
+        |        sum(c1p) OVER (ORDER BY v) AS c1,
+        |        sum(c2p) OVER (ORDER BY v) AS c2
+        |      FROM pv)
+        |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+        |       CAST(max(abs(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(c1 * n.n2 - c2 * n.n1)) * 1000000 // (n.n1 * n.n2)
+        |            AS BIGINT) AS ks_ppm
+        |FROM c, n GROUP BY n.n1, n.n2""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_totalprice").as("v"), (col("o_orderkey") % 2).as("side"))
+      val n = t.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2"))
+      val pv = t.groupBy("v").agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("c1p"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c2p"))
+        .withColumn("band", expr("CAST(floor(v / 10000.0) AS BIGINT)"))
+      // phase 1: band totals → exclusive offsets (a window over the
+      // ~60-row band frame — dimension-sized at any corpus scale)
+      val offsets = pv.groupBy("band")
+        .agg(sum("c1p").as("b1"), sum("c2p").as("b2"))
+        .select(col("band"),
+          coalesce(sum(col("b1")).over(
+            w.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)).as("off1"),
+          coalesce(sum(col("b2")).over(
+            w.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)).as("off2"))
+      // phase 2: within-band running sums + broadcast offsets = the
+      // global cumulative, with only band-local sorts
+      val wb = w.partitionBy("band").orderBy("v")
+        .rowsBetween(Long.MinValue, 0)
+      pv.withColumn("w1", sum(col("c1p")).over(wb))
+        .withColumn("w2", sum(col("c2p")).over(wb))
+        .join(broadcast(offsets), "band")
+        .crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"),
+          abs((col("off1") + col("w1")) * col("n2") -
+            (col("off2") + col("w2")) * col("n1")).as("dd"))
+        .groupBy("n1", "n2")
+        .agg(max("dd").as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("d_num * 1000000 div (n1 * n2)").as("ks_ppm"))
+    },
+
     // DISCRETE percentiles (r8b, ANSI ordered-set aggregate): unlike the
     // interpolating percentile_cont (agg_percentile), percentile_disc
     // returns an ACTUAL data value — the smallest with cumulative
