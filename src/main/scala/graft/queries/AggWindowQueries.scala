@@ -704,6 +704,60 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // Chi-square test of independence (r8b) — the categorical sibling of
+    // quality_ks_test: is order status independent of priority? Per cell
+    // (s, p): term = (o·N − r·c)² / (N·r·c) over the FULL marginal grid
+    // (zero-observed cells included — dropping them biases the statistic
+    // low). Determinism ladder: every factor is an exact integer < 2^53
+    // (so its double image is exact), the per-cell double term is one
+    // identical IEEE multiply-divide tree in both engines, quantized to
+    // DECIMAL(18,6) and summed exactly (order-free) — one division per
+    // cell, one exact sum, no accumulation drift.
+    Q("quality_chi2",
+      """WITH t AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders),
+        |o AS (SELECT s, p, count(*) AS o FROM t GROUP BY 1, 2),
+        |r AS (SELECT s, count(*) AS r FROM t GROUP BY 1),
+        |c AS (SELECT p, count(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t),
+        |grid AS (SELECT r.s, c.p, r.r, c.c FROM r CROSS JOIN c),
+        |cell AS (
+        |  SELECT g.s, g.p,
+        |         CAST(CAST((coalesce(o.o, 0) * n.n - g.r * g.c) AS DOUBLE)
+        |              * CAST((coalesce(o.o, 0) * n.n - g.r * g.c) AS DOUBLE)
+        |              / (CAST(n.n AS DOUBLE) * g.r * g.c)
+        |           AS DECIMAL(18,6)) AS term
+        |  FROM grid g LEFT JOIN o ON o.s = g.s AND o.p = g.p, n)
+        |SELECT CAST((SELECT count(*) FROM r) - 1 AS BIGINT)
+        |         * CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS dof,
+        |       CAST((SELECT n FROM n) AS BIGINT) AS n,
+        |       CAST(sum(term) AS DOUBLE) AS chi2
+        |FROM cell""".stripMargin) { (s, d) =>
+      // marginals are dimension-sized (|status| × |priority| = 15 cells);
+      // the only corpus work is the one (s, p) count agg
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+      val o = t.groupBy("s", "p").agg(count(lit(1)).as("o"))
+      val r = t.groupBy("s").agg(count(lit(1)).as("r"))
+      val c = t.groupBy("p").agg(count(lit(1)).as("c"))
+      val n = t.agg(count(lit(1)).as("n"))
+      val nR = r.count()
+      val nC = c.count()
+      broadcast(r).crossJoin(broadcast(c))
+        .join(o, Seq("s", "p"), "left")
+        .crossJoin(broadcast(n))
+        .select(((coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("c"))
+          .cast("double") *
+          (coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("c"))
+            .cast("double") /
+          (col("n").cast("double") * col("r") * col("c")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("term"))
+        .agg(sum("term").as("chi2_d"))
+        .crossJoin(broadcast(n))
+        .select(lit((nR - 1) * (nC - 1)).as("dof"),
+          col("n").cast("long").as("n"),
+          col("chi2_d").cast("double").as("chi2"))
+    },
+
     // Kolmogorov-Smirnov two-sample test (r8b) — the binning-free drift
     // statistic diff_drift's fixed histogram cannot be: KS = sup over x of
     // |F1(x) − F2(x)| between the even-key and odd-key order-price
