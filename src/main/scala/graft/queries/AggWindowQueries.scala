@@ -704,6 +704,55 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // Mann-Whitney U / rank-sum test (r8b) — the nonparametric "is one
+    // sample stochastically larger" twin of quality_ks_test, on the SAME
+    // per-distinct-value count frame: 2U = Σ_v c1(v)·(2·cum2<(v) + c2(v))
+    // (greater-than pairs doubled + ties once) — all BIGINT, and
+    // U/(n1·n2) IS the AUC / common-language effect size, reported as
+    // exact ppm. Same banded two-phase cumulative as the KS key (no
+    // global sort); the naive-window oracle again proves the
+    // decomposition lossless.
+    Q("quality_mannwhitney",
+      """WITH t AS (SELECT o_totalprice AS v, o_orderkey % 2 AS side FROM orders),
+        |n AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2 FROM t),
+        |pv AS (SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1p,
+        |              sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2p
+        |       FROM t GROUP BY 1),
+        |c AS (SELECT v, c1p, c2p,
+        |        sum(c2p) OVER (ORDER BY v) - c2p AS cum2b
+        |      FROM pv)
+        |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+        |       CAST(sum(c1p * (2 * cum2b + c2p)) AS BIGINT) AS u2x,
+        |       CAST(sum(c1p * (2 * cum2b + c2p)) * 1000000 // (2 * n.n1 * n.n2)
+        |            AS BIGINT) AS auc_ppm
+        |FROM c, n GROUP BY n.n1, n.n2""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_totalprice").as("v"), (col("o_orderkey") % 2).as("side"))
+      val n = t.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2"))
+      val pv = t.groupBy("v").agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("c1p"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c2p"))
+        .withColumn("band", expr("CAST(floor(v / 10000.0) AS BIGINT)"))
+      val offsets = pv.groupBy("band").agg(sum("c2p").as("b2"))
+        .select(col("band"),
+          coalesce(sum(col("b2")).over(
+            w.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)).as("off2"))
+      val wb = w.partitionBy("band").orderBy("v").rowsBetween(Long.MinValue, 0)
+      pv.withColumn("w2", sum(col("c2p")).over(wb))
+        .join(broadcast(offsets), "band")
+        .select(col("c1p"),
+          (col("off2") + col("w2") - col("c2p")).as("cum2b"), col("c2p"))
+        .crossJoin(broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(sum(col("c1p") * (lit(2) * col("cum2b") + col("c2p"))).as("u2x"))
+        .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
+          expr("u2x * 1000000 div (2 * n1 * n2)").as("auc_ppm"))
+    },
+
     // Chi-square test of independence (r8b) — the categorical sibling of
     // quality_ks_test: is order status independent of priority? Per cell
     // (s, p): term = (o·N − r·c)² / (N·r·c) over the FULL marginal grid
