@@ -443,15 +443,17 @@ object TxnLog {
           case _                     => ()
         }
     }
-    // report only files this call actually removed — a re-run over an
-    // already-vacuumed log is an honest no-op
-    val deleted = (everAdded -- retainedLive).toSeq
-      .filter(f => Files.deleteIfExists(Paths.get(table, f)))
-    // publish the floor AFTER the deletes so a crash mid-vacuum leaves the
-    // floor where it was (some orphan bytes survive; nothing breaks)
+    // publish the floor BEFORE the deletes: from this instant sub-floor
+    // reads fail fast with the precise "vacuumed away" error, so a crash
+    // mid-delete can only leave ORPHAN BYTES (a rerun removes them and
+    // reports them) — never a readable-looking version with missing
+    // files. The reverse order would open exactly that window.
     Files.write(vacuumMarker(table),
       (cutoff.toString + "\n").getBytes(StandardCharsets.UTF_8))
-    deleted
+    // report only files this call actually removed — a re-run over an
+    // already-vacuumed log is an honest no-op
+    (everAdded -- retainedLive).toSeq
+      .filter(f => Files.deleteIfExists(Paths.get(table, f)))
   }
 
   /** Snapshot read at `asOf` (default: latest) — scans live files only.

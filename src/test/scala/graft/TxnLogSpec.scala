@@ -158,6 +158,25 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.vacuum(t, retainVersions = 1).isEmpty)
   }
 
+  test("vacuum crash window: floor published, deletes not yet run — rerun converges") {
+    val t = freshTable()
+    TxnLog.init(spark.range(50).toDF("id").repartition(2), t)
+    TxnLog.overwrite(spark.range(10).toDF("id"), t)
+    val v0Files = TxnLog.liveFiles(t, Some(0))
+    // simulate a crash right after the floor landed but before any delete:
+    // the floor-first ordering guarantees this window holds only ORPHAN
+    // bytes — sub-floor reads already fail fast, never with missing files
+    Files.write(Paths.get(t, "_graft_log", "_vacuum"),
+      "1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](TxnLog.read(spark, t, Some(0)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(Files.exists(Paths.get(t, v0Files.head)), "orphan bytes linger")
+    // rerun removes exactly the orphans and keeps the floor
+    assert(TxnLog.vacuum(t, retainVersions = 0).toSet == v0Files.toSet)
+    assert(TxnLog.minVersion(t) == 1)
+    assert(TxnLog.read(spark, t).count() == 10)
+  }
+
   test("history audits every commit: op tags, add/remove counts, live-file count") {
     val t = freshTable()
     TxnLog.init(spark.range(10).toDF("id").repartition(2), t)
