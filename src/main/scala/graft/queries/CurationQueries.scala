@@ -33,6 +33,8 @@ object CurationQueries {
   /** decontaminate_semantic: eval vec ids and the cosine flag threshold. */
   private val EvalVecMax = 8
   private val SemTau = 0.35
+  /** pipeline_checkpointed: fresh table per call (init refuses reuse). */
+  private val pipeSeq = new java.util.concurrent.atomic.AtomicLong(0)
   /** pack_sequences: context-window length in tokens. */
   private val CtxLen = 256
   /** pack_sequences: independent packing streams per language. */
@@ -407,6 +409,75 @@ object CurationQueries {
                   col("s").cast("long").as("total_tokens"),
                   expr("(2 * si - (n + 1) * s) * 1000000 div (n * s)")
                     .cast("long").as("gini_ppm"))
+    },
+
+    // CHECKPOINTED curation pipeline (r8b) — the capstone composite: each
+    // stage of raw → quality gate → exact dedup → per-lang budget cap
+    // OVERWRITES one TxnLog version, so the pipeline is RESUMABLE (a
+    // version-guarded stage whose version already exists is a structural
+    // no-op — the query replays stage 2 after stage 3 and the guard must
+    // refuse) and AUDITABLE (the funnel report is read back from the
+    // table's own versions by time travel, not from in-memory frames —
+    // if any stage committed wrong rows or the replay guard leaked a
+    // version 4, the report or the latest_version column flips the
+    // hash). Stages read the TABLE's current state, not a lineage of
+    // cached frames: exactly how a restartable 100 TB curation job holds
+    // its intermediate corpus.
+    Q("pipeline_checkpointed",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(lower(text), ' ')) AS n_tokens,
+        |         lower(text) AS lt
+        |  FROM documents),
+        |s1 AS (SELECT * FROM d WHERE n_tokens BETWEEN 30 AND 70),
+        |s2 AS (SELECT * FROM s1 WHERE doc_id IN
+        |         (SELECT min(doc_id) FROM s1 GROUP BY lt)),
+        |s3 AS (SELECT * FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |         FROM s2) WHERE rn <= 15),
+        |v AS (SELECT 0 AS version, lang, count(*) AS n FROM d GROUP BY 2
+        |      UNION ALL SELECT 1, lang, count(*) FROM s1 GROUP BY 2
+        |      UNION ALL SELECT 2, lang, count(*) FROM s2 GROUP BY 2
+        |      UNION ALL SELECT 3, lang, count(*) FROM s3 GROUP BY 2)
+        |SELECT CAST(version AS BIGINT) AS version, lang,
+        |       CAST(n AS BIGINT) AS n_docs,
+        |       CAST(3 AS BIGINT) AS latest_version
+        |FROM v""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val table = s"/tmp/graft-pipeline-${java.lang.ProcessHandle.current().pid()}" +
+        s"/${d.replaceAll("[^A-Za-z0-9]", "_")}/p${pipeSeq.incrementAndGet()}"
+      // stage guard: apply only if the table sits at exactly the prior
+      // version — a replayed (or out-of-order) stage is a no-op, which is
+      // what makes the pipeline resumable after a crash between stages
+      def stage(expect: Long)(df: => org.apache.spark.sql.DataFrame): Unit =
+        if (TxnLog.latestVersion(table) == expect - 1) { TxnLog.overwrite(df, table); () }
+      TxnLog.init(
+        Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            sha2(lower(col("text")), 256).as("th")), table)
+      stage(1)(TxnLog.read(s, table)
+        .filter(col("n_tokens").between(30, 70)))
+      stage(2) {
+        val cur = TxnLog.read(s, table)
+        val keep = cur.groupBy("th").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        cur.join(keep, Seq("doc_id"), "left_semi")
+      }
+      stage(3) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+        TxnLog.read(s, table)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 15).drop("rn")
+      }
+      stage(2)(sys.error("replayed stage must never re-materialize")) // no-op
+      (0L to 3L).map(v =>
+        TxnLog.read(s, table, Some(v)).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(v).as("version"), col("lang"), col("n_docs")))
+        .reduce(_ unionByName _)
+        .withColumn("latest_version", lit(TxnLog.latestVersion(table)))
     },
 
     // Curriculum ordering (r8b) — difficulty-staged training schedule
