@@ -198,6 +198,29 @@ object FnQueries {
               |FROM graft_emb""".stripMargin)
     },
 
+    // TRY arithmetic (r8b): Spark 4 runs ANSI mode by default, where
+    // overflow and division-by-zero THROW — the safety default that kills
+    // a 1000-executor job on one bad row unless the pipeline opts into
+    // NULL-on-error via try_* per expression. Gate both escape hatches:
+    // try_divide (b = linenumber − 1 is genuinely 0 on first lines) and
+    // try_multiply against an overflow frontier the oracle reproduces as
+    // an exact integer guard (a > maxLong DIV K ⇔ product overflows —
+    // DuckDB must CASE-guard because ITS overflow also throws; the guard
+    // constant IS the semantics being checked).
+    Q("fn_try_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+        |            ELSE CAST(l_orderkey AS DOUBLE) / (l_linenumber - 1) END
+        |         AS safe_div,
+        |       CASE WHEN l_orderkey > 9223 THEN NULL
+        |            ELSE l_orderkey * 1000000000000000 END AS safe_mul
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_orderkey, l_linenumber - 1)").as("safe_div"),
+          expr("try_multiply(l_orderkey, 1000000000000000L)").as("safe_mul"))
+    },
+
     // VARIANT semi-structured type (r8b, Spark 4.0) — the open-format
     // answer to "a JSON column you can query at columnar speed": parse
     // ONCE into the binary VARIANT encoding, then typed variant_get path

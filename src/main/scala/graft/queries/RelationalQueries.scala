@@ -542,6 +542,38 @@ object RelationalQueries {
             .cast("long").as("sum_cents"))
     },
 
+    // Observation-API metrics (r8b): data-quality counters collected ON
+    // the same pass as the consuming action — df.observe() attaches
+    // aggregates to the plan and a listener delivers them when the job
+    // finishes, so row count / null census / exact sums cost ZERO extra
+    // scans (at 100 TB "count the rows you just wrote" as a second job
+    // doubles the read bill; this is the production pattern for write-
+    // path validation). The query consumes the observed frame with a
+    // noop-format write (I/O-less full materialization) and returns the
+    // delivered metrics as the result row; the oracle recomputes them
+    // with a plain aggregate — a dropped row or miscounted metric flips
+    // the hash.
+    Q("scan_observe_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      Tables.cachedTable(s, d, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("l_quantity"))).as("n_null_qty"),
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long").as("qty_cents"))
+        .write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("n_null_qty").asInstanceOf[Long],
+        m("qty_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_null_qty", "qty_cents")
+    },
+
     // ZSTD parquet codec round-trip (r8b): at 100 TB the compression
     // codec is a first-order cost lever — zstd typically lands ~1.3-1.8×
     // smaller than snappy at similar scan speed, which is petabytes of
