@@ -640,6 +640,42 @@ object RelationalQueries {
           col("content").cast("string").as("content_str"))
     },
 
+    // DYNAMIC partition pruning as a first-class gated key (r8b; the plan
+    // shape was PlanSpec-only until now): the statuses worth reading only
+    // arrive at RUNTIME via a filtered dimension join, so the partitioned
+    // fact scan must carry a dynamicpruningexpression subquery — list-time
+    // directory elimination driven by the dim filter's result, the
+    // mechanism that turns a 100 TB star-schema scan into reading two
+    // directories. The dim is a REAL parquet source (a LocalRelation's
+    // filter constant-folds away and the DPP rule never sees a predicate
+    // — the PlanSpec-documented trap); oracle = the statically-filtered
+    // aggregate, so a dropped or extra partition flips the hash.
+    Q("join_partition_pruned",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+        |         AS sum_cents
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val factPath = s"$roundtripRoot/dpp/$tag/fact"
+      val dimPath = s"$roundtripRoot/dpp/$tag/dim"
+      graft.operators.Sinks.writePartitioned(
+        Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        factPath, Seq("o_orderstatus"))
+      Seq(("F", "keep"), ("O", "keep"), ("P", "drop"))
+        .toDF("o_orderstatus", "tag")
+        .write.mode("overwrite").parquet(dimPath)
+      s.read.parquet(factPath)
+        .join(s.read.parquet(dimPath).filter(col("tag") === "keep"),
+          Seq("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("o_totalprice").cast("decimal(27,2)")) * 100)
+            .cast("long").as("sum_cents"))
+    },
+
     Q("scan_csv_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       // PERMISSIVE malformed-row handling — the ingestion-robustness

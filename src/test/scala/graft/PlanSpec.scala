@@ -931,6 +931,12 @@ class PlanSpec extends SparkTestBase {
     assert(sorts == 0, s"pre-sorted buckets must not re-sort, got $sorts:\n${plan.take(2000)}")
   }
 
+  test("join_partition_pruned: the declared key's fact scan carries the DPP subquery") {
+    val plan = physical(RelationalQueries.all, "join_partition_pruned")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP subquery on the partitioned fact scan:\n${plan.take(2000)}")
+  }
+
   test("multimodal_phash / dedup_url_normalize: only the fingerprint key shuffles") {
     for ((all, name) <- Seq(
       (graft.queries.PipelineQueries.all: Seq[Q], "multimodal_phash"),
