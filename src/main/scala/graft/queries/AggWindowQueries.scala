@@ -704,6 +704,29 @@ object AggWindowQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     },
 
+    // Trailing TIME-range frame (r8b) — the rolling rate-limit / burst
+    // counter: per user, how many events landed in the trailing hour of
+    // EVENT time (RANGE BETWEEN 3.6e9 µs PRECEDING — a value frame, so
+    // simultaneous events are peers and the count is tie-order-
+    // independent, unlike a ROWS frame). window_range_frame covers the
+    // numeric-measure case; this is the time-axis twin every abuse/SLA
+    // monitor runs. At scale: one user-keyed exchange + per-user ordered
+    // frame — the sessionize shape.
+    Q("window_trailing_hour",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_trailing_hr
+        |FROM e""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .withColumn("n_trailing_hr", count(lit(1)).over(w))
+    },
+
     // Mann-Whitney U / rank-sum test (r8b) — the nonparametric "is one
     // sample stochastically larger" twin of quality_ks_test, on the SAME
     // per-distinct-value count frame: 2U = Σ_v c1(v)·(2·cum2<(v) + c2(v))
