@@ -568,6 +568,55 @@ object DedupVariantQueries {
         TextOps.dedupLines(Tables.cachedTable(s, d, "documents"))
     },
 
+    // CORPUS-GLOBAL REPEATED-SUBSTRING CENSUS (ExactSubstr, Lee et al.
+    // 2022 "Deduplicating Training Data Makes Language Models Better"):
+    // a positional 5-token shingle is "duplicated" when ANY OTHER doc
+    // contains the same shingle; each doc reports its total shingle
+    // positions, duplicated positions, and the exact-ppm duplicated
+    // fraction — the signal ExactSubstr cuts spans on (their suffix
+    // array finds byte-level matches; the token-shingle grid is the
+    // Spark-shaped equivalent: one groupBy instead of a global suffix
+    // sort). Distinct from text_boilerplate (per-SOURCE frequent spans)
+    // and dedup_lines (fixed line grid, keep-one): this is cross-corpus,
+    // position-dense, and reports fractions rather than rewriting.
+    // Scale shape: two map-side-combinable aggs + one shingle-keyed
+    // join — (doc, shingle) partial counts collapse multiplicity before
+    // anything shuffles, the doc-frequency cut is vocabulary-sized, and
+    // nothing is quadratic. At 100 TB the shingle grouping key would be
+    // xxhash64(shingle) (8 bytes on the wire instead of ~40 — the
+    // diff_two_phase trade); the string key here keeps the gate
+    // collision-free by construction.
+    Q("dedup_substring",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) AS s
+        |      FROM t WHERE len(t) >= 5),
+        |ds AS (SELECT doc_id, s, count(*) AS np FROM g GROUP BY 1, 2),
+        |freq AS (SELECT s, count(*) AS nd FROM ds GROUP BY 1)
+        |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN np ELSE 0 END) AS BIGINT)
+        |         AS n_dup_pos,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN np ELSE 0 END) * 1000000
+        |              // sum(np) AS BIGINT) AS dup_ppm
+        |FROM ds JOIN freq USING (s) GROUP BY 1""".stripMargin) { (s, d) =>
+      val g = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 4), " +
+            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("s"))
+      val ds = g.groupBy("doc_id", "s").agg(count(lit(1)).as("np"))
+      val freq = ds.groupBy("s").agg(count(lit(1)).as("nd"))
+      ds.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(sum("np").cast("long").as("n_pos"),
+          sum(when(col("nd") >= 2, col("np")).otherwise(0L)).cast("long")
+            .as("n_dup_pos"))
+        .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+          expr("n_dup_pos * 1000000 div n_pos").as("dup_ppm"))
+    },
+
     // Oracle is the naive in-block all-pairs containment (same discipline
     // as dedup_near: the prefix×postings candidate generation is provably
     // lossless, so matching the naive formulation IS the losslessness

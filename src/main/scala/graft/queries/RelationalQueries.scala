@@ -741,6 +741,25 @@ object RelationalQueries {
       s.read.schema(src.schema).orc(path)
     },
 
+    Q("scan_xml_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
+      // XML source coverage (built into spark-sql since Spark 4.0 —
+      // SPARK-44265; no external package), same lossless round-trip
+      // discipline as the CSV/JSON/ORC twins: write the orders projection
+      // as <order> row elements, read back with an explicit schema +
+      // rowTag, oracle against the PARQUET values. Doubles survive via
+      // Java's round-trip-exact Double.toString; the one XML-specific
+      // hazard the hash would catch is entity escaping (none of these
+      // columns contain markup characters, and escaping is symmetric
+      // anyway). Schema explicit: XML inference is a full extra scan, a
+      // non-starter on a 100 TB feed-ingest directory.
+      val src = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val path = s"$roundtripRoot/xml/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      src.write.mode("overwrite").option("rowTag", "order").format("xml").save(path)
+      s.read.schema(src.schema).option("rowTag", "order").format("xml").load(path)
+    },
+
     Q("scan_text_roundtrip",
       "SELECT doc_id, text FROM documents") { (s, d) =>
       // Plain-text source coverage (spark.read.text — the raw-corpus
