@@ -947,6 +947,62 @@ object RelationalQueries {
             (col("user_id_a") === col("user_id_b")).cast("long").as("same_user"))
     },
 
+    // SPATIAL GRID JOIN (r8g) — the 2-D sibling of join_range_bucketed's
+    // 1-D time bucketing, and the core pattern of every distributed
+    // geospatial engine (Sedona/GeoSpark partitioning): "all customers
+    // within radius R of each supplier" is a bare distance predicate that
+    // Spark would plan as a nested-loop cartesian, so space is cut into
+    // R×R grid cells, one side REPLICATES to its 3×3 neighbor cells
+    // (bounded 9× — the small side), the other keeps its home cell, and
+    // the join becomes EQUI on the cell id. Each qualifying pair meets in
+    // exactly ONE cell (the point side's home cell — the 9 candidate
+    // cells of a supplier are distinct), so no dedup pass. Coordinates
+    // are synthesized as closed-form integers from the keys (the fixture
+    // has no geo columns; both engines rebuild them identically), and
+    // dist² stays exact BIGINT — no floating-point geometry anywhere.
+    // The oracle is the naive quadratic cross-join form: matching it IS
+    // the losslessness claim (a pair split across cells, a double-counted
+    // pair, or an off-by-one at a cell boundary all flip the hash).
+    // 100 TB: one integer-key shuffle per side; cell size = radius bounds
+    // candidate density; a hot cell (urban skew) is a salting/AQE
+    // problem, not a plan problem.
+    Q("join_geo_grid",
+      """WITH c AS (SELECT c_custkey,
+        |                  (c_custkey * 7919) % 1000 AS cx,
+        |                  (c_custkey * 104729) % 1000 AS cy
+        |           FROM customer),
+        |s AS (SELECT s_suppkey,
+        |             (s_suppkey * 6101 + 13) % 1000 AS sx,
+        |             (s_suppkey * 93911 + 57) % 1000 AS sy
+        |      FROM supplier)
+        |SELECT s_suppkey, c_custkey,
+        |       CAST((sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS BIGINT)
+        |         AS dist_sq
+        |FROM s JOIN c
+        |  ON (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 2500""".stripMargin) {
+      (s, d) =>
+        val cust = Tables.cachedTable(s, d, "customer")
+          .select(col("c_custkey"),
+            (col("c_custkey") * 7919 % 1000).as("cx"),
+            (col("c_custkey") * 104729 % 1000).as("cy"))
+          .withColumn("cell", expr("(cx div 50) * 1000 + (cy div 50)"))
+        val supp = Tables.cachedTable(s, d, "supplier")
+          .select(col("s_suppkey"),
+            (col("s_suppkey") * 6101 + 13).mod(1000).as("sx"),
+            (col("s_suppkey") * 93911 + 57).mod(1000).as("sy"))
+          .withColumn("cell", explode(expr(
+            """flatten(transform(sequence(-1, 1), dx ->
+              |  transform(sequence(-1, 1), dy ->
+              |    (sx div 50 + dx) * 1000 + (sy div 50 + dy))))""".stripMargin)))
+        supp.join(cust, "cell")
+          .filter((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+            (col("sy") - col("cy")) * (col("sy") - col("cy")) <= 2500)
+          .select(col("s_suppkey"), col("c_custkey"),
+            ((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+              (col("sy") - col("cy")) * (col("sy") - col("cy")))
+              .cast("long").as("dist_sq"))
+    },
+
     Q("join_asof",
       """SELECT event_id, user_id, ts_us, last_signup_us FROM (
         |  SELECT event_id, user_id, ts_us, event_type,

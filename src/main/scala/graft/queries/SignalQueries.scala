@@ -171,6 +171,44 @@ object SignalQueries {
         .orderBy(col("skey").desc, col("doc_id")).limit(100)
     },
 
+    // -- sample_reservoir --------------------------------------------------
+    // Distributed PER-GROUP reservoir sampling (uniform k per stratum) as
+    // min-k-by-hash: ranking rows by a uniform deterministic hash and
+    // keeping the k smallest IS a uniform sample without replacement, and
+    // unlike the textbook sequential reservoir it is mergeable — each
+    // partition keeps its local k smallest, merging keeps the global k
+    // smallest, which is exactly the two-phase topKPerGroup plan. The
+    // properties that matter at 100 TB: deterministic (hash of the stable
+    // id, never rand() — speculative execution and stage retries replay a
+    // task and rand()-based sampling silently double-draws), mergeable
+    // (no sequential scan), and per-group without a per-group window
+    // funnel. Complements sample_weighted (global, weighted) and
+    // sample_stratified (fraction-per-stratum): this is exact-k per
+    // stratum — the eval-set carve-out shape.
+    Q("sample_reservoir",
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         ('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |           AS hv
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, hv,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY hv, o_orderkey) AS rank
+        |  FROM h)
+        |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey
+        |FROM r WHERE rank <= 20""".stripMargin) { (s, d) =>
+      val h = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("hv", expr(
+          "CAST(conv(substr(sha2(CAST(o_orderkey AS STRING), 256), 1, 8), 16, 10) AS BIGINT)"))
+      graft.operators.TextOps.topKPerGroup(
+        h, Seq("o_orderpriority"),
+        Seq(col("hv").asc, col("o_orderkey").asc), k = 20,
+        bucketOn = col("o_orderkey"))
+        .select("o_orderpriority", "rank", "o_orderkey")
+    },
+
     // -- bpe_train_pairs ---------------------------------------------------
     // The first iteration of BPE tokenizer training: count adjacent symbol
     // (character) pairs across the corpus, weighted by word frequency —

@@ -73,6 +73,26 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "as-of join must not go cartesian")
   }
 
+  test("join_geo_grid: the radius predicate rides an EQUI cell join") {
+    // A bare 2-D distance predicate plans as a nested-loop cartesian; the
+    // grid trick (supplier exploded to 3x3 neighbor cells, customer at its
+    // home cell) must keep it an equi join with dist² as a residual filter.
+    val plan = physical(RelationalQueries.all, "join_geo_grid")
+    assert(!plan.contains("CartesianProduct"), "geo join went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "geo join went nested-loop")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi join in plan:\n${plan.take(1200)}")
+  }
+
+  test("dedup_substring: shingle census joins equi-only, counts collapse pre-join") {
+    val plan = physical(graft.queries.DedupVariantQueries.all, "dedup_substring")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "substring census must stay equi on the shingle")
+    // (doc, shingle) multiplicity collapses in a partial agg BEFORE the
+    // doc-frequency join — positions never ride the join input.
+    assert(plan.contains("HashAggregate"), "expected pre-join partial aggregation")
+  }
+
   test("join_range_bucketed: the pure range predicate rides an EQUI bucket join") {
     val plan = physical(RelationalQueries.all, "join_range_bucketed")
     // A bare |t_b - t_a| <= W predicate plans as a nested-loop cartesian;
