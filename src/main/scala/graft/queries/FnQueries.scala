@@ -123,6 +123,31 @@ object FnQueries {
         "l_tax * l_tax AS tax2")
     },
 
+    Q("fn_bitwise",
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS b_and,
+        |       o_orderkey | 4096 AS b_or,
+        |       xor(o_orderkey, 170) AS b_xor,
+        |       o_orderkey << 3 AS b_shl,
+        |       o_orderkey >> 2 AS b_shr,
+        |       CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
+        |FROM orders""".stripMargin) { (s, d) =>
+      // Bitwise-operator surface (r8g): AND/OR/XOR masks, shifts, popcount
+      // — the ops flag-packing, bucket addressing (CountMinSketch.slotCol),
+      // and bitmap codecs are built from. Dialect note: XOR is infix ^ in
+      // Spark SQL but the xor() function in DuckDB; shifts are shiftleft/
+      // shiftright functions in Spark, infix <<//>> in DuckDB. All pure
+      // per-row integer codegen — map-only at any scale.
+      Tables.cachedTable(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderkey & 255 AS b_and",
+        "o_orderkey | 4096 AS b_or",
+        "o_orderkey ^ 170 AS b_xor",
+        "shiftleft(o_orderkey, 3) AS b_shl",
+        "shiftright(o_orderkey, 2) AS b_shr",
+        "CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt")
+    },
+
     Q("fn_array",
       """SELECT doc_id,
         |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,

@@ -1211,6 +1211,38 @@ object TextAnalysisQueries {
             |       WHEN (pos - 1) % 10 <= 2 THEN element_at(toks, pos)
             |       ELSE NULL END), x -> x IS NOT NULL), ' ')"""
             .stripMargin).as("target"))
+    },
+
+    // SLIDING-WINDOW CHUNKING (r8g) — the retrieval-prep transform between
+    // curation and embedding: split each doc into fixed 64-token windows
+    // with stride 48 (16-token overlap so no passage straddles a boundary
+    // unseen), emit (doc_id, chunk_id, start_pos, n_chunk_tokens,
+    // chunk_text). Chunk starts are sequence(1, n, 48) in BOTH engines
+    // (inclusive, stepped), and both engines' list slicing clamps at the
+    // array end, so the tail chunk is shorter, never padded — the full
+    // chunk strings ride the hash gate, pinning boundary arithmetic
+    // exactly. Scale: pure per-row HOF explode — map-only, the output IS
+    // the embedding-job input; ~n/48 rows per doc, no shuffle anywhere.
+    Q("text_chunk_sliding",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, s,
+        |             array_to_string(t[s:s+63], ' ') AS chunk_text,
+        |             len(t[s:s+63]) AS n_chunk_tokens
+        |      FROM t, LATERAL unnest(generate_series(1, len(t), 48)) AS u(s))
+        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |       CAST(s AS BIGINT) AS start_pos,
+        |       CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens, chunk_text
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(toks), 48)")).as("s"),
+          col("toks"))
+        .select(col("doc_id"),
+          expr("CAST((s - 1) div 48 AS BIGINT)").as("chunk_id"),
+          col("s").cast("long").as("start_pos"),
+          expr("CAST(size(slice(toks, s, 64)) AS BIGINT)").as("n_chunk_tokens"),
+          expr("concat_ws(' ', slice(toks, s, 64))").as("chunk_text"))
     }
   )
 
