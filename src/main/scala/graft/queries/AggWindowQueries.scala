@@ -1274,6 +1274,35 @@ object AggWindowQueries {
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).cast("long").as("n"))
         .filter(col("n") >= thr)
+    },
+
+    // Conditional-aggregate surface (r8g): FILTER-clause counts plus the
+    // boolean reducers bool_and/bool_or — the idioms every data-quality
+    // rollup is written in (count_if(bad) per partition, bool_and(invariant)
+    // as a gate). All are single-pass partial aggregates: each FILTER leg
+    // is a predicated counter inside the SAME hash-agg operator (one scan,
+    // one shuffle of |groups| rows, never one pass per condition), and the
+    // boolean reducers ship one byte per partition. Cross-engine note:
+    // Spark's count_if == DuckDB's FILTER'd count; any_value is banned
+    // here (nondeterministic pick) — min/max stand in for "a value".
+    Q("agg_conditional",
+      """SELECT l_returnflag,
+        |       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_hi_disc,
+        |       CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+        |       CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.06)
+        |            AS BIGINT) AS n_hi_tax_supp,
+        |       bool_and(l_quantity > 0) AS all_qty_pos,
+        |       bool_or(l_discount = 0) AS any_zero_disc
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_hi_disc"),
+          count_if(col("l_quantity") >= 25).as("n_bulk"),
+          count_distinct(when(col("l_tax") > 0.06, col("l_suppkey")))
+            .as("n_hi_tax_supp"),
+          bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+          bool_or(col("l_discount") === 0).as("any_zero_disc"))
     }
   )
 }

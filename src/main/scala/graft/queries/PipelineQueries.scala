@@ -1943,6 +1943,41 @@ object PipelineQueries {
         .select(col("lang"), col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
                 expr("(n_chunks - n_distinct_chunks) * 1000000 div n_chunks")
                   .cast("long").as("dup_ppm"))
+    },
+
+    // K-fold cross-validation audit (r8g): split_assign's 3-way sibling
+    // for the eval-ablation loop — every doc lands in exactly one of 5
+    // folds by the SAME engine-portable sha256-prefix hash (stable under
+    // re-runs/backfills; never rand()/monotonic ids), and the output is
+    // the per-fold balance sheet a fold assignment must pass before
+    // training 5 ablations on it: doc count, token mass (n_chars), and
+    // each fold's mass share in ppm. A skewed fold silently biases the
+    // CV estimate, so the audit IS the operator. 100 TB shape: pure
+    // per-row hash projection + a 5-group agg — one scan, a 5-row
+    // result; the scalar total rides the same agg (no second pass).
+    Q("split_kfold",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+        |              AS BIGINT) AS fold
+        |  FROM documents),
+        |f AS (SELECT fold, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |      FROM h GROUP BY 1),
+        |t AS (SELECT sum(n_chars) AS total FROM f)
+        |SELECT fold, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_chars * 1000000 // t.total AS BIGINT) AS mass_ppm
+        |FROM f, t""".stripMargin) { (s, d) =>
+      val h = Tables.cachedTable(s, d, "documents").select(
+        col("n_chars"),
+        expr("CAST(conv(substr(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 5")
+          .as("fold"))
+      val f = h.groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      val t = f.agg(sum("n_chars").as("total"))
+      f.crossJoin(broadcast(t))
+        .select(col("fold"), col("n_docs"), col("n_chars"),
+          expr("n_chars * 1000000 div total").as("mass_ppm"))
     }
   )
 }

@@ -1240,6 +1240,47 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
             .cast("long").as("qty_cents"))
+    },
+
+    // Null-safe equality join (r8g): <=> (IS NOT DISTINCT FROM) treats
+    // NULL as a joinable value — the semantics CDC/merge pipelines need
+    // when a nullable business key must still pair deleted-with-inserted
+    // rows. Fixture: a derived nullable segment key on orders (every
+    // 13th order's segment is unknown) against a 6-row dim that carries
+    // an explicit NULL-keyed "UNKNOWN" row. Scale shape: the dim
+    // broadcasts, so NULL-matching adds nothing to the probe cost. On a
+    // shuffle join, beware: <=> hashes every NULL key to ONE partition —
+    // if NULLs are a meaningful fraction, split the NULL-key rows into
+    // their own branch (they join only the NULL dim row, a constant
+    // lookup) and union — the same decomposition join_skew_salted pins.
+    Q("join_null_safe",
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |              ELSE o_custkey % 5 END AS seg
+        |  FROM orders),
+        |dim AS (
+        |  SELECT unnest(generate_series(0, 4)) AS seg
+        |  UNION ALL SELECT NULL),
+        |named AS (
+        |  SELECT seg, CASE WHEN seg IS NULL THEN 'UNKNOWN'
+        |                   ELSE 'SEG_' || CAST(seg AS VARCHAR) END AS seg_name
+        |  FROM dim)
+        |SELECT o.o_orderkey, n.seg_name
+        |FROM o JOIN named n ON o.seg IS NOT DISTINCT FROM n.seg""".stripMargin) {
+      (s, d) =>
+        val o = Tables.cachedTable(s, d, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 13 === 0, lit(null))
+              .otherwise(col("o_custkey") % 5).as("seg"))
+        val dim = s.range(0, 5).select(col("id").as("seg"))
+          .unionByName(s.range(1).select(lit(null).cast("long").as("seg")))
+          .select(col("seg"),
+            when(col("seg").isNull, "UNKNOWN")
+              .otherwise(concat(lit("SEG_"), col("seg").cast("string")))
+              .as("seg_name"))
+        o.join(broadcast(dim), o("seg") <=> dim("seg"))
+          .select(col("o_orderkey"), col("seg_name"))
     }
   )
 }

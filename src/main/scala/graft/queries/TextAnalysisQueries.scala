@@ -1243,6 +1243,43 @@ object TextAnalysisQueries {
           col("s").cast("long").as("start_pos"),
           expr("CAST(size(slice(toks, s, 64)) AS BIGINT)").as("n_chunk_tokens"),
           expr("concat_ws(' ', slice(toks, s, 64))").as("chunk_text"))
+    },
+
+    // Lexical-richness QA (r8g): hapax-legomenon share and type-token
+    // ratio per language. A shrinking hapax share (or TTR) across crawl
+    // snapshots is the canonical early signal of template/boilerplate
+    // flooding — the vocabulary stops growing while token mass does —
+    // complementing text_zipf's rank-slope fit with two pure-count
+    // ratios. Exactness ladder: every numerator/denominator is a BIGINT
+    // count; the ppm shares are integer floor-division, so no float ever
+    // enters. 100 TB shape: one corpus explode into the (lang, token)
+    // partial agg (map-side combine collapses repeats), then a vocab-
+    // sized agg per language — same budget as text_tokens; the final
+    // frame is |langs| rows.
+    Q("text_hapax",
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS hapax_ppm,
+        |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+        |FROM tc GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
     }
   )
 
