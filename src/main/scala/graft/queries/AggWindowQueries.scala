@@ -474,6 +474,47 @@ object AggWindowQueries {
           ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact")).cast("long"))
     },
 
+    // Sketch set-algebra (r8g): HLL unions exactly (register max) but has
+    // no intersection operator — the audience-overlap question ("how many
+    // users both clicked AND viewed?") is answered by inclusion-exclusion
+    // over three estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B). The union
+    // leg reuses the SAME per-segment register artifacts (merge is
+    // register-max, so no re-scan), which is the whole point at 100 TB:
+    // overlap matrices over N segments come from N persisted sketches,
+    // never N² co-group scans. Caveat encoded in the output: I-E
+    // subtracts two ±2%·n errors, so the absolute error is driven by the
+    // UNION size — fine for coarse overlap dashboards, not for tiny
+    // intersections of huge sets (use the exact path then). Estimate-
+    // valued → no cross-engine oracle; HyperLogLogSpec pins the identity
+    // est_a + est_b − est_union == intersect_est and the error band vs
+    // the exact intersection.
+    Q.noOracle("agg_hll_intersect") { (s, d) =>
+      // Segments with CONTROLLED overlap (the event-type user sets are
+      // saturated at toy SF — every user does every type — which would
+      // make all four estimates trivially equal): seg a = custkey%3 ∈
+      // {0,1}, seg b = custkey%3 ∈ {1,2}, so truth is |a|=|b|≈2n/3,
+      // |a∩b|≈n/3, |a∪b|=n.
+      val segs = Tables.cached(s, s"$d/hll-seg-sketches") {
+        val c = Tables.cachedTable(s, d, "customer")
+          .select(col("c_custkey"), (col("c_custkey") % 3).as("r"))
+        c.filter(col("r") =!= 2).select(lit("a").as("seg"), col("c_custkey"))
+          .unionByName(
+            c.filter(col("r") =!= 0).select(lit("b").as("seg"), col("c_custkey")))
+          .groupBy("seg")
+          .agg(graft.functions.HyperLogLog.registers(col("c_custkey")).as("sk"))
+      }
+      val per = segs.groupBy("seg")
+        .agg(graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("est"))
+      val uni = segs.agg(
+        graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("est_union"))
+      per.agg(
+          max(when(col("seg") === "a", col("est"))).as("est_a"),
+          max(when(col("seg") === "b", col("est"))).as("est_b"))
+        .crossJoin(broadcast(uni))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+    },
+
     // Mergeable quantile sketch (Greenwald-Khanna / percentile_approx) —
     // the OTHER sketch a 100 TB profiler needs beside HLL: exact
     // percentiles need a full sort per group, the sketch is one partial
@@ -1303,6 +1344,69 @@ object AggWindowQueries {
             .as("n_hi_tax_supp"),
           bool_and(col("l_quantity") > 0).as("all_qty_pos"),
           bool_or(col("l_discount") === 0).as("any_zero_disc"))
+    },
+
+    // Spearman rank correlation (r8g) — the monotone-association sibling of
+    // agg_corr's Pearson: does order value rise with line count even when
+    // the relationship is non-linear? Permutation ranks (row_number over
+    // the total order (value, key) — a unique tie-break, so ranks are a
+    // permutation and rho = 1 − 6Σd²/(n(n²−1)) holds exactly with integer
+    // Σd²). Determinism ladder: n and Σd² are BIGINTs < 2^53 (exact double
+    // images), rho is ONE identical IEEE multiply-divide tree in both
+    // engines — no accumulation drift possible. The oracle ranks with two
+    // naive global windows; the Spark side runs the banded TWO-PHASE rank
+    // (per-band row_number + broadcast band offsets — quality_ks_test's
+    // cumulative discipline) so no task ever sorts the whole table: the
+    // hash gate proves the decomposition lossless.
+    Q("quality_spearman",
+      """WITH xy AS (
+        |  SELECT o.o_orderkey AS k, o.o_totalprice AS x, l.cnt AS y
+        |  FROM orders o JOIN (SELECT l_orderkey, count(*) AS cnt
+        |                      FROM lineitem GROUP BY 1) l
+        |    ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT k,
+        |         row_number() OVER (ORDER BY x, k) AS rx,
+        |         row_number() OVER (ORDER BY y, k) AS ry
+        |  FROM xy),
+        |s AS (SELECT count(*) AS n,
+        |             sum((rx - ry) * (rx - ry)) AS sum_d2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+        |       1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+        |         AS rho
+        |FROM s""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val cnt = Tables.cachedTable(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+      val xy = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+        .join(cnt, col("k") === col("l_orderkey"))
+        .select("k", "x", "y")
+      // banded two-phase permutation rank: phase 1 = band counts → exclusive
+      // offsets (band-grid-sized window), phase 2 = within-band row_number
+      def bandedRank(df: org.apache.spark.sql.DataFrame, v: String,
+                     band: org.apache.spark.sql.Column, out: String) = {
+        val b = df.withColumn("band", band)
+        val off = b.groupBy("band").agg(count(lit(1)).as("bc"))
+          .select(col("band"),
+            coalesce(sum("bc").over(
+              w.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)).as("off"))
+        b.withColumn("rn",
+            row_number().over(w.partitionBy("band").orderBy(col(v), col("k"))))
+          .join(broadcast(off), "band")
+          .select(col("k"), (col("off") + col("rn")).as(out))
+      }
+      val rx = bandedRank(xy, "x", expr("CAST(floor(x / 10000.0) AS BIGINT)"), "rx")
+      val ry = bandedRank(xy, "y", col("y"), "ry")
+      rx.join(ry, "k")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2").cast("long").as("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+            .as("rho"))
     }
   )
 }

@@ -15,6 +15,30 @@ object DedupVariantQueries {
   private val DuckSortedTokens =
     "list_sort(list_distinct(string_split(lower(text), ' ')))"
 
+  /** The capped winnow-fingerprint index as DuckDB CTEs (`f` = (doc_id,
+    * fp)) — dedup_delta's oracle prefix, shared verbatim with
+    * dedup_delta_bloom (the ClustersOracleSql composition rule: the bloom
+    * variant's oracle references the same index, so the two cannot drift).
+    * Mirrors TextOps.winnowFingerprints(k=3, w=4) + the df≤128 cap.
+    */
+  private val WinnowIndexCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) < 3 THEN []
+      |              ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
+      |         END AS hs
+      |  FROM t),
+      |f0 AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |           generate_series(1, greatest(len(hs) - 3, 1)),
+      |           j -> list_min(hs[j : least(j + 3, len(hs))]))) AS fp
+      |  FROM g WHERE len(hs) > 0),
+      |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128),
+      |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp))""".stripMargin
+
   /** dedup_clusters' oracle SQL, shared verbatim with dedup_keep_best
     * (which embeds it as a subquery) — the KnnOracleSql composition rule:
     * the survivor policy's oracle references the clustering it selects
@@ -293,27 +317,12 @@ object DedupVariantQueries {
     },
 
     Q("dedup_delta",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) < 3 THEN []
-        |              ELSE list_transform(generate_series(1, len(toks) - 2),
-        |                     i -> substr(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16))
-        |         END AS hs
-        |  FROM t),
-        |f0 AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |           generate_series(1, greatest(len(hs) - 3, 1)),
-        |           j -> list_min(hs[j : least(j + 3, len(hs))]))) AS fp
-        |  FROM g WHERE len(hs) > 0),
-        |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128),
-        |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp))
-        |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-        |       CAST(count(*) AS BIGINT) AS n_shared
-        |FROM f n JOIN f o ON n.fp = o.fp
-        |WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) {
+      s"""$WinnowIndexCtes
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM f n JOIN f o ON n.fp = o.fp
+         |WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) {
       (s, d) =>
         // Incremental-ingest dedup — the daily-batch shape of
         // dedup_winnow: today's arrivals (the deterministic 10% shard
@@ -344,6 +353,70 @@ object DedupVariantQueries {
           .groupBy("new_id", "old_id")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
+    },
+
+    // Bloom-certified novelty (r8g) — dedup_delta's map-side short
+    // circuit: a Bloom filter folded over the HISTORICAL index's
+    // fingerprints broadcasts (~KBs) to the new batch, and arrivals with
+    // ZERO bloom hits are certified novel WITHOUT touching the index at
+    // all. Bloom has no false negatives, so the prefilter never drops a
+    // true duplicate candidate; false positives survive to the exact fp
+    // join, which kills them — output identical to the plain exact probe
+    // (the oracle embeds the same WinnowIndexCtes and computes it
+    // naively). 100 TB why: in steady state most of a daily batch is
+    // novel, so this turns "every arrival probes a corpus-scale bucketed
+    // index" into "a broadcast bitmap filters map-side and only the
+    // suspected few shuffle" — the join_bloom_prefilter pattern pointed
+    // at the dedup index. Per new doc: how many old docs it near-dups
+    // (≥2 shared fingerprints), and the is_novel verdict.
+    Q("dedup_delta_bloom",
+      s"""$WinnowIndexCtes,
+         |m AS (
+         |  SELECT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM f n JOIN f o ON n.fp = o.fp
+         |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c AS (SELECT new_id, count(*) AS n_old_dups FROM m GROUP BY 1)
+         |SELECT d.doc_id AS new_id,
+         |       CAST(coalesce(c.n_old_dups, 0) AS BIGINT) AS n_old_dups,
+         |       coalesce(c.n_old_dups, 0) = 0 AS is_novel
+         |FROM documents d LEFT JOIN c ON c.new_id = d.doc_id
+         |WHERE d.doc_id % 10 = 7""".stripMargin) { (s, d) =>
+      val dfCap = 128
+      val capped = Tables.cached(s, s"$d/winnow-capped/k=3/w=4/cap=$dfCap") {
+        val fps = TextOps.winnowFingerprints(
+          Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+          k = 3, w = 4)
+        val overflow = fps.groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap)
+          .select("fp")
+        fps.join(broadcast(overflow), Seq("fp"), "left_anti")
+      }
+      val oldFps = capped.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("old_id"), col("fp"))
+      // the broadcast bitmap: one bloom over every historical fingerprint
+      val bloom = oldFps.agg(
+        graft.functions.BloomFilter.agg(xxhash64(col("fp"))).as("bf"))
+      val suspected = capped.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_id"), col("fp"))
+        .crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomFilter
+          .mightContain(col("bf"), xxhash64(col("fp"))))
+        .select("new_id", "fp")
+      val perNew = suspected.join(oldFps, Seq("fp"))
+        .groupBy("new_id", "old_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_old_dups"))
+      Tables.cachedTable(s, d, "documents")
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_id"))
+        .join(perNew, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_old_dups"), lit(0L)).as("n_old_dups"),
+          (coalesce(col("n_old_dups"), lit(0L)) === 0).as("is_novel"))
     },
 
     Q("dedup_embed_ivf",

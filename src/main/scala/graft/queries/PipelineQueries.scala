@@ -38,6 +38,27 @@ object PipelineQueries {
   /** DuckDB-side distinct token set, mirroring TextOps.tokenSet. */
   private val DuckTokens = "list_distinct(string_split(lower(text), ' '))"
 
+  /** rank_ndcg's position-discount weights, w_i = round(1e9 / log2(i+1))
+    * for ranks 1..10 — computed ONCE here and interpolated as integer
+    * literals into both the Spark plan and the DuckDB oracle, so no log2
+    * ever runs in either engine (a one-ulp libm divergence cannot flip the
+    * hash). Binary relevance makes the ideal DCG a prefix sum of these.
+    */
+  private val NdcgWeights: Seq[Long] =
+    (1 to 10).map(i => Math.round(1e9 / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  /** DuckDB CASE mapping rank → weight literal. */
+  private def NdcgWeightCase: String =
+    NdcgWeights.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString("CASE rnk ", " ", " ELSE 0 END")
+
+  /** DuckDB CASE mapping n_rel → ideal-DCG prefix-sum literal. */
+  private def NdcgIdealCase: String =
+    NdcgWeights.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+      .mkString("CASE n_rel ", " ", " ELSE 0 END")
+
   /** sim_knn_graph's oracle SQL, shared verbatim with graph_degree_stats
     * (which embeds it as a subquery) — the FunnelQueries composition rule:
     * a derived report's oracle references the operator it derives from, so
@@ -1005,6 +1026,62 @@ object PipelineQueries {
         MultimodalOps.extractImageFeatures(media, grid = 1)
           .map(f => (f.id, f.width, f.height, math.round(f.feature(0) * 255f)))
           .toDF("id", "width", "height", "gray_level")
+    },
+
+    // Real thumbnail resize in the gate (r8g): the same uniform-gray PNGs
+    // as multimodal_decode, pushed through MultimodalOps.thumbnail
+    // (decode → Graphics2D bilinear scale to maxSide=4, never upscale →
+    // PNG re-encode) and re-DECODED — the output dims are what the second
+    // decoder measured, and the oracle recomputes the scale arithmetic
+    // closed-form (round(w·(4.0/max)) — the identical IEEE tree; .5
+    // boundaries only arise at max=8 where the scale is exactly 0.5, and
+    // both engines round .5 up for positives). gray_level survives
+    // bilinear resampling EXACTLY on a uniform image (all interpolation
+    // samples equal), so a wrong filter kernel or border handling flips
+    // the hash. 100 TB shape: row-local decode→scale→encode behind one
+    // mapPartitions batch (codec init per partition), no shuffle; corrupt
+    // payloads pass through unchanged rather than failing the task.
+    Q("multimodal_resize",
+      """WITH ids AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |         4 + n_nationkey % 5 AS w, 3 + n_nationkey % 4 AS h,
+        |         (n_nationkey * 37) % 256 AS g
+        |  FROM nation),
+        |sc AS (SELECT id, w, h, g, greatest(w, h) AS m FROM ids)
+        |SELECT id,
+        |       CAST(CASE WHEN m <= 4 THEN w
+        |                 ELSE greatest(1, CAST(round(w * (CAST(4 AS DOUBLE) / m)) AS BIGINT))
+        |            END AS INT) AS width,
+        |       CAST(CASE WHEN m <= 4 THEN h
+        |                 ELSE greatest(1, CAST(round(h * (CAST(4 AS DOUBLE) / m)) AS BIGINT))
+        |            END AS INT) AS height,
+        |       CAST(g AS INT) AS gray_level
+        |FROM sc""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val g = ((id * 37) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray)
+        }
+      MultimodalOps.extractImageFeatures(
+          MultimodalOps.thumbnail(media, maxSide = 4), grid = 1)
+        .map(f => (f.id, f.width, f.height, math.round(f.feature(0) * 255f)))
+        .toDF("id", "width", "height", "gray_level")
     },
 
     Q("multimodal_phash",
@@ -1978,6 +2055,69 @@ object PipelineQueries {
       f.crossJoin(broadcast(t))
         .select(col("fold"), col("n_docs"), col("n_chars"),
           expr("n_chars * 1000000 div total").as("mass_ppm"))
+    },
+
+    // NDCG@10 retrieval eval (r8g) — embed_recall_eval reports overlap;
+    // this grades the ORDER: position-discounted gain of label-relevant
+    // hits in the exact cosine top-10, the metric a retrieval ablation is
+    // actually decided on. Exactness ladder: log2 discounts never run in
+    // either engine — the weights are PRECOMPUTED integer literals
+    // w_i = round(1e9/log2(i+1)) interpolated into BOTH queries from one
+    // Scala constant, so dcg/idcg are BIGINT dot products and ndcg is one
+    // exact-int IEEE division (identical bits cross-engine). Binary rel ⇒
+    // ideal ranking is "all hits first" ⇒ idcg = prefix-sum of weights at
+    // n_rel, a CASE lookup, not a sort. 100 TB shape: the exact top-k leg
+    // rides topKPerGroup's two-phase bucketed ranking (the brute-force
+    // baseline the ANN keys are graded against); everything after the
+    // top-k is 8×10 rows.
+    Q("rank_ndcg",
+      s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv FROM el WHERE vec_id < 8),
+         |ex AS (SELECT probe_id, plabel, vec_id, lbl, rnk FROM (
+         |  SELECT pr.probe_id, pr.plabel, el.vec_id, el.label AS lbl,
+         |         row_number() OVER (PARTITION BY pr.probe_id
+         |           ORDER BY round(list_cosine_similarity(el.v, pr.pv), 5) DESC, el.vec_id) AS rnk
+         |  FROM el, pr WHERE el.vec_id <> pr.probe_id) WHERE rnk <= 10),
+         |g AS (SELECT probe_id,
+         |        sum(CASE WHEN lbl = plabel THEN 1 ELSE 0 END) AS n_rel,
+         |        sum(CASE WHEN lbl = plabel THEN ($NdcgWeightCase) ELSE 0 END) AS dcg
+         |      FROM ex GROUP BY 1)
+         |SELECT probe_id, CAST(n_rel AS BIGINT) AS n_rel,
+         |       CAST(dcg AS BIGINT) AS dcg_ppb,
+         |       CAST(($NdcgIdealCase) AS BIGINT) AS idcg_ppb,
+         |       CASE WHEN n_rel = 0 THEN 0.0
+         |            ELSE CAST(dcg AS DOUBLE) / CAST(($NdcgIdealCase) AS DOUBLE)
+         |       END AS ndcg
+         |FROM g""".stripMargin) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+      val topk = graft.operators.TextOps.topKPerGroup(
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"), col("vec_id"),
+            col("label").as("lbl"),
+            round(graft.operators.VectorOps.cosineF(col("embedding"), col("pv")), 5)
+              .as("c")),
+        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
+        bucketOn = col("vec_id"))
+      val wArr = typedLit(NdcgWeights)
+      val pArr = typedLit(NdcgWeights.scanLeft(0L)(_ + _).tail)
+      topk
+        .select(col("probe_id"),
+          when(col("lbl") === col("plabel"), 1L).otherwise(0L).as("rel"),
+          col("rank"))
+        .groupBy("probe_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(when(col("rel") === 1, element_at(wArr, col("rank").cast("int")))
+            .otherwise(0L)).as("dcg_ppb"))
+        .select(col("probe_id"), col("n_rel"), col("dcg_ppb"),
+          when(col("n_rel") === 0, 0L)
+            .otherwise(element_at(pArr, col("n_rel").cast("int"))).as("idcg_ppb"))
+        .withColumn("ndcg",
+          when(col("n_rel") === 0, lit(0.0))
+            .otherwise(col("dcg_ppb").cast("double") / col("idcg_ppb").cast("double")))
     }
   )
 }

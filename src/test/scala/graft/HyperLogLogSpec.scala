@@ -48,4 +48,18 @@ class HyperLogLogSpec extends SparkTestBase {
       .select(col("err_ppm")).as[Long].collect()
     assert(out.nonEmpty && out.forall(_ < 50000), out.mkString(","))
   }
+
+  test("agg_hll_intersect: inclusion-exclusion identity holds and tracks the exact overlap") {
+    val r = SparkEntry.queries("agg_hll_intersect")(spark, "/root/testdata/sf0.001").head()
+    val (a, b, u, i) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))
+    assert(i == a + b - u, "intersect must be the exact I-E arithmetic of the three estimates")
+    // truth: custkey%3 segments -> |a∩b| = n/3 of the customer count
+    val n = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    val exact = (n + 2) / 3 // custkey % 3 == 1 cohort
+    // I-E subtracts two sketch errors, so allow a wider band than the
+    // single-sketch 5%: the union-sized absolute error dominates.
+    assert(math.abs(i - exact) / exact < 0.15, s"est=$i exact=$exact")
+    assert(u <= a + b, "union estimate can never exceed the sum of the parts")
+  }
 }
