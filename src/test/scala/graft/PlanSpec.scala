@@ -966,4 +966,50 @@ class PlanSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
     }
   }
+
+  test("join_null_safe: the NULL-keyed dim broadcasts; no cartesian") {
+    val plan = physical(RelationalQueries.all, "join_null_safe")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"<=> must stay a hash-joinable equality:\n${plan.take(1500)}")
+  }
+
+  test("dedup_delta_bloom: bloom probe filters the batch BELOW the exact fp join") {
+    val df = queryNamed(graft.queries.DedupVariantQueries.all, "dedup_delta_bloom")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the map-side mightContain filter (xxhash64 of fp) must sit below the
+    // (new x old) fingerprint join that consumes the suspected rows
+    val lines = plan.linesIterator.toSeq
+    val joinLine = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    val probeLine = lines.indexWhere(_.contains("xxhash64"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"bloom must prefilter below the exact join:\n${plan.take(2000)}")
+  }
+
+  test("quality_spearman: every row_number rank window is band-partitioned") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "quality_spearman")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val rankWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.windowExpressions.exists(_.sql.contains("row_number"))
+        => w
+    }
+    assert(rankWindows.nonEmpty, "the banded rank windows must survive optimization")
+    assert(rankWindows.forall(_.partitionSpec.nonEmpty),
+      "a permutation-rank window lost its band partitioning (whole-table single-task sort)")
+  }
+
+  test("rank_ndcg: probes broadcast; the exact top-k windows stay probe-partitioned") {
+    val df = queryNamed(graft.queries.PipelineQueries.all, "rank_ndcg")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "a ranking window lost its probe partitioning")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("BroadcastExchange"),
+      s"the 8-row probe frame must broadcast into the corpus scan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "probe fan-out went cartesian")
+  }
 }
