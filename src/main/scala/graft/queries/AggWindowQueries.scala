@@ -15,6 +15,19 @@ object AggWindowQueries {
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** quality_benford's expected first-digit shares, round(log10(1+1/d)·1e6)
+    * for d = 1..9 — computed ONCE here and interpolated as integer literals
+    * into both engines (rank_ndcg's no-libm-in-the-gate discipline).
+    */
+  private val BenfordPpm: Seq[Long] =
+    (1 to 9).map(dd => Math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+
+  /** DuckDB CASE mapping digit → expected-ppm literal. */
+  private def BenfordCase: String =
+    BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+      .mkString("CASE digit ", " ", " ELSE 0 END")
+
   def all: Seq[Q] = Seq(
     Q("agg_groupby",
       s"""SELECT l_returnflag, l_linestatus,
@@ -1407,6 +1420,96 @@ object AggWindowQueries {
             (col("n").cast("double") *
               (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
             .as("rho"))
+    },
+
+    // Benford first-digit audit (r8g) — the data-forensics screen for
+    // fabricated/templated numeric columns: natural multiplicative data
+    // follows P(d) = log10(1 + 1/d); synthetic or clipped generators
+    // (like this fixture) deviate loudly, and the per-digit deviation
+    // table IS the report. log10 never runs in either engine: the nine
+    // expected shares are precomputed ppm literals interpolated from one
+    // Scala constant (rank_ndcg's discipline). First digit is exact
+    // integer/string arithmetic on floor(value); observed shares are
+    // integer floor-division ppm. One scan, a 9-row agg.
+    Q("quality_benford",
+      s"""WITH dgt AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         |              AS BIGINT) AS digit
+         |  FROM orders WHERE o_totalprice >= 1),
+         |c AS (SELECT digit, count(*) AS n FROM dgt GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |       CAST(n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+         |       CAST(($BenfordCase) AS BIGINT) AS exp_ppm,
+         |       CAST(abs(n * 1000000 // t.total - ($BenfordCase)) AS BIGINT) AS dev_ppm
+         |FROM c, t""".stripMargin) { (s, d) =>
+      val expArr = typedLit(BenfordPpm)
+      val c = Tables.cachedTable(s, d, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(expr(
+          "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_ppm"),
+          element_at(expArr, col("digit").cast("int")).as("exp_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+    },
+
+    // Rolling OLS slope (r8g) — agg_regression's window twin: the trend
+    // of a customer's order value over their trailing 10 orders, the
+    // per-entity drift detector a churn/LTV pipeline computes. The frame
+    // collects the four moment sums (n, Σx, Σx², Σy, Σxy) with x = exact
+    // integer epoch-day and y DECIMAL(18,2), so every sum is exact and
+    // order-free; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one IEEE
+    // division of two exact aggregates (< 2^53 — identical bits
+    // cross-engine), with the degenerate frames (n<2, zero variance in
+    // x) pinned to 0.0 by the same CASE in both engines. 100 TB shape:
+    // one customer-keyed exchange, bounded per-customer frames — the
+    // sessionize discipline; never a global sort.
+    Q("window_slope",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey, x,
+        |        count(*) OVER f AS n,
+        |        sum(x) OVER f AS sx,
+        |        sum(x * x) OVER f AS sxx,
+        |        sum(y) OVER f AS sy,
+        |        sum(y * x) OVER f AS sxy
+        |      FROM o WINDOW f AS (PARTITION BY o_custkey ORDER BY x, o_orderkey
+        |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+        |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE)
+        |       END AS slope
+        |FROM w""".stripMargin) { (s, d) =>
+      val f = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("x"), col("o_orderkey"))
+        .rowsBetween(-9, 0)
+      Tables.cachedTable(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)")
+            .as("x"),
+          col("o_totalprice").cast("decimal(18,2)").as("y"))
+        .select(col("o_custkey"), col("o_orderkey"), col("x"),
+          count(lit(1)).over(f).as("n"),
+          sum(col("x")).over(f).as("sx"),
+          sum(col("x") * col("x")).over(f).as("sxx"),
+          sum(col("y")).over(f).as("sy"),
+          sum(col("y") * col("x")).over(f).as("sxy"))
+        .select(col("o_custkey"), col("o_orderkey"), col("n"),
+          when(col("n") < 2 ||
+               col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"))
     }
   )
 }
