@@ -607,6 +607,38 @@ object RelationalQueries {
       s.read.parquet(s"$base/zstd")
     },
 
+    // Parquet BLOOM FILTERS on write (r8g): min/max row-group stats prune
+    // range predicates but are useless for point lookups on high-
+    // cardinality UNSORTED keys (every row group spans most of the key
+    // domain) — the per-column bloom filter is the format's answer, and
+    // at 100 TB it's the difference between "read every row group of a
+    // fact table to find one part" and "skip all but the groups that
+    // might contain it" (no false negatives — the scan stays lossless).
+    // The write carries parquet.bloom.filter.enabled#l_partkey; the read
+    // back applies the point predicate, which must still reach the scan
+    // as a PushedFilter (bloom consumption happens inside the parquet
+    // reader under it). IngestSpec opens the footer with ParquetFileReader
+    // and asserts the bloom offset is really present for the column.
+    Q("scan_parquet_bloom",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_partkey IN (7, 57, 107)""".stripMargin) { (s, d) =>
+      val base = s"$roundtripRoot/bloomscan/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.cachedTable(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "200000")
+        // parquet-mr skips the bloom when a chunk stays fully dictionary-
+        // encoded (the dictionary is already an exact membership filter) —
+        // true of the toy-SF key domain but not of a 100 TB one, so turn
+        // dictionary off for THIS column to exercise the real bloom path
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(base)
+      // point lookups (=, IN) are what blooms accelerate; range/arith
+      // predicates fall back to stats-only pruning
+      s.read.parquet(base).filter(col("l_partkey").isin(7, 57, 107))
+    },
+
     // binaryFile source (r8b): how 100 TB of images/audio actually ENTERS
     // Spark — whole files as (path, mtime, length, content) rows, no
     // parsing, lazy content materialization, partitioned by file. One

@@ -620,6 +620,28 @@ object SignalQueries {
       c.join(broadcast(f), "prev_type")
         .withColumn("p_micro", expr("(n_trans * 1000000L) div n_from"))
         .select("prev_type", "event_type", "n_trans", "n_from", "p_micro")
+    },
+
+    // Activity heatmap (r8g): the hour-of-day × day-of-week event grid —
+    // the first chart on every ops/abuse dashboard and the seasonality
+    // profile batch schedulers are tuned against. Pure epoch integer
+    // arithmetic (hour = µs div 3.6e9 mod 24; dow anchored at epoch day 0
+    // = Thursday, so +4 lands Sunday=0) — identical in both engines, no
+    // timezone/calendar library in the gate. One scan into a ≤168-cell
+    // partial agg: map-side combine collapses everything; at 100 TB this
+    // is the cheapest full-corpus profile there is.
+    Q("events_heatmap",
+      """WITH e AS (SELECT epoch_us(ts) AS t FROM events)
+        |SELECT CAST(((t // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+        |       CAST((t // 3600000000) % 24 AS BIGINT) AS hod,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          expr("((ts_us div 86400000000) + 4) % 7").as("dow"),
+          expr("(ts_us div 3600000000) % 24").as("hod"))
+        .groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -115,6 +115,26 @@ object StreamingQueries {
             col("n_events"), col("n_users"))
     },
 
+    // stream_distinct_users' 100 TB horizon made concrete (r8g): per-hour
+    // approximate distinct via the own-HLL aggregate. Exact windowed
+    // distinct keeps one state row per LIVE (window, user) — unbounded in
+    // key cardinality; the sketch keeps 4 KB of registers per window, and
+    // its partial-merge IS the streaming update, so the streamed estimate
+    // is bit-identical to this batch twin (StreamOps.hllDistinct, pinned
+    // by StreamBatchParitySpec). Exact count rides alongside as the audit
+    // column. Estimate-valued → no cross-engine oracle.
+    Q.noOracle("stream_hll") { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsm", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("tsm"), "1 hour"))
+        .agg(graft.functions.HyperLogLog.agg(col("user_id")).as("n_est"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_est"), col("n_exact"),
+          ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact"))
+            .cast("long").as("err_ppm"))
+    },
+
     Q("stream_sliding",
       s"""SELECT ((epoch_us(ts) // $SlideUs) - g.k) * $SlideUs AS window_start_us, event_type,
          |       CAST(count(*) AS BIGINT) AS n,

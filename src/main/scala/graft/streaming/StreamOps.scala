@@ -111,6 +111,25 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Windowed approximate-distinct over a stream: per-window HLL register
+    * state instead of the per-(window, key) exact state stream_distinct_
+    * users carries — 4 KB per LIVE window regardless of key cardinality,
+    * which is the 100 TB state-store survival story (exact distinct state
+    * grows with users/window; sketch state doesn't). The register merge is
+    * the aggregation's own partial-merge, so update-mode incremental
+    * maintenance is exact w.r.t. the sketch: the streamed estimate is
+    * bit-identical to the batch sketch of the same rows (pinned by
+    * StreamBatchParitySpec).
+    */
+  def hllDistinct(events: DataFrame, tsCol: String, width: String,
+                  delay: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width))
+      .agg(graft.functions.HyperLogLog.agg(col(keyCol)).as("n_est"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_est"))
+
   /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
     * overwrites its own `batch_id=<id>` partition directory, so a replayed
     * batch (restart between sink write and offset commit — the at-least-

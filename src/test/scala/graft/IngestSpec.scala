@@ -39,4 +39,30 @@ class IngestSpec extends SparkTestBase {
     val groups = out.select("l_returnflag").distinct().count()
     assert(out.count() == groups * 3, "each group must melt to exactly 3 metric rows")
   }
+
+  test("scan_parquet_bloom really writes a bloom filter for l_partkey (footer check)") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries("scan_parquet_bloom")(spark, d).count() // materialize the write
+    val pid = java.lang.ProcessHandle.current().pid()
+    val base = s"/tmp/graft-roundtrip-$pid/bloomscan/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty, s"no parquet files under $base")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val chunks = rd.getRowGroups.asScala.flatMap(_.getColumns.asScala)
+      val partkeyChunks = chunks.filter(_.getPath.toDotString == "l_partkey")
+      assert(partkeyChunks.nonEmpty, "no l_partkey column chunks")
+      assert(partkeyChunks.forall(_.getBloomFilterOffset >= 0),
+        "bloom filter missing from the l_partkey column chunk footer")
+      // and a column we did NOT enable must carry none
+      val qtyChunks = chunks.filter(_.getPath.toDotString == "l_quantity")
+      assert(qtyChunks.forall(_.getBloomFilterOffset < 0),
+        "bloom unexpectedly enabled for l_quantity")
+    } finally rd.close()
+  }
 }

@@ -280,4 +280,32 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(rowsOf(TxnLog.read(spark, table, Some(0))) == Seq("1|a", "2|b"))
     } finally q.stop()
   }
+
+  test("stream_hll: streamed sketch estimate == batch sketch, bit-identical") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(
+      SparkEntry.queries("stream_hll")(spark, sfDir)
+        .select("window_start_us", "n_est"))
+
+    val streamDir = Files.createTempDirectory("graft_parity_hll").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.hllDistinct(events, "tsm", "1 hour", "10 minutes", "user_id")
+      .writeStream.format("memory").queryName("parity_hll")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_hll"))
+      assert(streamRows == batchRows,
+        s"streamed HLL must merge to the same registers as batch:\n" +
+          s"stream=${streamRows.take(3)} batch=${batchRows.take(3)}")
+    } finally q.stop()
+  }
 }
