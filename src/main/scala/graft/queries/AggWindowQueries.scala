@@ -1510,6 +1510,39 @@ object AggWindowQueries {
               (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
               (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
             .as("slope"))
+    },
+
+    // Running DISTINCT count per entity (r8g) — the feature-adoption
+    // curve: after each event, how many distinct event types has this
+    // user touched so far? COUNT(DISTINCT) OVER a running frame is
+    // unsupported (Spark) / quadratic-state (anywhere); the scalable
+    // identity is "cumulative sum of first-occurrence markers": mark row
+    // 1 of each (user, type) via row_number, then a running SUM of marks
+    // — two windows over the SAME user-keyed exchange, O(1) state per
+    // row. The oracle runs the identical decomposition (DuckDB would
+    // allow the naive form only with quadratic rescans).
+    Q("window_running_distinct",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |m AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts_us, event_id) = 1
+        |             THEN 1 ELSE 0 END AS first_seen
+        |      FROM e)
+        |SELECT user_id, ts_us, event_id,
+        |       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        |FROM m""".stripMargin) { (s, d) =>
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Long.MinValue, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          sum("first_seen").over(wRun).as("n_types_seen"))
     }
   )
 }

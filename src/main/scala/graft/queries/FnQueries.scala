@@ -106,6 +106,40 @@ object FnQueries {
         "add_months(CAST(o_orderdate AS DATE), 3) AS plus3m")
     },
 
+    // String collations (r8g, Spark 4): case-insensitive equality as a
+    // TYPE property instead of lower()-wrapping every predicate — what
+    // entity resolution over mixed-case feeds wants, and unlike lower()
+    // the collation survives into joins/groupBys as a hash-compatible
+    // key (Spark hashes the collation key, so CI groupBy is ONE shuffle,
+    // not lower() projections on both sides). Fixture: every even key's
+    // name is uppercased; CS distinct sees both casings, UNICODE_CI
+    // distinct collapses them. The oracle expresses the same semantics
+    // with lower() (exact for this ASCII fixture — the point where the
+    // two diverge, Unicode case folding, has no carrier in the corpus).
+    Q("fn_collation",
+      """WITH m AS (
+        |  SELECT p_partkey,
+        |         CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS mixed,
+        |         p_name
+        |  FROM part)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT mixed) AS BIGINT) AS n_cs_distinct,
+        |       CAST(count(DISTINCT lower(mixed)) AS BIGINT) AS n_ci_distinct,
+        |       CAST(sum(CASE WHEN lower(mixed) = lower(p_name) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_ci_eq
+        |FROM m""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "part")
+        .select(col("p_partkey"), col("p_name"),
+          when(col("p_partkey") % 2 === 0, upper(col("p_name")))
+            .otherwise(col("p_name")).as("mixed"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("mixed")).as("n_cs_distinct"),
+          countDistinct(expr("collate(mixed, 'UNICODE_CI')")).as("n_ci_distinct"),
+          sum(when(expr("collate(mixed, 'UNICODE_CI') = collate(p_name, 'UNICODE_CI')"),
+            1L).otherwise(0L)).as("n_ci_eq"))
+    },
+
     Q("fn_math",
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS ad,

@@ -187,6 +187,45 @@ object RelationalQueries {
             .as("sum_price"))
     },
 
+    // Small-file compaction as a TRANSACTION (r8g): maintenance_compact
+    // plans the rewrite; this executes it inside the commit log — one
+    // atomic commit swaps the 8 append-era files for 1 compacted file, so
+    // concurrent readers see either the old layout or the new one, never
+    // a half-rewritten directory (the Delta/Iceberg OPTIMIZE contract).
+    // The read back is byte-for-byte the same data (the oracle is the
+    // plain aggregate over raw orders) and the history audit must show
+    // the swap: op=compact, 1 added, 8 removed, 1 live after — asserted
+    // inline so a silent no-op compaction fails the run, and time travel
+    // to the pre-compact version still serves the old files (vacuum is
+    // the only thing that deletes bytes).
+    Q("txn_compact",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/c${txnSeq.incrementAndGet()}"
+      TxnLog.init(orders.filter(col("o_orderkey") <= 1000).repartition(4), table)
+      TxnLog.append(
+        orders.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+          .repartition(4), table)
+      val before = TxnLog.liveFiles(table).size
+      TxnLog.compact(s, table, numFiles = 1)
+      val after = TxnLog.liveFiles(table).size
+      require(before == 8 && after == 1,
+        s"compaction must swap 8 small files for 1 (got $before -> $after)")
+      val h = TxnLog.history(table).maxBy(_.version)
+      require(h.op == "compact" && h.nAdd == 1 && h.nRemove == 8,
+        s"history must audit the swap, got $h")
+      TxnLog.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+            .as("sum_price"))
+    },
+
     // Data-skipping READ over the TxnLog table (r8): the key-range query
     // prunes files from the commit log's per-file stats BEFORE Spark ever
     // lists them — KB driver metadata vs footer-checking every file (how
