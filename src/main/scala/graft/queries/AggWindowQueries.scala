@@ -1512,6 +1512,57 @@ object AggWindowQueries {
             .as("slope"))
     },
 
+    // Column-completeness profile (r8g) — the "DESCRIBE my table" report
+    // every ingestion QA step publishes first: per column, fill rate and
+    // distinct cardinality in ONE pass (all counters are slots of a
+    // single hash-agg; never a pass per column — at 100 TB a 300-column
+    // profile is still one scan). The wide-to-long reshape is a stack()
+    // over the 1-row agg, i.e. free. count(DISTINCT a), count(DISTINCT
+    // b), ... in one agg plans via expand (×columns-profiled data
+    // multiplier) — acceptable for a profile job, and the alternative
+    // (one pass per column) is strictly worse.
+    Q("quality_profile",
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |         count(o_orderstatus) AS f1, count(DISTINCT o_orderstatus) AS d1,
+        |         count(o_orderpriority) AS f2, count(DISTINCT o_orderpriority) AS d2,
+        |         count(o_custkey) AS f3, count(DISTINCT o_custkey) AS d3,
+        |         count(o_totalprice) AS f4, count(DISTINCT o_totalprice) AS d4
+        |  FROM orders)
+        |SELECT column_name, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(f AS BIGINT) AS n_filled, CAST(n - f AS BIGINT) AS n_nulls,
+        |       CAST(d AS BIGINT) AS n_distinct,
+        |       CAST(f * 1000000 // n AS BIGINT) AS fill_ppm
+        |FROM (
+        |  SELECT 'o_orderstatus' AS column_name, n, f1 AS f, d1 AS d FROM s
+        |  UNION ALL SELECT 'o_orderpriority', n, f2, d2 FROM s
+        |  UNION ALL SELECT 'o_custkey', n, f3, d3 FROM s
+        |  UNION ALL SELECT 'o_totalprice', n, f4, d4 FROM s)""".stripMargin) {
+      (s, d) =>
+        Tables.cachedTable(s, d, "orders")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("o_orderstatus")).as("f1"),
+            countDistinct(col("o_orderstatus")).as("d1"),
+            count(col("o_orderpriority")).as("f2"),
+            countDistinct(col("o_orderpriority")).as("d2"),
+            count(col("o_custkey")).as("f3"),
+            countDistinct(col("o_custkey")).as("d3"),
+            count(col("o_totalprice")).as("f4"),
+            countDistinct(col("o_totalprice")).as("d4"))
+          .selectExpr(
+            """stack(4,
+              |  'o_orderstatus', f1, d1,
+              |  'o_orderpriority', f2, d2,
+              |  'o_custkey', f3, d3,
+              |  'o_totalprice', f4, d4) AS (column_name, f, d)""".stripMargin,
+            "n")
+          .select(col("column_name"), col("n").as("n_rows"),
+            col("f").as("n_filled"), (col("n") - col("f")).as("n_nulls"),
+            col("d").as("n_distinct"),
+            expr("f * 1000000 div n").as("fill_ppm"))
+    },
+
     // Running DISTINCT count per entity (r8g) — the feature-adoption
     // curve: after each event, how many distinct event types has this
     // user touched so far? COUNT(DISTINCT) OVER a running frame is

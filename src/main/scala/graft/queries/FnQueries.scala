@@ -199,6 +199,66 @@ object FnQueries {
         "array_join(transform(slice(split(lower(text), ' '), 1, 3), x -> upper(x)), ',') AS up3")
     },
 
+    // Higher-order-function FOLDS (r8g): aggregate()/zip_with()/forall —
+    // the per-row array arithmetic that keeps feature engineering INSIDE
+    // whole-stage codegen where a UDF would break it (SURVEY §4). Every
+    // fold here is integer-exact (token lengths), so the cross-engine
+    // hash is stable; the DuckDB spellings differ (list_aggregate /
+    // list_dot_product / list_filter-emptiness) which is itself the
+    // dialect surface this key pins. Map-only at any scale.
+    Q("fn_hof",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(lower(text), ' '), x -> length(x)) AS lens
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_aggregate(lens, 'sum') AS BIGINT) AS len_sum,
+        |       CAST(list_aggregate(lens, 'max') AS BIGINT) AS len_max,
+        |       CAST(list_dot_product(lens::DOUBLE[], list_reverse(lens)::DOUBLE[])
+        |            AS BIGINT) AS dot_rev,
+        |       len(list_filter(lens, x -> x <= 0)) = 0 AS all_pos
+        |FROM t""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .selectExpr("doc_id",
+          "transform(split(lower(text), ' '), x -> CAST(length(x) AS BIGINT)) AS lens")
+        .selectExpr(
+          "doc_id",
+          "aggregate(lens, 0L, (a, x) -> a + x) AS len_sum",
+          "aggregate(lens, 0L, (a, x) -> greatest(a, x)) AS len_max",
+          "aggregate(zip_with(lens, reverse(lens), (a, b) -> a * b), 0L, (a, x) -> a + x) AS dot_rev",
+          "forall(lens, x -> x > 0) AS all_pos")
+    },
+
+    // argmax/argmin aggregates (r8g): max_by/min_by — "WHICH order was
+    // the biggest", the lookup every leaderboard/exemplar query needs
+    // without a self-join back to the row. Tie-safe: the ordering key is
+    // struct(price, orderkey) — a total order — so the picked exemplar
+    // is deterministic in both engines (the oracle spells it as a
+    // row_number window; max_by IS the one-pass agg form of that window,
+    // which is the scale point: |groups| state, no per-group sort).
+    Q("agg_argmax",
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT a.o_orderpriority,
+        |       a.o_orderkey AS top_order, a.o_totalprice AS top_price,
+        |       b.o_orderkey AS bottom_order, b.o_totalprice AS bottom_price
+        |FROM (SELECT * FROM r WHERE rmax = 1) a
+        |JOIN (SELECT * FROM r WHERE rmin = 1) b USING (o_orderpriority)""".stripMargin) {
+      (s, d) =>
+        Tables.cachedTable(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("top_order"),
+            max(col("o_totalprice")).as("top_price"),
+            expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("bottom_order"),
+            min(col("o_totalprice")).as("bottom_price"))
+    },
+
     Q("fn_struct",
       """SELECT o_orderkey,
         |       to_json(struct_pack(ok := o_orderkey, st := o_orderstatus,
