@@ -48,6 +48,33 @@ object FnQueries {
           .distinct()
     },
 
+    // Multiset set-ops (r8g): EXCEPT ALL / INTERSECT ALL keep
+    // MULTIPLICITY — "remove one occurrence per match", the bag semantics
+    // reconciliation jobs need (the distinct forms set_except/
+    // set_intersect silently collapse duplicate keys, understating
+    // mismatches). Plans as a count-per-key agg + arithmetic on counts,
+    // never a row-by-row anti-join — |distinct keys| state at any scale.
+    Q("set_except_all",
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin) {
+      (s, d) =>
+        Tables.cachedTable(s, d, "orders").select("o_custkey")
+          .exceptAll(
+            Tables.cachedTable(s, d, "customer")
+              .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+    },
+
+    Q("set_intersect_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) {
+      (s, d) =>
+        val o = Tables.cachedTable(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    },
+
     Q("set_intersect",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
@@ -197,6 +224,24 @@ object FnQueries {
         "element_at(split(lower(text), ' '), 1) AS first_tok",
         "array_contains(split(lower(text), ' '), 'data') AS has_data",
         "array_join(transform(slice(split(lower(text), ' '), 1, 3), x -> upper(x)), ',') AS up3")
+    },
+
+    // Data masking (r8g): the mask() builtin — structure-preserving PII
+    // redaction (upper→X, lower→x, digit→n) that keeps length/shape for
+    // downstream format validation while killing the content, the
+    // share-with-vendor twin of text_pii_scrub's regex scrubber. Codegen'd
+    // per-row projection; the oracle reproduces the same mapping as three
+    // regexp_replace passes (character-class-complete on this fixture).
+    Q("fn_mask",
+      """SELECT c_custkey,
+        |       regexp_replace(regexp_replace(regexp_replace(
+        |         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |         AS masked,
+        |       length(c_name) AS name_len
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .selectExpr("c_custkey", "mask(c_name) AS masked",
+          "CAST(length(c_name) AS BIGINT) AS name_len")
     },
 
     // Higher-order-function FOLDS (r8g): aggregate()/zip_with()/forall —

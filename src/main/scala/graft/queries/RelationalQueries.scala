@@ -1313,6 +1313,45 @@ object RelationalQueries {
             .cast("long").as("qty_cents"))
     },
 
+    // Interval-OVERLAP join with measured overlap (r8g): join_theta_range
+    // FILTERS on a range predicate; this one also AGGREGATES the overlap
+    // duration — the ad-attribution / downtime-accounting shape ("how
+    // many days of this order's service window fell inside each promo
+    // window"). Overlap is exact integer µs: greatest(0, least(e1,e2) −
+    // greatest(s1,s2)) — no calendar library in the gate. The 25-row
+    // promo dim broadcasts, so the overlap predicate is a residual on a
+    // broadcast nested loop over dim-sized candidates — fine here; when
+    // BOTH sides are fact-sized the same query rides join_range_bucketed's
+    // grid decomposition (bucket on time cells, dedup-free residual).
+    Q("join_interval_overlap",
+      """WITH o AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) AS s1,
+        |         epoch_us(o_orderdate) + (1 + o_orderkey % 7) * 86400000000 AS e1
+        |  FROM orders),
+        |p AS (
+        |  SELECT n_nationkey AS promo_id,
+        |         epoch_us(TIMESTAMP '1995-01-01') + n_nationkey * 30 * 86400000000 AS s2,
+        |         epoch_us(TIMESTAMP '1995-01-01') + (n_nationkey * 30 + 45) * 86400000000 AS e2
+        |  FROM nation)
+        |SELECT o_orderkey, CAST(promo_id AS BIGINT) AS promo_id,
+        |       CAST((least(e1, e2) - greatest(s1, s2)) // 86400000000 AS BIGINT)
+        |         AS overlap_days
+        |FROM o JOIN p ON s1 < e2 AND s2 < e1""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val base = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli * 1000L
+      val o = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("s1"))
+        .withColumn("e1", col("s1") + (lit(1L) + col("o_orderkey") % 7) * dayUs)
+      val p = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("promo_id"))
+        .withColumn("s2", lit(base) + col("promo_id") * 30L * dayUs)
+        .withColumn("e2", col("s2") + lit(45L * dayUs))
+      o.join(broadcast(p), col("s1") < col("e2") && col("s2") < col("e1"))
+        .select(col("o_orderkey"), col("promo_id"),
+          expr(s"(least(e1, e2) - greatest(s1, s2)) div $dayUs").as("overlap_days"))
+    },
+
     // Null-safe equality join (r8g): <=> (IS NOT DISTINCT FROM) treats
     // NULL as a joinable value — the semantics CDC/merge pipelines need
     // when a nullable business key must still pair deleted-with-inserted
