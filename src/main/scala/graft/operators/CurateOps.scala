@@ -177,6 +177,35 @@ object CurateOps {
     * is the partition-size dial. `scoreCol` must be integer-valued and
     * `tieCol` unique for a deterministic total order.
     */
+  /** Banded two-phase PERMUTATION rank: the global
+    * `row_number() OVER (ORDER BY value, tie)` without ever sorting the
+    * whole table in one task — phase 1 counts rows per band (a band-grid-
+    * sized frame whose exclusive prefix sums broadcast), phase 2
+    * row_numbers WITHIN each band; global rank = band offset + local rank.
+    * Lossless for ANY band expression that is monotone in `value` (rows in
+    * a lower band always rank below rows in a higher band; within a band
+    * the local window applies the same (value, tie) order) — pinned against
+    * the naive global window in CuratePropSpec and, cross-engine, by the
+    * quality_spearman hash gate. The same decomposition as budgetSelect's
+    * cumulative and quality_ks_test's ECDF.
+    */
+  def bandedRank(df: DataFrame, valueCol: String, tieCol: String,
+      band: Column, out: String): DataFrame = {
+    val w = Window
+    val b = df.withColumn("__graft_band", band)
+    val off = b.groupBy("__graft_band").agg(count(lit(1)).as("__graft_bc"))
+      .select(col("__graft_band"),
+        coalesce(sum("__graft_bc").over(
+          w.orderBy("__graft_band").rowsBetween(Long.MinValue, -1)), lit(0L))
+          .as("__graft_off"))
+    b.withColumn("__graft_rn",
+        row_number().over(
+          w.partitionBy("__graft_band").orderBy(col(valueCol), col(tieCol))))
+      .join(broadcast(off), "__graft_band")
+      .withColumn(out, col("__graft_off") + col("__graft_rn"))
+      .drop("__graft_band", "__graft_off", "__graft_rn")
+  }
+
   def budgetSelect(rows: DataFrame, budget: Long, bandWidth: Long,
       groupCol: String = "lang", scoreCol: String = "score",
       weightCol: String = "n_tokens", tieCol: String = "doc_id"): DataFrame = {

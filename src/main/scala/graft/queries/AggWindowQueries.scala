@@ -1389,29 +1389,20 @@ object AggWindowQueries {
         |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
         |         AS rho
         |FROM s""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
       val cnt = Tables.cachedTable(s, d, "lineitem")
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
       val xy = Tables.cachedTable(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
         .join(cnt, col("k") === col("l_orderkey"))
         .select("k", "x", "y")
-      // banded two-phase permutation rank: phase 1 = band counts → exclusive
-      // offsets (band-grid-sized window), phase 2 = within-band row_number
-      def bandedRank(df: org.apache.spark.sql.DataFrame, v: String,
-                     band: org.apache.spark.sql.Column, out: String) = {
-        val b = df.withColumn("band", band)
-        val off = b.groupBy("band").agg(count(lit(1)).as("bc"))
-          .select(col("band"),
-            coalesce(sum("bc").over(
-              w.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)).as("off"))
-        b.withColumn("rn",
-            row_number().over(w.partitionBy("band").orderBy(col(v), col("k"))))
-          .join(broadcast(off), "band")
-          .select(col("k"), (col("off") + col("rn")).as(out))
-      }
-      val rx = bandedRank(xy, "x", expr("CAST(floor(x / 10000.0) AS BIGINT)"), "rx")
-      val ry = bandedRank(xy, "y", col("y"), "ry")
+      // banded two-phase permutation rank (CurateOps.bandedRank): phase 1 =
+      // band counts → exclusive offsets, phase 2 = within-band row_number
+      val rx = graft.operators.CurateOps
+        .bandedRank(xy, "x", "k", expr("CAST(floor(x / 10000.0) AS BIGINT)"), "rx")
+        .select("k", "rx")
+      val ry = graft.operators.CurateOps
+        .bandedRank(xy, "y", "k", col("y"), "ry")
+        .select("k", "ry")
       rx.join(ry, "k")
         .agg(count(lit(1)).as("n"),
           sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
