@@ -529,6 +529,55 @@ object CurationQueries {
         val n = b.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
         b.join(broadcast(n), Seq("bucket"))
           .select("doc_id", "n_tokens", "difficulty_ppm", "bucket", "bucket_n")
+    },
+
+    // Join-CONSISTENT sampling (r8g): sampling each table independently
+    // by hashing the SHARED entity key — hash(custkey) picks 10% of
+    // customers, and because the predicate is a pure function of the key,
+    // filtering orders by the same hash on o_custkey yields EXACTLY the
+    // sampled customers' orders with zero coordination: no key-set
+    // broadcast, no sample registry, referential completeness by
+    // construction. That is how a 100 TB star schema is downsampled for a
+    // dev environment without breaking a single join (per-table
+    // rand()/TABLESAMPLE shreds the foreign keys). Lineitems carry no
+    // custkey, so they ride their order's membership via the one
+    // orderkey join — the general rule: hash-sample on the root entity,
+    // descend by joins. Output: the per-customer (orders, lineitems)
+    // census of the sample.
+    Q("sample_join_consistent",
+      """WITH sc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 3),
+        |so AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE ('0x' || substr(sha256(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 3),
+        |oc AS (SELECT o_custkey, count(*) AS n_orders FROM so GROUP BY 1),
+        |lc AS (SELECT so.o_custkey, count(*) AS n_lines
+        |       FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey GROUP BY 1)
+        |SELECT sc.c_custkey AS custkey,
+        |       CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(lc.n_lines, 0) AS BIGINT) AS n_lines
+        |FROM sc LEFT JOIN oc ON oc.o_custkey = sc.c_custkey
+        |        LEFT JOIN lc ON lc.o_custkey = sc.c_custkey""".stripMargin) {
+      (s, d) =>
+        def inSample(key: String) = expr(
+          s"CAST(conv(substr(sha2(CAST($key AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 10 = 3")
+        val sc = Tables.cachedTable(s, d, "customer")
+          .filter(inSample("c_custkey")).select(col("c_custkey"))
+        val so = Tables.cachedTable(s, d, "orders")
+          .filter(inSample("o_custkey"))       // map-side, no key-set join
+          .select("o_orderkey", "o_custkey")
+        val oc = so.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+          .withColumnRenamed("o_custkey", "oc_custkey")
+        val lc = Tables.cachedTable(s, d, "lineitem").select("l_orderkey")
+          .join(so, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_lines"))
+          .withColumnRenamed("o_custkey", "lc_custkey")
+        sc.join(oc, col("c_custkey") === col("oc_custkey"), "left")
+          .join(lc, col("c_custkey") === col("lc_custkey"), "left")
+          .select(col("c_custkey").as("custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"))
     }
   )
 }

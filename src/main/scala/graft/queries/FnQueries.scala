@@ -48,6 +48,29 @@ object FnQueries {
           .distinct()
     },
 
+    // Schema-drift union (r8g): unionByName(allowMissingColumns) — the
+    // multi-source ingestion reality where feeds share a core schema but
+    // each carries extra columns (v1 lacks priority, v2 lacks status);
+    // positional UNION would silently misalign columns, by-name union
+    // NULL-pads the gaps. The oracle writes the padding out explicitly,
+    // which is exactly what the operator must compile to. Map-only
+    // reshape; at 100 TB the win is that NO side is rewritten to a
+    // common schema first.
+    Q("set_union_schema_drift",
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority, 'v1' AS src
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS o_orderstatus, o_orderpriority, 'v2' AS src
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin) { (s, d) =>
+      val o = Tables.cachedTable(s, d, "orders")
+      val v1 = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("v1").as("src"))
+      val v2 = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit("v2").as("src"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "src")
+    },
+
     // Multiset set-ops (r8g): EXCEPT ALL / INTERSECT ALL keep
     // MULTIPLICITY — "remove one occurrence per match", the bag semantics
     // reconciliation jobs need (the distinct forms set_except/
