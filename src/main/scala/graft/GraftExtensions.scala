@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedIntersectCount}
+import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedIntersectCount, SortedLongIntersectCount}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -41,6 +41,14 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "sorted_intersect_count(arrayString, arrayString)")
         SortedIntersectCount(args.head, args(1))
+      }),
+    (
+      FunctionIdentifier("sorted_long_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_long_intersect_count"),
+      { args =>
+        require(args.length == 2, "sorted_long_intersect_count(arrayBigint, arrayBigint)")
+        SortedLongIntersectCount(args.head, args(1))
       }),
     (
       FunctionIdentifier("byte_vec_dot"),

@@ -487,6 +487,42 @@ object AggWindowQueries {
           ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact")).cast("long"))
     },
 
+    // EXACT audience intersection via sorted-id-array artifacts (r8g) —
+    // agg_hll_intersect's exact twin on the SAME custkey%3 segments, so
+    // the two keys together are the sketch-vs-exact ladder: when the
+    // intersection is small relative to the union, inclusion-exclusion's
+    // error swamps it and THIS is the op you run. The artifacts are
+    // sorted distinct-id arrays (the portable roaring-bitmap stand-in,
+    // same algebra as agg_bitmap_distinct); the AND is the codegen'd
+    // O(n+m) SortedLongIntersectCount primitive merge — no per-row hash
+    // build, no object churn. At 100 TB the arrays shard by id-range
+    // (each range cell intersects independently, counts sum) — the
+    // standard roaring partitioning; here one cell suffices.
+    Q("agg_bitmap_intersect",
+      """WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 IN (0, 1)),
+        |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 IN (1, 2))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_intersect,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION SELECT k FROM b))
+        |         AS n_union""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.ColumnBridge
+      val c = Tables.cachedTable(s, d, "customer")
+        .select(col("c_custkey"), (col("c_custkey") % 3).as("r"))
+      val segA = c.filter(col("r") =!= 2)
+        .agg(sort_array(collect_set(col("c_custkey"))).as("ids_a"))
+      val segB = c.filter(col("r") =!= 0)
+        .agg(sort_array(collect_set(col("c_custkey"))).as("ids_b"))
+      segA.crossJoin(broadcast(segB))
+        .select(
+          size(col("ids_a")).cast("long").as("n_a"),
+          size(col("ids_b")).cast("long").as("n_b"),
+          ColumnBridge.column(graft.functions.SortedLongIntersectCount(
+            ColumnBridge.expression(col("ids_a")),
+            ColumnBridge.expression(col("ids_b")))).as("n_intersect"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_intersect"))
+    },
+
     // Sketch set-algebra (r8g): HLL unions exactly (register max) but has
     // no intersection operator — the audience-overlap question ("how many
     // users both clicked AND viewed?") is answered by inclusion-exclusion

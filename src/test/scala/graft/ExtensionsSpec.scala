@@ -36,4 +36,22 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(n == 1L)
   }
+
+  test("sorted_long_intersect_count == size(array_intersect) on random sorted sets") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(42)
+    for (i <- 1 to 20) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      def sqlArr(xs: Seq[Long]) =
+        if (xs.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+        else xs.mkString("array(", "L, ", "L)")
+      val row = spark.sql(
+        s"""SELECT sorted_long_intersect_count(${sqlArr(a)}, ${sqlArr(b)}) AS fast,
+           |       CAST(size(array_intersect(${sqlArr(a)}, ${sqlArr(b)})) AS BIGINT) AS slow
+           |""".stripMargin).collect().head
+      assert(row.getLong(0) == row.getLong(1),
+        s"case $i: a=$a b=$b fast=${row.getLong(0)} slow=${row.getLong(1)}")
+    }
+  }
 }
