@@ -56,6 +56,14 @@ object VectorOps {
   def cosineF(a: Column, b: Column): Column =
     dotF(a, b) / (sqrt(normSqF(a)) * sqrt(normSqF(b)))
 
+  /** Squared Euclidean distance via the dot-product identity
+    * ||a−b||² = a·a − 2a·b + b·b — three codegen'd [[dotF]] kernels, no
+    * sqrt (monotone for ranking, and keeping the gate sqrt-free removes
+    * one cross-engine libm site).
+    */
+  def l2SqF(a: Column, b: Column): Column =
+    normSqF(a) - lit(2.0) * dotF(a, b) + normSqF(b)
+
   /** Native integer dot product over array<tinyint> SQ8 code columns —
     * the codegen'd ADC kernel (exact BIGINT; see
     * [[graft.functions.ByteVecDot]]).

@@ -275,6 +275,35 @@ object PipelineQueries {
         VectorOps.topKByCosine(Tables.cachedTable(s, d, "embeddings"), probeId = 0L, k = 10)
     },
 
+    // Metric surface beyond cosine (r8g): exact top-k by EUCLIDEAN
+    // distance — embeddings that are not norm-calibrated (raw encoder
+    // outputs, PQ residuals) rank differently under L2 than cosine, and
+    // a vector engine must offer both. The gate stays sqrt-free: ranking
+    // on SQUARED distance via the dot identity ||a−b||² = a·a − 2a·b +
+    // b·b (three codegen'd FloatVecDot kernels; monotone in the true
+    // distance), rounded to 5 like the cosine family so the float-vs-
+    // double accumulation difference cannot reorder ties, with vec_id as
+    // the unique tie-break. Same plan as sim_search_topk: 1-row probe
+    // broadcast + one corpus pass + TakeOrderedAndProject.
+    Q("sim_search_l2",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, p.pv)
+        |             + list_dot_product(p.pv, p.pv), 5) AS dist_sq
+        |FROM e, p WHERE e.vec_id <> 0
+        |ORDER BY dist_sq ASC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("pv"))
+      emb.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(VectorOps.l2SqF(col("embedding"), col("pv")), 5).as("dist_sq"))
+        .orderBy(col("dist_sq").asc, col("vec_id"))
+        .limit(10)
+    },
+
     Q("sim_search_mmr",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),

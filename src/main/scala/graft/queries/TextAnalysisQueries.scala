@@ -1245,6 +1245,19 @@ object TextAnalysisQueries {
           expr("concat_ws(' ', slice(toks, s, 64))").as("chunk_text"))
     },
 
+    // DEFLATE compressibility (r8g) — the quality signal no token-ratio
+    // proxy catches: templated/boilerplate text deflates far below
+    // natural prose, near-random noise refuses to compress
+    // (Gopher/RefinedWeb both gate on it). Row-local Deflater behind one
+    // mapPartitions batch (TextOps.compressibility) — map-only at any
+    // scale. Byte counts are codec-version-specific → spec-gated
+    // (PipelineSpec pins repetitive < natural < shuffled-unique ordering
+    // and run-to-run determinism), not oracle-gated.
+    Q.noOracle("text_compressibility") { (s, d) =>
+      TextOps.compressibility(
+        Tables.cachedTable(s, d, "documents").select("doc_id", "text"))
+    },
+
     // Lexical-richness QA (r8g): hapax-legomenon share and type-token
     // ratio per language. A shrinking hapax share (or TTR) across crawl
     // snapshots is the canonical early signal of template/boilerplate

@@ -494,4 +494,26 @@ class PipelineSpec extends SparkTestBase {
         s"$dir: recall ${found.toDouble / truth} ($found/$truth) below 0.95 floor")
     }
   }
+
+  test("compressibility orders repetitive < natural < high-entropy; deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val repetitive = Seq.fill(200)("batch").mkString(" ")
+    val natural = SparkEntry.queries("text_compressibility") // fixture docs below
+    val noise = Seq.fill(200)(rnd.alphanumeric.take(5).mkString).mkString(" ")
+    val df = Seq((1L, repetitive), (2L, noise))
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextOps.compressibility(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ratio_ppm")).toMap
+    assert(m(1L) < m(2L) / 4,
+      s"repetitive text must deflate far below unique-token noise: $m")
+    assert(m.values.forall(v => v > 0 && v <= 1200000), s"ratios out of range: $m")
+    // fixture run is deterministic and non-degenerate
+    val fix = natural(spark, "/root/testdata/sf0.001")
+    val once = fix.collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val twice = fix.collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(once == twice, "compressibility must be deterministic across runs")
+    assert(once.nonEmpty && once.map(_._2).distinct.size > 1,
+      "fixture docs should not all compress identically")
+  }
 }
