@@ -383,4 +383,29 @@ object Graft {
     */
   def txnChangedFiles(table: String, v0: Long, v1: Long): (Seq[String], Seq[String]) =
     graft.sources.TxnLog.changedFiles(table, v0, v1)
+
+  /** Small-file compaction as one atomic commit (the OPTIMIZE contract):
+    * readers see the old or the new layout, never a half-rewrite; time
+    * travel still serves pre-compact versions until [[txnVacuum]].
+    */
+  def txnCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+                 numFiles: Int): Long =
+    graft.sources.TxnLog.compact(spark, table, numFiles)
+
+  /** Global permutation rank (`row_number` over (value, tie)) without a
+    * single-task sort — the banded two-phase decomposition (see
+    * [[operators.CurateOps.bandedRank]]).
+    */
+  def bandedRank(df: DataFrame, valueCol: String, tieCol: String,
+                 band: Column, out: String): DataFrame =
+    operators.CurateOps.bandedRank(df, valueCol, tieCol, band, out)
+
+  /** Per-doc DEFLATE compressibility ratio (spam/boilerplate signal). */
+  def compressibility(docs: DataFrame): DataFrame =
+    operators.TextOps.compressibility(docs)
+
+  /** Squared Euclidean distance over array<float> via the codegen'd dot
+    * kernels (sqrt-free; monotone for ranking).
+    */
+  def l2Sq(a: Column, b: Column): Column = operators.VectorOps.l2SqF(a, b)
 }
