@@ -1449,6 +1449,45 @@ object AggWindowQueries {
             .as("rho"))
     },
 
+    // Winsorized mean (r8g) — the robust location estimate QA dashboards
+    // trend instead of the raw mean (one fat-finger order of 10^9 moves a
+    // mean; a p05/p95-clamped mean doesn't): per group, clamp values into
+    // [p05, p95] then average. Two-pass by necessity (the clamp bounds
+    // are a group-sized agg broadcast back into the scan); the clamped
+    // values are quantized to DECIMAL(18,6) BEFORE the cross-row sum
+    // (interpolated percentile bounds are full-precision doubles — the
+    // quantize-then-exact-sum ladder is what keeps the mean bit-equal
+    // cross-engine), and the mean is the usual exact-sum / count IEEE
+    // division. Rides the pinned Spark-percentile == DuckDB-quantile_cont
+    // parity.
+    Q("quality_winsorized",
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS p05,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l.l_returnflag,
+        |         CAST(least(greatest(l.l_extendedprice, b.p05), b.p95)
+        |              AS DECIMAL(18,6)) AS v
+        |  FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS DOUBLE) / count(*) AS winsorized_mean
+        |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.cachedTable(s, d, "lineitem")
+      val bounds = li.groupBy("l_returnflag").agg(
+        percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+            .cast("decimal(18,6)").as("v"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sv").cast("double") / col("n")).as("winsorized_mean"))
+    },
+
     // Benford first-digit audit (r8g) — the data-forensics screen for
     // fabricated/templated numeric columns: natural multiplicative data
     // follows P(d) = log10(1 + 1/d); synthetic or clipped generators

@@ -2022,6 +2022,40 @@ object PipelineQueries {
     // 32-byte keys on the wire, text never shuffles; at 100 TB the chunk
     // table is the persisted CAS index and dup_ppm is its storage-savings
     // forecast.
+    // Frame sampling over opaque media payloads (r8g): the strided-window
+    // plumbing a video/audio pipeline runs before any decoder — fixed
+    // frameBytes windows, stride 2, maxFrames cap, short tail frame kept
+    // (never padded). The oracle recomputes the window arithmetic
+    // (ceil-division window count, stride/take bounds, tail length)
+    // closed-form from the payload length, so an off-by-one in the
+    // windowing — the classic frame-sampler bug — flips the hash; the
+    // per-frame content hash itself is spec-pinned (MultimodalSpec), not
+    // oracle-pinned (64-bit wraparound isn't expressible in DuckDB).
+    // Row-local flatMap, no shuffle; payload bytes never leave the task.
+    Q("multimodal_frames",
+      """WITH m AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |                  50 + n_nationkey % 40 AS len FROM nation),
+        |w AS (SELECT id, len, (len + 15) // 16 AS n_windows FROM m),
+        |f AS (SELECT id, len, unnest(generate_series(0, 4, 2)) AS frame_idx, n_windows
+        |      FROM w)
+        |SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(least(16, len - frame_idx * 16) AS BIGINT) AS n_bytes
+        |FROM f WHERE frame_idx < n_windows""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val len = (50 + id % 40).toInt
+          val bytes = Array.tabulate(len)(i => ((id * 7 + i * 13) % 256).toByte)
+          MediaRecord(id, "application/octet-stream", bytes)
+        }
+      MultimodalOps.sampleFrames(media, frameBytes = 16, stride = 2, maxFrames = 3)
+        .toDF()
+        .select(col("id"), col("frameIdx").cast("long").as("frame_idx"),
+          col("nBytes").cast("long").as("n_bytes"))
+    },
+
     Q("multimodal_chunks",
       """WITH c AS (
         |  SELECT lang, doc_id,
