@@ -187,6 +187,50 @@ object RelationalQueries {
             .as("sum_price"))
     },
 
+    // Merge-on-read DELETE (r8g): the deletion-vector pattern — txn_merge
+    // rewrites whole files to change rows (copy-on-write); a retention/
+    // GDPR-erasure job deleting 0.1% of a 100 TB table must NOT rewrite
+    // 100 TB. deleteWhere commits a KB-sized tombstone parquet of deleted
+    // keys; read() subtracts it with a BROADCAST anti-join (map-side, no
+    // shuffle), time travel below the delete still sees the rows, and
+    // compact() materializes the tombstones away in its atomic swap. The
+    // in-query requires walk the whole lifecycle: dv live after delete,
+    // pre-delete snapshot unchanged, dv gone after compact with an
+    // identical read — so a broken subtraction or a compaction that
+    // resurrects deleted rows fails the gate, not just a spec.
+    Q("txn_delete_mor",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 5 <> 0
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") <= 3000)
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/dv${txnSeq.incrementAndGet()}"
+      TxnLog.init(orders.repartition(4), table)
+      val preCount = TxnLog.read(s, table).count()
+      TxnLog.deleteWhere(s, table,
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      require(TxnLog.liveDeleteVectors(table).nonEmpty,
+        "delete must commit a live deletion vector")
+      require(TxnLog.read(s, table, asOf = Some(0L)).count() == preCount,
+        "time travel below the delete must still see the rows")
+      val morCount = TxnLog.read(s, table).count()
+      TxnLog.compact(s, table, numFiles = 1)
+      require(TxnLog.liveDeleteVectors(table).isEmpty,
+        "compaction must materialize the tombstones away")
+      require(TxnLog.read(s, table).count() == morCount,
+        "compaction must not change the visible row set")
+      TxnLog.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+            .as("sum_price"))
+    },
+
     // Small-file compaction as a TRANSACTION (r8g): maintenance_compact
     // plans the rewrite; this executes it inside the commit log — one
     // atomic commit swaps the 8 append-era files for 1 compacted file, so

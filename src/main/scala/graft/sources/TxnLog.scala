@@ -73,6 +73,18 @@ object TxnLog {
   private val ActionRe = """\{"op":"(add|remove)","file":"([^"]+)"\}""".r
   private val StatsRe =
     """\{"op":"add","file":"([^"]+)","kmin":(-?\d+),"kmax":(-?\d+)\}""".r
+
+  /** Deletion-vector action: a tombstone parquet of deleted keys (one
+    * column named `key`) — the merge-on-read delete marker.
+    */
+  private def dvActionLine(file: String, key: String): String = {
+    require(!file.exists(c => c == '"' || c == '\\' || c.isControl),
+      s"TxnLog: dv file name needs JSON escaping, refusing: $file")
+    require(key.nonEmpty && key.forall(c => c == '_' || c.isLetterOrDigit),
+      s"TxnLog: dv key column must be a plain identifier, got '$key'")
+    s"""{"op":"dv","file":"$file","key":"$key"}"""
+  }
+  private val DvRe = """\{"op":"dv","file":"([^"]+)","key":"([^"]+)"\}""".r
   // op tag is optional so pre-r8 logs (headers without it) still replay
   private val HeaderRe =
     """\{"commit":(\d+)(?:,"op":"([a-z]+)")?,"n_add":(\d+),"n_remove":(\d+)\}""".r
@@ -101,21 +113,41 @@ object TxnLog {
     val floor = minVersion(table)
     require(v >= floor,
       s"TxnLog: version $v was vacuumed away (time-travel floor is $floor) at $table")
+    replayLive(table, v)._1.iterator.map { case (f, st) => FileStat(f, st) }.toSeq
+  }
+
+  /** Replay commits 0..v → (live data files with stats, live deletion
+    * vectors as (file, keyCol)). A "remove" may target either kind —
+    * compaction removes the tombstones it materializes.
+    */
+  private def replayLive(table: String, v: Long)
+      : (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]],
+         scala.collection.mutable.LinkedHashMap[String, String]) = {
     val live = scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
+    val dvs = scala.collection.mutable.LinkedHashMap[String, String]()
     (0L to v).foreach { c =>
       val f = commitFile(table, c)
       require(Files.exists(f), s"TxnLog: missing commit $c at $table (log is torn)")
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach {
         case StatsRe(file, kmin, kmax) => live(file) = Some((kmin.toLong, kmax.toLong))
+        case DvRe(file, key)           => dvs(file) = key
         case ActionRe("add", file)     => live(file) = None
         case ActionRe("remove", file)  =>
-          require(live.remove(file).isDefined,
+          require(live.remove(file).isDefined || dvs.remove(file).isDefined,
             s"TxnLog: commit $c removes unknown file $file")
         case HeaderRe(_, _, _, _) => ()
         case other => sys.error(s"TxnLog: unparseable action in commit $c: $other")
       }
     }
-    live.iterator.map { case (f, st) => FileStat(f, st) }.toSeq
+    (live, dvs)
+  }
+
+  /** Live deletion vectors at `asOf` (default: latest): (file, keyCol). */
+  def liveDeleteVectors(table: String, asOf: Option[Long] = None): Seq[(String, String)] = {
+    val last = latestVersion(table)
+    require(last >= 0, s"TxnLog: no log at $table/$LogDir")
+    val v = asOf.getOrElse(last)
+    replayLive(table, v)._2.toSeq
   }
 
   /** Live data files at `asOf` (default: latest), by commit replay. */
@@ -343,8 +375,36 @@ object TxnLog {
     */
   def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
     val old = liveFiles(table)
+    val dvs = liveDeleteVectors(table).map(_._1)
+    // read() applies live deletion vectors, so the rewrite MATERIALIZES
+    // the deletes: the compacted snapshot carries no tombstones, and the
+    // swap removes data files AND dvs in the same atomic commit
     val adds = writeDataFiles(read(spark, table).repartition(numFiles), table)
-    commit(table, adds, old, "compact")
+    commit(table, adds, old ++ dvs, "compact")
+  }
+
+  /** Merge-on-read DELETE (the Iceberg/Hudi deletion-vector pattern):
+    * instead of rewriting every file that contains a matching row
+    * (copy-on-write — [[merge]]'s shape), commit a KB-sized tombstone
+    * parquet of deleted keys; [[read]] subtracts it with an anti-join and
+    * [[compact]] materializes it away. At 100 TB this is the difference
+    * between "delete 0.1% of rows → rewrite 100 TB" and "delete 0.1% of
+    * rows → write KBs now, fold the rewrite into the next scheduled
+    * compaction". GDPR-erasure and retention jobs are this op.
+    * `keys` must be a one-column frame of the deleted key values.
+    */
+  def deleteWhere(spark: SparkSession, table: String, keys: DataFrame,
+                  keyCol: String): Long = {
+    require(keys.columns.length == 1,
+      s"TxnLog: keys frame must have exactly one column, got ${keys.columns.mkString(",")}")
+    val existingKeys = liveDeleteVectors(table).map(_._2).distinct
+    require(existingKeys.isEmpty || existingKeys == Seq(keyCol),
+      s"TxnLog: mixed dv key columns (${existingKeys.mkString(",")} vs $keyCol)")
+    val files = writeDataFiles(
+      keys.toDF(keyCol).distinct().coalesce(1), table)
+    val version = latestVersion(table) + 1
+    commitLines(table, version, files.map(dvActionLine(_, keyCol)), Nil, "delete")
+    version
   }
 
   /** One audited commit, as [[history]] reports it. `nLiveAfter` is the
@@ -391,6 +451,9 @@ object TxnLog {
                 lo: Long, hi: Long, asOf: Option[Long] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.functions.col
     require(lo <= hi, s"TxnLog.readRange: empty range [$lo, $hi]")
+    require(liveDeleteVectors(table, asOf).isEmpty,
+      s"TxnLog.readRange: $table has live deletion vectors — compact first " +
+        "(stats-pruned scans cannot apply merge-on-read deletes)")
     val all = liveFileStats(table, asOf)
     val (scan, skip) = all.partition {
       case FileStat(_, Some((fLo, fHi))) => fLo <= hi && lo <= fHi
@@ -432,13 +495,16 @@ object TxnLog {
     require(last >= 0, s"TxnLog: no log at $table/$LogDir")
     val cutoff = math.max(minVersion(table), last - retainVersions)
     val retainedLive: Set[String] =
-      (cutoff to last).flatMap(v => liveFiles(table, Some(v))).toSet
-    // every file ever added (replay all commits, adds only)
+      (cutoff to last).flatMap(v =>
+        liveFiles(table, Some(v)) ++ liveDeleteVectors(table, Some(v)).map(_._1)).toSet
+    // every file ever added (replay all commits, adds only — dv
+    // tombstones are files too and must be reclaimed once off-floor)
     val everAdded = scala.collection.mutable.LinkedHashSet[String]()
     (0L to last).foreach { c =>
       Files.readAllLines(commitFile(table, c), StandardCharsets.UTF_8)
         .asScala.foreach {
           case StatsRe(file, _, _)   => everAdded += file
+          case DvRe(file, _)         => everAdded += file
           case ActionRe("add", file) => everAdded += file
           case _                     => ()
         }
@@ -469,9 +535,23 @@ object TxnLog {
     if (files.isEmpty)
       // empty snapshot: preserve "no rows" without a schema source
       sys.error(s"TxnLog: empty snapshot at $table (asOf=$asOf) has no schema")
-    else
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val base = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val dvs = liveDeleteVectors(table, asOf)
+    if (dvs.isEmpty) base
+    else {
+      val keyCols = dvs.map(_._2).distinct
+      require(keyCols.size == 1,
+        s"TxnLog: mixed dv key columns at $table: ${keyCols.mkString(",")}")
+      val key = keyCols.head
+      import org.apache.spark.sql.functions.{broadcast, col}
+      // tombstones are KB-sized by contract → broadcast anti-join: the
+      // merge-on-read subtraction costs one map-side filter, no shuffle
+      val dead = spark.read
+        .parquet(dvs.map { case (f, _) => Paths.get(table, f).toString }: _*)
+        .select(col(key).as("__graft_dv_key")).distinct()
+      base.join(broadcast(dead), base(key) === col("__graft_dv_key"), "left_anti")
+    }
   }
 
   /** Zero-copy CLONE: create `dst` as a new TxnLog table whose version 0

@@ -223,6 +223,34 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, src).count() == 100)
   }
 
+  test("merge-on-read delete: anti-joined reads, range-scan guard, vacuum reclaims tombstones") {
+    val t = freshTable()
+    TxnLog.init((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2), t)
+    TxnLog.deleteWhere(spark, t, Seq(3L, 7L, 11L).toDF("id"), "id")
+    // read subtracts; time travel doesn't
+    assert(TxnLog.read(spark, t).count() == 17)
+    assert(TxnLog.read(spark, t, Some(0L)).count() == 20)
+    assert(TxnLog.liveDeleteVectors(t).map(_._2) == Seq("id"))
+    // a second delete stacks; mixed key columns are refused
+    TxnLog.deleteWhere(spark, t, Seq(4L).toDF("id"), "id")
+    assert(TxnLog.read(spark, t).count() == 16)
+    intercept[IllegalArgumentException](
+      TxnLog.deleteWhere(spark, t, Seq(1L).toDF("other"), "other"))
+    // stats-pruned range reads refuse to run over live dvs
+    val e = intercept[IllegalArgumentException](
+      TxnLog.readRange(spark, t, "id", 1, 5))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // compaction materializes: dvs gone, rows identical, history audited
+    TxnLog.compact(spark, t, 1)
+    assert(TxnLog.liveDeleteVectors(t).isEmpty)
+    assert(TxnLog.read(spark, t).count() == 16)
+    assert(TxnLog.history(t).map(_.op) == Seq("init", "delete", "delete", "compact"))
+    // vacuum reclaims the off-floor tombstone bytes along with old data
+    val deleted = TxnLog.vacuum(t, retainVersions = 0)
+    assert(deleted.nonEmpty)
+    assert(TxnLog.read(spark, t).count() == 16, "post-vacuum snapshot intact")
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
