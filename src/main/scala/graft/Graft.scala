@@ -384,6 +384,13 @@ object Graft {
   def txnChangedFiles(table: String, v0: Long, v1: Long): (Seq[String], Seq[String]) =
     graft.sources.TxnLog.changedFiles(table, v0, v1)
 
+  /** Merge-on-read DELETE: commit a KB tombstone of deleted keys instead
+    * of rewriting files; reads subtract it, [[txnCompact]] materializes it.
+    */
+  def txnDelete(spark: org.apache.spark.sql.SparkSession, table: String,
+                keys: DataFrame, keyCol: String): Long =
+    graft.sources.TxnLog.deleteWhere(spark, table, keys, keyCol)
+
   /** Small-file compaction as one atomic commit (the OPTIMIZE contract):
     * readers see the old or the new layout, never a half-rewrite; time
     * travel still serves pre-compact versions until [[txnVacuum]].

@@ -722,6 +722,33 @@ object RelationalQueries {
       s.read.parquet(base).filter(col("l_partkey").isin(7, 57, 107))
     },
 
+    // Path-pattern scans (r8g): recursiveFileLookup + pathGlobFilter — the
+    // data-lake directory reality (date-nested dirs, mixed sidecar files)
+    // read WITHOUT a manifest: the glob prunes at file-LISTING time, so
+    // non-matching files are never opened (cheaper than any row filter),
+    // and recursive lookup ignores the partition-directory convention on
+    // purpose (raw dump dirs are not Hive layouts). Fixture: region rows
+    // scattered across nested dirs with decoy .json sidecars beside them.
+    Q("scan_glob_filter",
+      """SELECT r_regionkey, r_name FROM region""".stripMargin) { (s, d) =>
+      val base = java.nio.file.Paths.get(s"$roundtripRoot/globscan" +
+        s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val r = Tables.cachedTable(s, d, "region").select("r_regionkey", "r_name")
+      r.filter(col("r_regionkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/day=a/part0")
+      r.filter(col("r_regionkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/day=b/deep/part1")
+      // decoy sidecar the glob must never open (it would fail the parse)
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.write(base.resolve("day=a").resolve("manifest.json"),
+        "{\"not\":\"parquet\"}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base.toString)
+        .select("r_regionkey", "r_name")
+    },
+
     // binaryFile source (r8b): how 100 TB of images/audio actually ENTERS
     // Spark — whole files as (path, mtime, length, content) rows, no
     // parsing, lazy content materialization, partitioned by file. One
