@@ -142,6 +142,98 @@ object AggWindowQueries {
           (sqrt(e2 - mu * mu) * (e2 - mu * mu)), 5).as("skew_value"))
     },
 
+    // Fourth standardized moment (r8g) — completes the moment family
+    // (mean / var / skew / kurtosis): excess kurtosis is the tail-weight
+    // alarm a numeric-drift monitor trends (fat tails inflate it long
+    // before the mean moves). Same ladder as agg_skewness: four power
+    // sums in ONE map-side-combinable pass, each product quantized to
+    // DECIMAL before the exact cross-row sum, the closed form one
+    // identical IEEE chain rounded to 5.
+    Q("agg_kurtosis",
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |         CAST(sum(CAST((value * value) * (value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+        |       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+        |              + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+        |              - 3 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))))
+        |             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |             - 3, 5) AS excess_kurtosis
+        |FROM s""".stripMargin) { (s, d) =>
+      def m(c: org.apache.spark.sql.Column, p: Int) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(p, 6))).cast("double")
+      val v = col("value")
+      val st = Tables.cachedTable(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          m(v, 27).as("s1"), m(v * v, 38).as("s2"),
+          m((v * v) * v, 38).as("s3"), m((v * v) * (v * v), 38).as("s4"))
+      val mu = col("s1") / col("n")
+      val e2 = col("s2") / col("n")
+      val e3 = col("s3") / col("n")
+      val e4 = col("s4") / col("n")
+      st.select(col("event_type"), col("n").cast("long").as("n_rows"),
+        round((e4 - lit(4) * mu * e3 + lit(6) * (mu * mu) * e2 -
+          lit(3) * ((mu * mu) * (mu * mu))) /
+          ((e2 - mu * mu) * (e2 - mu * mu)) - lit(3), 5)
+          .as("excess_kurtosis"))
+    },
+
+    // Population Stability Index (r8g) — the model-monitoring drift score
+    // diff_drift's share_delta report deliberately omitted: PSI =
+    // Σ (p−q)·ln(p/q) over the same 10 fixed price buckets, with +1
+    // Laplace smoothing so empty buckets contribute a finite term instead
+    // of ln(0). Determinism: p and q are IEEE divisions of exact integers,
+    // each bucket's ln term is DECIMAL(18,6)-quantized BEFORE the exact
+    // sum (the text_zipf ln discipline), so the 10-term total cannot
+    // accumulate engine drift. Conventional read: <0.1 stable, 0.1–0.25
+    // drifting, >0.25 act.
+    Q("quality_psi",
+      """WITH t AS (
+        |  SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS b,
+        |         o_orderkey % 2 AS side
+        |  FROM orders),
+        |n AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2 FROM t),
+        |c AS (SELECT b, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+        |      FROM t GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS b),
+        |x AS (SELECT g.b,
+        |        CAST(coalesce(c.c1, 0) + 1 AS DOUBLE) / (n.n1 + 10) AS p,
+        |        CAST(coalesce(c.c2, 0) + 1 AS DOUBLE) / (n.n2 + 10) AS q
+        |      FROM g LEFT JOIN c ON c.b = g.b, n)
+        |SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+        |       CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+        |       CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |FROM x""".stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(
+          least(greatest(floor(col("o_totalprice") / 60000.0).cast("long"), lit(0L)),
+            lit(9L)).as("b"),
+          (col("o_orderkey") % 2).as("side"))
+      val n = t.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2"))
+      val c = t.groupBy("b").agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c2"))
+      val g = s.range(0, 10).select(col("id").as("b"))
+      val x = g.join(c, Seq("b"), "left").crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"),
+          ((coalesce(col("c1"), lit(0L)) + 1).cast("double") / (col("n1") + 10)).as("p"),
+          ((coalesce(col("c2"), lit(0L)) + 1).cast("double") / (col("n2") + 10)).as("q"))
+      x.groupBy("n1", "n2")
+        .agg(sum(((col("p") - col("q")) * log(col("p") / col("q")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("psi"))
+        .select(col("n1"), col("n2"), col("psi"))
+    },
+
     // RFM customer segmentation — the classic ops-analytics cut (recency /
     // frequency / monetary, scored 1–5, concatenated into a segment code).
     // Deliberately NOT ntile: a global ntile is a single-task sort over
