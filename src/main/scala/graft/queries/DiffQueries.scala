@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Q, Tables}
-import graft.operators.{DiffOptions, Differ}
+import graft.operators.{DiffOptions, Differ, TextOps}
 
 /** §2.A diff core — the reference's own capability surface, exercised on a
   * deterministic left/right pair derived from `orders` so the DuckDB oracle
@@ -1019,6 +1019,63 @@ object DiffQueries {
         .unionByName(l.filter(col("k") % 19 === 0)
           .select((col("k") + 1000000L).as("k"), col("v")))
       Differ.diff(l, r, Seq("k"))
+    },
+
+    // Diff over COMPLEX value columns (r8g): the differ's null-safe
+    // compare (`<=>`) is type-generic, so array and struct values diff
+    // without flattening — what a config-table or feature-store diff
+    // actually needs (Spark cannot equality-compare maps; canonicalize
+    // maps to sorted entry arrays first — documented contract). Fixture
+    // perturbs three independent axes: the ARRAY changes on %7 keys, a
+    // struct FIELD (lang case) changes on %5 keys, rows vanish per side
+    // on %11/%13 — so a compare that ignores nesting or short-circuits on
+    // the first column misclassifies a specific, named key class. Output
+    // projects struct fields to scalars (artifact-hash-friendly); the C
+    // status itself proves the nested compare fired.
+    Q("diff_complex_types",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk, n_chars, lang
+        |  FROM documents),
+        |l AS (SELECT doc_id, tk[1:3] AS toks, n_chars, lang
+        |      FROM base WHERE doc_id % 11 <> 0),
+        |r AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 7 = 0 THEN tk[1:2] ELSE tk[1:3] END AS toks,
+        |             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+        |             CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang
+        |      FROM base WHERE doc_id % 13 <> 0)
+        |SELECT CASE WHEN l.doc_id IS NULL THEN 'I'
+        |            WHEN r.doc_id IS NULL THEN 'D'
+        |            WHEN l.toks IS DISTINCT FROM r.toks
+        |              OR l.n_chars IS DISTINCT FROM r.n_chars
+        |              OR l.lang IS DISTINCT FROM r.lang THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |       l.toks AS left_toks, r.toks AS right_toks,
+        |       l.n_chars AS ln_chars, r.n_chars AS rn_chars,
+        |       l.lang AS llang, r.lang AS rlang
+        |FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
+          col("n_chars"), col("lang"))
+      val l = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), expr("slice(tk, 1, 3)").as("toks"),
+          struct(col("n_chars"), col("lang")).as("meta"))
+      val r = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, expr("slice(tk, 1, 2)"))
+            .otherwise(expr("slice(tk, 1, 3)")).as("toks"),
+          struct(
+            when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).as("n_chars"),
+            when(col("doc_id") % 5 === 0, upper(col("lang")))
+              .otherwise(col("lang")).as("lang")).as("meta"))
+      Differ.diff(l, r, Seq("doc_id"))
+        .select(col("diff_status"), col("doc_id"),
+          col("left_toks"), col("right_toks"),
+          col("left_meta.n_chars").as("ln_chars"),
+          col("right_meta.n_chars").as("rn_chars"),
+          col("left_meta.lang").as("llang"),
+          col("right_meta.lang").as("rlang"))
     }
   )
 }
