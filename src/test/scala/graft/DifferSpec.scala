@@ -388,4 +388,34 @@ class DifferSpec extends SparkTestBase {
       assert(rs == dr.getOrElse(k, "N"), s"right k=$k")
     }
   }
+
+  test("nested-null trichotomy: NULL array, empty array, and [NULL] are three distinct values") {
+    // The classic complex-type diff bug class: a compare that flattens or
+    // coalesces conflates these. `<=>` must hold them distinct AND equal
+    // to themselves (so all-same rows stay N).
+    val vals: Seq[Seq[java.lang.Long]] =
+      Seq(null, Seq.empty[java.lang.Long], Seq[java.lang.Long](null))
+    def frame(perturb: Boolean) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, if (perturb && i == 0) Seq[java.lang.Long](7L) else v)
+      }.toDF("k", "arr")
+    // identical frames: every row N
+    val same = Differ.diff(frame(false), frame(false), Seq("k")).collect()
+    assert(same.forall(_.getAs[String]("diff_status") == "N"),
+      same.map(_.toString).mkString("; "))
+    // cross-pair the three values: every off-diagonal pair is C
+    val l3 = vals.zipWithIndex.flatMap { case (v, i) =>
+      vals.indices.map(j => ((i * 3 + j).toLong, v))
+    }.toDF("k", "arr")
+    val r3 = vals.zipWithIndex.flatMap { case (_, i) =>
+      vals.zipWithIndex.map { case (w, j) => ((i * 3 + j).toLong, w) }
+    }.toDF("k", "arr")
+    val statuses = Differ.diff(l3, r3, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("diff_status")).toMap
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val want = if (i == j) "N" else "C"
+      assert(statuses((i * 3 + j).toLong) == want,
+        s"value #$i vs #$j must be $want (NULL / [] / [NULL] trichotomy)")
+    }
+  }
 }
