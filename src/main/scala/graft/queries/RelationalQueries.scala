@@ -1145,6 +1145,62 @@ object RelationalQueries {
               .cast("long").as("dist_sq"))
     },
 
+    // Nearest-neighbor SPATIAL join (r8g): join_geo_grid returns all pairs
+    // within a radius; this returns THE nearest customer per supplier
+    // (argmin), radius-bounded at 50 so the 3×3 neighbor-cell candidate
+    // ring is provably complete (any point within 50 of a supplier lies in
+    // an adjacent 50-cell — same losslessness as the grid join) and
+    // suppliers with nobody in range surface explicitly with nearest NULL
+    // instead of silently vanishing. The argmin is min_by over
+    // (dist², custkey) — a total order, deterministic in both engines.
+    Q("join_geo_nearest",
+      """WITH c AS (SELECT c_custkey,
+        |                  (c_custkey * 7919) % 1000 AS cx,
+        |                  (c_custkey * 104729) % 1000 AS cy
+        |           FROM customer),
+        |s AS (SELECT s_suppkey,
+        |             (s_suppkey * 6101 + 13) % 1000 AS sx,
+        |             (s_suppkey * 93911 + 57) % 1000 AS sy
+        |      FROM supplier),
+        |p AS (SELECT s_suppkey, c_custkey,
+        |             (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2
+        |      FROM s JOIN c
+        |        ON (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 2500),
+        |n AS (SELECT s_suppkey, c_custkey, d2,
+        |             row_number() OVER (PARTITION BY s_suppkey
+        |                                ORDER BY d2, c_custkey) AS rn
+        |      FROM p)
+        |SELECT s.s_suppkey, n.c_custkey AS nearest_cust,
+        |       CAST(n.d2 AS BIGINT) AS dist_sq
+        |FROM s LEFT JOIN (SELECT * FROM n WHERE rn = 1) n USING (s_suppkey)"""
+        .stripMargin) { (s, d) =>
+      val cust = Tables.cachedTable(s, d, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") * 7919 % 1000).as("cx"),
+          (col("c_custkey") * 104729 % 1000).as("cy"))
+        .withColumn("cell", expr("(cx div 50) * 1000 + (cy div 50)"))
+      val supp = Tables.cachedTable(s, d, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_suppkey") * 6101 + 13).mod(1000).as("sx"),
+          (col("s_suppkey") * 93911 + 57).mod(1000).as("sy"))
+      val ringed = supp.withColumn("cell", explode(expr(
+        """flatten(transform(sequence(-1, 1), dx ->
+          |  transform(sequence(-1, 1), dy ->
+          |    (sx div 50 + dx) * 1000 + (sy div 50 + dy))))""".stripMargin)))
+      val nearest = ringed.join(cust, "cell")
+        .select(col("s_suppkey"), col("c_custkey"),
+          ((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+            (col("sy") - col("cy")) * (col("sy") - col("cy"))).as("d2"))
+        .filter(col("d2") <= 2500)
+        .groupBy("s_suppkey")
+        .agg(expr("min_by(c_custkey, struct(d2, c_custkey))").as("nearest_cust"),
+          min(struct(col("d2"), col("c_custkey"))).getField("d2")
+            .cast("long").as("dist_sq"))
+      supp.select("s_suppkey")
+        .join(nearest, Seq("s_suppkey"), "left")
+        .select("s_suppkey", "nearest_cust", "dist_sq")
+    },
+
     Q("join_asof",
       """SELECT event_id, user_id, ts_us, last_signup_us FROM (
         |  SELECT event_id, user_id, ts_us, event_type,
