@@ -187,6 +187,43 @@ object RelationalQueries {
             .as("sum_price"))
     },
 
+    // RESTORE after a bad write (r8g): the undo story every governed
+    // table needs — v1 is a corrupted overwrite (a bad deploy doubling
+    // every price), restore(0) publishes v2 that re-adds v0's file set as
+    // METADATA ONLY (no data bytes move; the files never left disk), and
+    // the bad version stays auditable in history rather than being
+    // rewound away. In-query requires pin all three: restored read ==
+    // v0's rows (the oracle), the bad snapshot still readable at v1, and
+    // the history trail init→overwrite→restore. At 100 TB: recovery time
+    // is one KB commit, independent of table size.
+    Q("txn_restore",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLog
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") <= 2000)
+      val table = s"$roundtripRoot/txnlog/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/rs${txnSeq.incrementAndGet()}"
+      TxnLog.init(orders, table)
+      TxnLog.overwrite(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 2), table)
+      TxnLog.restore(table, 0L)
+      require(TxnLog.history(table).map(_.op) == Seq("init", "overwrite", "restore"),
+        "restore must be an audited commit, not a log rewind")
+      val bad = TxnLog.read(s, table, asOf = Some(1L))
+        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head.getDouble(0)
+      val good = TxnLog.read(s, table)
+        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head.getDouble(0)
+      require(bad == good * 2, "the bad version must stay readable at v1")
+      TxnLog.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+            .as("sum_price"))
+    },
+
     // Merge-on-read DELETE (r8g): the deletion-vector pattern — txn_merge
     // rewrites whole files to change rows (copy-on-write); a retention/
     // GDPR-erasure job deleting 0.1% of a 100 TB table must NOT rewrite

@@ -383,6 +383,39 @@ object TxnLog {
     commit(table, adds, old ++ dvs, "compact")
   }
 
+  /** RESTORE to a prior version as a NEW commit — metadata only: the
+    * commit re-adds the target snapshot's file set and removes the
+    * current one, so no data bytes move (the files still exist unless
+    * vacuumed — restore below the vacuum floor fails fast in replay).
+    * History keeps both timelines: the bad versions stay auditable, and
+    * the restore itself is one more audited commit — Delta's RESTORE
+    * contract, not a log rewind. Live deletion vectors of the target
+    * version are restored with it.
+    */
+  def restore(table: String, toVersion: Long): Long = {
+    val (targetData, targetDvs) = replayLive(table, {
+      val last = latestVersion(table)
+      require(toVersion >= minVersion(table) && toVersion <= last,
+        s"TxnLog: cannot restore to $toVersion (floor ${minVersion(table)}, latest $last)")
+      toVersion
+    })
+    val (curData, curDvs) = replayLive(table, latestVersion(table))
+    val target = targetData.keySet ++ targetDvs.keySet
+    val cur = curData.keySet ++ curDvs.keySet
+    val addLines =
+      targetData.filterNot { case (f, _) => cur(f) }.map {
+        case (f, Some((lo, hi))) => statsActionLine(f, lo, hi)
+        case (f, None)           => actionLine("add", f)
+      }.toSeq ++
+      targetDvs.filterNot { case (f, _) => cur(f) }.map {
+        case (f, key) => dvActionLine(f, key)
+      }
+    val removes = (cur -- target).toSeq
+    val version = latestVersion(table) + 1
+    commitLines(table, version, addLines, removes, "restore")
+    version
+  }
+
   /** Merge-on-read DELETE (the Iceberg/Hudi deletion-vector pattern):
     * instead of rewriting every file that contains a matching row
     * (copy-on-write — [[merge]]'s shape), commit a KB-sized tombstone

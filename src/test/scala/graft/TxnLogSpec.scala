@@ -251,6 +251,25 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, t).count() == 16, "post-vacuum snapshot intact")
   }
 
+  test("restore is metadata-only, keeps both timelines, and carries dvs") {
+    val t = freshTable()
+    TxnLog.init((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    TxnLog.deleteWhere(spark, t, Seq(2L).toDF("id"), "id") // v1: 9 rows visible
+    TxnLog.overwrite(Seq((99L, "bad")).toDF("id", "v"), t) // v2: clobbered
+    val dataFilesBefore = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    TxnLog.restore(t, 1L)                                  // v3 == v1's snapshot
+    val dataFilesAfter = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(dataFilesAfter == dataFilesBefore, "restore must not write data files")
+    assert(TxnLog.read(spark, t).count() == 9, "restored snapshot == v1 (dv applied)")
+    assert(TxnLog.liveDeleteVectors(t).nonEmpty, "the dv must be restored with v1")
+    assert(TxnLog.read(spark, t, Some(2L)).count() == 1, "bad version stays readable")
+    assert(TxnLog.history(t).map(_.op) ==
+      Seq("init", "delete", "overwrite", "restore"))
+    intercept[IllegalArgumentException](TxnLog.restore(t, 99L))
+  }
+
   test("init refuses an existing log; empty snapshot reads fail with a message") {
     val t = freshTable()
     TxnLog.init(Seq((1L, "a")).toDF("id", "v"), t)
