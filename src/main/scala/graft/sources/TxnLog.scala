@@ -75,16 +75,26 @@ object TxnLog {
     """\{"op":"add","file":"([^"]+)","kmin":(-?\d+),"kmax":(-?\d+)\}""".r
 
   /** Deletion-vector action: a tombstone parquet of deleted keys (one
-    * column named `key`) — the merge-on-read delete marker.
+    * column named `key`), SCOPED to the data files live at delete time —
+    * so a later append of the same key is visible (SQL DELETE-then-INSERT
+    * semantics), exactly like positional deletion vectors scope to the
+    * file they annotate. `scope` is semicolon-joined (spark part file
+    * names never contain ';').
     */
-  private def dvActionLine(file: String, key: String): String = {
+  private def dvActionLine(file: String, key: String, scope: Seq[String]): String = {
     require(!file.exists(c => c == '"' || c == '\\' || c.isControl),
       s"TxnLog: dv file name needs JSON escaping, refusing: $file")
     require(key.nonEmpty && key.forall(c => c == '_' || c.isLetterOrDigit),
       s"TxnLog: dv key column must be a plain identifier, got '$key'")
-    s"""{"op":"dv","file":"$file","key":"$key"}"""
+    require(scope.forall(f => !f.exists(c => c == '"' || c == '\\' || c == ';' || c.isControl)),
+      s"TxnLog: dv scope file names need escaping, refusing")
+    s"""{"op":"dv","file":"$file","key":"$key","scope":"${scope.mkString(";")}"}"""
   }
-  private val DvRe = """\{"op":"dv","file":"([^"]+)","key":"([^"]+)"\}""".r
+  private val DvRe =
+    """\{"op":"dv","file":"([^"]+)","key":"([^"]+)","scope":"([^"]*)"\}""".r
+
+  /** One live deletion vector: tombstone file, key column, scoped files. */
+  final case class DvStat(file: String, key: String, scope: Set[String])
   // op tag is optional so pre-r8 logs (headers without it) still replay
   private val HeaderRe =
     """\{"commit":(\d+)(?:,"op":"([a-z]+)")?,"n_add":(\d+),"n_remove":(\d+)\}""".r
@@ -122,15 +132,16 @@ object TxnLog {
     */
   private def replayLive(table: String, v: Long)
       : (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]],
-         scala.collection.mutable.LinkedHashMap[String, String]) = {
+         scala.collection.mutable.LinkedHashMap[String, (String, Set[String])]) = {
     val live = scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
-    val dvs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val dvs = scala.collection.mutable.LinkedHashMap[String, (String, Set[String])]()
     (0L to v).foreach { c =>
       val f = commitFile(table, c)
       require(Files.exists(f), s"TxnLog: missing commit $c at $table (log is torn)")
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach {
         case StatsRe(file, kmin, kmax) => live(file) = Some((kmin.toLong, kmax.toLong))
-        case DvRe(file, key)           => dvs(file) = key
+        case DvRe(file, key, scope)    =>
+          dvs(file) = (key, scope.split(';').filter(_.nonEmpty).toSet)
         case ActionRe("add", file)     => live(file) = None
         case ActionRe("remove", file)  =>
           require(live.remove(file).isDefined || dvs.remove(file).isDefined,
@@ -142,12 +153,13 @@ object TxnLog {
     (live, dvs)
   }
 
-  /** Live deletion vectors at `asOf` (default: latest): (file, keyCol). */
-  def liveDeleteVectors(table: String, asOf: Option[Long] = None): Seq[(String, String)] = {
+  /** Live deletion vectors at `asOf` (default: latest). */
+  def liveDeleteVectors(table: String, asOf: Option[Long] = None): Seq[DvStat] = {
     val last = latestVersion(table)
     require(last >= 0, s"TxnLog: no log at $table/$LogDir")
     val v = asOf.getOrElse(last)
     replayLive(table, v)._2.toSeq
+      .map { case (f, (key, scope)) => DvStat(f, key, scope) }
   }
 
   /** Live data files at `asOf` (default: latest), by commit replay. */
@@ -289,6 +301,10 @@ object TxnLog {
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             keyCol: String): Long = {
     import org.apache.spark.sql.functions._
+    // copy-on-write rewrite reads raw file rows, which would resurrect
+    // dv-deleted rows it copies — require materialization first
+    require(liveDeleteVectors(table).isEmpty,
+      s"TxnLog.merge: $table has live deletion vectors — compact first")
     val upKeys = updates.select(col(keyCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     require(upKeys.nonEmpty, "TxnLog.merge: empty update batch")
@@ -375,7 +391,7 @@ object TxnLog {
     */
   def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
     val old = liveFiles(table)
-    val dvs = liveDeleteVectors(table).map(_._1)
+    val dvs = liveDeleteVectors(table).map(_.file)
     // read() applies live deletion vectors, so the rewrite MATERIALIZES
     // the deletes: the compacted snapshot carries no tombstones, and the
     // swap removes data files AND dvs in the same atomic commit
@@ -408,7 +424,7 @@ object TxnLog {
         case (f, None)           => actionLine("add", f)
       }.toSeq ++
       targetDvs.filterNot { case (f, _) => cur(f) }.map {
-        case (f, key) => dvActionLine(f, key)
+        case (f, (key, scope)) => dvActionLine(f, key, scope.toSeq.sorted)
       }
     val removes = (cur -- target).toSeq
     val version = latestVersion(table) + 1
@@ -430,13 +446,17 @@ object TxnLog {
                   keyCol: String): Long = {
     require(keys.columns.length == 1,
       s"TxnLog: keys frame must have exactly one column, got ${keys.columns.mkString(",")}")
-    val existingKeys = liveDeleteVectors(table).map(_._2).distinct
+    val existingKeys = liveDeleteVectors(table).map(_.key).distinct
     require(existingKeys.isEmpty || existingKeys == Seq(keyCol),
       s"TxnLog: mixed dv key columns (${existingKeys.mkString(",")} vs $keyCol)")
+    // scope = data files live NOW: a later append of a deleted key is a
+    // new file outside the scope, so it is visible (DELETE-then-INSERT)
+    val scope = liveFiles(table)
     val files = writeDataFiles(
       keys.toDF(keyCol).distinct().coalesce(1), table)
     val version = latestVersion(table) + 1
-    commitLines(table, version, files.map(dvActionLine(_, keyCol)), Nil, "delete")
+    commitLines(table, version,
+      files.map(dvActionLine(_, keyCol, scope)), Nil, "delete")
     version
   }
 
@@ -529,7 +549,7 @@ object TxnLog {
     val cutoff = math.max(minVersion(table), last - retainVersions)
     val retainedLive: Set[String] =
       (cutoff to last).flatMap(v =>
-        liveFiles(table, Some(v)) ++ liveDeleteVectors(table, Some(v)).map(_._1)).toSet
+        liveFiles(table, Some(v)) ++ liveDeleteVectors(table, Some(v)).map(_.file)).toSet
     // every file ever added (replay all commits, adds only — dv
     // tombstones are files too and must be reclaimed once off-floor)
     val everAdded = scala.collection.mutable.LinkedHashSet[String]()
@@ -537,7 +557,7 @@ object TxnLog {
       Files.readAllLines(commitFile(table, c), StandardCharsets.UTF_8)
         .asScala.foreach {
           case StatsRe(file, _, _)   => everAdded += file
-          case DvRe(file, _)         => everAdded += file
+          case DvRe(file, _, _)      => everAdded += file
           case ActionRe("add", file) => everAdded += file
           case _                     => ()
         }
@@ -568,22 +588,34 @@ object TxnLog {
     if (files.isEmpty)
       // empty snapshot: preserve "no rows" without a schema source
       sys.error(s"TxnLog: empty snapshot at $table (asOf=$asOf) has no schema")
-    val base = spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    def readFiles(fs: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(fs.map(f => Paths.get(table, f).toString): _*)
     val dvs = liveDeleteVectors(table, asOf)
-    if (dvs.isEmpty) base
+    if (dvs.isEmpty) readFiles(files)
     else {
-      val keyCols = dvs.map(_._2).distinct
+      val keyCols = dvs.map(_.key).distinct
       require(keyCols.size == 1,
         s"TxnLog: mixed dv key columns at $table: ${keyCols.mkString(",")}")
       val key = keyCols.head
       import org.apache.spark.sql.functions.{broadcast, col}
-      // tombstones are KB-sized by contract → broadcast anti-join: the
-      // merge-on-read subtraction costs one map-side filter, no shuffle
-      val dead = spark.read
-        .parquet(dvs.map { case (f, _) => Paths.get(table, f).toString }: _*)
-        .select(col(key).as("__graft_dv_key")).distinct()
-      base.join(broadcast(dead), base(key) === col("__graft_dv_key"), "left_anti")
+      // Scoped subtraction: a dv applies only to the data files that were
+      // live when the delete committed, so post-delete appends of the
+      // same key stay visible. Files sharing a dv-membership signature
+      // read together; tombstones are KB-sized by contract → broadcast
+      // anti-join, a map-side filter, no shuffle.
+      val inScope = files.filter(f => dvs.exists(_.scope(f)))
+      val free = files.filterNot(f => dvs.exists(_.scope(f)))
+      val bySignature = inScope.groupBy(f => dvs.filter(_.scope(f)).map(_.file))
+      val subtracted = bySignature.toSeq.map { case (dvFiles, dataFiles) =>
+        val dead = spark.read
+          .parquet(dvFiles.map(f => Paths.get(table, f).toString): _*)
+          .select(col(key).as("__graft_dv_key")).distinct()
+        val base = readFiles(dataFiles)
+        base.join(broadcast(dead), base(key) === col("__graft_dv_key"), "left_anti")
+      }
+      val parts = subtracted ++ (if (free.nonEmpty) Seq(readFiles(free)) else Nil)
+      parts.reduce(_ unionByName _)
     }
   }
 

@@ -21,6 +21,8 @@ class TxnLogPropSpec extends SparkTestBase {
   private case class Overwrite(rows: Map[Long, String]) extends Op
   private case class Merge(rows: Map[Long, String]) extends Op
   private case object Compact extends Op
+  private case class Delete(keys: Set[Long]) extends Op
+  private case class Restore(back: Int) extends Op
 
   private val rowsGen: Gen[Map[Long, String]] = for {
     n <- Gen.choose(1, 6)
@@ -32,7 +34,10 @@ class TxnLogPropSpec extends SparkTestBase {
     3 -> rowsGen.map(Append),
     2 -> rowsGen.map(Merge),
     1 -> rowsGen.map(Overwrite),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    2 -> Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 30L)).map(ks => Delete(ks.toSet))),
+    1 -> Gen.choose(1, 3).map(Restore))
 
   private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {
     var s = rng.Seed(seed)
@@ -71,13 +76,28 @@ class TxnLogPropSpec extends SparkTestBase {
             TxnLog.overwrite(toDF(rows), t)
             rows.toSeq.sorted
           case Merge(rows) =>
+            // copy-on-write merge requires materialized dvs (documented
+            // contract): compact first when tombstones are live — the
+            // compact is its own audited version, so model it too
+            if (TxnLog.liveDeleteVectors(t).nonEmpty) {
+              TxnLog.compact(spark, t, numFiles = 2)
+              history :+= cur
+            }
             TxnLog.merge(spark, t, toDF(rows), "id")
             // upsert: ALL rows with an updated key are replaced (duplicate
             // appended rows of that key collapse to the one update row)
-            (cur.filterNot { case (k, _) => rows.contains(k) } ++ rows.toSeq).sorted
+            (history.last.filterNot { case (k, _) => rows.contains(k) }
+              ++ rows.toSeq).sorted
           case Compact =>
             TxnLog.compact(spark, t, numFiles = 2)
             cur
+          case Delete(keys) =>
+            TxnLog.deleteWhere(spark, t, keys.toSeq.toDF("id"), "id")
+            cur.filterNot { case (k, _) => keys(k) }
+          case Restore(back) =>
+            val to = math.max(0, history.size - 1 - back)
+            TxnLog.restore(t, to.toLong)
+            history(to)
         }
         history :+= next
       }

@@ -230,7 +230,7 @@ class TxnLogSpec extends SparkTestBase {
     // read subtracts; time travel doesn't
     assert(TxnLog.read(spark, t).count() == 17)
     assert(TxnLog.read(spark, t, Some(0L)).count() == 20)
-    assert(TxnLog.liveDeleteVectors(t).map(_._2) == Seq("id"))
+    assert(TxnLog.liveDeleteVectors(t).map(_.key) == Seq("id"))
     // a second delete stacks; mixed key columns are refused
     TxnLog.deleteWhere(spark, t, Seq(4L).toDF("id"), "id")
     assert(TxnLog.read(spark, t).count() == 16)
@@ -249,6 +249,28 @@ class TxnLogSpec extends SparkTestBase {
     val deleted = TxnLog.vacuum(t, retainVersions = 0)
     assert(deleted.nonEmpty)
     assert(TxnLog.read(spark, t).count() == 16, "post-vacuum snapshot intact")
+  }
+
+  test("dv scoping: append after delete re-inserts the key (DELETE-then-INSERT)") {
+    val t = freshTable()
+    TxnLog.init((1L to 5L).map(i => (i, "old")).toDF("id", "v"), t)
+    TxnLog.deleteWhere(spark, t, Seq(3L).toDF("id"), "id")
+    assert(TxnLog.read(spark, t).count() == 4)
+    // re-insert key 3: the new file is OUTSIDE the dv's scope → visible
+    TxnLog.append(Seq((3L, "new")).toDF("id", "v"), t)
+    val rows = rowsOf(TxnLog.read(spark, t))
+    assert(rows.contains("3|new"), s"re-inserted key must be visible: $rows")
+    assert(!rows.contains("3|old"), s"the deleted original must stay hidden: $rows")
+    assert(rows.size == 5)
+    // copy-on-write merge refuses to run over live dvs (resurrection hazard)
+    val e = intercept[IllegalArgumentException](
+      TxnLog.merge(spark, t, Seq((1L, "x")).toDF("id", "v"), "id"))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // compaction materializes; merge works again afterwards
+    TxnLog.compact(spark, t, 1)
+    TxnLog.merge(spark, t, Seq((1L, "x")).toDF("id", "v"), "id")
+    assert(rowsOf(TxnLog.read(spark, t)) ==
+      Seq("1|x", "2|old", "3|new", "4|old", "5|old"))
   }
 
   test("restore is metadata-only, keeps both timelines, and carries dvs") {
