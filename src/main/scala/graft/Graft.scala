@@ -391,6 +391,10 @@ object Graft {
                 keys: DataFrame, keyCol: String): Long =
     graft.sources.TxnLog.deleteWhere(spark, table, keys, keyCol)
 
+  /** RESTORE to a prior version as one metadata-only audited commit. */
+  def txnRestore(table: String, toVersion: Long): Long =
+    graft.sources.TxnLog.restore(table, toVersion)
+
   /** Small-file compaction as one atomic commit (the OPTIMIZE contract):
     * readers see the old or the new layout, never a half-rewrite; time
     * travel still serves pre-compact versions until [[txnVacuum]].
