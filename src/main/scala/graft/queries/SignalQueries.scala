@@ -622,6 +622,60 @@ object SignalQueries {
         .select("prev_type", "event_type", "n_trans", "n_from", "p_micro")
     },
 
+    // Hysteresis alerting (r8g) — the Schmitt-trigger every monitoring
+    // system needs: alert ON when value crosses 90, OFF only below 70, so
+    // noise oscillating inside [70, 90] cannot flap the alert. The state
+    // machine LOOKS recursive (state depends on previous state) but
+    // compiles to pure windows: state = the LAST crossing's direction —
+    // last_value(flag IGNORE NULLS) over the unbounded-preceding frame
+    // (the window_fill_forward LOCF trick) — and episodes are then
+    // gaps-islands run-length groups (state-change markers summed). One
+    // user-keyed exchange, bounded frames; per-user output = alert
+    // episodes with start/end/peak.
+    Q("events_alert_hysteresis",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, ts_us, value,
+        |        CASE WHEN value > 90 THEN 1 WHEN value < 70 THEN 0 END AS crossing
+        |      FROM e),
+        |st AS (SELECT user_id, event_id, ts_us, value,
+        |         coalesce(last_value(crossing IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS UNBOUNDED PRECEDING), 0) AS state
+        |       FROM f),
+        |mk AS (SELECT user_id, event_id, ts_us, value, state,
+        |         CASE WHEN coalesce(lag(state) OVER (
+        |                PARTITION BY user_id ORDER BY ts_us, event_id), 0) <> state
+        |              THEN 1 ELSE 0 END AS flip
+        |       FROM st),
+        |ep AS (SELECT user_id, ts_us, event_id, value, state,
+        |         sum(flip) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS episode
+        |       FROM mk)
+        |SELECT user_id, CAST(episode AS BIGINT) AS episode,
+        |       CAST(min(ts_us) AS BIGINT) AS t_start_us,
+        |       CAST(max(ts_us) AS BIGINT) AS t_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       max(value) AS peak_value
+        |FROM ep WHERE state = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val run = byUser.rowsBetween(Long.MinValue, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("crossing",
+          when(col("value") > 90, 1).when(col("value") < 70, 0))
+        .withColumn("state",
+          coalesce(last(col("crossing"), ignoreNulls = true).over(run), lit(0)))
+        .withColumn("flip",
+          when(coalesce(lag(col("state"), 1).over(byUser), lit(0)) =!= col("state"),
+            1L).otherwise(0L))
+        .withColumn("episode", sum(col("flip")).over(run))
+        .filter(col("state") === 1)
+        .groupBy("user_id", "episode")
+        .agg(min("ts_us").as("t_start_us"), max("ts_us").as("t_end_us"),
+          count(lit(1)).as("n_events"), max("value").as("peak_value"))
+    },
+
     // Activity heatmap (r8g): the hour-of-day × day-of-week event grid —
     // the first chart on every ops/abuse dashboard and the seasonality
     // profile batch schedulers are tuned against. Pure epoch integer
