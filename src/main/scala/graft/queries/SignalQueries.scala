@@ -622,6 +622,49 @@ object SignalQueries {
         .select("prev_type", "event_type", "n_trans", "n_from", "p_micro")
     },
 
+    // Seasonality-adjusted spike detection (r8g): events_spike compares
+    // against the trailing week, which fires every Monday morning on any
+    // weekday-seasonal stream; this compares each (type, hour) cell
+    // against the mean of its OWN weekday-hour slot across the corpus
+    // (the events_heatmap baseline applied as an anomaly denominator).
+    // Exactness: the 2× test is cross-multiplied integers — n·n_slots >
+    // 2·slot_total — no float mean ever computed. Baseline is over
+    // observed same-slot hours (zero-event hours absent by construction;
+    // the spike's own hour included — conservative, documented). Shape:
+    // one (type, hour) agg, then a slot-keyed agg joined back — two
+    // group-sized exchanges, no windows at all.
+    Q("events_spike_seasonal",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events),
+        |hc AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+        |sl AS (SELECT event_type, hr, n,
+        |              ((hr // 24) + 4) % 7 AS dow, hr % 24 AS hod
+        |       FROM hc),
+        |base AS (SELECT event_type, dow, hod,
+        |                sum(n) AS slot_total, count(*) AS n_slots
+        |         FROM sl GROUP BY 1, 2, 3)
+        |SELECT sl.event_type, CAST(sl.hr AS BIGINT) AS hr,
+        |       CAST(sl.n AS BIGINT) AS n,
+        |       CAST(b.slot_total AS BIGINT) AS slot_total,
+        |       CAST(b.n_slots AS BIGINT) AS n_slots,
+        |       CASE WHEN sl.n * b.n_slots > 2 * b.slot_total THEN 1 ELSE 0 END
+        |         AS is_spike
+        |FROM sl JOIN base b
+        |  ON b.event_type = sl.event_type AND b.dow = sl.dow AND b.hod = sl.hod"""
+        .stripMargin) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("((hr div 24) + 4) % 7"))
+        .withColumn("hod", expr("hr % 24"))
+      val base = hc.groupBy("event_type", "dow", "hod")
+        .agg(sum("n").as("slot_total"), count(lit(1)).as("n_slots"))
+      hc.join(base, Seq("event_type", "dow", "hod"))
+        .select(col("event_type"), col("hr"), col("n"),
+          col("slot_total"), col("n_slots"),
+          when(col("n") * col("n_slots") > lit(2) * col("slot_total"), 1)
+            .otherwise(0).as("is_spike"))
+    },
+
     // Hysteresis alerting (r8g) — the Schmitt-trigger every monitoring
     // system needs: alert ON when value crosses 90, OFF only below 70, so
     // noise oscillating inside [70, 90] cannot flap the alert. The state
