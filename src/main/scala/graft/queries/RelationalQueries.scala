@@ -759,6 +759,32 @@ object RelationalQueries {
       s.read.parquet(base).filter(col("l_partkey").isin(7, 57, 107))
     },
 
+    // Gzip CSV ingestion (r8g): the compressed-drop reality check — gzip
+    // is NOT splittable, so each .csv.gz is exactly ONE task regardless
+    // of size (the in-query require pins partitions == files, the scale
+    // lesson this key exists to teach: a single 50 GB .gz serializes its
+    // whole scan; land many medium files or recompress to a splittable
+    // codec/parquet at the edge). Two files → two tasks here; content
+    // round-trips exactly.
+    Q("scan_csv_gzip",
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 4000""".stripMargin) {
+      (s, d) =>
+        val base = s"$roundtripRoot/csvgz/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val src = Tables.cachedTable(s, d, "orders")
+          .filter(col("o_orderkey") <= 4000)
+          .select("o_orderkey", "o_orderstatus")
+        src.coalesce(2).write.mode("overwrite")
+          .option("compression", "gzip").option("header", "true").csv(base)
+        val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+          .toArray.map(_.toString).count(_.endsWith(".csv.gz"))
+        val back = s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_orderstatus STRING").csv(base)
+        require(nFiles >= 1 && back.rdd.getNumPartitions == nFiles,
+          s"gzip must plan one task per file ($nFiles files, " +
+            s"${back.rdd.getNumPartitions} partitions)")
+        back
+    },
+
     // Path-pattern scans (r8g): recursiveFileLookup + pathGlobFilter — the
     // data-lake directory reality (date-nested dirs, mixed sidecar files)
     // read WITHOUT a manifest: the glob prunes at file-LISTING time, so
