@@ -1001,6 +1001,36 @@ class PlanSpec extends SparkTestBase {
       "a permutation-rank window lost its band partitioning (whole-table single-task sort)")
   }
 
+  test("txn_delete_mor read: the dv subtraction is a broadcast left-anti, not a shuffle join") {
+    import graft.sources.TxnLog
+    val t = java.nio.file.Files.createTempDirectory("graft-planspec-dv-")
+      .resolve("t").toString
+    import spark.implicits._
+    TxnLog.init((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    TxnLog.deleteWhere(spark, t, Seq(3L, 9L).toDF("id"), "id")
+    val plan = TxnLog.read(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MOR subtraction must be a broadcast anti-join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "KB-sized tombstones must never shuffle the data side")
+  }
+
+  test("events_alert_hysteresis: all state windows share ONE user-keyed exchange") {
+    val plan = physical(graft.queries.SignalQueries.all, "events_alert_hysteresis")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"LOCF state + flip + episode windows AND the episode agg must all ride " +
+        s"ONE user-keyed exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quality_psi: the bucket grid joins broadcast; corpus is scanned once per side-agg") {
+    val plan = physical(graft.queries.AggWindowQueries.all, "quality_psi")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"the 10-row grid and scalar totals must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "scalar frames must broadcast, not cartesian")
+  }
+
   test("rank_ndcg: probes broadcast; the exact top-k windows stay probe-partitioned") {
     val df = queryNamed(graft.queries.PipelineQueries.all, "rank_ndcg")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
