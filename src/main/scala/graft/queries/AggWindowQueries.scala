@@ -1012,6 +1012,45 @@ object AggWindowQueries {
           col("chi2_d").cast("double").as("chi2"))
     },
 
+    // Mutual information (r8g) — quality_chi2's information-theoretic
+    // sibling on the SAME (status, priority) pair: chi2 answers "is there
+    // dependence", MI answers "how many nats of it" — the feature-
+    // selection / redundant-column score. Only observed cells contribute
+    // (p·ln(...) → 0 as p → 0), so no marginal grid is needed; each
+    // cell's term is (c/n)·ln(c·n/(r·cc)) — doubles of exact ints in one
+    // identical IEEE tree, DECIMAL(18,6)-quantized before the exact
+    // cells-sized sum (the PSI/zipf ln discipline).
+    Q("quality_mutual_info",
+      """WITH t AS (SELECT o_orderstatus AS x, o_orderpriority AS y FROM orders),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT x, y, count(*) AS c FROM t GROUP BY 1, 2),
+        |r AS (SELECT x, count(*) AS r FROM t GROUP BY 1),
+        |cc AS (SELECT y, count(*) AS cc FROM t GROUP BY 1)
+        |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(CAST((CAST(c.c AS DOUBLE) / n.n)
+        |                     * ln(CAST(c.c AS DOUBLE) * n.n
+        |                          / (CAST(r.r AS DOUBLE) * cc.cc))
+        |                  AS DECIMAL(18,6))) AS DOUBLE) AS mi_nats
+        |FROM c JOIN r USING (x) JOIN cc USING (y), n""".stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+      val n = t.agg(count(lit(1)).as("n"))
+      val c = t.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val r = t.groupBy("x").agg(count(lit(1)).as("r"))
+      val cc = t.groupBy("y").agg(count(lit(1)).as("cc"))
+      c.join(broadcast(r), "x").join(broadcast(cc), "y")
+        .crossJoin(broadcast(n))
+        .select(col("n"),
+          ((col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") * col("n") /
+              (col("r").cast("double") * col("cc"))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("term"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_cells"), sum("term").cast("double").as("mi_nats"))
+        .select(col("n").cast("long").as("n"), col("n_cells"), col("mi_nats"))
+    },
+
     // Kolmogorov-Smirnov two-sample test (r8b) — the binning-free drift
     // statistic diff_drift's fixed histogram cannot be: KS = sup over x of
     // |F1(x) − F2(x)| between the even-key and odd-key order-price

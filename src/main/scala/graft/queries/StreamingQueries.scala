@@ -499,6 +499,76 @@ object StreamingQueries {
             last(col("sum_value"), ignoreNulls = true).over(w))
     },
 
+    // Linear gap interpolation (r8g): events_resample's LOCF holds the
+    // last value flat through a gap; sensor/finance series want the
+    // LINE between the neighbors instead (pandas interpolate('linear')).
+    // Windows only — prev/next observed (value, time) via IGNORE-NULLS
+    // frames in both directions, then one closed-form lerp per gap row:
+    // pv + (nv−pv)·(t−pt)/(nt−pt). All inputs are exact (epoch-µs grid
+    // ints < 2^53, decimal-exact value sums), the lerp is one identical
+    // IEEE tree in both engines; edges beyond the first/last observation
+    // fall back to the nearest observed value. Same single user-keyed
+    // exchange as the resample.
+    Q("window_interpolate",
+      s"""WITH e AS (SELECT user_id, (epoch_us(ts) // $HourUs) * $HourUs AS hour_us, value
+         |           FROM events),
+         |a AS (SELECT user_id, hour_us,
+         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+         |      FROM e GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1 FROM e GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(h0, h1, $HourUs)) AS hour_us FROM s),
+         |j AS (SELECT g.user_id, g.hour_us, a.v
+         |      FROM g LEFT JOIN a USING (user_id, hour_us)),
+         |nb AS (SELECT user_id, hour_us, v,
+         |         last_value(v IGNORE NULLS) OVER wp AS pv,
+         |         last_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+         |           OVER wp AS pt,
+         |         first_value(v IGNORE NULLS) OVER wf AS nv,
+         |         first_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+         |           OVER wf AS nt
+         |       FROM j
+         |       WINDOW wp AS (PARTITION BY user_id ORDER BY hour_us
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |              wf AS (PARTITION BY user_id ORDER BY hour_us
+         |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, hour_us,
+         |       CASE WHEN v IS NOT NULL THEN v
+         |            WHEN pv IS NULL THEN nv
+         |            WHEN nv IS NULL THEN pv
+         |            ELSE pv + (nv - pv) * (CAST(hour_us - pt AS DOUBLE)
+         |                                   / CAST(nt - pt AS DOUBLE))
+         |       END AS interp_value,
+         |       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS was_gap
+         |FROM nb""".stripMargin) { (s, d) =>
+      val grid = Tables.events(s, d)
+        .withColumn("hour_us", expr(s"(ts_us div $HourUs) * $HourUs"))
+      val agg = grid.groupBy("user_id", "hour_us").agg(sumValue.as("v"))
+      val span = grid.groupBy("user_id")
+        .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      val wp = Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      span.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(HourUs))).as("hour_us"))
+        .join(agg, Seq("user_id", "hour_us"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pt",
+          last(when(col("v").isNotNull, col("hour_us")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nt",
+          first(when(col("v").isNotNull, col("hour_us")), ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("hour_us"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hour_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+            .as("interp_value"),
+          when(col("v").isNotNull, 0).otherwise(1).as("was_gap"))
+    },
+
     Q("events_cohort",
       """WITH s AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
