@@ -615,7 +615,10 @@ object TxnLog {
         base.join(broadcast(dead), base(key) === col("__graft_dv_key"), "left_anti")
       }
       val parts = subtracted ++ (if (free.nonEmpty) Seq(readFiles(free)) else Nil)
-      parts.reduce(_ unionByName _)
+      // scope groups may expose different column sets under mergeSchema —
+      // union by name with NULL padding, the same additive-evolution
+      // semantics the single-group read has
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
