@@ -29,6 +29,27 @@ final case class FunnelAnswer(
     user_id: Long, t_view_us: Long, t_click_us: Option[Long],
     t_purchase_us: Option[Long], stage: Long)
 
+/** One typed event for [[StreamOps.alertWithState]]. */
+final case class AlertEvent(
+    user_id: Long, ts_us: Long, event_id: Long, value: Double,
+    tsm: java.sql.Timestamp)
+
+/** Buffered not-yet-finalizable alert event (above the watermark). */
+final case class AlertBufEvt(ts_us: Long, event_id: Long, value: Double)
+
+/** Per-user hysteresis-machine state: current alert level, the open
+  * episode's accumulators (start/end/count/peak; start < 0 = no open
+  * episode), and the buffer.
+  */
+final case class AlertState(
+    level: Int, epStart: Long, epEnd: Long, epN: Long, epPeak: Double,
+    buf: List[AlertBufEvt])
+
+/** One completed (or stream-final open) alert episode. */
+final case class AlertEpisode(
+    user_id: Long, t_start_us: Long, t_end_us: Long, n_events: Long,
+    peak_value: Double)
+
 /** One CDC change row for [[StreamOps.applyCdcStream]]: seq orders changes
   * within a key; status follows the diff vocabulary (I/C/D).
   */
@@ -285,6 +306,85 @@ object StreamOps {
         // TimestampType
         col(tsCol).as("tsm"))
       .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Streaming HYSTERESIS ALERTING — the stateful twin of
+    * events_alert_hysteresis' LOCF-window batch form: alert ON above
+    * `hi`, OFF only below `lo`, episodes emitted as they CLOSE (the
+    * alert-resolved notification), with the state machine folded in
+    * event-time order under out-of-order arrival (same buffer-above-
+    * watermark / drain-complete-prefix discipline as [[funnelWithState]]).
+    * On the event-time timeout the final open episode (if any) emits —
+    * matching the batch form, which reports in-progress episodes too.
+    * State per user = one level + 4 episode scalars + the horizon-bounded
+    * buffer. StreamBatchParitySpec pins stream episodes == batch exactly.
+    */
+  def alertWithState(events: DataFrame, tsCol: String, delay: String,
+                     hi: Double = 90.0, lo: Double = 70.0): Dataset[AlertEpisode] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(hi > lo, s"hysteresis needs hi > lo, got $hi <= $lo")
+
+    def fold(user: Long, st: AlertState, upToUs: Long)
+        : (AlertState, List[AlertEpisode]) = {
+      val (ready, later) = st.buf.partition(_.ts_us <= upToUs)
+      var s = st.copy(buf = later)
+      var out = List.empty[AlertEpisode]
+      ready.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val level =
+          if (e.value > hi) 1 else if (e.value < lo) 0 else s.level
+        if (level == 1) {
+          if (s.epStart < 0)
+            s = s.copy(level = 1, epStart = e.ts_us, epEnd = e.ts_us,
+              epN = 1L, epPeak = e.value)
+          else
+            s = s.copy(level = 1, epEnd = e.ts_us, epN = s.epN + 1,
+              epPeak = math.max(s.epPeak, e.value))
+        } else {
+          if (s.epStart >= 0)
+            out ::= AlertEpisode(user, s.epStart, s.epEnd, s.epN, s.epPeak)
+          s = s.copy(level = 0, epStart = -1L, epEnd = -1L, epN = 0L,
+            epPeak = Double.MinValue)
+        }
+      }
+      (s, out.reverse)
+    }
+
+    def step(user: Long, it: Iterator[AlertEvent],
+             state: GroupState[AlertState]): Iterator[AlertEpisode] = {
+      val st0 = state.getOption.getOrElse(
+        AlertState(0, -1L, -1L, 0L, Double.MinValue, Nil))
+      if (state.hasTimedOut) {
+        val (fin, closed) = fold(user, st0, Long.MaxValue)
+        state.remove()
+        val open =
+          if (fin.epStart >= 0)
+            List(AlertEpisode(user, fin.epStart, fin.epEnd, fin.epN, fin.epPeak))
+          else Nil
+        (closed ++ open).iterator
+      } else {
+        val wmMs = state.getCurrentWatermarkMs()
+        val withNew = st0.copy(buf = st0.buf ++
+          it.map(e => AlertBufEvt(e.ts_us, e.event_id, e.value)))
+        val (st1, closed) = fold(user, withNew, wmMs * 1000L)
+        state.update(st1)
+        val next = if (st1.buf.isEmpty) wmMs + 1
+                   else st1.buf.map(_.ts_us).max / 1000L + 1
+        state.setTimeoutTimestamp(next)
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark(tsCol, delay)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts_us").cast("long").as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"),
+        col(tsCol).as("tsm"))
+      .as[AlertEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }

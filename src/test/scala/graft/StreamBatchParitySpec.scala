@@ -281,6 +281,48 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("alertWithState: streamed hysteresis episodes == batch LOCF-window episodes") {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(
+      SparkEntry.queries("events_alert_hysteresis")(spark, sfDir)
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "peak_value"))
+
+    val streamDir = Files.createTempDirectory("graft_parity_alert").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // flush sentinel: far-future event from a synthetic user at a value
+    // inside the dead band (cannot open an episode) — advances the
+    // watermark past every real event so every timeout fires; the batch
+    // side never sees it (different parquet dir)
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    spark.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"CAST(timestamp_micros(${maxUs + 86400L * 1000000L}L) " +
+          s"AS ${schema("ts").dataType.sql})").as("ts"),
+        lit(-999L).as("user_id"), lit("view").as("event_type"),
+        lit(80.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(streamDir)
+    val events = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.alertWithState(events, "tsm", "10 minutes")
+      .writeStream.format("memory").queryName("parity_alert")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_alert")
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "peak_value"))
+      assert(streamRows.size == batchRows.size,
+        s"episode counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
   test("stream_hll: streamed sketch estimate == batch sketch, bit-identical") {
     Tables.ensureConfs(spark)
     val sfDir = "/root/testdata/sf0.001"
