@@ -531,6 +531,55 @@ object CurationQueries {
           .select("doc_id", "n_tokens", "difficulty_ppm", "bucket", "bucket_n")
     },
 
+    // Pareto-frontier selection (r8g): multi-objective curation without a
+    // weighted score — the frontier of (length, lexical diversity) per
+    // language is every doc NOT dominated on both axes, the trade-off
+    // menu a curation lead picks from when quality-vs-diversity weights
+    // are contested. Both axes exact ints (n_chars; TTR ppm). Candidates
+    // first: per-lang top-50 by (n_chars, doc_id) via two-phase top-k —
+    // at 100 TB the k² dominance check runs on k candidates per group,
+    // NEVER corpus²; the frontier of the top-k by one axis contains the
+    // global frontier's high-length arm, and capping the candidate set
+    // is the declared semantics (the oracle embeds the same cap).
+    Q("curation_pareto",
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(len(list_distinct(string_split(lower(text), ' '))) * 1000000
+        |              // len(string_split(lower(text), ' ')) AS BIGINT) AS ttr_ppm
+        |  FROM documents),
+        |c AS (SELECT * FROM (
+        |        SELECT m.*, row_number() OVER (PARTITION BY lang
+        |                 ORDER BY n_chars DESC, doc_id) AS rk FROM m)
+        |      WHERE rk <= 50)
+        |SELECT a.lang, a.doc_id, a.n_chars, a.ttr_ppm
+        |FROM c a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c b
+        |  WHERE b.lang = a.lang AND b.doc_id <> a.doc_id
+        |    AND b.n_chars >= a.n_chars AND b.ttr_ppm >= a.ttr_ppm
+        |    AND (b.n_chars > a.n_chars OR b.ttr_ppm > a.ttr_ppm))""".stripMargin) {
+      (s, d) =>
+        val m = Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr("""CAST(size(array_distinct(split(lower(text), ' '))) * 1000000
+                   |     div size(split(lower(text), ' ')) AS BIGINT)""".stripMargin)
+              .as("ttr_ppm"))
+        val cand = TextOps.topKPerGroup(m, Seq("lang"),
+            Seq(col("n_chars").desc, col("doc_id")), 50, bucketOn = col("doc_id"))
+          .select("lang", "doc_id", "n_chars", "ttr_ppm")
+        val b = cand.select(col("lang").as("b_lang"), col("doc_id").as("b_id"),
+          col("n_chars").as("b_chars"), col("ttr_ppm").as("b_ttr"))
+        // dominated docs found by one bounded (lang-keyed, k² residual)
+        // self-join; frontier = candidates anti-join dominated
+        val dominated = cand.join(b,
+            col("lang") === col("b_lang") && col("doc_id") =!= col("b_id") &&
+              col("b_chars") >= col("n_chars") && col("b_ttr") >= col("ttr_ppm") &&
+              (col("b_chars") > col("n_chars") || col("b_ttr") > col("ttr_ppm")))
+          .select(col("lang"), col("doc_id")).distinct()
+        cand.join(dominated, Seq("lang", "doc_id"), "left_anti")
+          .select("lang", "doc_id", "n_chars", "ttr_ppm")
+    },
+
     // Join-CONSISTENT sampling (r8g): sampling each table independently
     // by hashing the SHARED entity key — hash(custkey) picks 10% of
     // customers, and because the predicate is a pure function of the key,
