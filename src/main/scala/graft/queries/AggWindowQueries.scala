@@ -1012,6 +1012,55 @@ object AggWindowQueries {
           col("chi2_d").cast("double").as("chi2"))
     },
 
+    // CUSUM change detection (r8g) — the classic sequential drift
+    // detector (Page 1954): accumulate deviations from the historical
+    // mean, reset at zero. The textbook form s_i = max(0, s_{i-1} + dev_i)
+    // is RECURSIVE, but it has a windowable closed form: s_i = p_i −
+    // min_{j≤i} p_j with p the prefix sum of deviations — a running sum
+    // and a running min over ONE type-keyed exchange (the same
+    // recursion-elimination discipline as the hysteresis LOCF). Exactness:
+    // hourly sums and the per-type mean are DECIMAL-exact; dev multiplies
+    // by n_hours (cross-multiplied — no division), so p and the running
+    // min are exact integers-in-decimal and cusum is their exact
+    // difference, cast to double losslessly.
+    Q("window_cusum",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |                  CAST(value AS DECIMAL(18,6)) AS v
+        |           FROM events),
+        |h AS (SELECT event_type, hr, sum(v) AS x FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(x) AS total, count(*) AS n_hours
+        |      FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, h.hr,
+        |             h.x * m.n_hours - m.total AS dev_scaled
+        |      FROM h JOIN m USING (event_type)),
+        |p AS (SELECT event_type, hr,
+        |        sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        |      FROM d),
+        |r AS (SELECT event_type, hr, pfx,
+        |        min(pfx) OVER (PARTITION BY event_type ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        |      FROM p)
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr,
+        |       CAST(pfx - runmin AS DOUBLE) AS cusum_scaled
+        |FROM r""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Long.MinValue, 0)
+      val h = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 3600000000").as("hr"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy("event_type", "hr").agg(sum("v").as("x"))
+      val m = h.groupBy("event_type")
+        .agg(sum("x").as("total"), count(lit(1)).as("n_hours"))
+      h.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("hr"),
+          (col("x") * col("n_hours") - col("total")).as("dev_scaled"))
+        .withColumn("pfx", sum("dev_scaled").over(w))
+        .withColumn("runmin", min(col("pfx")).over(w))
+        .select(col("event_type"), col("hr"),
+          (col("pfx") - col("runmin")).cast("double").as("cusum_scaled"))
+    },
+
     // Mutual information (r8g) — quality_chi2's information-theoretic
     // sibling on the SAME (status, priority) pair: chi2 answers "is there
     // dependence", MI answers "how many nats of it" — the feature-
