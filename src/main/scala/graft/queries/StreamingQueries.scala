@@ -696,6 +696,60 @@ object StreamingQueries {
         graft.operators.CurateOps.sessionize(Tables.events(s, d), SessionGapUs)
     },
 
+    // Time-decay MULTI-touch attribution (r8g): events_attribution's
+    // last-touch gives the newest click 100% of the credit; marketing
+    // mix models split it across EVERY touch in the lookback with
+    // exponential decay exp(−Δt/τ), τ = 1 day — so the channel totals
+    // answer "which channel actually assists". Ladder: Δt is exact µs,
+    // each decay weight and each normalized share is DECIMAL(18,6)-
+    // quantized before its exact sum (the ln/exp discipline), the
+    // normalization is one IEEE division of exact decimals. Shape: the
+    // purchase×touch pairing is a user-keyed equi join with a time-range
+    // residual (bounded per-user fan-out = purchases × touches-in-
+    // window), then purchase-sized and channel-sized aggs — never a
+    // global cartesian.
+    Q("events_attribution_decay",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |p AS (SELECT event_id AS pid, user_id, ts_us AS pt FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, ts_us AS tt FROM e
+        |      WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT p.pid, t.channel,
+        |         CAST(exp(-(CAST(p.pt - t.tt AS DOUBLE) / 86400000000.0))
+        |              AS DECIMAL(18,6)) AS w
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tt <= p.pt AND t.tt > p.pt - 604800000000),
+        |tot AS (SELECT pid, sum(w) AS sw FROM pairs GROUP BY 1),
+        |sh AS (SELECT pairs.channel,
+        |              CAST(CAST(pairs.w AS DOUBLE) / CAST(tot.sw AS DOUBLE)
+        |                   AS DECIMAL(18,6)) AS share
+        |       FROM pairs JOIN tot USING (pid))
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(share) AS DOUBLE) AS credit
+        |FROM sh GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("pt"))
+      val t = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts_us").as("tt"))
+      val pairs = p.join(t, Seq("user_id"))
+        .filter(col("tt") <= col("pt") && col("tt") > col("pt") - 604800000000L)
+        .select(col("pid"), col("channel"),
+          exp(-((col("pt") - col("tt")).cast("double") / 86400000000.0))
+            .cast("decimal(18,6)").as("w"))
+      val tot = pairs.groupBy("pid").agg(sum("w").as("sw"))
+      pairs.join(tot, "pid")
+        .select(col("channel"),
+          (col("w").cast("double") / col("sw").cast("double"))
+            .cast("decimal(18,6)").as("share"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_pairs"), sum("share").cast("double").as("credit"))
+    },
+
     Q("events_attribution",
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |           FROM events),
