@@ -1016,9 +1016,12 @@ object AggWindowQueries {
     // detector (Page 1954): accumulate deviations from the historical
     // mean, reset at zero. The textbook form s_i = max(0, s_{i-1} + dev_i)
     // is RECURSIVE, but it has a windowable closed form: s_i = p_i −
-    // min_{j≤i} p_j with p the prefix sum of deviations — a running sum
-    // and a running min over ONE type-keyed exchange (the same
-    // recursion-elimination discipline as the hysteresis LOCF). Exactness:
+    // min(0, min_{j≤i} p_j) with p the prefix sum of deviations (the
+    // min(0,·) floor is the recursion's implicit p_0 — property-pinned
+    // == the recursion in CuratePropSpec, which caught its omission) — a
+    // running sum and a running min over ONE type-keyed exchange (the
+    // same recursion-elimination discipline as the hysteresis LOCF).
+    // Exactness:
     // hourly sums and the per-type mean are DECIMAL-exact; dev multiplies
     // by n_hours (cross-multiplied — no division), so p and the running
     // min are exact integers-in-decimal and cusum is their exact
@@ -1027,11 +1030,13 @@ object AggWindowQueries {
       """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
         |                  CAST(value AS DECIMAL(18,6)) AS v
         |           FROM events),
-        |h AS (SELECT event_type, hr, sum(v) AS x FROM e GROUP BY 1, 2),
-        |m AS (SELECT event_type, sum(x) AS total, count(*) AS n_hours
+        |h AS (SELECT event_type, hr, CAST(sum(v) AS DECIMAL(18,6)) AS x
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(x) AS DECIMAL(18,6)) AS total,
+        |             CAST(count(*) AS DECIMAL(10,0)) AS n_hours
         |      FROM h GROUP BY 1),
         |d AS (SELECT h.event_type, h.hr,
-        |             h.x * m.n_hours - m.total AS dev_scaled
+        |             CAST(h.x * m.n_hours - m.total AS DECIMAL(30,6)) AS dev_scaled
         |      FROM h JOIN m USING (event_type)),
         |p AS (SELECT event_type, hr,
         |        sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY hr
@@ -1042,23 +1047,38 @@ object AggWindowQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
         |      FROM p)
         |SELECT event_type, CAST(hr AS BIGINT) AS hr,
-        |       CAST(pfx - runmin AS DOUBLE) AS cusum_scaled
+        |       CAST(pfx - (CASE WHEN runmin < 0 THEN runmin
+        |                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        |         AS cusum_scaled
         |FROM r""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("event_type").orderBy("hr")
         .rowsBetween(Long.MinValue, 0)
       val h = Tables.events(s, d)
         .select(col("event_type"), expr("ts_us div 3600000000").as("hr"),
           col("value").cast("decimal(18,6)").as("v"))
-        .groupBy("event_type", "hr").agg(sum("v").as("x"))
+        .groupBy("event_type", "hr")
+        .agg(sum("v").cast("decimal(18,6)").as("x"))
       val m = h.groupBy("event_type")
-        .agg(sum("x").as("total"), count(lit(1)).as("n_hours"))
+        .agg(sum("x").cast("decimal(18,6)").as("total"),
+          count(lit(1)).cast("decimal(10,0)").as("n_hours"))
+      // operand widths bounded so the product stays DECIMAL in BOTH
+      // engines (DuckDB silently promotes overflow-width decimal
+      // products to DOUBLE — the float-crumb class the gate caught)
       h.join(broadcast(m), "event_type")
         .select(col("event_type"), col("hr"),
-          (col("x") * col("n_hours") - col("total")).as("dev_scaled"))
+          (col("x") * col("n_hours") - col("total"))
+            .cast("decimal(30,6)").as("dev_scaled"))
         .withColumn("pfx", sum("dev_scaled").over(w))
         .withColumn("runmin", min(col("pfx")).over(w))
         .select(col("event_type"), col("hr"),
-          (col("pfx") - col("runmin")).cast("double").as("cusum_scaled"))
+          // CASE (not least()): the recursion's implicit p_0 = 0 floor —
+          // without it an all-positive prefix run would be zeroed against
+          // its own first element; and DuckDB's least() over decimals
+          // returns DOUBLE (float crumbs the gate caught), the CASE stays
+          // exact decimal in both engines
+          (col("pfx") - when(col("runmin") < 0, col("runmin"))
+            .otherwise(lit(0).cast("decimal(38,6)")))
+            .cast("double").as("cusum_scaled"))
     },
 
     // Mutual information (r8g) — quality_chi2's information-theoretic

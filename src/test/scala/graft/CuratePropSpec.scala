@@ -281,4 +281,48 @@ class CuratePropSpec extends SparkTestBase {
       if (rows.forall(_._2 >= 0)) assert(got == want, s"case $i bw=$bandWidth (div)")
     }
   }
+
+  // ---- recursion-elimination identities --------------------------------
+
+  private val seriesGen: Gen[Seq[Long]] = for {
+    n <- Gen.chooseNum(1, 40)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+  } yield xs
+
+  test("CUSUM closed form: prefix-sum minus floored running-min == Page's recursion") {
+    // window_cusum's load-bearing identity: s_i = max(0, s_{i-1} + dev_i)
+    // == p_i - min(0, min_{j<=i} p_j) with p the prefix sum — the min(0,·)
+    // floor is the recursion's implicit p_0 = 0 (this very test caught
+    // its omission in the first cut of the query). Random integer
+    // deviation series, including all-negative and all-positive runs.
+    for ((devs, i) <- samples(seriesGen, 12, 99L).zipWithIndex) {
+      val prefix = devs.scanLeft(0L)(_ + _).tail
+      val runmin = prefix.scanLeft(Long.MaxValue)(math.min).tail
+      val closed = prefix.zip(runmin).map { case (p, m) => p - math.min(m, 0L) }
+      val recursive = devs.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      assert(closed == recursive,
+        s"case $i: closed=${closed.take(6)} rec=${recursive.take(6)} devs=${devs.take(6)}")
+    }
+  }
+
+  test("hysteresis LOCF state == the sequential Schmitt-trigger fold") {
+    val valGen: Gen[Seq[Double]] = for {
+      n <- Gen.chooseNum(1, 50)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 100).map(_.toDouble))
+    } yield xs
+    for ((vals, i) <- samples(valGen, 10, 123L).zipWithIndex) {
+      // sequential reference
+      var lvl = 0
+      val want = vals.map { v =>
+        lvl = if (v > 90) 1 else if (v < 70) 0 else lvl
+        lvl
+      }
+      // the LOCF formulation the batch query uses
+      val crossings = vals.map(v =>
+        if (v > 90) Some(1) else if (v < 70) Some(0) else None)
+      var last = 0
+      val locf = crossings.map { c => last = c.getOrElse(last); last }
+      assert(locf == want, s"case $i: vals=${vals.take(8)}")
+    }
+  }
 }
