@@ -184,6 +184,68 @@ object AggWindowQueries {
           .as("excess_kurtosis"))
     },
 
+    // Jarque–Bera normality gate (r8h) — composes the skew and kurtosis
+    // moment ladders into the one-number test JB = n/6·(S² + K²/4) (K =
+    // excess kurtosis) with the χ²₍₂₎ 95% cut at 5.991: the automated
+    // "is this metric column still bell-shaped?" check that turns the
+    // shape-monitor family into a pass/fail quality gate. Same
+    // DECIMAL-exact power sums as agg_skewness/agg_kurtosis (one
+    // map-side-combinable agg streams S1..S4 in a single pass); S and K
+    // are IEEE formulas written token-identically in both engines, JB is
+    // one more identical formula on top — bit-stable, no tolerance.
+    Q("quality_jarque_bera",
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |         CAST(sum(CAST((value * value) * (value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |         (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (((s1 / n) * (s1 / n)) * (s1 / n)))
+        |           / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |           AS sk,
+        |         (s4 / n - 4 * (s1 / n) * (s3 / n)
+        |            + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+        |            - 3 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))))
+        |           / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |           - 3 AS ek
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+        |       round(sk, 5) AS skew_value,
+        |       round(ek, 5) AS excess_kurtosis,
+        |       round(n / 6 * (sk * sk + (ek * ek) / 4), 4) AS jb_stat,
+        |       CAST(CASE WHEN n / 6 * (sk * sk + (ek * ek) / 4) < 5.991
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_normal
+        |FROM d""".stripMargin) { (s, d) =>
+      def m(c: org.apache.spark.sql.Column, p: Int) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(p, 6))).cast("double")
+      val v = col("value")
+      val st = Tables.cachedTable(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          m(v, 27).as("s1"), m(v * v, 38).as("s2"),
+          m((v * v) * v, 38).as("s3"), m((v * v) * (v * v), 38).as("s4"))
+      val n = col("n")
+      val mu = col("s1") / n
+      val e2 = col("s2") / n
+      val e3 = col("s3") / n
+      val e4 = col("s4") / n
+      val sk = (e3 - lit(3) * mu * e2 + lit(2) * ((mu * mu) * mu)) /
+        (sqrt(e2 - mu * mu) * (e2 - mu * mu))
+      val ek = (e4 - lit(4) * mu * e3 + lit(6) * (mu * mu) * e2 -
+        lit(3) * ((mu * mu) * (mu * mu))) /
+        ((e2 - mu * mu) * (e2 - mu * mu)) - lit(3)
+      val jb = n / lit(6) * (sk * sk + (ek * ek) / lit(4))
+      st.select(col("event_type"), n.cast("long").as("n_rows"),
+        round(sk, 5).as("skew_value"),
+        round(ek, 5).as("excess_kurtosis"),
+        round(jb, 4).as("jb_stat"),
+        when(jb < 5.991, 1L).otherwise(0L).as("is_normal"))
+    },
+
     // Population Stability Index (r8g) — the model-monitoring drift score
     // diff_drift's share_delta report deliberately omitted: PSI =
     // Σ (p−q)·ln(p/q) over the same 10 fixed price buckets, with +1

@@ -1659,6 +1659,38 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n_vecs"))
     },
 
+    // Weakly-connected components over the kNN graph (r8h): every vector
+    // labeled with the min vec_id reachable through (undirected) kNN
+    // edges — the cluster-extraction step that turns the similarity graph
+    // into curation units (sample per component, cap per component, route
+    // components to annotators). Composed per the FunnelQueries rule: the
+    // Spark side consumes the SAME cached knn3 edge set sim_knn_graph
+    // declares; the oracle embeds KnnOracleSql and closes it with a
+    // recursive min-label reachability CTE — graph and labels can never
+    // drift. Scale shape is GraphOps.connectedComponents' contract:
+    // pointer-jumping halves label depth per round (log₂ diameter
+    // rounds), the edge set is partitioned ONCE on the join key, each
+    // round ships only (id, label) pairs, and lazy localCheckpoint keeps
+    // the plan flat — the dedup_clusters discipline on a different graph.
+    // The oracle's quadratic transitive closure is exactly the naive form
+    // the operator exists to avoid; at 500 vertices it is the cheap
+    // losslessness witness.
+    Q("graph_wcc",
+      s"""WITH RECURSIVE g AS ($KnnOracleSql),
+         |ge AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+         |reach(v, u) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.v, ge.dst FROM reach JOIN ge ON ge.src = reach.u)
+         |SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS component
+         |FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+      val verts = Tables.cachedTable(s, d, "embeddings")
+        .select(col("vec_id").as("id"))
+      val edges = knn3(s, d).select(col("src"), col("dst"))
+      graft.operators.GraphOps.connectedComponents(verts, edges)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("component"))
+    },
+
     Q("embed_drift",
       """WITH pos AS (
         |  SELECT vec_id, label, g.p AS p, embedding[g.p]::DOUBLE AS x

@@ -739,6 +739,118 @@ object SignalQueries {
           expr("(ts_us div 3600000000) % 24").as("hod"))
         .groupBy("dow", "hod")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Inter-arrival-time profile (r8h): per-user event-gap distribution +
+    // Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ [−1, 1] — the behavioral
+    // fingerprint that separates humans (bursty, B → 1) from schedulers
+    // and replay bots (periodic, B → −1); the natural companion feature to
+    // events_bot_score. Determinism: gaps are exact µs bigints off the
+    // lag window (ties broken on event_id); power sums ride the DECIMAL
+    // ladder (gap² as DECIMAL(19,0)×DECIMAL(19,0) — int128 lane in
+    // DuckDB, exact at 38 digits in both engines);
+    // μ, σ, B are identical IEEE formulas on the exact-sum doubles, each
+    // rounded on output. 100 TB shape: ONE user-keyed exchange feeds both
+    // the lag window and the per-user agg (same partitioning, no second
+    // shuffle); per-user window partitions are bounded by per-user event
+    // counts, never corpus-sized.
+    Q("events_interarrival",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id,
+        |             t - lag(t) OVER (PARTITION BY user_id
+        |                              ORDER BY t, event_id) AS gap
+        |      FROM o),
+        |s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(gap AS DECIMAL(27,0))) AS DOUBLE) AS s1,
+        |             CAST(sum(CAST(gap AS DECIMAL(19,0))
+        |                      * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS s2
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |       round(s1 / n, 2) AS mean_gap_us,
+        |       round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 2) AS std_gap_us,
+        |       round((sqrt(s2 / n - (s1 / n) * (s1 / n)) - s1 / n)
+        |             / (sqrt(s2 / n - (s1 / n) * (s1 / n)) + s1 / n), 5)
+        |         AS burstiness
+        |FROM s""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap").isNotNull)
+      val st = g.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("gap").cast("decimal(27,0)")).cast("double").as("s1"),
+          sum(col("gap").cast("decimal(19,0)")
+            * col("gap").cast("decimal(19,0)")).cast("double").as("s2"))
+        .filter(col("n") >= 5)
+      val mu = col("s1") / col("n")
+      val sd = sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+      st.select(col("user_id"), col("n").cast("long").as("n_gaps"),
+        round(mu, 2).as("mean_gap_us"),
+        round(sd, 2).as("std_gap_us"),
+        round((sd - mu) / (sd + mu), 5).as("burstiness"))
+    },
+
+    // Heaps'-law vocabulary growth (r8h): |vocab(n)| sampled at 10
+    // ingest-order checkpoints + the log-log OLS exponent β (V ≈ K·n^β) —
+    // the corpus-health curve that says whether more data still buys new
+    // vocabulary (β holding ~0.5) or the crawl has saturated / started
+    // re-ingesting itself (β → 0, the macro-scale dedup smell). Ingest
+    // order is the dense doc_id (+1), so NO global ordering window exists
+    // anywhere; a token's first-occurrence rank is a plain min over the
+    // shared (doc, token) tf frame. vocab(ckpt) counts first-ranks ≤ each
+    // checkpoint via a 10-row broadcast theta-join — vocab-sized work, and
+    // vocabulary ≪ corpus at any scale. β rides the text_zipf ladder: ln
+    // quantized to DECIMAL(18,6) per checkpoint BEFORE the exact-decimal
+    // OLS sums, one identical IEEE slope formula both engines.
+    Q("text_heaps",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |o AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |f AS (SELECT tok, min(doc_id) + 1 AS fr FROM o GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |cp AS (SELECT k, CAST(k * nd.nd // 10 AS BIGINT) AS ckpt
+        |       FROM (SELECT unnest(generate_series(1, 10)) AS k), nd),
+        |v AS (SELECT cp.k, cp.ckpt, CAST(count(*) AS BIGINT) AS vocab
+        |      FROM cp JOIN f ON f.fr <= cp.ckpt GROUP BY 1, 2),
+        |x AS (SELECT k, ckpt, vocab,
+        |             CAST(ln(ckpt) AS DECIMAL(18,6)) AS lx,
+        |             CAST(ln(vocab) AS DECIMAL(18,6)) AS ly
+        |      FROM v),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+        |             CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |             CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |      FROM x)
+        |SELECT CAST(x.k AS BIGINT) AS k, x.ckpt AS docs_seen,
+        |       x.vocab AS vocab_size,
+        |       round((m.n * m.sxy - m.sx * m.sy)
+        |             / (m.n * m.sxx - m.sx * m.sx), 5) AS heaps_beta
+        |FROM x, m""".stripMargin) { (s, d) =>
+      val docs = Tables.cachedTable(s, d, "documents")
+      val tf = Tables.cached(s, s"$d/tfidf-tf") {
+        docs.select(col("doc_id"),
+            explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
+      val f = tf.groupBy("tok").agg((min("doc_id") + 1).as("fr"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val cp = s.range(1, 11).toDF("k").crossJoin(broadcast(nd))
+        .select(col("k"), expr("k * nd div 10").cast("long").as("ckpt"))
+      val v = f.join(broadcast(cp), col("fr") <= col("ckpt"))
+        .groupBy("k", "ckpt").agg(count(lit(1)).cast("long").as("vocab"))
+      val x = v.select(col("k"), col("ckpt"), col("vocab"),
+        log(col("ckpt")).cast("decimal(18,6)").as("lx"),
+        log(col("vocab")).cast("decimal(18,6)").as("ly"))
+      val m = x.agg(count(lit(1)).cast("double").as("n"),
+        sum("lx").cast("double").as("sx"), sum("ly").cast("double").as("sy"),
+        sum((col("lx") * col("ly")).cast("decimal(38,12)")).cast("double").as("sxy"),
+        sum((col("lx") * col("lx")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      x.crossJoin(broadcast(m))
+        .select(col("k").cast("long").as("k"), col("ckpt").as("docs_seen"),
+          col("vocab").as("vocab_size"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 5).as("heaps_beta"))
     }
   )
 }
