@@ -199,6 +199,37 @@ object MultimodalOps {
     hash
   }
 
+  /** Dominant 4-bit/channel color bucket of a decoded image: bucket id =
+    * (r>>4)<<8 | (g>>4)<<4 | (b>>4) (12 bits, 4096 buckets — the coarse
+    * palette histogram image-curation filters key on), with ties broken to
+    * the SMALLER bucket id so the result is deterministic for any pixel
+    * ordering. Returns (bucket, count); count is the dominant bucket's
+    * pixel population.
+    */
+  def dominantColorBucket(img: java.awt.image.BufferedImage): (Int, Long) = {
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val b = ((((p >> 16) & 0xff) >> 4) << 8) |
+          ((((p >> 8) & 0xff) >> 4) << 4) | ((p & 0xff) >> 4)
+        val prev = counts.get(b)
+        counts.put(b, if (prev == null) 1L else prev + 1L)
+        x += 1
+      }
+      y += 1
+    }
+    var bestB = Int.MaxValue
+    var bestC = -1L
+    counts.forEach { (k, v) =>
+      if (v > bestC || (v == bestC && k < bestB)) { bestB = k; bestC = v }
+    }
+    (bestB, bestC)
+  }
+
   /** Perceptual hash of one media object ([[dHash]] over the real decode). */
   final case class ImageHash(id: Long, hash: Long, decoded: Boolean)
 

@@ -914,6 +914,44 @@ object AggWindowQueries {
             / count(col("value")).over(w)).as("avg3"))
     },
 
+    // Rolling 7-day median of daily event counts (r8h) — the robust
+    // smoother the moving AVERAGE family can't be: one traffic spike drags
+    // a mean for a week but leaves the median untouched, which is why
+    // ops-anomaly baselines (and anomaly_mad's global form) prefer it.
+    // Exactness: the window median is computed EXPLICITLY as the sorted
+    // frame list's middle elements — med2 = sl[(k+1) div 2] + sl[(k+2)
+    // div 2], the DOUBLED median, so even-width frames stay integer-exact
+    // and no engine's median()/averaging semantics enters the gate.
+    // 100 TB shape: the corpus collapses to a (type, day)-sized daily agg
+    // FIRST (map-side combine); the rolling window then sorts ≤7-element
+    // lists over that tiny frame — per-type partitions, never row-scale.
+    Q("window_rolling_median",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |ls AS (SELECT event_type, day, n,
+        |              list_sort(list(n) OVER (
+        |                PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sl
+        |       FROM c)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |       CAST(len(sl) AS BIGINT) AS win_n,
+        |       CAST(sl[(len(sl) + 1) // 2] + sl[(len(sl) + 2) // 2]
+        |            AS BIGINT) AS med2
+        |FROM ls""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      c.withColumn("sl", sort_array(collect_list(col("n")).over(w)))
+        .select(col("event_type"), col("day").cast("long").as("day"), col("n"),
+          size(col("sl")).cast("long").as("win_n"),
+          (element_at(col("sl"), expr("(size(sl) + 1) div 2").cast("int")) +
+            element_at(col("sl"), expr("(size(sl) + 2) div 2").cast("int")))
+            .cast("long").as("med2"))
+    },
+
     Q("window_dist",
       """SELECT o_orderkey, o_orderstatus,
         |       round(percent_rank() OVER w, 5) AS pct_rank,

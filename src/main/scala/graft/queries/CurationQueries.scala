@@ -627,6 +627,77 @@ object CurationQueries {
           .select(col("c_custkey").as("custkey"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
             coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+    },
+
+    // Deterministic Poisson bootstrap CI (r8h) — the distributed
+    // bootstrap: resampling-with-replacement is a per-row Poisson(1)
+    // weight (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    // Data Streams"), so NO replicate ever materializes — 20 replicate
+    // means of o_totalprice ride ONE pass as weighted partial sums.
+    // Determinism end to end: the weight is the inverse-CDF of a
+    // sha256-derived ppm uniform on (o_orderkey, b) — the
+    // sample_join_consistent hash lane — via integer thresholds
+    // (367879 = ⌊e⁻¹·10⁶⌋, …), weighted sums ride the DECIMAL ladder,
+    // and the 90% CI picks replicate ranks 2/19 of 20 by (mean, b) — no
+    // engine RNG, no quantile semantics in the gate. 100 TB shape: the
+    // B× explode is map-local against a broadcast 20-row frame and
+    // collapses into a 20-group partial agg (map-side combine); the only
+    // window sorts the 20-row replicate frame.
+    Q("sample_bootstrap_ci",
+      """WITH b AS (SELECT unnest(generate_series(1, 20)) AS b),
+        |r AS (SELECT o.o_orderkey, o.o_totalprice, b.b,
+        |             ('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR) || ':'
+        |                || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |      FROM orders o, b),
+        |pw AS (SELECT b, o_totalprice,
+        |             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |                  WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |                  WHEN u < 999917 THEN 6 ELSE 7 END AS w
+        |       FROM r),
+        |m AS (SELECT b, CAST(sum(w) AS DOUBLE) AS sw,
+        |             CAST(sum(CAST(w * o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s1
+        |      FROM pw GROUP BY 1),
+        |mm AS (SELECT b, s1 / sw AS mean_b,
+        |              row_number() OVER (ORDER BY s1 / sw, b) AS rk
+        |       FROM m),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS fs
+        |      FROM orders)
+        |SELECT CAST(20 AS BIGINT) AS n_replicates,
+        |       round(f.fs / f.n, 5) AS full_mean,
+        |       round((SELECT mean_b FROM mm WHERE rk = 2), 5) AS ci_lo,
+        |       round((SELECT mean_b FROM mm WHERE rk = 19), 5) AS ci_hi
+        |FROM f""".stripMargin) { (s, d) =>
+      val o = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val b = s.range(1, 21).toDF("b")
+      val pw = o.crossJoin(broadcast(b))
+        .withColumn("u", expr(
+          "CAST(conv(substr(sha2(concat(CAST(o_orderkey AS STRING), ':', " +
+            "CAST(b AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("w",
+          when(col("u") < 367879, 0).when(col("u") < 735759, 1)
+            .when(col("u") < 919699, 2).when(col("u") < 981012, 3)
+            .when(col("u") < 996340, 4).when(col("u") < 999406, 5)
+            .when(col("u") < 999917, 6).otherwise(7))
+      val m = pw.groupBy("b").agg(
+        sum("w").cast("double").as("sw"),
+        sum((col("w") * col("o_totalprice")).cast("decimal(27,6)"))
+          .cast("double").as("s1"))
+      val mm = m.select(col("b"), (col("s1") / col("sw")).as("mean_b"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("mean_b"), col("b"))))
+      val lo = mm.filter(col("rk") === 2)
+        .select(round(col("mean_b"), 5).as("ci_lo"))
+      val hi = mm.filter(col("rk") === 19)
+        .select(round(col("mean_b"), 5).as("ci_hi"))
+      o.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("o_totalprice").cast("decimal(27,6)")).cast("double").as("fs"))
+        .select(lit(20L).as("n_replicates"),
+          round(col("fs") / col("n"), 5).as("full_mean"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
     }
   )
 }

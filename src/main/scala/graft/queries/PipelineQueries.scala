@@ -1113,6 +1113,89 @@ object PipelineQueries {
         .toDF("id", "width", "height", "gray_level")
     },
 
+    // Dominant-color census over a REAL decode (r8h): each nation key
+    // yields a deterministic TWO-color PNG (left k columns color A, rest
+    // color B — both closed-form functions of the key), pushed through
+    // ImageIO and a 4-bit/channel histogram; the dominant bucket + pixel
+    // share come from what the DECODER saw. Unlike multimodal_decode's
+    // uniform-gray fixture this exercises POSITION-dependent pixels, so a
+    // decoder that transposes axes, drops columns, or mis-strides scan
+    // lines flips the hash even when the mean survives. The oracle
+    // recomputes bucket ids (channel >> 4) and the k·h vs (w−k)·h pixel
+    // race closed-form — integer-exact, ties to the smaller bucket id.
+    // 100 TB shape: row-local encode→decode→histogram behind mapPartitions
+    // (codec init once per partition), no shuffle; a corrupt payload costs
+    // one (-1) fallback row, never a task retry.
+    Q("multimodal_dominant_color",
+      """WITH ids AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |         4 + n_nationkey % 5 AS w, 3 + n_nationkey % 4 AS h,
+        |         1 + n_nationkey % (3 + n_nationkey % 5) AS k,
+        |         (n_nationkey * 37) % 256 AS ra, (n_nationkey * 59) % 256 AS ga,
+        |         (n_nationkey * 83) % 256 AS ba,
+        |         (n_nationkey * 101) % 256 AS rb, (n_nationkey * 113) % 256 AS gb,
+        |         (n_nationkey * 127) % 256 AS bb
+        |  FROM nation),
+        |b AS (
+        |  SELECT id, w, h, k,
+        |         (ra // 16) * 256 + (ga // 16) * 16 + (ba // 16) AS bka,
+        |         (rb // 16) * 256 + (gb // 16) * 16 + (bb // 16) AS bkb
+        |  FROM ids),
+        |c AS (
+        |  SELECT id, w, h,
+        |         CASE WHEN bka = bkb THEN bka
+        |              WHEN k * h > (w - k) * h THEN bka
+        |              WHEN (w - k) * h > k * h THEN bkb
+        |              ELSE least(bka, bkb) END AS bucket,
+        |         CASE WHEN bka = bkb THEN CAST(w * h AS BIGINT)
+        |              ELSE CAST(greatest(k * h, (w - k) * h) AS BIGINT)
+        |         END AS cnt
+        |  FROM b)
+        |SELECT id, CAST(bucket AS INT) AS bucket,
+        |       CAST(cnt * 1000000 // (w * h) AS BIGINT) AS share_ppm,
+        |       cnt AS n_dom_pixels
+        |FROM c""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val k = (1 + id % (w - 1)).toInt
+          val rgbA = ((id * 37) % 256).toInt << 16 |
+            ((id * 59) % 256).toInt << 8 | ((id * 83) % 256).toInt
+          val rgbB = ((id * 101) % 256).toInt << 16 |
+            ((id * 113) % 256).toInt << 8 | ((id * 127) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, if (x < k) rgbA else rgbB)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray)
+        }
+      media.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          MultimodalOps.decodeImage(m.content) match {
+            case Some(img) =>
+              val (bucket, cnt) = MultimodalOps.dominantColorBucket(img)
+              val px = img.getWidth.toLong * img.getHeight
+              (m.id, bucket, cnt * 1000000L / px, cnt)
+            case None => (m.id, -1, -1L, -1L)
+          }
+        }
+      }.toDF("id", "bucket", "share_ppm", "n_dom_pixels")
+    },
+
     Q("multimodal_phash",
       """WITH ids AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS id,
