@@ -97,6 +97,41 @@ object AggWindowQueries {
             .as("stddev_qty"))
     },
 
+    // Geometric + harmonic mean per return flag (r8h) — the mean family's
+    // missing members: the geometric mean is the right average for
+    // multiplicative quantities (growth factors, price relatives) and the
+    // harmonic for rates; both are dragged far from the arithmetic mean by
+    // skew, so the (arith, geo, harm) triple is itself a cheap shape
+    // diagnostic (AM ≥ GM ≥ HM, gaps grow with dispersion). Exactness:
+    // ln(x) and 1/x are quantized per ROW to DECIMAL (the text_entropy
+    // ladder) so the sums are exact; one exp / one division at the end
+    // (the events_attribution_decay exp-in-the-gate precedent).
+    Q("agg_geomean",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) AS sl,
+        |         CAST(sum(CAST(1.0 / l_extendedprice AS DECIMAL(18,12))) AS DOUBLE) AS si
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |       round(s1 / n, 5) AS arith_mean,
+        |       round(exp(sl / n), 5) AS geo_mean,
+        |       round(n / si, 5) AS harmonic_mean
+        |FROM s""".stripMargin) { (s, d) =>
+      val x = col("l_extendedprice")
+      val st = Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x.cast("decimal(27,6)")).cast("double").as("s1"),
+          sum(log(x).cast("decimal(18,6)")).cast("double").as("sl"),
+          sum((lit(1.0) / x).cast("decimal(18,12)")).cast("double").as("si"))
+      st.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(col("s1") / col("n"), 5).as("arith_mean"),
+        round(exp(col("sl") / col("n")), 5).as("geo_mean"),
+        round(col("n") / col("si"), 5).as("harmonic_mean"))
+    },
+
     // Exact third-moment skewness per event type — the distribution-shape
     // monitor the mean/variance family misses (a value column whose skew
     // jumps flags a new heavy tail: bot traffic, a price-unit bug). Same

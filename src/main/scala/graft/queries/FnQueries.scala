@@ -138,6 +138,35 @@ object FnQueries {
         "trim(p_name) AS trimmed")
     },
 
+    // Builtin edit-distance parity (r8h): Spark's codegen'd levenshtein
+    // against DuckDB's — ring-paired nation names (i vs i+1 mod 25) plus
+    // each name against its reverse, so the gate covers asymmetric
+    // lengths, shared prefixes, and palindromic degenerate cases. This is
+    // the fn-surface twin of dedup_edit's BoundedLevenshtein KERNEL: the
+    // kernel exists for banded early-exit at corpus scale; the builtin is
+    // what ad-hoc SQL reaches for, and both must mean the same metric.
+    // Scale: row-local string ops on a dimension table — no shuffle, no
+    // oracle subtlety; O(len²) per pair on bounded name lengths.
+    Q("fn_edit_distance",
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation),
+        |p AS (SELECT a.n_nationkey, a.n_name AS name_a, b.n_name AS name_b
+        |      FROM n a JOIN n b ON b.n_nationkey = (a.n_nationkey + 1) % 25)
+        |SELECT n_nationkey, name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist_next,
+        |       CAST(levenshtein(name_a, reverse(name_a)) AS BIGINT) AS dist_rev,
+        |       CAST(levenshtein(name_a, name_a) AS BIGINT) AS dist_self
+        |FROM p""".stripMargin) { (s, d) =>
+      val n = Tables.cachedTable(s, d, "nation").select("n_nationkey", "n_name")
+      n.as("a").join(n.as("b"),
+          col("b.n_nationkey") === (col("a.n_nationkey") + 1) % 25)
+        .select(col("a.n_nationkey").as("n_nationkey"),
+          col("a.n_name").as("name_a"), col("b.n_name").as("name_b"))
+        .selectExpr("n_nationkey", "name_a", "name_b",
+          "CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist_next",
+          "CAST(levenshtein(name_a, reverse(name_a)) AS BIGINT) AS dist_rev",
+          "CAST(levenshtein(name_a, name_a) AS BIGINT) AS dist_self")
+    },
+
     Q("fn_date",
       """SELECT o_orderkey,
         |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
