@@ -1042,4 +1042,39 @@ class PlanSpec extends SparkTestBase {
       s"the 8-row probe frame must broadcast into the corpus scan:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"), "probe fan-out went cartesian")
   }
+
+  test("events_interarrival: lag window and per-user agg ride ONE user-keyed exchange") {
+    val plan = physical(graft.queries.SignalQueries.all, "events_interarrival")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"the gap window and the power-sum agg must share one user-id " +
+        s"partitioning, got $exchanges exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "events_interarrival must not join")
+  }
+
+  test("r8h single-pass aggregates never join and shuffle at most once") {
+    for (name <- Seq("quality_jarque_bera", "agg_geomean")) {
+      val plan = physical(graft.queries.AggWindowQueries.all, name)
+      assert(!plan.contains("Join"), s"$name must be a single agg pass, no join")
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"$name shuffled $exchanges times:\n${plan.take(1200)}")
+    }
+  }
+
+  test("r8h keys never go cartesian; bootstrap/heaps broadcast their tiny frames") {
+    val all = graft.queries.AggWindowQueries.all ++ graft.queries.SignalQueries.all ++
+      graft.queries.CurationQueries.all ++ graft.queries.FnQueries.all
+    for (name <- Seq("window_rolling_median", "sample_bootstrap_ci",
+        "text_heaps", "fn_edit_distance")) {
+      val plan = physical(all, name)
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
+    }
+    // the 20-row replicate frame and the 10-checkpoint frame are the ONLY
+    // nested-loop participants — both deliberate broadcast theta/cross
+    // shapes; the corpus side must never be the build side of either.
+    val boot = physical(graft.queries.CurationQueries.all, "sample_bootstrap_ci")
+    assert(boot.contains("BroadcastExchange"),
+      s"bootstrap must broadcast the replicate frame:\n${boot.take(1200)}")
+  }
 }
