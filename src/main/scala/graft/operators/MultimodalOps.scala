@@ -20,6 +20,14 @@ final case class MediaFrame(id: Long, frameIdx: Int, nBytes: Int, fingerprint: L
 final case class ImageFeature(
     id: Long, width: Int, height: Int, decoded: Boolean, feature: Array[Float])
 
+/** Decoded raw-PCM16 audio features for one media object — all exact
+  * integers so downstream ratios are single IEEE divisions: sample count,
+  * peak |amplitude|, Σ amplitude² (the energy numerator), zero-sample count
+  * (the silence numerator).
+  */
+final case class PcmFeature(
+    id: Long, nSamples: Long, peakAbs: Long, sumSq: Long, nZero: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
@@ -27,9 +35,11 @@ final case class ImageFeature(
   * [[extractImageFeatures]] / [[thumbnail]] run `javax.imageio` (ships in
   * the JDK — PNG/JPEG/BMP/GIF codecs) inside the per-partition batch, with
   * the deterministic [[fakeDecode]] stub as the fallback for payloads that
-  * are not decodable images. Audio/video codecs are NOT available in this
-  * environment, so those families keep the stub. Everything around the
-  * codec is the real production shape and is pinned by MultimodalSpec:
+  * are not decodable images. The AUDIO decode layer is real for raw PCM16
+  * ([[pcmFeatures]] — headerless WAV-data-chunk layout needs no codec);
+  * compressed audio/video codecs are NOT available in this environment, so
+  * those families keep the stub. Everything around the codec is the real
+  * production shape and is pinned by MultimodalSpec:
   *   - schema: (id, mime, content binary) in / typed case-class out, so
   *     Parquet round-trips and Catalyst prunes metadata without touching
   *     payloads;
@@ -252,6 +262,56 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Little-endian PCM16 encode — the inverse of [[pcmFeatures]]'s parse,
+    * used to synthesize genuine audio payloads in fixtures and gates.
+    */
+  def pcm16Bytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL raw-audio decode: parse the payload as little-endian PCM16 (the
+    * WAV data-chunk layout — headerless here; raw PCM needs no codec, so
+    * unlike compressed audio this path is genuine byte-level decoding, not
+    * a stub) and fold exact integer features in one pass. A trailing odd
+    * byte is ignored (truncated payloads cost the lost sample, not the
+    * row).
+    */
+  def pcmFeatures(id: Long, content: Array[Byte]): PcmFeature = {
+    val n = content.length / 2
+    var peak = 0L
+    var sumSq = 0L
+    var nZero = 0L
+    var i = 0
+    while (i < n) {
+      // little-endian int16: low byte unsigned, high byte signed
+      val s = ((content(2 * i) & 0xff) | (content(2 * i + 1) << 8)).toShort.toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s * s
+      if (s == 0L) nZero += 1L
+      i += 1
+    }
+    PcmFeature(id, n.toLong, peak, sumSq, nZero)
+  }
+
+  /** Per-partition batch PCM feature extraction — same row-local,
+    * payloads-never-shuffle contract as [[extractImageFeatures]]; the
+    * decoder is real (raw PCM16 parse), so this is the audio analog of the
+    * ImageIO path, not the fakeDecode stub.
+    */
+  def extractPcmFeatures(media: Dataset[MediaRecord]): Dataset[PcmFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => pcmFeatures(m.id, m.content)))
   }
 
   /** Wrap a DataFrame with a binary column into the typed media Dataset. */

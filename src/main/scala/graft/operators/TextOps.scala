@@ -239,6 +239,76 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Weighted-cosine all-pairs similarity join (Bayardo, Ma & Srikant 2007,
+    * "Scaling Up All Pairs Similarity Search"; symmetric prefix filter à la
+    * PPJoin): every doc pair with tf-weighted cosine ≥ tauNum/tauDen, via a
+    * LOSSLESS norm-prefix filter — never the quadratic all-pairs join.
+    *
+    * Weights are raw term frequencies (exact BIGINTs), so dot products and
+    * squared norms are integer-exact and the τ gate is the division-free
+    * cross-multiply den²·dot² ≥ num²·‖a‖²·‖b‖² — engine-bit-equal; the
+    * reported cosine is one IEEE sqrt/multiply/divide tree over exact
+    * integers.
+    *
+    * Losslessness of the symmetric prefix: rank each doc's tokens
+    * rarest-first under ONE global total order (df asc, token) and keep the
+    * shortest head whose TAIL norm is < τ·‖x‖ (integer form:
+    * den²·headSq(i−1) ≤ (den²−num²)·n2 keeps position i). If a qualifying
+    * pair shared no token with BOTH sides' prefixes, its smallest-order
+    * shared token d* would sit in one side's tail — and every shared token
+    * ranks ≥ d*, so ALL shared weight sits in that tail: by Cauchy–Schwarz
+    * cos ≤ ‖tail‖/‖x‖ < τ. Contradiction, so candidates ⊇ truth and the
+    * exact dot verify makes output == the naive oracle.
+    *
+    * 100 TB shape: the prefix join buckets on (rare token) — rarest-first
+    * ordering keeps buckets small exactly where df is large (stopwords land
+    * in tails, never in prefixes at high τ); candidates carry ids only; the
+    * dot verify re-joins the tf postings for surviving pairs alone. Both
+    * cumulative windows (head² and n2) ride ONE doc-keyed exchange.
+    */
+  def cosinePairs(docs: DataFrame, tauNum: Int, tauDen: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum < tauDen,
+      "cosinePairs: need 0 < tauNum/tauDen < 1")
+    val num2 = tauNum.toLong * tauNum
+    val den2 = tauDen.toLong * tauDen
+    val tf = reuse(docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token")
+      .agg(count(lit(1)).cast("long").as("tf")))
+    val freq = tf.groupBy("token").agg(count(lit(1)).as("tok_df"))
+    val okey = concat(lpad(col("tok_df").cast("string"), 10, "0"), col("token"))
+    // One doc-keyed exchange: the cumulative head norm and the full norm
+    // are two frames over the same (doc)-partitioned sort.
+    val wCum = Window.partitionBy("doc").orderBy(okey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("doc")
+    val ranked = reuse(tf.join(freq, "token")
+      .withColumn("headSq", sum(col("tf") * col("tf")).over(wCum))
+      .withColumn("n2", sum(col("tf") * col("tf")).over(wAll)))
+    val prefix = ranked
+      .filter(lit(den2) * (col("headSq") - col("tf") * col("tf"))
+        <= lit(den2 - num2) * col("n2"))
+      .select(col("doc"), col("token"), col("n2"))
+    val a = prefix.select(col("doc").as("doc_a"), col("token"), col("n2").as("na2"))
+    val b = prefix.select(col("doc").as("doc_b"), col("token"), col("n2").as("nb2"))
+    val candidates = a.join(b, Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "na2", "nb2")
+      .distinct()
+    // Exact verify: re-join the tf postings for surviving pairs only.
+    val ta = tf.select(col("doc").as("doc_a"), col("token"), col("tf").as("tfa"))
+    val tb = tf.select(col("doc").as("doc_b"), col("token"), col("tf").as("tfb"))
+    candidates.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na2"), col("nb2"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .filter(lit(den2) * col("dot") * col("dot") >= lit(num2) * col("na2") * col("nb2"))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("na2"), col("nb2"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos_sim"))
+  }
+
   /** Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) >= tau — the
     * asymmetric quote/subset detector Jaccard misses (a short doc fully
     * embedded in a long one has high containment but low Jaccard, since the

@@ -1701,6 +1701,42 @@ object AggWindowQueries {
         .filter(col("n") >= thr)
     },
 
+    // Deterministic heavy hitters (r8i) — agg_countmin's sketch is
+    // probabilistic (ε·n overcount, needs a width tuned to the stream);
+    // Misra–Gries is the DETERMINISTIC summary: k=64 counters guarantee
+    // every token with frequency > N/(k+1) survives, no hash luck involved
+    // (functions/MisraGries.scala; Agarwal et al. 2012 for mergeability).
+    // Two-pass exact shape over the corpus token stream: pass 1 folds each
+    // partition into a ≤64-counter state (map-side combine — only k
+    // counters per partition shuffle, never the token stream), pass 2
+    // re-counts ONLY the ≤64 broadcast candidates and keeps those above
+    // the gate threshold n·64 > N (> N/65, so the summary provably
+    // contains them all — matching the naive oracle is the completeness
+    // claim under test). At 100 TB: the candidate set is O(k) cold bytes
+    // regardless of corpus size; the exact pass is one broadcast-filtered
+    // partial agg. Integer cross-multiply (n*64 > N) keeps the gate
+    // division-free.
+    Q("agg_heavy_hitters",
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n, n_total
+        |FROM tok, tot
+        |GROUP BY token, n_total
+        |HAVING count(*) * 64 > n_total""".stripMargin) { (s, d) =>
+      val tok = Tables.cachedTable(s, d, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      val summary = tok.agg(
+        count(lit(1)).cast("long").as("n_total"),
+        graft.functions.MisraGries.agg(col("token"), 64).as("cands"))
+      val cand = summary.select(col("n_total"), explode(col("cands")).as("token"))
+      tok.join(broadcast(cand), "token")
+        .groupBy(col("token"), col("n_total"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") * 64 > col("n_total"))
+        .select(col("token"), col("n"), col("n_total"))
+    },
+
     // Conditional-aggregate surface (r8g): FILTER-clause counts plus the
     // boolean reducers bool_and/bool_or — the idioms every data-quality
     // rollup is written in (count_if(bad) per partition, bool_and(invariant)

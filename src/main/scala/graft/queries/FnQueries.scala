@@ -138,6 +138,41 @@ object FnQueries {
         "trim(p_name) AS trimmed")
     },
 
+    // URL-function surface (r8i): Spark's parse_url (PROTOCOL / HOST /
+    // PATH / QUERY / single-param extraction) over closed-form URLs built
+    // from customer keys — dedup_url_normalize exercises canonicalization
+    // semantics; this key pins the parser itself. DuckDB has no parse_url,
+    // so the oracle REBUILDS each component arithmetically from the same
+    // key formula — a component boundary bug (query '?' kept in the path,
+    // host case, missing-param NULL vs '') flips the hash. Row-local
+    // codegen'd string work: parsing a trillion crawl URLs is a
+    // projection, no shuffle.
+    Q("fn_url",
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |       'https' AS protocol,
+        |       'www.site' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com' AS host,
+        |       '/p/' || CAST(c_custkey % 100 AS VARCHAR) AS path,
+        |       CASE WHEN c_custkey % 5 <= 1
+        |            THEN 'ref=' || CAST(c_custkey % 7 AS VARCHAR) END AS query_str,
+        |       CASE WHEN c_custkey % 5 <= 1
+        |            THEN CAST(c_custkey % 7 AS VARCHAR) END AS ref
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("id"))
+        .withColumn("url", concat(
+          lit("https://www.site"), (col("id") % 50).cast("string"),
+          lit(".example.com/p/"), (col("id") % 100).cast("string"),
+          when(col("id") % 5 <= 1,
+            concat(lit("?ref="), (col("id") % 7).cast("string")))
+            .otherwise(lit(""))))
+        .select(col("id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("protocol"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query_str"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+    },
+
     // Builtin edit-distance parity (r8h): Spark's codegen'd levenshtein
     // against DuckDB's — ring-paired nation names (i vs i+1 mod 25) plus
     // each name against its reverse, so the gate covers asymmetric

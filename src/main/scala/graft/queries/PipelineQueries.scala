@@ -519,6 +519,67 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_triangles"))
     },
 
+    // Local clustering coefficient (r8i) — graph_triangles' per-LABEL census
+    // made per-NODE: coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    // Watts–Strogatz local density signal (coeff ≈ 1 → v sits in a clique
+    // of semantic near-dups; coeff ≈ 0 → v is a hub bridging unrelated
+    // docs — exactly the boilerplate-page signature an LLM-data curation
+    // pass downweights). Same cached kNN edge build; each canonical
+    // triangle (a<b<c) credits all three corners via one 3-wide explode, so
+    // tri(v) is an equi-join + explode + count — never a per-node
+    // neighborhood intersection. Determinism: deg and tri are exact
+    // BIGINTs, coeff is ONE IEEE division of integers (bit-equal across
+    // engines); deg<2 nodes emit 0.0 by definition rather than NULL.
+    Q("graph_cluster_coeff",
+      """WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |       FROM eemb a JOIN eemb b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                    ORDER BY cos_sim DESC, dst) AS rank
+        |       FROM pp),
+        |ud AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM rr WHERE rank <= 3),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT u AS node FROM ud UNION ALL SELECT v FROM ud)
+        |        GROUP BY 1),
+        |tr AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |       FROM ud ab JOIN ud bc ON ab.v = bc.u
+        |                  JOIN ud ac ON ac.u = ab.u AND ac.v = bc.v),
+        |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |        FROM (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+        |              UNION ALL SELECT c FROM tr)
+        |        GROUP BY 1)
+        |SELECT deg.node AS vec_id, deg,
+        |       coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+        |       CASE WHEN deg >= 2
+        |            THEN CAST(2 * coalesce(n_tri, 0) AS DOUBLE) / (deg * (deg - 1))
+        |            ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node""".stripMargin) {
+      (s, d) =>
+        val ud = knn3(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        val deg = ud.select(col("u").as("node"))
+          .unionAll(ud.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+        val ab = ud.select(col("u").as("a"), col("v").as("b"))
+        val bc = ud.select(col("u").as("b"), col("v").as("c"))
+        val ac = ud.select(col("u").as("a"), col("v").as("c"))
+        val tpn = ab.join(bc, "b").join(ac, Seq("a", "c"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).cast("long").as("n_tri"))
+        deg.join(tpn, Seq("node"), "left")
+          .select(col("node").as("vec_id"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            when(col("deg") >= 2,
+              (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+                (col("deg") * (col("deg") - 1)))
+              .otherwise(lit(0.0)).as("clustering_coeff"))
+    },
+
     Q("graph_label_prop",
       LpCtes +
       """
@@ -624,6 +685,34 @@ object PipelineQueries {
             when(col("bucket") < 90, "train")
               .when(col("bucket") < 95, "val")
               .otherwise("test"))
+    },
+
+    // Temporal split with embargo (r8i) — split_assign's hash split is
+    // WRONG for time-dependent data: a model must train strictly on the
+    // past and be scored strictly on the future, with an EMBARGO gap
+    // around each cutoff so rows whose effects straddle the boundary
+    // (late-arriving labels, multi-day sessions) leak into neither side —
+    // the standard leakage-safe eval protocol for event/market data
+    // (cf. combinatorial purged CV). Cutoffs are fixed dates, never
+    // quantiles: a quantile cutoff MOVES as data arrives, silently
+    // reassigning history. Pure per-row timestamp comparison — the split
+    // of a 100 TB event log is a projection, and date-partitioned layouts
+    // prune whole partitions at the scan for any single-split reader.
+    Q("split_temporal",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderdate <  TIMESTAMP '2000-01-01' THEN 'train'
+        |            WHEN o_orderdate <  TIMESTAMP '2000-02-01' THEN 'embargo'
+        |            WHEN o_orderdate <  TIMESTAMP '2001-01-01' THEN 'val'
+        |            WHEN o_orderdate <  TIMESTAMP '2001-02-01' THEN 'embargo'
+        |            ELSE 'test' END AS split
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderdate") < lit("2000-01-01").cast("timestamp"), "train")
+          .when(col("o_orderdate") < lit("2000-02-01").cast("timestamp"), "embargo")
+          .when(col("o_orderdate") < lit("2001-01-01").cast("timestamp"), "val")
+          .when(col("o_orderdate") < lit("2001-02-01").cast("timestamp"), "embargo")
+          .otherwise("test").as("split"))
     },
 
     Q("text_tokens",
@@ -1055,6 +1144,56 @@ object PipelineQueries {
         MultimodalOps.extractImageFeatures(media, grid = 1)
           .map(f => (f.id, f.width, f.height, math.round(f.feature(0) * 255f)))
           .toDF("id", "width", "height", "gray_level")
+    },
+
+    // REAL audio decode in the gate (r8i) — the audio sibling of
+    // multimodal_decode: synthesize one genuine raw-PCM16 payload per
+    // nation row (a ±amp square wave with a key-dependent silent tail —
+    // sample count, amplitude, and zero count are closed-form functions of
+    // the key), then byte-decode it back with MultimodalOps.pcmFeatures
+    // (little-endian int16 parse — raw PCM needs no codec, so unlike
+    // compressed audio this decoder is genuine, not the stub) and report
+    // what the DECODER measured. The oracle recomputes the closed form, so
+    // an endianness flip, off-by-one sample window, or sign-extension bug
+    // flips the hash. All features are exact integers (Σs², peak, zero
+    // count); silence_ratio is ONE IEEE division. 100 TB shape: row-local
+    // encode→decode behind one mapPartitions batch, payload bytes never
+    // shuffle.
+    Q("multimodal_audio_energy",
+      """WITH a AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |         CAST(160 + 32 * (n_nationkey % 5) AS BIGINT) AS n_samples,
+        |         CAST(500 + 37 * n_nationkey AS BIGINT) AS peak_abs,
+        |         CAST((160 + 32 * (n_nationkey % 5)) * (1 + n_nationkey % 4) // 8
+        |              AS BIGINT) AS n_zero
+        |  FROM nation)
+        |SELECT id, n_samples, peak_abs,
+        |       CAST((n_samples - n_zero) * peak_abs * peak_abs AS BIGINT) AS sum_sq,
+        |       n_zero,
+        |       CAST(n_zero AS DOUBLE) / n_samples AS silence_ratio
+        |FROM a""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val n = (160 + 32 * (id % 5)).toInt       // divisible by 32
+          val amp = (500 + 37 * id).toShort          // < 32767: PCM16-safe
+          val nZero = (n * (1 + id % 4) / 8).toInt   // exact: 8 | n
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n - nZero) {                    // ±amp square wave, period 8
+            samples(i) = if ((i / 4) % 2 == 0) amp else (-amp).toShort
+            i += 1
+          }                                          // tail stays 0 (silence)
+          MediaRecord(id, "audio/pcm", MultimodalOps.pcm16Bytes(samples))
+        }
+      MultimodalOps.extractPcmFeatures(media)
+        .toDF()
+        .select(col("id"), col("nSamples").as("n_samples"),
+          col("peakAbs").as("peak_abs"), col("sumSq").as("sum_sq"),
+          col("nZero").as("n_zero"),
+          (col("nZero").cast("double") / col("nSamples")).as("silence_ratio"))
     },
 
     // Real thumbnail resize in the gate (r8g): the same uniform-gray PNGs

@@ -672,6 +672,40 @@ object TextAnalysisQueries {
           .select("doc_id", "lang", "n_redacted", "clean_text")
     },
 
+    // Weighted-cosine all-pairs similarity join (r8i; Bayardo, Ma & Srikant
+    // 2007 / PPJoin symmetric prefix) — the SPARSE-vector sibling of
+    // sim_join_threshold's dense-embedding join and the weighted upgrade of
+    // dedup_near's set Jaccard: tf-weighted cosine ≥ 0.9 over the corpus.
+    // The oracle is deliberately the NAIVE all-token-pairs formulation —
+    // TextOps.cosinePairs' norm-prefix candidate generation is provably
+    // lossless (rarest-first global order; a pair missed by both prefixes
+    // has all shared weight in a tail with ‖tail‖ < τ‖x‖, Cauchy–Schwarz
+    // kills it), so matching the naive oracle is exactly the losslessness
+    // claim under test. Integer determinism ladder: tf weights → exact
+    // BIGINT dot/norms², division-free τ gate (den²·dot² ≥ num²·na²·nb²),
+    // cosine = one IEEE sqrt/mul/div tree.
+    Q("sim_join_sparse",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |               SUM(a.tf * b.tf) AS dot
+        |        FROM tf a JOIN tf b
+        |          ON a.token = b.token AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+        |       CAST(x.n2 AS BIGINT) AS na2, CAST(y.n2 AS BIGINT) AS nb2,
+        |       CAST(dot AS DOUBLE) /
+        |         (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos_sim
+        |FROM dot JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+        |WHERE 100 * dot * dot >= 81 * x.n2 * y.n2""".stripMargin) { (s, d) =>
+      TextOps.cosinePairs(
+        Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
+        tauNum = 9, tauDen = 10)
+    },
+
     Q("text_bm25",
       """WITH q(query_id, qtext) AS (VALUES
         |    (1, 'spark customer query'), (2, 'vector data'), (3, 'merge sort window')),

@@ -149,4 +149,38 @@ class MultimodalSpec extends SparkTestBase {
     // already-small image and undecodable payload pass through byte-identical
     assert(out(1).content.sameElements(small) && out(2).content.sameElements(junk))
   }
+
+  test("PCM16: encode/decode roundtrip is exact; sign, endianness, odd tail") {
+    // Known samples covering both signs, extremes, and zero.
+    val samples = Array[Short](0, 1, -1, 1000, -1000, Short.MaxValue, Short.MinValue, 0)
+    val bytes = MultimodalOps.pcm16Bytes(samples)
+    assert(bytes.length == 16)
+    // little-endian spot check: 1000 = 0x03E8 -> low byte 0xE8 first
+    assert((bytes(6) & 0xff) == 0xe8 && bytes(7) == 0x03)
+    val f = MultimodalOps.pcmFeatures(7L, bytes)
+    assert(f.id == 7L && f.nSamples == 8 && f.nZero == 2)
+    assert(f.peakAbs == 32768L, "|Short.MinValue| must not overflow to negative")
+    val expectSq = samples.map(s => s.toLong * s).sum
+    assert(f.sumSq == expectSq, s"sumSq ${f.sumSq} != $expectSq")
+    // a trailing odd byte is ignored, not crashed on
+    val odd = MultimodalOps.pcmFeatures(1L, bytes :+ 0x7f.toByte)
+    assert(odd.nSamples == 8 && odd.sumSq == expectSq)
+    // empty payload: all-zero features, no crash
+    val empty = MultimodalOps.pcmFeatures(2L, Array.emptyByteArray)
+    assert(empty.nSamples == 0 && empty.peakAbs == 0 && empty.sumSq == 0)
+  }
+
+  test("extractPcmFeatures is row-local: repartitioning never changes results") {
+    val media = MultimodalOps.toMedia(
+      (1L to 40L).map(i => (i, MultimodalOps.pcm16Bytes(
+        Array.tabulate[Short](32)(j => ((i * 7 + j * 13) % 2000 - 1000).toShort))))
+        .toDF("id", "payload"),
+      "id", "payload", "audio/pcm")
+    val one = MultimodalOps.extractPcmFeatures(media.repartition(1))
+      .collect().sortBy(_.id).toSeq
+    val many = MultimodalOps.extractPcmFeatures(media.repartition(13))
+      .collect().sortBy(_.id).toSeq
+    assert(one == many, "PCM features must be partitioning-invariant")
+    assert(one.forall(f => f.nSamples == 32))
+  }
 }

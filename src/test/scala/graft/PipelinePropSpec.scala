@@ -86,6 +86,31 @@ class PipelinePropSpec extends SparkTestBase {
     }
   }
 
+  test("norm-prefix cosine join is LOSSLESS on random corpora (== brute force)") {
+    // Same claim as the near-dup pin, for the WEIGHTED prefix filter: the
+    // tail-norm cut misses no qualifying pair at any τ, including ties on
+    // token frequency and exact-boundary cosines (integer cross-multiply on
+    // both sides, so the boundary is deterministic).
+    def tfMap(t: String): Map[String, Long] =
+      t.toLowerCase.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for ((corpus, i) <- samples(corpusGen, 8, 57L).zipWithIndex;
+         (num, den) <- Seq((1, 2), (9, 10))) {
+      val docs = corpus.toDF("doc_id", "lang", "text").select("doc_id", "text")
+      val brute = (for {
+        a <- corpus; b <- corpus if a._1 < b._1
+        ta = tfMap(a._3); tb = tfMap(b._3)
+        dot = ta.keysIterator.map(k => ta(k) * tb.getOrElse(k, 0L)).sum
+        na2 = ta.valuesIterator.map(v => v * v).sum
+        nb2 = tb.valuesIterator.map(v => v * v).sum
+        if den.toLong * den * dot * dot >= num.toLong * num * na2 * nb2 && dot > 0
+      } yield (a._1, b._1)).toSet
+      val got = TextOps.cosinePairs(docs, num, den)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute,
+        s"case $i tau=$num/$den: missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("banded simHash pair scan == all-pairs scan on random corpora") {
     for ((corpus, i) <- samples(corpusGen, 10, 31L).zipWithIndex) {
       val docs = corpus.toDF("doc_id", "lang", "text")

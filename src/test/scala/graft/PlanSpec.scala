@@ -1077,4 +1077,37 @@ class PlanSpec extends SparkTestBase {
     assert(boot.contains("BroadcastExchange"),
       s"bootstrap must broadcast the replicate frame:\n${boot.take(1200)}")
   }
+
+  test("agg_heavy_hitters: the ≤k candidate set broadcasts into the exact re-count") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "agg_heavy_hitters")
+    val (bhj, _, cart) = joinCensus(df)
+    assert(cart == 0, "agg_heavy_hitters went cartesian")
+    // pass 2 must join the token stream against the O(k) candidate frame
+    // as a broadcast — a shuffle here would reshuffle the whole corpus
+    // for a ≤64-row probe side.
+    assert(bhj >= 1, "candidate re-count join must be a broadcast hash join")
+  }
+
+  test("r8i row-local keys plan zero exchanges (split/url/audio are projections)") {
+    val all = graft.queries.PipelineQueries.all ++ graft.queries.FnQueries.all
+    for (name <- Seq("split_temporal", "fn_url", "multimodal_audio_energy")) {
+      val plan = physical(all, name)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n${plan.take(1200)}")
+      assert(!plan.contains("Join"), s"$name must not join")
+    }
+  }
+
+  test("sim_join_sparse: prefix + verify joins stay equi — never cartesian or BNLJ") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.TextAnalysisQueries.all, "sim_join_sparse"))
+    assert(cart == 0, "sim_join_sparse went cartesian")
+    assert(bnlj == 0, s"$bnlj nested-loop joins — all joins must be token/id equi")
+  }
+
+  test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
+    assert(cart == 0, "graph_cluster_coeff went cartesian")
+    assert(bnlj == 0, s"$bnlj nested-loop joins — every join must be vertex-id equi")
+  }
 }
