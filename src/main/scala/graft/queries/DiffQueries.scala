@@ -163,6 +163,35 @@ object DiffQueries {
       (s, d) => Differ.summary(left(s, d), right(s, d), keys)
     },
 
+    // Partition-level diff census (r8i) — the "WHICH partition regressed"
+    // report an incremental-pipeline operator reads before anything else:
+    // diff_summary's 4-row global census re-keyed by the table's natural
+    // partition column (order month). A bad backfill shows up as one month
+    // with exploding C/D counts while the rest stay N — at 100 TB that is
+    // the difference between re-running one partition and re-running the
+    // load. Month of COALESCE(left, right) date so inserts and deletes
+    // both land in their own partition; one partial agg OVER the diff
+    // frame (the diff's key-shuffle is the only exchange; the census
+    // reduces map-side to months×4 rows).
+    Q("diff_partition_summary",
+      s"""$Prelude
+         |SELECT CAST(date_trunc('month', COALESCE(l.o_orderdate, r.o_orderdate)) AS DATE) AS month,
+         |       CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN r.o_orderkey IS NULL THEN 'D'
+         |            WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Differ.diff(left(s, d), right(s, d), keys)
+        .groupBy(
+          date_trunc("month",
+            coalesce(col("left_o_orderdate"), col("right_o_orderdate")))
+            .cast("date").as("month"),
+          col("diff_status"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    },
+
     Q("diff_examples",
       s"""$Prelude,
          |d AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'

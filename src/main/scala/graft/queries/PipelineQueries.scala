@@ -1196,6 +1196,53 @@ object PipelineQueries {
           (col("nZero").cast("double") / col("nSamples")).as("silence_ratio"))
     },
 
+    // Video scene-cut detection (r8i) — the video sibling of the decode
+    // gates: one synthetic "video" per nation row (fixed-size frame blocks;
+    // the fill byte changes every seg-th frame at closed-form positions),
+    // frame-sampled with MultimodalOps.sampleFrames (the bounded explode),
+    // then cuts = per-video count of consecutive-frame fingerprint changes
+    // via ONE id-keyed lag window. The oracle recomputes the closed form
+    // floor((nFrames−1)/seg), so a frame-boundary off-by-one, a wrong
+    // stride, or a fingerprint collision across distinct frames flips the
+    // hash. 100 TB shape: payloads explode into (id, idx, fingerprint)
+    // rows — 16 bytes each, not frame bytes — so the shuffle to the lag
+    // window moves fingerprints, never media; a real pipeline swaps the
+    // rolling-hash fingerprint for a perceptual one (dHash per frame) with
+    // the same plan.
+    Q("multimodal_scene_cuts",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(8 + n_nationkey % 5 AS BIGINT) AS n_frames,
+        |       CAST((8 + n_nationkey % 5 - 1) // (2 + n_nationkey % 3)
+        |            AS BIGINT) AS n_cuts
+        |FROM nation""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val frameBytes = 64
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val nFrames = (8 + id % 5).toInt
+          val seg = (2 + id % 3).toInt
+          val bytes = new Array[Byte](nFrames * frameBytes)
+          var f = 0
+          while (f < nFrames) {
+            val fill = ((id * 31 + f / seg) % 251).toByte
+            java.util.Arrays.fill(bytes, f * frameBytes, (f + 1) * frameBytes, fill)
+            f += 1
+          }
+          MediaRecord(id, "video/raw", bytes)
+        }
+      val frames = MultimodalOps.sampleFrames(media, frameBytes).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("frameIdx")
+      frames
+        .withColumn("prev", lag(col("fingerprint"), 1).over(w))
+        .groupBy("id")
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          count_if(col("prev").isNotNull && col("prev") =!= col("fingerprint"))
+            .as("n_cuts"))
+    },
+
     // Real thumbnail resize in the gate (r8g): the same uniform-gray PNGs
     // as multimodal_decode, pushed through MultimodalOps.thumbnail
     // (decode → Graphics2D bilinear scale to maxSide=4, never upscale →

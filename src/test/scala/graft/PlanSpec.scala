@@ -1104,6 +1104,25 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj == 0, s"$bnlj nested-loop joins — all joins must be token/id equi")
   }
 
+  test("multimodal_scene_cuts: lag window and cut census share ONE id-keyed exchange") {
+    val plan = physical(graft.queries.PipelineQueries.all, "multimodal_scene_cuts")
+    assert(!plan.contains("Join"), "scene cuts must not join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"the lag window and the per-id census must ride one id partitioning, " +
+        s"got $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("diff_partition_summary: census is a partial agg over the diff — no cartesian") {
+    val df = queryNamed(graft.queries.DiffQueries.all, "diff_partition_summary")
+    val (_, bnlj, cart) = joinCensus(df)
+    assert(cart == 0 && bnlj == 0, "partition census must stay equi")
+    val plan = df.queryExecution.executedPlan.toString
+    // map-side reduction: the census must plan partial+final HashAggregates
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"census must reduce map-side:\n${plan.take(1200)}")
+  }
+
   test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
