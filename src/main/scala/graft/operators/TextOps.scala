@@ -267,13 +267,18 @@ object TextOps {
     * cumulative windows (head² and n2) ride ONE doc-keyed exchange.
     */
   def cosinePairs(docs: DataFrame, tauNum: Int, tauDen: Int,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  dims: Column => Column = tokens): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum < tauDen,
       "cosinePairs: need 0 < tauNum/tauDen < 1")
     val num2 = tauNum.toLong * tauNum
     val den2 = tauDen.toLong * tauDen
+    // `dims` picks the vector space (unigram tf by default; callers pass a
+    // shingled tokenizer when the unigram vocabulary is too small to
+    // discriminate — prefix filtering needs DIMENSIONALITY to prune, and a
+    // 31-word vocab makes every bucket corpus-sized no matter the order).
     val tf = reuse(docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc"), explode(dims(col(textCol))).as("token"))
       .groupBy("doc", "token")
       .agg(count(lit(1)).cast("long").as("tf")))
     val freq = tf.groupBy("token").agg(count(lit(1)).as("tok_df"))

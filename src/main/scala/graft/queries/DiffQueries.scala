@@ -163,6 +163,33 @@ object DiffQueries {
       (s, d) => Differ.summary(left(s, d), right(s, d), keys)
     },
 
+    // Schema-drift diff (r8i) — the real-world "yesterday's snapshot has a
+    // dropped column and a new one" case: the differ's value set is the
+    // COMMON non-key columns by contract (Differ.valueCols intersects), so
+    // a column present on one side only never poisons the status — the
+    // right side here drops o_orderpriority and adds an o_flag the left
+    // never had, and the diff proceeds over the surviving three value
+    // columns. Schema-level reporting is schema_diff's job; this key pins
+    // the DATA semantics under drift. Same one-shuffle full-outer plan as
+    // diff_full (pruning to common columns happens BEFORE the exchange, so
+    // the dropped/added columns never shuffle).
+    Q("diff_schema_drift",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols.filterNot(_ == "o_orderpriority"))} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${pairSelect(valueCols.filterNot(_ == "o_orderpriority"))}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val drifted = right(s, d)
+          .drop("o_orderpriority")
+          .withColumn("o_flag", lit(1))
+        Differ.diff(left(s, d), drifted, keys)
+    },
+
     // Partition-level diff census (r8i) — the "WHICH partition regressed"
     // report an incremental-pipeline operator reads before anything else:
     // diff_summary's 4-row global census re-keyed by the table's natural

@@ -34,6 +34,25 @@ object RelationalQueries {
       Tables.table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     },
 
+    // Hidden metadata-column surface (r8i): Spark's `_metadata` struct
+    // (file_name, row-level provenance) — the lineage every incremental /
+    // audit pipeline keys on ("which FILE did this row come from") without
+    // a UDF or an input_file_name() black box. The per-file census here
+    // pins that metadata projection composes with normal aggregation; the
+    // oracle states the invariant (one known file, all rows) arithmetically
+    // since DuckDB has no Spark scan metadata. At 100 TB the file_name
+    // census is the skew/compaction audit: it reads ONLY scan metadata, no
+    // data columns (ReadSchema stays empty of table fields).
+    Q("scan_file_census",
+      """SELECT 'lineitem.parquet' AS file_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .select(col("_metadata.file_name").as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+    },
+
     Q("scan_stats_collect",
       """WITH m AS (
         |  SELECT count(*) AS n,

@@ -675,18 +675,29 @@ object TextAnalysisQueries {
     // Weighted-cosine all-pairs similarity join (r8i; Bayardo, Ma & Srikant
     // 2007 / PPJoin symmetric prefix) — the SPARSE-vector sibling of
     // sim_join_threshold's dense-embedding join and the weighted upgrade of
-    // dedup_near's set Jaccard: tf-weighted cosine ≥ 0.9 over the corpus.
-    // The oracle is deliberately the NAIVE all-token-pairs formulation —
-    // TextOps.cosinePairs' norm-prefix candidate generation is provably
-    // lossless (rarest-first global order; a pair missed by both prefixes
-    // has all shared weight in a tail with ‖tail‖ < τ‖x‖, Cauchy–Schwarz
-    // kills it), so matching the naive oracle is exactly the losslessness
-    // claim under test. Integer determinism ladder: tf weights → exact
-    // BIGINT dot/norms², division-free τ gate (den²·dot² ≥ num²·na²·nb²),
-    // cosine = one IEEE sqrt/mul/div tree.
+    // dedup_near's set Jaccard: 3-gram tf-weighted cosine ≥ 0.9 over the
+    // corpus. Dims are word TRIGRAMS, not unigrams, for the same reason
+    // every dedup family here shingles: prefix filtering prunes through
+    // DIMENSIONALITY, and this corpus's 31-word unigram vocabulary makes
+    // every posting bucket corpus-sized (measured: 11.9M candidates and
+    // 19.5s at sf0.1 on unigrams vs 110K candidates on trigrams — max
+    // prefix bucket 8). The oracle is deliberately the NAIVE all-pairs
+    // formulation — TextOps.cosinePairs' norm-prefix candidate generation
+    // is provably lossless (rarest-first global order; a pair missed by
+    // both prefixes has all shared weight in a tail with ‖tail‖ < τ‖x‖,
+    // Cauchy–Schwarz kills it), so matching the naive oracle is exactly
+    // the losslessness claim under test. Integer determinism ladder: tf
+    // weights → exact BIGINT dot/norms², division-free τ gate
+    // (den²·dot² ≥ num²·na²·nb²), cosine = one IEEE sqrt/mul/div tree.
     Q("sim_join_sparse",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-        |             FROM documents),
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id,
+        |               unnest(CASE WHEN len(w) < 3 THEN []
+        |                           ELSE list_transform(
+        |                             list_zip(w[1:-3], w[2:-2], w[3:-1]),
+        |                             x -> x[1] || ' ' || x[2] || ' ' || x[3])
+        |                      END) AS token
+        |        FROM d),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
         |       FROM tok GROUP BY 1, 2),
         |n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1),
@@ -703,7 +714,8 @@ object TextAnalysisQueries {
         |WHERE 100 * dot * dot >= 81 * x.n2 * y.n2""".stripMargin) { (s, d) =>
       TextOps.cosinePairs(
         Tables.cachedTable(s, d, "documents").select("doc_id", "text"),
-        tauNum = 9, tauDen = 10)
+        tauNum = 9, tauDen = 10,
+        dims = c => TextOps.trigrams(TextOps.tokens(c)))
     },
 
     Q("text_bm25",

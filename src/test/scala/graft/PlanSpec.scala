@@ -1123,6 +1123,26 @@ class PlanSpec extends SparkTestBase {
       s"census must reduce map-side:\n${plan.take(1200)}")
   }
 
+  test("scan_file_census reads ONLY scan metadata — no table fields in ReadSchema") {
+    val plan = physical(graft.queries.RelationalQueries.all, "scan_file_census")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_"),
+      s"file census must not read data columns: $readSchema")
+  }
+
+  test("diff_schema_drift prunes one-sided columns BEFORE the join exchange") {
+    val df = queryNamed(graft.queries.DiffQueries.all, "diff_schema_drift")
+    // pin on the JOIN NODE's input schemas (cached fixtures print their
+    // one-time build plan as a leaf, which legitimately reads all columns)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == FullOuter => j
+    }
+    assert(joins.size == 1, "drifted diff must stay one full-outer join")
+    val joinInputs = joins.head.children.flatMap(_.output.map(_.name)).toSet
+    assert(!joinInputs.contains("o_orderpriority") && !joinInputs.contains("o_flag"),
+      s"one-sided columns survived past the pre-join pruning: $joinInputs")
+  }
+
   test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
