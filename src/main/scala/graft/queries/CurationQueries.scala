@@ -629,25 +629,29 @@ object CurationQueries {
             coalesce(col("n_lines"), lit(0L)).as("n_lines"))
     },
 
-    // Deterministic Poisson bootstrap CI (r8h) — the distributed
-    // bootstrap: resampling-with-replacement is a per-row Poisson(1)
-    // weight (Chamandy et al. 2012, "Estimating Uncertainty for Massive
-    // Data Streams"), so NO replicate ever materializes — 20 replicate
-    // means of o_totalprice ride ONE pass as weighted partial sums.
-    // Determinism end to end: the weight is the inverse-CDF of a
-    // sha256-derived ppm uniform on (o_orderkey, b) — the
-    // sample_join_consistent hash lane — via integer thresholds
-    // (367879 = ⌊e⁻¹·10⁶⌋, …), weighted sums ride the DECIMAL ladder,
-    // and the 90% CI picks replicate ranks 2/19 of 20 by (mean, b) — no
-    // engine RNG, no quantile semantics in the gate. 100 TB shape: the
-    // B× explode is map-local against a broadcast 20-row frame and
-    // collapses into a 20-group partial agg (map-side combine); the only
-    // window sorts the 20-row replicate frame.
+    // Deterministic Poisson bootstrap CI (r8h; r8i lane rewrite) — the
+    // distributed bootstrap: resampling-with-replacement is a per-row
+    // Poisson(1) weight (Chamandy et al. 2012, "Estimating Uncertainty for
+    // Massive Data Streams"), so NO replicate ever materializes — 20
+    // replicate means of o_totalprice ride ONE agg pass as 40 weighted
+    // partial sums. r8i: the original form exploded rows ×20 with one
+    // sha256 per (row, replicate) — 20 hashes/row and a B× projection were
+    // 87% of its 3.4s at sf0.1. Each sha256 carries EIGHT independent
+    // 32-bit lanes, so 3 hashes per row now feed all 20 replicates
+    // (u_b = hex lane (b−1)%8 of sha256(key||':'||⌈b/8⌉)), and the explode
+    // is gone entirely — the replicate dimension lives in the aggregate
+    // list, not the row count. Determinism unchanged: integer ppm
+    // thresholds (367879 = ⌊e⁻¹·10⁶⌋, …) invert the Poisson CDF, weighted
+    // sums ride the DECIMAL ladder, the 90% CI picks replicate ranks 2/19
+    // of 20 by (mean, b). 100 TB shape: one corpus scan, one 1-row partial
+    // agg (map-side combine of 40 accumulators); the only window sorts the
+    // 20-row replicate frame.
     Q("sample_bootstrap_ci",
       """WITH b AS (SELECT unnest(generate_series(1, 20)) AS b),
-        |r AS (SELECT o.o_orderkey, o.o_totalprice, b.b,
+        |r AS (SELECT o.o_totalprice, b.b,
         |             ('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR) || ':'
-        |                || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |                || CAST((b - 1) // 8 + 1 AS VARCHAR)),
+        |                1 + 8 * ((b - 1) % 8), 8))::BIGINT % 1000000 AS u
         |      FROM orders o, b),
         |pw AS (SELECT b, o_totalprice,
         |             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
@@ -671,33 +675,56 @@ object CurationQueries {
         |FROM f""".stripMargin) { (s, d) =>
       val o = Tables.cachedTable(s, d, "orders")
         .select("o_orderkey", "o_totalprice")
-      val b = s.range(1, 21).toDF("b")
-      val pw = o.crossJoin(broadcast(b))
-        .withColumn("u", expr(
-          "CAST(conv(substr(sha2(concat(CAST(o_orderkey AS STRING), ':', " +
-            "CAST(b AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) % 1000000"))
-        .withColumn("w",
-          when(col("u") < 367879, 0).when(col("u") < 735759, 1)
-            .when(col("u") < 919699, 2).when(col("u") < 981012, 3)
-            .when(col("u") < 996340, 4).when(col("u") < 999406, 5)
-            .when(col("u") < 999917, 6).otherwise(7))
-      val m = pw.groupBy("b").agg(
-        sum("w").cast("double").as("sw"),
-        sum((col("w") * col("o_totalprice")).cast("decimal(27,6)"))
-          .cast("double").as("s1"))
-      val mm = m.select(col("b"), (col("s1") / col("sw")).as("mean_b"))
+      // 20 per-row weights off 3 sha lanes (codegen CSE folds the three
+      // sha2 calls), then one agg pass with 40 accumulators.
+      def wCol(b: Int) = {
+        val h = (b - 1) / 8 + 1
+        val lane = (b - 1) % 8
+        val u = expr(
+          s"CAST(conv(substr(sha2(concat(CAST(o_orderkey AS STRING), ':$h'), 256), " +
+            s"${1 + 8 * lane}, 8), 16, 10) AS BIGINT) % 1000000")
+        when(u < 367879, 0).when(u < 735759, 1)
+          .when(u < 919699, 2).when(u < 981012, 3)
+          .when(u < 996340, 4).when(u < 999406, 5)
+          .when(u < 999917, 6).otherwise(7)
+      }
+      // 4 passes of 5 replicates (10 accumulators each): one 40-accumulator
+      // aggregate blows whole-stage codegen's method-size limit and falls
+      // back to interpreted eval (measured 3.1s vs 1.1s for the split at
+      // sf0.1); four codegen'd passes over the cached scan + a crossJoin of
+      // four 1-row frames is strictly cheaper. Map-side each pass still
+      // ships 10 numbers per partition.
+      val passes = (0 until 4).map { g =>
+        val bs = (1 + g * 5) to (5 + g * 5)
+        val wide = o.select(
+          col("o_totalprice") +: bs.map(b => wCol(b).as(s"w$b")): _*)
+        val aggs = bs.flatMap { b =>
+          Seq(sum(col(s"w$b")).cast("double").as(s"sw$b"),
+            sum((col(s"w$b") * col("o_totalprice")).cast("decimal(27,6)"))
+              .cast("double").as(s"s$b"))
+        }
+        wide.agg(aggs.head, aggs.tail: _*)
+      }
+      val one = passes.reduce(_ crossJoin _)
+      val mm = one.select(explode(array((1 to 20).map(b =>
+          struct(lit(b.toLong).as("b"),
+            (col(s"s$b") / col(s"sw$b")).as("mean_b"))): _*)).as("r"))
+        .select(col("r.b").as("b"), col("r.mean_b").as("mean_b"))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("mean_b"), col("b"))))
-      val lo = mm.filter(col("rk") === 2)
-        .select(round(col("mean_b"), 5).as("ci_lo"))
-      val hi = mm.filter(col("rk") === 19)
-        .select(round(col("mean_b"), 5).as("ci_hi"))
+      // ONE consumer of the replicate frame: both CI endpoints come out of
+      // a single conditional agg — a filter-per-endpoint would duplicate
+      // the whole 40-accumulator subtree into the plan twice.
+      val ci = mm.filter(col("rk") === 2 || col("rk") === 19)
+        .agg(
+          round(max(when(col("rk") === 2, col("mean_b"))), 5).as("ci_lo"),
+          round(max(when(col("rk") === 19, col("mean_b"))), 5).as("ci_hi"))
       o.agg(count(lit(1)).cast("double").as("n"),
           sum(col("o_totalprice").cast("decimal(27,6)")).cast("double").as("fs"))
         .select(lit(20L).as("n_replicates"),
           round(col("fs") / col("n"), 5).as("full_mean"))
-        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .crossJoin(broadcast(ci))
     }
   )
 }

@@ -1070,12 +1070,13 @@ class PlanSpec extends SparkTestBase {
       val plan = physical(all, name)
       assert(!plan.contains("CartesianProduct"), s"$name went cartesian")
     }
-    // the 20-row replicate frame and the 10-checkpoint frame are the ONLY
-    // nested-loop participants — both deliberate broadcast theta/cross
-    // shapes; the corpus side must never be the build side of either.
+    // only 1-row frames (the four pass results and the CI endpoints) ride
+    // nested loops — deliberate scalar-broadcast shapes; since the r8i lane
+    // rewrite the replicate dimension lives in the aggregate lists, so the
+    // corpus is never a nested-loop build side and never fans out ×B.
     val boot = physical(graft.queries.CurationQueries.all, "sample_bootstrap_ci")
     assert(boot.contains("BroadcastExchange"),
-      s"bootstrap must broadcast the replicate frame:\n${boot.take(1200)}")
+      s"bootstrap must broadcast its scalar frames:\n${boot.take(1200)}")
   }
 
   test("agg_heavy_hitters: the ≤k candidate set broadcasts into the exact re-count") {
