@@ -19,10 +19,15 @@ import org.apache.spark.sql.types.IntegerType
   * session's FunctionRegistry at runtime.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // Bounded edit-distance predicates silently upgrade to the banded
+    // kernel (plans/BoundedLevenshteinRewrite) — plain-SQL users get the
+    // affix-trimmed DP without knowing the function exists.
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -71,9 +76,15 @@ object GraftExtensions {
       })
   )
 
-  /** Runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration into an existing session (idempotent): the
+    * kernel functions plus the bounded-Levenshtein optimizer rewrite.
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRewrite
+  }
 }

@@ -37,6 +37,52 @@ class ExtensionsSpec extends SparkTestBase {
     assert(n == 1L)
   }
 
+  test("optimizer rule rewrites levenshtein(a,b) <= k onto the banded kernel, semantics intact") {
+    import spark.implicits._
+    val rows = Seq(
+      ("abc", "abd"), ("abc", "abc"), ("Customer#001", "Customer#100"),
+      ("abc", "xyzabc"), ("", ""), ("", "ab"), ("日本語x", "日本語y"),
+      (null.asInstanceOf[String], "abc"), ("abc", null.asInstanceOf[String]))
+      .toDF("a", "b")
+    // expected truth computed BEFORE the rule is active in this plan: the
+    // rule only fires on comparison patterns, so the raw distance column is
+    // never rewritten and serves as the oracle.
+    val expected = rows
+      .selectExpr("a", "b", "levenshtein(a, b) <= 2 AS le2", "levenshtein(a, b) < 2 AS lt2")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getBoolean(3))).toSet
+    GraftExtensions.register(spark)
+    val df = rows.selectExpr(
+      "a", "b", "levenshtein(a, b) <= 2 AS le2", "levenshtein(a, b) < 2 AS lt2")
+    // literal frames constant-fold away entirely, so the rewrite (which
+    // runs before folding could matter) is proven on a table-backed plan:
+    val nat = Tables.table(spark, "/root/testdata/sf0.001", "nation")
+      .selectExpr("n_name", "levenshtein(n_name, 'CANADA') <= 2 AS close")
+    val opt = nat.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bounded_levenshtein")
+        && "(?<!bounded_)levenshtein\\(".r.findFirstIn(opt).isEmpty,
+      s"predicates must rewrite onto the kernel:\n$opt")
+    // semantics: the (folded or kernel) results equal the pre-rule truth
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getBoolean(2),
+      if (r.isNullAt(3)) null else r.getBoolean(3))).toSet
+    assert(got == expected, s"semantics drifted:\nexp=$expected\ngot=$got")
+    // ...and on the table-backed kernel plan vs the raw-distance column
+    val truthVsKernel = Tables.table(spark, "/root/testdata/sf0.001", "nation")
+      .selectExpr("levenshtein(n_name, 'CANADA') AS d",
+        "levenshtein(n_name, 'CANADA') <= 2 AS close")
+      .collect()
+    assert(truthVsKernel.forall(r => (r.getInt(0) <= 2) == r.getBoolean(1)),
+      "kernel predicate disagrees with the raw distance")
+    // non-literal bound and bare values keep the built-in
+    val keep = Tables.table(spark, "/root/testdata/sf0.001", "nation")
+      .selectExpr("levenshtein(n_name, 'CANADA') AS d",
+        "levenshtein(n_name, 'CANADA') <= length(n_name) AS dyn")
+    assert(!keep.queryExecution.optimizedPlan.toString.contains("bounded_levenshtein"),
+      "value contexts / dynamic bounds must not rewrite")
+  }
+
   test("sorted_long_intersect_count == size(array_intersect) on random sorted sets") {
     GraftExtensions.register(spark)
     val rnd = new scala.util.Random(42)
