@@ -16,7 +16,6 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args.headOption.getOrElse("sim_join_threshold")
-    if (name == "--adhoc") { adhoc(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm
     if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
@@ -26,14 +25,5 @@ object Scratch {
       println(f"[scratch] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()
-  }
-
-  /** Disposable perf-experiment hook (dev-only): kept as a seam; the r8i
-    * bootstrap-variant experiments that lived here informed the 4x10-pass
-    * split in sample_bootstrap_ci and were removed after landing.
-    */
-  private def adhoc(s: SparkSession, d: String): Unit = {
-    val _ = (s, d)
-    println("[adhoc] no experiments registered")
   }
 }

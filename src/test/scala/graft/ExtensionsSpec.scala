@@ -44,14 +44,22 @@ class ExtensionsSpec extends SparkTestBase {
       ("abc", "xyzabc"), ("", ""), ("", "ab"), ("日本語x", "日本語y"),
       (null.asInstanceOf[String], "abc"), ("abc", null.asInstanceOf[String]))
       .toDF("a", "b")
-    // expected truth computed BEFORE the rule is active in this plan: the
-    // rule only fires on comparison patterns, so the raw distance column is
-    // never rewritten and serves as the oracle.
-    val expected = rows
-      .selectExpr("a", "b", "levenshtein(a, b) <= 2 AS le2", "levenshtein(a, b) < 2 AS lt2")
-      .collect().map(r => (r.getString(0), r.getString(1),
-        if (r.isNullAt(2)) null else r.getBoolean(2),
-        if (r.isNullAt(3)) null else r.getBoolean(3))).toSet
+    // INDEPENDENT truth (hand-computed distances — never derived from a
+    // Spark eval: sibling tests in this suite register the rule into the
+    // shared session, so any levenshtein-predicate eval here could already
+    // be running the kernel and a Spark-derived oracle would be vacuous).
+    val dist = Map(
+      ("abc", "abd") -> 1, ("abc", "abc") -> 0,
+      ("Customer#001", "Customer#100") -> 2, ("abc", "xyzabc") -> 3,
+      ("", "") -> 0, ("", "ab") -> 2, ("日本語x", "日本語y") -> 1)
+    val expected = Seq(
+      ("abc", "abd"), ("abc", "abc"), ("Customer#001", "Customer#100"),
+      ("abc", "xyzabc"), ("", ""), ("", "ab"), ("日本語x", "日本語y"))
+      .map { case (a, b) =>
+        (a, b, Boolean.box(dist((a, b)) <= 2), Boolean.box(dist((a, b)) < 2))
+      }.toSet[(String, String, Any, Any)] ++
+      Set[(String, String, Any, Any)](
+        (null, "abc", null, null), ("abc", null, null, null))
     GraftExtensions.register(spark)
     val df = rows.selectExpr(
       "a", "b", "levenshtein(a, b) <= 2 AS le2", "levenshtein(a, b) < 2 AS lt2")
