@@ -182,6 +182,21 @@ object Graft {
   def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame =
     TextOps.containmentPairs(docs, minContainment)
 
+  /** Weighted-cosine all-pairs similarity join with a lossless norm-prefix
+    * filter (Bayardo/PPJoin family); tau = tauNum/tauDen as exact integers.
+    * Pass a shingled `dims` tokenizer when the unigram vocabulary is small.
+    */
+  def cosinePairs(docs: DataFrame, tauNum: Int, tauDen: Int,
+                  dims: Column => Column = TextOps.tokens): DataFrame =
+    TextOps.cosinePairs(docs, tauNum, tauDen, dims = dims)
+
+  /** Misra–Gries heavy-hitter candidate set as an aggregate Column: every
+    * item with frequency > N/(k+1) is guaranteed present (deterministic,
+    * mergeable); re-count the ≤k candidates exactly for true counts.
+    */
+  def heavyHitterCandidates(key: Column, k: Int = 64): Column =
+    functions.MisraGries.agg(key, k)
+
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame =
     VectorOps.topKByCosine(emb, probeId, k)
 
