@@ -206,6 +206,91 @@ object CurateOps {
       .drop("__graft_band", "__graft_off", "__graft_rn")
   }
 
+  /** Exact per-group quantiles WITHOUT per-group value buffers — the scale
+    * replacement for `percentile()`, whose TypedImperativeAggregate
+    * collects every value of a group into one executor buffer (the OOM at
+    * a 100 TB group). Decomposition: the banded two-phase rank
+    * ([[bandedRank]]'s discipline, here group-compound: per-(group, band)
+    * local row_numbers + a broadcast band-offset grid), then for each
+    * requested quantile only the TWO order-statistic rows at ranks
+    * ⌊(n−1)q⌋+1 and ⌈(n−1)q⌉+1 are fetched (a broadcast target join) and
+    * interpolated with EXACTLY Spark `Percentile`'s IEEE tree
+    * (`v_lo·(higher−pos) + v_hi·(pos−lower)`), so results are bit-equal to
+    * the built-in — pinned against it on random tie-heavy data in
+    * CuratePropSpec and cross-engine by the quantile hash gates. NULL
+    * values are skipped like the built-in. `band` must be monotone in
+    * `valueCol`; `tieCol` makes ranks a permutation (ties in value don't
+    * affect the selected order statistics).
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, tieCol: String, band: Column,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val g = groupCols.map(col)
+    val b = df.filter(col(valueCol).isNotNull).withColumn("__g_band", band)
+    val grid = b.groupBy(g :+ col("__g_band"): _*).agg(count(lit(1)).as("__g_bc"))
+    val offW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy("__g_band").rowsBetween(Long.MinValue, -1)
+    val offs = grid.select(g ++ Seq(col("__g_band"),
+      coalesce(sum("__g_bc").over(offW), lit(0L)).as("__g_off")): _*)
+    val totals = grid.groupBy(g: _*).agg(sum("__g_bc").as("__g_n"))
+    // one target row per (group, quantile): position arithmetic in double,
+    // matching Percentile.getPercentile's tree
+    val targets = totals.select(g :+ explode(array(qs.map { case (nm, q) =>
+      val pos = (col("__g_n") - 1).cast("double") * lit(q)
+      struct(lit(nm).as("__g_q"), pos.as("__g_pos"),
+        floor(pos).as("__g_lower"), ceil(pos).as("__g_higher"))
+    }: _*)).as("__g_t"): _*)
+      .select(g ++ Seq(col("__g_t.__g_q").as("__g_q"),
+        col("__g_t.__g_pos").as("__g_pos"),
+        col("__g_t.__g_lower").as("__g_lower"),
+        col("__g_t.__g_higher").as("__g_higher")): _*)
+    // one row per (group, quantile, needed rank) so the fetch is a pure
+    // equi broadcast join on (group, rank) — no theta condition, no fanout
+    val targetRanks = targets
+      .select(g ++ Seq(col("__g_q"), col("__g_pos"), col("__g_lower"),
+        col("__g_higher"),
+        explode(array_distinct(array(col("__g_lower") + 1,
+          col("__g_higher") + 1))).as("__g_rank")): _*)
+    // histogram refinement: only the bands whose global-rank range
+    // [off+1, off+count] contains a target rank ever get ranked — the
+    // corpus-sized window shrinks to a handful of band populations per
+    // group (ranks within an untouched band are never needed)
+    val ranges = grid.join(offs, groupCols :+ "__g_band")
+    val bandTargets = targetRanks.alias("t")
+      .join(broadcast(ranges.alias("r")),
+        groupCols.map(c => col(s"t.$c") === col(s"r.$c")).reduce(_ && _) &&
+          col("t.__g_rank") > col("r.__g_off") &&
+          col("t.__g_rank") <= col("r.__g_off") + col("r.__g_bc"))
+      .select(groupCols.map(c => col(s"r.$c")) :+
+        col("r.__g_band") :+ col("r.__g_off"): _*)
+      .distinct()
+    val rnW = Window.partitionBy(g :+ col("__g_band"): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = b
+      .join(broadcast(bandTargets), groupCols :+ "__g_band")
+      .withColumn("__g_rn", row_number().over(rnW))
+      .withColumn("__g_rank", col("__g_off") + col("__g_rn"))
+      .select(g ++ Seq(col("__g_rank"),
+        col(valueCol).cast("double").as("__g_v")): _*)
+    val picked = ranked.join(broadcast(targetRanks), groupCols :+ "__g_rank")
+    val perQ = picked.groupBy(g :+ col("__g_q"): _*).agg(
+      max(when(col("__g_rank") === col("__g_lower") + 1, col("__g_v"))).as("__g_vlo"),
+      max(when(col("__g_rank") === col("__g_higher") + 1, col("__g_v"))).as("__g_vhi"),
+      first(col("__g_pos")).as("__g_pos"),
+      first(col("__g_lower")).as("__g_lower"),
+      first(col("__g_higher")).as("__g_higher"))
+      .withColumn("__g_qval",
+        when(col("__g_lower") === col("__g_higher"), col("__g_vlo"))
+          .otherwise(
+            col("__g_vlo") * (col("__g_higher") - col("__g_pos")) +
+              col("__g_vhi") * (col("__g_pos") - col("__g_lower"))))
+    val pivots = qs.map { case (nm, _) =>
+      max(when(col("__g_q") === nm, col("__g_qval"))).as(nm)
+    }
+    perQ.groupBy(g: _*).agg(pivots.head, pivots.tail: _*)
+  }
+
   def budgetSelect(rows: DataFrame, budget: Long, bandWidth: Long,
       groupCol: String = "lang", scoreCol: String = "score",
       weightCol: String = "n_tokens", tieCol: String = "doc_id"): DataFrame = {

@@ -473,15 +473,24 @@ object AggWindowQueries {
         |       quantile_cont(l_extendedprice, 0.5) AS p50,
         |       quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
-      // both use ANSI (n-1)*p linear interpolation — verified bit-identical
-      // on the corpus. (The approximate sketch path is approx_percentile;
-      // like approx_count_distinct it has no cross-engine oracle.)
-      Tables.cachedTable(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+      // Exact percentiles WITHOUT per-group value buffers (r8i): Spark's
+      // `percentile` is a TypedImperativeAggregate that collects every
+      // value of a group into one executor buffer — OOM at a 100 TB group.
+      // CurateOps.exactQuantilesByGroup instead runs the banded two-phase
+      // rank and fetches only the two order-statistic rows per quantile,
+      // interpolating with EXACTLY the built-in's IEEE tree (bit-equal,
+      // pinned in CuratePropSpec) — and DuckDB `quantile_cont` uses the
+      // same ANSI (n-1)*p interpolation, so the hash gate holds. (The
+      // approximate sketch path is approx_percentile; like
+      // approx_count_distinct it has no cross-engine oracle.)
+      graft.operators.CurateOps.exactQuantilesByGroup(
+        Tables.cachedTable(s, d, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        groupCols = Seq("l_returnflag"),
+        valueCol = "l_extendedprice",
+        tieCol = "l_orderkey",
+        band = floor(col("l_extendedprice") / 5000).cast("long"),
+        qs = Seq("p50" -> 0.5, "p90" -> 0.9))
     },
 
     // Mergeable EXACT-distinct artifacts (r8) — the bitmap-rollup pattern
@@ -579,11 +588,19 @@ object AggWindowQueries {
       val est = sample.groupBy("l_returnflag")
         .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50_est"),
           percentile(col("l_extendedprice"), lit(0.9)).as("p90_est"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_exact"))
-      exact.join(broadcast(est), "l_returnflag")
+      // exact side: banded order-statistic fetch, not a per-group value
+      // buffer (same rewrite as agg_percentile — the judge columns must
+      // also survive a 100 TB group)
+      val exactQ = graft.operators.CurateOps.exactQuantilesByGroup(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        groupCols = Seq("l_returnflag"),
+        valueCol = "l_extendedprice",
+        tieCol = "l_orderkey",
+        band = floor(col("l_extendedprice") / 5000).cast("long"),
+        qs = Seq("p50_exact" -> 0.5, "p90_exact" -> 0.9))
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      counts.join(broadcast(exactQ), "l_returnflag")
+        .join(broadcast(est), "l_returnflag")
         .select("l_returnflag", "n_rows", "p50_est", "p90_est",
           "p50_exact", "p90_exact")
     },

@@ -325,4 +325,36 @@ class CuratePropSpec extends SparkTestBase {
       assert(locf == want, s"case $i: vals=${vals.take(8)}")
     }
   }
+
+  // ---- exactQuantilesByGroup --------------------------------------------
+
+  private val quantFrameGen: Gen[Seq[(Long, String, Double)]] = for {
+    n <- Gen.chooseNum(1, 80)
+    rows <- Gen.listOfN(n, for {
+      grp <- Gen.oneOf("a", "b", "c")
+      // small value domain forces heavy ties; negatives exercise the
+      // floor-banding sign path
+      v <- Gen.chooseNum(-40, 40)
+    } yield (grp, v.toDouble))
+  } yield rows.zipWithIndex.map { case ((grp, v), i) => (i.toLong, grp, v) }
+
+  test("exactQuantilesByGroup is bit-equal to the percentile() builtin on random tie-heavy data") {
+    import org.apache.spark.sql.functions._
+    for ((rows, i) <- samples(quantFrameGen, 10, 91L).zipWithIndex;
+         bandWidth <- Seq(1, 7, 1000)) {  // 1000 => single band: degenerate OK
+      val df = rows.toDF("id", "grp", "v")
+      val got = CurateOps.exactQuantilesByGroup(df, Seq("grp"), "v", "id",
+          band = floor(col("v") / bandWidth).cast("long"),
+          qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val want = df.groupBy("grp").agg(
+          percentile(col("v"), lit(0.25)).as("p25"),
+          percentile(col("v"), lit(0.5)).as("p50"),
+          percentile(col("v"), lit(0.9)).as("p90"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == want, s"case $i bw=$bandWidth: got=$got want=$want")
+    }
+  }
 }

@@ -1144,6 +1144,19 @@ class PlanSpec extends SparkTestBase {
       s"one-sided columns survived past the pre-join pruning: $joinInputs")
   }
 
+  test("agg_percentile fetches order statistics — no value-buffering percentile aggregate") {
+    val df = queryNamed(graft.queries.AggWindowQueries.all, "agg_percentile")
+    val plan = df.queryExecution.executedPlan.toString
+    // the built-in `percentile` is a TypedImperativeAggregate that buffers
+    // every group value on one executor — the banded rewrite must keep it
+    // out of the plan entirely
+    assert(!plan.contains("percentile("),
+      s"value-buffering percentile survived the banded rewrite:\n${plan.take(1200)}")
+    assert(plan.contains("row_number"), "banded rank fetch missing")
+    val (_, _, cart) = joinCensus(df)
+    assert(cart == 0, "agg_percentile went cartesian")
+  }
+
   test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
