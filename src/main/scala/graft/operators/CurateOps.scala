@@ -259,9 +259,10 @@ object CurateOps {
     val ranges = grid.join(offs, groupCols :+ "__g_band")
     val bandTargets = targetRanks.alias("t")
       .join(broadcast(ranges.alias("r")),
-        groupCols.map(c => col(s"t.$c") === col(s"r.$c")).reduce(_ && _) &&
-          col("t.__g_rank") > col("r.__g_off") &&
-          col("t.__g_rank") <= col("r.__g_off") + col("r.__g_bc"))
+        (groupCols.map(c => col(s"t.$c") === col(s"r.$c")) :+
+          (col("t.__g_rank") > col("r.__g_off")) :+
+          (col("t.__g_rank") <= col("r.__g_off") + col("r.__g_bc")))
+          .reduce(_ && _))
       .select(groupCols.map(c => col(s"r.$c")) :+
         col("r.__g_band") :+ col("r.__g_off"): _*)
       .distinct()

@@ -376,17 +376,36 @@ object AggWindowQueries {
           count(lit(1)).cast("long").as("freq"),
           (sum(col("o_totalprice").cast(dec)) * 100).cast("long").as("monetary_cents"))
       val mx = c.agg(max("last_d").as("mxd"))
-      val sdf = c.crossJoin(broadcast(mx))
-        .select(col("o_custkey"),
-          datediff(col("mxd"), col("last_d")).cast("long").as("rec_days"),
-          col("freq"), col("monetary_cents"))
-      val th = sdf.agg(
-        expr("percentile(rec_days, 0.2)").as("r1"), expr("percentile(rec_days, 0.4)").as("r2"),
-        expr("percentile(rec_days, 0.6)").as("r3"), expr("percentile(rec_days, 0.8)").as("r4"),
-        expr("percentile(freq, 0.2)").as("f1"), expr("percentile(freq, 0.4)").as("f2"),
-        expr("percentile(freq, 0.6)").as("f3"), expr("percentile(freq, 0.8)").as("f4"),
-        expr("percentile(monetary_cents, 0.2)").as("m1"), expr("percentile(monetary_cents, 0.4)").as("m2"),
-        expr("percentile(monetary_cents, 0.6)").as("m3"), expr("percentile(monetary_cents, 0.8)").as("m4"))
+      // cached per dir: the three fence fetches and the final projection
+      // share one materialization of the customer-level frame
+      val sdf = Tables.cached(s, s"$d/rfm-sdf") {
+        c.crossJoin(broadcast(mx))
+          .select(col("o_custkey"),
+            datediff(col("mxd"), col("last_d")).cast("long").as("rec_days"),
+            col("freq"), col("monetary_cents"))
+      }
+      // quantile fences via the banded order-statistic fetch (r8i) — the
+      // builtin percentile() would buffer every customer row in one
+      // executor buffer, which does not survive a billion-customer frame.
+      // All three metrics ride ONE grouped call (metric = the group) over
+      // the unpivoted frame; the band divisor is constant per group, so
+      // banding stays monotone within each group.
+      val unp = sdf.select(col("o_custkey"), explode(array(
+          struct(lit("r").as("metric"), col("rec_days").cast("double").as("value")),
+          struct(lit("f").as("metric"), col("freq").cast("double").as("value")),
+          struct(lit("m").as("metric"),
+            col("monetary_cents").cast("double").as("value")))).as("x"))
+        .select(col("o_custkey"), col("x.metric").as("metric"),
+          col("x.value").as("value"))
+      val bandDiv = when(col("metric") === "r", 100.0)
+        .when(col("metric") === "f", 4.0).otherwise(1000000.0)
+      val fences = graft.operators.CurateOps.exactQuantilesByGroup(
+        unp, groupCols = Seq("metric"), valueCol = "value", tieCol = "o_custkey",
+        band = floor(col("value") / bandDiv).cast("long"),
+        qs = Seq("q1" -> 0.2, "q2" -> 0.4, "q3" -> 0.6, "q4" -> 0.8))
+      val fenceCols = for (m <- Seq("r", "f", "m"); i <- 1 to 4)
+        yield max(when(col("metric") === m, col(s"q$i"))).as(s"$m$i")
+      val th = fences.agg(fenceCols.head, fenceCols.tail: _*)
       def sc(v: String, lo: Boolean, t: Seq[String]) = {
         val cmps = t.map(c0 =>
           (if (lo) (col(v) < col(c0)) else (col(v) > col(c0))).cast("int"))
