@@ -350,4 +350,41 @@ class StreamBatchParitySpec extends SparkTestBase {
           s"stream=${streamRows.take(3)} batch=${batchRows.take(3)}")
     } finally q.stop()
   }
+
+  test("Misra–Gries candidates: streamed complete-mode agg ⊇ batch heavy hitters") {
+    // the MG summary is mergeable, so the same aggregate runs unchanged in
+    // a complete-mode streaming agg: per-micro-batch partial states merge
+    // into the store and the final candidate set still carries the
+    // deterministic > N/(k+1) guarantee — the streaming twin of
+    // agg_heavy_hitters' pass 1.
+    Tables.ensureConfs(spark)
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val tokens = Tables.table(spark, sfDir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val n = tokens.count()
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 65 > n)  // > N/(k+1), the guaranteed-survivor set
+      .select("token").as[String].collect().toSet
+
+    val streamDir = Files.createTempDirectory("graft_parity_mg").toString
+    Files.copy(
+      Paths.get(s"$sfDir/documents.parquet"),
+      Paths.get(s"$streamDir/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(streamDir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .agg(graft.functions.MisraGries.agg(col("token"), 64).as("cands"))
+      .writeStream.format("memory").queryName("parity_mg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val cands = spark.table("parity_mg")
+        .select(explode(col("cands"))).as[String].collect().toSet
+      assert(cands.size <= 64)
+      assert(exact.subsetOf(cands),
+        s"streamed MG summary lost guaranteed heavy hitters: ${exact -- cands}")
+    } finally q.stop()
+  }
 }
