@@ -142,6 +142,49 @@ object CurationQueries {
           .select(col("lang"), col("doc_id"), col("rank"))
     },
 
+    // Class-balanced downsample (r8i) — the label-rebalancing step
+    // sample_stratified's fixed-k form can't express: keep exactly
+    // min(class sizes) rows of EVERY class (here language), so a
+    // classifier's training mix stops being 3:1 English. The cap is
+    // data-dependent, so the plan computes it as a 1-row broadcast (never
+    // a driver collect) and selection is the deterministic sha256 hash
+    // rank (stable across re-runs/backfills — never rand()). Ranks run
+    // the banded two-phase discipline with band = the hash's OWN first
+    // hex byte (monotone in the rank order by construction): per-(lang,
+    // band) local row_numbers + broadcast per-lang band offsets — no task
+    // ever sorts a whole language.
+    Q("sample_balanced",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id)
+        |           AS rnk
+        |  FROM documents),
+        |m AS (SELECT CAST(min(c) AS BIGINT) AS cap
+        |      FROM (SELECT count(*) AS c FROM documents GROUP BY lang))
+        |SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+        |FROM h, m WHERE rnk <= cap""".stripMargin) { (s, d) =>
+      val h = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(sha2(col("doc_id").cast("string"), 256), 1, 16).as("hr"))
+        .withColumn("band", substring(col("hr"), 1, 1))
+      val grid = h.groupBy("lang", "band").agg(count(lit(1)).as("bc"))
+      val offW = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("band").rowsBetween(Long.MinValue, -1)
+      val offs = grid.select(col("lang"), col("band"),
+        coalesce(sum("bc").over(offW), lit(0L)).as("off"))
+      val cap = grid.groupBy("lang").agg(sum("bc").as("n"))
+        .agg(min("n").cast("long").as("cap"))
+      val rnW = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "band").orderBy(col("hr"), col("doc_id"))
+      h.withColumn("rn", row_number().over(rnW))
+        .join(broadcast(offs), Seq("lang", "band"))
+        .withColumn("rnk", (col("off") + col("rn")).cast("long"))
+        .crossJoin(broadcast(cap))
+        .filter(col("rnk") <= col("cap"))
+        .select(col("doc_id"), col("lang"), col("rnk"))
+    },
+
     // k-anonymity audit (r8i) — the re-identification census a privacy
     // pass runs BEFORE releasing or training on user-adjacent data
     // (Sweeney 2002): rows whose quasi-identifier combination (nation ×

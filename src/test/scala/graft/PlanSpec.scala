@@ -1157,6 +1157,18 @@ class PlanSpec extends SparkTestBase {
     assert(cart == 0, "agg_percentile went cartesian")
   }
 
+  test("sample_balanced: data-dependent cap broadcasts; rank windows stay band-partitioned") {
+    val df = queryNamed(graft.queries.CurationQueries.all, "sample_balanced")
+    val plan = df.queryExecution.executedPlan.toString
+    // the min-class-size cap must be a 1-row broadcast, never a collect
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"cap must ride a scalar broadcast:\n${plan.take(1200)}")
+    // no row_number window over a whole language: every window partitioned
+    assert(!plan.contains("No Partition Defined"), "global window leaked")
+    val (_, _, cart) = joinCensus(df)
+    assert(cart == 0, "sample_balanced went cartesian")
+  }
+
   test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
