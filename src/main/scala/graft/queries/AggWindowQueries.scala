@@ -1361,7 +1361,12 @@ object AggWindowQueries {
     // interpolated p99 of 103.2ms names a latency no request had). Both
     // families side by side per return flag; the cont leg rides the
     // pinned Spark-percentile == DuckDB-quantile_cont parity, the disc
-    // leg is set-membership exact.
+    // leg is set-membership exact. This key exists to gate the ANSI
+    // WITHIN GROUP SQL surface itself, so it deliberately keeps the
+    // builtin aggregates; the no-group-buffer path for huge groups is
+    // CurateOps.exactQuantilesByGroup (agg_percentile/agg_rfm), whose
+    // rank fetch generalizes to disc (rank = the ceil(n·q) order
+    // statistic, no interpolation).
     Q("agg_percentile_disc",
       """SELECT l_returnflag,
         |       quantile_disc(l_quantity, 0.25) AS p25_disc,

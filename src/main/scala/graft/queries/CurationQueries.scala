@@ -142,6 +142,54 @@ object CurationQueries {
           .select(col("lang"), col("doc_id"), col("rank"))
     },
 
+    // Disparate-impact audit (r8i) — the fairness sibling of the
+    // k-anonymity census: does quality_filter's gate drop one language's
+    // documents disproportionately? Per-language selection rates compared
+    // against the best-rate group under the EEOC four-fifths rule; the
+    // verdict is the division-free integer cross-multiply
+    // 5·k_g·n_best < 4·k_best·n_g (never a 0.8-boundary double compare),
+    // so the flag is engine-bit-exact. The reported rate is one IEEE
+    // division of exact counts. Plan shape: one corpus-scan partial agg to
+    // a languages-sized frame, best group via TakeOrderedAndProject
+    // (deterministic (rate desc, lang) tie-break), 1-row broadcast back —
+    // the audit costs one scan at any scale.
+    Q("quality_disparate_impact",
+      s"""WITH t AS (
+         |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |sig AS (SELECT lang, len(toks) AS n_tokens,
+         |               len(list_distinct(toks)) AS n_distinct FROM t),
+         |kk AS (SELECT lang,
+         |              CASE WHEN n_tokens < $MinTokens THEN 0
+         |                   WHEN n_distinct * $distinctDen < n_tokens * $distinctNum THEN 0
+         |                   ELSE 1 END AS keep
+         |       FROM sig),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(keep) AS BIGINT) AS k FROM kk GROUP BY 1),
+         |r AS (SELECT *, CAST(k AS DOUBLE) / n AS sel_rate FROM g),
+         |b AS (SELECT k AS kb, n AS nb FROM r ORDER BY sel_rate DESC, lang LIMIT 1)
+         |SELECT lang, n, k AS n_kept, sel_rate,
+         |       (5 * k * nb < 4 * kb * n) AS below_four_fifths
+         |FROM r, b""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val kk = Tables.cachedTable(s, d, "documents")
+        .select(col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("keep",
+          when(col("n_tokens") < MinTokens, 0L)
+            .when(col("n_distinct") * distinctDen < col("n_tokens") * distinctNum, 0L)
+            .otherwise(1L))
+      val g = kk.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"), sum("keep").cast("long").as("k"))
+      val r = g.withColumn("sel_rate", col("k").cast("double") / col("n"))
+      val b = r.orderBy(col("sel_rate").desc, col("lang")).limit(1)
+        .select(col("k").as("kb"), col("n").as("nb"))
+      r.crossJoin(broadcast(b))
+        .select(col("lang"), col("n"), col("k").as("n_kept"), col("sel_rate"),
+          (lit(5) * col("k") * col("nb") < lit(4) * col("kb") * col("n"))
+            .as("below_four_fifths"))
+    },
+
     // Class-balanced downsample (r8i) — the label-rebalancing step
     // sample_stratified's fixed-k form can't express: keep exactly
     // min(class sizes) rows of EVERY class (here language), so a
