@@ -196,27 +196,43 @@ object TextOps {
         sort_array(collect_list(struct(okey.as("k"), col("token").as("t"))))
           .as("ranked"))
       .withColumn("n", size(col("s")))
+      // prefix carries each token's 1-based position in the doc's FULL
+      // rarest-first order (the slice preserves indices), feeding the
+      // PPJoin positional filter below
       .withColumn("prefix", transform(
         slice(col("ranked"), lit(1),
           (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")),
-        x => x.getField("t")))
+        (x, i) => struct(x.getField("t").as("t"), (i + 1).as("pos"))))
       .drop("ranked"))
     // Phase 1 — NARROW candidate generation: self-join ids+lengths only on
     // (block, prefix-token) — never the token arrays: materializing pairs
-    // of ~50-string arrays costs more than every merge combined. The
-    // length filter (lossless: J >= tau implies min(n)/max(n) >= tau;
-    // epsilon guards the double quotient) prunes inside the join, and the
-    // distinct collapses pairs that collide on several prefix tokens.
+    // of ~50-string arrays costs more than every merge combined. Two
+    // lossless prunes run INSIDE the join (epsilon guards on the double
+    // forms, house style):
+    //   - length filter: J >= tau implies min(n)/max(n) >= tau;
+    //   - PPJoin positional filter (Xiao et al. 2008): a collision at
+    //     1-based rarest-first positions (i, j) caps the overlap at
+    //     1 + min(n_a - i, n_b - j), and J >= tau needs overlap >=
+    //     tau/(1+tau)·(n_a+n_b); a true pair always passes via its
+    //     FIRST shared token, so dropping failing collisions loses
+    //     nothing (pinned by the brute-force property + the naive
+    //     oracles) while cutting the exact-verify candidate volume.
+    // The distinct collapses pairs colliding on several prefix tokens.
     val slim = base.select(
-      (Seq(col(idCol), explode(col("prefix")).as("ptok"), col("n")) ++
+      (Seq(col(idCol), explode(col("prefix")).as("p"), col("n")) ++
         blockCols.map(col)): _*)
+      .select((Seq(col(idCol), col("p.t").as("ptok"), col("p.pos").as("pos"),
+        col("n")) ++ blockCols.map(col)): _*)
     val a = slim.select(slim.columns.map(c => col(c).as(s"a_$c")): _*)
     val b = slim.select(slim.columns.map(c => col(c).as(s"b_$c")): _*)
     val joinCond = (blockCols :+ "ptok")
       .map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
       col(s"a_$idCol") < col(s"b_$idCol") &&
       (least(col("a_n"), col("b_n")).cast("double") / greatest(col("a_n"), col("b_n"))
-        >= minJaccard - 1e-12)
+        >= minJaccard - 1e-12) &&
+      ((lit(1) + least(col("a_n") - col("a_pos"), col("b_n") - col("b_pos")))
+        .cast("double")
+        >= lit(minJaccard / (1 + minJaccard)) * (col("a_n") + col("b_n")) - 1e-9)
     val candidates = a.join(b, joinCond)
       .select(col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"),
         col("a_n"), col("b_n"))
