@@ -38,6 +38,12 @@ object Graft {
   def diffLarge(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     Differ.diffViaHash(left, right, keys)
 
+  /** UNKEYED multiset diff for tables with no reliable primary key:
+    * per distinct row, n_left/n_right multiplicities + N/I/D/C status.
+    */
+  def diffUnkeyed(left: DataFrame, right: DataFrame): DataFrame =
+    Differ.diffUnkeyed(left, right)
+
   def diffSummary(left: DataFrame, right: DataFrame, keys: Seq[String],
                   opts: DiffOptions = DiffOptions()): DataFrame =
     Differ.summary(left, right, keys, opts)

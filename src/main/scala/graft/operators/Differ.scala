@@ -178,6 +178,43 @@ object Differ {
       .groupBy(opts.statusCol)
       .agg(count(lit(1)).as("n"))
 
+  /** UNKEYED diff — multiset (bag) semantics for tables with no reliable
+    * primary key (the datacompy no-join-columns mode; keyed diff can't run
+    * without a key, and naive EXCEPT silently collapses duplicates): each
+    * side reduces to (distinct row → multiplicity), the two count frames
+    * full-outer join null-safely on EVERY column, and each distinct row
+    * reports n_left/n_right with a status — 'N' equal counts, 'I' right
+    * only, 'D' left only, 'C' present on both sides with different
+    * multiplicity. apply semantics: replicating each row max(n_left −
+    * n_right, 0) fewer / (n_right − n_left, 0) more times turns left into
+    * right exactly.
+    *
+    * 100 TB shape: both sides collapse to distinct-row counts FIRST
+    * (map-side combinable partial aggs — the shuffle moves one row per
+    * distinct value, not per duplicate), then one null-safe sort-merge
+    * join on the full row. Schemas must match exactly (no key to anchor a
+    * column intersection).
+    */
+  def diffUnkeyed(left: DataFrame, right: DataFrame,
+                  statusCol: String = "diff_status"): DataFrame = {
+    require(left.columns.toSeq == right.columns.toSeq,
+      s"diffUnkeyed needs identical schemas: left [${left.columns.mkString(", ")}] " +
+        s"vs right [${right.columns.mkString(", ")}]")
+    val cols = left.columns.toSeq
+    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nl"))
+    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nr"))
+    val cond = cols.map(c => lc(c) <=> rc(c)).reduce(_ && _)
+    lc.join(rc, cond, "full_outer")
+      .select(cols.map(c => coalesce(lc(c), rc(c)).as(c)) ++ Seq(
+        coalesce(col("__graft_nl"), lit(0L)).as("n_left"),
+        coalesce(col("__graft_nr"), lit(0L)).as("n_right")): _*)
+      .withColumn(statusCol,
+        when(col("n_left") === col("n_right"), "N")
+          .when(col("n_left") === 0, "I")
+          .when(col("n_right") === 0, "D")
+          .otherwise("C"))
+  }
+
   /** Rows whose key exists only in left ("deleted"). Direct anti-join — at
     * scale this never materializes the matched majority.
     */

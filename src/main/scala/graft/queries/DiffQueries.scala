@@ -163,6 +163,47 @@ object DiffQueries {
       (s, d) => Differ.summary(left(s, d), right(s, d), keys)
     },
 
+    // UNKEYED diff (r8i) — multiset semantics for tables with no reliable
+    // primary key (the datacompy no-join-columns mode; keyed diff can't
+    // run, and EXCEPT silently collapses duplicates): each side reduces
+    // to (distinct row → multiplicity) via map-side-combinable partial
+    // aggs, then ONE null-safe full-outer join on the whole row; each
+    // distinct row reports n_left/n_right and N/I/D/C by count compare.
+    // The fixture projects the diff pair onto a duplicate-rich
+    // (status, priority, price band) view so multiplicities — the whole
+    // point of bag semantics — are actually exercised (counts up to
+    // ~hundreds; the fixture's inserts and price bumps perturb them).
+    Q("diff_unkeyed",
+      s"""$Prelude,
+         |lp AS (SELECT o_orderstatus, o_orderpriority,
+         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
+         |       FROM l),
+         |rp AS (SELECT o_orderstatus, o_orderpriority,
+         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
+         |       FROM r),
+         |lc AS (SELECT o_orderstatus, o_orderpriority, price_band,
+         |              CAST(count(*) AS BIGINT) AS nl FROM lp GROUP BY 1, 2, 3),
+         |rc AS (SELECT o_orderstatus, o_orderpriority, price_band,
+         |              CAST(count(*) AS BIGINT) AS nr FROM rp GROUP BY 1, 2, 3)
+         |SELECT COALESCE(lc.o_orderstatus, rc.o_orderstatus) AS o_orderstatus,
+         |       COALESCE(lc.o_orderpriority, rc.o_orderpriority) AS o_orderpriority,
+         |       COALESCE(lc.price_band, rc.price_band) AS price_band,
+         |       COALESCE(nl, 0) AS n_left, COALESCE(nr, 0) AS n_right,
+         |       CASE WHEN COALESCE(nl, 0) = COALESCE(nr, 0) THEN 'N'
+         |            WHEN COALESCE(nl, 0) = 0 THEN 'I'
+         |            WHEN COALESCE(nr, 0) = 0 THEN 'D'
+         |            ELSE 'C' END AS diff_status
+         |FROM lc FULL OUTER JOIN rc
+         |  ON lc.o_orderstatus IS NOT DISTINCT FROM rc.o_orderstatus
+         | AND lc.o_orderpriority IS NOT DISTINCT FROM rc.o_orderpriority
+         | AND lc.price_band IS NOT DISTINCT FROM rc.price_band""".stripMargin) {
+      (s, d) =>
+        def proj(df: DataFrame) = df.select(
+          col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_band"))
+        Differ.diffUnkeyed(proj(left(s, d)), proj(right(s, d)))
+    },
+
     // Schema-drift diff (r8i) — the real-world "yesterday's snapshot has a
     // dropped column and a new one" case: the differ's value set is the
     // COMMON non-key columns by contract (Differ.valueCols intersects), so

@@ -418,4 +418,28 @@ class DifferSpec extends SparkTestBase {
         s"value #$i vs #$j must be $want (NULL / [] / [NULL] trichotomy)")
     }
   }
+
+  test("diffUnkeyed: multiset semantics — duplicates counted, nulls null-safe, schemas enforced") {
+    val l = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", 3),
+      (null.asInstanceOf[String], 9)).toDF("s", "v")
+    val r = Seq(("a", 1), ("a", 1), ("b", 2), ("d", 4),
+      (null.asInstanceOf[String], 9)).toDF("s", "v")
+    val out = Differ.diffUnkeyed(l, r).collect()
+      .map(x => (x.getAs[String]("s"), x.getAs[Int]("v")) ->
+        (x.getAs[Long]("n_left"), x.getAs[Long]("n_right"),
+          x.getAs[String]("diff_status"))).toMap
+    assert(out(("a", 1)) == ((3L, 2L, "C")), "duplicate multiplicity must diff")
+    assert(out(("b", 2)) == ((1L, 1L, "N")))
+    assert(out(("c", 3)) == ((1L, 0L, "D")))
+    assert(out(("d", 4)) == ((0L, 1L, "I")))
+    // a NULL-bearing row matches itself (null-safe join), never I+D
+    assert(out((null, 9)) == ((1L, 1L, "N")), "null rows must pair null-safely")
+    // bag identity: Σ per-row |n_left - n_right| is the edit volume; here 1C(1)+1D+1I
+    assert(out.valuesIterator.map { case (a, b, _) => math.abs(a - b) }.sum == 3)
+    // mismatched schemas fail fast with a precise message
+    val err = intercept[IllegalArgumentException] {
+      Differ.diffUnkeyed(l, r.withColumnRenamed("v", "w"))
+    }
+    assert(err.getMessage.contains("identical schemas"))
+  }
 }
