@@ -257,4 +257,35 @@ class DifferPropSpec extends SparkTestBase {
       assert(gotKeys == wantKeys)
     }
   }
+
+  test("diffUnkeyed == brute-force bag counts on random duplicate-heavy tables") {
+    // tiny domain => heavy duplicates AND null cells; NaN/-0.0 exercise the
+    // null-safe/total-order compare the whole differ family rides
+    val bagGen: Gen[Seq[(Option[String], Option[Double])]] =
+      Gen.listOf(Gen.zip(
+        Gen.option(Gen.oneOf("x", "y")),
+        Gen.option(Gen.oneOf(1.0, Double.NaN))))
+    for (((la, lb), i) <- samples(Gen.zip(bagGen, bagGen), 8, seed = 13L).zipWithIndex) {
+      val (a, b) = (la.toDF("s", "v"), lb.toDF("s", "v"))
+      // brute: normalize NaN so Scala map keys match Spark's <=> semantics
+      def key(r: (Option[String], Option[Double])) =
+        (r._1, r._2.map(d => if (d.isNaN) "NaN" else d.toString))
+      val cl = la.groupBy(key).view.mapValues(_.size.toLong).toMap
+      val cr = lb.groupBy(key).view.mapValues(_.size.toLong).toMap
+      val out = Differ.diffUnkeyed(a, b).collect().map { r =>
+        val k = (Option(r.getAs[String]("s")),
+          if (r.isNullAt(1)) None
+          else Some(if (r.getDouble(1).isNaN) "NaN" else r.getDouble(1).toString))
+        k -> (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+          r.getAs[String]("diff_status"))
+      }.toMap
+      assert(out.keySet == (cl.keySet ++ cr.keySet), s"case $i: row universe")
+      out.foreach { case (k, (nl, nr, st)) =>
+        assert(nl == cl.getOrElse(k, 0L) && nr == cr.getOrElse(k, 0L),
+          s"case $i: counts for $k")
+        val want = if (nl == nr) "N" else if (nl == 0) "I" else if (nr == 0) "D" else "C"
+        assert(st == want, s"case $i: status for $k")
+      }
+    }
+  }
 }
