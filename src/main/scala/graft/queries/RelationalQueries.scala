@@ -941,6 +941,41 @@ object RelationalQueries {
         .select(col("r_regionkey"), col("r_name"))
     },
 
+    // The JSON twin of scan_csv_malformed (r8i) — the mechanics genuinely
+    // differ: CSV corruption is arity/cast-level with the pruning
+    // restriction documented above; JSON corruption is Jackson parse-level
+    // (a truncated object, a type-mismatched field) and PERMISSIVE nulls
+    // the data columns while capturing the raw line in _corrupt_record.
+    // Same contract: clean rows hash-match the parquet region table
+    // exactly (silent drops or coercions fail the compare), corrupt rows
+    // quarantine; RelationalSpec pins exactly 2 quarantined lines.
+    Q("scan_json_malformed",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      val parsed = Tables.cached(s, s"$d/json-malformed-parsed") {
+        val rows = Tables.cachedTable(s, d, "region")
+          .select("r_regionkey", "r_name").collect()
+          .map(r => s"""{"r_regionkey": ${r.getInt(0)}, "r_name": "${r.getString(1)}"}""")
+          .sorted
+        val path = java.nio.file.Paths.get(s"$roundtripRoot/json-malformed" +
+          s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        java.nio.file.Files.createDirectories(path)
+        java.nio.file.Files.write(path.resolve("part-0.json"),
+          (rows ++ Seq(
+            """{"r_regionkey": 4, "r_name": """,            // truncated object
+            """{"r_regionkey": "notanint", "r_name": "X"}""" // type mismatch
+          )).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).json(path.toString)
+      }
+      parsed.filter(col("_corrupt_record").isNull)
+        .select(col("r_regionkey"), col("r_name"))
+    },
+
     Q("scan_json_roundtrip",
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (s, d) =>
       // JSON-lines source coverage, same lossless round-trip discipline as

@@ -32,6 +32,27 @@ class IngestSpec extends SparkTestBase {
       && corrupt.exists(_.contains("notanint")), corrupt.mkString("; "))
   }
 
+  test("scan_json_malformed quarantines exactly the truncated + type-mismatched lines") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("scan_json_malformed")(spark, d)
+    val want = Tables.cachedTable(spark, d, "region").select("r_regionkey", "r_name")
+    assert(rowsOf(out) == rowsOf(want))
+    val pid = java.lang.ProcessHandle.current().pid()
+    val path = s"/tmp/graft-roundtrip-$pid/json-malformed/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val corrupt = spark.read
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).json(path)
+      .select(col("r_regionkey"), col("r_name"), col("_corrupt_record"))
+      .filter(col("_corrupt_record").isNotNull)
+      .collect().map(_.getString(2)).sorted
+    assert(corrupt.length == 2 && corrupt.exists(_.contains("notanint"))
+      && corrupt.exists(_.endsWith("\"r_name\": ")), corrupt.mkString("; "))
+  }
+
   test("agg_unpivot is the exact inverse reshape of its wide aggregate") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("agg_unpivot")(spark, d)
