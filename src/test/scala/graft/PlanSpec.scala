@@ -1169,6 +1169,24 @@ class PlanSpec extends SparkTestBase {
     assert(cart == 0, "sample_balanced went cartesian")
   }
 
+  test("diff_unkeyed: counts collapse BEFORE the join; one full-outer, no cartesian") {
+    val df = queryNamed(graft.queries.DiffQueries.all, "diff_unkeyed")
+    val outers = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == FullOuter => j
+    }
+    assert(outers.size == 1, "bag diff must be exactly one full-outer join")
+    // both join inputs must already be count frames — the shuffle moves
+    // one row per distinct value, never one per duplicate
+    outers.head.children.foreach { side =>
+      val agg = side.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty, s"join side not pre-aggregated:\n${side.toString.take(600)}")
+    }
+    val (_, _, cart) = joinCensus(df)
+    assert(cart == 0, "diff_unkeyed went cartesian")
+  }
+
   test("graph_cluster_coeff: wedge + corner joins stay equi — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.PipelineQueries.all, "graph_cluster_coeff"))
