@@ -357,4 +357,21 @@ class CuratePropSpec extends SparkTestBase {
       assert(got == want, s"case $i bw=$bandWidth: got=$got want=$want")
     }
   }
+
+  test("exactQuantilesByGroup skips NULL values exactly like the builtin") {
+    import org.apache.spark.sql.functions._
+    val rows: Seq[(Long, String, Option[Double])] = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)),
+      (4L, "a", Some(2.0)), (5L, "a", None),
+      (6L, "b", Some(-7.0)), (7L, "b", Some(-7.0)), (8L, "b", None))
+    val df = rows.toDF("id", "grp", "v")
+    val got = CurateOps.exactQuantilesByGroup(df, Seq("grp"), "v", "id",
+        band = floor(col("v") / 2).cast("long"), qs = Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("grp").agg(percentile(col("v"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // n must count non-null values only: group a has 3 values -> p50 = 2.0
+    assert(got("a") == 2.0 && got("b") == -7.0)
+  }
 }
