@@ -109,6 +109,30 @@ class PipelinePropSpec extends SparkTestBase {
       assert(got == brute,
         s"case $i tau=$num/$den: missing=${brute -- got} extra=${got -- brute}")
     }
+    // the declared key runs TRIGRAM dims — the losslessness proof is
+    // tokenizer-agnostic, but pin one shingled round anyway
+    def triTf(t: String): Map[String, Long] = {
+      val w = t.toLowerCase.split(" ")
+      (if (w.length < 3) Array.empty[String]
+       else w.sliding(3).map(_.mkString(" ")).toArray)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    for ((corpus, i) <- samples(corpusGen, 4, 77L).zipWithIndex) {
+      val docs = corpus.toDF("doc_id", "lang", "text").select("doc_id", "text")
+      val brute = (for {
+        a <- corpus; b <- corpus if a._1 < b._1
+        ta = triTf(a._3); tb = triTf(b._3)
+        dot = ta.keysIterator.map(k => ta(k) * tb.getOrElse(k, 0L)).sum
+        na2 = ta.valuesIterator.map(v => v * v).sum
+        nb2 = tb.valuesIterator.map(v => v * v).sum
+        if 4L * dot * dot >= 1L * na2 * nb2 && dot > 0
+      } yield (a._1, b._1)).toSet
+      val got = TextOps.cosinePairs(docs, 1, 2,
+          dims = c => TextOps.trigrams(TextOps.tokens(c)))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute,
+        s"trigram case $i: missing=${brute -- got} extra=${got -- brute}")
+    }
   }
 
   test("banded simHash pair scan == all-pairs scan on random corpora") {
