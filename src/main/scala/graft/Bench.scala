@@ -31,8 +31,19 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Warmup pass also records each key's FIRST-run duration (cold_s):
+    // the r8 lesson is that without the split, a shared build (the PQ
+    // code index, the IVF assignment) evicted between warmup and timing
+    // gets charged to whichever key's timed run rebuilds it, and a
+    // driver single-run can't tell a plan regression from attribution.
+    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warmFailed = queries.flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).count(); None }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        coldTimes(name) = (System.nanoTime() - t0) / 1e9
+        None
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name FAILED: $e"); Some(name)
       }
@@ -43,6 +54,15 @@ object Bench {
     // at ~30s extra wall time over the whole run.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = queries.map { case (name, fn) =>
+      // One untimed re-touch immediately before this key's timed
+      // iterations: by the time the loop reaches key ~300, caches the
+      // warmup pass populated for it may have been LRU-evicted by the
+      // intervening 299 keys' builds; the touch re-materializes them so
+      // the timed min measures the QUERY, not cache-churn attribution
+      // (r8: sim_search_pq read 1.92s in the driver run vs 0.30s warm —
+      // same plan). The rebuild cost itself is visible in cold_s.
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () } // failure re-reported by the timed loop
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -58,8 +78,15 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // "queries" stays the warm (min-of-iters) number — the per-key plan
+    // cost. "cold" is each key's first-ever run including any shared-cache
+    // build it triggered; a key whose cold/warm ratio is large is paying a
+    // shared build, not running a slow plan.
+    val coldJson = results.map { case (k, _, _) =>
+      "\"" + k + "\":" + coldTimes.get(k).fold("null")(_.toString)
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Also write the full line to a file: the driver's stdout capture
     // prefixes sbt's "[info] " and keeps only a tail window, which left

@@ -103,6 +103,64 @@ object Differ {
     case _              => false
   }
 
+  /** Does `dt` contain a MapType anywhere? Spark's `<=>` (EqualNullSafe)
+    * rejects map-bearing types as un-comparable, so those columns need the
+    * [[mapAwareEq]] rewrite.
+    */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType          => true
+    case ArrayType(et, _)    => containsMap(et)
+    case StructType(fields)  => fields.exists(f => containsMap(f.dataType))
+    case _                   => false
+  }
+
+  /** Map entries as a key-sorted array<struct<key,value>>: the canonical,
+    * order-insensitive view of a map (two maps with the same pairs in
+    * different insertion/storage order MUST compare equal — the
+    * feature-store contract). Keys are unique and non-null by Spark's map
+    * invariants, so sorting on the key alone is a total order; the
+    * comparator never touches the (possibly map-typed, unorderable) value.
+    */
+  private def sortedEntries(c: Column): Column =
+    array_sort(map_entries(c), (a, b) =>
+      when(a.getField("key") < b.getField("key"), -1)
+        .when(a.getField("key") > b.getField("key"), 1)
+        .otherwise(0))
+
+  /** Canonical JSON rendering of a map column: key-sorted entries as
+    * `[{"key":…,"value":…},…]` — the artifact-boundary form for map-typed
+    * diff output (pandas/duckdb-sortable, order-insensitive, NULL-passing).
+    * DuckDB replays it as `to_json([{'key':…,'value':…},…])` byte-for-byte.
+    */
+  def mapCanon(c: Column): Column = to_json(sortedEntries(c))
+
+  /** Null-safe equality for map-bearing types, built recursively from
+    * comparable pieces (Spark refuses `<=>` on any type containing a map):
+    *   - map:    key-sorted entries, then compared as array<struct>
+    *   - struct: per-field recursion + matching null flags
+    *   - array:  equal sizes + element-wise recursion (zip_with/forall)
+    *   - leaf:   plain `<=>`
+    * Every branch is codegen-able builtin functions — no UDF — and always
+    * returns a NON-NULL boolean (leaves are `<=>`; composites guard nulls
+    * explicitly), so callers can negate it freely.
+    */
+  private def mapAwareEq(l: Column, r: Column, dt: DataType): Column = dt match {
+    case MapType(kt, vt, vn) =>
+      val entryType = ArrayType(
+        StructType(Seq(StructField("key", kt, nullable = false),
+          StructField("value", vt, vn))))
+      mapAwareEq(sortedEntries(l), sortedEntries(r), entryType)
+    case st: StructType if containsMap(st) =>
+      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull &&
+        st.fields.map(f => mapAwareEq(l.getField(f.name), r.getField(f.name), f.dataType))
+          .reduce(_ && _))
+    case ArrayType(et, _) if containsMap(et) =>
+      (l.isNull && r.isNull) || (l.isNotNull && r.isNotNull &&
+        size(l) === size(r) &&
+        coalesce(forall(zip_with(l, r, (a, b) => mapAwareEq(a, b, et)), x => x), lit(true)))
+    case _ => l <=> r
+  }
+
   private def floating(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType | _: DecimalType => true
     case _                                       => false
@@ -115,6 +173,10 @@ object Differ {
     * columns (pinned by DifferSpec).
     */
   private def colEqual(l: Column, r: Column, dt: DataType, opts: DiffOptions, name: String): Column = {
+    // Map-bearing columns: `<=>` would throw (maps are un-comparable in
+    // Spark), so route through the order-insensitive recursive compare.
+    // Tolerance never applies inside complex types.
+    if (containsMap(dt)) return mapAwareEq(l, r, dt)
     val useTol = (opts.absTol > 0.0 || opts.relTol > 0.0) && numeric(dt) &&
       (if (opts.tolCols.isEmpty) floating(dt) else opts.tolCols.contains(name))
     if (useTol) {
@@ -201,13 +263,18 @@ object Differ {
       s"diffUnkeyed needs identical schemas: left [${left.columns.mkString(", ")}] " +
         s"vs right [${right.columns.mkString(", ")}]")
     val cols = left.columns.toSeq
-    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nl"))
-    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nr"))
-    val cond = cols.map(c => lc(c) <=> rc(c)).reduce(_ && _)
+    // Qualified refs off explicit aliases, NOT lc(c)/rc(c) dataframe-apply
+    // refs: when left and right share plan lineage (the natural
+    // diffUnkeyed(df, df.filter(...)) call), the grouping attributes carry
+    // identical exprIds on both sides and unqualified refs either trip the
+    // ambiguous-self-join detector or resolve trivially-true.
+    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nl")).alias("gl")
+    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nr")).alias("gr")
+    val cond = cols.map(c => col(s"gl.$c") <=> col(s"gr.$c")).reduce(_ && _)
     lc.join(rc, cond, "full_outer")
-      .select(cols.map(c => coalesce(lc(c), rc(c)).as(c)) ++ Seq(
-        coalesce(col("__graft_nl"), lit(0L)).as("n_left"),
-        coalesce(col("__graft_nr"), lit(0L)).as("n_right")): _*)
+      .select(cols.map(c => coalesce(col(s"gl.$c"), col(s"gr.$c")).as(c)) ++ Seq(
+        coalesce(col("gl.__graft_nl"), lit(0L)).as("n_left"),
+        coalesce(col("gr.__graft_nr"), lit(0L)).as("n_right")): _*)
       .withColumn(statusCol,
         when(col("n_left") === col("n_right"), "N")
           .when(col("n_left") === 0, "I")
@@ -386,6 +453,14 @@ object Differ {
             .otherwise(col(c).cast(DecimalType(18, 2)).cast(StringType))
         case TimestampNTZType       => unix_micros(col(c).cast(TimestampType)).cast(StringType)
         case TimestampType          => unix_micros(col(c)).cast(StringType)
+        case _: MapType             =>
+          // Key-sorted entries: a map's stored order is an accident of its
+          // construction, and the hash must agree with colEqual's
+          // order-insensitive compare (same fingerprint ⇔ equal value).
+          // Nested maps deeper inside arrays/structs stay stored-order in
+          // the STRING rendering only — diff() handles those via
+          // mapAwareEq; the hash path documents exact-compare semantics.
+          to_json(sortedEntries(col(c))).cast(StringType)
         case _                      => col(c).cast(StringType)
       }
       coalesce(s, lit("␀"))

@@ -307,9 +307,14 @@ object TextOps {
     val ranked = reuse(tf.join(freq, "token")
       .withColumn("headSq", sum(col("tf") * col("tf")).over(wCum))
       .withColumn("n2", sum(col("tf") * col("tf")).over(wAll)))
+    // Same decimal-exact discipline as the verify gate below: den2·(headSq
+    // − tf²) ≤ 100·9e18 < 1e21 — always exact in DECIMAL(38,0), so the
+    // prefix cut can never wrap-drop a token the losslessness proof needs.
+    val d38p = org.apache.spark.sql.types.DecimalType(38, 0)
     val prefix = ranked
-      .filter(lit(den2) * (col("headSq") - col("tf") * col("tf"))
-        <= lit(den2 - num2) * col("n2"))
+      .filter(lit(den2).cast(d38p) *
+          (col("headSq").cast(d38p) - col("tf").cast(d38p) * col("tf").cast(d38p))
+        <= lit(den2 - num2).cast(d38p) * col("n2").cast(d38p))
       .select(col("doc"), col("token"), col("n2"))
     val a = prefix.select(col("doc").as("doc_a"), col("token"), col("n2").as("na2"))
     val b = prefix.select(col("doc").as("doc_b"), col("token"), col("n2").as("nb2"))
@@ -320,10 +325,19 @@ object TextOps {
     // Exact verify: re-join the tf postings for surviving pairs only.
     val ta = tf.select(col("doc").as("doc_a"), col("token"), col("tf").as("tfa"))
     val tb = tf.select(col("doc").as("doc_b"), col("token"), col("tf").as("tfb"))
+    // Gate arithmetic in DECIMAL(38,0), not LONG: den2·dot² and
+    // num2·na2·nb2 silently WRAP in non-ANSI long math once per-doc squared
+    // norms pass ~1e15 (tf-heavy documents), which can both drop true pairs
+    // and admit false ones. Decimal products are exact to 38 digits; past
+    // that Spark yields NULL, the filter rejects, and the failure mode is a
+    // conservative drop (never a false admit) — reachable only when
+    // na2·nb2·num2 ≥ 1e38, i.e. a single token repeated ~10⁹ times.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     candidates.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
       .groupBy(col("doc_a"), col("doc_b"), col("na2"), col("nb2"))
       .agg(sum(col("tfa") * col("tfb")).as("dot"))
-      .filter(lit(den2) * col("dot") * col("dot") >= lit(num2) * col("na2") * col("nb2"))
+      .filter(lit(den2).cast(d38) * col("dot").cast(d38) * col("dot").cast(d38)
+        >= lit(num2).cast(d38) * col("na2").cast(d38) * col("nb2").cast(d38))
       .select(col("doc_a"), col("doc_b"), col("dot"), col("na2"), col("nb2"),
         (col("dot").cast("double") /
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))

@@ -963,8 +963,22 @@ object DiffQueries {
       (s, d) => Differ.invertChangeset(Differ.diff(left(s, d), right(s, d), keys))
     },
 
-    // Metadata-level schema comparison — no DuckDB oracle (rows-only check).
-    Q.noOracle("schema_diff") { (s, d) =>
+    // Metadata-level schema comparison. The schema pair is DETERMINISTIC
+    // (orders' parquet schema + three closed-form perturbations: a retype,
+    // an add, a drop), so the expected frame is a VALUES literal — a real
+    // oracle, not a rows-only check (r8 verdict ask #6). Any drift in how
+    // Spark renders type names (e.g. TIMESTAMP vs TIMESTAMP_NTZ on a
+    // parquet read) or in schemaDiff's classification flips the hash.
+    Q("schema_diff",
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey',     'BIGINT',    'BIGINT',        'same'),
+        |  ('o_custkey',      'BIGINT',    'BIGINT',        'same'),
+        |  ('o_orderstatus',  'STRING',    'STRING',        'same'),
+        |  ('o_totalprice',   'DOUBLE',    'DECIMAL(18,2)', 'type_changed'),
+        |  ('o_orderdate',    'TIMESTAMP_NTZ', 'TIMESTAMP_NTZ', 'same'),
+        |  ('o_orderpriority','STRING',    CAST(NULL AS VARCHAR), 'removed'),
+        |  ('o_comment',      CAST(NULL AS VARCHAR), 'STRING', 'added')
+        |) AS t(column_name, left_type, right_type, status)""".stripMargin) { (s, d) =>
       val l = left(s, d)
       val r = right(s, d)
         .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(18, 2)))
@@ -1147,7 +1161,7 @@ object DiffQueries {
         |              OR l.lang IS DISTINCT FROM r.lang THEN 'C'
         |            ELSE 'N' END AS diff_status,
         |       coalesce(l.doc_id, r.doc_id) AS doc_id,
-        |       l.toks AS left_toks, r.toks AS right_toks,
+        |       to_json(l.toks) AS left_toks, to_json(r.toks) AS right_toks,
         |       l.n_chars AS ln_chars, r.n_chars AS rn_chars,
         |       l.lang AS llang, r.lang AS rlang
         |FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id""".stripMargin) { (s, d) =>
@@ -1166,13 +1180,73 @@ object DiffQueries {
               .otherwise(col("n_chars")).as("n_chars"),
             when(col("doc_id") % 5 === 0, upper(col("lang")))
               .otherwise(col("lang")).as("lang")).as("meta"))
+      // The nested compare runs on the RAW array/struct columns inside
+      // Differ.diff; only the ARTIFACT boundary canonicalizes arrays via
+      // to_json so the driver's pandas checker can sort the result (the
+      // r8 lesson: array cells are unhashable there). Spark and DuckDB
+      // both serialize string arrays as compact `["a","b"]` with SQL NULL
+      // passing through — verified byte-identical.
       Differ.diff(l, r, Seq("doc_id"))
         .select(col("diff_status"), col("doc_id"),
-          col("left_toks"), col("right_toks"),
+          to_json(col("left_toks")).as("left_toks"),
+          to_json(col("right_toks")).as("right_toks"),
           col("left_meta.n_chars").as("ln_chars"),
           col("right_meta.n_chars").as("rn_chars"),
           col("left_meta.lang").as("llang"),
           col("right_meta.lang").as("rlang"))
+    },
+
+    // Diff over MAP-typed value columns (r9, verdict ask #4) — the
+    // feature-store case (`map<string,double>` feature bags) that Spark's
+    // `<=>` refuses outright (maps are un-comparable). Differ routes
+    // map-bearing columns through mapAwareEq: key-sorted entries compared
+    // as arrays, so two maps with the same pairs in DIFFERENT entry order
+    // are equal. The fixture makes that the load-bearing property: left
+    // builds map('chars'→…, 'words'→…), right builds it REVERSED
+    // ('words' first) — an order-sensitive compare would call EVERY
+    // matched row C, while the oracle derives C solely from the %7/%5
+    // value perturbations. Output maps canonicalize via Differ.mapCanon
+    // (key-sorted to_json) so the artifact is harness-sortable — the
+    // diff_complex_types lesson applied from birth.
+    Q("diff_map_types",
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |l AS (SELECT doc_id, n_chars AS c, n_words AS w FROM base
+        |      WHERE doc_id % 11 <> 0),
+        |r AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS c,
+        |             CASE WHEN doc_id % 5 = 0 THEN n_words + 2 ELSE n_words END AS w
+        |      FROM base WHERE doc_id % 13 <> 0)
+        |SELECT CASE WHEN l.doc_id IS NULL THEN 'I'
+        |            WHEN r.doc_id IS NULL THEN 'D'
+        |            WHEN l.c IS DISTINCT FROM r.c
+        |              OR l.w IS DISTINCT FROM r.w THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |       CASE WHEN l.doc_id IS NULL THEN NULL
+        |            ELSE to_json([{'key': 'chars', 'value': l.c},
+        |                          {'key': 'words', 'value': l.w}]) END AS left_m,
+        |       CASE WHEN r.doc_id IS NULL THEN NULL
+        |            ELSE to_json([{'key': 'chars', 'value': r.c},
+        |                          {'key': 'words', 'value': r.w}]) END AS right_m
+        |FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      val l = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          map(lit("chars"), col("n_chars"), lit("words"), col("n_words")).as("m"))
+      val r = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          map(lit("words"),
+            when(col("doc_id") % 5 === 0, col("n_words") + 2).otherwise(col("n_words")),
+            lit("chars"),
+            when(col("doc_id") % 7 === 0, col("n_chars") + 1).otherwise(col("n_chars"))).as("m"))
+      Differ.diff(l, r, Seq("doc_id"))
+        .select(col("diff_status"), col("doc_id"),
+          Differ.mapCanon(col("left_m")).as("left_m"),
+          Differ.mapCanon(col("right_m")).as("right_m"))
     }
   )
 }

@@ -952,9 +952,21 @@ object RelationalQueries {
     Q("scan_json_malformed",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
       val parsed = Tables.cached(s, s"$d/json-malformed-parsed") {
+        // Escape the string field properly (quotes, backslashes, control
+        // chars): raw interpolation is safe for the uppercase region
+        // fixture but would silently mint EXTRA corrupt records on any
+        // table with arbitrary strings — the fixture writer must be the
+        // pattern a user can copy.
+        def jsonStr(v: String): String =
+          "\"" + v.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c    => c.toString
+          } + "\""
         val rows = Tables.cachedTable(s, d, "region")
           .select("r_regionkey", "r_name").collect()
-          .map(r => s"""{"r_regionkey": ${r.getInt(0)}, "r_name": "${r.getString(1)}"}""")
+          .map(r => s"""{"r_regionkey": ${r.getInt(0)}, "r_name": ${jsonStr(r.getString(1))}}""")
           .sorted
         val path = java.nio.file.Paths.get(s"$roundtripRoot/json-malformed" +
           s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")

@@ -442,4 +442,71 @@ class DifferSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("identical schemas"))
   }
+
+  test("diffUnkeyed: shared plan lineage (df vs df.filter) resolves, no trivial-true join") {
+    // The natural "what did my filter drop" call: both sides derive from
+    // ONE frame, so grouping attributes carry identical exprIds — the
+    // r8-advice ambiguous-self-join hazard. With qualified alias refs the
+    // join must classify the filtered-out rows as D, everything else N.
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("c", 3)).toDF("s", "v")
+    val out = Differ.diffUnkeyed(df, df.filter($"v" =!= 2)).collect()
+      .map(x => (x.getAs[String]("s"), x.getAs[Int]("v")) ->
+        (x.getAs[Long]("n_left"), x.getAs[Long]("n_right"),
+          x.getAs[String]("diff_status"))).toMap
+    assert(out(("a", 1)) == ((2L, 2L, "N")))
+    assert(out(("b", 2)) == ((1L, 0L, "D")), "filtered row must be D, not matched")
+    assert(out(("c", 3)) == ((1L, 1L, "N")))
+  }
+
+  test("map values: entry order is irrelevant, value changes are C, null/empty distinct") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val l = spark.range(5).select($"id",
+      sexpr("CASE WHEN id = 3 THEN CAST(NULL AS MAP<STRING,BIGINT>) " +
+        "WHEN id = 4 THEN map() " +
+        "ELSE map('a', id, 'b', id * 10) END").as("m"))
+    // same pairs, REVERSED entry order; id=1 changes b's value; id=3/4 swap
+    // null and empty (must be C — a missing bag and an empty bag differ)
+    val r = spark.range(5).select($"id",
+      sexpr("CASE WHEN id = 3 THEN map() " +
+        "WHEN id = 4 THEN CAST(NULL AS MAP<STRING,BIGINT>) " +
+        "WHEN id = 1 THEN map('b', 99L, 'a', id) " +
+        "ELSE map('b', id * 10, 'a', id) END").as("m"))
+    val st = Differ.diff(l, r, Seq("id")).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("diff_status")).toMap
+    assert(st(0L) == "N" && st(2L) == "N", "reversed entry order must compare equal")
+    assert(st(1L) == "C", "changed map value must be C")
+    assert(st(3L) == "C" && st(4L) == "C", "null map vs empty map must be C")
+  }
+
+  test("map values: nested map inside a struct and inside an array compares order-insensitively") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val l = spark.range(3).select($"id",
+      sexpr("named_struct('tag', 'x', 'feats', map('p', id, 'q', id + 1))").as("st"),
+      sexpr("array(map('k1', id), map('k2', id * 2))").as("arr"))
+    val r = spark.range(3).select($"id",
+      sexpr("named_struct('tag', 'x', 'feats', map('q', id + 1, 'p', " +
+        "CASE WHEN id = 2 THEN id + 7 ELSE id END))").as("st"),
+      sexpr("CASE WHEN id = 1 THEN array(map('k1', id), map('k2', 99L)) " +
+        "ELSE array(map('k1', id), map('k2', id * 2)) END").as("arr"))
+    val st = Differ.diff(l, r, Seq("id")).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("diff_status")).toMap
+    assert(st(0L) == "N", "reordered nested map must be N")
+    assert(st(1L) == "C", "changed map element inside array must be C")
+    assert(st(2L) == "C", "changed nested map value inside struct must be C")
+  }
+
+  test("map values: diffViaHash agrees with diff on map columns (canonical fingerprint)") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val l = spark.range(6).select($"id",
+      sexpr("map('a', id, 'b', id * 10)").as("m"))
+    val r = spark.range(6).select($"id",
+      sexpr("CASE WHEN id % 3 = 0 THEN map('b', id * 10 + 1, 'a', id) " +
+        "ELSE map('b', id * 10, 'a', id) END").as("m"))
+    val full = Differ.diff(l, r, Seq("id")).filter($"diff_status" =!= "N")
+      .select($"diff_status", $"id").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    val hashed = Differ.diffViaHash(l, r, Seq("id"))
+      .select($"diff_status", $"id").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(full == hashed, s"hash path must agree on maps: $full vs $hashed")
+    assert(full == Set(("C", 0L), ("C", 3L)), "only %3 rows changed")
+  }
 }
