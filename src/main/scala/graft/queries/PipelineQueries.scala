@@ -1146,28 +1146,33 @@ object PipelineQueries {
           .toDF("id", "width", "height", "gray_level")
     },
 
-    // REAL audio decode in the gate (r8i) — the audio sibling of
-    // multimodal_decode: synthesize one genuine raw-PCM16 payload per
-    // nation row (a ±amp square wave with a key-dependent silent tail —
-    // sample count, amplitude, and zero count are closed-form functions of
-    // the key), then byte-decode it back with MultimodalOps.pcmFeatures
-    // (little-endian int16 parse — raw PCM needs no codec, so unlike
-    // compressed audio this decoder is genuine, not the stub) and report
-    // what the DECODER measured. The oracle recomputes the closed form, so
-    // an endianness flip, off-by-one sample window, or sign-extension bug
-    // flips the hash. All features are exact integers (Σs², peak, zero
-    // count); silence_ratio is ONE IEEE division. 100 TB shape: row-local
-    // encode→decode behind one mapPartitions batch, payload bytes never
-    // shuffle.
+    // REAL audio decode in the gate (r8i; container-genuine in r9) — the
+    // audio sibling of multimodal_decode: synthesize one genuine WAV
+    // (RIFF) container per nation row — a real 44-byte header (fmt chunk
+    // carrying a key-dependent sample rate) around a ±amp square-wave
+    // PCM16 payload with a key-dependent silent tail — then walk the
+    // container back with MultimodalOps.parseWav (magic check, chunk walk
+    // with even-byte padding, fmt/data collection) and byte-decode the
+    // data chunk with pcmFeatures. Rows with key % 13 = 0 get their RIFF
+    // magic corrupted ("RIFX") and MUST come back decoded=false and be
+    // QUARANTINED (filtered here; a sink in production) — the oracle's
+    // WHERE clause excludes exactly those keys, so a parser that accepts
+    // bad magic, or drops/mangles a good container, flips the hash. The
+    // reported sample_rate comes from the PARSED HEADER, not the fixture
+    // closed form, so a wrong le32 offset flips the hash too. All
+    // features are exact integers; silence_ratio is ONE IEEE division.
+    // 100 TB shape: row-local encode→parse→decode behind one
+    // mapPartitions batch, payload bytes never shuffle.
     Q("multimodal_audio_energy",
       """WITH a AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |         CAST(8000 + 100 * (n_nationkey % 3) AS BIGINT) AS sample_rate,
         |         CAST(160 + 32 * (n_nationkey % 5) AS BIGINT) AS n_samples,
         |         CAST(500 + 37 * n_nationkey AS BIGINT) AS peak_abs,
         |         CAST((160 + 32 * (n_nationkey % 5)) * (1 + n_nationkey % 4) // 8
         |              AS BIGINT) AS n_zero
-        |  FROM nation)
-        |SELECT id, n_samples, peak_abs,
+        |  FROM nation WHERE n_nationkey % 13 <> 0)
+        |SELECT id, sample_rate, n_samples, peak_abs,
         |       CAST((n_samples - n_zero) * peak_abs * peak_abs AS BIGINT) AS sum_sq,
         |       n_zero,
         |       CAST(n_zero AS DOUBLE) / n_samples AS silence_ratio
@@ -1186,11 +1191,15 @@ object PipelineQueries {
             samples(i) = if ((i / 4) % 2 == 0) amp else (-amp).toShort
             i += 1
           }                                          // tail stays 0 (silence)
-          MediaRecord(id, "audio/pcm", MultimodalOps.pcm16Bytes(samples))
+          val wav = MultimodalOps.wavBytes(samples, (8000 + 100 * (id % 3)).toInt)
+          if (id % 13 == 0) wav(3) = 'X'.toByte      // RIFF -> RIFX: bad magic
+          MediaRecord(id, "audio/wav", wav)
         }
-      MultimodalOps.extractPcmFeatures(media)
+      MultimodalOps.extractWavFeatures(media)
         .toDF()
-        .select(col("id"), col("nSamples").as("n_samples"),
+        .filter(col("decoded"))                      // quarantine malformed
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"),
           col("peakAbs").as("peak_abs"), col("sumSq").as("sum_sq"),
           col("nZero").as("n_zero"),
           (col("nZero").cast("double") / col("nSamples")).as("silence_ratio"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.MultimodalOps
+import graft.operators.{MediaRecord, MultimodalOps}
 
 /** Multimodal binary plumbing: typed schema, deterministic stub decode,
   * partitioning invariance, bounded frame fan-out.
@@ -182,5 +182,63 @@ class MultimodalSpec extends SparkTestBase {
       .collect().sortBy(_.id).toSeq
     assert(one == many, "PCM features must be partitioning-invariant")
     assert(one.forall(f => f.nSamples == 32))
+  }
+
+  test("WAV: wavBytes -> parseWav round-trips header fields and payload exactly") {
+    val samples = Array.tabulate(48)(i => ((i * 257 - 6000) % 32000).toShort)
+    val wav = MultimodalOps.wavBytes(samples, sampleRate = 8100, channels = 1)
+    val w = MultimodalOps.parseWav(wav).getOrElse(fail("canonical WAV must parse"))
+    assert(w.audioFormat == 1 && w.bitsPerSample == 16)
+    assert(w.sampleRate == 8100 && w.channels == 1)
+    assert(w.data.toSeq == MultimodalOps.pcm16Bytes(samples).toSeq,
+      "data chunk must be the exact PCM payload")
+  }
+
+  test("WAV: parser skips unknown chunks (LIST before data) with even-byte padding") {
+    val samples = Array.tabulate(10)(i => (i * 100).toShort)
+    val canonical = MultimodalOps.wavBytes(samples, 8000)
+    // Splice an odd-sized LIST chunk (size 3, padded to 4) between fmt and
+    // data; a walker that forgets the RIFF pad rule desyncs and fails.
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = canonical.take(36) ++ list ++ canonical.drop(36)
+    // fix the RIFF size field (bytes 4..7, le32)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    val w = MultimodalOps.parseWav(spliced).getOrElse(fail("LIST-bearing WAV must parse"))
+    assert(w.sampleRate == 8000 &&
+      w.data.toSeq == MultimodalOps.pcm16Bytes(samples).toSeq)
+  }
+
+  test("WAV: malformed containers quarantine (None), never throw") {
+    val good = MultimodalOps.wavBytes(Array.tabulate(16)(_.toShort), 8000)
+    // bad magic
+    val badMagic = good.clone(); badMagic(3) = 'X'.toByte
+    assert(MultimodalOps.parseWav(badMagic).isEmpty, "RIFX magic must quarantine")
+    // not WAVE
+    val notWave = good.clone(); notWave(8) = 'N'.toByte
+    assert(MultimodalOps.parseWav(notWave).isEmpty)
+    // truncated data chunk (declared size overruns payload)
+    assert(MultimodalOps.parseWav(good.dropRight(5)).isEmpty, "truncated chunk must quarantine")
+    // short payload entirely
+    assert(MultimodalOps.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    // non-PCM format code (3 = IEEE float) must quarantine
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    assert(MultimodalOps.parseWav(floatFmt).isEmpty, "non-PCM16 must quarantine")
+  }
+
+  test("extractWavFeatures: good rows decode with header metadata, corrupted rows flag") {
+    val media = spark.createDataset(Seq(0L, 1L, 2L, 3L).map { id =>
+      val wav = MultimodalOps.wavBytes(Array.tabulate(24)(i => (i * 50).toShort),
+        8000 + id.toInt * 100)
+      if (id == 2L) wav(3) = 'X'.toByte
+      MediaRecord(id, "audio/wav", wav)
+    })
+    val out = MultimodalOps.extractWavFeatures(media).collect().sortBy(_.id)
+    assert(out.count(_.decoded) == 3)
+    assert(!out(2).decoded && out(2).sampleRate == 0L, "corrupt row must flag, not drop")
+    assert(out(0).sampleRate == 8000L && out(3).sampleRate == 8300L,
+      "sample rate must come from the parsed header")
+    assert(out(0).nSamples == 24 && out(0).nZero == 1, "features ride the data chunk")
   }
 }
