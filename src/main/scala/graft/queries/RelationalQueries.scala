@@ -1330,6 +1330,91 @@ object RelationalQueries {
         .select("s_suppkey", "nearest_cust", "dist_sq")
     },
 
+    // UNBOUNDED nearest-neighbor join via iterative RING EXPANSION (r9,
+    // verdict ask #7) — join_geo_nearest's documented extension made real:
+    // the radius-50 guarantee is gone (customers are thinned to %97, so a
+    // supplier's true nearest is often several cells away) and each round
+    // explodes only the NEW ring of cells (Chebyshev ∈ (prevR, r] for
+    // r = 1,2,4,8,20), joins unresolved suppliers to customers in those
+    // cells, and merges the round's argmin into a carried best-so-far
+    // (least() over (d2, custkey) structs — lexicographic, the
+    // deterministic tie-break). A supplier CONFIRMS when best_d2 ≤ (50r)²:
+    // every unexplored point sits at Chebyshev cell-distance > r, hence
+    // Euclidean > 50r, hence strictly farther — the losslessness argument,
+    // proved by the NAIVE all-pairs oracle (house convention). 100 TB
+    // shape: log-bounded rounds (Chebyshev 20 spans the whole grid), each
+    // round one bucket equi-join sized by the UNRESOLVED set (which
+    // shrinks geometrically in dense regions), lazy localCheckpoint per
+    // round truncating the growing lineage — the graph_wcc discipline.
+    Q("join_geo_knn",
+      """WITH c AS (SELECT c_custkey,
+        |                  (c_custkey * 7919) % 1000 AS cx,
+        |                  (c_custkey * 104729) % 1000 AS cy
+        |           FROM customer WHERE c_custkey % 97 = 0),
+        |s AS (SELECT s_suppkey,
+        |             (s_suppkey * 6101 + 13) % 1000 AS sx,
+        |             (s_suppkey * 93911 + 57) % 1000 AS sy
+        |      FROM supplier),
+        |p AS (SELECT s_suppkey, c_custkey,
+        |             (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2,
+        |             row_number() OVER (PARTITION BY s_suppkey
+        |                 ORDER BY (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy),
+        |                          c_custkey) AS rn
+        |      FROM s CROSS JOIN c)
+        |SELECT s.s_suppkey, p.c_custkey AS nearest_cust,
+        |       CAST(p.d2 AS BIGINT) AS dist_sq
+        |FROM s LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (s_suppkey)"""
+        .stripMargin) { (s, d) =>
+      val g = 50
+      val cust = Tables.cachedTable(s, d, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"),
+          (col("c_custkey") * 7919 % 1000).as("cx"),
+          (col("c_custkey") * 104729 % 1000).as("cy"))
+        .withColumn("cell", expr(s"(cx div $g) * 1000 + (cy div $g)"))
+      val supp = Tables.cachedTable(s, d, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_suppkey") * 6101 + 13).mod(1000).as("sx"),
+          (col("s_suppkey") * 93911 + 57).mod(1000).as("sy"))
+      val bestType = "struct<d2:bigint,c:bigint>"
+      var state = supp.withColumn("best", lit(null).cast(bestType))
+      val resolved = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      var prevR = -1L // round 1's ring must include Chebyshev 0 (own cell)
+      for (r <- Seq(1L, 2L, 4L, 8L, 20L)) {
+        // cells with Chebyshev distance in (prevR, r] — the new ring only
+        val newCells = expr(
+          s"""transform(
+             |  filter(flatten(transform(sequence(-$r, $r), dx ->
+             |    transform(sequence(-$r, $r), dy ->
+             |      named_struct('dx', dx, 'dy', dy)))),
+             |    p -> greatest(abs(p.dx), abs(p.dy)) > $prevR),
+             |  p -> (sx div $g + p.dx) * 1000 + (sy div $g + p.dy))""".stripMargin)
+        val roundBest = state
+          .select(col("s_suppkey"), col("sx"), col("sy"), explode(newCells).as("cell"))
+          .join(cust, "cell")
+          .select(col("s_suppkey"), struct(
+            ((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+              (col("sy") - col("cy")) * (col("sy") - col("cy"))).cast("long").as("d2"),
+            col("c_custkey").cast("long").as("c")).as("nb"))
+          .groupBy("s_suppkey").agg(min(col("nb")).as("nb"))
+        // least() skips NULLs: carried best merges with the round's argmin
+        val merged = state.join(roundBest, Seq("s_suppkey"), "left")
+          .withColumn("best", least(col("best"), col("nb"))).drop("nb")
+        val confirm = col("best").isNotNull &&
+          col("best").getField("d2") <= lit(g * r) * lit(g * r)
+        resolved += merged.filter(confirm).select("s_suppkey", "best")
+        state = merged.filter(!confirm).localCheckpoint(false)
+        prevR = r
+      }
+      // Chebyshev 20 spans the entire 20×20 grid: whatever remains has
+      // searched every cell — its best IS the answer (NULL = empty corpus).
+      resolved += state.select("s_suppkey", "best")
+      resolved.reduce(_ unionByName _)
+        .select(col("s_suppkey"),
+          col("best").getField("c").as("nearest_cust"),
+          col("best").getField("d2").as("dist_sq"))
+    },
+
     Q("join_asof",
       """SELECT event_id, user_id, ts_us, last_signup_us FROM (
         |  SELECT event_id, user_id, ts_us, event_type,
