@@ -1380,7 +1380,8 @@ object RelationalQueries {
       var state = supp.withColumn("best", lit(null).cast(bestType))
       val resolved = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       var prevR = -1L // round 1's ring must include Chebyshev 0 (own cell)
-      for (r <- Seq(1L, 2L, 4L, 8L, 20L)) {
+      var live = true // early exit: a drained unresolved set ends the loop
+      for (r <- Seq(1L, 2L, 4L, 8L, 20L) if live) {
         // cells with Chebyshev distance in (prevR, r] — the new ring only
         val newCells = expr(
           s"""transform(
@@ -1405,6 +1406,10 @@ object RelationalQueries {
         resolved += merged.filter(confirm).select("s_suppkey", "best")
         state = merged.filter(!confirm).localCheckpoint(false)
         prevR = r
+        // isEmpty materializes the (lazy) checkpoint this round needed
+        // anyway; when dense regions drain the unresolved set early, the
+        // remaining rings' plan+job overhead is pure waste — skip them.
+        live = !state.isEmpty
       }
       // Chebyshev 20 spans the entire 20×20 grid: whatever remains has
       // searched every cell — its best IS the answer (NULL = empty corpus).
