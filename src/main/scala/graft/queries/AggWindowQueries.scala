@@ -2072,6 +2072,155 @@ object AggWindowQueries {
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
         .select(col("user_id"), col("ts_us"), col("event_id"),
           sum("first_seen").over(wRun).as("n_types_seen"))
+    },
+
+    // Cramér's V (r9) — quality_chi2's statistic normalized into the
+    // [0,1] ASSOCIATION-STRENGTH scale a data-quality dashboard actually
+    // thresholds on (chi2 grows with n, so raw chi2 can't be compared
+    // across tables; V = sqrt(chi2 / (n·(min(r,c)−1))) can). Same exact
+    // ladder as chi2 (integer marginals < 2^53, per-cell double term
+    // quantized to DECIMAL(18,6), exact order-free sum), then TWO final
+    // IEEE steps (one division, one correctly-rounded sqrt) — identical
+    // trees both engines, rounded at 5 dp at the report boundary.
+    // 100 TB: marginals are dimension-sized; the only corpus work is the
+    // one (s, p) count agg.
+    Q("quality_cramers_v",
+      """WITH t AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders),
+        |o AS (SELECT s, p, count(*) AS o FROM t GROUP BY 1, 2),
+        |r AS (SELECT s, count(*) AS r FROM t GROUP BY 1),
+        |c AS (SELECT p, count(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t),
+        |grid AS (SELECT r.s, c.p, r.r, c.c FROM r CROSS JOIN c),
+        |cell AS (
+        |  SELECT CAST(CAST((coalesce(o.o, 0) * n.n - g.r * g.c) AS DOUBLE)
+        |              * CAST((coalesce(o.o, 0) * n.n - g.r * g.c) AS DOUBLE)
+        |              / (CAST(n.n AS DOUBLE) * g.r * g.c)
+        |           AS DECIMAL(18,6)) AS term
+        |  FROM grid g LEFT JOIN o ON o.s = g.s AND o.p = g.p, n),
+        |k AS (SELECT least((SELECT count(*) FROM r),
+        |                   (SELECT count(*) FROM c)) - 1 AS mindim)
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(k.mindim AS BIGINT) AS mindim,
+        |       round(sqrt(CAST(sum(term) AS DOUBLE)
+        |                  / (CAST(n.n AS DOUBLE) * k.mindim)), 5) AS cramers_v
+        |FROM cell, n, k GROUP BY n.n, k.mindim""".stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+      val o = t.groupBy("s", "p").agg(count(lit(1)).as("o"))
+      val r = t.groupBy("s").agg(count(lit(1)).as("r"))
+      val c = t.groupBy("p").agg(count(lit(1)).as("c"))
+      val n = t.agg(count(lit(1)).as("n"))
+      val minDim = math.min(r.count(), c.count()) - 1
+      broadcast(r).crossJoin(broadcast(c))
+        .join(o, Seq("s", "p"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("n"),
+          ((coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("c"))
+            .cast("double") *
+            (coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("c"))
+              .cast("double") /
+            (col("n").cast("double") * col("r") * col("c")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("term"))
+        .groupBy("n").agg(sum("term").as("chi2_d"))
+        .select(col("n").cast("long").as("n"),
+          lit(minDim).as("mindim"),
+          round(sqrt(col("chi2_d").cast("double") /
+            (col("n").cast("double") * lit(minDim.toDouble))), 5).as("cramers_v"))
+    },
+
+    // Welch's unequal-variance t-test (r9) — the two-sample mean
+    // comparison quality_mannwhitney (rank-based) doesn't give: did the
+    // mean of metric v MOVE between cohorts, without the equal-variance
+    // assumption Student's t needs (cohort sizes and spreads differ in
+    // every real A/B readout). Moments ride the agg_corr DECIMAL ladder
+    // (per-term quantize → exact order-free sum → double); the t statistic
+    // and the Welch–Satterthwaite dof are each ONE identical IEEE tree,
+    // rounded at 5 dp at the report boundary. 100 TB: one map-side
+    // combinable agg over the cohort column — no shuffle beyond 2 groups.
+    Q("quality_welch_ttest",
+      """WITH t AS (SELECT o_orderkey % 2 AS side, o_totalprice AS v FROM orders),
+        |m AS (SELECT side, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |             CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |      FROM t GROUP BY 1),
+        |w AS (SELECT
+        |        (SELECT n FROM m WHERE side = 0) AS n1,
+        |        (SELECT n FROM m WHERE side = 1) AS n2,
+        |        (SELECT sx FROM m WHERE side = 0) AS s1,
+        |        (SELECT sx FROM m WHERE side = 1) AS s2,
+        |        (SELECT sxx FROM m WHERE side = 0) AS q1,
+        |        (SELECT sxx FROM m WHERE side = 1) AS q2),
+        |f AS (SELECT n1, n2,
+        |             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a,
+        |             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS b,
+        |             s1 / n1 - s2 / n2 AS dm
+        |      FROM w)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       round(dm / sqrt(a + b), 5) AS t_stat,
+        |       round((a + b) * (a + b) /
+        |             (a * a / (n1 - 1) + b * b / (n2 - 1)), 5) AS dof
+        |FROM f""".stripMargin) { (s, d) =>
+      val dec27 = org.apache.spark.sql.types.DecimalType(27, 6)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val t = Tables.cachedTable(s, d, "orders")
+        .select((col("o_orderkey") % 2).as("side"), col("o_totalprice").as("v"))
+      val m = t.groupBy("side").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("v").cast(dec27)).cast("double").as("sx"),
+        sum((col("v") * col("v")).cast(dec38)).cast("double").as("sxx"))
+      val w = m.filter(col("side") === 0)
+        .select(col("n").as("n1"), col("sx").as("s1"), col("sxx").as("q1"))
+        .crossJoin(broadcast(m.filter(col("side") === 1)
+          .select(col("n").as("n2"), col("sx").as("s2"), col("sxx").as("q2"))))
+      val a = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1) / col("n1")
+      val b = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1) / col("n2")
+      val dm = col("s1") / col("n1") - col("s2") / col("n2")
+      w.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(dm / sqrt(a + b), 5).as("t_stat"),
+        round((a + b) * (a + b) /
+          (a * a / (col("n1") - 1) + b * b / (col("n2") - 1)), 5).as("dof"))
+    },
+
+    // One-way ANOVA F (r9) — Welch's k-group generalization: does metric v
+    // differ across MORE than two cohorts (order status here)? Avoids the
+    // mean-subtraction float trap with the sum-of-squares identities
+    // SSB = Σ_g S_g²/n_g − S²/N and SSW = Q − Σ_g S_g²/n_g, where S_g/Q
+    // are DECIMAL-exact; the per-group double terms S_g²/n_g quantize to
+    // DECIMAL(27,6) and sum exactly (order-free — the accumulator-split
+    // lesson applies to ORDER, not just width), so k-group reduction
+    // order can't flip a bit. F and the dof pair are one IEEE tree.
+    Q("quality_anova",
+      """WITH t AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders),
+        |m AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |             CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |      FROM t GROUP BY 1),
+        |agg AS (SELECT count(*) AS k,
+        |               CAST(sum(CAST(n AS DECIMAL(27,6))) AS DOUBLE) AS nn,
+        |               CAST(sum(CAST(sx AS DECIMAL(27,6))) AS DOUBLE) AS ss,
+        |               CAST(sum(CAST(sxx AS DECIMAL(38,6))) AS DOUBLE) AS qq,
+        |               CAST(sum(CAST(sx * sx / n AS DECIMAL(27,6))) AS DOUBLE) AS sb
+        |        FROM m)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |       round(((sb - ss * ss / nn) / (k - 1)) /
+        |             ((qq - sb) / (nn - k)), 5) AS f_stat
+        |FROM agg""".stripMargin) { (s, d) =>
+      val dec27 = org.apache.spark.sql.types.DecimalType(27, 6)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
+      val m = t.groupBy("g").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("v").cast(dec27)).cast("double").as("sx"),
+        sum((col("v") * col("v")).cast(dec38)).cast("double").as("sxx"))
+      m.agg(
+          count(lit(1)).as("k"),
+          sum(col("n").cast(dec27)).cast("double").as("nn"),
+          sum(col("sx").cast(dec27)).cast("double").as("ss"),
+          sum(col("sxx").cast(dec38)).cast("double").as("qq"),
+          sum((col("sx") * col("sx") / col("n")).cast(dec27)).cast("double").as("sb"))
+        .select(col("k").cast("long").as("k"), col("nn").cast("long").as("n"),
+          round(((col("sb") - col("ss") * col("ss") / col("nn")) / (col("k") - 1)) /
+            ((col("qq") - col("sb")) / (col("nn") - col("k"))), 5).as("f_stat"))
     }
   )
 }

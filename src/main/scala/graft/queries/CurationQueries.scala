@@ -843,6 +843,76 @@ object CurationQueries {
         .select(lit(20L).as("n_replicates"),
           round(col("fs") / col("n"), 5).as("full_mean"))
         .crossJoin(broadcast(ci))
+    },
+
+    // l-diversity audit (r9) — quality_k_anonymity's sibling: k-anonymity
+    // bounds GROUP SIZE, but a group of 50 people who all share one
+    // sensitive value still leaks it (the homogeneity attack); l-diversity
+    // demands ≥ l DISTINCT sensitive values per quasi-identifier group.
+    // QI = (nation, segment), sensitive = the acctbal hundred-band;
+    // verdict per group + the failing-group census a release gate reads.
+    // 100 TB: one (QI, sensitive)-distinct pre-agg (map-side combinable),
+    // then a QI-sized count — same shape as the k-anonymity key.
+    Q("quality_l_diversity",
+      """WITH g AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |                  CAST(floor(c_acctbal / 100.0) AS BIGINT) AS sens,
+        |                  count(*) AS n
+        |           FROM customer GROUP BY 1, 2, 3),
+        |q AS (SELECT nat, seg, CAST(sum(n) AS BIGINT) AS group_n,
+        |             CAST(count(*) AS BIGINT) AS l_distinct
+        |      FROM g GROUP BY 1, 2)
+        |SELECT nat, seg, group_n, l_distinct,
+        |       CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS l3_ok
+        |FROM q""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 100.0).cast("long").as("sens"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("nat", "seg")
+        .agg(sum("n").cast("long").as("group_n"),
+          count(lit(1)).cast("long").as("l_distinct"))
+        .select(col("nat"), col("seg"), col("group_n"), col("l_distinct"),
+          when(col("l_distinct") >= 3, 1L).otherwise(0L).as("l3_ok"))
+    },
+
+    // Neyman allocation (r9) — the optimal stratified-sampling DESIGN:
+    // with a fixed label/eval budget, sample each stratum proportionally
+    // to N_h·σ_h (big AND internally-varied strata earn more of the
+    // budget; a uniform or proportional split wastes it on homogeneous
+    // strata). Emits the design table (the artifact a sampling job
+    // consumes): per order-status stratum N_h, σ_h, and the floor'd
+    // allocation out of 1000. Exactness: σ_h from DECIMAL-exact moments;
+    // each N_h·σ_h quantizes to DECIMAL(27,6) so the denominator sum is
+    // order-free; allocation = one floor'd IEEE division. 100 TB: one
+    // map-side agg; the design is strata-sized.
+    Q("sample_neyman",
+      """WITH m AS (SELECT o_orderstatus AS g, CAST(count(*) AS DOUBLE) AS n,
+        |                  CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |                  CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+        |                       AS DOUBLE) AS sxx
+        |           FROM orders GROUP BY 1),
+        |v AS (SELECT g, n, sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM m),
+        |tot AS (SELECT CAST(sum(CAST(n * sd AS DECIMAL(27,6))) AS DOUBLE) AS den FROM v)
+        |SELECT g AS stratum, CAST(n AS BIGINT) AS n_h, round(sd, 5) AS sigma_h,
+        |       CAST(floor(1000.0 * n * sd / den) AS BIGINT) AS n_alloc
+        |FROM v, tot""".stripMargin) { (s, d) =>
+      val dec27 = org.apache.spark.sql.types.DecimalType(27, 6)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val m = Tables.cachedTable(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("g"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("o_totalprice").cast(dec27)).cast("double").as("sx"),
+          sum((col("o_totalprice") * col("o_totalprice")).cast(dec38))
+            .cast("double").as("sxx"))
+      val v = m.select(col("g"), col("n"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd"))
+      val tot = v.agg(
+        sum((col("n") * col("sd")).cast(dec27)).cast("double").as("den"))
+      v.crossJoin(broadcast(tot))
+        .select(col("g").as("stratum"), col("n").cast("long").as("n_h"),
+          round(col("sd"), 5).as("sigma_h"),
+          floor(lit(1000.0) * col("n") * col("sd") / col("den"))
+            .cast("long").as("n_alloc"))
     }
   )
 }

@@ -680,6 +680,36 @@ object DiffQueries {
               coalesce(col("n_right"), lit(0L)) / rn).as("share_delta"))
     },
 
+    // Value TRANSITION matrix (r9) — diff_drift compares the two MARGINAL
+    // distributions; this reports the PAIRED movement: for key-matched
+    // changed rows, which value band did each row leave and enter?
+    // (from_bucket, to_bucket, n) is the report that distinguishes "10%
+    // of rows each drifted one band up" from "one cohort teleported to
+    // the top band" — identical marginals, opposite root causes. Bands
+    // reuse diff_drift's integer 60000-grid; C-row detection is the
+    // differ's null-safe compare on the full value set.
+    Q("diff_transition_matrix",
+      s"""$Prelude
+         |SELECT least(greatest(CAST(floor(l.o_totalprice / 60000.0) AS BIGINT), 0), 9)
+         |         AS from_bucket,
+         |       least(greatest(CAST(floor(r.o_totalprice / 60000.0) AS BIGINT), 0), 9)
+         |         AS to_bucket,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM l JOIN r USING (o_orderkey)
+         |WHERE l.o_custkey IS DISTINCT FROM r.o_custkey
+         |   OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+         |   OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+         |   OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+         |   OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      def band(c: org.apache.spark.sql.Column) =
+        least(greatest(floor(c / 60000.0).cast("long"), lit(0L)), lit(9L))
+      Differ.changed(left(s, d), right(s, d), keys)
+        .groupBy(band(col("left_o_totalprice")).as("from_bucket"),
+          band(col("right_o_totalprice")).as("to_bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     Q("diff_merge3", {
       def sideSel(alias: String, pfx: String) =
         valueCols.map(c => s"$alias.$c AS ${pfx}_$c").mkString(", ")

@@ -2491,6 +2491,169 @@ object PipelineQueries {
         .withColumn("ndcg",
           when(col("n_rel") === 0, lit(0.0))
             .otherwise(col("dcg_ppb").cast("double") / col("idcg_ppb").cast("double")))
+    },
+
+    // GROUP-aware k-fold assignment (r9) — split_kfold splits ROWS, but
+    // when documents from one source are near-duplicates of each other,
+    // row-level folds leak train into eval (the split_leakage_check
+    // failure mode); group k-fold holds out whole SOURCES. Group key =
+    // min(doc_id) per source (deterministic, engine-portable — no string
+    // hash dialect to reconcile); fold = that anchor mod 5. Emits the
+    // per-source assignment + sizes, the design table a training job
+    // joins back. 100 TB: one (source) agg + one broadcast-back join —
+    // the group table is domain-sized, never corpus-sized.
+    Q("split_group_kfold",
+      """WITH g AS (SELECT source, min(doc_id) AS anchor, count(*) AS n_docs
+        |           FROM documents GROUP BY 1)
+        |SELECT source, CAST(anchor % 5 AS BIGINT) AS fold,
+        |       CAST(n_docs AS BIGINT) AS n_docs
+        |FROM g""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .groupBy("source")
+        .agg(min("doc_id").as("anchor"), count(lit(1)).as("n_docs"))
+        .select(col("source"), (col("anchor") % 5).cast("long").as("fold"),
+          col("n_docs").cast("long").as("n_docs"))
+    },
+
+    // Sign-bit binary ANN (r9) — the sixth member of the search family
+    // (flat / IVF / LSH / SQ8 / PQ / BINARY): binarize each embedding to
+    // its 64 sign bits packed into two 32-bit BIGINT words, rank by
+    // Hamming distance to the probe's code. The coarsest, fastest tier of
+    // the quantization ladder — 8 bytes/vector (vs 64 for SQ8, 256 for
+    // float), distance = 2 XORs + 2 popcounts, no multiplies at all; at
+    // 100 TB it's the in-RAM pre-filter in front of SQ8/PQ rerank. Codes
+    // are exact integer folds (bit i set iff v_i > 0 — same float compare
+    // both engines); Hamming + (distance, vec_id) ranking are pure BIGINT.
+    Q("sim_search_hamming",
+      """WITH pos AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |w AS (SELECT vec_id,
+        |             sum(CASE WHEN i <= 32 AND x > 0
+        |                      THEN 1::BIGINT << (i - 1) ELSE 0 END) AS w_lo,
+        |             sum(CASE WHEN i > 32 AND x > 0
+        |                      THEN 1::BIGINT << (i - 33) ELSE 0 END) AS w_hi
+        |      FROM pos GROUP BY 1),
+        |p AS (SELECT w_lo AS p_lo, w_hi AS p_hi FROM w WHERE vec_id = 0)
+        |SELECT w.vec_id,
+        |       CAST(bit_count(xor(w_lo, p_lo)) + bit_count(xor(w_hi, p_hi))
+        |            AS BIGINT) AS hamming
+        |FROM w, p WHERE w.vec_id <> 0
+        |ORDER BY hamming, w.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val codes = Tables.cached(s, s"$d/signbit-codes") {
+        Tables.cachedTable(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy("vec_id")
+          .agg(
+            sum(when(col("p") < 32 && col("x") > 0,
+              expr("shiftleft(1L, CAST(p AS INT))")).otherwise(0L)).as("w_lo"),
+            sum(when(col("p") >= 32 && col("x") > 0,
+              expr("shiftleft(1L, CAST(p - 32 AS INT))")).otherwise(0L)).as("w_hi"))
+      }
+      val probe = codes.filter(col("vec_id") === 0)
+        .select(col("w_lo").as("p_lo"), col("w_hi").as("p_hi"))
+      codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (bit_count(col("w_lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("w_hi").bitwiseXOR(col("p_hi")))).cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(10)
+    },
+
+    // HITS hubs & authorities (r9) — PageRank's bipartite sibling
+    // (Kleinberg 1999) over the SAME cached kNN edge set: a good HUB
+    // points at good authorities, a good AUTHORITY is pointed at by good
+    // hubs — exactly the boilerplate-vs-canonical split a link-structured
+    // corpus audit wants (hubs = aggregator pages, authorities = the
+    // content worth keeping). Two unnormalized power rounds keep every
+    // score an exact BIGINT (HITS is scale-invariant, so normalization is
+    // presentation — deferred entirely): a1 = indegree, h1 = Σ_out a1,
+    // a2 = Σ_in h1. Top-15 authorities by (a2 DESC, vec_id). 100 TB:
+    // each round is one edge-keyed agg + join — O(E) shuffles, the
+    // pagerank shape without the dangling-mass scalar.
+    Q("graph_hits",
+      """WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |       FROM eemb a JOIN eemb b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                    ORDER BY cos_sim DESC, dst) AS rank
+        |       FROM pp),
+        |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
+        |a1 AS (SELECT dst AS vec_id, count(*) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT e.src AS vec_id, sum(a1.a) AS h
+        |       FROM e JOIN a1 ON a1.vec_id = e.dst GROUP BY 1),
+        |a2 AS (SELECT e.dst AS vec_id, sum(h1.h) AS a
+        |       FROM e JOIN h1 ON h1.vec_id = e.src GROUP BY 1)
+        |SELECT a2.vec_id, CAST(a2.a AS BIGINT) AS authority,
+        |       CAST(coalesce(h1.h, 0) AS BIGINT) AS hub
+        |FROM a2 LEFT JOIN h1 ON h1.vec_id = a2.vec_id
+        |ORDER BY a2.a DESC, a2.vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val e = knn3(s, d).select("src", "dst")
+      val a1 = e.groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("a"))
+      val h1 = e.join(a1, e("dst") === a1("vec_id"))
+        .groupBy(e("src").as("vec_id")).agg(sum("a").as("h"))
+      val a2 = e.join(h1, e("src") === h1("vec_id"))
+        .groupBy(e("dst").as("vec_id")).agg(sum("h").as("a"))
+      a2.join(h1.withColumnRenamed("h", "hub0"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("a").cast("long").as("authority"),
+          coalesce(col("hub0"), lit(0L)).cast("long").as("hub"))
+        .orderBy(col("authority").desc, col("vec_id")).limit(15)
+    },
+
+    // Degree assortativity (r9) — Newman's r: do high-degree nodes attach
+    // to other high-degree nodes (assortative, r > 0: clustered cliques —
+    // the near-dup signature) or to low-degree ones (disassortative,
+    // r < 0: hub-and-spoke — the boilerplate-template signature)? One
+    // scalar that summarizes the whole degree-mixing structure. Pearson
+    // over the (deg_u, deg_v) pairs of BOTH orientations of the
+    // undirected edge set — all five moments exact BIGINTs, the final r
+    // one IEEE tree, 5 dp. 100 TB: degrees are one edge agg; the moment
+    // pass is one join of edges to the broadcast degree table.
+    Q("graph_assortativity",
+      """WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |       FROM eemb a JOIN eemb b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                    ORDER BY cos_sim DESC, dst) AS rank
+        |       FROM pp),
+        |ud AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM rr WHERE rank <= 3),
+        |bi AS (SELECT u, v FROM ud UNION ALL SELECT v, u FROM ud),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM bi GROUP BY 1),
+        |pairs AS (SELECT du.deg AS x, dv.deg AS y
+        |          FROM bi JOIN deg du ON du.node = bi.u
+        |                  JOIN deg dv ON dv.node = bi.v),
+        |m AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM pairs)
+        |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+        |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 5) AS assortativity
+        |FROM m""".stripMargin) { (s, d) =>
+      val ud = knn3(s, d)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val bi = ud.unionByName(ud.select(col("v").as("u"), col("u").as("v")))
+      val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val pairs = bi
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("x"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("y"))), "v")
+      pairs.agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))), 5)
+            .as("assortativity"))
     }
   )
 }

@@ -851,6 +851,96 @@ object SignalQueries {
           col("vocab").as("vocab_size"),
           round((col("n") * col("sxy") - col("sx") * col("sy"))
             / (col("n") * col("sxx") - col("sx") * col("sx")), 5).as("heaps_beta"))
+    },
+
+    // Lag-1 autocorrelation of the per-type daily volume series (r9) —
+    // the persistence diagnostic that separates trending metrics
+    // (autocorr → 1: yesterday predicts today, alert thresholds must
+    // detrend first) from memoryless ones (→ 0). Pearson over the
+    // (x_t, x_{t+1}) lag pairs built by ONE type-keyed window; all five
+    // moments are exact BIGINTs (daily counts — no decimal needed), and
+    // the correlation is one identical IEEE tree, 5 dp at the boundary.
+    // 100 TB: the day-grain pre-agg collapses the corpus map-side;
+    // everything after is days×types rows.
+    Q("window_autocorr",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |      FROM dc),
+        |m AS (SELECT event_type, count(*) AS m,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 5) AS autocorr
+        |FROM m""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      dc.withColumn("y", lead(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("m").cast("long").as("n_pairs"),
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))), 5)
+            .as("autocorr"))
+    },
+
+    // CUSUM changepoint localization (r9) — events_spike finds level
+    // OUTLIERS; this finds the STRUCTURAL BREAK: the day t* maximizing
+    // |Σ_{i≤t}(x_i − mean)|, the classic single-changepoint estimator
+    // (the max-|CUSUM| statistic). Division-free: the deviation prefix
+    // cross-multiplies by n (c_t = n·prefix_t − t·total — exact BIGINTs),
+    // so argmax and ties are integer decisions; tie-break earliest day.
+    // 100 TB: day-grain pre-agg map-side, ONE type-keyed window, a
+    // types-sized argmax — the same shape as window_cusum with the argmax
+    // folded in.
+    Q("events_changepoint",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n, sum(x) AS total FROM dc GROUP BY 1),
+        |c AS (SELECT dc.event_type, day,
+        |             t.n * sum(x) OVER (PARTITION BY dc.event_type ORDER BY day)
+        |               - (row_number() OVER (PARTITION BY dc.event_type ORDER BY day))
+        |                 * t.total AS cus
+        |      FROM dc JOIN t USING (event_type)),
+        |r AS (SELECT event_type, day, cus,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY abs(cus) DESC, day) AS rn
+        |      FROM c)
+        |SELECT event_type, CAST(day AS BIGINT) AS change_day,
+        |       CAST(cus AS BIGINT) AS cusum_scaled
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val t = dc.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("total"))
+      val c = dc.join(broadcast(t), "event_type")
+        .withColumn("cus",
+          col("n") * sum(col("x")).over(wOrd.rowsBetween(Long.MinValue, 0)) -
+            row_number().over(wOrd) * col("total"))
+      c.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(abs(col("cus")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").cast("long").as("change_day"),
+          col("cus").cast("long").as("cusum_scaled"))
     }
   )
 }

@@ -1339,6 +1339,103 @@ object TextAnalysisQueries {
         .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
           expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+    },
+
+    // Gibberish detection (r9) — the OCR-garbage / mojibake / key-mash
+    // gate quality scoring needs BEFORE language-ID (langid confidently
+    // mislabels noise): per doc, the max consonant-run length (real words
+    // rarely chain >4 consonants; base64 blobs and OCR noise do), the
+    // vowel share of alpha chars, and the alpha share of all chars — all
+    // exact integers off two regex projections, verdict = one integer
+    // threshold test. Regexes live in the Java∩RE2 dialect (char classes
+    // + '+' only — the pii/blocklist convention). 100 TB: pure per-row
+    // projection, zero shuffles, codegen'd end to end.
+    Q("text_gibberish",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         coalesce(list_max(list_transform(
+        |           regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
+        |           x -> length(x))), 0) AS max_consonant_run,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |         length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel,
+        |         length(text) AS n_total
+        |  FROM documents)
+        |SELECT doc_id, CAST(max_consonant_run AS BIGINT) AS max_consonant_run,
+        |       CAST(n_vowel * 1000000 // greatest(n_alpha, 1) AS BIGINT) AS vowel_ppm,
+        |       CAST(n_alpha * 1000000 // greatest(n_total, 1) AS BIGINT) AS alpha_ppm,
+        |       CASE WHEN max_consonant_run >= 5
+        |              OR n_vowel * 1000000 // greatest(n_alpha, 1) < 250000
+        |            THEN 1 ELSE 0 END AS gibberish
+        |FROM f""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"),
+          coalesce(array_max(expr(
+            """transform(regexp_extract_all(lower(text),
+              |  '[bcdfghjklmnpqrstvwxyz]+', 0), x -> length(x))""".stripMargin)),
+            lit(0)).cast("long").as("max_consonant_run"),
+          length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"),
+          length(regexp_replace(lower(col("text")), "[^aeiou]", "")).as("n_vowel"),
+          length(col("text")).as("n_total"))
+        .select(col("doc_id"), col("max_consonant_run"),
+          expr("CAST(n_vowel * 1000000 div greatest(n_alpha, 1) AS BIGINT)")
+            .as("vowel_ppm"),
+          expr("CAST(n_alpha * 1000000 div greatest(n_total, 1) AS BIGINT)")
+            .as("alpha_ppm"),
+          when(col("max_consonant_run") >= 5 ||
+            expr("n_vowel * 1000000 div greatest(n_alpha, 1)") < 250000, 1L)
+            .otherwise(0L).as("gibberish"))
+    },
+
+    // Vocabulary coverage curve (r9) — the tokenizer-design readout: how
+    // many vocabulary entries (frequency-ranked) cover 50/90/95/99% of
+    // the corpus token mass? The knee of this curve IS the vocab-size
+    // decision, and its drift under a corpus mix change is the signal to
+    // re-train the tokenizer. Over word BIGRAMS (the unigram vocab is the
+    // fixture's documented 31-word degenerate case — §fixture-traps);
+    // rank by (freq DESC, bigram), cumulative mass by ONE ordered window
+    // (rank key unique ⇒ RANGE = ROWS), per-threshold answer = min rank
+    // whose 100·cum ≥ thr·total — all BIGINT compares. 100 TB: freq is a
+    // map-side (bigram) agg; the curve runs on the vocab-sized frame,
+    // and the final min is 4 rows.
+    Q("tokenizer_coverage_curve",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |  FROM t),
+        |f AS (SELECT bg, count(*) AS c FROM occ GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, bg) AS rk,
+        |             sum(c) OVER (ORDER BY c DESC, bg) AS cum
+        |      FROM f),
+        |tot AS (SELECT sum(c) AS total FROM f),
+        |th AS (SELECT unnest([50, 90, 95, 99]) AS thr)
+        |SELECT CAST(thr AS BIGINT) AS threshold_pct,
+        |       CAST(min(rk) AS BIGINT) AS vocab_size,
+        |       CAST(tot.total AS BIGINT) AS total_tokens
+        |FROM th, r, tot
+        |WHERE cum * 100 >= thr * tot.total
+        |GROUP BY thr, tot.total""".stripMargin) { (s, d) =>
+      val docs = Tables.cachedTable(s, d, "documents")
+      val t = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val occ = Tables.cached(s, s"$d/bigram-occ") {
+        t.select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+      }
+      val f = occ.groupBy("bg").agg(count(lit(1)).as("c"))
+      val wOrd = Window.orderBy(col("c").desc, col("bg"))
+      val r = f.select(col("c"),
+        row_number().over(wOrd).cast("long").as("rk"),
+        sum(col("c")).over(wOrd.rowsBetween(Long.MinValue, 0)).as("cum"))
+      val tot = f.agg(sum("c").as("total"))
+      val th = (s.range(1, 2).select(
+        explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("threshold_pct")))
+      th.crossJoin(r).crossJoin(broadcast(tot))
+        .filter(col("cum") * 100 >= col("threshold_pct") * col("total"))
+        .groupBy("threshold_pct", "total")
+        .agg(min(col("rk")).as("vocab_size"))
+        .select(col("threshold_pct"), col("vocab_size"),
+          col("total").cast("long").as("total_tokens"))
     }
   )
 
