@@ -2221,6 +2221,47 @@ object AggWindowQueries {
         .select(col("k").cast("long").as("k"), col("nn").cast("long").as("n"),
           round(((col("sb") - col("ss") * col("ss") / col("nn")) / (col("k") - 1)) /
             ((col("qq") - col("sb")) / (col("nn") - col("k"))), 5).as("f_stat"))
+    },
+
+    // WEIGHTED median (r9) — agg_percentile medians ROWS; this medians
+    // MASS: the price point splitting total QUANTITY in half (revenue/
+    // inventory medians weight by units, not line items — a few bulk
+    // lines move it where the row median won't budge). Integer-exact:
+    // weights are integral doubles cast BIGINT, the crossing rule
+    // 2·cumW ≥ W is a pure integer compare on ONE group-keyed ordered
+    // window (value, orderkey, linenumber — a total order), winner = the
+    // first crossing row. 100 TB: same banded shape as the exact
+    // quantiles — no per-group value buffers anywhere.
+    Q("agg_weighted_median",
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |                  CAST(l_quantity AS BIGINT) AS w,
+        |                  l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |c AS (SELECT g, v, w,
+        |             sum(w) OVER (PARTITION BY g
+        |                          ORDER BY v, l_orderkey, l_linenumber) AS cw,
+        |             sum(w) OVER (PARTITION BY g) AS tw
+        |      FROM t),
+        |x AS (SELECT g, v, cw, tw,
+        |             row_number() OVER (PARTITION BY g ORDER BY cw, v) AS rn
+        |      FROM c WHERE 2 * cw >= tw)
+        |SELECT g AS l_returnflag, v AS weighted_median,
+        |       CAST(tw AS BIGINT) AS total_weight
+        |FROM x WHERE rn = 1""".stripMargin) { (s, d) =>
+      val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val t = Tables.cachedTable(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      t.withColumn("cw", sum("w").over(
+          byG.orderBy("v", "l_orderkey", "l_linenumber")
+            .rowsBetween(Long.MinValue, 0)))
+        .withColumn("tw", sum("w").over(byG))
+        .filter(lit(2) * col("cw") >= col("tw"))
+        .withColumn("rn", row_number().over(byG.orderBy("cw", "v")))
+        .filter(col("rn") === 1)
+        .select(col("g").as("l_returnflag"), col("v").as("weighted_median"),
+          col("tw").cast("long").as("total_weight"))
     }
   )
 }

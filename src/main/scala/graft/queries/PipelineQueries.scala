@@ -217,6 +217,29 @@ object PipelineQueries {
       VectorOps.knnGraph(Tables.cachedTable(s, d, "embeddings"), k = 3)
     }
 
+  /** The 8-probe exact-cosine top-10 eval frame (probe_id, plabel, vec_id,
+    * lbl, rank), cached per dir: the retrieval-eval family (rank_ndcg,
+    * rank_mrr, rank_map) grades the SAME ranked lists — one two-phase
+    * bucketed top-k build, three consumers.
+    */
+  private def rankTopk(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.cached(s, s"$d/rank-topk/probes=8/k=10") {
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+      graft.operators.TextOps.topKPerGroup(
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"), col("vec_id"),
+            col("label").as("lbl"),
+            round(graft.operators.VectorOps.cosineF(col("embedding"), col("pv")), 5)
+              .as("c")),
+        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
+        bucketOn = col("vec_id"))
+        .select("probe_id", "plabel", "vec_id", "lbl", "rank")
+    }
+
   /** The text near-dup pair list (Jaccard ≥ [[NearDupTau]]), built ONCE per
     * (session, dir) and cached: the pair REPORT (dedup_near) and the
     * connected-components retention step (dedup_clusters) are two consumers
@@ -2462,19 +2485,7 @@ object PipelineQueries {
          |            ELSE CAST(dcg AS DOUBLE) / CAST(($NdcgIdealCase) AS DOUBLE)
          |       END AS ndcg
          |FROM g""".stripMargin) { (s, d) =>
-      val emb = Tables.cachedTable(s, d, "embeddings")
-      val probes = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
-          col("embedding").as("pv"))
-      val topk = graft.operators.TextOps.topKPerGroup(
-        emb.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("plabel"), col("vec_id"),
-            col("label").as("lbl"),
-            round(graft.operators.VectorOps.cosineF(col("embedding"), col("pv")), 5)
-              .as("c")),
-        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
-        bucketOn = col("vec_id"))
+      val topk = rankTopk(s, d) // shared with rank_mrr / rank_map (r9)
       val wArr = typedLit(NdcgWeights)
       val pArr = typedLit(NdcgWeights.scanLeft(0L)(_ + _).tail)
       topk
@@ -2491,6 +2502,80 @@ object PipelineQueries {
         .withColumn("ndcg",
           when(col("n_rel") === 0, lit(0.0))
             .otherwise(col("dcg_ppb").cast("double") / col("idcg_ppb").cast("double")))
+    },
+
+    // Mean-reciprocal-rank eval (r9) — the third retrieval grade next to
+    // embed_recall_eval (overlap) and rank_ndcg (graded order): MRR cares
+    // ONLY about the first relevant hit — the "did the right answer come
+    // up first" metric RAG and known-item search optimize. Same probe/
+    // top-10 construction as rank_ndcg (shared two-phase bucketed top-k);
+    // rr_ppb = 10⁹ // first_rel_rank is one integer floor-division — no
+    // float anywhere.
+    Q("rank_mrr",
+      """WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv FROM el WHERE vec_id < 8),
+        |ex AS (SELECT probe_id, plabel, vec_id, lbl, rnk FROM (
+        |  SELECT pr.probe_id, pr.plabel, el.vec_id, el.label AS lbl,
+        |         row_number() OVER (PARTITION BY pr.probe_id
+        |           ORDER BY round(list_cosine_similarity(el.v, pr.pv), 5) DESC, el.vec_id) AS rnk
+        |  FROM el, pr WHERE el.vec_id <> pr.probe_id) WHERE rnk <= 10)
+        |SELECT probe_id,
+        |       CAST(coalesce(min(CASE WHEN lbl = plabel THEN rnk END), 0) AS BIGINT)
+        |         AS first_rel_rank,
+        |       CAST(CASE WHEN min(CASE WHEN lbl = plabel THEN rnk END) IS NULL THEN 0
+        |                 ELSE 1000000000 // min(CASE WHEN lbl = plabel THEN rnk END)
+        |            END AS BIGINT) AS rr_ppb
+        |FROM ex GROUP BY 1""".stripMargin) { (s, d) =>
+      rankTopk(s, d)
+        .groupBy("probe_id")
+        .agg(min(when(col("lbl") === col("plabel"), col("rank"))).as("fr"))
+        .select(col("probe_id"),
+          coalesce(col("fr"), lit(0L)).cast("long").as("first_rel_rank"),
+          when(col("fr").isNull, 0L)
+            .otherwise(expr("1000000000L div fr")).cast("long").as("rr_ppb"))
+    },
+
+    // Average-precision eval (r9) — the order-sensitive grade between
+    // MRR (first hit only) and NDCG (graded discounts): AP@10 = mean over
+    // relevant HITS of precision-at-that-hit, the retrieval-eval standard
+    // (MAP = its mean over probes). Per-hit precision cum_rel/rank floors
+    // to ppb (documented quantization, same scaled-integer discipline as
+    // rank_fusion), the hit sum is exact, and the final ÷n_rel is one
+    // more integer floor — the whole grade is BIGINT end to end.
+    Q("rank_map",
+      """WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv FROM el WHERE vec_id < 8),
+        |ex AS (SELECT probe_id, plabel, vec_id, lbl, rnk FROM (
+        |  SELECT pr.probe_id, pr.plabel, el.vec_id, el.label AS lbl,
+        |         row_number() OVER (PARTITION BY pr.probe_id
+        |           ORDER BY round(list_cosine_similarity(el.v, pr.pv), 5) DESC, el.vec_id) AS rnk
+        |  FROM el, pr WHERE el.vec_id <> pr.probe_id) WHERE rnk <= 10),
+        |c AS (SELECT probe_id, rnk,
+        |             CASE WHEN lbl = plabel THEN 1 ELSE 0 END AS rel,
+        |             sum(CASE WHEN lbl = plabel THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY probe_id ORDER BY rnk) AS cum
+        |      FROM ex)
+        |SELECT probe_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |       CAST(CASE WHEN sum(rel) = 0 THEN 0
+        |                 ELSE sum(CASE WHEN rel = 1
+        |                               THEN 1000000000 * cum // rnk ELSE 0 END)
+        |                      // sum(rel)
+        |            END AS BIGINT) AS ap_ppb
+        |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy("rank")
+        .rowsBetween(Long.MinValue, 0)
+      rankTopk(s, d)
+        .select(col("probe_id"), col("rank"),
+          when(col("lbl") === col("plabel"), 1L).otherwise(0L).as("rel"))
+        .withColumn("cum", sum("rel").over(wc))
+        .groupBy("probe_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(when(col("rel") === 1, expr("1000000000L * cum div rank"))
+            .otherwise(0L)).as("hit_ppb"))
+        .select(col("probe_id"), col("n_rel").cast("long").as("n_rel"),
+          when(col("n_rel") === 0, 0L)
+            .otherwise(expr("hit_ppb div n_rel")).cast("long").as("ap_ppb"))
     },
 
     // GROUP-aware k-fold assignment (r9) — split_kfold splits ROWS, but

@@ -941,6 +941,83 @@ object SignalQueries {
         .filter(col("rn") === 1)
         .select(col("event_type"), col("day").cast("long").as("change_day"),
           col("cus").cast("long").as("cusum_scaled"))
+    },
+
+    // Theil–Sen robust trend (r9) — window_slope's OLS line is dragged by
+    // one bad day (an outage, a backfill spike); the median of all
+    // pairwise slopes has a 29% breakdown point and is the estimator an
+    // alerting baseline should trend on. Day-grain pre-agg first, so the
+    // pair fan-out is days², NEVER corpus² (30 days → 435 pairs/type);
+    // each slope is ONE IEEE division of exact ints (identical both
+    // engines), the median is the rank-(⌈m/2⌉) element under the total
+    // order (slope, day_i, day_j) — lower median, integer-deterministic,
+    // no mid-pair averaging.
+    Q("window_theil_sen",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |             CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope,
+        |             a.day AS d1, b.day AS d2
+        |      FROM dc a JOIN dc b
+        |        ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, slope,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY slope, d1, d2) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS m
+        |      FROM p)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        |       round(slope, 5) AS theil_slope
+        |FROM r WHERE rn = (m + 1) // 2""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val a = dc.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+      val b = dc.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
+      a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          ((col("x2") - col("x1")).cast("double") / (col("d2") - col("d1"))).as("slope"),
+          col("d1"), col("d2"))
+        .withColumn("rn", row_number().over(w.orderBy("slope", "d1", "d2")))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(m + 1) div 2")) // integer div, not IEEE /
+        .select(col("event_type"), col("m").cast("long").as("n_pairs"),
+          round(col("slope"), 5).as("theil_slope"))
+    },
+
+    // Burstiness / Fano factor (r9) — the dispersion pair window_autocorr
+    // (memory) and events_changepoint (break) don't answer: is the daily
+    // volume POISSON-like (Fano ≈ 1, B ≈ −?) or bursty (Fano ≫ 1, B → 1,
+    // Goh–Barabási)? Decides whether rate alerts can assume a Poisson
+    // band or need a burst-aware envelope. Moments are exact BIGINTs; the
+    // population σ enters via one correctly-rounded sqrt; both reports
+    // are one IEEE tree each, 5 dp at the boundary.
+    Q("events_burstiness",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |      FROM dc GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       round((CAST(n * sxx - sx * sx AS DOUBLE) / n) / sx, 5) AS fano,
+        |       round((sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n - CAST(sx AS DOUBLE) / n)
+        |             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n + CAST(sx AS DOUBLE) / n),
+        |             5) AS burstiness
+        |FROM m""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          round(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            col("n")) / col("sx"), 5).as("fano"),
+          round((sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+            col("n") - col("sx").cast("double") / col("n")) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+              col("n") + col("sx").cast("double") / col("n")), 5).as("burstiness"))
     }
   )
 }
