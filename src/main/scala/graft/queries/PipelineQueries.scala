@@ -218,27 +218,29 @@ object PipelineQueries {
     }
 
   /** The 8-probe exact-cosine top-10 eval frame (probe_id, plabel, vec_id,
-    * lbl, rank), cached per dir: the retrieval-eval family (rank_ndcg,
-    * rank_mrr, rank_map) grades the SAME ranked lists — one two-phase
-    * bucketed top-k build, three consumers.
+    * lbl, rank): the retrieval-eval family (rank_ndcg, rank_mrr, rank_map)
+    * grades the SAME ranked lists. Deliberately NOT Tables.cached — an
+    * InMemoryRelation here would hide each consumer's probe-partitioned
+    * ranking window from its pinned plan (the fusion-ranks warm-cache
+    * lesson, re-learned via PlanSpec when r9 briefly cached this); the
+    * rebuild is probes×corpus cheap and rides the cached embeddings scan.
     */
-  private def rankTopk(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.cached(s, s"$d/rank-topk/probes=8/k=10") {
-      val emb = Tables.cachedTable(s, d, "embeddings")
-      val probes = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
-          col("embedding").as("pv"))
-      graft.operators.TextOps.topKPerGroup(
-        emb.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("plabel"), col("vec_id"),
-            col("label").as("lbl"),
-            round(graft.operators.VectorOps.cosineF(col("embedding"), col("pv")), 5)
-              .as("c")),
-        Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
-        bucketOn = col("vec_id"))
-        .select("probe_id", "plabel", "vec_id", "lbl", "rank")
-    }
+  private def rankTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = Tables.cachedTable(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("embedding").as("pv"))
+    graft.operators.TextOps.topKPerGroup(
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"),
+          col("label").as("lbl"),
+          round(graft.operators.VectorOps.cosineF(col("embedding"), col("pv")), 5)
+            .as("c")),
+      Seq("probe_id"), Seq(col("c").desc, col("vec_id")), 10,
+      bucketOn = col("vec_id"))
+      .select("probe_id", "plabel", "vec_id", "lbl", "rank")
+  }
 
   /** The text near-dup pair list (Jaccard ≥ [[NearDupTau]]), built ONCE per
     * (session, dir) and cached: the pair REPORT (dedup_near) and the

@@ -288,4 +288,34 @@ class DifferPropSpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: map columns — entry-order permutation is always N, one-entry edit always C") {
+    // Random maps (2–6 string keys, long values), right side rebuilt from a
+    // seeded PERMUTATION of the entries; half the keys additionally get one
+    // entry's value bumped. Order-insensitivity and value-sensitivity must
+    // hold over the whole generated space, not just the fixture.
+    val keyPool = Seq("a", "b", "c", "d", "e", "f")
+    val mapGen: Gen[Map[String, Long]] = for {
+      n  <- Gen.choose(2, 6)
+      ks <- Gen.pick(n, keyPool)
+      vs <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+    } yield ks.toSeq.sorted.zip(vs).toMap
+    val cases = samples(mapGen, 40, seed = 0x59L).zipWithIndex
+    val rows = cases.map { case (m, i) =>
+      // deterministic per-index permutation
+      val shuffled = new scala.util.Random(i * 7919L).shuffle(m.toSeq)
+      val edited =
+        if (i % 2 == 0) shuffled
+        else shuffled.updated(0, (shuffled.head._1, shuffled.head._2 + 1L))
+      (i.toLong, m, edited.toMap)
+    }
+    val l = rows.map { case (id, m, _) => (id, m) }.toDF("id", "m")
+    val r = rows.map { case (id, _, m) => (id, m) }.toDF("id", "m")
+    val st = Differ.diff(l, r, Seq("id")).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("diff_status")).toMap
+    rows.foreach { case (id, _, _) =>
+      val want = if (id % 2 == 0) "N" else "C"
+      assert(st(id) == want, s"map case $id must be $want")
+    }
+  }
 }

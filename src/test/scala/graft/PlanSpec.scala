@@ -1193,4 +1193,41 @@ class PlanSpec extends SparkTestBase {
     assert(cart == 0, "graph_cluster_coeff went cartesian")
     assert(bnlj == 0, s"$bnlj nested-loop joins — every join must be vertex-id equi")
   }
+
+  test("sim_search_hamming: one scan of the 2-word code table, zero corpus shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = queryNamed(graft.queries.PipelineQueries.all, "sim_search_hamming")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    // The binary tier's whole point is bandwidth: the query is a probe
+    // broadcast + one pass over the 16-byte-per-vector code cache +
+    // TakeOrderedAndProject — any shuffle of the corpus defeats it.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"corpus shuffle in sim_search_hamming:\n${plan.toString.take(2000)}")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "hamming top-k fell back to a global sort")
+  }
+
+  test("diff_map_types: one full-outer join, no cartesian, map compare stays codegen builtins") {
+    val df = queryNamed(graft.queries.DiffQueries.all, "diff_map_types")
+    val plan = df.queryExecution.executedPlan.toString
+    val (_, _, cart) = joinCensus(df)
+    assert(cart == 0, "diff_map_types went cartesian")
+    assert(plan.contains("FullOuter"),
+      s"expected a full-outer key join:\n${plan.take(1500)}")
+    assert(!plan.contains("ScalaUDF"), "map compare must be builtin expressions, not UDFs")
+  }
+
+  test("join_geo_knn: every round joins equi on cells — never cartesian") {
+    val (_, bnlj, cart) =
+      joinCensus(queryNamed(graft.queries.RelationalQueries.all, "join_geo_knn"))
+    assert(cart == 0, "join_geo_knn went cartesian")
+    assert(bnlj == 0, s"$bnlj nested-loop joins — ring candidates must ride the cell equi-join")
+  }
 }
