@@ -304,10 +304,18 @@ object VectorOps {
     * with maxRn = max over consumers and filter per consumer.
     */
   def scoredCells(emb: DataFrame, cent: DataFrame, maxRn: Int,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    scoreCells(unitPos(emb, idCol, vecCol), cent)
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  keepAffinity: Boolean = false): DataFrame = {
+    val base = scoreCells(unitPos(emb, idCol, vecCol), cent)
       .filter(col("rn") <= maxRn)
-      .select(col("id").as(idCol), col("cell"), col("rn"))
+    // affinity = the ranking key itself (dot/‖c‖ of the unit vector — the
+    // spherical-kmeans cosine-to-centroid), exposed for quality reports
+    // (embed_cluster_inertia) without a second scoring pass.
+    if (keepAffinity)
+      base.select(col("id").as(idCol), col("cell"), col("rn"),
+        (col("dot") / sqrt(col("csq"))).as("affinity"))
+    else base.select(col("id").as(idCol), col("cell"), col("rn"))
+  }
 
   /** Assign each vector to its `nprobe` best cells of a codebook (rn = 1
     * is the home cell an IVF index stores the vector under; rn ≤ nprobe

@@ -331,6 +331,116 @@ object AggWindowQueries {
         .select(col("n1"), col("n2"), col("psi"))
     },
 
+    // Jensen–Shannon divergence (r9) — quality_psi's bounded, symmetric
+    // sibling on the same smoothed 10-bucket pair: PSI blows up on
+    // near-empty buckets and is asymmetric (order of snapshots matters);
+    // JS ∈ [0, ln 2] is the drift score you can threshold uniformly
+    // across metrics. Same Laplace-smoothed p/q; per-bucket term
+    // p·ln(p/m) + q·ln(q/m) (m the midpoint) quantized DECIMAL(18,6),
+    // exact 10-term sum, one final ×0.5.
+    Q("quality_js_divergence",
+      """WITH t AS (
+        |  SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS b,
+        |         o_orderkey % 2 AS side
+        |  FROM orders),
+        |n AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2 FROM t),
+        |c AS (SELECT b, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+        |      FROM t GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS b),
+        |x AS (SELECT g.b,
+        |        CAST(coalesce(c.c1, 0) + 1 AS DOUBLE) / (n.n1 + 10) AS p,
+        |        CAST(coalesce(c.c2, 0) + 1 AS DOUBLE) / (n.n2 + 10) AS q
+        |      FROM g LEFT JOIN c ON c.b = g.b, n)
+        |SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+        |       CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+        |       0.5 * CAST(sum(CAST(p * ln(p / ((p + q) / 2))
+        |                           + q * ln(q / ((p + q) / 2))
+        |                        AS DECIMAL(18,6))) AS DOUBLE) AS js_divergence
+        |FROM x""".stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(
+          least(greatest(floor(col("o_totalprice") / 60000.0).cast("long"), lit(0L)),
+            lit(9L)).as("b"),
+          (col("o_orderkey") % 2).as("side"))
+      val n = t.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2"))
+      val c = t.groupBy("b").agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c2"))
+      val g = s.range(0, 10).select(col("id").as("b"))
+      val x = g.join(c, Seq("b"), "left").crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"),
+          ((coalesce(col("c1"), lit(0L)) + 1).cast("double") / (col("n1") + 10)).as("p"),
+          ((coalesce(col("c2"), lit(0L)) + 1).cast("double") / (col("n2") + 10)).as("q"))
+      val mid = (col("p") + col("q")) / 2
+      x.groupBy("n1", "n2")
+        .agg(sum((col("p") * log(col("p") / mid) + col("q") * log(col("q") / mid))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("s"))
+        .select(col("n1"), col("n2"), (lit(0.5) * col("s")).as("js_divergence"))
+    },
+
+    // NULL-pattern census (r9) — the missingness MATRIX a data-quality
+    // audit reads before imputing: for each column pair, do the nulls
+    // co-occur (one broken upstream join nulls both) or anti-occur (two
+    // independent feeds)? Nulls are PLANTED by closed-form key rules in
+    // BOTH engines (the fixture has none), then the census counts each
+    // pair's (n_a, n_b, n_both) in ONE aggregation pass — all integers
+    // plus an exact-ppm Jaccard of the null sets.
+    Q("quality_missingness",
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS a,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS b,
+        |         CASE WHEN o_orderkey % 35 = 1 THEN NULL ELSE o_orderpriority END AS c
+        |  FROM orders),
+        |m AS (SELECT
+        |  sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS na,
+        |  sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS nb,
+        |  sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS nab,
+        |  sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS nac,
+        |  sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS nbc
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT 'a' AS col1, 'b' AS col2, CAST(na AS BIGINT) AS n1,
+        |         CAST(nb AS BIGINT) AS n2, CAST(nab AS BIGINT) AS n_both,
+        |         CAST(nab * 1000000 // greatest(na + nb - nab, 1) AS BIGINT) AS jaccard_ppm
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'a', 'c', CAST(na AS BIGINT), CAST(nc AS BIGINT), CAST(nac AS BIGINT),
+        |         CAST(nac * 1000000 // greatest(na + nc - nac, 1) AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'b', 'c', CAST(nb AS BIGINT), CAST(nc AS BIGINT), CAST(nbc AS BIGINT),
+        |         CAST(nbc * 1000000 // greatest(nb + nc - nbc, 1) AS BIGINT) FROM m)"""
+        .stripMargin) { (s, d) =>
+      val t = Tables.cachedTable(s, d, "orders")
+        .select(
+          when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")).as("a"),
+          when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")).as("b"),
+          when(col("o_orderkey") % 35 === 1, lit(null))
+            .otherwise(col("o_orderpriority")).as("c"))
+      def nn(x: String) = sum(when(col(x).isNull, 1L).otherwise(0L))
+      def nb(x: String, y: String) =
+        sum(when(col(x).isNull && col(y).isNull, 1L).otherwise(0L))
+      // ONE aggregation pass; the 3 pair rows unpivot off the 1-row frame
+      // via stack (the columnStats idiom) — never one scan per pair.
+      t.agg(nn("a").as("na"), nn("b").as("nb"), nn("c").as("nc"),
+          nb("a", "b").as("nab"), nb("a", "c").as("nac"), nb("b", "c").as("nbc"))
+        .selectExpr(
+          """stack(3, 'a', 'b', na, nb, nab,
+            |          'a', 'c', na, nc, nac,
+            |          'b', 'c', nb, nc, nbc) AS (col1, col2, n1, n2, n_both)"""
+            .stripMargin)
+        .select(col("col1"), col("col2"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          col("n_both").cast("long").as("n_both"),
+          expr("CAST(n_both * 1000000 div greatest(n1 + n2 - n_both, 1) AS BIGINT)")
+            .as("jaccard_ppm"))
+    },
+
     // RFM customer segmentation — the classic ops-analytics cut (recency /
     // frequency / monetary, scored 1–5, concatenated into a segment code).
     // Deliberately NOT ntile: a global ntile is a single-task sort over

@@ -80,10 +80,18 @@ private[graft] object KMeansSql {
   def assignments(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, s"$dir/ivf-scored/k=$KCap/iters=$Iters/maxrn=sqrtn$NProbeDiv") {
       val emb = Tables.cachedTable(spark, dir, "embeddings")
-      val n = emb.count()
-      val k = math.min(KCap, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val cent = VectorOps.kmeansCodebook(emb, k, Iters)
-      VectorOps.scoredCells(emb, cent, maxRn(n))
+      VectorOps.scoredCells(emb, codebook(spark, dir), maxRn(emb.count()))
+    }
+
+  /** The shared IVF coarse codebook — a materialized LocalRelation, built
+    * once per (session, dir); assignments and the cluster-quality report
+    * (embed_cluster_inertia) are two consumers of one Lloyd build.
+    */
+  def codebook(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, s"$dir/ivf-codebook/k=$KCap/iters=$Iters") {
+      val emb = Tables.cachedTable(spark, dir, "embeddings")
+      val k = math.min(KCap, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      VectorOps.kmeansCodebook(emb, k, Iters)
     }
 
   /** Dedup-grade cosine threshold for the IVF pair family. */
@@ -302,5 +310,23 @@ private[graft] object KMeansSql {
       score + update
     }.mkString
     head + rounds
+  }
+
+  /** [[codebookCtes]] with every CTE NAME prefixed and the leading `WITH `
+    * stripped — lets one oracle splice the IVF chain NEXT TO the PQ chain
+    * (both otherwise emit the same base names: e, params, pos0, …). The
+    * rename is mechanical (\b-guarded whole-word replace over the closed
+    * CTE-name list); column names (cell, dot, csq, p, …) are not in the
+    * list, so they stay untouched — any slip fails the sim_search_ivf_pq
+    * hash gate immediately.
+    */
+  def codebookCtesPrefixed(prefix: String, kCap: Int = KCap,
+                           iters: Int = Iters): String = {
+    val names = Seq("e", "params", "pos0", "nsq", "pos", "rk", "seeds") ++
+      (0 to iters).flatMap(i => Seq(s"cent$i", s"csq$i", s"dot$i", s"sc$i"))
+    var sql = codebookCtes(kCap, iters).stripPrefix("WITH ")
+    for (n <- names.sortBy(-_.length))
+      sql = sql.replaceAll(s"\\b$n\\b", prefix + n)
+    sql
   }
 }

@@ -102,7 +102,8 @@ object PipelineQueries {
     * consumer's plan keeps the pinned broadcast shape (cf. the
     * fusion-ranks warm-cache lesson).
     */
-  private def pqAdcScores(s: org.apache.spark.sql.SparkSession, d: String)
+  private def pqAdcScores(s: org.apache.spark.sql.SparkSession, d: String,
+                          restrict: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val m = KMeansSql.PqM
     val cent = KMeansSql.pqCodebook(s, d)
@@ -110,6 +111,12 @@ object PipelineQueries {
       Tables.cachedTable(s, d, "embeddings"), cent, KMeansSql.PqProbeId)
     var res = KMeansSql.pqCodesWide(s, d)
       .filter(col("vec_id") =!= KMeansSql.PqProbeId)
+    // IVFPQ (r9): the ADC scan touches ONLY the probed cells' vectors —
+    // the restriction arrives as a (vec_id) frame and rides a semi-join
+    // (at 100 TB the code index is bucketed BY cell, so this is a scan
+    // prune, not a join at all).
+    for (r <- restrict)
+      res = res.join(broadcast(r.select("vec_id")), Seq("vec_id"), "left_semi")
     for (i <- 0 until m) {
       val qdi = qd.filter(col("sub") === i)
         .select(col("cell").as(s"cell_$i"),
@@ -2504,6 +2511,70 @@ object PipelineQueries {
         .withColumn("ndcg",
           when(col("n_rel") === 0, lit(0.0))
             .otherwise(col("dcg_ppb").cast("double") / col("idcg_ppb").cast("double")))
+    },
+
+    // IVF+PQ composed search (r9) — FAISS's IndexIVFPQ, the billion-scale
+    // workhorse, composed from the two EXISTING cached builds: the IVF
+    // coarse quantizer routes the query to its top-NProbeSearch cells,
+    // and the PQ ADC scan scores ONLY vectors homed in those cells — the
+    // compute drops by the (1 − nprobe/k) cell-prune factor ON TOP of
+    // PQ's 64× memory cut. Recall loss vs flat PQ is exactly IVF's
+    // cell-miss rate (sim_search_ivf's pinned 0.99+ at this nprobe). The
+    // oracle splices BOTH deterministic k-means chains into one query
+    // (codebookCtesPrefixed renames the IVF CTEs next to the PQ chain) —
+    // any drift in either replay flips the hash.
+    Q("sim_search_ivf_pq", {
+      val np = KMeansSql.NProbeSearch
+      val i = KMeansSql.Iters
+      s"""$PqAdcSql,
+         |${KMeansSql.codebookCtesPrefixed("iv_")},
+         |pcell AS (SELECT cell FROM iv_sc$i
+         |          WHERE vec_id = ${KMeansSql.PqProbeId} AND rn <= $np),
+         |home AS (SELECT vec_id, cell FROM iv_sc$i WHERE rn = 1),
+         |cand AS (SELECT home.vec_id FROM home JOIN pcell USING (cell))
+         |SELECT adc.vec_id, adc_cos FROM adc JOIN cand USING (vec_id)
+         |ORDER BY adc_cos DESC, adc.vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val np = KMeansSql.NProbeSearch
+      val asg = KMeansSql.assignments(s, d)
+      val pcells = asg.filter(col("vec_id") === KMeansSql.PqProbeId &&
+        col("rn") <= np).select("cell")
+      val cand = asg.filter(col("rn") === 1)
+        .join(broadcast(pcells), "cell").select("vec_id")
+      pqAdcScores(s, d, restrict = Some(cand))
+        .orderBy(col("adc_cos").desc, col("vec_id")).limit(10)
+    },
+
+    // k-means cluster-quality report (r9) — the inertia/affinity census a
+    // nightly IVF index build publishes: per cell, member count and mean
+    // cosine-to-centroid (spherical k-means' objective). A cell whose
+    // mean affinity sags is over-merged (split it / raise k); a near-1.0
+    // singleton cell is an over-split. Same shared Lloyd build as every
+    // IVF consumer (one codebook per session); per-member affinities
+    // quantize to DECIMAL(18,6) before the exact order-free per-cell sum,
+    // mean = one IEEE division, 5 dp.
+    Q("embed_cluster_inertia", {
+      val i = KMeansSql.Iters
+      s"""${KMeansSql.codebookCtes()},
+         |aff AS (SELECT d.vec_id, d.cell,
+         |               CAST(d.dot / sqrt(c.csq) AS DECIMAL(18,6)) AS a
+         |        FROM dot$i d JOIN csq$i c USING (cell)
+         |        JOIN sc$i s ON s.vec_id = d.vec_id AND s.cell = d.cell
+         |        WHERE s.rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |       round(CAST(sum(a) AS DOUBLE) / count(*), 5) AS mean_affinity
+         |FROM aff GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      graft.operators.VectorOps
+        .scoredCells(emb, KMeansSql.codebook(s, d),
+          maxRn = 1, keepAffinity = true)
+        .select(col("cell"),
+          col("affinity").cast(DecimalType(18, 6)).as("a"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), sum("a").as("sa"))
+        .select(col("cell"), col("n_members").cast("long").as("n_members"),
+          round(col("sa").cast("double") / col("n_members"), 5).as("mean_affinity"))
     },
 
     // Mean-reciprocal-rank eval (r9) — the third retrieval grade next to

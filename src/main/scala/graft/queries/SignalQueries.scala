@@ -1018,6 +1018,65 @@ object SignalQueries {
             col("n") - col("sx").cast("double") / col("n")) /
             (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
               col("n") + col("sx").cast("double") / col("n")), 5).as("burstiness"))
+    },
+
+    // Rolling 7-day correlation between two metric series (r9) — the
+    // coupling monitor: clicks and views normally co-move (corr ≈ 1); a
+    // window where the correlation collapses is a tracking regression on
+    // ONE of the pipes even when both totals look healthy. Day-grain
+    // join of the two series (0-filled), then all five moments as
+    // trailing 7-day RANGE windows over exact integer counts — the
+    // per-day corr is one IEEE tree on exact ints, 5 dp. Degenerate
+    // windows (either series constant — denominator 0) report NULL, not
+    // a NaN that engines render differently.
+    Q("window_rolling_corr",
+      """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events),
+        |cx AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |       FROM events WHERE event_type = 'click' GROUP BY 1),
+        |cy AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS y
+        |       FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s AS (SELECT days.day, coalesce(cx.x, 0) AS x, coalesce(cy.y, 0) AS y
+        |      FROM days LEFT JOIN cx USING (day) LEFT JOIN cy USING (day)),
+        |w AS (SELECT day,
+        |             count(*) OVER win AS m,
+        |             sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+        |             sum(x * y) OVER win AS sxy,
+        |             sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+        |      FROM s
+        |      WINDOW win AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(day AS BIGINT) AS day, CAST(m AS BIGINT) AS n_window,
+        |       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN NULL
+        |            ELSE round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |                       (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |                        sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 5)
+        |       END AS rolling_corr
+        |FROM w""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      val days = ev.select("day").distinct()
+      def series(t: String, out: String) =
+        ev.filter(col("event_type") === t).groupBy("day")
+          .agg(count(lit(1)).as(out))
+      val joined = days
+        .join(series("click", "x"), Seq("day"), "left")
+        .join(series("view", "y"), Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rangeBetween(-6, 0)
+      val w = joined.select(col("day"),
+        count(lit(1)).over(win).as("m"),
+        sum("x").over(win).as("sx"), sum("y").over(win).as("sy"),
+        sum(col("x") * col("y")).over(win).as("sxy"),
+        sum(col("x") * col("x")).over(win).as("sxx"),
+        sum(col("y") * col("y")).over(win).as("syy"))
+      val dx = col("m") * col("sxx") - col("sx") * col("sx")
+      val dy = col("m") * col("syy") - col("sy") * col("sy")
+      w.select(col("day").cast("long").as("day"), col("m").cast("long").as("n_window"),
+        when(dx === 0 || dy === 0, lit(null))
+          .otherwise(round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 5))
+          .as("rolling_corr"))
     }
   )
 }
