@@ -2565,10 +2565,8 @@ object PipelineQueries {
          |       round(CAST(sum(a) AS DOUBLE) / count(*), 5) AS mean_affinity
          |FROM aff GROUP BY 1""".stripMargin
     }) { (s, d) =>
-      val emb = Tables.cachedTable(s, d, "embeddings")
-      graft.operators.VectorOps
-        .scoredCells(emb, KMeansSql.codebook(s, d),
-          maxRn = 1, keepAffinity = true)
+      KMeansSql.assignments(s, d) // shared cached scoring pass (carries affinity)
+        .filter(col("rn") === 1)
         .select(col("cell"),
           col("affinity").cast(DecimalType(18, 6)).as("a"))
         .groupBy("cell")
