@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   *                    equate distinct surrogate keys.
   * @param ignoreCols  columns excluded from comparison AND from the output
   *                    (audit columns like updated_at that always differ)
+  * @param bagCols     array-typed value columns compared as unordered BAGS
+  *                    (multisets): both sides canonicalize via array_sort
+  *                    before the null-safe compare, so a tag list written in
+  *                    a different order is N, not C. Element types must be
+  *                    orderable (no maps inside — map-bearing columns
+  *                    already get the order-insensitive mapAwareEq path)
   * @param sparse      sparse output mode for [[Differ.diff]]: on C rows only
   *                    the columns that actually differ carry values (the
   *                    datacompy-style "show me what changed" report); equal
@@ -37,6 +43,7 @@ final case class DiffOptions(
     tolCols: Set[String] = Set.empty,
     ignoreCols: Set[String] = Set.empty,
     sparse: Boolean = false,
+    bagCols: Set[String] = Set.empty,
     /** Compare KEY columns null-safely (`<=>`, the default). Set false when
       * keys are guaranteed non-null (snapshot primary keys): plain `=` keys
       * let a diff over two key-bucketed snapshots reuse the bucket layout
@@ -173,6 +180,21 @@ object Differ {
     * columns (pinned by DifferSpec).
     */
   private def colEqual(l: Column, r: Column, dt: DataType, opts: DiffOptions, name: String): Column = {
+    // Declared bag columns first: unordered-multiset semantics via sort-
+    // then-compare (both sides canonicalize identically, so the null-safe
+    // equality sees one representative per bag). Checked BEFORE the map
+    // routing so a user who declares a map-bearing array as a bag gets a
+    // loud contract error, not a silent fallback to positional compare.
+    dt match {
+      case ArrayType(et, _) if opts.bagCols.contains(name) =>
+        require(!containsMap(et),
+          s"bagCols('$name'): array elements must be orderable (no maps)")
+        return array_sort(l) <=> array_sort(r)
+      case _ if opts.bagCols.contains(name) =>
+        throw new IllegalArgumentException(
+          s"bagCols('$name'): column is ${dt.sql}, not an array")
+      case _ => ()
+    }
     // Map-bearing columns: `<=>` would throw (maps are un-comparable in
     // Spark), so route through the order-insensitive recursive compare.
     // Tolerance never applies inside complex types.

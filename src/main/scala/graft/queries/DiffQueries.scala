@@ -1277,6 +1277,47 @@ object DiffQueries {
         .select(col("diff_status"), col("doc_id"),
           Differ.mapCanon(col("left_m")).as("left_m"),
           Differ.mapCanon(col("right_m")).as("right_m"))
+    },
+
+    // Diff with BAG-semantics array columns (r9) — diff_complex_types
+    // compares arrays POSITIONALLY (a reordered list is C); a tag list,
+    // token set, or label array has no meaningful order, and a positional
+    // diff floods the report with false C rows after any upstream
+    // re-sort. DiffOptions(bagCols) canonicalizes the declared columns
+    // via array_sort on BOTH sides before the null-safe compare. The
+    // fixture makes order the load-bearing axis: right's array is the
+    // REVERSE of left's (same elements — must be N); only %7 rows
+    // actually drop an element (C). Output arrays canonicalize sorted +
+    // to_json (harness-sortable).
+    Q("diff_array_bag",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |l AS (SELECT doc_id, tk[1:3] AS toks FROM base WHERE doc_id % 11 <> 0),
+        |r AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 7 = 0 THEN list_reverse(tk[1:2])
+        |                  ELSE list_reverse(tk[1:3]) END AS toks
+        |      FROM base WHERE doc_id % 13 <> 0)
+        |SELECT CASE WHEN l.doc_id IS NULL THEN 'I'
+        |            WHEN r.doc_id IS NULL THEN 'D'
+        |            WHEN list_sort(l.toks) IS DISTINCT FROM list_sort(r.toks)
+        |              THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |       to_json(list_sort(l.toks)) AS left_toks,
+        |       to_json(list_sort(r.toks)) AS right_toks
+        |FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      val l = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), expr("slice(tk, 1, 3)").as("toks"))
+      val r = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, reverse(expr("slice(tk, 1, 2)")))
+            .otherwise(reverse(expr("slice(tk, 1, 3)"))).as("toks"))
+      Differ.diff(l, r, Seq("doc_id"), DiffOptions(bagCols = Set("toks")))
+        .select(col("diff_status"), col("doc_id"),
+          to_json(array_sort(col("left_toks"))).as("left_toks"),
+          to_json(array_sort(col("right_toks"))).as("right_toks"))
     }
   )
 }

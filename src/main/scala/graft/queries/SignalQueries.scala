@@ -1077,6 +1077,58 @@ object SignalQueries {
           .otherwise(round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 5))
           .as("rolling_corr"))
+    },
+
+    // Forecast-error baseline (MASE denominator pair, r9) — before
+    // shipping events_forecast anywhere, the question is whether it beats
+    // the free baselines: per type, the seasonal-naive error Σ|x_t−x_{t−7}|
+    // and the naive error Σ|x_t−x_{t−1}| over the daily series, plus
+    // their ratio (Hyndman's MASE scaling, here baseline-vs-baseline: a
+    // ratio ≪ 1e6 says the series is strongly weekly-seasonal and any
+    // model must beat the SEASONAL baseline, not the lag-1 one). All
+    // errors exact BIGINTs off two lag windows on ONE type-keyed
+    // exchange; the ratio is one integer cross-multiplied floor — no
+    // float anywhere.
+    Q("events_forecast_error",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, x,
+        |              lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |              lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+        |       FROM dc),
+        |m AS (SELECT event_type,
+        |             sum(CASE WHEN x1 IS NULL THEN 0 ELSE abs(x - x1) END) AS nae,
+        |             sum(CASE WHEN x1 IS NULL THEN 0 ELSE 1 END) AS nn,
+        |             sum(CASE WHEN x7 IS NULL THEN 0 ELSE abs(x - x7) END) AS sae,
+        |             sum(CASE WHEN x7 IS NULL THEN 0 ELSE 1 END) AS ns
+        |      FROM lg GROUP BY 1)
+        |SELECT event_type, CAST(nae AS BIGINT) AS naive_abs_err,
+        |       CAST(sae AS BIGINT) AS seasonal_abs_err,
+        |       CAST(nn AS BIGINT) AS n_naive, CAST(ns AS BIGINT) AS n_seasonal,
+        |       CAST(1000000 * sae * nn // greatest(ns * nae, 1) AS BIGINT)
+        |         AS seasonal_vs_naive_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("x1", lag(col("x"), 1).over(w))
+        .withColumn("x7", lag(col("x"), 7).over(w))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("x1").isNull, 0L).otherwise(abs(col("x") - col("x1")))).as("nae"),
+          sum(when(col("x1").isNull, 0L).otherwise(1L)).as("nn"),
+          sum(when(col("x7").isNull, 0L).otherwise(abs(col("x") - col("x7")))).as("sae"),
+          sum(when(col("x7").isNull, 0L).otherwise(1L)).as("ns"))
+        .select(col("event_type"),
+          col("nae").cast("long").as("naive_abs_err"),
+          col("sae").cast("long").as("seasonal_abs_err"),
+          col("nn").cast("long").as("n_naive"),
+          col("ns").cast("long").as("n_seasonal"),
+          expr("CAST(1000000 * sae * nn div greatest(ns * nae, 1) AS BIGINT)")
+            .as("seasonal_vs_naive_ppm"))
     }
   )
 }

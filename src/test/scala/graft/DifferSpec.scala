@@ -495,6 +495,28 @@ class DifferSpec extends SparkTestBase {
     assert(st(2L) == "C", "changed nested map value inside struct must be C")
   }
 
+  test("bagCols: reordered array is N under bag semantics, C positionally; edits stay C") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val l = spark.range(3).select($"id", sexpr("array('a', 'b', 'c')").as("tags"))
+    val r = spark.range(3).select($"id",
+      sexpr("CASE WHEN id = 1 THEN array('c', 'b', 'a') " + // permutation
+        "WHEN id = 2 THEN array('c', 'b', 'x') " + // permutation + edit
+        "ELSE array('a', 'b', 'c') END").as("tags"))
+    def statuses(o: DiffOptions) = Differ.diff(l, r, Seq("id"), o).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("diff_status")).toMap
+    val bag = statuses(DiffOptions(bagCols = Set("tags")))
+    assert(bag(0L) == "N" && bag(1L) == "N" && bag(2L) == "C",
+      s"bag semantics: permutation N, edit C — got $bag")
+    val positional = statuses(DiffOptions())
+    assert(positional(1L) == "C", "default positional compare must flag the permutation")
+    // map-bearing elements are not orderable — fail fast, not mid-job
+    val lm = spark.range(2).select($"id", sexpr("array(map('k', id))").as("tags"))
+    val err = intercept[IllegalArgumentException] {
+      Differ.diff(lm, lm, Seq("id"), DiffOptions(bagCols = Set("tags"))).collect()
+    }
+    assert(err.getMessage.contains("orderable"))
+  }
+
   test("map values: diffViaHash agrees with diff on map columns (canonical fingerprint)") {
     import org.apache.spark.sql.functions.{expr => sexpr}
     val l = spark.range(6).select($"id",
