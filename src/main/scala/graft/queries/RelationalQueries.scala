@@ -206,6 +206,77 @@ object RelationalQueries {
             .as("sum_price"))
     },
 
+    // Merge-time CONSTRAINT enforcement (r9) — the governed-table write
+    // gate: an update batch carries planted violations (negative price on
+    // %13 keys, an out-of-domain status 'Z' on %17 keys); the merge
+    // applies ONLY rows passing every declared CHECK and the violations
+    // land in a quarantine census (constraint name × count + the post-
+    // merge state proof). The oracle recomputes the valid subset and the
+    // merged aggregate closed-form, so a gate that lets one bad row
+    // through — or drops one good row — flips the hash. At 100 TB the
+    // checks are per-row codegen'd predicates riding the merge's existing
+    // scan; quarantine is a partitioned sink, not a second pass.
+    Q("txn_constraint_check",
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 17 = 0 THEN 'Z' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+        |              ELSE o_totalprice * 1.1 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |flags AS (
+        |  SELECT *,
+        |         CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END AS v_price,
+        |         CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END
+        |           AS v_status
+        |  FROM upd),
+        |merged AS (
+        |  SELECT o.o_orderkey,
+        |         coalesce(f.o_totalprice, o.o_totalprice) AS o_totalprice
+        |  FROM orders o
+        |  LEFT JOIN (SELECT * FROM flags WHERE v_price = 0 AND v_status = 0) f
+        |    USING (o_orderkey))
+        |SELECT 'price_non_negative' AS constraint_name,
+        |       CAST(sum(v_price) AS BIGINT) AS n_violations,
+        |       (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+        |        FROM merged) AS merged_sum_price
+        |FROM flags
+        |UNION ALL
+        |SELECT 'status_in_domain',
+        |       CAST(sum(v_status) AS BIGINT),
+        |       (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+        |        FROM merged)
+        |FROM flags""".stripMargin) { (s, d) =>
+      val orders = Tables.cachedTable(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 17 === 0, lit("Z"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice") * 1.1).as("o_totalprice"))
+      val flags = upd
+        .withColumn("v_price", when(col("o_totalprice") < 0, 1L).otherwise(0L))
+        .withColumn("v_status",
+          when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+      val valid = flags.filter(col("v_price") === 0 && col("v_status") === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+      val merged = orders.join(valid, Seq("o_orderkey"), "left")
+        .select(coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+          .as("merged_sum_price"))
+      val census = flags.agg(
+        sum("v_price").as("np"), sum("v_status").as("ns"))
+      census.crossJoin(broadcast(merged))
+        .selectExpr(
+          """stack(2, 'price_non_negative', np,
+            |         'status_in_domain', ns) AS (constraint_name, n_violations)"""
+            .stripMargin,
+          "merged_sum_price")
+        .select(col("constraint_name"), col("n_violations").cast("long").as("n_violations"),
+          col("merged_sum_price"))
+    },
+
     // RESTORE after a bad write (r8g): the undo story every governed
     // table needs — v1 is a corrupted overwrite (a bad deploy doubling
     // every price), restore(0) publishes v2 that re-adds v0's file set as
