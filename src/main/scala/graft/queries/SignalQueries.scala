@@ -1129,6 +1129,42 @@ object SignalQueries {
           col("ns").cast("long").as("n_seasonal"),
           expr("CAST(1000000 * sae * nn div greatest(ns * nae, 1) AS BIGINT)")
             .as("seasonal_vs_naive_ppm"))
+    },
+
+    // Maximum drawdown (r9) — the peak-to-trough loss finance runs on
+    // equity curves, equally the right "how far did this metric fall from
+    // its best" report for retention/volume series: over each type's
+    // cumulative daily volume... deliberately NOT cumulative here — the
+    // raw daily series IS the level; drawdown_t = runmax_{i≤t}(x_i) − x_t,
+    // max over t, with the day it bottomed (earliest tie). Two windows
+    // (running max + argmax) on ONE type-keyed exchange, all BIGINTs.
+    Q("window_drawdown",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, x,
+        |             max(x) OVER (PARTITION BY event_type ORDER BY day) - x AS dd
+        |      FROM dc),
+        |a AS (SELECT event_type, day, dd,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY dd DESC, day) AS rn
+        |      FROM r)
+        |SELECT event_type, CAST(dd AS BIGINT) AS max_drawdown,
+        |       CAST(day AS BIGINT) AS trough_day
+        |FROM a WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dd",
+          max(col("x")).over(w.rowsBetween(Long.MinValue, 0)) - col("x"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(col("dd").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("dd").cast("long").as("max_drawdown"),
+          col("day").cast("long").as("trough_day"))
     }
   )
 }
