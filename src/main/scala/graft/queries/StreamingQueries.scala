@@ -360,6 +360,49 @@ object StreamingQueries {
             .as("sum_price"))
     },
 
+    // GENUINE file-source streaming ingest (r9) — the production landing
+    // pattern every other stream_* key assumes: a directory of JSON part
+    // files read with readStream (explicit schema — no inference scan),
+    // maxFilesPerTrigger=1 forcing one micro-batch PER FILE (the
+    // backfill/catch-up sequencing), Trigger.AvailableNow draining to a
+    // terminal checkpoint, append sink. file_seq is derived from the
+    // deterministic file assignment (key % 3 picks the part file), so the
+    // oracle proves every file's rows arrived exactly once — a file
+    // skipped, double-read, or mangled by the multi-batch replay flips
+    // the hash. At 100 TB this is the S3-landing→Bronze hop; the memory
+    // sink stands in for the transactional one stream_txn_sink already
+    // gates.
+    Q("stream_file_ingest",
+      """SELECT r_regionkey, r_name,
+        |       CAST(r_regionkey % 3 AS BIGINT) AS file_seq
+        |FROM region""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val seq = sinkSeq.incrementAndGet()
+      val dir = s"$sinkRoot/file-ingest/${d.replaceAll("[^A-Za-z0-9]", "_")}/i$seq"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val rows = Tables.cachedTable(s, d, "region")
+        .select("r_regionkey", "r_name").collect() // region: 5 rows, fixture-sized
+      (0 to 2).foreach { f =>
+        val lines = rows.filter(_.getInt(0) % 3 == f)
+          .map(r => s"""{"r_regionkey": ${r.getInt(0)}, "r_name": "${r.getString(1)}"}""")
+          .sorted
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"part-$f.json"),
+          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      val name = s"file_ingest_$seq"
+      val sq = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(dir)
+        .withColumn("file_seq", (col("r_regionkey") % 3).cast("long"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
+
     Q("stream_changelog",
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |                  epoch_us(ts) AS ts_us FROM events)
