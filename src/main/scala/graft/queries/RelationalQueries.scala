@@ -277,6 +277,107 @@ object RelationalQueries {
           col("merged_sum_price"))
     },
 
+    // Referential-integrity census (r9) — the FK orphan audit a warehouse
+    // runs nightly: child rows whose parent key no longer resolves (late
+    // parent loads, botched backfills, hard deletes without cascade).
+    // Orphans are PLANTED by closed-form key shifts (+9e8 puts them
+    // provably outside the parent domain) on two FK edges; the census is
+    // one LEFT ANTI join per edge — at 100 TB the parent KEY projection
+    // broadcasts (keys only, never parent payloads) and the anti-join is
+    // a per-task filter. A census that loses an orphan or flags a valid
+    // row flips the hash.
+    Q("quality_fk_orphans",
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 101 = 0 THEN l_orderkey + 900000000
+        |              ELSE l_orderkey END AS fk
+        |  FROM lineitem),
+        |od AS (
+        |  SELECT CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 900000000
+        |              ELSE o_custkey END AS fk
+        |  FROM orders),
+        |e1 AS (SELECT count(*) AS n,
+        |              sum(CASE WHEN NOT EXISTS
+        |                    (SELECT 1 FROM orders o WHERE o.o_orderkey = li.fk)
+        |                  THEN 1 ELSE 0 END) AS orphans
+        |       FROM li),
+        |e2 AS (SELECT count(*) AS n,
+        |              sum(CASE WHEN NOT EXISTS
+        |                    (SELECT 1 FROM customer c WHERE c.c_custkey = od.fk)
+        |                  THEN 1 ELSE 0 END) AS orphans
+        |       FROM od)
+        |SELECT 'lineitem->orders' AS fk_edge, CAST(n AS BIGINT) AS n_child,
+        |       CAST(orphans AS BIGINT) AS n_orphans,
+        |       CAST(orphans * 1000000 // n AS BIGINT) AS orphan_ppm FROM e1
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(n AS BIGINT), CAST(orphans AS BIGINT),
+        |       CAST(orphans * 1000000 // n AS BIGINT) FROM e2""".stripMargin) {
+      (s, d) =>
+        def census(edge: String, child: org.apache.spark.sql.DataFrame,
+                   parentKeys: org.apache.spark.sql.DataFrame) = {
+          val n = child.count()
+          val orphans = child
+            .join(parentKeys, child("fk") === parentKeys("pk"), "left_anti")
+            .count()
+          val sess = child.sparkSession
+          import sess.implicits._
+          Seq((edge, n, orphans, orphans * 1000000L / n))
+            .toDF("fk_edge", "n_child", "n_orphans", "orphan_ppm")
+        }
+        val li = Tables.cachedTable(s, d, "lineitem")
+          .select(when(col("l_orderkey") % 101 === 0, col("l_orderkey") + 900000000L)
+            .otherwise(col("l_orderkey")).as("fk"))
+        val od = Tables.cachedTable(s, d, "orders")
+          .select(when(col("o_orderkey") % 103 === 0, col("o_custkey") + 900000000L)
+            .otherwise(col("o_custkey")).as("fk"))
+        census("lineitem->orders", li,
+          Tables.cachedTable(s, d, "orders").select(col("o_orderkey").as("pk")))
+          .unionByName(census("orders->customer", od,
+            Tables.cachedTable(s, d, "customer").select(col("c_custkey").as("pk"))))
+    },
+
+    // TPC-H Q3-shaped analytic chain (r9) — the canonical big⋈big⋈dim
+    // revenue query: customer segment filter (dim, broadcast) → orders
+    // date filter (pushed to the scan) → lineitem ship-date filter →
+    // revenue agg → top-10. The declared surface already gates each piece
+    // in isolation; this key gates the COMPOSITION Catalyst must plan
+    // well: both big joins shuffle on their keys once, filters reach the
+    // scans, top-k is TakeOrderedAndProject. Revenue sums per-term
+    // DECIMAL(27,6)-quantized (exact, order-free), so the DESC ranking
+    // and the tie-break on l_orderkey are decided on exact decimals.
+    Q("sql_analytic_q3",
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                  AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |              AS DECIMAL(27,6))) DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(27, 6)
+      val c = Tables.cachedTable(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.cachedTable(s, d, "orders")
+        .filter(expr("o_orderdate < TIMESTAMP_NTZ '1998-06-01 00:00:00'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.cachedTable(s, d, "lineitem")
+        .filter(expr("l_shipdate > TIMESTAMP_NTZ '1998-06-01 00:00:00'"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+          .as("rev_d"))
+        .orderBy(col("rev_d").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("rev_d").cast("double").as("revenue"))
+    },
+
     // RESTORE after a bad write (r8g): the undo story every governed
     // table needs — v1 is a corrupted overwrite (a bad deploy doubling
     // every price), restore(0) publishes v2 that re-adds v0's file set as
