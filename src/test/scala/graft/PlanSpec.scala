@@ -1224,6 +1224,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("ScalaUDF"), "map compare must be builtin expressions, not UDFs")
   }
 
+  test("sql_analytic_q3: dim broadcast, big joins equi, top-k never a global sort") {
+    val df = queryNamed(graft.queries.RelationalQueries.all, "sql_analytic_q3")
+    val plan = df.queryExecution.executedPlan.toString
+    val (_, _, cart) = joinCensus(df)
+    assert(cart == 0, "q3 went cartesian")
+    assert(plan.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 fell back to a global sort")
+  }
+
   test("join_geo_knn: every round joins equi on cells — never cartesian") {
     val (_, bnlj, cart) =
       joinCensus(queryNamed(graft.queries.RelationalQueries.all, "join_geo_knn"))
