@@ -2717,6 +2717,64 @@ object PipelineQueries {
         .orderBy(col("hamming"), col("vec_id")).limit(10)
     },
 
+    // Binary-prefilter + exact rerank (r9) — the production two-stage read
+    // path for the binary tier (the hamming sibling of sim_search_pq_refine):
+    // the 16-byte sign-bit codes shortlist top-50 by Hamming distance, then
+    // ONLY those 50 vectors decode to floats for an exact cosine rerank.
+    // The 100 TB economics: stage 1 streams 8-byte words at memory
+    // bandwidth over the whole corpus, stage 2 touches 50 float vectors —
+    // the full-precision read is shortlist-sized, not corpus-sized.
+    Q("sim_search_hamming_rerank",
+      """WITH pos AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |w AS (SELECT vec_id,
+        |             sum(CASE WHEN i <= 32 AND x > 0
+        |                      THEN 1::BIGINT << (i - 1) ELSE 0 END) AS w_lo,
+        |             sum(CASE WHEN i > 32 AND x > 0
+        |                      THEN 1::BIGINT << (i - 33) ELSE 0 END) AS w_hi
+        |      FROM pos GROUP BY 1),
+        |p AS (SELECT w_lo AS p_lo, w_hi AS p_hi FROM w WHERE vec_id = 0),
+        |short AS (
+        |  SELECT w.vec_id,
+        |         CAST(bit_count(xor(w_lo, p_lo)) + bit_count(xor(w_hi, p_hi))
+        |              AS BIGINT) AS hamming
+        |  FROM w, p WHERE w.vec_id <> 0
+        |  ORDER BY hamming, w.vec_id LIMIT 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT s.vec_id, s.hamming,
+        |       round(list_cosine_similarity(e.v, p2.pv), 5) AS cos_sim
+        |FROM short s JOIN e ON e.vec_id = s.vec_id
+        |CROSS JOIN (SELECT v AS pv FROM e WHERE vec_id = 0) p2
+        |ORDER BY cos_sim DESC, s.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val codes = Tables.cached(s, s"$d/signbit-codes") {
+        Tables.cachedTable(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy("vec_id")
+          .agg(
+            sum(when(col("p") < 32 && col("x") > 0,
+              expr("shiftleft(1L, CAST(p AS INT))")).otherwise(0L)).as("w_lo"),
+            sum(when(col("p") >= 32 && col("x") > 0,
+              expr("shiftleft(1L, CAST(p - 32 AS INT))")).otherwise(0L)).as("w_hi"))
+      }
+      val probe = codes.filter(col("vec_id") === 0)
+        .select(col("w_lo").as("p_lo"), col("w_hi").as("p_hi"))
+      val short = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (bit_count(col("w_lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("w_hi").bitwiseXOR(col("p_hi")))).cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val pv = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      emb.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(pv))
+        .select(col("vec_id"), col("hamming"),
+          round(VectorOps.cosineF(col("embedding"), col("pv")), 5).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
     // HITS hubs & authorities (r9) — PageRank's bipartite sibling
     // (Kleinberg 1999) over the SAME cached kNN edge set: a good HUB
     // points at good authorities, a good AUTHORITY is pointed at by good
