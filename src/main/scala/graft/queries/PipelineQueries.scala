@@ -2717,6 +2717,67 @@ object PipelineQueries {
         .orderBy(col("hamming"), col("vec_id")).limit(10)
     },
 
+    // Nearest-centroid classification eval (r9) — the cheapest supervised
+    // probe of embedding quality (Rocchio): per-label unit-vector
+    // centroids, classify every vector by max cosine affinity, report
+    // per-label accuracy. An embedder whose labels aren't linearly
+    // centroid-separable here won't cluster, dedup, or retrieve well —
+    // the go/no-go eval BEFORE investing in ANN index builds. Mirrors
+    // the IVF scoring ladder exactly (unit-normalize → DECIMAL(27,12)
+    // per-term sums → dot/sqrt(csq) DESC ranking, label tie-break), so
+    // the oracle replays step for step.
+    Q("embed_nearest_centroid",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pos0 AS (SELECT vec_id, label, unnest(generate_series(1, len(v))) AS p,
+        |                unnest(v) AS x FROM e),
+        |nsq AS (SELECT vec_id, CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+        |        FROM pos0 GROUP BY 1),
+        |pos AS (SELECT pos0.vec_id, label, p, x / sqrt(nsq.n2) AS x
+        |        FROM pos0 JOIN nsq USING (vec_id)),
+        |cent AS (SELECT label AS cell, p,
+        |                CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)/count(*) AS c
+        |         FROM pos GROUP BY 1, 2),
+        |csq AS (SELECT cell, CAST(sum(CAST(c*c AS DECIMAL(27,12))) AS DOUBLE) AS csq
+        |        FROM cent GROUP BY 1),
+        |dt AS (SELECT pos.vec_id, cent.cell,
+        |              CAST(sum(CAST(pos.x*cent.c AS DECIMAL(27,12))) AS DOUBLE) AS dot
+        |       FROM pos JOIN cent USING (p) GROUP BY 1, 2),
+        |sc AS (SELECT d.vec_id, d.cell,
+        |              row_number() OVER (PARTITION BY d.vec_id
+        |                ORDER BY d.dot / sqrt(c.csq) DESC, d.cell) AS rn
+        |       FROM dt d JOIN csq c USING (cell)),
+        |pred AS (SELECT vec_id, cell FROM sc WHERE rn = 1)
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN pred.cell = e.label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       CAST(sum(CASE WHEN pred.cell = e.label THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS accuracy_ppm
+        |FROM e JOIN pred USING (vec_id) GROUP BY 1""".stripMargin) { (s, d) =>
+      val dec = DecimalType(27, 12)
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val pos0 = emb
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "x0")))
+        .withColumn("x0", col("x0").cast("double"))
+      val nsq = pos0.groupBy("vec_id")
+        .agg(sum((col("x0") * col("x0")).cast(dec)).cast("double").as("n2"))
+      val pos = pos0.join(nsq, "vec_id")
+        .select(col("vec_id"), col("label"), col("p"),
+          (col("x0") / sqrt(col("n2"))).as("x"))
+      // label centroids: classes×dim rows — broadcast-sized at any scale
+      val cent = pos.groupBy(col("label").as("cell"), col("p"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+      val pred = graft.operators.VectorOps.scoredCells(emb, cent, maxRn = 1)
+      emb.select("vec_id", "label")
+        .join(pred.select(col("vec_id"), col("cell")), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cell") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("label"), col("n").cast("long").as("n"),
+          col("n_correct").cast("long").as("n_correct"),
+          expr("n_correct * 1000000 div n").as("accuracy_ppm"))
+    },
+
     // Binary-prefilter + exact rerank (r9) — the production two-stage read
     // path for the binary tier (the hamming sibling of sim_search_pq_refine):
     // the 16-byte sign-bit codes shortlist top-50 by Hamming distance, then

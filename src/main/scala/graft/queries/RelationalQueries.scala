@@ -1613,6 +1613,31 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts_us", "last_signup_us")
     },
 
+    // FORWARD as-of (r9) — pandas merge_asof(direction='forward') / the
+    // "next event after" join the backward family can't express: per
+    // purchase, the NEXT error event's timestamp (the did-this-purchase-
+    // precede-a-failure attribution question). Same single-window
+    // discipline: first_value IGNORE NULLS over the FOLLOWING frame —
+    // still one user-keyed exchange, no range self-join.
+    Q("join_asof_forward",
+      """SELECT event_id, user_id, ts_us, next_error_us FROM (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |         first_value(CASE WHEN event_type = 'error' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_error_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events))
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("next_error_us",
+          first(when(col("event_type") === "error", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "next_error_us")
+    },
+
     Q("join_asof_tolerance",
       """SELECT event_id, user_id, ts_us,
         |       CASE WHEN ts_us - last_signup_us <= 1800000000
