@@ -710,6 +710,69 @@ object DiffQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // AGGREGATE reconciliation (r9) — the finance-style recon the row
+    // diff doesn't answer: do the monthly TOTALS tie out, and by how
+    // much? Per order-month: row counts and DECIMAL(18,2)-exact price
+    // sums on both sides, the signed cent-exact delta, a ppm relative
+    // delta by integer cross-multiplication on the cent sums, and the
+    // within-0.5% tie-out verdict (10⁶·|Δ| vs 5000·|L| — division-free).
+    // The row diff says WHICH rows moved; this says whether the ledger
+    // still balances per period — the report a controller actually signs.
+    Q("diff_reconcile_agg",
+      s"""$Prelude,
+         |lm AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |              count(*) AS n_left,
+         |              sum(CAST(o_totalprice AS DECIMAL(27,6))) AS s_left
+         |       FROM l GROUP BY 1),
+         |rm AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |              count(*) AS n_right,
+         |              sum(CAST(o_totalprice AS DECIMAL(27,6))) AS s_right
+         |       FROM r GROUP BY 1),
+         |j AS (SELECT coalesce(lm.month, rm.month) AS month,
+         |             coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right,
+         |             coalesce(s_left, 0) AS s_left, coalesce(s_right, 0) AS s_right
+         |      FROM lm FULL OUTER JOIN rm ON lm.month = rm.month)
+         |SELECT month, CAST(n_left AS BIGINT) AS n_left,
+         |       CAST(n_right AS BIGINT) AS n_right,
+         |       CAST(s_right - s_left AS DOUBLE) AS sum_delta,
+         |       CAST(CASE WHEN s_left = 0 THEN NULL
+         |                 ELSE CAST(1000000 * (s_right - s_left) * 1000000 AS HUGEINT)
+         |                      // CAST(s_left * 1000000 AS HUGEINT) END AS BIGINT)
+         |         AS rel_delta_ppm,
+         |       CAST(CASE WHEN 1000000 * abs(CAST((s_right - s_left) * 1000000 AS HUGEINT))
+         |                      <= 5000 * abs(CAST(s_left * 1000000 AS HUGEINT))
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS ties_out
+         |FROM j""".stripMargin) { (s, d) =>
+      val dec = DecimalType(27, 6)
+      def monthly(df: org.apache.spark.sql.DataFrame, np: String, sp: String) =
+        df.groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as(np), sum(col("o_totalprice").cast(dec)).as(sp))
+      val lm = monthly(left(s, d), "n_left", "s_left").alias("lm")
+      val rm = monthly(right(s, d), "n_right", "s_right").alias("rm")
+      val j = lm.join(rm, col("lm.month") === col("rm.month"), "full_outer")
+        .select(coalesce(col("lm.month"), col("rm.month")).as("month"),
+          coalesce(col("n_left"), lit(0L)).as("n_left"),
+          coalesce(col("n_right"), lit(0L)).as("n_right"),
+          coalesce(col("s_left"), lit(0).cast(dec)).as("s_left"),
+          coalesce(col("s_right"), lit(0).cast(dec)).as("s_right"))
+      // micro-unit-exact integer images of the DECIMAL(27,6) sums (6 dp is
+      // the quantum where double->decimal rounding agrees across engines;
+      // 2 dp does NOT — the x1.1 perturbation mints genuine 3rd-dp digits
+      // whose half-tie rounding differs, measured one cent per ~30 groups)
+      val lc = (col("s_left") * 1000000).cast(DecimalType(38, 0))
+      val rc = (col("s_right") * 1000000).cast(DecimalType(38, 0))
+      // integer div (both engines truncate toward zero), never IEEE /
+      j.select(col("month"), col("n_left"), col("n_right"),
+          (col("s_right") - col("s_left")).cast("double").as("sum_delta"),
+          lc.as("lc"), rc.as("rc"))
+        .select(col("month"), col("n_left"), col("n_right"), col("sum_delta"),
+          when(col("lc") === 0, lit(null))
+            .otherwise(expr("(1000000L * (rc - lc)) div lc")).cast("long")
+            .as("rel_delta_ppm"),
+          when(lit(1000000L) * abs(col("rc") - col("lc")) <= lit(5000L) * abs(col("lc")), 1L)
+            .otherwise(0L).as("ties_out"))
+    },
+
     Q("diff_merge3", {
       def sideSel(alias: String, pfx: String) =
         valueCols.map(c => s"$alias.$c AS ${pfx}_$c").mkString(", ")
