@@ -2717,6 +2717,73 @@ object PipelineQueries {
         .orderBy(col("hamming"), col("vec_id")).limit(10)
     },
 
+    // Image luminance entropy (r9) — the real-decoder content-complexity
+    // gate: a near-zero-entropy image is a blank/solid placeholder (crawl
+    // junk a multimodal curation pass drops), high entropy is textured
+    // content. One genuine two-tone PNG per nation row (dark-row count is
+    // closed-form), ImageIO-decoded back; the DECODER's per-pixel
+    // luminance census feeds the two-level entropy, so a decode that
+    // miscounts one pixel flips the hash. The ln terms run on exact
+    // integer ratios in one identical IEEE tree, DECIMAL(18,6)-quantized
+    // at the boundary (the text_entropy ladder).
+    Q("multimodal_image_entropy",
+      """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |                  8 * (4 + n_nationkey % 5) AS n_pixels,
+        |                  8 * (1 + n_nationkey % 3) AS n_dark
+        |           FROM nation)
+        |SELECT id, CAST(n_pixels AS BIGINT) AS n_pixels,
+        |       CAST(n_dark AS BIGINT) AS n_dark,
+        |       CAST(CAST(-(CAST(n_dark AS DOUBLE) / n_pixels
+        |                     * ln(CAST(n_dark AS DOUBLE) / n_pixels)
+        |                   + (1 - CAST(n_dark AS DOUBLE) / n_pixels)
+        |                     * ln(1 - CAST(n_dark AS DOUBLE) / n_pixels))
+        |            AS DECIMAL(18,6)) AS DOUBLE) AS entropy
+        |FROM a""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val counts = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val w = 8
+          val h = (4 + id % 5).toInt
+          val darkRows = (1 + id % 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val g = if (y < darkRows) 40 else 200
+            val rgb = (g << 16) | (g << 8) | g
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray)
+        }
+        .map { m =>
+          // the DECODER's census, not the fixture's: re-parse the PNG and
+          // count dark pixels off the decoded raster
+          val img = MultimodalOps.decodeImage(m.content).get
+          var dark = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              if ((img.getRGB(x, y) & 0xff) < 128) dark += 1
+              x += 1
+            }
+            y += 1
+          }
+          (m.id, img.getWidth.toLong * img.getHeight, dark)
+        }
+        .toDF("id", "n_pixels", "n_dark")
+      val p = col("n_dark").cast("double") / col("n_pixels")
+      counts.select(col("id"), col("n_pixels"), col("n_dark"),
+        (-(p * log(p) + (lit(1) - p) * log(lit(1) - p)))
+          .cast(DecimalType(18, 6)).cast("double").as("entropy"))
+    },
+
     // Nearest-centroid classification eval (r9) — the cheapest supervised
     // probe of embedding quality (Rocchio): per-label unit-vector
     // centroids, classify every vector by max cosine affinity, report
