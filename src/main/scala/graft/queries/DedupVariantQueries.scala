@@ -123,6 +123,88 @@ object DedupVariantQueries {
           minJaccard = 0.9, bands = 4)
     },
 
+    // MinHash ESTIMATOR-quality audit (r9) — before trusting banded LSH
+    // thresholds at 100 TB, measure the estimator itself: per candidate
+    // pair, the 8-component match fraction IS the Jaccard estimate
+    // (E[matches/k] = J); bucketed by match count, report the observed
+    // mean exact Jaccard and the mean |estimate − exact| — the
+    // calibration table that justifies (or re-tunes) the band/row choice.
+    // Candidates ride the SAME one-bucket-join shape as dedup_minhash_lsh
+    // (explode (component, mh), equi-join, count matches per pair);
+    // pairs need ≥ 2 matching components (such a pair shares ≥ 2 buckets,
+    // so the bucketed generation is provably lossless for the audited
+    // population — the oracle is the NAIVE all-pairs formulation, house
+    // convention). Means via per-term DECIMAL(18,6) quantize → exact sum.
+    Q("dedup_minhash_estimate",
+      """WITH t AS (SELECT doc_id, lang,
+        |                  list_distinct(string_split(lower(text), ' ')) AS s
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang, s,
+        |        list_min(list_transform(s, x -> sha256('0' || x))) AS mh0,
+        |        list_min(list_transform(s, x -> sha256('1' || x))) AS mh1,
+        |        list_min(list_transform(s, x -> sha256('2' || x))) AS mh2,
+        |        list_min(list_transform(s, x -> sha256('3' || x))) AS mh3,
+        |        list_min(list_transform(s, x -> sha256('4' || x))) AS mh4,
+        |        list_min(list_transform(s, x -> sha256('5' || x))) AS mh5,
+        |        list_min(list_transform(s, x -> sha256('6' || x))) AS mh6,
+        |        list_min(list_transform(s, x -> sha256('7' || x))) AS mh7
+        |      FROM t),
+        |p AS (
+        |  SELECT (a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT + (a.mh2 = b.mh2)::INT
+        |       + (a.mh3 = b.mh3)::INT + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+        |       + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT AS matches,
+        |         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |  FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT CAST(matches AS BIGINT) AS matches,
+        |       CAST(matches * 125000 AS BIGINT) AS est_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(CAST(sum(CAST(jac AS DECIMAL(18,6))) AS DOUBLE) / count(*), 5)
+        |         AS mean_jaccard,
+        |       round(CAST(sum(CAST(abs(matches / 8.0 - jac) AS DECIMAL(18,6)))
+        |                  AS DOUBLE) / count(*), 5) AS mean_abs_err
+        |FROM p WHERE matches >= 2 GROUP BY matches""".stripMargin) { (s, d) =>
+      val k = 8
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val mhAggs = (0 until k).map(i =>
+        min(sha2(concat(lit(i.toString), col("token")), 256)).as(s"mh$i"))
+      val base = Tables.cached(s, s"$d/minhash-est-sig/k=$k") {
+        Tables.cachedTable(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+          .groupBy("doc_id", "lang")
+          .agg(sort_array(collect_list(col("token"))).as("s"), mhAggs: _*)
+      }
+      // one bucket self-join on the exploded (component, mh) key — the
+      // dedup_minhash_lsh shape, with per-pair match COUNTS kept
+      val kv = base.select(col("doc_id"), col("lang"),
+        explode(array((0 until k).map(i =>
+          struct(lit(i).as("c"), col(s"mh$i").as("mh"))): _*)).as("bk"))
+        .select(col("doc_id"), col("lang"),
+          col("bk.c").as("c"), col("bk.mh").as("mh"))
+      val pairs = kv.alias("x").join(kv.alias("y"),
+          col("x.lang") === col("y.lang") && col("x.c") === col("y.c") &&
+            col("x.mh") === col("y.mh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("matches"))
+        .filter(col("matches") >= 2)
+      val sa = base.select(col("doc_id").as("doc_a"), col("s").as("a_s"))
+      val sb = base.select(col("doc_id").as("doc_b"), col("s").as("b_s"))
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("matches"),
+          (size(array_intersect(col("a_s"), col("b_s"))).cast("double") /
+            size(array_union(col("a_s"), col("b_s")))).as("jac"))
+        .groupBy("matches")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jac").cast(dec)).as("sj"),
+          sum(abs(col("matches") / lit(8.0) - col("jac")).cast(dec)).as("se"))
+        .select(col("matches").cast("long").as("matches"),
+          (col("matches") * 125000).cast("long").as("est_ppm"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          round(col("sj").cast("double") / col("n_pairs"), 5).as("mean_jaccard"),
+          round(col("se").cast("double") / col("n_pairs"), 5).as("mean_abs_err"))
+    },
+
     Q("dedup_simhash",
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
