@@ -2717,6 +2717,81 @@ object PipelineQueries {
         .orderBy(col("hamming"), col("vec_id")).limit(10)
     },
 
+    // PQ quantization-distortion audit (r9) — embed_cluster_inertia's
+    // twin for the PRODUCT quantizer: per vector, the cosine between the
+    // unit vector and its PQ reconstruction (concatenated assigned
+    // centroids), summarized as mean/max distortion (1 − cos). THE
+    // go/no-go number for the m/k choice: distortion here bounds the ADC
+    // ranking error sim_search_pq lives with. Exactness rides the
+    // pqAdcScores ladder exactly: per-(vec, sub) dot and csq are
+    // DECIMAL(27,12) per-term sums cast double, each quantizes to
+    // DECIMAL(18,6), the 4-subspace sums add exactly, and cos/distortion
+    // are one IEEE tree quantized at the report boundary.
+    Q("embed_pq_distortion", {
+      val i = KMeansSql.PqIters
+      s"""${KMeansSql.pqCtes()},
+         |home AS (SELECT vec_id, sub, cell FROM sc$i WHERE rn = 1),
+         |dsub AS (SELECT h.vec_id,
+         |                CAST(d.dot AS DECIMAL(18,6)) AS dq,
+         |                CAST(c.csq AS DECIMAL(18,6)) AS cq
+         |         FROM home h
+         |         JOIN dot$i d ON d.vec_id = h.vec_id AND d.sub = h.sub
+         |                     AND d.cell = h.cell
+         |         JOIN csq$i c ON c.sub = h.sub AND c.cell = h.cell),
+         |pv AS (SELECT vec_id,
+         |              CAST(CAST(1 - CAST(sum(dq) AS DOUBLE)
+         |                            / sqrt(CAST(sum(cq) AS DOUBLE))
+         |                   AS DECIMAL(18,6)) AS DOUBLE) AS dist
+         |       FROM dsub GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |       round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+         |             / count(*), 5) AS mean_distortion,
+         |       round(max(dist), 5) AS max_distortion
+         |FROM pv""".stripMargin
+    }) { (s, d) =>
+      val dec2712 = DecimalType(27, 12)
+      val dec186 = DecimalType(18, 6)
+      val emb = Tables.cachedTable(s, d, "embeddings")
+      val m = KMeansSql.PqM
+      val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
+      val subdim = dim / m
+      val cent = KMeansSql.pqCodebook(s, d) // (sub, cell, sp, c) LocalRelation
+      // unit-normalized subspace positions, inline (the nearest-centroid
+      // idiom); sub/sp split mirrors pqCtes' 0-based arithmetic
+      val pos0 = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x0")))
+        .withColumn("x0", col("x0").cast("double"))
+      val nsq = pos0.groupBy("vec_id")
+        .agg(sum((col("x0") * col("x0")).cast(dec2712)).cast("double").as("n2"))
+      val pos = pos0.join(nsq, "vec_id")
+        .select(col("vec_id"), (col("p") / subdim).cast("int").as("sub"),
+          (col("p") % subdim).cast("int").as("sp"),
+          (col("x0") / sqrt(col("n2"))).as("x"))
+      // home assignment, long form off the cached wide code index
+      val codes = KMeansSql.pqCodesWide(s, d).selectExpr("vec_id",
+        s"stack($m, ${(0 until m).map(i => s"$i, c$i").mkString(", ")}) AS (sub, cell)")
+      // attach each position's ASSIGNED centroid component only: one
+      // (vec, sub) join to the m-row-per-vector code list, then the tiny
+      // broadcast codebook on (sub, cell, sp) — never the all-cells fanout
+      val dsub = pos.join(codes, Seq("vec_id", "sub"))
+        .join(broadcast(cent), Seq("sub", "cell", "sp"))
+        .groupBy("vec_id", "sub", "cell")
+        .agg(sum((col("x") * col("c")).cast(dec2712)).cast("double").as("dot"))
+        .withColumn("dq", col("dot").cast(dec186))
+      val cq = cent.groupBy("sub", "cell")
+        .agg(sum((col("c") * col("c")).cast(dec2712)).cast("double").as("csq"))
+        .withColumn("cq", col("csq").cast(dec186))
+      val pv = dsub.join(broadcast(cq), Seq("sub", "cell"))
+        .groupBy("vec_id")
+        .agg(sum("dq").as("sd"), sum("cq").as("sc"))
+        .select((lit(1) - col("sd").cast("double") / sqrt(col("sc").cast("double")))
+          .cast(dec186).cast("double").as("dist"))
+      pv.agg(count(lit(1)).as("n_vectors"),
+          sum(col("dist").cast(dec186)).as("sdist"), max(col("dist")).as("mx"))
+        .select(col("n_vectors").cast("long").as("n_vectors"),
+          round(col("sdist").cast("double") / col("n_vectors"), 5).as("mean_distortion"),
+          round(col("mx"), 5).as("max_distortion"))
+    },
+
     // Image luminance entropy (r9) — the real-decoder content-complexity
     // gate: a near-zero-entropy image is a blank/solid placeholder (crawl
     // junk a multimodal curation pass drops), high entropy is textured
