@@ -492,6 +492,52 @@ object CurationQueries {
     // by token mass (ties on source name), G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
     // needs only BIGINT sums and ONE integer ppm division — no float
     // anywhere, so the engines cannot drift.
+    // Epoch repetition plan (r9, the data-constrained scaling recipe —
+    // Muennighoff et al. 2023): given a token budget (2× the corpus) and
+    // temperature-flattened target weights (the domain_mix_temp ^0.7
+    // convention), emit per source the integer FULL-epoch repeat count
+    // and the ppm remainder to sample of one extra epoch — the plan a
+    // training dataloader consumes verbatim. Weights quantize pow() to
+    // DECIMAL(18,9) per source (the one transcendental), the target is
+    // one floor'd IEEE product, and epochs/remainder are pure integer
+    // div/mod — engine-identical end to end.
+    Q("curation_epochs",
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM src),
+        |pw AS (SELECT source, n_tokens,
+        |         CAST(pow(CAST(n_tokens AS DOUBLE) / total, 0.7) AS DECIMAL(18,9)) AS pw
+        |       FROM src, tot),
+        |z AS (SELECT CAST(sum(pw) AS DECIMAL(18,9)) AS z FROM pw),
+        |m AS (SELECT source, n_tokens,
+        |        CAST(floor(2.0 * total * (CAST(pw AS DOUBLE) / CAST(z AS DOUBLE)))
+        |             AS BIGINT) AS target_tokens
+        |      FROM pw, z, tot)
+        |SELECT source, n_tokens, target_tokens,
+        |       CAST(target_tokens // n_tokens AS BIGINT) AS full_epochs,
+        |       CAST((target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT)
+        |         AS partial_epoch_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      val dec189 = org.apache.spark.sql.types.DecimalType(18, 9)
+      val src = Tables.cachedTable(s, d, "documents")
+        .select(col("source"), size(split(lower(col("text")), " ")).as("n"))
+        .groupBy("source").agg(sum("n").cast("long").as("n_tokens"))
+      val tot = src.agg(sum("n_tokens").cast("long").as("total"))
+      val pw = src.crossJoin(broadcast(tot))
+        .withColumn("pw",
+          pow(col("n_tokens").cast("double") / col("total"), 0.7).cast(dec189))
+      val z = pw.agg(sum("pw").cast(dec189).as("z"))
+      pw.crossJoin(broadcast(z))
+        .withColumn("target_tokens",
+          floor(lit(2.0) * col("total") *
+            (col("pw").cast("double") / col("z").cast("double"))).cast("long"))
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          expr("target_tokens div n_tokens").as("full_epochs"),
+          expr("(target_tokens % n_tokens) * 1000000 div n_tokens")
+            .as("partial_epoch_ppm"))
+    },
+
     Q("domain_gini",
       """WITH c AS (
         |  SELECT lang, source,

@@ -1113,6 +1113,40 @@ object RelationalQueries {
         .select(col("r_regionkey"), col("r_name"))
     },
 
+    // Quoted-multiline CSV parse (r9) — the ingestion trap one tier above
+    // malformed rows: a quoted field carrying an EMBEDDED NEWLINE is one
+    // logical record over two physical lines, and Spark's default
+    // line-splittable reader silently shreds it into two broken rows;
+    // multiLine=true switches to the whole-file parser that handles it
+    // (at the cost of per-file, not per-split, parallelism — the
+    // documented trade at 100 TB: fix the producer or keep files small).
+    // The writer quotes via a real CSV writer contract (quote char "),
+    // the oracle is the closed-form reconstruction, and the artifact maps
+    // the newline to '|' so it stays harness-sortable.
+    Q("scan_csv_multiline",
+      """SELECT r_regionkey, r_name || '|line2' AS r_name_joined FROM region"""
+        .stripMargin) { (s, d) =>
+      val parsed = Tables.cached(s, s"$d/csv-multiline-parsed") {
+        val rows = Tables.cachedTable(s, d, "region")
+          .select("r_regionkey", "r_name").collect()
+          .map(r => s"""${r.getInt(0)},"${r.getString(1)}\nline2"""")
+          .sorted
+        val path = java.nio.file.Paths.get(s"$roundtripRoot/csv-multiline" +
+          s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        java.nio.file.Files.createDirectories(path)
+        java.nio.file.Files.write(path.resolve("part-0.csv"),
+          (Seq("r_regionkey,r_name") ++ rows).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+        s.read.option("header", "true").option("multiLine", "true")
+          .option("quote", "\"").schema(schema).csv(path.toString)
+      }
+      parsed.select(col("r_regionkey"),
+        regexp_replace(col("r_name"), "\n", "\\|").as("r_name_joined"))
+    },
+
     // The JSON twin of scan_csv_malformed (r8i) — the mechanics genuinely
     // differ: CSV corruption is arity/cast-level with the pruning
     // restriction documented above; JSON corruption is Jackson parse-level
