@@ -3026,6 +3026,40 @@ object PipelineQueries {
         .orderBy(col("authority").desc, col("vec_id")).limit(15)
     },
 
+    // kNN-graph reciprocity (r9) — the symmetry audit that motivates (or
+    // waives) the symmetrization step label_prop/CC pay for: fraction of
+    // directed kNN edges whose REVERSE edge also exists. Low reciprocity
+    // is the hubness signature (hubs sit in many NN lists they don't
+    // reciprocate — graph_degree_stats' diagnosis summarized to one
+    // actionable ppm). One semi-join on the cached edge set, exact ints.
+    Q("graph_reciprocity",
+      """WITH eemb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+        |       FROM eemb a JOIN eemb b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |                                    ORDER BY cos_sim DESC, dst) AS rank
+        |       FROM pp),
+        |e AS (SELECT src, dst FROM rr WHERE rank <= 3),
+        |r AS (SELECT count(*) AS n_recip
+        |      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+        |n AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |       CAST(n_recip AS BIGINT) AS n_reciprocal,
+        |       CAST(n_recip * 1000000 // n_edges AS BIGINT) AS reciprocity_ppm
+        |FROM n, r""".stripMargin) { (s, d) =>
+      val e = knn3(s, d).select("src", "dst")
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val nRecip = e.join(rev, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(nRecip))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          col("n_reciprocal").cast("long").as("n_reciprocal"),
+          expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
+    },
+
     // Degree assortativity (r9) — Newman's r: do high-degree nodes attach
     // to other high-degree nodes (assortative, r > 0: clustered cliques —
     // the near-dup signature) or to low-degree ones (disassortative,
