@@ -1165,6 +1165,83 @@ object SignalQueries {
         .filter(col("rn") === 1)
         .select(col("event_type"), col("dd").cast("long").as("max_drawdown"),
           col("day").cast("long").as("trough_day"))
+    },
+
+    // EWMA crossover detection (r9) — the MACD-style trend-change signal:
+    // a fast (half-life-1, 3 lags) and a slow (0.8-decay, 7 lags)
+    // truncated EWMA over each type's daily volume; a day where
+    // sign(fast − slow) flips is a trend change (fast crossing above =
+    // momentum up). Both EWMAs are the window_ewma closed form (lag
+    // columns × literal weights — no recursion), identical IEEE trees in
+    // both engines; the sign/flip logic is pure integer CASEs on ONE
+    // type-keyed exchange. Reports per type: crossover count + first
+    // crossover day.
+    Q("window_ewma_crossover", {
+      // every weight is CAST(... AS DOUBLE): DuckDB parses bare numeric
+      // literals as DECIMAL and sums them EXACTLY, diverging from Spark's
+      // double-chained arithmetic at the 16th digit (caught at sf0.001)
+      def ewmaSql(ws: Seq[Double]) = {
+        val num = ws.zipWithIndex.map { case (p, j) =>
+          s"coalesce(x${j + 1} * CAST($p AS DOUBLE), 0)" }.mkString(" + ")
+        val den = ws.zipWithIndex.map { case (p, j) =>
+          s"CASE WHEN x${j + 1} IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST($p AS DOUBLE) END" }
+          .mkString(" + ")
+        s"(x + $num) / (CAST(1 AS DOUBLE) + $den)"
+      }
+      val fast = ewmaSql((1 to 3).map(j => math.pow(0.5, j)))
+      val slow = ewmaSql((1 to 7).map(j => math.pow(0.8, j)))
+      s"""WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |                   CAST(count(*) AS DOUBLE) AS x
+         |            FROM events GROUP BY 1, 2),
+         |lg AS (SELECT event_type, day, x,
+         |              ${(1 to 7).map(j => s"lag(x, $j) OVER w AS x$j").mkString(", ")}
+         |       FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |sg AS (SELECT event_type, day,
+         |              CASE WHEN $fast > $slow THEN 1
+         |                   WHEN $fast < $slow THEN -1 ELSE 0 END AS sgn
+         |       FROM lg),
+         |cr AS (SELECT event_type, day, sgn,
+         |              lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS ps
+         |       FROM sg)
+         |SELECT event_type,
+         |       CAST(sum(CASE WHEN sgn <> 0 AND ps <> 0 AND sgn <> ps
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossovers,
+         |       CAST(min(CASE WHEN sgn <> 0 AND ps <> 0 AND sgn <> ps
+         |                     THEN day END) AS BIGINT) AS first_crossover_day
+         |FROM cr GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      // DOUBLE from the start: DuckDB's 0.5-style literals are DECIMAL, and
+      // BIGINT×DECIMAL stays DECIMAL (different rounding than double) —
+      // window_ewma dodges this because `value` is already DOUBLE
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val lagged = (1 to 7).foldLeft(dc) { (df, j) =>
+        df.withColumn(s"x$j", lag(col("x"), j).over(wOrd))
+      }
+      def ewma(ws: Seq[Double]) = {
+        val num = ws.zipWithIndex.foldLeft(col("x")) {
+          case (acc, (p, j)) => acc + coalesce(col(s"x${j + 1}") * lit(p), lit(0.0))
+        }
+        val den = ws.zipWithIndex.foldLeft(lit(1.0)) {
+          case (acc, (p, j)) =>
+            acc + when(col(s"x${j + 1}").isNull, lit(0.0)).otherwise(lit(p))
+        }
+        num / den
+      }
+      val fast = ewma((1 to 3).map(j => math.pow(0.5, j)))
+      val slow = ewma((1 to 7).map(j => math.pow(0.8, j)))
+      lagged
+        .withColumn("sgn", when(fast > slow, 1).when(fast < slow, -1).otherwise(0))
+        .withColumn("ps", lag(col("sgn"), 1).over(wOrd))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("sgn") =!= 0 && col("ps") =!= 0 && col("sgn") =!= col("ps"),
+            1L).otherwise(0L)).as("n_crossovers"),
+          min(when(col("sgn") =!= 0 && col("ps") =!= 0 && col("sgn") =!= col("ps"),
+            col("day"))).cast("long").as("first_crossover_day"))
     }
   )
 }
