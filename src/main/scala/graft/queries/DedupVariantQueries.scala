@@ -205,6 +205,33 @@ object DedupVariantQueries {
           round(col("se").cast("double") / col("n_pairs"), 5).as("mean_abs_err"))
     },
 
+    // Shared-PREFIX boilerplate census (r9) — template headers ("sign up
+    // for our newsletter …") share their opening tokens verbatim even when
+    // the tails differ too much for whole-doc dedup to fire: group by the
+    // first-5-token prefix, report every prefix shared by ≥ 2 docs with
+    // its size and anchor doc — the census a boilerplate-stripping pass
+    // (text_boilerplate's doc-level sibling) consumes. One map-side
+    // combinable (prefix) agg — never a pair join.
+    Q("dedup_prefix",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         array_to_string(string_split(lower(text), ' ')[1:5], ' ') AS prefix
+        |  FROM documents),
+        |g AS (SELECT prefix, count(*) AS n_docs, min(doc_id) AS anchor_doc
+        |      FROM t GROUP BY 1)
+        |SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(anchor_doc AS BIGINT) AS anchor_doc
+        |FROM g WHERE n_docs >= 2""".stripMargin) { (s, d) =>
+      Tables.cachedTable(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(expr("slice(split(lower(text), ' '), 1, 5)"), " ").as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("anchor_doc"))
+        .filter(col("n_docs") >= 2)
+        .select(col("prefix"), col("n_docs").cast("long").as("n_docs"),
+          col("anchor_doc").cast("long").as("anchor_doc"))
+    },
+
     Q("dedup_simhash",
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
