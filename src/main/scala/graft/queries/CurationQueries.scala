@@ -538,6 +538,36 @@ object CurationQueries {
             .as("partial_epoch_ppm"))
     },
 
+    // Herfindahl–Hirschman concentration (r9) — domain_gini's antitrust
+    // twin, and the one regulators/mix-monitors actually threshold (HHI >
+    // 0.25 ≡ 250000 ppm = concentrated): Σ share² of source token mass.
+    // Exact integer arithmetic end to end: hhi_ppm = Σ t_s² · 10⁶ //
+    // (Σ t_s)², carried in DECIMAL(38,0)/HUGEINT so the 10⁶-scaled square
+    // sum can't wrap, one floor division at the end.
+    Q("domain_hhi",
+      """WITH t AS (
+        |  SELECT source, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS tk FROM t GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(tk) AS HUGEINT) AS total,
+        |             sum(CAST(tk AS HUGEINT) * CAST(tk AS HUGEINT)) AS sq
+        |      FROM src)
+        |SELECT n_sources,
+        |       CAST(total AS BIGINT) AS total_tokens,
+        |       CAST(sq * 1000000 // (total * total) AS BIGINT) AS hhi_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.cachedTable(s, d, "documents")
+        .select(col("source"), size(split(lower(col("text")), " ")).as("n"))
+        .groupBy("source").agg(sum("n").cast("long").as("tk"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum("tk").cast(d38).as("total"),
+          sum((col("tk").cast(d38) * col("tk").cast(d38))).as("sq"))
+        .select(col("n_sources").cast("long").as("n_sources"),
+          col("total").cast("long").as("total_tokens"),
+          expr("CAST((sq * 1000000) div (total * total) AS BIGINT)").as("hhi_ppm"))
+    },
+
     Q("domain_gini",
       """WITH c AS (
         |  SELECT lang, source,

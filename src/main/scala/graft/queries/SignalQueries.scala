@@ -1167,6 +1167,32 @@ object SignalQueries {
           col("day").cast("long").as("trough_day"))
     },
 
+    // Freshness lag audit (r9) — the staleness census an ingestion SLA
+    // dashboard reads: per event type, how many days behind the global
+    // high-water mark is this feed's newest event? A pipe whose lag grows
+    // is silently dead upstream long before volume alarms fire. Pure
+    // integer day arithmetic off two max() aggs; verdict at lag > 2 days.
+    Q("quality_freshness",
+      """WITH d AS (SELECT event_type, max(epoch_us(ts) // 86400000000) AS max_day
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT max(max_day) AS global_day FROM d)
+        |SELECT event_type, CAST(max_day AS BIGINT) AS max_day,
+        |       CAST(global_day AS BIGINT) AS global_day,
+        |       CAST(global_day - max_day AS BIGINT) AS lag_days,
+        |       CAST(CASE WHEN global_day - max_day > 2 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS stale
+        |FROM d, g""".stripMargin) { (s, d) =>
+      val byType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(expr("ts_us div 86400000000")).as("max_day"))
+      val g = byType.agg(max("max_day").as("global_day"))
+      byType.crossJoin(broadcast(g))
+        .select(col("event_type"), col("max_day").cast("long").as("max_day"),
+          col("global_day").cast("long").as("global_day"),
+          (col("global_day") - col("max_day")).cast("long").as("lag_days"),
+          when(col("global_day") - col("max_day") > 2, 1L).otherwise(0L).as("stale"))
+    },
+
     // EWMA crossover detection (r9) — the MACD-style trend-change signal:
     // a fast (half-life-1, 3 lags) and a slow (0.8-decay, 7 lags)
     // truncated EWMA over each type's daily volume; a day where
