@@ -1167,6 +1167,71 @@ object SignalQueries {
           col("day").cast("long").as("trough_day"))
     },
 
+    // Min-max feature scaling (r9) — the normalization step a
+    // cross-series dashboard or model feature pipe applies before
+    // comparing differently-sized metrics: per type, daily volume scaled
+    // to [0, 10⁶] ppm against that type's own min/max. Integer-exact:
+    // scaled = (x − min)·10⁶ // (max − min); a constant series (max =
+    // min) reports NULL, never a divide-by-zero or an engine-specific
+    // NaN. One type-keyed agg broadcast back over the day frame.
+    Q("window_minmax_scale",
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                   count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, min(x) AS mn, max(x) AS mx FROM dc GROUP BY 1)
+        |SELECT dc.event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
+        |       CAST(CASE WHEN mx = mn THEN NULL
+        |                 ELSE (x - mn) * 1000000 // (mx - mn) END AS BIGINT)
+        |         AS scaled_ppm
+        |FROM dc JOIN mm USING (event_type)""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mm = dc.groupBy("event_type").agg(min("x").as("mn"), max("x").as("mx"))
+      dc.join(broadcast(mm), "event_type")
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("x").cast("long").as("x"),
+          when(col("mx") === col("mn"), lit(null))
+            .otherwise(expr("((x - mn) * 1000000) div (mx - mn)"))
+            .cast("long").as("scaled_ppm"))
+    },
+
+    // Out-of-order arrival audit (r9) — the event-time vs arrival-order
+    // census that sizes streaming WATERMARKS: within each type, walking
+    // events in arrival order (event_id — the fixture's append order),
+    // how many arrive with an EARLIER timestamp than their predecessor,
+    // and how late (max regression, µs)? The answer decides
+    // withWatermark's delay budget; a rising inversion rate is an
+    // upstream buffering bug. One type-keyed lag window, exact integers.
+    Q("events_out_of_order",
+      """WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type, ts_us,
+        |             lag(ts_us) OVER (PARTITION BY event_type ORDER BY event_id)
+        |               AS prev_ts
+        |      FROM o)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |       CAST(coalesce(max(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts
+        |                              THEN prev_ts - ts_us END), 0) AS BIGINT)
+        |         AS max_regression_us
+        |FROM l GROUP BY 1""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("prev_ts").isNotNull && col("ts_us") < col("prev_ts"), 1L)
+            .otherwise(0L)).as("n_inversions"),
+          coalesce(max(when(col("prev_ts").isNotNull && col("ts_us") < col("prev_ts"),
+            col("prev_ts") - col("ts_us"))), lit(0L)).as("max_regression_us"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("n_inversions").cast("long").as("n_inversions"),
+          col("max_regression_us").cast("long").as("max_regression_us"))
+    },
+
     // Freshness lag audit (r9) — the staleness census an ingestion SLA
     // dashboard reads: per event type, how many days behind the global
     // high-water mark is this feed's newest event? A pipe whose lag grows
