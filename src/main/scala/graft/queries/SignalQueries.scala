@@ -1196,6 +1196,29 @@ object SignalQueries {
             .cast("long").as("scaled_ppm"))
     },
 
+    // Latency-SLO percentile report (r9) — the exact p50/p95/p99 per
+    // event type over the metric value: the SRE readout where the TAIL is
+    // the contract and an approximate sketch under-reporting p99 by one
+    // bucket hides an SLO breach. Rides CurateOps.exactQuantilesByGroup
+    // (banded two-phase order-statistic fetch — no per-group value
+    // buffers, the agg_percentile discipline) on its SECOND carrier
+    // table, proving the operator generalizes past the lineitem fixture.
+    Q("events_latency_slo",
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.CurateOps.exactQuantilesByGroup(
+        Tables.events(s, d)
+          .select("event_type", "value", "event_id"),
+        groupCols = Seq("event_type"),
+        valueCol = "value",
+        tieCol = "event_id",
+        band = floor(col("value") / 10).cast("long"),
+        qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+    },
+
     // Out-of-order arrival audit (r9) — the event-time vs arrival-order
     // census that sizes streaming WATERMARKS: within each type, walking
     // events in arrival order (event_id — the fixture's append order),
