@@ -2792,6 +2792,44 @@ object PipelineQueries {
           round(col("mx"), 5).as("max_distortion"))
     },
 
+    // Media storage census (r9) — the capacity-planning readout a
+    // multimodal lake publishes: per sample-rate cohort, object count and
+    // exact byte totals of the stored payloads. Sizes come from
+    // length(content) over REAL encoded WAV containers, and the canonical
+    // RIFF layout makes them closed-form (44 header bytes + 2·n_samples)
+    // — so the census doubles as a byte-exact pin on the ENCODER: one
+    // padding byte or a wrong chunk size flips the hash. Payload bytes
+    // never shuffle; only (rate, length) pairs reach the agg.
+    Q("multimodal_storage_census",
+      """WITH a AS (
+        |  SELECT CAST(8000 + 100 * (n_nationkey % 3) AS BIGINT) AS sample_rate,
+        |         CAST(44 + 2 * (160 + 32 * (n_nationkey % 5)) AS BIGINT) AS bytes
+        |  FROM nation)
+        |SELECT sample_rate, CAST(count(*) AS BIGINT) AS n_objects,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(max(bytes) AS BIGINT) AS max_bytes
+        |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.{MediaRecord, MultimodalOps}
+      val media = Tables.cachedTable(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val n = (160 + 32 * (id % 5)).toInt
+          val samples = new Array[Short](n) // content-free: size is the test
+          MediaRecord(id, "audio/wav",
+            MultimodalOps.wavBytes(samples, (8000 + 100 * (id % 3)).toInt))
+        }
+      media.toDF()
+        .select((lit(8000) + lit(100) * (col("id") % 3)).cast("long").as("sample_rate"),
+          length(col("content")).cast("long").as("bytes"))
+        .groupBy("sample_rate")
+        .agg(count(lit(1)).as("n_objects"), sum("bytes").as("total_bytes"),
+          max("bytes").as("max_bytes"))
+        .select(col("sample_rate"), col("n_objects").cast("long").as("n_objects"),
+          col("total_bytes").cast("long").as("total_bytes"),
+          col("max_bytes").cast("long").as("max_bytes"))
+    },
+
     // Image luminance entropy (r9) — the real-decoder content-complexity
     // gate: a near-zero-entropy image is a blank/solid placeholder (crawl
     // junk a multimodal curation pass drops), high entropy is textured
