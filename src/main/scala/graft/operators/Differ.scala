@@ -292,9 +292,12 @@ object Differ {
     // ambiguous-self-join detector or resolve trivially-true.
     val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nl")).alias("gl")
     val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nr")).alias("gr")
-    val cond = cols.map(c => col(s"gl.$c") <=> col(s"gr.$c")).reduce(_ && _)
+    // Backtick-quote names inside the qualified ref: col("gl.a.b") would
+    // split on the dot and fail to resolve a literal "a.b" column.
+    def q(a: String, c: String) = col(s"$a.`${c.replace("`", "``")}`")
+    val cond = cols.map(c => q("gl", c) <=> q("gr", c)).reduce(_ && _)
     lc.join(rc, cond, "full_outer")
-      .select(cols.map(c => coalesce(col(s"gl.$c"), col(s"gr.$c")).as(c)) ++ Seq(
+      .select(cols.map(c => coalesce(q("gl", c), q("gr", c)).as(c)) ++ Seq(
         coalesce(col("gl.__graft_nl"), lit(0L)).as("n_left"),
         coalesce(col("gr.__graft_nr"), lit(0L)).as("n_right")): _*)
       .withColumn(statusCol,

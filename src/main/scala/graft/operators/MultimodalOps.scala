@@ -360,7 +360,11 @@ object MultimodalOps {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val cc = fourCC(bytes, off)
       val sz = le32(bytes, off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return None // truncated chunk
+      // Overflow-safe truncation check: `off + 8 + sz` wraps negative when a
+      // crafted chunk declares sz near Int.MaxValue, so compare by
+      // subtraction (off + 8 <= bytes.length is guaranteed by the loop
+      // condition, so the RHS cannot underflow).
+      if (sz < 0 || sz > bytes.length - off - 8) return None // truncated chunk
       cc match {
         case "fmt " =>
           if (sz < 16) return None

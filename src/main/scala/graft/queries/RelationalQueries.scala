@@ -1129,7 +1129,10 @@ object RelationalQueries {
       val parsed = Tables.cached(s, s"$d/csv-multiline-parsed") {
         val rows = Tables.cachedTable(s, d, "region")
           .select("r_regionkey", "r_name").collect()
-          .map(r => s"""${r.getInt(0)},"${r.getString(1)}\nline2"""")
+          // Escape embedded quotes per the CSV quoting contract ("" inside a
+          // quoted field) before interpolating — raw interpolation would
+          // silently corrupt records for arbitrary strings.
+          .map(r => s"""${r.getInt(0)},"${r.getString(1).replace("\"", "\"\"")}\nline2"""")
           .sorted
         val path = java.nio.file.Paths.get(s"$roundtripRoot/csv-multiline" +
           s"/${d.replaceAll("[^A-Za-z0-9]", "_")}")

@@ -969,19 +969,42 @@ object SignalQueries {
         |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
         |       round(slope, 5) AS theil_slope
         |FROM r WHERE rn = (m + 1) // 2""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      // r10 (r9-verdict ask #6): the median rank was previously a per-type
+      // global row_number over the WHOLE pair frame — days²/type through
+      // one task on a multi-year span (3650 days → 6.6M pairs). Now the
+      // banded two-phase order-statistic fetch (exactQuantilesByGroup's
+      // histogram-refinement discipline, specialized to the lower-median
+      // rank so the rn = (m+1)//2 oracle above stays byte-identical):
+      // band by a slope bucket (monotone in the sort key), count per
+      // (type, band) to locate WHICH band holds rank (m+1)//2, and only
+      // that one band per type is ever row_numbered — a band-sized
+      // window, never a pairs-sized one.
       val dc = Tables.events(s, d)
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("x"))
       val a = dc.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
       val b = dc.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
-      a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
         .select(col("event_type"),
           ((col("x2") - col("x1")).cast("double") / (col("d2") - col("d1"))).as("slope"),
           col("d1"), col("d2"))
-        .withColumn("rn", row_number().over(w.orderBy("slope", "d1", "d2")))
-        .withColumn("m", count(lit(1)).over(w))
-        .filter(col("rn") === expr("(m + 1) div 2")) // integer div, not IEEE /
+        .withColumn("bnd", floor(col("slope") * 8).cast("long"))
+      val grid = pairs.groupBy("event_type", "bnd").agg(count(lit(1)).as("bc"))
+      val offW = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bnd")
+        .rowsBetween(Long.MinValue, -1)
+      val hot = grid
+        .withColumn("off", coalesce(sum("bc").over(offW), lit(0L)))
+        .withColumn("m", sum("bc").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .filter(expr("(m + 1) div 2") > col("off") &&
+          expr("(m + 1) div 2") <= col("off") + col("bc"))
+        .select("event_type", "bnd", "off", "m")
+      val wBand = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "bnd").orderBy("slope", "d1", "d2")
+      pairs.join(broadcast(hot), Seq("event_type", "bnd"))
+        .withColumn("rn", row_number().over(wBand))
+        .filter(col("off") + col("rn") === expr("(m + 1) div 2")) // integer div
         .select(col("event_type"), col("m").cast("long").as("n_pairs"),
           round(col("slope"), 5).as("theil_slope"))
     },
@@ -1219,13 +1242,26 @@ object SignalQueries {
         qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
     },
 
-    // Out-of-order arrival audit (r9) — the event-time vs arrival-order
-    // census that sizes streaming WATERMARKS: within each type, walking
-    // events in arrival order (event_id — the fixture's append order),
-    // how many arrive with an EARLIER timestamp than their predecessor,
-    // and how late (max regression, µs)? The answer decides
+    // Out-of-order arrival audit (r9; de-funneled r10) — the event-time vs
+    // arrival-order census that sizes streaming WATERMARKS: within each
+    // type, walking events in arrival order (event_id — the fixture's
+    // append order), how many arrive with an EARLIER timestamp than their
+    // predecessor, and how late (max regression, µs)? The answer decides
     // withWatermark's delay budget; a rising inversion rate is an
-    // upstream buffering bug. One type-keyed lag window, exact integers.
+    // upstream buffering bug.
+    //
+    // 100 TB shape (r10, the r9-verdict de-funnel): a lag needs only
+    // ADJACENT rows, so a raw-row `PARTITION BY event_type` window — one
+    // task per low-cardinality type — is never necessary. Band by
+    // event_id range (event_id div 65536): the lag window is keyed on
+    // (event_type, band) so each 65536-id slice is its own task, and the
+    // only cross-band information a lag needs is each band's boundary —
+    // stitch by lagging each band's TAIL (max-id row's ts) onto the next
+    // band's HEAD over the bands-sized frame (n/65536 rows — the one
+    // extra small exchange). The naive global-window DuckDB oracle below
+    // is unchanged; the hash match IS the losslessness proof of the
+    // decomposition (plus the PlanSpec pin on the (event_type, band)
+    // window key).
     Q("events_out_of_order",
       """WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT event_type, ts_us,
@@ -1239,17 +1275,36 @@ object SignalQueries {
         |                              THEN prev_ts - ts_us END), 0) AS BIGINT)
         |         AS max_regression_us
         |FROM l GROUP BY 1""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("event_id")
-      Tables.events(s, d)
+      val banded = Tables.events(s, d)
         .select(col("event_type"), col("event_id"), col("ts_us"))
-        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
+        .withColumn("band", expr("event_id div 65536"))
+      // Phase 1: local lag within (type, band) — parallel across bands.
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "band").orderBy("event_id")
+      val perBand = banded
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(wLocal))
+        .groupBy("event_type", "band")
+        .agg(count(lit(1)).as("bn"),
           sum(when(col("prev_ts").isNotNull && col("ts_us") < col("prev_ts"), 1L)
-            .otherwise(0L)).as("n_inversions"),
+            .otherwise(0L)).as("binv"),
           coalesce(max(when(col("prev_ts").isNotNull && col("ts_us") < col("prev_ts"),
-            col("prev_ts") - col("ts_us"))), lit(0L)).as("max_regression_us"))
+            col("prev_ts") - col("ts_us"))), lit(0L)).as("bmaxreg"),
+          min(struct(col("event_id"), col("ts_us"))).getField("ts_us").as("head_ts"),
+          max(struct(col("event_id"), col("ts_us"))).getField("ts_us").as("tail_ts"))
+      // Phase 2: stitch band boundaries over the bands-sized frame — the
+      // previous band's tail is this band's missing `prev_ts` for its head.
+      val wStitch = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("band")
+      perBand
+        .withColumn("prev_tail", lag(col("tail_ts"), 1).over(wStitch))
+        .groupBy("event_type")
+        .agg(sum("bn").as("n"),
+          (sum("binv") + sum(when(col("prev_tail").isNotNull &&
+            col("head_ts") < col("prev_tail"), 1L).otherwise(0L))).as("n_inversions"),
+          greatest(max("bmaxreg"),
+            coalesce(max(when(col("prev_tail").isNotNull &&
+              col("head_ts") < col("prev_tail"), col("prev_tail") - col("head_ts"))),
+              lit(0L))).as("max_regression_us"))
         .select(col("event_type"), col("n").cast("long").as("n"),
           col("n_inversions").cast("long").as("n_inversions"),
           col("max_regression_us").cast("long").as("max_regression_us"))
