@@ -978,7 +978,16 @@ object SignalQueries {
       // band by a slope bucket (monotone in the sort key), count per
       // (type, band) to locate WHICH band holds rank (m+1)//2, and only
       // that one band per type is ever row_numbered — a band-sized
-      // window, never a pairs-sized one.
+      // window, not a pairs-sized one in the expected case. Degenerate
+      // case (r10 ADVICE): if slopes concentrate in ONE floor(slope*8)
+      // bucket (e.g. constant daily counts → every pairwise slope is 0),
+      // the hot band holds all m pairs and the window is pairs-sized for
+      // that type again; rank arithmetic stays correct, only the
+      // de-funnel guarantee weakens. At 100 TB a production variant would
+      // re-band the hot band at finer granularity when bc exceeds a
+      // threshold (exactQuantilesByGroup's iterative histogram
+      // refinement); at day-grain pre-agg scale (days²/type pairs) one
+      // coarse pass is the right cost/benefit.
       val dc = Tables.events(s, d)
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("x"))
@@ -986,7 +995,16 @@ object SignalQueries {
       val b = dc.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
       val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
         .select(col("event_type"),
-          ((col("x2") - col("x1")).cast("double") / (col("d2") - col("d1"))).as("slope"),
+          // ANSI-totality house rule: slope is only defined under d1 < d2,
+          // but it feeds the (event_type, bnd) join key below, and Catalyst's
+          // InferFiltersFromConstraints derives isnotnull(bnd) from that
+          // equi-join and may evaluate it BEFORE the d1 < d2 residual — on
+          // diagonal rows the raw division is /0 and ANSI turns that into a
+          // hard DIVIDE_BY_ZERO. when-guarding makes the expression total
+          // (null on d1 = d2), so the inferred predicate correctly DROPS
+          // diagonal rows instead of exploding on them.
+          when(col("d2") > col("d1"),
+            (col("x2") - col("x1")).cast("double") / (col("d2") - col("d1"))).as("slope"),
           col("d1"), col("d2"))
         .withColumn("bnd", floor(col("slope") * 8).cast("long"))
       val grid = pairs.groupBy("event_type", "bnd").agg(count(lit(1)).as("bc"))
