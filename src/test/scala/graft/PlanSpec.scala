@@ -1239,4 +1239,44 @@ class PlanSpec extends SparkTestBase {
     assert(cart == 0, "join_geo_knn went cartesian")
     assert(bnlj == 0, s"$bnlj nested-loop joins — ring candidates must ride the cell equi-join")
   }
+
+  test("events_out_of_order: lag window keyed on (event_type, band) + bands-sized stitch") {
+    // r10 de-funneled the raw-row PARTITION BY event_type lag (one task per
+    // low-cardinality type) into a banded two-phase: a per-(type, band)
+    // local lag over 65536-id slices, then a boundary stitch whose window
+    // runs over the BANDS-sized per-band aggregate (n/65536 rows), never
+    // the raw rows. Pin both window keys so a future refactor can't
+    // silently restore the per-type funnel.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.SignalQueries.all, "events_out_of_order")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"expected local lag + stitch = 2 windows, got ${windows.size}")
+    val keySets = windows.map(_.partitionSpec.map(_.sql.toLowerCase).toSet)
+    assert(keySets.exists(k => k.size == 2 && k.exists(_.contains("band"))),
+      s"local lag lost its (event_type, band) key — per-type raw-row funnel is back: $keySets")
+    val stitch = windows.find(_.partitionSpec.size == 1).getOrElse(
+      fail(s"no bands-sized stitch window found: $keySets"))
+    // The stitch must consume the per-band AGGREGATE (its child plan
+    // contains the groupBy), not the raw event rows.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(stitch.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "stitch window runs over raw rows, not the bands-sized per-band aggregate")
+  }
+
+  test("window_theil_sen: band-sized rank window + broadcast hot-band join") {
+    // r10 replaced the per-type pairs-sized row_number (days²/type through
+    // one task) with a banded order-statistic fetch: only the ONE hot band
+    // per type is ever row_numbered, fetched via a broadcast join against
+    // the bands-sized hot list. Pin: the rank window is keyed on
+    // (event_type, bnd), and the hot-band fetch is a BroadcastHashJoin.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queryNamed(graft.queries.SignalQueries.all, "window_theil_sen")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val rankKeys = windows.map(_.partitionSpec.map(_.sql.toLowerCase).toSet)
+    assert(rankKeys.exists(k => k.size == 2 && k.exists(_.contains("bnd"))),
+      s"rank window lost its (event_type, bnd) band key — pairs-sized funnel is back: $rankKeys")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"hot-band fetch must broadcast the bands-sized hot list:\n${physical.take(1500)}")
+  }
 }
