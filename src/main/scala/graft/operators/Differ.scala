@@ -852,4 +852,116 @@ object Differ {
         when(col("__graft_vmax") === maxVersion, lit(null).cast("long"))
           .otherwise(col("__graft_vmax") + 1).as("valid_to"))): _*)
   }
+
+  /** Stream-vs-static diff: classify each arriving row against a static
+    * snapshot — 'I' (key absent from the snapshot), 'C' (key present,
+    * values differ), 'N' (identical). 'D' is deliberately NOT part of this
+    * surface: a deletion is the absence of a future arrival, which an
+    * append-mode stream can only assert at end-of-stream — a batch
+    * [[diff]] over the compacted stream answers that question.
+    *
+    * Streaming-safe by construction: the plan is a stream-static LEFT
+    * OUTER join (stateless — each micro-batch's rows probe the static
+    * side; Spark re-broadcasts/re-scans the snapshot, no state store) plus
+    * per-row projections, so the SAME function body serves the batch
+    * oracle-checked key and the readStream variant
+    * (StreamBatchParitySpec pins their agreement). 100 TB shape: the
+    * snapshot side is the build side; for a dimension-sized snapshot it
+    * broadcasts, for a fact-sized one Spark shuffles only the arriving
+    * micro-batch against bucketed snapshot partitions.
+    */
+  def diffVsStatic(stream: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                   opts: DiffOptions = DiffOptions()): DataFrame = {
+    val vcols = valueCols(snapshot, stream, keys, opts)
+    val types = snapshot.schema.fields.map(f => f.name -> f.dataType).toMap
+    val s = stream.select((keys ++ vcols).map(col): _*).alias("r")
+    val snap = snapshot
+      .select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
+    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val allEqual = vcols
+      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val status = when(col(LP).isNull, lit("I"))
+      .when(!allEqual, lit("C"))
+      .otherwise(lit("N"))
+      .as(opts.statusCol)
+    val keyOut = keys.map(k => col(s"r.$k").as(k))
+    val valOut = vcols.flatMap(c => Seq(
+      col(s"l.$c").as(s"${opts.leftPrefix}$c"),
+      col(s"r.$c").as(s"${opts.rightPrefix}$c")))
+    s.join(snap, joinCond, "left_outer")
+      .select(status +: (keyOut ++ valOut): _*)
+  }
+
+  /** The headline human-readable artifact (datacompy's `report()`): ONE
+    * long-format frame `(section, item, n, left_val, right_val)` composing
+    *   - `counts`:       left_rows / right_rows,
+    *   - `summary`:      rows per diff status,
+    *   - `column_stats`: per value column, matched rows where it differs,
+    *   - `examples:<S>`: first `k` non-N rows per status (ordered by key),
+    *                     with the `exampleOn` value pair.
+    * Numbers stay in typed columns (n BIGINT, left/right_val DOUBLE) — a
+    * stringly-rendered report would re-open every cross-engine float
+    * formatting divergence.
+    *
+    * 100 TB shape: exactly TWO passes over the single-shuffle full-outer
+    * [[diff]] frame, never one per section — counts, summary AND all
+    * column stats come out of ONE map-side-combinable aggregate (≤4 status
+    * rows × (1 + n_cols) accumulators; left_rows = N+C+D and right_rows =
+    * N+C+I are arithmetic over those 4 rows, not extra scans), and the
+    * example rows ride the bucketed two-phase [[TextOps.topKPerGroup]]
+    * (statuses × k output, no per-status single-task window). When the
+    * changed fraction is small, feed this the [[diffViaHash]] two-phase
+    * path instead of materializing N rows.
+    */
+  def report(left: DataFrame, right: DataFrame, keys: Seq[String],
+             exampleOn: String,
+             opts: DiffOptions = DiffOptions(), k: Int = 5): DataFrame = {
+    val vcols = valueCols(left, right, keys, opts)
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val st = opts.statusCol
+    val d = diff(left, right, keys, opts)
+    val matched = col(st).isin("N", "C")
+    val nullD = lit(null).cast("double")
+
+    // Pass 1: per-status counts + per-column changed counts in one agg.
+    val aggs = count(lit(1)).as("n") +: vcols.map { c =>
+      sum(when(matched && !colEqual(col(s"${opts.leftPrefix}$c"),
+          col(s"${opts.rightPrefix}$c"), types(c), opts, c), 1L)
+        .otherwise(0L)).as(s"__d_$c")
+    }
+    val perStatus = d.groupBy(col(st)).agg(aggs.head, aggs.tail: _*)
+
+    val summary = perStatus.select(lit("summary").as("section"),
+      col(st).as("item"), col("n").cast("long").as("n"),
+      nullD.as("left_val"), nullD.as("right_val"))
+
+    // counts + column totals: arithmetic over the ≤4-row perStatus frame.
+    val totals = perStatus.agg(
+      sum(when(col(st).isin("N", "C", "D"), col("n")).otherwise(0L)).as("left_rows"),
+      (sum(when(col(st).isin("N", "C", "I"), col("n")).otherwise(0L)).as("right_rows") +:
+        vcols.map(c => sum(col(s"__d_$c")).as(s"__t_$c"))): _*)
+    val counts = totals.selectExpr(
+      "stack(2, 'left_rows', left_rows, 'right_rows', right_rows) as (item, n)")
+      .select(lit("counts").as("section"), col("item"), col("n").cast("long").as("n"),
+        nullD.as("left_val"), nullD.as("right_val"))
+    val colStats = totals.selectExpr(
+      s"stack(${vcols.size}, ${vcols.map(c => s"'$c', `__t_$c`").mkString(", ")}) " +
+        "as (item, n)")
+      .select(lit("column_stats").as("section"), col("item"),
+        col("n").cast("long").as("n"), nullD.as("left_val"), nullD.as("right_val"))
+
+    // Pass 2: k example rows per non-N status, deterministic key order.
+    val examples = TextOps.topKPerGroup(
+      d.filter(col(st) =!= "N"), Seq(st), keys.map(col), k = k,
+      bucketOn = col(keys.head))
+      .select(concat(lit("examples:"), col(st)).as("section"),
+        concat_ws("|", keys.map(kc => col(kc).cast("string")): _*).as("item"),
+        col("rank").cast("long").as("n"),
+        col(s"${opts.leftPrefix}$exampleOn").cast("double").as("left_val"),
+        col(s"${opts.rightPrefix}$exampleOn").cast("double").as("right_val"))
+
+    summary.unionByName(counts).unionByName(colStats).unionByName(examples)
+  }
 }

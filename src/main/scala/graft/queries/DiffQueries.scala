@@ -294,6 +294,82 @@ object DiffQueries {
         .select("diff_status", "rank", "o_orderkey", "left_price", "right_price")
     },
 
+    // The composed human-readable artifact (r11; datacompy's report()) —
+    // the one frame a reviewer reads first: side row counts, the 4-status
+    // census, per-column change counts, and the first 5 concrete example
+    // rows per non-N status with the price pair. Long format
+    // (section, item, n, left_val, right_val) with numbers in TYPED
+    // columns — a pretty-printed string report would re-open every
+    // cross-engine float-formatting divergence; rendering to text is a
+    // presentation concern on 2+S+C+E rows, not a distributed one.
+    // 100 TB shape (see Differ.report): TWO passes over the one-shuffle
+    // full-outer diff — counts + summary + ALL column stats from one
+    // map-side-combinable aggregate, examples via the bucketed two-phase
+    // topKPerGroup — never a pass per section.
+    Q("diff_report",
+      s"""$Prelude,
+         |d AS (SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  l.o_totalprice AS lp, r.o_totalprice AS rp,
+         |  ${valueCols.map(c =>
+              s"CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL " +
+              s"AND l.$c IS DISTINCT FROM r.$c THEN 1 ELSE 0 END AS d_$c").mkString(",\n  ")}
+         |  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+         |s AS (SELECT diff_status, count(*) AS n,
+         |             ${valueCols.map(c => s"sum(d_$c) AS t_$c").mkString(", ")}
+         |      FROM d GROUP BY 1)
+         |SELECT 'summary' AS section, diff_status AS item, CAST(n AS BIGINT) AS n,
+         |       CAST(NULL AS DOUBLE) AS left_val, CAST(NULL AS DOUBLE) AS right_val
+         |FROM s
+         |UNION ALL
+         |SELECT 'counts', 'left_rows',
+         |       CAST(sum(CASE WHEN diff_status IN ('N','C','D') THEN n ELSE 0 END) AS BIGINT),
+         |       NULL, NULL FROM s
+         |UNION ALL
+         |SELECT 'counts', 'right_rows',
+         |       CAST(sum(CASE WHEN diff_status IN ('N','C','I') THEN n ELSE 0 END) AS BIGINT),
+         |       NULL, NULL FROM s
+         |UNION ALL
+         |${valueCols.map(c =>
+            s"SELECT 'column_stats', '$c', CAST(sum(t_$c) AS BIGINT), NULL, NULL FROM s")
+            .mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'examples:' || diff_status, CAST(o_orderkey AS VARCHAR),
+         |       CAST(rank AS BIGINT), lp, rp
+         |FROM (SELECT *, row_number() OVER (PARTITION BY diff_status
+         |                                   ORDER BY o_orderkey) AS rank
+         |      FROM d WHERE diff_status <> 'N') x
+         |WHERE rank <= 5""".stripMargin) {
+      (s, d) => Differ.report(left(s, d), right(s, d), keys, exampleOn = "o_totalprice")
+    },
+
+    // Stream-vs-static diff (r11) — the continuous half of the differ: as
+    // rows arrive they classify against a pinned snapshot as I (new key),
+    // C (key present, values differ) or N (identical). 'D' is deliberately
+    // absent: in append-mode streaming a deletion is the absence of a
+    // future arrival, assertable only at end-of-stream — the batch diff
+    // owns that question. This batch form and the true readStream variant
+    // share ONE body (Differ.diffVsStatic — a stateless stream-static LEFT
+    // OUTER join, no state store, no watermark needed);
+    // StreamBatchParitySpec pins their row-for-row agreement. 100 TB
+    // shape: the snapshot is the build side — broadcast when
+    // dimension-sized, bucket-joined when fact-sized; each micro-batch
+    // probes it without accumulating state.
+    Q("stream_diff",
+      s"""$Prelude
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       r.o_orderkey AS o_orderkey,
+         |       ${pairSelect(valueCols)}
+         |FROM r LEFT JOIN l ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) => Differ.diffVsStatic(right(s, d), left(s, d), keys)
+    },
+
     Q("diff_mapped_cols",
       s"""$Prelude
          |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'

@@ -151,6 +151,19 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("n_est"))
 
+  /** Continuous diff of an arriving stream against a static snapshot —
+    * each row classifies as I (key new to the snapshot), C (key present,
+    * values differ) or N (identical) the moment it arrives. Delegates to
+    * [[graft.operators.Differ.diffVsStatic]], whose plan is a STATELESS
+    * stream-static left-outer join (no state store, no watermark): the
+    * exact same body computes the oracle-checked batch key `stream_diff`,
+    * and StreamBatchParitySpec pins the two row-for-row. 'D' is absent by
+    * design — append-mode streams cannot assert "key never arrives".
+    */
+  def diffStream(stream: DataFrame, snapshot: DataFrame,
+                 keys: Seq[String]): DataFrame =
+    graft.operators.Differ.diffVsStatic(stream, snapshot, keys)
+
   /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
     * overwrites its own `batch_id=<id>` partition directory, so a replayed
     * batch (restart between sink write and offset commit — the at-least-

@@ -387,4 +387,32 @@ class StreamBatchParitySpec extends SparkTestBase {
         s"streamed MG summary lost guaranteed heavy hitters: ${exact -- cands}")
     } finally q.stop()
   }
+
+  test("stream_diff batch equivalent == true streaming diff-vs-static (r11)") {
+    // The declared key and the readStream pipeline share ONE body
+    // (Differ.diffVsStatic — a stateless stream-static left-outer join),
+    // so the streamed I/C/N feed must equal the batch frame row for row.
+    // The arriving side is the diff_right fixture materialized to parquet
+    // and replayed through a file-source stream; the snapshot is the
+    // static left (orders).
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff")(spark, sfDir))
+
+    val streamDir = Files.createTempDirectory("graft_parity_diff").toString
+    val rightBatch = graft.queries.DiffQueries.right(spark, sfDir)
+    rightBatch.write.mode("overwrite").parquet(streamDir)
+    val arriving = spark.readStream.schema(rightBatch.schema).parquet(streamDir)
+    val snapshot = graft.queries.DiffQueries.left(spark, sfDir)
+    val q = StreamOps.diffStream(arriving, snapshot, Seq("o_orderkey"))
+      .writeStream.format("memory").queryName("parity_diff")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_diff"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
 }
