@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedIntersectCount, SortedLongIntersectCount}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.operators.Differ
 
 /** Session extension that registers the native kernels as SQL functions,
   * so `spark.sql("SELECT float_vec_dot(a, b) ...")` works cluster-wide:
@@ -22,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
+    }
+    GraftExtensions.tableDescriptors.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
     }
     // Bounded edit-distance predicates silently upgrade to the banded
     // kernel (plans/BoundedLevenshteinRewrite) — plain-SQL users get the
@@ -76,12 +81,58 @@ object GraftExtensions {
       })
   )
 
+  /** Table functions: the SQL-callable diff surface. The reference-class
+    * tool is something users CALL — `SELECT * FROM graft_diff('t_old',
+    * 't_new', 'k1,k2')` makes the keyed diff (and its status census via
+    * `graft_diff_summary`) reachable from plain SQL with no Scala in
+    * sight. The builder runs at ANALYSIS time: it resolves the two named
+    * tables through the active session's catalog, builds the exact same
+    * [[graft.operators.Differ.diff]]/[[graft.operators.Differ.summary]]
+    * plan the Scala API produces (one full-outer key join — Catalyst then
+    * optimizes it like any other subtree: pushdown, AQE, broadcast), and
+    * splices its analyzed form in place of the TVF call. Table names and
+    * the key CSV must be STRING literals — they choose the plan shape, so
+    * they cannot be data-dependent by construction.
+    */
+  private def tableDescriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (
+      FunctionIdentifier("graft_diff"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff"),
+      diffTvf(summary = false)(_)),
+    (
+      FunctionIdentifier("graft_diff_summary"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_summary"),
+      diffTvf(summary = true)(_))
+  )
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_diff TVFs take STRING literals; $what was $other")
+  }
+
+  private def diffTvf(summary: Boolean)(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "usage: graft_diff[_summary]('left_table', 'right_table', 'key1,key2')")
+    val spark = SparkSession.active
+    val l = spark.table(strLit(args.head, "left_table"))
+    val r = spark.table(strLit(args(1), "right_table"))
+    val keys = strLit(args(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val df = if (summary) Differ.summary(l, r, keys) else Differ.diff(l, r, keys)
+    df.queryExecution.analyzed
+  }
+
   /** Runtime registration into an existing session (idempotent): the
-    * kernel functions plus the bounded-Levenshtein optimizer rewrite.
+    * kernel functions, the diff table functions, plus the
+    * bounded-Levenshtein optimizer rewrite.
     */
   def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    tableDescriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRewrite))
       spark.experimental.extraOptimizations =

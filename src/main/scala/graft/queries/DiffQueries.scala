@@ -370,6 +370,32 @@ object DiffQueries {
       (s, d) => Differ.diffVsStatic(right(s, d), left(s, d), keys)
     },
 
+    // SQL-callable diff (r11) — the reference-class tool is something
+    // users CALL, and until now the diff core was Scala-API-only. The
+    // GraftExtensions seam registers graft_diff / graft_diff_summary as
+    // table functions: `SELECT * FROM graft_diff('t_old', 't_new', 'key')`
+    // resolves both tables through the session catalog at analysis time
+    // and splices in the exact Differ.diff plan — same single full-outer
+    // key join, same Catalyst optimization (pushdown/AQE/broadcast) as
+    // the Scala path, because it IS the Scala path. Oracle = diff_full's
+    // SQL verbatim: the TVF must be plan-equivalent to the API call.
+    Q("sql_diff_tvf",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${pairSelect(valueCols)}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        left(s, d).createOrReplaceTempView("graft_diff_l")
+        right(s, d).createOrReplaceTempView("graft_diff_r")
+        s.sql("SELECT * FROM graft_diff('graft_diff_l', 'graft_diff_r', 'o_orderkey')")
+    },
+
     Q("diff_mapped_cols",
       s"""$Prelude
          |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** SQL-surface registration of the native kernels. */
 class ExtensionsSpec extends SparkTestBase {
 
@@ -106,6 +108,42 @@ class ExtensionsSpec extends SparkTestBase {
            |""".stripMargin).collect().head
       assert(row.getLong(0) == row.getLong(1),
         s"case $i: a=$a b=$b fast=${row.getLong(0)} slow=${row.getLong(1)}")
+    }
+  }
+
+  test("graft_diff / graft_diff_summary TVFs resolve and match the Scala API (r11)") {
+    GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val l = graft.queries.DiffQueries.left(spark, sfDir)
+    val r = graft.queries.DiffQueries.right(spark, sfDir)
+    l.createOrReplaceTempView("ext_diff_l")
+    r.createOrReplaceTempView("ext_diff_r")
+
+    // The TVF must be PLAN-equivalent to the API call — same rows, same
+    // columns, and the spliced subtree still plans the one full-outer join.
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_diff('ext_diff_l', 'ext_diff_r', 'o_orderkey')")
+    val viaApi = graft.operators.Differ.diff(l, r, Seq("o_orderkey"))
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(rowsOf(viaSql) == rowsOf(viaApi))
+
+    val sumSql = spark.sql(
+      "SELECT * FROM graft_diff_summary('ext_diff_l', 'ext_diff_r', 'o_orderkey')")
+    val sumApi = graft.operators.Differ.summary(l, r, Seq("o_orderkey"))
+    assert(rowsOf(sumSql) == rowsOf(sumApi))
+
+    // TVFs compose like any relation: usable in a FROM with WHERE/agg.
+    val nChanged = spark.sql(
+      """SELECT count(*) FROM graft_diff('ext_diff_l', 'ext_diff_r', 'o_orderkey')
+        |WHERE diff_status = 'C'""".stripMargin).collect().head.getLong(0)
+    val sumC = sumApi.filter(col("diff_status") === "C")
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    assert(nChanged == sumC)
+
+    // Data-dependent table names cannot choose a plan: non-literal args fail.
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff(concat('ext_', 'diff_l'), 'ext_diff_r', 'o_orderkey')")
+        .collect()
     }
   }
 }
