@@ -107,10 +107,20 @@ object Bench {
     // exact code path that exists to keep the driver's tail-window parse
     // working.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The parsed block carries cold alongside warm for every kept key
+    // (r9-verdict ask #5): "queries" stays the warm min (the per-key plan
+    // cost, and the shape older rounds' tooling already reads); "cold"
+    // mirrors the same keys with each one's first-run duration, and
+    // "cold_total" is the full warmup-pass wall — cold/warm ≫ 1 on a key
+    // means it pays a shared-cache build, not a slow plan.
+    val coldTotal = coldTimes.values.sum
     def compactLine(qseq: Seq[(String, Double)], omitted: Int): String = {
-      val m = qseq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
+      val sorted = qseq.sortBy(_._1)
+      val m = sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val c = sorted.map { case (k, _) =>
+        "\"" + k + "\":" + coldTimes.get(k).fold("null")(fmt) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},""" +
+        s""""queries":$m,"cold":$c,""" +
         s""""n":${results.size},"omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     val bySlowest = results.map { case (k, v, _) => (k, v) }.sortBy(-_._2)
