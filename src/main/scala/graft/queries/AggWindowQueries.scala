@@ -775,11 +775,18 @@ object AggWindowQueries {
     },
 
     // HyperLogLog sketch — implementation-specific, no cross-engine oracle;
-    // its error bound is pinned by a scalatest spec instead.
+    // ApproxDistinctSpec pins the tight statistical band. The exact count
+    // rides alongside (self-auditing report) and the in-query 10% require
+    // (r9 ask #7) makes a sketch regression fail EVERY runner of the key —
+    // harness and bench, not just scalatest.
     Q.noOracle("agg_approx_distinct") { (s, d) =>
-      Tables.cachedTable(s, d, "orders")
+      val est = Tables.cachedTable(s, d, "orders")
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_n_cust"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_n_cust"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+      graft.Q.requireBand(est,
+        abs(col("approx_n_cust") - col("n_exact")) * 10 <= col("n_exact"),
+        "agg_approx_distinct: estimate left the 10% band vs exact")
     },
 
     // Own HyperLogLog as a persistable, composable artifact (r7w15): the
@@ -789,7 +796,7 @@ object AggWindowQueries {
     // estimate-valued → no cross-engine oracle, HyperLogLogSpec pins the
     // ≤5% band (design σ ≈ 1.6%) and merge shape-independence.
     Q.noOracle("agg_hll_sketch") { (s, d) =>
-      Tables.cachedTable(s, d, "lineitem")
+      val est = Tables.cachedTable(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_exact"),
@@ -797,6 +804,10 @@ object AggWindowQueries {
         .withColumn("err_ppm",
           ((abs(col("n_hll") - col("n_exact")) * 1000000) / col("n_exact"))
             .cast("long"))
+      // In-query 5% band (r9 ask #7; observed ≤0.95% across sf0.001–0.1,
+      // design σ ≈ 1.6%): a register regression fails the harness run.
+      graft.Q.requireBand(est, col("err_ppm") < 50000,
+        "agg_hll_sketch: estimate left the 5% band vs exact")
     },
 
     // The re-aggregation claim made CONCRETE (r7w21): stage 1 builds one
@@ -815,11 +826,15 @@ object AggWindowQueries {
         .agg(graft.functions.HyperLogLog.registers(col("user_id")).as("sk"))
       val exact = Tables.events(s, d)
         .agg(countDistinct(col("user_id")).as("n_exact"))
-      daily.agg(count(lit(1)).cast("long").as("n_days"),
+      val rolled = daily.agg(count(lit(1)).cast("long").as("n_days"),
         graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("n_est"))
         .crossJoin(broadcast(exact))
         .withColumn("err_ppm",
           ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact")).cast("long"))
+      // In-query 5% band (r9 ask #7; observed ≤1.2% across sf0.001–0.1):
+      // a broken register-max merge fails the harness run itself.
+      graft.Q.requireBand(rolled, col("err_ppm") < 50000,
+        "agg_hll_rollup: merged estimate left the 5% band vs exact")
     },
 
     // EXACT audience intersection via sorted-id-array artifacts (r8g) —
@@ -891,12 +906,27 @@ object AggWindowQueries {
         .agg(graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("est"))
       val uni = segs.agg(
         graft.functions.HyperLogLog.mergeRegisters(col("sk")).as("est_union"))
-      per.agg(
+      // Exact overlap co-computed for the self-audit + in-query band: the
+      // intersection cohort is custkey%3 == 1 by construction, one cheap
+      // distinct-count — at 100 TB this audit column is optional, the
+      // sketch algebra is the product.
+      val exact = Tables.cachedTable(s, d, "customer")
+        .filter(col("c_custkey") % 3 === 1)
+        .agg(countDistinct(col("c_custkey")).as("n_exact_intersect"))
+      val out = per.agg(
           max(when(col("seg") === "a", col("est"))).as("est_a"),
           max(when(col("seg") === "b", col("est"))).as("est_b"))
         .crossJoin(broadcast(uni))
         .withColumn("est_intersect",
           col("est_a") + col("est_b") - col("est_union"))
+        .crossJoin(broadcast(exact))
+      // 15% band (r9 ask #7; observed ≤9.3% across sf0.001–0.1): I-E
+      // subtracts two union-sized sketch errors, so the band is wider
+      // than the single-sketch 5% — HyperLogLogSpec pins the same bound.
+      graft.Q.requireBand(out,
+        abs(col("est_intersect") - col("n_exact_intersect")) * 100 <=
+          col("n_exact_intersect") * 15,
+        "agg_hll_intersect: inclusion-exclusion left the 15% band vs exact")
     },
 
     // Mergeable quantile sketch (Greenwald-Khanna / percentile_approx) —
@@ -909,16 +939,28 @@ object AggWindowQueries {
       // Flattened to scalar p50/p95 (not one array<double> column): the
       // driver's pandas-side sort/compare can't hash numpy arrays, so the
       // array form records an artifact error even on a no-oracle key.
-      Tables.cachedTable(s, d, "orders")
+      val est = Tables.cachedTable(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(
           percentile_approx(col("o_totalprice"),
             array(lit(0.5), lit(0.95)), lit(1000)).as("pq"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("__pmin"),
+          max(col("o_totalprice")).as("__pmax"))
         .select(col("o_orderstatus"),
           element_at(col("pq"), 1).as("approx_p50"),
           element_at(col("pq"), 2).as("approx_p95"),
-          col("n"))
+          col("n"), col("__pmin"), col("__pmax"))
+      // In-query sanity band (r9 ask #7): both estimates inside the
+      // group's exact [min, max] (co-computed in the SAME agg pass — no
+      // extra scan, scale-free) and rank-monotone. The tight n/1000
+      // rank-window guarantee stays in ApproxPercentileSpec, which needs
+      // a sort the declared key must not pay.
+      graft.Q.requireBand(est,
+        col("approx_p50") >= col("__pmin") && col("approx_p95") <= col("__pmax") &&
+          col("approx_p50") <= col("approx_p95"),
+        "agg_approx_percentile: estimates left the [min,max]/monotone band")
+        .select("o_orderstatus", "approx_p50", "approx_p95", "n")
     },
 
     Q("agg_rollup",

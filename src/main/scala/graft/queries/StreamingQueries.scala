@@ -124,7 +124,7 @@ object StreamingQueries {
     // by StreamBatchParitySpec). Exact count rides alongside as the audit
     // column. Estimate-valued → no cross-engine oracle.
     Q.noOracle("stream_hll") { (s, d) =>
-      Tables.events(s, d)
+      val est = Tables.events(s, d)
         .withColumn("tsm", timestamp_micros(col("ts_us")))
         .groupBy(window(col("tsm"), "1 hour"))
         .agg(graft.functions.HyperLogLog.agg(col("user_id")).as("n_est"),
@@ -133,6 +133,13 @@ object StreamingQueries {
           col("n_est"), col("n_exact"),
           ((abs(col("n_est") - col("n_exact")) * 1000000) / col("n_exact"))
             .cast("long").as("err_ppm"))
+      // In-query band (r9 ask #7): 25% relative OR ≤3 absolute — hourly
+      // windows can hold a handful of users, where one register collision
+      // is a large RELATIVE error but a tiny absolute one (observed max
+      // 11% at sf0.01). A broken sketch blows both arms at once.
+      graft.Q.requireBand(est,
+        col("err_ppm") <= 250000 || abs(col("n_est") - col("n_exact")) <= 3,
+        "stream_hll: windowed estimate left the 25%-or-±3 band vs exact")
     },
 
     Q("stream_sliding",

@@ -1300,8 +1300,18 @@ object TextAnalysisQueries {
     // (PipelineSpec pins repetitive < natural < shuffled-unique ordering
     // and run-to-run determinism), not oracle-gated.
     Q.noOracle("text_compressibility") { (s, d) =>
-      TextOps.compressibility(
+      val out = TextOps.compressibility(
         Tables.cachedTable(s, d, "documents").select("doc_id", "text"))
+      // In-query band (r9 ask #7) from the DEFLATE format guarantee: the
+      // stream is never empty (header+trailer ≥ a few bytes) and stored-
+      // block fallback bounds expansion at ~5 bytes per 64 KiB block plus
+      // constant overhead — n_deflated ≤ n_bytes + 64 holds for any input.
+      // A codec/plumbing regression (truncated stream, double-compress,
+      // charset mangling) trips one of the two arms.
+      graft.Q.requireBand(out,
+        col("n_deflated") >= 1 &&
+          col("n_deflated") <= col("n_bytes") + (col("n_bytes") / 1024) + 64,
+        "text_compressibility: deflated size outside DEFLATE's structural bounds")
     },
 
     // Lexical-richness QA (r8g): hapax-legomenon share and type-token
