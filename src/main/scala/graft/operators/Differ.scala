@@ -290,10 +290,13 @@ object Differ {
     // diffUnkeyed(df, df.filter(...)) call), the grouping attributes carry
     // identical exprIds on both sides and unqualified refs either trip the
     // ambiguous-self-join detector or resolve trivially-true.
-    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nl")).alias("gl")
-    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nr")).alias("gr")
-    // Backtick-quote names inside the qualified ref: col("gl.a.b") would
-    // split on the dot and fail to resolve a literal "a.b" column.
+    // Backtick-quote EVERY name-string ref (bare and qualified): col("a.b")
+    // splits on the dot and col("c`d") is a parse error — both are legal
+    // column names a schema can carry, and the r10 backtick fix only
+    // covered the qualified side.
+    def bq(c: String) = col(s"`${c.replace("`", "``")}`")
+    val lc = left.groupBy(cols.map(bq): _*).agg(count(lit(1)).as("__graft_nl")).alias("gl")
+    val rc = right.groupBy(cols.map(bq): _*).agg(count(lit(1)).as("__graft_nr")).alias("gr")
     def q(a: String, c: String) = col(s"$a.`${c.replace("`", "``")}`")
     val cond = cols.map(c => q("gl", c) <=> q("gr", c)).reduce(_ && _)
     lc.join(rc, cond, "full_outer")

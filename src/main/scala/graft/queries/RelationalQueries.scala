@@ -1143,8 +1143,14 @@ object RelationalQueries {
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(
           StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+        // escape=" completes the RFC-4180 contract the writer speaks:
+        // Spark's csv default escape is backslash, so a doubled quote
+        // ("") inside a quoted field would otherwise mis-parse — dormant
+        // on the quote-free region fixture, caught by IngestSpec's
+        // hostile-value round-trip.
         s.read.option("header", "true").option("multiLine", "true")
-          .option("quote", "\"").schema(schema).csv(path.toString)
+          .option("quote", "\"").option("escape", "\"")
+          .schema(schema).csv(path.toString)
       }
       parsed.select(col("r_regionkey"),
         regexp_replace(col("r_name"), "\n", "\\|").as("r_name_joined"))

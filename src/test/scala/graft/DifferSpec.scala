@@ -458,6 +458,21 @@ class DifferSpec extends SparkTestBase {
     assert(out(("c", 3)) == ((1L, 1L, "N")))
   }
 
+  test("diffUnkeyed: dotted and backticked column names resolve (r10 fix)") {
+    // Regression for the r10 hardening: col(\"gl.a.b\") splits on the dot
+    // and fails to resolve a literal \"a.b\" column — the qualified refs
+    // must backtick-quote (and escape embedded backticks in) the name.
+    val l = Seq((1, "x"), (2, "y"), (2, "y")).toDF("a.b", "c`d")
+    val r = Seq((1, "x"), (2, "z")).toDF("a.b", "c`d")
+    val out = Differ.diffUnkeyed(l, r).collect()
+      .map(x => (x.getAs[Int]("a.b"), x.getAs[String]("c`d")) ->
+        (x.getAs[Long]("n_left"), x.getAs[Long]("n_right"),
+          x.getAs[String]("diff_status"))).toMap
+    assert(out((1, "x")) == ((1L, 1L, "N")))
+    assert(out((2, "y")) == ((2L, 0L, "D")))
+    assert(out((2, "z")) == ((0L, 1L, "I")))
+  }
+
   test("map values: entry order is irrelevant, value changes are C, null/empty distinct") {
     import org.apache.spark.sql.functions.{expr => sexpr}
     val l = spark.range(5).select($"id",

@@ -86,4 +86,31 @@ class IngestSpec extends SparkTestBase {
         "bloom unexpectedly enabled for l_quantity")
     } finally rd.close()
   }
+
+  test("CSV fixture quoting: embedded quotes + newline round-trip exactly (r10 fix)") {
+    // Regression for the r10 hardening in scan_csv_multiline's fixture
+    // writer: raw interpolation of a value containing '\"' silently
+    // corrupts records — the writer must escape per the CSV contract
+    // (\"\" inside a quoted field). The fixture corpus (region names) has
+    // no quotes, so this path is otherwise dormant; exercise it directly
+    // with the same quoting expression on hostile values.
+    val values = Seq("""he said "hi"""", """q""q""", "\"lead", "trail\"", "plain")
+    val rows = values.zipWithIndex
+      .map { case (v, i) => s"""$i,"${v.replace("\"", "\"\"")}\nline2"""" }
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-quote")
+    java.nio.file.Files.write(dir.resolve("part-0.csv"),
+      (Seq("k,v") ++ rows).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .schema(schema).csv(dir.toString)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(back.size == values.size)
+    for ((v, i) <- values.zipWithIndex)
+      assert(back(i) == s"$v\nline2",
+        s"value $i corrupted: wrote <$v\\nline2> read <${back(i)}>")
+  }
 }

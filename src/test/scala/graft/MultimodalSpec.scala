@@ -227,6 +227,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(MultimodalOps.parseWav(floatFmt).isEmpty, "non-PCM16 must quarantine")
   }
 
+  test("WAV: crafted chunk size near Int.MaxValue quarantines — no Int-overflow wraparound (r10 fix)") {
+    // Regression for the r10 hardening: `off + 8 + sz` wraps NEGATIVE when
+    // a chunk declares sz ≈ Int.MaxValue, so a naive `<= bytes.length`
+    // truncation check passes and copyOfRange later throws (or worse,
+    // mis-slices). The parser must compare by subtraction and quarantine.
+    val samples = Array.tabulate(16)(_.toShort)
+    val good = MultimodalOps.wavBytes(samples, 8000)
+    for (sz <- Seq(Int.MaxValue, Int.MaxValue - 4, 0x7ffffff0)) {
+      val crafted = good.clone()
+      // data chunk header sits right after the 36-byte canonical prefix:
+      // overwrite its le32 size field (bytes 40..43) with the huge value.
+      crafted(40) = (sz & 0xff).toByte
+      crafted(41) = ((sz >> 8) & 0xff).toByte
+      crafted(42) = ((sz >> 16) & 0xff).toByte
+      crafted(43) = ((sz >> 24) & 0xff).toByte
+      val out = try MultimodalOps.parseWav(crafted)
+      catch { case e: Throwable => fail(s"sz=$sz must quarantine, not throw: $e") }
+      assert(out.isEmpty, s"sz=$sz: crafted oversize chunk must return None")
+    }
+  }
+
   test("extractWavFeatures: good rows decode with header metadata, corrupted rows flag") {
     val media = spark.createDataset(Seq(0L, 1L, 2L, 3L).map { id =>
       val wav = MultimodalOps.wavBytes(Array.tabulate(24)(i => (i * 50).toShort),
