@@ -914,9 +914,13 @@ object Differ {
     * rows × (1 + n_cols) accumulators; left_rows = N+C+D and right_rows =
     * N+C+I are arithmetic over those 4 rows, not extra scans), and the
     * example rows ride the bucketed two-phase [[TextOps.topKPerGroup]]
-    * (statuses × k output, no per-status single-task window). When the
-    * changed fraction is small, feed this the [[diffViaHash]] two-phase
-    * path instead of materializing N rows.
+    * (statuses × k output, no per-status single-task window). The
+    * aggregate runs EAGERLY at call time and lands in a status-alphabet-
+    * bounded local relation (≤4 rows — the codebook-collect precedent):
+    * without it each stat section is a Union branch and Spark re-executes
+    * the diff join per branch. When the changed fraction is small, feed
+    * this the [[diffViaHash]] two-phase path instead of materializing N
+    * rows.
     */
   def report(left: DataFrame, right: DataFrame, keys: Seq[String],
              exampleOn: String,
@@ -934,13 +938,23 @@ object Differ {
           col(s"${opts.rightPrefix}$c"), types(c), opts, c), 1L)
         .otherwise(0L)).as(s"__d_$c")
     }
-    val perStatus = d.groupBy(col(st)).agg(aggs.head, aggs.tail: _*)
+    // Materialize the aggregate as a LOCAL relation: the frame is bounded
+    // by the status alphabet (≤4 rows × (1 + n_cols) longs), never by
+    // data — the codebook-sized-collect precedent. Without this, each of
+    // the three stat sections below is its own Union branch and Spark
+    // re-executes the full-outer join PER BRANCH (observed: 4 joins in
+    // the physical plan); off the local relation the join runs exactly
+    // once for all stats. Cost: report construction is eager for this
+    // 4-row job — documented in the scaladoc.
+    val perStatusAgg = d.groupBy(col(st)).agg(aggs.head, aggs.tail: _*)
+    val perStatus = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(perStatusAgg.collect(): _*), perStatusAgg.schema)
 
     val summary = perStatus.select(lit("summary").as("section"),
       col(st).as("item"), col("n").cast("long").as("n"),
       nullD.as("left_val"), nullD.as("right_val"))
 
-    // counts + column totals: arithmetic over the ≤4-row perStatus frame.
+    // counts + column totals: arithmetic over the ≤4-row local frame.
     val totals = perStatus.agg(
       sum(when(col(st).isin("N", "C", "D"), col("n")).otherwise(0L)).as("left_rows"),
       (sum(when(col(st).isin("N", "C", "I"), col("n")).otherwise(0L)).as("right_rows") +:
