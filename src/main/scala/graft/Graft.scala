@@ -48,6 +48,22 @@ object Graft {
                   opts: DiffOptions = DiffOptions()): DataFrame =
     Differ.summary(left, right, keys, opts)
 
+  /** The composed human-readable report (counts / status census /
+    * per-column stats / example rows) as one long-format typed frame.
+    * Eager for the tiny stats aggregate; see [[operators.Differ.report]].
+    */
+  def diffReport(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 exampleOn: String, opts: DiffOptions = DiffOptions(),
+                 k: Int = 5): DataFrame =
+    Differ.report(left, right, keys, exampleOn, opts, k)
+
+  /** Continuous diff: classify arriving rows (batch or readStream) against
+    * a static snapshot as I/C/N via a stateless stream-static left join.
+    */
+  def diffVsStatic(stream: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                   opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.diffVsStatic(stream, snapshot, keys, opts)
+
   def onlyInLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     Differ.onlyInLeft(left, right, keys)
 
