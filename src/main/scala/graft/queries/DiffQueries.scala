@@ -370,6 +370,27 @@ object DiffQueries {
       (s, d) => Differ.diffVsStatic(right(s, d), left(s, d), keys)
     },
 
+    // Running census of the continuous diff (r11) — what a reconciliation
+    // DASHBOARD actually reads: the I/C/N counts of everything that has
+    // arrived so far, updated per micro-batch. Streaming shape
+    // (StreamOps.diffStreamSummary, parity-pinned): a complete-mode
+    // aggregate over the stateless stream-static join — state is O(3
+    // statuses) counters TOTAL, regardless of stream volume, which is the
+    // whole 100 TB story (the keyed diff feed itself is append-only and
+    // unbounded; the census is the bounded thing a monitor retains).
+    Q("stream_diff_summary",
+      s"""$Prelude
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM r LEFT JOIN l ON l.o_orderkey = r.o_orderkey
+         |GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Differ.diffVsStatic(right(s, d), left(s, d), keys)
+          .groupBy("diff_status").agg(count(lit(1)).as("n"))
+    },
+
     // SQL-callable diff (r11) — the reference-class tool is something
     // users CALL, and until now the diff core was Scala-API-only. The
     // GraftExtensions seam registers graft_diff / graft_diff_summary as

@@ -164,6 +164,19 @@ object StreamOps {
                  keys: Seq[String]): DataFrame =
     graft.operators.Differ.diffVsStatic(stream, snapshot, keys)
 
+  /** Running census of the continuous diff — the I/C/N counts of
+    * everything that has arrived so far, re-emitted per micro-batch
+    * (complete output mode). State is O(3 statuses) counters TOTAL,
+    * independent of stream volume: the keyed [[diffStream]] feed is
+    * append-only and unbounded, the census is the bounded thing a
+    * reconciliation dashboard retains. Parity with the batch
+    * `stream_diff_summary` key is pinned by StreamBatchParitySpec.
+    */
+  def diffStreamSummary(stream: DataFrame, snapshot: DataFrame,
+                        keys: Seq[String]): DataFrame =
+    diffStream(stream, snapshot, keys)
+      .groupBy("diff_status").agg(count(lit(1)).as("n"))
+
   /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
     * overwrites its own `batch_id=<id>` partition directory, so a replayed
     * batch (restart between sink write and offset commit — the at-least-

@@ -415,4 +415,28 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(streamRows == batchRows)
     } finally q.stop()
   }
+
+  test("stream_diff_summary batch equivalent == complete-mode streaming census (r11)") {
+    // The running I/C/N census: a complete-mode aggregate over the
+    // stateless stream-static join. After the stream drains, the emitted
+    // table must equal the batch census exactly — state is 3 counters.
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff_summary")(spark, sfDir))
+
+    val streamDir = Files.createTempDirectory("graft_parity_diffsum").toString
+    val rightBatch = graft.queries.DiffQueries.right(spark, sfDir)
+    rightBatch.write.mode("overwrite").parquet(streamDir)
+    val arriving = spark.readStream.schema(rightBatch.schema).parquet(streamDir)
+    val snapshot = graft.queries.DiffQueries.left(spark, sfDir)
+    val q = StreamOps.diffStreamSummary(arriving, snapshot, Seq("o_orderkey"))
+      .writeStream.format("memory").queryName("parity_diffsum")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("parity_diffsum"))
+      assert(streamRows == batchRows,
+        s"census mismatch: stream=$streamRows batch=$batchRows")
+    } finally q.stop()
+  }
 }
