@@ -1263,6 +1263,36 @@ class PlanSpec extends SparkTestBase {
       "stitch window runs over raw rows, not the bands-sized per-band aggregate")
   }
 
+  test("diff_report: stat sections ride the local 4-row aggregate — exactly ONE lazy join") {
+    // r11: the lazy composition re-executed the full-outer diff once per
+    // Union branch (4 joins observed). The fix collects the ≤4-row
+    // per-status aggregate into a LocalRelation, leaving the examples
+    // top-k as the single lazy join. Pin both properties.
+    val df = queryNamed(graft.queries.DiffQueries.all, "diff_report")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1 && joins.head.joinType == FullOuter,
+      s"expected exactly one lazy FullOuter (examples), got ${joins.map(_.joinType)}")
+    val locals = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(locals.nonEmpty,
+      "stat sections must project from the collected local aggregate")
+  }
+
+  test("Q.requireBand genuinely fires: a violated band fails the query at runtime") {
+    // The 7 no-oracle keys' in-query error bands are only worth anything
+    // if assert_true actually evaluates — pin that a data-dependent FALSE
+    // condition throws and a TRUE one passes rows through untouched.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    assert(Q.requireBand(df, col("v") < 10, "ok").count() == 3)
+    val e = intercept[Exception] {
+      Q.requireBand(df, col("v") < 3, "band violated").count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("band violated"),
+      s"wrong failure: $e")
+  }
+
   test("window_theil_sen: band-sized rank window + broadcast hot-band join") {
     // r10 replaced the per-type pairs-sized row_number (days²/type through
     // one task) with a banded order-statistic fetch: only the ONE hot band
