@@ -955,10 +955,15 @@ object Differ {
       nullD.as("left_val"), nullD.as("right_val"))
 
     // counts + column totals: arithmetic over the ≤4-row local frame.
+    // coalesce-to-0: on two EMPTY inputs the diff has no rows, the local
+    // aggregate is empty, and bare sums over it are NULL — the report must
+    // still read "0 rows on both sides", not nulls.
     val totals = perStatus.agg(
-      sum(when(col(st).isin("N", "C", "D"), col("n")).otherwise(0L)).as("left_rows"),
-      (sum(when(col(st).isin("N", "C", "I"), col("n")).otherwise(0L)).as("right_rows") +:
-        vcols.map(c => sum(col(s"__d_$c")).as(s"__t_$c"))): _*)
+      coalesce(sum(when(col(st).isin("N", "C", "D"), col("n")).otherwise(0L)), lit(0L))
+        .as("left_rows"),
+      (coalesce(sum(when(col(st).isin("N", "C", "I"), col("n")).otherwise(0L)), lit(0L))
+        .as("right_rows") +:
+        vcols.map(c => coalesce(sum(col(s"__d_$c")), lit(0L)).as(s"__t_$c"))): _*)
     val counts = totals.selectExpr(
       "stack(2, 'left_rows', left_rows, 'right_rows', right_rows) as (item, n)")
       .select(lit("counts").as("section"), col("item"), col("n").cast("long").as("n"),

@@ -458,6 +458,29 @@ class DifferSpec extends SparkTestBase {
     assert(out(("c", 3)) == ((1L, 1L, "N")))
   }
 
+  test("report: sections cross-check (counts == summary arithmetic; empty inputs read 0)") {
+    val l = Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")).toDF("k", "p", "s")
+    val r = Seq((1, 10.0, "a"), (2, 25.0, "b"), (4, 40.0, "d")).toDF("k", "p", "s")
+    val rep = Differ.report(l, r, Seq("k"), exampleOn = "p").collect()
+    def n(section: String, item: String): Long =
+      rep.find(x => x.getString(0) == section && x.getString(1) == item)
+        .map(_.getLong(2)).getOrElse(0L)
+    assert(n("counts", "left_rows") == 3 && n("counts", "right_rows") == 3)
+    assert(n("summary", "N") == 1 && n("summary", "C") == 1 &&
+      n("summary", "D") == 1 && n("summary", "I") == 1)
+    assert(n("column_stats", "p") == 1 && n("column_stats", "s") == 0)
+    // example rows carry the value pair for changed keys
+    val ex = rep.filter(_.getString(0) == "examples:C")
+    assert(ex.length == 1 && ex.head.getString(1) == "2" &&
+      ex.head.getDouble(3) == 20.0 && ex.head.getDouble(4) == 25.0)
+
+    // empty×empty: the report still reads zeros, never nulls
+    val empty = l.filter($"k" < 0)
+    val rep0 = Differ.report(empty, empty, Seq("k"), exampleOn = "p").collect()
+    val cnt0 = rep0.filter(_.getString(0) == "counts")
+    assert(cnt0.length == 2 && cnt0.forall(x => !x.isNullAt(2) && x.getLong(2) == 0L))
+  }
+
   test("diffUnkeyed: dotted and backticked column names resolve (r10 fix)") {
     // Regression for the r10 hardening: col(\"gl.a.b\") splits on the dot
     // and fails to resolve a literal \"a.b\" column — the qualified refs
