@@ -14,8 +14,24 @@ import org.apache.spark.sql.SparkSession
   * noise is strictly additive, so the min is the intrinsic cost. Failures
   * are loud: recorded in a "failed" array, printed to stderr, non-zero
   * exit.
+  *
+  * Timed action (r11 fix): `write.format("noop")`, NOT `count()`. A
+  * count() lets Catalyst prune every column the count doesn't need — a
+  * bare-aggregate top loses its aggregate expressions (agg_hll_sketch
+  * timed 0.11 s while the actual sketch build costs 0.56 s) and a
+  * map-only projection (regex features, PNG decode) degenerates to a row
+  * count. The noop sink evaluates EVERY output column and discards it —
+  * the honest per-query cost, directly comparable to what Verify's
+  * parquet dump pays minus the encoder. Totals step up vs the ≤r10
+  * count()-based ledger; BASELINE.md records the break.
   */
 object Bench {
+  /** Full-column evaluation: the noop sink runs the whole plan and
+    * discards rows, so projection pruning can't hollow out the timing.
+    */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,7 +56,7 @@ object Bench {
     val warmFailed = queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        force(fn(spark, sfDir))
         coldTimes(name) = (System.nanoTime() - t0) / 1e9
         None
       }
@@ -61,12 +77,12 @@ object Bench {
       // the timed min measures the QUERY, not cache-churn attribution
       // (r8: sim_search_pq read 1.92s in the driver run vs 0.30s warm —
       // same plan). The rebuild cost itself is visible in cold_s.
-      try fn(spark, sfDir).count()
+      try force(fn(spark, sfDir))
       catch { case _: Throwable => () } // failure re-reported by the timed loop
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
