@@ -458,18 +458,29 @@ object FnQueries {
     // an exact integer guard (a > maxLong DIV K ⇔ product overflows —
     // DuckDB must CASE-guard because ITS overflow also throws; the guard
     // constant IS the semantics being checked).
+    // r11 perf note: TryEval catches a FRESH ArithmeticException per
+    // overflowing row — exceptions as control flow at ~20 µs each. The
+    // first cut multiplied raw l_orderkey, where ~98% of sf0.1 rows sit
+    // past the frontier: 600k throws = 11.5 s for a projection (honest-
+    // bench discovery; count() had pruned the whole column). The operand
+    // is now l_orderkey % 97 + 9128 ∈ [9128, 9224]: the frontier constant
+    // (9223 = maxLong div 10^15) and the NULL-on-overflow semantics are
+    // unchanged and exercised at EVERY SF, but only the %97 == 96 sliver
+    // (~1%) pays the throw — which is the real-world shape too: try_* is
+    // the guard for the occasional bad row, not a 98%-exception hot loop
+    // (that pipeline should filter first).
     Q("fn_try_arith",
       """SELECT l_orderkey, l_linenumber,
         |       CASE WHEN l_linenumber - 1 = 0 THEN NULL
         |            ELSE CAST(l_orderkey AS DOUBLE) / (l_linenumber - 1) END
         |         AS safe_div,
-        |       CASE WHEN l_orderkey > 9223 THEN NULL
-        |            ELSE l_orderkey * 1000000000000000 END AS safe_mul
+        |       CASE WHEN l_orderkey % 97 + 9128 > 9223 THEN NULL
+        |            ELSE (l_orderkey % 97 + 9128) * 1000000000000000 END AS safe_mul
         |FROM lineitem""".stripMargin) { (s, d) =>
       Tables.cachedTable(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_orderkey, l_linenumber - 1)").as("safe_div"),
-          expr("try_multiply(l_orderkey, 1000000000000000L)").as("safe_mul"))
+          expr("try_multiply(l_orderkey % 97 + 9128L, 1000000000000000L)").as("safe_mul"))
     },
 
     // VARIANT semi-structured type (r8b, Spark 4.0) — the open-format
