@@ -1506,8 +1506,8 @@ object PipelineQueries {
         |px AS (
         |  SELECT id, x, y,
         |         CASE WHEN x = 0 AND y = 0 AND odd = 1 THEN 128
-        |              ELSE (a*x + b*y) % 256 END AS v,
-        |         (a*(x+1) + b*y) % 256 AS vr
+        |              ELSE (a*x*37 + b*y*29) % 256 END AS v,
+        |         (a*(x+1)*37 + b*y*29) % 256 AS vr
         |  FROM ids, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)),
         |bits AS (
         |  SELECT id,
@@ -1538,8 +1538,15 @@ object PipelineQueries {
           .select(col("c_custkey").cast("long").as("id")).as[Long]
           .map { id =>
             // even/odd twins share the gradient (a, b from id/2); odd ids
-            // carry a single-pixel "re-encode scar" at (0, 0) that flips
-            // exactly ONE dHash bit — hamming-1 pairs by construction
+            // carry a single-pixel "re-encode scar" at (0, 0) that only
+            // bit (0,0) can see — twins are hamming <= 1 by construction.
+            // The *37/*29 multipliers make the row gradient WRAP mod 256
+            // (r11 fix): the original a*x+b*y never exceeded 254, so
+            // vr > v held at every pixel and ALL 3001 images collapsed to
+            // 2 distinct dHashes — every band bucket was the whole corpus
+            // and the "banded" join degenerated to 15.7M all-pairs
+            // candidates (measured 4.7 s). With wraps the corpus carries
+            // one hash per (a, b) class and buckets are corpus/112-sized.
             val a = (1 + (id / 2) % 16).toInt
             val b = (((id / 2) % 7) * 3).toInt
             val img = new java.awt.image.BufferedImage(
@@ -1550,7 +1557,7 @@ object PipelineQueries {
               while (x < 9) {
                 val v =
                   if (x == 0 && y == 0 && id % 2 == 1) 128
-                  else (a * x + b * y) % 256
+                  else (a * x * 37 + b * y * 29) % 256
                 img.setRGB(x, y, (v << 16) | (v << 8) | v)
                 x += 1
               }
@@ -1576,8 +1583,17 @@ object PipelineQueries {
               col("l.id") < col("r.id"))
           .select(col("l.id").as("a"), col("r.id").as("b"),
             expr("bit_count(l.hash ^ r.hash)").as("hd"))
-          .distinct()  // a pair may collide in several bands
+          // hamming gate BEFORE the dedup exchange: the filter is one
+          // codegen'd xor+popcount per candidate and collapses map-side,
+          // so the distinct shuffles only the <=3 survivors — the
+          // gradient fixture's structured bands collide heavily (a pair
+          // may share several bands AND many far-apart hashes share a
+          // band), and deduping the raw candidate stream first moved
+          // millions of rows through the exchange (measured 4.7 s -> this
+          // order is sub-second; same rows out, distinct∘filter ≡
+          // filter∘distinct for a row-level predicate).
           .filter(col("hd") <= 3)
+          .distinct()  // a pair may collide in several bands
           .groupBy(col("hd").cast("long").as("hamming"))
           .agg(count(lit(1)).as("n_pairs"))
     },
