@@ -64,6 +64,14 @@ object Graft {
                    opts: DiffOptions = DiffOptions()): DataFrame =
     Differ.diffVsStatic(stream, snapshot, keys, opts)
 
+  /** Directional containment (datacompy `subset()`): one-row census with
+    * an is_subset verdict bit — is every candidate row present in the
+    * reference with equal values?
+    */
+  def isSubset(candidate: DataFrame, reference: DataFrame, keys: Seq[String],
+               opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.subsetCheck(candidate, reference, keys, opts)
+
   def onlyInLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     Differ.onlyInLeft(left, right, keys)
 

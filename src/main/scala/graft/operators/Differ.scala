@@ -897,6 +897,34 @@ object Differ {
       .select(status +: (keyOut ++ valOut): _*)
   }
 
+  /** Directional containment check (datacompy's `subset()`): is every
+    * `candidate` row present in `reference` with equal values under the
+    * keys? Returns a ONE-ROW census — n_reference / n_candidate /
+    * n_candidate_only (keys absent from reference) / n_changed (matched
+    * but differing) / is_subset (1 iff both violation counts are 0) —
+    * the assertion an ingest gate runs before promoting a partition.
+    * 100 TB shape: one [[diffVsStatic]] left join (candidate-side,
+    * reference broadcasts when dim-sized) collapsed by a
+    * map-side-combinable census agg, plus a 1-row reference count
+    * cross-joined in — never a driver-side count.
+    */
+  def subsetCheck(candidate: DataFrame, reference: DataFrame,
+                  keys: Seq[String], opts: DiffOptions = DiffOptions()): DataFrame = {
+    val st = opts.statusCol
+    val refN = reference.agg(count(lit(1)).as("n_reference"))
+    diffVsStatic(candidate, reference, keys, opts)
+      .agg(count(lit(1)).as("n_candidate"),
+        sum(when(col(st) === "I", 1L).otherwise(0L)).as("n_candidate_only"),
+        sum(when(col(st) === "C", 1L).otherwise(0L)).as("n_changed"))
+      .crossJoin(broadcast(refN))
+      .select(col("n_reference").cast("long").as("n_reference"),
+        col("n_candidate").cast("long").as("n_candidate"),
+        coalesce(col("n_candidate_only"), lit(0L)).cast("long").as("n_candidate_only"),
+        coalesce(col("n_changed"), lit(0L)).cast("long").as("n_changed"),
+        when(coalesce(col("n_candidate_only"), lit(0L)) +
+          coalesce(col("n_changed"), lit(0L)) === 0, 1L).otherwise(0L).as("is_subset"))
+  }
+
   /** The headline human-readable artifact (datacompy's `report()`): ONE
     * long-format frame `(section, item, n, left_val, right_val)` composing
     *   - `counts`:       left_rows / right_rows,

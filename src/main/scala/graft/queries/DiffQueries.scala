@@ -391,6 +391,30 @@ object DiffQueries {
           .groupBy("diff_status").agg(count(lit(1)).as("n"))
     },
 
+    // Directional containment (r11; datacompy's subset()) — the ingest
+    // gate's question in one row: is every candidate row present in the
+    // reference with equal values? The fixture answers NO on both arms
+    // (inserts -> n_candidate_only, price bumps -> n_changed), so the
+    // verdict bit and both violation counters are all exercised. Shape:
+    // the stream_diff left join collapsed by a map-side census agg + a
+    // broadcast 1-row reference count — no driver-side counts.
+    Q("diff_is_subset",
+      s"""$Prelude,
+         |j AS (SELECT l.o_orderkey AS lk,
+         |             CASE WHEN ${anyDistinct(valueCols)} THEN 1 ELSE 0 END AS ch
+         |      FROM r LEFT JOIN l ON l.o_orderkey = r.o_orderkey)
+         |SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_reference,
+         |       CAST(count(*) AS BIGINT) AS n_candidate,
+         |       CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_candidate_only,
+         |       CAST(sum(CASE WHEN lk IS NOT NULL AND ch = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_changed,
+         |       CAST(CASE WHEN sum(CASE WHEN lk IS NULL OR ch = 1 THEN 1 ELSE 0 END) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_subset
+         |FROM j""".stripMargin) {
+      (s, d) => Differ.subsetCheck(right(s, d), left(s, d), keys)
+    },
+
     // SQL-callable diff (r11) — the reference-class tool is something
     // users CALL, and until now the diff core was Scala-API-only. The
     // GraftExtensions seam registers graft_diff / graft_diff_summary as

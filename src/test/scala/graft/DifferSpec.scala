@@ -481,6 +481,24 @@ class DifferSpec extends SparkTestBase {
     assert(cnt0.length == 2 && cnt0.forall(x => !x.isNullAt(2) && x.getLong(2) == 0L))
   }
 
+  test("subsetCheck: true subset verdicts 1; each violation arm trips it independently") {
+    val ref = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    def row(c: org.apache.spark.sql.DataFrame) =
+      Differ.subsetCheck(c, ref, Seq("k")).collect().head
+    val ok = row(Seq((1, "a"), (3, "c")).toDF("k", "v"))
+    assert(ok.getAs[Long]("is_subset") == 1L &&
+      ok.getAs[Long]("n_candidate_only") == 0L && ok.getAs[Long]("n_changed") == 0L)
+    val extra = row(Seq((1, "a"), (9, "z")).toDF("k", "v"))
+    assert(extra.getAs[Long]("is_subset") == 0L &&
+      extra.getAs[Long]("n_candidate_only") == 1L && extra.getAs[Long]("n_changed") == 0L)
+    val changed = row(Seq((1, "a"), (2, "X")).toDF("k", "v"))
+    assert(changed.getAs[Long]("is_subset") == 0L &&
+      changed.getAs[Long]("n_candidate_only") == 0L && changed.getAs[Long]("n_changed") == 1L)
+    // empty candidate is vacuously a subset, counters read 0 (not null)
+    val empty = row(ref.filter($"k" < 0))
+    assert(empty.getAs[Long]("is_subset") == 1L && empty.getAs[Long]("n_candidate") == 0L)
+  }
+
   test("diffUnkeyed: dotted and backticked column names resolve (r10 fix)") {
     // Regression for the r10 hardening: col(\"gl.a.b\") splits on the dot
     // and fails to resolve a literal \"a.b\" column — the qualified refs
