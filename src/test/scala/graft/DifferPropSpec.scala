@@ -65,6 +65,26 @@ class DifferPropSpec extends SparkTestBase {
     }
   }
 
+  test("diffVsStatic(b, a) equals diff(a, b) minus D, keys re-sourced (generated)") {
+    // The continuous diff's contract tied to the core: classifying b's
+    // rows against snapshot a must agree row-for-row with the full diff
+    // restricted to b-present statuses (everything except D). NaN/-0.0/
+    // null values are in the generator domain so the <=> alignment is
+    // exercised; subsetCheck's counters must match the same census.
+    for (((ta, tb), i) <- samples(Gen.zip(tblGen, tblGen), 8, seed = 7311L).zipWithIndex) {
+      val (a, b) = (toDF(ta), toDF(tb))
+      val streaming = rowsOf(Differ.diffVsStatic(b, a, Seq("k")))
+      val batch = rowsOf(Differ.diff(a, b, Seq("k")).filter(col("diff_status") =!= "D"))
+      assert(streaming == batch, s"case $i: diffVsStatic != diff minus D")
+      val sc = Differ.subsetCheck(b, a, Seq("k")).collect().head
+      val census = counts(Differ.diff(a, b, Seq("k")))
+      assert(sc.getAs[Long]("n_candidate_only") == census("I"), s"case $i: I count")
+      assert(sc.getAs[Long]("n_changed") == census("C"), s"case $i: C count")
+      assert((sc.getAs[Long]("is_subset") == 1L) ==
+        (census("I") == 0L && census("C") == 0L), s"case $i: verdict bit")
+    }
+  }
+
   test("diffViaHash equals diff.filter(status != N) on generated tables") {
     // NaN / -0.0 / null values are in the generator domain: the hash
     // canonicalization must agree with <=> on all of them.
