@@ -64,7 +64,7 @@ object GraphOps {
     // an empty labels frame, not an NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     // pointer jumping: labels are vertex ids, so label(label(v)) is one
     // self-join; a label's own label is never larger, so each jump halves
     // every vertex's remaining distance to its component root. Both sides

@@ -28,7 +28,7 @@ object SkewOps {
                  salt: Int = 8): DataFrame = {
     require(salt > 0, "salt factor must be positive")
     val S = "__graft_salt"
-    val rowHash: Column = xxhash64(big.columns.map(col): _*)
+    val rowHash: Column = xxhash64(big.columns.toIndexedSeq.map(col): _*)
     val b = big.withColumn(S, pmod(rowHash, lit(salt)).cast("int"))
     val s = small.withColumn(S, explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ S).drop(S)

@@ -223,8 +223,8 @@ object TextOps {
         blockCols.map(col)): _*)
       .select((Seq(col(idCol), col("p.t").as("ptok"), col("p.pos").as("pos"),
         col("n")) ++ blockCols.map(col)): _*)
-    val a = slim.select(slim.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = slim.select(slim.columns.map(c => col(c).as(s"b_$c")): _*)
+    val a = slim.select(slim.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = slim.select(slim.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
     val joinCond = (blockCols :+ "ptok")
       .map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
       col(s"a_$idCol") < col(s"b_$idCol") &&
@@ -465,8 +465,8 @@ object TextOps {
           struct(lit(i).as("band"), col(s"mh$i").as("mh"))): _*)).as("bk")): _*)
       .select((Seq(col(idCol), col("n")) ++ blockCols.map(col) ++
         Seq(col("bk.band").as("band"), col("bk.mh").as("mh"))): _*)
-    val a = kv.select(kv.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = kv.select(kv.columns.map(c => col(c).as(s"b_$c")): _*)
+    val a = kv.select(kv.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = kv.select(kv.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
     val joinCond = (blockCols.map(c => col(s"a_$c") === col(s"b_$c")) ++ Seq(
       col("a_band") === col("b_band"),
       col("a_mh") === col("b_mh"),
@@ -610,8 +610,8 @@ object TextOps {
           .as("c"): _*)
       .select((col(idCol) +: blockCols.map(col)) ++
         Seq(col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv")): _*)
-    val a = kv.select(kv.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = kv.select(kv.columns.map(c => col(c).as(s"b_$c")): _*)
+    val a = kv.select(kv.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = kv.select(kv.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
     val cond = (blockCols.map(c => col(s"a_$c") === col(s"b_$c")) ++ Seq(
       col("a_ck") === col("b_ck"),
       col("a_cv") === col("b_cv"),
@@ -718,7 +718,7 @@ object TextOps {
         explode(ColumnBridge.column(graft.functions.DeleteVariantHashes(
           ColumnBridge.expression(col(nameCol)), k))).as("__vh"): _*))
     def side(df: DataFrame, p: String) =
-      df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(s"$p$c")): _*)
     val a = side(v, "a_"); val b = side(v, "b_")
     val joinKeys = (blockCols ++ Seq("__vh"))
       .map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _)

@@ -562,7 +562,7 @@ object VectorOps {
     require(kCap > 0 && iters >= 0 && sampleCap >= kCap,
       s"pqCodebook: bad (kCap=$kCap, iters=$iters, sampleCap=$sampleCap)")
     val dec = DecimalType(27, 12)
-    val dim = emb.agg(max(size(col(vecCol)))).head.getInt(0)
+    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
     require(dim % m == 0, s"pqCodebook: dim=$dim not divisible by m=$m")
     val subdim = dim / m
     val (sEmb, seeds, _) = hashRankSeeds(emb, sampleCap, idCol,
@@ -587,7 +587,7 @@ object VectorOps {
     * the tiny LocalRelation, no corpus touch.
     */
   private def pqSubdim(cent: DataFrame): Int =
-    cent.agg(max(col("sp"))).head.getInt(0) + 1
+    cent.agg(max(col("sp"))).head().getInt(0) + 1
 
   /** PQ code assignment: each vector's best-affinity cell PER subspace —
     * (idCol, sub, cell), m rows per vector. One full-corpus pass against
@@ -671,7 +671,7 @@ object VectorOps {
         .join(broadcast(mu.select(col("p").as("q"), col("mu").as("mu_q"))), Seq("q"))
         .select(col("p"), col("q"),
           (col("sxy") / col("cnt") - col("mu_p") * col("mu_q")).as("c")))
-    val dim = cov.agg(max(col("p"))).head.getInt(0) + 1
+    val dim = cov.agg(max(col("p"))).head().getInt(0) + 1
     var v = cov.sparkSession.range(dim)
       .select(col("id").cast("int").as("p"),
         (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))

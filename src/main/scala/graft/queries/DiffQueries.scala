@@ -529,7 +529,7 @@ object DiffQueries {
     Q("diff_except",
       s"""$Prelude
          |SELECT * FROM l EXCEPT ALL SELECT * FROM r""".stripMargin) {
-      (s, d) => left(s, d).exceptAll(right(s, d).select(left(s, d).columns.map(col): _*))
+      (s, d) => left(s, d).exceptAll(right(s, d).select(left(s, d).columns.toIndexedSeq.map(col): _*))
     },
 
     Q("diff_dup_keys",

@@ -2769,7 +2769,7 @@ object PipelineQueries {
       val dec186 = DecimalType(18, 6)
       val emb = Tables.cachedTable(s, d, "embeddings")
       val m = KMeansSql.PqM
-      val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
+      val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
       val subdim = dim / m
       val cent = KMeansSql.pqCodebook(s, d) // (sub, cell, sp, c) LocalRelation
       // unit-normalized subspace positions, inline (the nearest-centroid

@@ -404,9 +404,9 @@ object RelationalQueries {
       require(TxnLog.history(table).map(_.op) == Seq("init", "overwrite", "restore"),
         "restore must be an audited commit, not a log rewind")
       val bad = TxnLog.read(s, table, asOf = Some(1L))
-        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head.getDouble(0)
+        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head().getDouble(0)
       val good = TxnLog.read(s, table)
-        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head.getDouble(0)
+        .agg(sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")).head().getDouble(0)
       require(bad == good * 2, "the bad version must stay readable at v1")
       TxnLog.read(s, table)
         .groupBy("o_orderstatus")

@@ -426,7 +426,7 @@ object TxnLog {
       targetDvs.filterNot { case (f, _) => cur(f) }.map {
         case (f, (key, scope)) => dvActionLine(f, key, scope.toSeq.sorted)
       }
-    val removes = (cur -- target).toSeq
+    val removes = cur.toSet.diff(target.toSet).toSeq
     val version = latestVersion(table) + 1
     commitLines(table, version, addLines, removes, "restore")
     version
@@ -571,7 +571,7 @@ object TxnLog {
       (cutoff.toString + "\n").getBytes(StandardCharsets.UTF_8))
     // report only files this call actually removed — a re-run over an
     // already-vacuumed log is an honest no-op
-    (everAdded -- retainedLive).toSeq
+    everAdded.toSet.diff(retainedLive.toSet).toSeq
       .filter(f => Files.deleteIfExists(Paths.get(table, f)))
   }
 
