@@ -1009,8 +1009,11 @@ object Differ {
       .select(concat(lit("examples:"), col(st)).as("section"),
         concat_ws("|", keys.map(kc => col(kc).cast("string")): _*).as("item"),
         col("rank").cast("long").as("n"),
-        col(s"${opts.leftPrefix}$exampleOn").cast("double").as("left_val"),
-        col(s"${opts.rightPrefix}$exampleOn").cast("double").as("right_val"))
+        // try_cast, not cast: under ANSI a plain cast THROWS on a
+        // non-numeric exampleOn column (the totality house rule) — a
+        // string example column degrades to NULL values, never a crash.
+        expr(s"try_cast(`${opts.leftPrefix}$exampleOn` AS DOUBLE)").as("left_val"),
+        expr(s"try_cast(`${opts.rightPrefix}$exampleOn` AS DOUBLE)").as("right_val"))
 
     summary.unionByName(counts).unionByName(colStats).unionByName(examples)
   }

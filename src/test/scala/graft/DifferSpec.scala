@@ -479,6 +479,12 @@ class DifferSpec extends SparkTestBase {
     val rep0 = Differ.report(empty, empty, Seq("k"), exampleOn = "p").collect()
     val cnt0 = rep0.filter(_.getString(0) == "counts")
     assert(cnt0.length == 2 && cnt0.forall(x => !x.isNullAt(2) && x.getLong(2) == 0L))
+
+    // non-numeric exampleOn must not crash under ANSI: values degrade to
+    // NULL (try_cast), sections stay intact
+    val repS = Differ.report(l, r, Seq("k"), exampleOn = "s").collect()
+    val exS = repS.filter(_.getString(0) == "examples:C")
+    assert(exS.length == 1 && exS.head.isNullAt(3) && exS.head.isNullAt(4))
   }
 
   test("subsetCheck: true subset verdicts 1; each violation arm trips it independently") {
