@@ -1293,6 +1293,29 @@ class PlanSpec extends SparkTestBase {
       s"wrong failure: $e")
   }
 
+  test("sql_diff_tvf: the spliced TVF plan is diff_full's plan — one FullOuter, nothing else") {
+    // The TVF's claim is PLAN equivalence with the Scala API (it splices
+    // the analyzed Differ.diff subtree at analysis time). Pin the shape:
+    // exactly the one full-outer key join, no extra joins or aggregates.
+    val df = queryNamed(graft.queries.DiffQueries.all, "sql_diff_tvf")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(FullOuter), s"TVF plan drifted from diff_full's: $joins")
+  }
+
+  test("stream_diff: stateless single left-outer join — no full-outer, no aggregate, no window") {
+    // The same body must run under readStream: stream-static left joins
+    // are stateless and append-safe; a full-outer, aggregate or window in
+    // this plan would be a behavior change that breaks the streaming twin.
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = queryNamed(graft.queries.DiffQueries.all, "stream_diff")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(LeftOuter), s"expected exactly one LeftOuter: $joins")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty, "stateful aggregate crept in")
+    assert(plan.collect { case w: LWindow => w }.isEmpty, "window crept in")
+  }
+
   test("window_theil_sen: band-sized rank window + broadcast hot-band join") {
     // r10 replaced the per-type pairs-sized row_number (days²/type through
     // one task) with a banded order-statistic fetch: only the ONE hot band
