@@ -83,6 +83,26 @@ object Differ {
   private val LP = "__graft_l_present"
   private val RP = "__graft_r_present"
 
+  /** Backtick-quoted bare column ref: `col("a.b")` splits on the dot and
+    * `col("c``d")` is a parse error — both are legal column names a schema
+    * can carry (the r10 diffUnkeyed lesson, promoted to the whole surface
+    * per the r11 ADVICE). Every name-string ref in this object routes
+    * through [[bq]]/[[q]] so a dotted or backticked name works on every
+    * diff flavor, not just the one that got burned first.
+    */
+  private def bq(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
+  /** Backtick-quoted ref qualified by a dataset alias. */
+  private def q(alias: String, name: String): Column =
+    col(s"$alias.`${name.replace("`", "``")}`")
+
+  /** Escapes for embedding names in generated SQL (stack() reshape): the
+    * item label is a single-quoted literal, the value a backticked ref.
+    */
+  private def sqlStr(name: String): String = name.replace("'", "''")
+  private def sqlBq(name: String): String = s"`${name.replace("`", "``")}`"
+
   /** Value columns = shared by both sides, minus keys, in left's order.
     * Fails fast with a precise message on an empty or absent key list —
     * the downstream join-condition reduce would otherwise throw an opaque
@@ -224,13 +244,13 @@ object Differ {
     // Prune to keys + shared value columns before the join (column pruning
     // for the wide scan) and add presence markers so null keys still get
     // correct I/D tagging.
-    val l = left.select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col) :+ lit(true).as(RP): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq) :+ lit(true).as(LP): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq) :+ lit(true).as(RP): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     val joined = l.join(r, joinCond, "full_outer")
 
     val allEqual = vcols
-      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .map(c => colEqual(q("l", c), q("r", c), types(c), opts, c))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
     val status = when(col(LP).isNull, lit("I"))
@@ -239,16 +259,16 @@ object Differ {
       .otherwise(lit("N"))
       .as(opts.statusCol)
 
-    val keyOut = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val keyOut = keys.map(k => coalesce(q("l", k), q("r", k)).as(k))
     val valOut = vcols.flatMap { c =>
       val (lc, rc) =
-        if (!opts.sparse) (col(s"l.$c"), col(s"r.$c"))
+        if (!opts.sparse) (q("l", c), q("r", c))
         else {
           // Sparse report: keep values where they inform — the surviving
           // side of I/D rows, and only the differing columns of C rows.
           val keep = col(LP).isNull || col(RP).isNull ||
-            !colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c)
-          (when(keep, col(s"l.$c")), when(keep, col(s"r.$c")))
+            !colEqual(q("l", c), q("r", c), types(c), opts, c)
+          (when(keep, q("l", c)), when(keep, q("r", c)))
         }
       Seq(lc.as(s"${opts.leftPrefix}$c"), rc.as(s"${opts.rightPrefix}$c"))
     }
@@ -290,14 +310,12 @@ object Differ {
     // diffUnkeyed(df, df.filter(...)) call), the grouping attributes carry
     // identical exprIds on both sides and unqualified refs either trip the
     // ambiguous-self-join detector or resolve trivially-true.
-    // Backtick-quote EVERY name-string ref (bare and qualified): col("a.b")
-    // splits on the dot and col("c`d") is a parse error — both are legal
-    // column names a schema can carry, and the r10 backtick fix only
-    // covered the qualified side.
-    def bq(c: String) = col(s"`${c.replace("`", "``")}`")
+    // Backtick-quote EVERY name-string ref (bare and qualified) via the
+    // object-level bq/q helpers: col("a.b") splits on the dot and
+    // col("c`d") is a parse error — both are legal column names a schema
+    // can carry.
     val lc = left.groupBy(cols.map(bq): _*).agg(count(lit(1)).as("__graft_nl")).alias("gl")
     val rc = right.groupBy(cols.map(bq): _*).agg(count(lit(1)).as("__graft_nr")).alias("gr")
-    def q(a: String, c: String) = col(s"$a.`${c.replace("`", "``")}`")
     val cond = cols.map(c => q("gl", c) <=> q("gr", c)).reduce(_ && _)
     lc.join(rc, cond, "full_outer")
       .select(cols.map(c => coalesce(q("gl", c), q("gr", c)).as(c)) ++ Seq(
@@ -314,11 +332,11 @@ object Differ {
     * scale this never materializes the matched majority.
     */
   def onlyInLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
-    left.join(right.select(keys.map(col): _*), keys, "left_anti")
+    left.join(right.select(keys.map(bq): _*), keys, "left_anti")
 
   /** Rows whose key exists only in right ("inserted"). */
   def onlyInRight(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
-    right.join(left.select(keys.map(col): _*), keys, "left_anti")
+    right.join(left.select(keys.map(bq): _*), keys, "left_anti")
 
   /** Shared body of [[changed]]/[[unchanged]]: inner join on keys + the
     * equality predicate, directly — NOT `diff().filter(status)`, which would
@@ -331,16 +349,16 @@ object Differ {
                         opts: DiffOptions, keepEqual: Boolean): DataFrame = {
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     val allEqual = vcols
-      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .map(c => colEqual(q("l", c), q("r", c), types(c), opts, c))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-    val keyOut = keys.map(k => col(s"l.$k").as(k))
+    val keyOut = keys.map(k => q("l", k).as(k))
     val valOut = vcols.flatMap { c =>
-      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+      Seq(q("l", c).as(s"${opts.leftPrefix}$c"), q("r", c).as(s"${opts.rightPrefix}$c"))
     }
     l.join(r, joinCond, "inner")
       .filter(if (keepEqual) allEqual else !allEqual)
@@ -365,15 +383,15 @@ object Differ {
                   opts: DiffOptions = DiffOptions()): DataFrame = {
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     val joined = l.join(r, joinCond, "inner")
     val aggs = vcols.map { c =>
-      sum(when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), 1L).otherwise(0L)).as(c)
+      sum(when(!colEqual(q("l", c), q("r", c), types(c), opts, c), 1L).otherwise(0L)).as(c)
     }
     val wide = joined.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = vcols.map(c => s"'$c', `$c`").mkString(", ")
+    val stackExpr = vcols.map(c => s"'${sqlStr(c)}', ${sqlBq(c)}").mkString(", ")
     wide.selectExpr(s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)")
   }
 
@@ -387,17 +405,17 @@ object Differ {
                   opts: DiffOptions = DiffOptions()): DataFrame = {
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     def diffCase(c: String) =
-      when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), lit(c))
+      when(!colEqual(q("l", c), q("r", c), types(c), opts, c), lit(c))
     val nChanged = vcols
-      .map(c => when(!colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c), 1L).otherwise(0L))
+      .map(c => when(!colEqual(q("l", c), q("r", c), types(c), opts, c), 1L).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
     l.join(r, joinCond, "inner")
       .select(
-        keys.map(k => col(s"l.$k").as(k)) ++ Seq(
+        keys.map(k => q("l", k).as(k)) ++ Seq(
           concat_ws(",", vcols.map(diffCase): _*).as("changed_cols"),
           nChanged.as("n_changed")): _*)
       .filter(col("n_changed") > 0)
@@ -412,13 +430,13 @@ object Differ {
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val vcols = valueCols(left, right, keys, opts).filter(c => numeric(types(c)))
     require(vcols.nonEmpty, "numericStats requires at least one shared numeric value column")
-    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     val dec = DecimalType(27, 6)
     val aggs = vcols.flatMap { c =>
-      val delta = abs(col(s"l.$c").cast("double") - col(s"r.$c").cast("double"))
-      val differs = !(col(s"l.$c") <=> col(s"r.$c"))
+      val delta = abs(q("l", c).cast("double") - q("r", c).cast("double"))
+      val differs = !(q("l", c) <=> q("r", c))
       Seq(
         sum(when(differs, 1L).otherwise(0L)).as(s"n_$c"),
         (sum(when(differs, delta).otherwise(lit(0.0)).cast(dec)).cast("double") /
@@ -426,7 +444,9 @@ object Differ {
         coalesce(max(when(differs, delta)), lit(0.0)).as(s"max_$c"))
     }
     val wide = l.join(r, joinCond, "inner").agg(aggs.head, aggs.tail: _*)
-    val stackExpr = vcols.map(c => s"'$c', `n_$c`, `avg_$c`, `max_$c`").mkString(", ")
+    val stackExpr = vcols.map(c =>
+      s"'${sqlStr(c)}', ${sqlBq(s"n_$c")}, ${sqlBq(s"avg_$c")}, ${sqlBq(s"max_$c")}")
+      .mkString(", ")
     wide.selectExpr(
       s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff, avg_abs_delta, max_abs_delta)")
   }
@@ -517,15 +537,15 @@ object Differ {
                   opts: DiffOptions = DiffOptions()): DataFrame = {
     val vcols = valueCols(left, right, keys, opts)
     val VH = "__graft_vhash"
-    val lh = left.select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
-    val rh = right.select(keys.map(col) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
-    val hashCond = keys.map(k => col(s"lh.$k") <=> col(s"rh.$k")).reduce(_ && _)
+    val lh = left.select(keys.map(bq) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
+    val rh = right.select(keys.map(bq) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
+    val hashCond = keys.map(k => q("lh", k) <=> q("rh", k)).reduce(_ && _)
     val status = when(col(s"lh.$VH").isNull, lit("I"))
       .when(col(s"rh.$VH").isNull, lit("D"))
       .when(col(s"lh.$VH") =!= col(s"rh.$VH"), lit("C"))
       .otherwise(lit("N"))
     // Phase-1 output: the non-N key set (small), one row per key.
-    val keyCols = keys.map(k => coalesce(col(s"lh.$k"), col(s"rh.$k")).as(k))
+    val keyCols = keys.map(k => coalesce(q("lh", k), q("rh", k)).as(k))
     val diffKeys = lh.join(rh, hashCond, "full_outer")
       .select(status.as(opts.statusCol) +: keyCols: _*)
       .filter(col(opts.statusCol) =!= "N")
@@ -533,14 +553,14 @@ object Differ {
     // Phase 2: fetch full rows for the differing subset only. Left joins
     // null-extend exactly where diff() would (I rows have no left row, D
     // rows no right row); <=> keeps null keys addressable.
-    val l = left.select((keys ++ vcols).map(col): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col): _*).alias("r")
-    val lCond = keys.map(k => col(s"k.$k") <=> col(s"l.$k")).reduce(_ && _)
-    val rCond = keys.map(k => col(s"k.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val lCond = keys.map(k => q("k", k) <=> q("l", k)).reduce(_ && _)
+    val rCond = keys.map(k => q("k", k) <=> q("r", k)).reduce(_ && _)
     val out = diffKeys.join(l, lCond, "left").join(r, rCond, "left")
-    val keyOut = keys.map(k => col(s"k.$k").as(k))
+    val keyOut = keys.map(k => q("k", k).as(k))
     val valOut = vcols.flatMap { c =>
-      Seq(col(s"l.$c").as(s"${opts.leftPrefix}$c"), col(s"r.$c").as(s"${opts.rightPrefix}$c"))
+      Seq(q("l", c).as(s"${opts.leftPrefix}$c"), q("r", c).as(s"${opts.rightPrefix}$c"))
     }
     out.select(col(s"k.${opts.statusCol}") +: (keyOut ++ valOut): _*)
   }
@@ -562,7 +582,7 @@ object Differ {
   def bucketDigests(df: DataFrame, keys: Seq[String], vcols: Seq[String],
                     buckets: Int): DataFrame =
     df.select(
-        pmod(xxhash64(keys.map(col): _*), lit(buckets)).as(BK),
+        pmod(xxhash64(keys.map(bq): _*), lit(buckets)).as(BK),
         conv(substring(rowHashCol(df, keys ++ vcols), 1, 15), 16, 10)
           .cast(DecimalType(38, 0)).as("h"))
       .groupBy(BK)
@@ -598,20 +618,20 @@ object Differ {
       .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
       .select(coalesce(col(s"ld.$BK"), col(s"rd.$BK")).as(BK))
     def dirtyOnly(df: DataFrame): DataFrame =
-      df.withColumn(BK, pmod(xxhash64(keys.map(col): _*), lit(buckets)))
+      df.withColumn(BK, pmod(xxhash64(keys.map(bq): _*), lit(buckets)))
         .join(broadcast(dirty), Seq(BK), "left_semi")
         .drop(BK)
     val VH = "__graft_vhash"
     val lh = dirtyOnly(left)
-      .select(keys.map(col) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
+      .select(keys.map(bq) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
     val rh = dirtyOnly(right)
-      .select(keys.map(col) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
-    val cond = keys.map(k => col(s"lh.$k") <=> col(s"rh.$k")).reduce(_ && _)
+      .select(keys.map(bq) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
+    val cond = keys.map(k => q("lh", k) <=> q("rh", k)).reduce(_ && _)
     val status = when(col(s"lh.$VH").isNull, lit("I"))
       .when(col(s"rh.$VH").isNull, lit("D"))
       .when(col(s"lh.$VH") =!= col(s"rh.$VH"), lit("C"))
       .otherwise(lit("N"))
-    val keyCols = keys.map(k => coalesce(col(s"lh.$k"), col(s"rh.$k")).as(k))
+    val keyCols = keys.map(k => coalesce(q("lh", k), q("rh", k)).as(k))
     lh.join(rh, cond, "full_outer")
       .select(status.as(opts.statusCol) +: keyCols: _*)
       .filter(col(opts.statusCol) =!= "N")
@@ -651,7 +671,7 @@ object Differ {
       s"changes is not a diff output for this base: missing column(s) " +
         s"${missing.mkString(", ")} (have: ${changes.columns.mkString(", ")})")
     val st = col(opts.statusCol)
-    val removed = changes.filter(st === "D" || st === "C").select(keys.map(col): _*)
+    val removed = changes.filter(st === "D" || st === "C").select(keys.map(bq): _*)
     // Size-aware broadcast: estimate from the optimized plan (no job run).
     // Unknown/huge estimates fall through to the un-hinted path, which is
     // never wrong — only potentially a shuffle where a broadcast would do.
@@ -662,9 +682,9 @@ object Differ {
     val kept = base.join(buildSide,
       keys.map(k => base(k) <=> buildSide(k)).reduce(_ && _), "left_anti")
     val upserts = changes.filter(st === "C" || st === "I")
-      .select(keys.map(col) ++
-        vcols.map(c => col(s"${opts.rightPrefix}$c").as(c)): _*)
-    kept.select((keys ++ vcols).map(col): _*).unionByName(upserts)
+      .select(keys.map(bq) ++
+        vcols.map(c => bq(s"${opts.rightPrefix}$c").as(c)): _*)
+    kept.select((keys ++ vcols).map(bq): _*).unionByName(upserts)
   }
 
   /** Diff across a column rename (schema evolution): `columnMap` maps LEFT
@@ -721,18 +741,18 @@ object Differ {
         s"absent from base [${base.columns.mkString(", ")}]")
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val BP = "__graft_b_present"
-    val b = base.select((keys ++ vcols).map(col) :+ lit(true).as(BP): _*).alias("b")
-    val l = left.select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(col) :+ lit(true).as(RP): _*).alias("r")
-    val bl = b.join(l, keys.map(k => col(s"b.$k") <=> col(s"l.$k")).reduce(_ && _),
+    val b = base.select((keys ++ vcols).map(bq) :+ lit(true).as(BP): _*).alias("b")
+    val l = left.select((keys ++ vcols).map(bq) :+ lit(true).as(LP): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq) :+ lit(true).as(RP): _*).alias("r")
+    val bl = b.join(l, keys.map(k => q("b", k) <=> q("l", k)).reduce(_ && _),
       "full_outer")
     val j = bl.join(r,
-      keys.map(k => coalesce(col(s"b.$k"), col(s"l.$k")) <=> col(s"r.$k")).reduce(_ && _),
+      keys.map(k => coalesce(q("b", k), q("l", k)) <=> q("r", k)).reduce(_ && _),
       "full_outer")
 
     def branchStatus(present: String, side: String): Column = {
       val equalBase = vcols
-        .map(c => colEqual(col(s"b.$c"), col(s"$side.$c"), types(c), opts, c))
+        .map(c => colEqual(q("b", c), q(side, c), types(c), opts, c))
         .reduceOption(_ && _).getOrElse(lit(true))
       when(col(BP).isNull && col(present).isNull, lit("N"))
         .when(col(BP).isNull, lit("I"))
@@ -743,7 +763,7 @@ object Differ {
     val lstat = branchStatus(LP, "l")
     val rstat = branchStatus(RP, "r")
     val lrEqual = vcols
-      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .map(c => colEqual(q("l", c), q("r", c), types(c), opts, c))
       .reduceOption(_ && _).getOrElse(lit(true))
     val ms = when(lstat === "N" && rstat === "N", lit("N"))
       .when(rstat === "N", lit("L"))
@@ -755,14 +775,14 @@ object Differ {
     val deleted = (ms.isin("L", "A") && lstat === "D") || (ms === "R" && rstat === "D")
 
     val keyOut = keys.map(k =>
-      coalesce(col(s"b.$k"), col(s"l.$k"), col(s"r.$k")).as(k))
+      coalesce(q("b", k), q("l", k), q("r", k)).as(k))
     // Winning side's values; the branch columns of a deleted key are
     // already NULL, so tombstones fall out without a special case. X rows
     // hit no branch and stay NULL.
     val valOut = vcols.map { c =>
-      when(ms === "N", col(s"b.$c"))
-        .when(ms.isin("L", "A"), col(s"l.$c"))
-        .when(ms === "R", col(s"r.$c"))
+      when(ms === "N", q("b", c))
+        .when(ms.isin("L", "A"), q("l", c))
+        .when(ms === "R", q("r", c))
         .as(s"merged_$c")
     }
     j.select(keyOut ++ Seq(
@@ -830,7 +850,7 @@ object Differ {
   def scd2(snaps: DataFrame, keys: Seq[String], versionCol: String,
            valueCols: Seq[String], maxVersion: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+      .partitionBy(keys.map(bq): _*).orderBy(col(versionCol))
     val prevV = lag(col(versionCol), 1).over(w)
     val valueChanged = valueCols
       .map(c => !(lag(col(c), 1).over(w) <=> col(c)))
@@ -838,7 +858,7 @@ object Differ {
     val brk = when(prevV.isNull || prevV =!= col(versionCol) - 1 || valueChanged,
       1L).otherwise(0L)
     val runW = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+      .partitionBy(keys.map(bq): _*).orderBy(col(versionCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     snaps
       .withColumn("__graft_brk", brk)
@@ -850,7 +870,7 @@ object Differ {
         valueCols.tail.map(c => max(col(c)).as(c)) ++ Seq(
           min(col(versionCol)).cast("long").as("valid_from"),
           max(col(versionCol)).cast("long").as("__graft_vmax")): _*)
-      .select((keys.map(col) ++ valueCols.map(col) ++ Seq(
+      .select((keys.map(bq) ++ valueCols.map(col) ++ Seq(
         col("valid_from"),
         when(col("__graft_vmax") === maxVersion, lit(null).cast("long"))
           .otherwise(col("__graft_vmax") + 1).as("valid_to"))): _*)
@@ -877,22 +897,22 @@ object Differ {
                    opts: DiffOptions = DiffOptions()): DataFrame = {
     val vcols = valueCols(snapshot, stream, keys, opts)
     val types = snapshot.schema.fields.map(f => f.name -> f.dataType).toMap
-    val s = stream.select((keys ++ vcols).map(col): _*).alias("r")
+    val s = stream.select((keys ++ vcols).map(bq): _*).alias("r")
     val snap = snapshot
-      .select((keys ++ vcols).map(col) :+ lit(true).as(LP): _*).alias("l")
-    val joinCond = keys.map(k => opts.keyEq(col(s"l.$k"), col(s"r.$k"))).reduce(_ && _)
+      .select((keys ++ vcols).map(bq) :+ lit(true).as(LP): _*).alias("l")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
     val allEqual = vcols
-      .map(c => colEqual(col(s"l.$c"), col(s"r.$c"), types(c), opts, c))
+      .map(c => colEqual(q("l", c), q("r", c), types(c), opts, c))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
     val status = when(col(LP).isNull, lit("I"))
       .when(!allEqual, lit("C"))
       .otherwise(lit("N"))
       .as(opts.statusCol)
-    val keyOut = keys.map(k => col(s"r.$k").as(k))
+    val keyOut = keys.map(k => q("r", k).as(k))
     val valOut = vcols.flatMap(c => Seq(
-      col(s"l.$c").as(s"${opts.leftPrefix}$c"),
-      col(s"r.$c").as(s"${opts.rightPrefix}$c")))
+      q("l", c).as(s"${opts.leftPrefix}$c"),
+      q("r", c).as(s"${opts.rightPrefix}$c")))
     s.join(snap, joinCond, "left_outer")
       .select(status +: (keyOut ++ valOut): _*)
   }
@@ -911,7 +931,25 @@ object Differ {
   def subsetCheck(candidate: DataFrame, reference: DataFrame,
                   keys: Seq[String], opts: DiffOptions = DiffOptions()): DataFrame = {
     val st = opts.statusCol
-    val refN = reference.agg(count(lit(1)).as("n_reference"))
+    // Unique-key PRECONDITION, enforced loudly in-query (r11 ADVICE): a
+    // duplicate-keyed reference silently INFLATES the census — the left
+    // join multiplies each candidate row per matching reference row, so
+    // n_candidate overcounts and one equal-plus-one-differing duplicate
+    // pair mints a spurious n_changed, flipping is_subset to 0 for a
+    // genuinely contained candidate (datacompy dedupes before subset()).
+    // Same tripwire mechanism as Q.requireBand: assert_true evaluates on
+    // the 1-row census, so EVERY runner of the query (Verify, bench,
+    // production) trips it, not just scalatest. Cost: one count(distinct
+    // key-struct) accumulator beside the plain count — the 2-pass Expand
+    // over the reference only, never the candidate.
+    val refN = reference
+      .agg(count(lit(1)).as("n_reference"),
+        countDistinct(struct(keys.map(bq): _*)).as("__graft_nkeys"))
+      .filter(assert_true(col("n_reference") === col("__graft_nkeys"),
+        lit(s"subsetCheck precondition: reference has duplicate keys on " +
+          s"(${keys.mkString(", ")}) — dedupe it first, the census would " +
+          "overcount")).isNull)
+      .select("n_reference")
     diffVsStatic(candidate, reference, keys, opts)
       .agg(count(lit(1)).as("n_candidate"),
         sum(when(col(st) === "I", 1L).otherwise(0L)).as("n_candidate_only"),
@@ -962,8 +1000,8 @@ object Differ {
 
     // Pass 1: per-status counts + per-column changed counts in one agg.
     val aggs = count(lit(1)).as("n") +: vcols.map { c =>
-      sum(when(matched && !colEqual(col(s"${opts.leftPrefix}$c"),
-          col(s"${opts.rightPrefix}$c"), types(c), opts, c), 1L)
+      sum(when(matched && !colEqual(bq(s"${opts.leftPrefix}$c"),
+          bq(s"${opts.rightPrefix}$c"), types(c), opts, c), 1L)
         .otherwise(0L)).as(s"__d_$c")
     }
     // Materialize the aggregate as a LOCAL relation: the frame is bounded
@@ -996,15 +1034,26 @@ object Differ {
       "stack(2, 'left_rows', left_rows, 'right_rows', right_rows) as (item, n)")
       .select(lit("counts").as("section"), col("item"), col("n").cast("long").as("n"),
         nullD.as("left_val"), nullD.as("right_val"))
-    val colStats = totals.selectExpr(
-      s"stack(${vcols.size}, ${vcols.map(c => s"'$c', `__t_$c`").mkString(", ")}) " +
-        "as (item, n)")
-      .select(lit("column_stats").as("section"), col("item"),
-        col("n").cast("long").as("n"), nullD.as("left_val"), nullD.as("right_val"))
+    // Skip the section entirely when the two frames share only key
+    // columns: `stack(0, )` is a parse error, whereas diff() handles the
+    // empty value set fine (everything matched is N) — the report must
+    // degrade the same way (r11 ADVICE). Names are escaped into the
+    // generated SQL (quote inside a column name ends the literal).
+    val colStats =
+      if (vcols.isEmpty)
+        summary.filter(lit(false))
+          .select(lit("column_stats").as("section"), col("item"), col("n"),
+            col("left_val"), col("right_val"))
+      else totals.selectExpr(
+        s"stack(${vcols.size}, " +
+          s"${vcols.map(c => s"'${sqlStr(c)}', ${sqlBq(s"__t_$c")}").mkString(", ")}) " +
+          "as (item, n)")
+        .select(lit("column_stats").as("section"), col("item"),
+          col("n").cast("long").as("n"), nullD.as("left_val"), nullD.as("right_val"))
 
     // Pass 2: k example rows per non-N status, deterministic key order.
     val examples = TextOps.topKPerGroup(
-      d.filter(col(st) =!= "N"), Seq(st), keys.map(col), k = k,
+      d.filter(col(st) =!= "N"), Seq(st), keys.map(bq), k = k,
       bucketOn = col(keys.head))
       .select(concat(lit("examples:"), col(st)).as("section"),
         concat_ws("|", keys.map(kc => col(kc).cast("string")): _*).as("item"),
@@ -1012,8 +1061,15 @@ object Differ {
         // try_cast, not cast: under ANSI a plain cast THROWS on a
         // non-numeric exampleOn column (the totality house rule) — a
         // string example column degrades to NULL values, never a crash.
-        expr(s"try_cast(`${opts.leftPrefix}$exampleOn` AS DOUBLE)").as("left_val"),
-        expr(s"try_cast(`${opts.rightPrefix}$exampleOn` AS DOUBLE)").as("right_val"))
+        // An exampleOn that isn't a shared value column (incl. the
+        // zero-value-column degenerate case) degrades the same way: the
+        // example ROWS still matter, only the value pair is absent.
+        (if (vcols.contains(exampleOn))
+          expr(s"try_cast(${sqlBq(s"${opts.leftPrefix}$exampleOn")} AS DOUBLE)")
+        else nullD).as("left_val"),
+        (if (vcols.contains(exampleOn))
+          expr(s"try_cast(${sqlBq(s"${opts.rightPrefix}$exampleOn")} AS DOUBLE)")
+        else nullD).as("right_val"))
 
     summary.unionByName(counts).unionByName(colStats).unionByName(examples)
   }

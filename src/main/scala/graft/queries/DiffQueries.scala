@@ -367,7 +367,14 @@ object DiffQueries {
          |       r.o_orderkey AS o_orderkey,
          |       ${pairSelect(valueCols)}
          |FROM r LEFT JOIN l ON l.o_orderkey = r.o_orderkey""".stripMargin) {
-      (s, d) => Differ.diffVsStatic(right(s, d), left(s, d), keys)
+      // nullSafeKeys = false, PINNED to the oracle's plain '=' join (r11
+      // ADVICE): snapshot keys are primary keys by contract, and '='
+      // matches the SQL a user would write — under '<=>' a null-keyed
+      // arriving row could match a null-keyed snapshot row that the
+      // oracle's '=' drops, an invisible divergence on this null-free
+      // fixture but a real one elsewhere.
+      (s, d) => Differ.diffVsStatic(right(s, d), left(s, d), keys,
+        DiffOptions(nullSafeKeys = false))
     },
 
     // Running census of the continuous diff (r11) — what a reconciliation
@@ -387,7 +394,9 @@ object DiffQueries {
          |FROM r LEFT JOIN l ON l.o_orderkey = r.o_orderkey
          |GROUP BY 1""".stripMargin) {
       (s, d) =>
-        Differ.diffVsStatic(right(s, d), left(s, d), keys)
+        // Same nullSafeKeys = false pin as stream_diff (the '=' oracle).
+        Differ.diffVsStatic(right(s, d), left(s, d), keys,
+            DiffOptions(nullSafeKeys = false))
           .groupBy("diff_status").agg(count(lit(1)).as("n"))
     },
 
@@ -412,7 +421,9 @@ object DiffQueries {
          |       CAST(CASE WHEN sum(CASE WHEN lk IS NULL OR ch = 1 THEN 1 ELSE 0 END) = 0
          |                 THEN 1 ELSE 0 END AS BIGINT) AS is_subset
          |FROM j""".stripMargin) {
-      (s, d) => Differ.subsetCheck(right(s, d), left(s, d), keys)
+      // Same nullSafeKeys = false pin as stream_diff (the '=' oracle).
+      (s, d) => Differ.subsetCheck(right(s, d), left(s, d), keys,
+        DiffOptions(nullSafeKeys = false))
     },
 
     // SQL-callable diff (r11) — the reference-class tool is something

@@ -20,10 +20,12 @@ class AllKeysSmokeSpec extends SparkTestBase {
   for (key <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$key executes at sf0.001 without throwing") {
       val df = SparkEntry.queries(key)(spark, sfDir)
-      // count() forces full evaluation of every operator in the plan —
-      // a lazily-built DataFrame alone would miss runtime-only failures
-      // (ANSI arithmetic, codegen, join-inferred predicates).
-      df.count()
+      // noop sink, NOT count(): count() lets Catalyst prune every column
+      // the count doesn't need, so runtime-only failures in projection
+      // expressions (ANSI arithmetic overflow, codegen errors in map-only
+      // projections) would never fire — the same honesty fix Bench made
+      // in r11. The noop write evaluates EVERY output column.
+      df.write.format("noop").mode("overwrite").save()
     }
   }
 }
