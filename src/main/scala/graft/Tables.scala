@@ -28,6 +28,14 @@ object Tables {
     // current timestamp[us] fixtures; kept so both flavors read. The type
     // branch lives in tsUsExpr.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Allow a join to reuse children already hash-partitioned on a SUBSET
+    // of the join keys (both sides, same subset → same-key rows are
+    // already co-located; the default `true` re-shuffles both sides on
+    // the full key list anyway). This is what lets diff_dup_key_rank's
+    // per-side rank window (hash(keys)) feed the (keys, rank) full-outer
+    // join with no extra exchange — the r12 plan bar. Trade-off is skew
+    // (fewer distinct partition keys), which AQE skew-join handles.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -708,6 +708,53 @@ object Differ {
     diff(left, renamed, keys, opts)
   }
 
+  /** Duplicate-key RANK-MATCHED diff (datacompy's `temp_row_number`
+    * semantics): when the join key is non-unique (order lines keyed by
+    * order only — the everyday case [[diff]]'s PK contract rejects), each
+    * side ranks its rows WITHIN each key group and the standard diff runs
+    * on the (key, rank) composite. Equal-sized groups pair rank-for-rank;
+    * surplus ranks on one side become D (left larger) or I (right larger).
+    *
+    * Tie rule (documented contract): `dup_rank` = `row_number` over the
+    * canonical value fingerprint ([[rowHashCol]] of the shared value
+    * columns) within the key group. The order is value-derived, so the
+    * pairing is stable across runs, partitionings, and engines — never
+    * arrival order, which at 100 TB is whatever the shuffle delivered.
+    * Rows with identical values hash identically, so a hash tie only ever
+    * permutes interchangeable rows: the emitted (key, rank, values) set is
+    * unchanged. Like datacompy, rank matching is positional within the
+    * sorted group — a changed value can re-rank a row and shift which
+    * counterpart it compares against; the D+I decomposition stays exact.
+    *
+    * Scale shape: ONE window per side (hash-partitioned on the key
+    * columns) feeding the same single full-outer join as [[diff]]. Under
+    * `DiffOptions(nullSafeKeys = false)` (plain `=` keys — the right
+    * setting for non-null business keys) the window's hash(keys) output
+    * partitioning satisfies the join's clustering on (keys, rank), so
+    * Spark plans NO extra exchange between them — two exchanges total,
+    * one per side, same as diff_full (PlanSpec pin). The `<=>` default
+    * keeps null-keyed groups addressable but repartitions the join on
+    * (coalesce, isnull) projections, costing one extra exchange per side
+    * — the same trade [[DiffOptions.nullSafeKeys]] documents for
+    * bucket-layout reuse.
+    */
+  def diffDupKeyRank(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     opts: DiffOptions = DiffOptions(),
+                     rankCol: String = "dup_rank"): DataFrame = {
+    val vcols = valueCols(left, right, keys, opts)
+    require(!left.columns.contains(rankCol) && !right.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists; pass rankCol = <fresh name>")
+    def ranked(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(bq): _*)
+        .orderBy(rowHashCol(df, vcols))
+      // long, not int: the DuckDB oracle's row_number() is BIGINT and the
+      // rank is an output key column — schema parity is part of the gate.
+      df.withColumn(rankCol, row_number().over(w).cast("long"))
+    }
+    diff(ranked(left), ranked(right), keys :+ rankCol, opts)
+  }
+
   /** Three-way keyed merge (git-style): classify every key of
     * base/left/right by what each branch did to it and emit the merged row
     * where the resolution is mechanical.

@@ -552,6 +552,75 @@ object DiffQueries {
           .filter(col("n") > 1)
     },
 
+    // Duplicate-key RANK-MATCHED diff (r12; datacompy's temp_row_number
+    // semantics) — the everyday "order lines keyed by order only" case the
+    // PK-contract diff rejects: each side ranks rows WITHIN its key group
+    // by the canonical value fingerprint (value-derived ⇒ stable across
+    // runs/partitionings/engines — never shuffle arrival order), then the
+    // standard composite diff runs on (key, rank); surplus ranks become
+    // D/I. Fixture exercises unequal group sizes BOTH ways (%13 keys lose
+    // their lines ≥ 4 → D; %17 keys gain a linenumber-99 row → I) plus a
+    // value perturbation (%31 line 1 quantity + 5 → C, possibly re-ranked
+    // — rank matching is positional by contract). 100 TB shape: one
+    // key-partitioned window per side feeding the same single full-outer
+    // exchange as diff_full — with nullSafeKeys=false (the oracle's plain
+    // '=' join; order keys are non-null business keys) hash(keys)
+    // satisfies the join's (keys, rank) clustering, so no extra exchange
+    // (PlanSpec pin); '<=>' would repartition on (coalesce, isnull).
+    Q("diff_dup_key_rank",
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |            FROM lineitem),
+        |rgt AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 31 = 0 AND l_linenumber = 1
+        |              THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |         l_extendedprice
+        |  FROM li WHERE NOT (l_orderkey % 13 = 0 AND l_linenumber >= 4)
+        |  UNION ALL
+        |  SELECT l_orderkey, 99, l_quantity, l_extendedprice
+        |  FROM li WHERE l_orderkey % 17 = 0 AND l_linenumber = 1),
+        |lr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |         sha256(concat_ws(chr(31),
+        |           CAST(l_linenumber AS VARCHAR),
+        |           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)))) AS dup_rank
+        |       FROM li),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |         sha256(concat_ws(chr(31),
+        |           CAST(l_linenumber AS VARCHAR),
+        |           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)))) AS dup_rank
+        |       FROM rgt)
+        |SELECT CASE WHEN lr.l_orderkey IS NULL THEN 'I'
+        |            WHEN rr.l_orderkey IS NULL THEN 'D'
+        |            WHEN lr.l_linenumber IS DISTINCT FROM rr.l_linenumber
+        |              OR lr.l_quantity IS DISTINCT FROM rr.l_quantity
+        |              OR lr.l_extendedprice IS DISTINCT FROM rr.l_extendedprice THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       COALESCE(lr.l_orderkey, rr.l_orderkey) AS l_orderkey,
+        |       COALESCE(lr.dup_rank, rr.dup_rank) AS dup_rank,
+        |       lr.l_linenumber AS left_l_linenumber,
+        |       rr.l_linenumber AS right_l_linenumber,
+        |       lr.l_quantity AS left_l_quantity, rr.l_quantity AS right_l_quantity,
+        |       lr.l_extendedprice AS left_l_extendedprice,
+        |       rr.l_extendedprice AS right_l_extendedprice
+        |FROM lr FULL OUTER JOIN rr
+        |  ON lr.l_orderkey = rr.l_orderkey AND lr.dup_rank = rr.dup_rank""".stripMargin) {
+      (s, d) =>
+        val li = Tables.cachedTable(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val rbase = li
+          .filter(!(col("l_orderkey") % 13 === 0 && col("l_linenumber") >= 4))
+          .withColumn("l_quantity",
+            when(col("l_orderkey") % 31 === 0 && col("l_linenumber") === 1,
+              col("l_quantity") + 5).otherwise(col("l_quantity")))
+        val rins = li
+          .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1)
+          .withColumn("l_linenumber", lit(99))
+        Differ.diffDupKeyRank(li, rbase.unionByName(rins), Seq("l_orderkey"),
+          DiffOptions(nullSafeKeys = false))
+    },
+
     Q("diff_tolerance",
       s"""$Prelude
          |SELECT l.o_orderkey AS o_orderkey,

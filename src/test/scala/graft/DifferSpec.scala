@@ -593,4 +593,51 @@ class DifferSpec extends SparkTestBase {
     assert(full == hashed, s"hash path must agree on maps: $full vs $hashed")
     assert(full == Set(("C", 0L), ("C", 3L)), "only %3 rows changed")
   }
+
+  test("diffDupKeyRank agrees with diff on dup-free keys (rank 1 everywhere)") {
+    val l = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    val r = Seq((1L, "x", 1.0), (2L, "y", 9.0), (4L, "w", 4.0)).toDF("k", "s", "v")
+    val ranked = Differ.diffDupKeyRank(l, r, keys)
+    assert(ranked.select("dup_rank").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val plain = rowsOf(Differ.diff(l, r, keys))
+    assert(rowsOf(ranked.drop("dup_rank")) == plain,
+      "on unique keys the rank-matched diff must reduce to the plain diff")
+  }
+
+  test("diffDupKeyRank tie rule: rank order is the canonical value fingerprint") {
+    // Two left rows under one key, one right row matching one of them: the
+    // pairing is decided by rank, and rank by the value-hash order — the
+    // documented contract. Compute the expected order from Differ.rowHash
+    // (the same canonicalization) instead of hardcoding hash luck.
+    val l = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("k", "s", "v")
+    val hashes = Differ.rowHash(l, Seq("s", "v")).collect().map(_.getString(0))
+    val firstIsA = hashes(0) < hashes(1) // row order in a 2-row local frame
+    val keep = if (firstIsA) ("a", 10.0) else ("b", 20.0)
+    val dropped = if (firstIsA) ("b", 20.0) else ("a", 10.0)
+    val r = Seq((1L, keep._1, keep._2)).toDF("k", "s", "v")
+    val out = Differ.diffDupKeyRank(l, r, keys)
+      .select("diff_status", "dup_rank", "left_s").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    // rank 1 pairs (hash-min left row, the only right row) => N; rank 2 is
+    // the left surplus => D carrying the hash-max row.
+    assert(out == Set(("N", 1L, keep._1), ("D", 2L, dropped._1)), out.toString)
+  }
+
+  test("diffDupKeyRank: unequal group sizes decompose into surplus D/I exactly") {
+    val l = Seq((1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0), (2L, "x", 1.0))
+      .toDF("k", "s", "v")
+    val r = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "x", 1.0), (2L, "y", 2.0))
+      .toDF("k", "s", "v")
+    val counts = statusCounts(Differ.diffDupKeyRank(l, r, keys))
+    // key 1: 3 vs 2 -> one D surplus; key 2: 1 vs 2 -> one I surplus.
+    assert(counts("D") == 1L && counts("I") == 1L, counts.toString)
+    assert(counts.values.sum == 5L, s"group-size max per key: $counts")
+  }
+
+  test("diffDupKeyRank refuses a clobbered rank column loudly") {
+    val l = Seq((1L, 1L)).toDF("k", "dup_rank")
+    val e = intercept[IllegalArgumentException](
+      Differ.diffDupKeyRank(l, l, keys))
+    assert(e.getMessage.contains("dup_rank"))
+  }
 }

@@ -59,6 +59,30 @@ class PlanSpec extends SparkTestBase {
     assert(joins == Seq(FullOuter), joins.toString)
   }
 
+  test("diff_dup_key_rank: one window per side sharing the join's exchange (r12)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = queryNamed(DiffQueries.all, "diff_dup_key_rank")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(FullOuter), s"must stay ONE full-outer join: $joins")
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = strip(df.queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected one rank window per side, got ${windows.size}")
+    // The scale contract: the window's hash(keys) partitioning satisfies
+    // the join's (keys, rank) clustering, so the rank never costs an extra
+    // exchange — two shuffles total, one per side, same as diff_full.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"rank window must reuse the join exchange (got ${shuffles.size}):\n" +
+        plan.toString.take(2000))
+  }
+
   test("diff_merge3 is exactly two full-outer joins, no cartesian") {
     val qe = queryNamed(DiffQueries.all, "diff_merge3").queryExecution
     val joins = qe.optimizedPlan.collect { case j: Join => j.joinType }
