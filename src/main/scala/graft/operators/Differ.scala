@@ -33,6 +33,14 @@ import org.apache.spark.sql.types._
   *                    columns are nulled. I/D rows keep their full surviving
   *                    side, N rows carry nulls. Pure projection change — the
   *                    join, statuses and row set are identical
+  * @param ignoreCase  compare STRING value columns case-folded (datacompy's
+  *                    `ignore_case`): both sides lower() before the
+  *                    null-safe compare. Output values stay ORIGINAL — the
+  *                    normalization affects classification only. Pure
+  *                    projection change, no extra exchange
+  * @param trimWs      compare STRING value columns with leading/trailing
+  *                    whitespace trimmed (datacompy's `ignore_spaces`);
+  *                    composes with [[ignoreCase]] (trim, then fold)
   */
 final case class DiffOptions(
     statusCol: String = "diff_status",
@@ -44,6 +52,8 @@ final case class DiffOptions(
     ignoreCols: Set[String] = Set.empty,
     sparse: Boolean = false,
     bagCols: Set[String] = Set.empty,
+    ignoreCase: Boolean = false,
+    trimWs: Boolean = false,
     /** Compare KEY columns null-safely (`<=>`, the default). Set false when
       * keys are guaranteed non-null (snapshot primary keys): plain `=` keys
       * let a diff over two key-bucketed snapshots reuse the bucket layout
@@ -219,6 +229,19 @@ object Differ {
     // Spark), so route through the order-insensitive recursive compare.
     // Tolerance never applies inside complex types.
     if (containsMap(dt)) return mapAwareEq(l, r, dt)
+    // Normalized string compare (datacompy ignore_spaces / ignore_case):
+    // canonicalize BOTH sides identically before the null-safe compare —
+    // trim first, then case-fold. Classification only; output values stay
+    // original. Pure per-row projection, no exchange.
+    dt match {
+      case StringType if opts.ignoreCase || opts.trimWs =>
+        def norm(x: Column): Column = {
+          val t = if (opts.trimWs) trim(x) else x
+          if (opts.ignoreCase) lower(t) else t
+        }
+        return norm(l) <=> norm(r)
+      case _ => ()
+    }
     val useTol = (opts.absTol > 0.0 || opts.relTol > 0.0) && numeric(dt) &&
       (if (opts.tolCols.isEmpty) floating(dt) else opts.tolCols.contains(name))
     if (useTol) {
@@ -233,12 +256,86 @@ object Differ {
     } else l <=> r
   }
 
+  /** Widened common type for a RETYPED value column (the most common
+    * parquet schema drift: int32→int64, double→decimal), or None when the
+    * pair isn't numeric-coercible. The ladder is lossless upward: integral
+    * pairs take the wider width; any float/double involvement goes to
+    * double (a decimal→double hop is how Spark itself coerces the mix);
+    * decimal/integral and decimal/decimal take a decimal covering both
+    * operands' integer digits and the max scale.
+    */
+  /** Is `dt` a fixed-width integer type? (Spark's IntegralType is
+    * private[spark]; the concrete alternatives are the public surface.)
+    */
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+
+  private def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case _ if integral(a) && integral(b) =>
+      Some(if (a.defaultSize >= b.defaultSize) a else b)
+    case (DoubleType | FloatType, _: NumericType) => Some(DoubleType)
+    case (_: NumericType, DoubleType | FloatType) => Some(DoubleType)
+    case (d: DecimalType, i) if integral(i) => Some(widenDecInt(d))
+    case (i, d: DecimalType) if integral(i) => Some(widenDecInt(d))
+    case (d1: DecimalType, d2: DecimalType) =>
+      val s = math.max(d1.scale, d2.scale)
+      val ip = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
+      Some(DecimalType(math.min(38, ip + s), s))
+    case _ => None
+  }
+
+  /** Decimal wide enough for the decimal side AND any long (20 digits). */
+  private def widenDecInt(d: DecimalType): DataType =
+    DecimalType(math.min(38, math.max(d.precision - d.scale, 20) + d.scale), d.scale)
+
+  /** Cast BOTH sides' retyped shared value columns to their common wider
+    * type (pure projection — no exchange, no extra pass), so a column that
+    * drifted int32→int64 or double→decimal between snapshots still joins
+    * the value compare instead of being un-diffable. Same-typed columns
+    * pass through untouched (the no-drift fast path projects nothing).
+    * A non-coercible retype (int→string, array→struct) fails loudly with
+    * the column and both types named — schema_diff is the tool for those.
+    */
+  private def coerceValueTypes(left: DataFrame, right: DataFrame,
+                               keys: Seq[String],
+                               opts: DiffOptions): (DataFrame, DataFrame) = {
+    val vcols = valueCols(left, right, keys, opts)
+    val lt = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rt = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val casts = vcols.flatMap { c =>
+      if (lt(c) == rt(c)) None
+      else widen(lt(c), rt(c)) match {
+        case Some(w) => Some(c -> w)
+        case None => throw new IllegalArgumentException(
+          s"value column '$c' was retyped ${lt(c).sql} -> ${rt(c).sql} and the " +
+            "pair is not numeric-coercible; drop or map it (schema_diff reports " +
+            "retypes; DiffOptions.ignoreCols excludes them)")
+      }
+    }.toMap
+    if (casts.isEmpty) (left, right)
+    else {
+      def project(df: DataFrame): DataFrame = df.select(df.columns.toSeq.map { c =>
+        casts.get(c).fold(bq(c))(w => bq(c).cast(w).as(c))
+      }: _*)
+      (project(left), project(right))
+    }
+  }
+
   /** Full diff: one output row per key in either side, with
     * `diff_status`, the (coalesced) key columns, and
     * `left_<c>` / `right_<c>` for every value column.
+    *
+    * Retyped value columns (int32→int64, double→decimal — the common
+    * parquet schema drift) are widened to the common type on BOTH sides
+    * before the compare ([[coerceValueTypes]]); the output pair carries
+    * the widened type. Non-coercible retypes fail loudly.
     */
-  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions()): DataFrame = {
+    val (left, right) = coerceValueTypes(left0, right0, keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     // Prune to keys + shared value columns before the join (column pruning

@@ -231,6 +231,77 @@ object DiffQueries {
         Differ.diff(left(s, d), drifted, keys)
     },
 
+    // Value diff ACROSS a retyped column (r12) — the most common parquet
+    // schema drift in practice: a measure widened int32→int64 (or
+    // double→decimal) between snapshots. schema_diff REPORTS the retype;
+    // this key proves the VALUES still compare: Differ.diff widens both
+    // sides to the common type (Differ.coerceValueTypes — a pure
+    // projection, no exchange) before the null-safe compare, and the
+    // output pair carries the widened type. Fixture: right reads
+    // o_custkey as INTEGER where left has BIGINT — every value fits, so
+    // the classification must be IDENTICAL to diff_full's (the retype is
+    // invisible to the data); the oracle casts the right pair back to
+    // BIGINT exactly like the widening does. Non-coercible retypes fail
+    // loudly (DifferSpec).
+    Q("diff_type_coerce",
+      s"""$Prelude
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  l.o_custkey AS left_o_custkey,
+         |  CAST(r.o_custkey AS BIGINT) AS right_o_custkey,
+         |  ${pairSelect(valueCols.filterNot(_ == "o_custkey"))}
+         |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val retyped = right(s, d)
+          .withColumn("o_custkey", col("o_custkey").cast("int"))
+        Differ.diff(left(s, d), retyped, keys)
+    },
+
+    // Normalized string compare (r12; datacompy's ignore_spaces /
+    // ignore_case) — the "same value, different formatting" churn a
+    // re-serialized upstream mints: DiffOptions(ignoreCase, trimWs)
+    // canonicalizes STRING value columns (trim, then case-fold) on both
+    // sides BEFORE the null-safe compare, so case/padding-only edits stop
+    // flooding the report as C. Classification only: output values stay
+    // ORIGINAL (the perturbed form is what a reviewer needs to see).
+    // Fixture: %7 keys get upper() + two trailing spaces on
+    // o_orderpriority — C under naive compare, N here (unless the %31
+    // price change fires too). Normalization is a per-row projection
+    // inside the same single full-outer join — no extra exchange
+    // (PlanSpec pin).
+    Q("diff_normalized",
+      s"""$Prelude,
+         |rn AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |              CASE WHEN o_orderkey % 7 = 0 THEN upper(o_orderpriority) || '  '
+         |                   ELSE o_orderpriority END AS o_orderpriority
+         |       FROM r)
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN r.o_orderkey IS NULL THEN 'D'
+         |       WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+         |         OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+         |         OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+         |         OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+         |         OR lower(trim(l.o_orderpriority))
+         |              IS DISTINCT FROM lower(trim(r.o_orderpriority)) THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |  ${pairSelect(valueCols)}
+         |FROM l FULL OUTER JOIN rn AS r ON l.o_orderkey = r.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val perturbed = right(s, d)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 7 === 0,
+              concat(upper(col("o_orderpriority")), lit("  ")))
+              .otherwise(col("o_orderpriority")))
+        Differ.diff(left(s, d), perturbed, keys,
+          DiffOptions(ignoreCase = true, trimWs = true))
+    },
+
     // Partition-level diff census (r8i) — the "WHICH partition regressed"
     // report an incremental-pipeline operator reads before anything else:
     // diff_summary's 4-row global census re-keyed by the table's natural

@@ -634,6 +634,55 @@ class DifferSpec extends SparkTestBase {
     assert(counts.values.sum == 5L, s"group-size max per key: $counts")
   }
 
+  test("type coercion: retyped int column diffs as values; schema_diff reports the retype") {
+    val l = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "n", "s")
+    val r = l.withColumn("n", col("n").cast("int"))
+    // schema-level: the retype is simultaneously reported …
+    val sd = Differ.schemaDiff(spark, l, r).collect()
+      .map(x => x.getString(0) -> x.getString(3)).toMap
+    assert(sd("n") == "type_changed", sd.toString)
+    // … and data-level: values compare across the retype, widened output.
+    val d = Differ.diff(l, r, keys)
+    assert(d.schema("left_n").dataType == org.apache.spark.sql.types.LongType)
+    assert(d.schema("right_n").dataType == org.apache.spark.sql.types.LongType)
+    assert(statusCounts(d) == Map("N" -> 2L))
+  }
+
+  test("type coercion: double vs decimal widens to double; changed values still flag") {
+    val l = Seq((1L, 1.5), (2L, 2.5)).toDF("k", "v")
+    val r = Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("9.00"))).toDF("k", "v")
+    val d = Differ.diff(l, r, keys)
+    assert(d.schema("right_v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(statusCounts(d) == Map("N" -> 1L, "C" -> 1L))
+  }
+
+  test("type coercion: a non-coercible retype fails loudly with both types named") {
+    val l = Seq((1L, 10L)).toDF("k", "v")
+    val r = Seq((1L, "10")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](Differ.diff(l, r, keys))
+    assert(e.getMessage.contains("'v'") && e.getMessage.contains("BIGINT") &&
+      e.getMessage.contains("STRING"), e.getMessage)
+  }
+
+  test("normalized compare: case/padding-only churn is N; real changes stay C; output original") {
+    val l = Seq((1L, "high"), (2L, "low"), (3L, "mid")).toDF("k", "s")
+    val r = Seq((1L, "  HIGH "), (2L, "low"), (3L, "different")).toDF("k", "s")
+    val opts = DiffOptions(ignoreCase = true, trimWs = true)
+    val d = Differ.diff(l, r, keys, opts)
+    assert(statusCounts(d) == Map("N" -> 2L, "C" -> 1L))
+    // classification only — the emitted value is the ORIGINAL right form
+    val row1 = d.filter($"k" === 1L).select("right_s").head().getString(0)
+    assert(row1 == "  HIGH ", s"output must not be normalized: '$row1'")
+    // flags independently: trim alone keeps case differences as C
+    assert(statusCounts(Differ.diff(l, r, keys, DiffOptions(trimWs = true))) ==
+      Map("N" -> 1L, "C" -> 2L))
+    // null-safety survives normalization (null vs padded null-ish string)
+    val ln = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val rn = Seq((1L, Some("  "))).toDF("k", "s")
+    assert(statusCounts(Differ.diff(ln, rn, keys, opts)) == Map("C" -> 1L),
+      "null and whitespace-only must stay distinct under trim")
+  }
+
   test("diffDupKeyRank refuses a clobbered rank column loudly") {
     val l = Seq((1L, 1L)).toDF("k", "dup_rank")
     val e = intercept[IllegalArgumentException](

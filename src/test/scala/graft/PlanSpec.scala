@@ -59,6 +59,26 @@ class PlanSpec extends SparkTestBase {
     assert(joins == Seq(FullOuter), joins.toString)
   }
 
+  test("diff_type_coerce / diff_normalized stay projection-only over diff_full's plan (r12)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    for (name <- Seq("diff_type_coerce", "diff_normalized")) {
+      val df = queryNamed(DiffQueries.all, name)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+      assert(joins == Seq(FullOuter), s"$name joins: $joins")
+      // widening / normalization are per-row projections — the plan must
+      // carry exactly diff_full's two side exchanges, nothing more.
+      val shuffles = strip(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 2, s"$name grew an exchange (${shuffles.size})")
+    }
+  }
+
   test("diff_dup_key_rank: one window per side sharing the join's exchange (r12)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
