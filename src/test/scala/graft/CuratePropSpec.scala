@@ -16,6 +16,68 @@ class CuratePropSpec extends SparkTestBase {
     (1 to n).map { _ => val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v }
   }
 
+  // ---- theil-sen hot-band refinement (r12) -----------------------------
+
+  /** Brute-force lower-median Theil–Sen slope per group: all pairwise
+    * slopes, total order (slope, d1, d2), element at rank (m+1)/2.
+    */
+  private def bruteTheilSen(rows: Seq[(String, Long, Long)]): Map[String, (Long, Double)] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val pts = rs.map(r => (r._2, r._3))
+      val slopes = for {
+        (d1, x1) <- pts; (d2, x2) <- pts if d1 < d2
+      } yield ((x2 - x1).toDouble / (d2 - d1), d1, d2)
+      if (slopes.isEmpty) None
+      else {
+        val sorted = slopes.sortBy(identity)
+        val m = sorted.size
+        val med = sorted((m + 1) / 2 - 1)._1
+        Some(g -> (m.toLong, BigDecimal(med).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+
+  private def runTheilSen(rows: Seq[(String, Long, Long)]): Map[String, (Long, Double)] =
+    CurateOps.theilSenSlopes(rows.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("theilSenSlopes: the CONSTANT-SLOPE degenerate emits via the direct escape, correctly") {
+    // Every pairwise slope identical (constant daily counts) — the r11
+    // `weak` case: all m pairs land in ONE band. The single-value escape
+    // must emit the median with no window, and the answer must match
+    // brute force exactly.
+    val flat = (0L until 40L).map(d => ("flat", d, 7L))
+    val rising = (0L until 40L).map(d => ("rising", d, 3L * d)) // slope 3, also constant
+    val rows = flat ++ rising
+    assert(runTheilSen(rows) == bruteTheilSen(rows))
+    assert(bruteTheilSen(rows) == Map("flat" -> (780L, 0.0), "rising" -> (780L, 3.0)))
+  }
+
+  test("theilSenSlopes: near-degenerate cluster (sub-band spread) matches brute force") {
+    // Slopes concentrated within one coarse floor(slope*8) band but NOT
+    // identical — the adaptive fine banding must still locate the median.
+    val rows = (0L until 25L).map(d => ("t", d, d * d)) // slopes d1+d2: varied
+    val tight = (0L until 30L).map(d => ("u", d, d / 7L)) // slopes in [0, ~0.15]
+    val all = rows ++ tight
+    assert(runTheilSen(all) == bruteTheilSen(all))
+  }
+
+  private val tsGen: Gen[Seq[(String, Long, Long)]] = for {
+    nG <- Gen.chooseNum(1, 3)
+    rows <- Gen.listOfN(nG * 12, for {
+      g <- Gen.oneOf("a", "b", "c")
+      d <- Gen.chooseNum(0L, 30L)
+      x <- Gen.chooseNum(0L, 50L)
+    } yield (g, d, x))
+  } yield rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one x per (g, day)
+
+  test("theilSenSlopes matches the brute-force lower median on random day series") {
+    for ((rows, i) <- samples(tsGen, 8, 21L).zipWithIndex) {
+      val got = runTheilSen(rows)
+      val want = bruteTheilSen(rows)
+      assert(got == want, s"case $i: $got vs $want (rows=$rows)")
+    }
+  }
+
   // ---- sessionize ------------------------------------------------------
 
   private val eventsGen: Gen[Seq[(Long, Long, Long)]] = for {

@@ -1370,8 +1370,10 @@ class PlanSpec extends SparkTestBase {
     val df = queryNamed(graft.queries.SignalQueries.all, "window_theil_sen")
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     val rankKeys = windows.map(_.partitionSpec.map(_.sql.toLowerCase).toSet)
-    assert(rankKeys.exists(k => k.size == 2 && k.exists(_.contains("bnd"))),
-      s"rank window lost its (event_type, bnd) band key — pairs-sized funnel is back: $rankKeys")
+    // r12: the rank window is keyed on the REFINED (event_type, bnd, fbnd)
+    // cell — fine-cell-sized, never hot-band-sized, never pairs-sized.
+    assert(rankKeys.exists(k => k.size == 3 && k.exists(_.contains("fbnd"))),
+      s"rank window lost its (event_type, bnd, fbnd) cell key — funnel is back: $rankKeys")
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"),
       s"hot-band fetch must broadcast the bands-sized hot list:\n${physical.take(1500)}")
