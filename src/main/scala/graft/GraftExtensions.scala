@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
 import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedIntersectCount, SortedLongIntersectCount}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{IntegerType, StringType}
-import graft.operators.Differ
+import graft.operators.{DiffOptions, Differ}
 
 /** Session extension that registers the native kernels as SQL functions,
   * so `spark.sql("SELECT float_vec_dot(a, b) ...")` works cluster-wide:
@@ -112,14 +112,68 @@ object GraftExtensions {
       s"graft_diff TVFs take STRING literals; $what was $other")
   }
 
+  private def csv(s: String): Set[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Foldable-literal value of a named option (the TVF twin of a Scala
+    * default argument). Options choose the PLAN — which columns compare,
+    * with what tolerance — so they must be analysis-time constants; a
+    * column-valued tolerance has no meaning here and fails loudly.
+    */
+  private def optValue(name: String, e: Expression): Any = e match {
+    case Literal(v, _) if v != null => v
+    case other => throw new IllegalArgumentException(
+      s"graft_diff option '$name' must be a non-NULL literal, got $other")
+  }
+
+  private def toDouble(name: String, v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"graft_diff option '$name' must be numeric, got $other")
+  }
+
+  /** Folds the TVF's named arguments onto [[DiffOptions]] — the SQL-side
+    * parity surface for the Scala options record (r11 verdict ask: the
+    * TVF previously reached only the defaults). Supported names mirror
+    * the case-class fields in snake_case:
+    * `abs_tol`/`rel_tol` (numeric), `tol_cols`/`ignore_cols`/`bag_cols`
+    * (CSV string), `ignore_case`/`trim_ws`/`null_safe_keys` (boolean).
+    * Unknown names fail loudly with the supported list — a typo must not
+    * silently diff with defaults.
+    */
+  private def foldOptions(named: Seq[NamedArgumentExpression]): DiffOptions =
+    named.foldLeft(DiffOptions()) { (o, na) =>
+      val v = optValue(na.key, na.value)
+      na.key match {
+        case "abs_tol" => o.copy(absTol = toDouble(na.key, v))
+        case "rel_tol" => o.copy(relTol = toDouble(na.key, v))
+        case "tol_cols" => o.copy(tolCols = csv(strLit(na.value, na.key)))
+        case "ignore_cols" => o.copy(ignoreCols = csv(strLit(na.value, na.key)))
+        case "bag_cols" => o.copy(bagCols = csv(strLit(na.value, na.key)))
+        case "ignore_case" => o.copy(ignoreCase = v == true)
+        case "trim_ws" => o.copy(trimWs = v == true)
+        case "null_safe_keys" => o.copy(nullSafeKeys = v == true)
+        case other => throw new IllegalArgumentException(
+          s"graft_diff: unknown option '$other' (supported: abs_tol, rel_tol, " +
+            "tol_cols, ignore_cols, bag_cols, ignore_case, trim_ws, null_safe_keys)")
+      }
+    }
+
   private def diffTvf(summary: Boolean)(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3,
-      "usage: graft_diff[_summary]('left_table', 'right_table', 'key1,key2')")
+    val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff[_summary]('left_table', 'right_table', 'key1,key2' " +
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+    val opts = foldOptions(named.map(_.asInstanceOf[NamedArgumentExpression]))
     val spark = SparkSession.active
-    val l = spark.table(strLit(args.head, "left_table"))
-    val r = spark.table(strLit(args(1), "right_table"))
-    val keys = strLit(args(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val df = if (summary) Differ.summary(l, r, keys) else Differ.diff(l, r, keys)
+    val l = spark.table(strLit(positional.head, "left_table"))
+    val r = spark.table(strLit(positional(1), "right_table"))
+    val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val df = if (summary) Differ.summary(l, r, keys, opts) else Differ.diff(l, r, keys, opts)
     df.queryExecution.analyzed
   }
 

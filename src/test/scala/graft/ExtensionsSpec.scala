@@ -146,4 +146,56 @@ class ExtensionsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("graft_diff named options reach DiffOptions (r12): each arg resolves, typos fail") {
+    GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val l = graft.queries.DiffQueries.left(spark, sfDir)
+    val r = graft.queries.DiffQueries.right(spark, sfDir)
+    l.createOrReplaceTempView("ext_opt_l")
+    r.createOrReplaceTempView("ext_opt_r")
+    import graft.operators.{DiffOptions, Differ}
+    val keys = Seq("o_orderkey")
+
+    // Each named option must produce the exact rows of the Scala API call
+    // with the corresponding DiffOptions field set.
+    def viaSql(opts: String) = rowsOf(spark.sql(
+      s"SELECT * FROM graft_diff('ext_opt_l', 'ext_opt_r', 'o_orderkey', $opts)"))
+    def viaApi(o: DiffOptions) = rowsOf(Differ.diff(l, r, keys, o))
+
+    assert(viaSql("abs_tol => 1000.0, tol_cols => 'o_totalprice'") ==
+      viaApi(DiffOptions(absTol = 1000.0, tolCols = Set("o_totalprice"))))
+    assert(viaSql("rel_tol => 0.2, tol_cols => 'o_totalprice'") ==
+      viaApi(DiffOptions(relTol = 0.2, tolCols = Set("o_totalprice"))))
+    assert(viaSql("ignore_cols => 'o_orderpriority,o_orderdate'") ==
+      viaApi(DiffOptions(ignoreCols = Set("o_orderpriority", "o_orderdate"))))
+    assert(viaSql("ignore_case => true, trim_ws => true") ==
+      viaApi(DiffOptions(ignoreCase = true, trimWs = true)))
+    assert(viaSql("null_safe_keys => false") ==
+      viaApi(DiffOptions(nullSafeKeys = false)))
+
+    // The summary TVF folds the same options.
+    assert(rowsOf(spark.sql(
+      """SELECT * FROM graft_diff_summary('ext_opt_l', 'ext_opt_r', 'o_orderkey',
+        |  abs_tol => 1000.0, tol_cols => 'o_totalprice')""".stripMargin)) ==
+      rowsOf(Differ.summary(l, r, keys,
+        DiffOptions(absTol = 1000.0, tolCols = Set("o_totalprice")))))
+
+    // A misspelled option must fail LOUDLY (silent defaults would lie),
+    // and the message must name the supported list.
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_diff('ext_opt_l', 'ext_opt_r', 'o_orderkey', abs_tolerance => 1.0)")
+        .collect()
+    }
+    assert(e.getMessage.contains("abs_tolerance") || e.getMessage.contains("unknown option"),
+      s"typo error should name the bad option: ${e.getMessage.take(200)}")
+
+    // Options choose the plan — a column-valued tolerance is meaningless.
+    intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_diff('ext_opt_l', 'ext_opt_r', 'o_orderkey',
+          |  abs_tol => rand())""".stripMargin).collect()
+    }
+  }
 }
