@@ -18,6 +18,7 @@ import graft.{Q, Tables}
 object StreamingQueries {
 
   private val HourUs = 3600000000L
+  private val DayUs = 86400000000L
   private val SlideUs = 900000000L // 15 min
   // 30 min session gap; package-visible so StreamBatchParitySpec builds its
   // streaming side from the SAME constant the batch queries use.
@@ -279,6 +280,75 @@ object StreamingQueries {
             sum(when(col("ts_us") < col("max_seen") - LateUs, 1).otherwise(0))
               .cast("long").as("n_late"),
             max(col("ts_us")).as("max_ts_us"))
+    },
+
+    // Watermark-closed windowed diff (r12; closes the r11 verdict's ask
+    // #5): the one diff status the append-mode stream_diff deliberately
+    // omits is D — a plain stream can never assert absence. A closed
+    // event-time WINDOW can: once the watermark passes a window's end, a
+    // snapshot key with no arrival in it is a certified per-window
+    // deletion (the missing-heartbeat / feed-completeness check every
+    // ingest monitor runs). Fixture: daily windows over events keyed by
+    // user; snapshot = day-1 per-user event counts MINUS user_id%7==0
+    // (a deliberately incomplete snapshot, so I rows exist); every later
+    // observed window diffs against it — I (user not in snapshot),
+    // C (count drifted), N (count matches), D (expected user silent).
+    // Windows with no events at all emit nothing on BOTH forms (true
+    // empty-window detection is a heartbeat policy, not a diff
+    // semantic). The true streaming twin is StreamOps.diffStreamComplete
+    // (flatMapGroupsWithState keyed by window, event-time timeout at
+    // window end — emit-once-then-evict), parity-pinned INCLUDING the
+    // watermark-flush rows in StreamBatchParitySpec. 100 TB shape: the
+    // census agg is map-side combinable; the expected frame is
+    // windows × snapshot with the snapshot broadcast (dimension-sized by
+    // contract — expected feeds/sensors); the only data-sized exchange is
+    // the (window, key) agg + full-outer join, both on the same key.
+    Q("stream_diff_complete",
+      s"""WITH w AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
+         |                  CAST(count(*) AS BIGINT) AS n
+         |           FROM events GROUP BY 1, 2),
+         |f AS (SELECT min(ws) AS ws0 FROM w),
+         |snap AS (SELECT user_id, n AS left_n FROM w, f
+         |         WHERE ws = ws0 AND user_id % 7 <> 0),
+         |seen AS (SELECT ws, user_id, n AS right_n FROM w, f WHERE ws > f.ws0),
+         |wins AS (SELECT DISTINCT ws FROM seen),
+         |exp AS (SELECT wins.ws, snap.user_id, snap.left_n
+         |        FROM wins CROSS JOIN snap)
+         |SELECT COALESCE(exp.ws, seen.ws) AS window_start_us,
+         |       COALESCE(exp.user_id, seen.user_id) AS user_id,
+         |       CASE WHEN exp.user_id IS NULL THEN 'I'
+         |            WHEN seen.user_id IS NULL THEN 'D'
+         |            WHEN exp.left_n <> seen.right_n THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       exp.left_n AS left_n, seen.right_n AS right_n
+         |FROM exp FULL OUTER JOIN seen
+         |  ON exp.ws = seen.ws AND exp.user_id = seen.user_id""".stripMargin) {
+      (s, d) =>
+        // Shared daily (window, user) census — the one aggregation pass
+        // all four legs (snapshot, seen, window list, join) read.
+        val w = Tables.cached(s, s"$d/events-daily-census") {
+          Tables.events(s, d)
+            .withColumn("tsm", timestamp_micros(col("ts_us")))
+            .groupBy(window(col("tsm"), "1 day"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_micros(col("window.start")).as("ws"),
+              col("user_id"), col("n"))
+        }
+        val w0 = w.agg(min("ws").as("ws0"))
+        val snap = w.join(broadcast(w0), col("ws") === col("ws0"))
+          .filter(col("user_id") % 7 =!= 0)
+          .select(col("user_id"), col("n").as("left_n"))
+        val seen = w.join(broadcast(w0), col("ws") > col("ws0"))
+          .select(col("ws"), col("user_id"), col("n").as("right_n"))
+        val wins = seen.select("ws").distinct()
+        val expected = wins.crossJoin(broadcast(snap))
+        expected.join(seen, Seq("ws", "user_id"), "full_outer")
+          .select(col("ws").as("window_start_us"), col("user_id"),
+            when(col("left_n").isNull, "I")
+              .when(col("right_n").isNull, "D")
+              .when(col("left_n") =!= col("right_n"), "C")
+              .otherwise("N").as("diff_status"),
+            col("left_n"), col("right_n"))
     },
 
     Q("stream_dedup",

@@ -58,6 +58,25 @@ final case class CdcChange(key: Long, seq: Long, status: String, value: Double)
 /** Current state of one key emitted by the CDC apply (Update mode). */
 final case class CdcRow(key: Long, value: Double, last_seq: Long)
 
+/** One keyed arrival for [[StreamOps.diffStreamComplete]]: the window it
+  * lands in (floor(ts_us / width) * width) plus the watermark-tagged
+  * timestamp that must reach the stateful operator verbatim.
+  */
+final case class WinDiffEvent(window_start_us: Long, key: Long,
+    tsm: java.sql.Timestamp)
+
+/** Per-open-window diff state: key → arrival count inside the window. */
+final case class WinDiffState(counts: Map[Long, Long])
+
+/** One row of the watermark-closed windowed diff: per closed window, the
+  * arriving side's per-key count (`right_n`) vs the snapshot's expected
+  * count (`left_n`), with the full I, C, N and D vocabulary — D is a
+  * snapshot key SILENT in the closed window, the status plain append
+  * streams cannot assert (stream_diff omits it by design).
+  */
+final case class WinDiffOut(window_start_us: Long, key: Long,
+    diff_status: String, left_n: Option[Long], right_n: Option[Long])
+
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
   * batch-equivalent queries in [[graft.queries.StreamingQueries]]: the same
@@ -176,6 +195,90 @@ object StreamOps {
                         keys: Seq[String]): DataFrame =
     diffStream(stream, snapshot, keys)
       .groupBy("diff_status").agg(count(lit(1)).as("n"))
+
+  /** Watermark-closed WINDOWED diff — completes the continuous-diff story
+    * with the one status [[diffStream]] cannot emit: **D**. A plain append
+    * stream can never assert a key's absence (the row might still arrive),
+    * but a watermark CAN close an event-time window; once closed, a
+    * snapshot key with no arrival in that window is a certified deletion
+    * for that window (the missing-heartbeat / feed-completeness check).
+    * Per closed window every key classifies as
+    *   I (arrived, not in snapshot), C (count differs from the snapshot's
+    *   expected count), N (matches), D (expected, silent).
+    *
+    * Mechanics: `flatMapGroupsWithState` keyed by the window start (the
+    * same floor(ts/width) assignment Spark's `window()` uses — epoch-
+    * aligned micros); state = the per-key arrival counts of the OPEN
+    * window; the event-time timeout is set to window end, so the rows for
+    * a window emit exactly once, when the watermark passes its end, and
+    * the state evicts — state is bounded by (open windows × keys seen),
+    * the identical bound the native windowed agg carries. Windows with no
+    * arrivals at all emit nothing (no event ever opens them) — true
+    * empty-window detection needs a processing-time heartbeat, which is a
+    * policy decision, not a diff semantic; the batch twin
+    * (`stream_diff_complete`, StreamBatchParitySpec-pinned) scopes itself
+    * to observed windows the same way.
+    *
+    * The snapshot rides into the closure as a plain Map — it is the
+    * DIMENSION side of this operator by contract (expected feeds /
+    * sensors / partners: thousands to millions of keys, the codebook-
+    * collect precedent), broadcast once per executor with the task
+    * closure. A fact-sized snapshot belongs to the batch diff, not to a
+    * per-window census.
+    */
+  def diffStreamComplete(stream: DataFrame, tsCol: String, widthUs: Long,
+                         delay: String, snapshot: Map[Long, Long],
+                         keyCol: String): Dataset[WinDiffOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(widthUs > 0, s"diffStreamComplete: width must be positive, got $widthUs")
+
+    def step(ws: Long, it: Iterator[WinDiffEvent],
+             state: GroupState[WinDiffState]): Iterator[WinDiffOut] = {
+      if (state.hasTimedOut) {
+        // Window closed: emit the full census once, then evict.
+        val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+        state.remove()
+        val arrived = counts.iterator.map { case (k, n) =>
+          snapshot.get(k) match {
+            case None => WinDiffOut(ws, k, "I", None, Some(n))
+            case Some(sn) if sn == n => WinDiffOut(ws, k, "N", Some(sn), Some(n))
+            case Some(sn) => WinDiffOut(ws, k, "C", Some(sn), Some(n))
+          }
+        }
+        val silent = snapshot.iterator.collect {
+          case (k, sn) if !counts.contains(k) => WinDiffOut(ws, k, "D", Some(sn), None)
+        }
+        arrived ++ silent
+      } else {
+        val st0 = state.getOption.getOrElse(WinDiffState(Map.empty))
+        val st1 = WinDiffState(it.foldLeft(st0.counts) { (m, e) =>
+          m.updated(e.key, m.getOrElse(e.key, 0L) + 1L)
+        })
+        state.update(st1)
+        // Fire when the watermark passes window end. A window whose end is
+        // already below the watermark (late-but-not-dropped arrivals) gets
+        // the earliest legal wake instead — setTimeoutTimestamp rejects
+        // timestamps at or below the current watermark.
+        val endMs = (ws + widthUs) / 1000L
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    stream
+      .withWatermark(tsCol, delay)
+      .select(
+        // exact integer floor-to-window (no double division anywhere)
+        (col("ts_us").cast("long") - pmod(col("ts_us").cast("long"), lit(widthUs)))
+          .as("window_start_us"),
+        col(keyCol).cast("long").as("key"),
+        // watermark-tagged column must reach the stateful operator verbatim
+        col(tsCol).as("tsm"))
+      .as[WinDiffEvent]
+      .groupByKey(_.window_start_us)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
 
   /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
     * overwrites its own `batch_id=<id>` partition directory, so a replayed

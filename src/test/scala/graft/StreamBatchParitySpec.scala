@@ -439,4 +439,65 @@ class StreamBatchParitySpec extends SparkTestBase {
         s"census mismatch: stream=$streamRows batch=$batchRows")
     } finally q.stop()
   }
+
+  test("stream_diff_complete: watermark-closed windowed diff emits I/C/N AND D == batch (r12)") {
+    // The r11 gap: append streams cannot assert absence, so stream_diff
+    // omits D. The windowed variant CAN — when the watermark closes a
+    // window, snapshot keys silent in it are certified per-window
+    // deletions. This pins the stateful streaming form
+    // (flatMapGroupsWithState keyed by window, event-time timeout at
+    // window end) row-for-row against the oracle-checked batch key,
+    // INCLUDING the D rows, which exist only via the watermark flush.
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val DayUs = 86400000000L
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff_complete")(spark, sfDir))
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+
+    // Snapshot = day-1 per-user counts minus user_id%7==0, exactly the
+    // batch fixture's rule.
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
+    val ws0 = ev.agg(min("ws")).collect().head.getLong(0)
+    val snapMap = ev.filter(col("ws") === ws0 && col("user_id") % 7 =!= 0)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val streamDir = Files.createTempDirectory("graft_windiff_parity").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    // Far-future flush sentinel: advances the watermark past every real
+    // window's end so ALL observed windows close and emit. Its own window
+    // never closes, so the sentinel contributes no output row.
+    spark.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"CAST(timestamp_micros(${maxUs + 86400L * 1000000L}L) " +
+          s"AS ${schema("ts").dataType.sql})").as("ts"),
+        lit(-999L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(streamDir)
+
+    val arriving = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .filter(col("ts_us") >= ws0 + DayUs) // diff windows = after day 1
+    val q = StreamOps.diffStreamComplete(
+        arriving, "tsm", DayUs, "10 minutes", snapMap, "user_id")
+      .toDF("window_start_us", "user_id", "diff_status", "left_n", "right_n")
+      .writeStream.format("memory").queryName("windiff_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("windiff_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
 }
