@@ -435,7 +435,8 @@ object TextOps {
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
                       blockCols: Seq[String] = Seq("lang"),
-                      tokenizer: Column => Column = tokens): DataFrame = {
+                      tokenizer: Column => Column = tokens,
+                      precomputedSig: Option[DataFrame] = None): DataFrame = {
     // One explode + one aggregation produces the sorted token set AND all
     // band keys: each salted MinHash is a plain `min()` aggregate over
     // codegen'd sha2 rows — no interpreted array transform, and the agg
@@ -443,15 +444,30 @@ object TextOps {
     // (see nearDupPairs). `tokenizer` picks the shingle granularity (word
     // sets by default, bigram shingles for dedup_ngram); the outer
     // array_distinct makes any tokenizer set-valued.
+    //
+    // `precomputedSig` (r12; the dedup_minhash_estimate cold-path ask): a
+    // caller-supplied signature frame — (idCol, blockCols, s sorted token
+    // array, n, mh0..mh{bands-1}) with the SAME '<i>'-salt sha2 scheme —
+    // replaces the build entirely, so the token explode + groupBy (the
+    // expensive cold half: one full-corpus shuffle) is paid ONCE when two
+    // consumers audit the same corpus (lsh pairing + estimator
+    // calibration share one artifact; at 100 TB signatures are a
+    // persisted table, which is exactly this seam).
     val bandAggs = (0 until bands).map(i =>
       min(sha2(concat(lit(i.toString), col("token")), 256)).as(s"mh$i"))
-    val base = reuse(docs
+    val base = precomputedSig.map { sig =>
+      val need = Seq(idCol, "s", "n") ++ blockCols ++ (0 until bands).map(i => s"mh$i")
+      val missing = need.filterNot(sig.columns.contains)
+      require(missing.isEmpty,
+        s"minHashLshPairs precomputedSig is missing columns: ${missing.mkString(", ")}")
+      sig
+    }.getOrElse(reuse(docs
       .select((col(idCol) +: blockCols.map(col)) :+
         explode(array_distinct(tokenizer(col(textCol)))).as("token"): _*)
       .groupBy(col(idCol) +: blockCols.map(col): _*)
       .agg(
         sort_array(collect_list(col("token"))).as("s"),
-        count(lit(1)).as("n") +: bandAggs: _*))
+        count(lit(1)).as("n") +: bandAggs: _*)))
     // Candidate generation as ONE self-join on the exploded (band, mh)
     // key — the standard banded-LSH bucket join. The r1–r5 form was a
     // union of `bands` separate self-joins: same candidate set, but
