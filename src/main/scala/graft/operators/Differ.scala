@@ -934,6 +934,82 @@ object Differ {
       deleted.as("merged_deleted")) ++ valOut: _*)
   }
 
+  /** Compose two SEQUENTIAL changesets (both in the [[diff]] output shape,
+    * describing base→v1 and v1→v2) into the net changeset base→v2:
+    * `compose(diff(a, b), diff(b, c), keys) == diff(a, c).filter(≠ N)`
+    * row-for-row — the diff-algebra fold a change-feed pipeline runs to
+    * collapse N daily feeds into one net feed WITHOUT re-reading either
+    * endpoint snapshot. Per key (presence-before = hop-1 status ≠ I,
+    * presence-after = hop-2 status ≠ D; a key absent from a hop kept its
+    * presence through it):
+    *   - absent→present: net I (v2 payload);  present→absent: net D
+    *     (base payload);  absent→absent (I then D): dropped;
+    *   - present→present: net C with base payload from hop 1's left side
+    *     and v2 payload from hop 2's right side — unless every value
+    *     column ROUND-TRIPPED (null-safe base == v2), in which case the
+    *     key dropped: a change undone is not a change (the case a naive
+    *     changeset concat gets wrong).
+    * Hop-1's left values ARE base values for every key hop 1 touched; a
+    * key only hop 2 touched was N across hop 1, so ITS left values are
+    * base values too — no third input needed.
+    *
+    * Scale shape: changesets are diff-sized (≪ snapshots); one full-outer
+    * equi-join on the keys is the only exchange, and the net output feeds
+    * [[applyChangeset]] unchanged. ComposePropSpec pins the algebra on
+    * generated snapshot triples; the declared key's oracle is the direct
+    * base→v2 diff in SQL (losslessness, house convention).
+    */
+  def composeChangesets(d1: DataFrame, d2: DataFrame, keys: Seq[String],
+                        opts: DiffOptions = DiffOptions()): DataFrame = {
+    val st = opts.statusCol
+    val lp = opts.leftPrefix
+    val rp = opts.rightPrefix
+    // Same paired-column discovery (and the same misclassification guard)
+    // as invertChangeset; both inputs must agree on the value vocabulary.
+    def vcolsOf(df: DataFrame): Seq[String] = df.columns.toSeq.collect {
+      case c if c.startsWith(lp) && df.columns.contains(s"$rp${c.stripPrefix(lp)}") =>
+        c.stripPrefix(lp)
+    }
+    val vcols = vcolsOf(d1)
+    require(vcols.nonEmpty,
+      s"d1 is not a diff output: expected paired $lp*/$rp* value columns " +
+        s"(have: ${d1.columns.mkString(", ")})")
+    require(vcolsOf(d2) == vcols,
+      s"changesets disagree on value columns: d1=${vcols.mkString(",")} " +
+        s"d2=${vcolsOf(d2).mkString(",")}")
+    val a = d1.filter(col(st) =!= "N").alias("a")
+    val b = d2.filter(col(st) =!= "N").alias("b")
+    val joined = a.join(b, keys.map(k => q("a", k) <=> q("b", k)).reduce(_ && _),
+      "full_outer")
+    val aPresent = q("a", st).isNotNull
+    val bPresent = q("b", st).isNotNull
+    // Presence through a hop: untouched (no row) keeps it; I starts it;
+    // D ends it.
+    val before = when(aPresent, q("a", st) =!= "I").otherwise(q("b", st) =!= "I")
+    val after = when(bPresent, q("b", st) =!= "D").otherwise(q("a", st) =!= "D")
+    // Net payloads: base values from hop 1 when it has the key (its left
+    // side is base), else from hop 2 (N across hop 1 ⇒ v1 == base);
+    // v2 values symmetrically.
+    def baseVal(c: String) =
+      when(aPresent, q("a", s"$lp$c")).otherwise(q("b", s"$lp$c"))
+    def v2Val(c: String) =
+      when(bPresent, q("b", s"$rp$c")).otherwise(q("a", s"$rp$c"))
+    val roundTrip = vcols.map(c => baseVal(c) <=> v2Val(c)).reduce(_ && _)
+    val status = when(!before && after, lit("I"))
+      .when(before && !after, lit("D"))
+      .when(before && after && !roundTrip, lit("C"))
+      .otherwise(lit(null)) // I-then-D, or a full value round-trip: net N
+    val keyOut = keys.map(k => coalesce(q("a", k), q("b", k)).as(k))
+    val valOut = vcols.flatMap(c => Seq(
+      // D rows keep only base payload, I rows only v2 payload — matching
+      // what the direct diff's null-extended join emits. (`status` is the
+      // expression, not a sibling-alias ref — those don't resolve.)
+      when(status =!= "I", baseVal(c)).as(s"$lp$c"),
+      when(status =!= "D", v2Val(c)).as(s"$rp$c")))
+    joined.select(status.as(st) +: (keyOut ++ valOut): _*)
+      .filter(col(st).isNotNull)
+  }
+
   /** Invert a changeset (the [[diff]] output shape) so it describes the
     * REVERSE transition: `invert(diff(l, r)) == diff(r, l)` row-for-row on
     * the non-N rows, and therefore

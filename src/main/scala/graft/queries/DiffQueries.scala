@@ -560,6 +560,44 @@ object DiffQueries {
             |  ignore_cols => 'o_orderpriority')""".stripMargin)
     },
 
+    // Changeset COMPOSITION (r12) — diff algebra: fold the base→v1 and
+    // v1→v2 changesets into the net base→v2 changeset WITHOUT re-reading
+    // either endpoint snapshot (collapse N daily change feeds into one net
+    // feed; changesets are diff-sized, snapshots are 100 TB). The oracle
+    // is the DIRECT base→v2 diff in SQL — losslessness of the fold,
+    // including the two cases a naive feed concat gets wrong: a value
+    // that round-trips across the hops (C then C-back ⇒ net N, the %31
+    // ∧ ¬%62 keys) and an insert deleted again (I then D ⇒ nothing, the
+    // +10M keys). ComposePropSpec pins the algebra on generated snapshot
+    // triples; plan = ONE changeset-sized full-outer join.
+    Q("diff_compose",
+      s"""$Prelude,
+         |r2base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
+         |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 113 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 79 = 0
+         |)
+         |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |            WHEN r.o_orderkey IS NULL THEN 'D'
+         |            ELSE 'C' END AS diff_status,
+         |       COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         |       ${pairSelect(valueCols)}
+         |FROM l FULL OUTER JOIN r2base r ON l.o_orderkey = r.o_orderkey
+         |WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+         |   OR ${anyDistinct(valueCols)}""".stripMargin) {
+      (s, d) =>
+        val d1 = Differ.diff(left(s, d), right(s, d), keys)
+        val d2 = Differ.diff(right(s, d), right2(s, d), keys)
+        Differ.composeChangesets(d1, d2, keys)
+    },
+
     Q("diff_mapped_cols",
       s"""$Prelude
          |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'

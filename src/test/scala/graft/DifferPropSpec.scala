@@ -338,4 +338,25 @@ class DifferPropSpec extends SparkTestBase {
       assert(st(id) == want, s"map case $id must be $want")
     }
   }
+
+  test("compose(diff(a,b), diff(b,c)) == diff(a,c) minus N on generated triples (r12)") {
+    // The diff-algebra contract behind diff_compose: folding two
+    // sequential changesets nets out exactly to the direct changeset —
+    // including value round-trips (a→x→a must vanish) and I-then-D
+    // (insert deleted again must vanish). The generator's 31-key universe
+    // with null/NaN/-0.0 values makes overlap, re-insert and round-trip
+    // cases dense; 8 triples × fixed seed keeps CI deterministic.
+    val cases = samples(Gen.zip(tblGen, tblGen, tblGen), 8, seed = 0xC0117L)
+    for (((ta, tb, tc), i) <- cases.zipWithIndex) {
+      val (a, b, c) = (toDF(ta), toDF(tb), toDF(tc))
+      val composed = rowsOf(Differ.composeChangesets(
+        Differ.diff(a, b, Seq("k")), Differ.diff(b, c, Seq("k")), Seq("k")))
+      val direct = rowsOf(Differ.diff(a, c, Seq("k")).filter(col("diff_status") =!= "N"))
+      assert(composed == direct, s"case $i: compose != direct diff")
+      // Composing a changeset with its own inverse must net to nothing.
+      val d1 = Differ.diff(a, b, Seq("k"))
+      assert(Differ.composeChangesets(d1, Differ.invertChangeset(d1), Seq("k")).isEmpty,
+        s"case $i: compose(d, invert(d)) must be empty")
+    }
+  }
 }
