@@ -1010,6 +1010,52 @@ object Differ {
       .filter(col(st).isNotNull)
   }
 
+  /** Top-k RANK drift between two snapshots — the leaderboard question a
+    * value diff can't answer: a row whose score moved 0.1% may jump 40
+    * ranks while a 50% move in the tail changes nothing a consumer sees.
+    * Each side ranks by `scoreCol` DESC (keys ascending as the
+    * deterministic tie-break — equal scores cannot flap run to run), keeps
+    * the top `k`, and the two k-sets full-outer join on the keys:
+    *   `entered` (right only), `exited` (left only), `up`/`down`/`held`
+    * by rank comparison, with `rank_delta = left_rank − right_rank`
+    * (positive = climbed) on matched keys.
+    *
+    * Scale shape: each top-k is Spark's TakeOrderedAndProject (per-
+    * partition heads, never a global sort of the snapshot); the
+    * row_number window runs AFTER the limit, on k rows — the k-bounded
+    * single task is the same documented exception as every two-phase
+    * top-k in this repo. The join is k-vs-k sized. k must be small enough
+    * to review (require'd ≤ 100k) — this is a report, not a table scan.
+    */
+  def rankDrift(left: DataFrame, right: DataFrame, keys: Seq[String],
+                scoreCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 100000,
+      s"rankDrift: k must be in [1, 100000] (a reviewable leaderboard), got $k")
+    val order = bq(scoreCol).desc +: keys.map(k0 => bq(k0).asc)
+    def top(df: DataFrame, rankName: String) =
+      df.select((keys :+ scoreCol).map(bq): _*)
+        .orderBy(order: _*)
+        .limit(k)
+        .withColumn(rankName,
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+        .select(keys.map(bq) :+ col(rankName): _*)
+    val lt = top(left, "left_rank").alias("l")
+    val rt = top(right, "right_rank").alias("r")
+    val cond = keys.map(k0 => q("l", k0) <=> q("r", k0)).reduce(_ && _)
+    val keyOut = keys.map(k0 => coalesce(q("l", k0), q("r", k0)).as(k0))
+    val status = when(col("left_rank").isNull, lit("entered"))
+      .when(col("right_rank").isNull, lit("exited"))
+      .when(col("right_rank") < col("left_rank"), lit("up"))
+      .when(col("right_rank") > col("left_rank"), lit("down"))
+      .otherwise(lit("held"))
+    lt.join(rt, cond, "full_outer")
+      .select(keyOut ++ Seq(
+        col("left_rank").cast("long").as("left_rank"),
+        col("right_rank").cast("long").as("right_rank"),
+        status.as("drift_status"),
+        (col("left_rank") - col("right_rank")).cast("long").as("rank_delta")): _*)
+  }
+
   /** Invert a changeset (the [[diff]] output shape) so it describes the
     * REVERSE transition: `invert(diff(l, r)) == diff(r, l)` row-for-row on
     * the non-N rows, and therefore

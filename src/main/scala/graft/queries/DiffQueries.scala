@@ -598,6 +598,37 @@ object DiffQueries {
         Differ.composeChangesets(d1, d2, keys)
     },
 
+    // Top-k RANK drift (r12) — the leaderboard diff: which keys entered /
+    // exited the top 100 by price between snapshots, and how far the
+    // survivors moved. A value diff can't answer this (a 0.1% price move
+    // can jump 40 ranks; a 50% move in the tail changes nothing a
+    // top-100 consumer sees). Deterministic by construction: score DESC
+    // with key ASC tie-break — equal prices cannot flap between engines.
+    // 100 TB shape: two TakeOrderedAndProject top-k's (per-partition
+    // heads, no global snapshot sort), row_number on k rows (the
+    // documented k-bounded single-task exception), one k-vs-k join.
+    Q("diff_rank_drift",
+      s"""$Prelude,
+         |lt AS (SELECT o_orderkey,
+         |              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |       FROM l ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+         |rt AS (SELECT o_orderkey,
+         |              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |       FROM r ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+         |SELECT COALESCE(lt.o_orderkey, rt.o_orderkey) AS o_orderkey,
+         |       CAST(lt.rk AS BIGINT) AS left_rank,
+         |       CAST(rt.rk AS BIGINT) AS right_rank,
+         |       CASE WHEN lt.o_orderkey IS NULL THEN 'entered'
+         |            WHEN rt.o_orderkey IS NULL THEN 'exited'
+         |            WHEN rt.rk < lt.rk THEN 'up'
+         |            WHEN rt.rk > lt.rk THEN 'down'
+         |            ELSE 'held' END AS drift_status,
+         |       CAST(lt.rk - rt.rk AS BIGINT) AS rank_delta
+         |FROM lt FULL OUTER JOIN rt ON lt.o_orderkey = rt.o_orderkey""".stripMargin) {
+      (s, d) => Differ.rankDrift(left(s, d), right(s, d), keys,
+        scoreCol = "o_totalprice", k = 100)
+    },
+
     Q("diff_mapped_cols",
       s"""$Prelude
          |SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'

@@ -689,4 +689,31 @@ class DifferSpec extends SparkTestBase {
       Differ.diffDupKeyRank(l, l, keys))
     assert(e.getMessage.contains("dup_rank"))
   }
+
+  test("rankDrift: full vocabulary, key tie-break, and delta signs on a hand fixture (r12)") {
+    // left top-3 by score: a(30)=1, b(20)=2, c(10)=3 (d=5 outside k).
+    // right: c jumps to 40 (rank 1), a drops to 25 (rank 2), d enters at
+    // 15 (rank 3), b falls out of the top 3 entirely.
+    val l = Seq(("a", 30.0), ("b", 20.0), ("c", 10.0), ("d", 5.0)).toDF("k", "score")
+    val r = Seq(("a", 25.0), ("b", 1.0), ("c", 40.0), ("d", 15.0)).toDF("k", "score")
+    val out = Differ.rankDrift(l, r, Seq("k"), "score", k = 3)
+      .collect().map(x => x.getString(0) ->
+        (Option(x.get(1)), Option(x.get(2)), x.getString(3), Option(x.get(4)))).toMap
+    assert(out("a") == (Some(1L), Some(2L), "down", Some(-1L)))
+    assert(out("b") == (Some(2L), None, "exited", None))
+    assert(out("c") == (Some(3L), Some(1L), "up", Some(2L)))
+    assert(out("d") == (None, Some(3L), "entered", None))
+
+    // Equal scores rank by key ascending on BOTH sides — a tied pair must
+    // read 'held', never a run-to-run flap.
+    val t = Seq(("x", 7.0), ("y", 7.0)).toDF("k", "score")
+    val tied = Differ.rankDrift(t, t, Seq("k"), "score", k = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getString(3))).toMap
+    assert(tied("x") == (1L, "held") && tied("y") == (2L, "held"))
+
+    // Unreviewable k fails loudly.
+    val e = intercept[IllegalArgumentException](
+      Differ.rankDrift(l, r, Seq("k"), "score", k = 0))
+    assert(e.getMessage.contains("k must be"))
+  }
 }
