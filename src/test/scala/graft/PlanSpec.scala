@@ -1378,4 +1378,42 @@ class PlanSpec extends SparkTestBase {
     assert(physical.contains("BroadcastHashJoin"),
       s"hot-band fetch must broadcast the bands-sized hot list:\n${physical.take(1500)}")
   }
+
+  test("diff_compose: ONE changeset-sized full-outer join on top of the two hop diffs (r12)") {
+    // The fold itself must add exactly one join: the two input changesets
+    // each carry their own full-outer (that's diff), and composing them is
+    // a third full-outer over diff-SIZED frames plus pure projection —
+    // any aggregate or extra join here means the fold re-read a snapshot.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = queryNamed(DiffQueries.all, "diff_compose")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j.joinType }
+    assert(joins == Seq(FullOuter, FullOuter, FullOuter),
+      s"expected the 2 hop diffs + 1 compose join, all full-outer: $joins")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty,
+      "compose must be a pure projection fold — an aggregate crept in")
+  }
+
+  test("diff_rank_drift: both top-k's are TakeOrdered — never a global snapshot sort (r12)") {
+    val plan = physical(DiffQueries.all, "diff_rank_drift")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"expected two TakeOrderedAndProject top-k's:\n${plan.take(1500)}")
+    // The only Sort allowed is the k-bounded window's local sort; a Sort
+    // directly over an orders scan would be the global-sort regression.
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global range-sort of a snapshot crept in:\n${plan.take(1500)}")
+  }
+
+  test("stream_diff_complete: snapshot side broadcasts; agg is partial (map-side combinable)") {
+    // The expected frame is windows × snapshot with BOTH sides broadcast-
+    // sized by contract; the only data-sized exchange is the (window, key)
+    // census agg + the full-outer join on the same key. Pin: at least one
+    // broadcast join, and the census HashAggregate runs partial-final
+    // (map-side combine), not a single-exchange complete mode.
+    val plan = physical(graft.queries.StreamingQueries.all, "stream_diff_complete")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"snapshot/window sides must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"census aggregate lost its map-side combine:\n${plan.take(2000)}")
+  }
 }
