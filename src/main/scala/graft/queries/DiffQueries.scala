@@ -598,6 +598,48 @@ object DiffQueries {
         Differ.composeChangesets(d1, d2, keys)
     },
 
+    // Estimated diff census WITHOUT a data join (r12) — the pre-check a
+    // scheduler runs before paying for a full 100 TB diff: each side
+    // reduces to the SAME per-bucket content digests diffIncremental
+    // persists (narrow scan + one tiny B-row shuffle per side), the two
+    // B-row digest frames compare (metadata-scale, B=4096), and the dirty
+    // bucket count inverts through the linear-counting occupancy
+    // estimator d̂ = ln(1 − dirty/B) / ln(1 − 1/B) into an estimated
+    // CHANGED-KEY count (I+D+C keys hash independently into buckets;
+    // E[dirty] = B(1−(1−1/B)^d)). Deterministic given the data (fixed
+    // xxhash64 seed), so the in-query band is a hard gate, not a flaky
+    // one. The exact census rides along as the self-audit column (one
+    // hash-phase diff; at 100 TB the audit is optional — the digest
+    // algebra is the product, and yesterday's digests are a persisted
+    // artifact so the pre-check reads NO snapshot at all).
+    Q.noOracle("diff_estimate") { (s, d) =>
+      val B = 4096
+      val vcols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val ld = Differ.bucketDigests(left(s, d), keys, vcols, B).alias("ld")
+      val rd = Differ.bucketDigests(right(s, d), keys, vcols, B).alias("rd")
+      val dirty = ld.join(rd, col("ld.__graft_bucket") === col("rd.__graft_bucket"),
+          "full_outer")
+        .filter(!(col("ld.digest") <=> col("rd.digest")) ||
+          !(col("ld.n") <=> col("rd.n")))
+        .agg(count(lit(1)).cast("long").as("n_dirty"))
+      val exact = Differ.diffViaHash(left(s, d), right(s, d), keys)
+        .agg(count(lit(1)).cast("long").as("n_changed_exact"))
+      val out = dirty.crossJoin(broadcast(exact))
+        .select(lit(B).cast("long").as("n_buckets"), col("n_dirty"),
+          (log(lit(1.0) - col("n_dirty").cast("double") / B) /
+            math.log(1.0 - 1.0 / B)).as("est_changed_keys"),
+          col("n_changed_exact"))
+      // Band calibrated at sf0.001/0.01/0.1 (exact 79 / 790 / 7.9k
+      // changed keys against 4096 buckets — load factors 0.02 to 1.9):
+      // the occupancy inversion stays within ±10% + a ±10-key floor for
+      // the sparse end; deterministic, so a violation always throws.
+      Q.requireBand(out,
+        abs(col("est_changed_keys") - col("n_changed_exact")) <=
+          greatest(col("n_changed_exact") * 0.10, lit(10.0)),
+        "diff_estimate: occupancy inversion left the 10% band vs the exact census")
+    },
+
     // Top-k RANK drift (r12) — the leaderboard diff: which keys entered /
     // exited the top 100 by price between snapshots, and how far the
     // survivors moved. A value diff can't answer this (a 0.1% price move
