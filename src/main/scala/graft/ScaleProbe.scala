@@ -63,8 +63,45 @@ object ScaleProbe {
       val tOoo = time(noop(SparkEntry.queries("events_out_of_order")(spark, dir)))
       val tTs = time(noop(SparkEntry.queries("window_theil_sen")(spark, dir)))
       val tIn = time(noop(SparkEntry.queries("window_interpolate")(spark, dir)))
+      val tSdc = time(noop(SparkEntry.queries("stream_diff_complete")(spark, dir)))
       println(f"[scale-ev] m=$m rows=${100000L * m} out_of_order=$tOoo%.2f " +
-        f"theil_sen=$tTs%.2f interpolate=$tIn%.2f")
+        f"theil_sen=$tTs%.2f interpolate=$tIn%.2f stream_diff_complete=$tSdc%.2f")
+    }
+
+    // Part 3 (r12): the new diff-family operators under the same key-
+    // shifted snapshot scale-up. Claims to verify: compose is changeset-
+    // sized work on top of the two hop diffs (tracks diff_full's slope);
+    // the digest estimate is two narrow scans + a B-row compare (flat-ish
+    // slope, cheapest of the family — the audit-free form is what a
+    // scheduler runs); rank drift is two TakeOrdered heads (near-flat).
+    val keys = Seq("o_orderkey")
+    val r20 = graft.queries.DiffQueries.right2(spark, d)
+    val vcols5 = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    def estOnly(l: DataFrame, r: DataFrame): DataFrame = {
+      val B = 4096
+      val ld = operators.Differ.bucketDigests(l, keys, vcols5, B).alias("ld")
+      val rd = operators.Differ.bucketDigests(r, keys, vcols5, B).alias("rd")
+      ld.join(rd, col("ld.__graft_bucket") === col("rd.__graft_bucket"), "full_outer")
+        .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
+        .agg(count(lit(1)).cast("double").as("dirty"))
+        .select((log(lit(1.0) - col("dirty") / B) / math.log(1.0 - 1.0 / B))
+          .as("est_changed_keys"))
+    }
+    for (m <- Seq(1, 4, 8)) {
+      val (l, r, r2) = (scaled(l0, m), scaled(r0, m), scaled(r20, m))
+      noop(operators.Differ.diff(l, r, keys)) // warm
+      def time(f: => Unit): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        ts.min
+      }
+      val tCompose = time(noop(operators.Differ.composeChangesets(
+        operators.Differ.diff(l, r, keys), operators.Differ.diff(r, r2, keys), keys)))
+      val tEst = time(noop(estOnly(l, r)))
+      val tRank = time(noop(operators.Differ.rankDrift(l, r, keys, "o_totalprice", 100)))
+      println(f"[scale-r12] m=$m rows=${150000L * m} compose=$tCompose%.2f " +
+        f"estimate_nojoin=$tEst%.2f rank_drift=$tRank%.2f")
     }
     spark.stop()
   }

@@ -1142,6 +1142,65 @@ object Differ {
           .otherwise(col("__graft_vmax") + 1).as("valid_to"))): _*)
   }
 
+  /** INCREMENTAL SCD2 maintenance — apply a keyed changeset (the [[diff]]
+    * output shape, v→v+1) to an existing [[scd2]] history WITHOUT
+    * rebuilding it from the snapshot stack: closed intervals pass through
+    * untouched; current rows of C/D keys close at `newVersion`; C/I keys
+    * open a fresh current row carrying the changeset's right-side values.
+    * Contract: `applyScd2(scd2(v0..v), diff(v, v+1)) == scd2(v0..v+1)`
+    * row-for-row (the declared key's oracle is the full rebuild — house
+    * losslessness convention). Precondition: the changeset describes the
+    * transition FROM the history's current version (an I key must have no
+    * open interval; violations surface as duplicate current rows in the
+    * rebuild comparison, not silent corruption).
+    *
+    * Scale shape — the whole point of the operator: the nightly dimension
+    * load touches changeset-sized data, never the history. The close list
+    * (C∪D keys) rides the same size-aware broadcast as
+    * [[applyChangeset]]; the history splits current/closed by a
+    * metadata-cheap filter; new rows are a changeset projection. Zero
+    * snapshot re-reads, zero windows.
+    */
+  def applyScd2(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+                newVersion: Long, opts: DiffOptions = DiffOptions()): DataFrame = {
+    val st = col(opts.statusCol)
+    val vcols = dim.columns.toSeq
+      .filterNot(keys.contains).filterNot(Seq("valid_from", "valid_to").contains)
+    val expected = opts.statusCol +: (keys ++ vcols.map(c => s"${opts.rightPrefix}$c"))
+    val missing = expected.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is not a diff output for this dimension: missing column(s) " +
+        s"${missing.mkString(", ")} (have: ${changes.columns.mkString(", ")})")
+    require(dim.columns.contains("valid_from") && dim.columns.contains("valid_to"),
+      s"dim is not an scd2 history: need valid_from/valid_to " +
+        s"(have: ${dim.columns.mkString(", ")})")
+    val toClose = changes.filter(st === "C" || st === "D").select(keys.map(bq): _*)
+    // Size-aware broadcast, same discipline as applyChangeset: the close
+    // list is changeset-sized; huge/unknown estimates fall through to the
+    // never-wrong shuffle path.
+    val threshold = changes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = toClose.queryExecution.optimizedPlan.stats.sizeInBytes
+    val buildSide =
+      if (threshold > 0 && estBytes <= BigInt(threshold)) broadcast(toClose) else toClose
+    def keyCond(l: DataFrame) =
+      keys.map(k => l(k) <=> buildSide(k)).reduce(_ && _)
+    val current = dim.filter(col("valid_to").isNull)
+    val closedHistory = dim.filter(col("valid_to").isNotNull)
+    val stillCurrent = current.join(buildSide, keyCond(current), "left_anti")
+    val closedNow = current.join(buildSide, keyCond(current), "left_semi")
+      .withColumn("valid_to", lit(newVersion).cast("long"))
+    val opened = changes.filter(st === "C" || st === "I")
+      .select(keys.map(bq) ++
+        vcols.map(c => bq(s"${opts.rightPrefix}$c").as(c)) ++ Seq(
+          lit(newVersion).cast("long").as("valid_from"),
+          lit(null).cast("long").as("valid_to")): _*)
+    val cols = (keys ++ vcols ++ Seq("valid_from", "valid_to")).map(bq)
+    closedHistory.select(cols: _*)
+      .unionByName(stillCurrent.select(cols: _*))
+      .unionByName(closedNow.select(cols: _*))
+      .unionByName(opened.select(cols: _*))
+  }
+
   /** Stream-vs-static diff: classify each arriving row against a static
     * snapshot — 'I' (key absent from the snapshot), 'C' (key present,
     * values differ), 'N' (identical). 'D' is deliberately NOT part of this

@@ -598,6 +598,43 @@ object DiffQueries {
         Differ.composeChangesets(d1, d2, keys)
     },
 
+    // Changeset FK gate (r12) — the integrity check an ingest runs BEFORE
+    // promoting a changeset: arriving rows (I and C; deletes can't
+    // orphan) must reference existing dimension keys. The point is the
+    // work size: the probe side is the CHANGESET, never the full fact
+    // table (quality_fk_orphans is the full-table audit; this is its
+    // promote-time sibling at diff scale). Fixture: the customer dim
+    // LAGS (c_custkey % 11 == 0 rows not yet loaded — the fact feed
+    // arriving before the dim update, the everyday orphan source), so
+    // both statuses carry deterministic non-zero orphan counts. 100 TB
+    // shape: changeset-sized probe vs broadcast dim key set; one agg.
+    Q("diff_fk_gate",
+      s"""$Prelude,
+         |dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0),
+         |ch AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' ELSE 'C' END
+         |         AS diff_status,
+         |       r.o_custkey AS fk
+         |       FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+         |       WHERE r.o_orderkey IS NOT NULL
+         |         AND (l.o_orderkey IS NULL OR ${anyDistinct(valueCols)}))
+         |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN NOT EXISTS
+         |                 (SELECT 1 FROM dim WHERE dim.c_custkey = ch.fk)
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM ch GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        val dim = Tables.cachedTable(s, d, "customer")
+          .filter(col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey"))
+        val incoming = Differ.diff(left(s, d), right(s, d), keys)
+          .filter(col("diff_status").isin("I", "C"))
+          .select(col("diff_status"), col("right_o_custkey").as("fk"))
+        incoming.join(broadcast(dim), col("fk") === col("c_custkey"), "left")
+          .groupBy("diff_status")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphans"))
+    },
+
     // Estimated diff census WITHOUT a data join (r12) — the pre-check a
     // scheduler runs before paying for a full 100 TB diff: each side
     // reduces to the SAME per-bucket content digests diffIncremental
@@ -1293,6 +1330,29 @@ object DiffQueries {
     Q("diff_scd2", s"""$Scd2Ctes
          |SELECT o_orderkey, o_totalprice, valid_from, valid_to FROM dim""".stripMargin) { (s, d) =>
       scd2Dim(s, d)
+    },
+
+    // INCREMENTAL SCD2 maintenance (r12) — the nightly dimension load:
+    // apply the v1→v2 changeset to the v0..v1 history (close C/D keys'
+    // current intervals at v2, open fresh current rows for C/I) touching
+    // only changeset-sized data — never the snapshot stack, never a
+    // window. The oracle is the FULL three-version rebuild (Scd2Ctes'
+    // dim, the same SQL diff_scd2 checks against): incremental == rebuild
+    // is the losslessness proof, and it covers every interval case the
+    // fixture plants (run extension, value change, delete-close,
+    // re-insert-after-delete, fresh insert).
+    Q("diff_scd2_apply", s"""$Scd2Ctes
+         |SELECT o_orderkey, o_totalprice, valid_from, valid_to FROM dim""".stripMargin) {
+      (s, d) =>
+        def tag(df: DataFrame, v: Int) =
+          df.select(col("o_orderkey"), lit(v).as("version"), col("o_totalprice"))
+        val dimV1 = Differ.scd2(
+          tag(left(s, d), 0).unionByName(tag(right(s, d), 1)),
+          keys, "version", Seq("o_totalprice"), maxVersion = 1)
+        val changeset = Differ.diff(
+          right(s, d).select("o_orderkey", "o_totalprice"),
+          right2(s, d).select("o_orderkey", "o_totalprice"), keys)
+        Differ.applyScd2(dimV1, changeset, keys, newVersion = 2)
     },
 
     // Point-in-time (PIT) dimension join (r8) — the feature-store
