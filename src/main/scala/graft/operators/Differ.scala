@@ -41,6 +41,17 @@ import org.apache.spark.sql.types._
   * @param trimWs      compare STRING value columns with leading/trailing
   *                    whitespace trimmed (datacompy's `ignore_spaces`);
   *                    composes with [[ignoreCase]] (trim, then fold)
+  * @param digestCols  value columns compared (and REPORTED) as their
+  *                    SHA-256 hex digest instead of their bytes — the blob
+  *                    discipline for binary/huge-text columns at 100 TB:
+  *                    the digest projects at the SCAN, so the full-outer
+  *                    exchange ships 64 hex chars per cell, never the
+  *                    blob, and the diff output carries the digests (a
+  *                    reviewer fetches the two blobs BY KEY for the few C
+  *                    rows that matter). Classification is exact up to
+  *                    SHA-256 collision (the [[diffViaHash]] risk class,
+  *                    already accepted). Honored by [[Differ.diff]] and
+  *                    everything built on it (summary/report/…)
   */
 final case class DiffOptions(
     statusCol: String = "diff_status",
@@ -63,7 +74,8 @@ final case class DiffOptions(
       * `=`, any null-keyed row silently drops from the diff like any SQL
       * join. Value-column comparison is null-safe either way.
       */
-    nullSafeKeys: Boolean = true) {
+    nullSafeKeys: Boolean = true,
+    digestCols: Set[String] = Set.empty) {
 
   /** Key-compare operator per [[nullSafeKeys]]. */
   private[operators] def keyEq(l: org.apache.spark.sql.Column,
@@ -335,7 +347,17 @@ object Differ {
     */
   def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions()): DataFrame = {
-    val (left, right) = coerceValueTypes(left0, right0, keys, opts)
+    val (left1, right1) = coerceValueTypes(left0, right0, keys, opts)
+    // Digest columns project to their SHA-256 hex at the scan — the
+    // full-outer exchange below ships 64 chars per cell, never the blob.
+    def digested(df: DataFrame): DataFrame = opts.digestCols.foldLeft(df) { (d0, c) =>
+      require(d0.columns.contains(c), s"digestCols('$c'): column absent " +
+        s"from [${d0.columns.mkString(", ")}]")
+      require(!keys.contains(c), s"digestCols('$c'): keys cannot be digested " +
+        "(the join must address the real key)")
+      d0.withColumn(c, sha2(bq(c).cast("binary"), 256))
+    }
+    val (left, right) = (digested(left1), digested(right1))
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     // Prune to keys + shared value columns before the join (column pruning

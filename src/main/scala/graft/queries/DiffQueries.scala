@@ -598,6 +598,101 @@ object DiffQueries {
         Differ.composeChangesets(d1, d2, keys)
     },
 
+    // Corpus-version TEXT diff (r12) — the diff core pointed at the
+    // documents table: between two corpus snapshots, WHICH docs changed
+    // and BY HOW MUCH. Key-level status alone is useless for text ("C"
+    // covers one appended token and a full rewrite equally); per C doc
+    // the report carries distinct-token counts and the token-set Jaccard
+    // — the magnitude a curation pipeline thresholds on (re-embed only
+    // docs below 0.9, say). Fixture: right drops %53 docs, appends a
+    // token to %17, case-rewrites %19, re-keys %29 copies as inserts —
+    // integer/string ops both engines replay bit-identically. 100 TB
+    // shape: one key equi-join of the two corpora; the set ops are
+    // per-row; nothing quadratic, no pair explosion.
+    Q("diff_text_delta",
+      """WITH dl AS (SELECT doc_id, text FROM documents),
+        |dr AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
+        |                   WHEN doc_id % 19 = 0 THEN upper(text)
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 53 <> 0),
+        |c AS (SELECT dl.doc_id, dl.text AS lt, dr.text AS rt
+        |      FROM dl JOIN dr ON dl.doc_id = dr.doc_id
+        |      WHERE dl.text IS DISTINCT FROM dr.text),
+        |t AS (SELECT doc_id,
+        |             list_distinct(string_split(lt, ' ')) AS ls,
+        |             list_distinct(string_split(rt, ' ')) AS rs
+        |      FROM c)
+        |SELECT doc_id,
+        |       CAST(len(ls) AS BIGINT) AS n_left_tokens,
+        |       CAST(len(rs) AS BIGINT) AS n_right_tokens,
+        |       CAST(len(list_filter(ls, x -> list_contains(rs, x))) AS DOUBLE)
+        |         / len(list_distinct(list_concat(ls, rs))) AS jaccard
+        |FROM t""".stripMargin) { (s, d) =>
+      val dl = Tables.cachedTable(s, d, "documents").select(col("doc_id"), col("text"))
+      val dr = Tables.cachedTable(s, d, "documents")
+        .filter(col("doc_id") % 53 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
+            .when(col("doc_id") % 19 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      Differ.changed(dl, dr, Seq("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(split(col("left_text"), " ")).as("ls"),
+          array_distinct(split(col("right_text"), " ")).as("rs"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_left_tokens"),
+          size(col("rs")).cast("long").as("n_right_tokens"),
+          (size(array_intersect(col("ls"), col("rs"))).cast("double") /
+            size(array_union(col("ls"), col("rs")))).as("jaccard"))
+    },
+
+    // Blob diff by DIGEST (r12; DiffOptions.digestCols) — the discipline
+    // for binary/huge-text value columns at 100 TB: the SHA-256 hex
+    // projects at the SCAN, so the diff's full-outer exchange ships 64
+    // chars per cell instead of the blob, and the output carries the
+    // digests (a reviewer fetches the two blobs BY KEY for the few C
+    // rows). Classification exact up to SHA-256 collision — the
+    // diffViaHash risk class, already accepted. Fixture: the text-delta
+    // corpus pair with the text packed into a BINARY payload column; the
+    // oracle recomputes the same utf-8 digests in DuckDB (cross-engine
+    // sha256 parity is pinned by diff_row_hash since r1).
+    Q("diff_binary_digest",
+      """WITH dl AS (SELECT doc_id, lang, text FROM documents),
+        |dr AS (SELECT doc_id, lang,
+        |              CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
+        |                   WHEN doc_id % 19 = 0 THEN upper(text)
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 53 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, lang, text FROM documents
+        |       WHERE doc_id % 29 = 0)
+        |SELECT CASE WHEN dl.doc_id IS NULL THEN 'I'
+        |            WHEN dr.doc_id IS NULL THEN 'D'
+        |            WHEN dl.lang IS DISTINCT FROM dr.lang
+        |              OR sha256(dl.text) IS DISTINCT FROM sha256(dr.text) THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       COALESCE(dl.doc_id, dr.doc_id) AS doc_id,
+        |       dl.lang AS left_lang, dr.lang AS right_lang,
+        |       sha256(dl.text) AS left_payload, sha256(dr.text) AS right_payload
+        |FROM dl FULL OUTER JOIN dr ON dl.doc_id = dr.doc_id""".stripMargin) {
+      (s, d) =>
+        def pack(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("payload"))
+        val dl = pack(Tables.cachedTable(s, d, "documents"))
+        val dr = pack(Tables.cachedTable(s, d, "documents")
+          .filter(col("doc_id") % 53 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
+              .when(col("doc_id") % 19 === 0, upper(col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(Tables.cachedTable(s, d, "documents")
+            .filter(col("doc_id") % 29 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
+        Differ.diff(dl, dr, Seq("doc_id"),
+          DiffOptions(digestCols = Set("payload")))
+    },
+
     // Changeset FK gate (r12) — the integrity check an ingest runs BEFORE
     // promoting a changeset: arriving rows (I and C; deletes can't
     // orphan) must reference existing dimension keys. The point is the
