@@ -154,12 +154,14 @@ object GraftExtensions {
         case "tol_cols" => o.copy(tolCols = csv(strLit(na.value, na.key)))
         case "ignore_cols" => o.copy(ignoreCols = csv(strLit(na.value, na.key)))
         case "bag_cols" => o.copy(bagCols = csv(strLit(na.value, na.key)))
+        case "digest_cols" => o.copy(digestCols = csv(strLit(na.value, na.key)))
         case "ignore_case" => o.copy(ignoreCase = v == true)
         case "trim_ws" => o.copy(trimWs = v == true)
         case "null_safe_keys" => o.copy(nullSafeKeys = v == true)
         case other => throw new IllegalArgumentException(
           s"graft_diff: unknown option '$other' (supported: abs_tol, rel_tol, " +
-            "tol_cols, ignore_cols, bag_cols, ignore_case, trim_ws, null_safe_keys)")
+            "tol_cols, ignore_cols, bag_cols, digest_cols, ignore_case, trim_ws, " +
+            "null_safe_keys)")
       }
     }
 

@@ -173,6 +173,8 @@ class ExtensionsSpec extends SparkTestBase {
       viaApi(DiffOptions(ignoreCase = true, trimWs = true)))
     assert(viaSql("null_safe_keys => false") ==
       viaApi(DiffOptions(nullSafeKeys = false)))
+    assert(viaSql("digest_cols => 'o_orderpriority'") ==
+      viaApi(DiffOptions(digestCols = Set("o_orderpriority"))))
 
     // The summary TVF folds the same options.
     assert(rowsOf(spark.sql(
