@@ -48,6 +48,67 @@ object CurationQueries {
   private val BandWidth = 50000L
 
   def all: Seq[Q] = Seq(
+    // INCREMENTAL curation (r12) — the nightly reality of a 100 TB
+    // curated corpus: v2 arrives as a CHANGESET against v1, and
+    // re-running the quality gate over all of v2 re-reads the whole
+    // corpus for rows that didn't move. Incremental form: start from
+    // yesterday's curated table (a persisted artifact), retract keys the
+    // changeset deletes or changes, and gate ONLY the changeset's
+    // arriving rows (I∪C, right side) — changeset-sized work. The gate
+    // is a deterministic per-row decision, so incremental == full
+    // re-curation row-for-row, and the ORACLE IS the full re-curation
+    // (house losslessness convention). Fixture: the diff_text_delta
+    // corpus perturbation (drop %53, append a token to %17 — which can
+    // flip low_diversity docs past the ratio gate, case-rewrite %19,
+    // insert %29 re-keyed) so every retract/insert/re-gate path runs.
+    Q("curation_incremental",
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
+         |              WHEN doc_id % 19 = 0 THEN upper(text)
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 53 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+         |sig AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |               len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |        FROM v2)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct
+         |FROM sig
+         |WHERE n_tokens >= $MinTokens
+         |  AND n_distinct * $distinctDen >= n_tokens * $distinctNum""".stripMargin) {
+      (s, d) =>
+        // NOTE: tokenization here is split(text, ' ') VERBATIM (no
+        // lower()) — the gate must see the same text the diff compared,
+        // or a case-rewrite would gate differently than it diffs.
+        def gate(df: org.apache.spark.sql.DataFrame) = {
+          val toks = split(col("text"), " ")
+          df.select(col("doc_id"),
+              size(toks).cast("long").as("n_tokens"),
+              size(array_distinct(toks)).cast("long").as("n_distinct"))
+            .filter(col("n_tokens") >= MinTokens &&
+              col("n_distinct") * distinctDen >= col("n_tokens") * distinctNum)
+        }
+        val v1 = Tables.cachedTable(s, d, "documents").select(col("doc_id"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 53 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
+              .when(col("doc_id") % 19 === 0, upper(col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 29 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        // Yesterday's curated artifact + today's changeset.
+        val curatedV1 = gate(v1)
+        val changes = graft.operators.Differ.diff(v1, v2, Seq("doc_id"))
+          .filter(col("diff_status") =!= "N")
+        val retract = changes.filter(col("diff_status").isin("C", "D"))
+          .select("doc_id")
+        val arrive = changes.filter(col("diff_status").isin("C", "I"))
+          .select(col("doc_id"), col("right_text").as("text"))
+        curatedV1.join(broadcast(retract), Seq("doc_id"), "left_anti")
+          .unionByName(gate(arrive))
+    },
 
     Q("decontaminate",
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -351,6 +351,40 @@ object StreamingQueries {
             col("left_n"), col("right_n"))
     },
 
+    // Continuous-ingest CONTENT dedup vs the persisted corpus (r12) —
+    // dedup_delta's streaming sibling at content grain: arriving docs
+    // fingerprint (sha-256 of utf-8 text), drop if the fingerprint is in
+    // the historical set, dedup within the stream, emit each NOVEL
+    // fingerprint once — the feed a continuous crawler publishes. Fixture:
+    // re-sends of the %13 docs (historical content — all dropped) plus
+    // %23 docs with genuinely new text (the novel set). ONE body serves
+    // this batch key and the readStream pipeline
+    // (StreamOps.dedupDeltaStream: stateless stream-static anti join —
+    // history is the build side — THEN the in-stream dedup, so state is
+    // one row per novel fingerprint, bounded by novelty rate, not
+    // arrival rate); StreamBatchParitySpec pins set equality.
+    Q("stream_dedup_delta",
+      """WITH arr AS (
+        |  SELECT doc_id + 3000000 AS arr_id, text FROM documents
+        |  WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zzfresh' FROM documents
+        |  WHERE doc_id % 23 = 0),
+        |hist AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+        |SELECT DISTINCT sha256(text) AS h FROM arr
+        |WHERE sha256(text) NOT IN (SELECT h FROM hist)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.cachedTable(s, d, "documents")
+        val arr = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000L).as("arr_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 2000000L).as("arr_id"),
+              concat(col("text"), lit(" zzfresh")).as("text")))
+        val hist = docs
+          .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+        graft.streaming.StreamOps.dedupDeltaStream(arr, "text", hist)
+    },
+
     Q("stream_dedup",
       """SELECT DISTINCT user_id, event_type,
         |       (epoch_us(ts) // 60000000) * 60000000 AS minute_us

@@ -280,6 +280,35 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
+  /** Continuous-ingest CONTENT dedup against a persisted corpus — the
+    * streaming half of dedup_delta: each arriving document hashes to its
+    * SHA-256 content fingerprint, drops if the fingerprint exists in the
+    * historical set (stream-static LEFT ANTI join — stateless, the
+    * history is the build side exactly like [[diffStream]]'s snapshot),
+    * and then dedups WITHIN the stream so each novel fingerprint emits
+    * once. Output = the novel-content fingerprint feed (sha grain — at
+    * sha grain batch and stream agree as a SET regardless of which
+    * arrival won a race, so the parity pin is deterministic).
+    *
+    * State = one row per NOVEL fingerprint seen (the anti join runs
+    * first, so re-sends of historical content never enter the dedup
+    * state) — bounded by the novelty rate, not the arrival rate; a
+    * production pipeline bounds it further with
+    * dropDuplicatesWithinWatermark once arrival time enters the row.
+    * The SAME body computes the oracle-checked batch key
+    * (`stream_dedup_delta`); StreamBatchParitySpec pins set equality.
+    */
+  def dedupDeltaStream(arriving: DataFrame, textCol: String,
+                       historyShas: DataFrame): DataFrame = {
+    require(historyShas.columns.contains("h"),
+      s"historyShas must carry the fingerprint column 'h' " +
+        s"(have: ${historyShas.columns.mkString(", ")})")
+    arriving
+      .select(sha2(col(textCol).cast("binary"), 256).as("h"))
+      .join(historyShas, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+  }
+
   /** Exactly-once parquet sink for `foreachBatch`: every micro-batch
     * overwrites its own `batch_id=<id>` partition directory, so a replayed
     * batch (restart between sink write and offset commit — the at-least-

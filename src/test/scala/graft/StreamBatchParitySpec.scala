@@ -440,6 +440,39 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream_dedup_delta: true readStream novel-fingerprint feed == batch set (r12)") {
+    // One body (StreamOps.dedupDeltaStream) serves the oracle-checked
+    // batch key and the readStream pipeline: stateless stream-static anti
+    // join vs the historical fingerprint set, then in-stream dedup. At
+    // sha grain the output is a SET, so parity is deterministic
+    // regardless of arrival order.
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(SparkEntry.queries("stream_dedup_delta")(spark, sfDir))
+    assert(batchRows.nonEmpty, "fixture must produce novel fingerprints")
+
+    val docs = Tables.cachedTable(spark, sfDir, "documents")
+    val arrBatch = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 3000000L).as("arr_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 2000000L).as("arr_id"),
+          concat(col("text"), lit(" zzfresh")).as("text")))
+    val hist = docs.select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+
+    val streamDir = Files.createTempDirectory("graft_deddelta_parity").toString
+    arrBatch.write.mode("overwrite").parquet(streamDir)
+    val arriving = spark.readStream.schema(arrBatch.schema).parquet(streamDir)
+    val q = StreamOps.dedupDeltaStream(arriving, "text", hist)
+      .writeStream.format("memory").queryName("deddelta_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("deddelta_parity"))
+      assert(streamRows == batchRows,
+        s"novel-fingerprint sets differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+    } finally q.stop()
+  }
+
   test("stream_diff_complete: watermark-closed windowed diff emits I/C/N AND D == batch (r12)") {
     // The r11 gap: append streams cannot assert absence, so stream_diff
     // omits D. The windowed variant CAN — when the watermark closes a
