@@ -127,6 +127,41 @@ object Graft {
   def invertChangeset(changes: DataFrame): DataFrame =
     Differ.invertChangeset(changes)
 
+  /** Duplicate-key rank-matched diff (datacompy's temp_row_number
+    * semantics): rows rank within their key group by the canonical value
+    * fingerprint, then the standard diff runs on (key, rank); surplus
+    * ranks become I/D.
+    */
+  def diffDupKeyRank(left: DataFrame, right: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    Differ.diffDupKeyRank(left, right, keys)
+
+  /** Changeset composition (diff algebra): fold base→v1 and v1→v2
+    * changesets into the net base→v2 changeset without re-reading either
+    * snapshot — `composeChangesets(diff(a,b), diff(b,c), keys) ==
+    * diff(a,c)` minus N. Round-trips cancel; insert-then-delete vanishes.
+    */
+  def composeChangesets(d1: DataFrame, d2: DataFrame,
+                        keys: Seq[String]): DataFrame =
+    Differ.composeChangesets(d1, d2, keys)
+
+  /** Incremental SCD2 maintenance: apply a v→v+1 changeset to an
+    * existing history — close C/D keys' current intervals at `newVersion`,
+    * open fresh current rows for C/I. Changeset-sized work;
+    * `applyScd2(scd2(v0..v), diff(v, v+1)) == scd2(v0..v+1)`.
+    */
+  def applyScd2(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+                newVersion: Long): DataFrame =
+    Differ.applyScd2(dim, changes, keys, newVersion)
+
+  /** Top-k rank drift between snapshots: entered/exited/up/down/held per
+    * key in either side's top k by `scoreCol` (desc, key tie-break), with
+    * the signed rank delta on survivors.
+    */
+  def rankDrift(left: DataFrame, right: DataFrame, keys: Seq[String],
+                scoreCol: String, k: Int): DataFrame =
+    Differ.rankDrift(left, right, keys, scoreCol, k)
+
   /** Three-way keyed merge (git-style): per key, branch statuses vs base
     * and an N/L/R/A/X verdict with the mechanical resolution applied;
     * conflicts surface as NULL-payload rows, never silently resolved.

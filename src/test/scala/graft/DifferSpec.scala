@@ -690,6 +690,26 @@ class DifferSpec extends SparkTestBase {
     assert(e.getMessage.contains("dup_rank"))
   }
 
+  test("Graft facade delegates the r12 operators (compose/applyScd2/rankDrift/dupKeyRank)") {
+    // The facade is what a reference-class user calls; each new operator
+    // must be reachable there and agree with the Differ form.
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val b = Seq((1L, 1.5), (3L, 3.0)).toDF("k", "v")
+    val c = Seq((1L, 1.0), (3L, 3.5)).toDF("k", "v")
+    val ks = Seq("k")
+    assert(rowsOf(Graft.composeChangesets(Differ.diff(a, b, ks), Differ.diff(b, c, ks), ks)) ==
+      rowsOf(Differ.composeChangesets(Differ.diff(a, b, ks), Differ.diff(b, c, ks), ks)))
+    assert(rowsOf(Graft.rankDrift(a, b, ks, "v", 2)) ==
+      rowsOf(Differ.rankDrift(a, b, ks, "v", 2)))
+    assert(rowsOf(Graft.diffDupKeyRank(a, b, ks)) ==
+      rowsOf(Differ.diffDupKeyRank(a, b, ks)))
+    val snaps = a.select(col("k"), lit(0L).as("version"), col("v"))
+      .unionByName(b.select(col("k"), lit(1L).as("version"), col("v")))
+    val dim = Differ.scd2(snaps, ks, "version", Seq("v"), maxVersion = 1)
+    assert(rowsOf(Graft.applyScd2(dim, Differ.diff(b, c, ks), ks, 2)) ==
+      rowsOf(Differ.applyScd2(dim, Differ.diff(b, c, ks), ks, 2)))
+  }
+
   test("rankDrift: full vocabulary, key tie-break, and delta signs on a hand fixture (r12)") {
     // left top-3 by score: a(30)=1, b(20)=2, c(10)=3 (d=5 outside k).
     // right: c jumps to 40 (rank 1), a drops to 25 (rank 2), d enters at
