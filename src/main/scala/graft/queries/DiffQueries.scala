@@ -131,6 +131,13 @@ object DiffQueries {
        |           AS valid_to
        |  FROM sg GROUP BY k, seg)""".stripMargin
 
+  /** Fresh-per-call TxnLog dimension tables for stream_scd2_sink
+    * (pid-scoped root + counter — the StreamingQueries sink discipline).
+    */
+  private val scd2SinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val scd2SinkRoot: String =
+    s"/tmp/graft-scd2sink-${java.lang.ProcessHandle.current().pid()}"
+
   private def anyDistinct(cols: Seq[String]): String =
     cols.map(c => s"l.$c IS DISTINCT FROM r.$c").mkString(" OR ")
 
@@ -1425,6 +1432,31 @@ object DiffQueries {
     Q("diff_scd2", s"""$Scd2Ctes
          |SELECT o_orderkey, o_totalprice, valid_from, valid_to FROM dim""".stripMargin) { (s, d) =>
       scd2Dim(s, d)
+    },
+
+    // Streaming SCD2 dimension sink (r12) — the COMPOSITION capstone of
+    // the r12 maintenance family: full dimension snapshots arrive as a
+    // stream (the nightly extract feed), and each micro-batch diffs
+    // against the TxnLog table's current rows and applies the changeset
+    // incrementally (StreamOps.scd2Sink → Differ.applyScd2), committing
+    // version = batchId so a crash-replayed batch is a structural no-op
+    // (asserted in-line below, the stream_txn_sink discipline). The
+    // read-back history must equal the full SCD2 rebuild from the
+    // snapshot stack — the SAME oracle SQL as diff_scd2, which is the
+    // exactly-once proof AND the incremental-correctness proof in one.
+    Q("stream_scd2_sink", s"""$Scd2Ctes
+         |SELECT o_orderkey, o_totalprice, valid_from, valid_to FROM dim""".stripMargin) {
+      (s, d) =>
+        val table = s"$scd2SinkRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/t${scd2SinkSeq.incrementAndGet()}"
+        val sink = graft.streaming.StreamOps.scd2Sink(table, keys)
+        def snap(df: DataFrame) = df.select(col("o_orderkey"), col("o_totalprice"))
+        sink(snap(left(s, d)), 0L)
+        sink(snap(right(s, d)), 1L)
+        sink(snap(right(s, d)), 1L) // crash-replay: structural no-op
+        sink(snap(right2(s, d)), 2L)
+        graft.sources.TxnLog.read(s, table)
+          .select("o_orderkey", "o_totalprice", "valid_from", "valid_to")
     },
 
     // INCREMENTAL SCD2 maintenance (r12) — the nightly dimension load:

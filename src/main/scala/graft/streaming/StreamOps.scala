@@ -336,6 +336,48 @@ object StreamOps {
       ()
     }
 
+  /** Exactly-once streaming SCD2 DIMENSION sink: each micro-batch is a
+    * FULL dimension snapshot (the nightly extract arriving as a stream);
+    * the sink diffs it against the table's current rows and applies the
+    * changeset incrementally ([[graft.operators.Differ.applyScd2]] —
+    * close C/D keys' intervals at the batch id, open fresh current rows
+    * for C/I), committing the new history as table version = batchId via
+    * copy-on-write overwrite. Batch 0 initializes every row at
+    * valid_from 0. Version = batchId gives foreachBatch idempotence: a
+    * crash-replayed batch sees latestVersion ≥ batchId and is a
+    * structural no-op; a SKIPPED batch id fails loudly (a gap would
+    * silently mis-stamp every later interval). The oracle-checked key
+    * `stream_scd2_sink` pins the read-back history == the full SCD2
+    * rebuild from the snapshot stack; work per batch is changeset-sized
+    * plus the history rewrite (at 100 TB the overwrite becomes a keyed
+    * MERGE on the dimension table — dimension-sized, not fact-sized).
+    */
+  def scd2Sink(table: String, keys: Seq[String]): (DataFrame, Long) => Unit =
+    (snapshot, batchId) => {
+      import graft.sources.TxnLog
+      val spark = snapshot.sparkSession
+      val latest = TxnLog.latestVersion(table)
+      if (latest < batchId) {
+        require(latest == batchId - 1,
+          s"scd2Sink: version gap — table at $latest, batch $batchId arrived " +
+            "(a skipped micro-batch would mis-stamp every later interval)")
+        if (batchId == 0L)
+          TxnLog.init(
+            snapshot.withColumn("valid_from", lit(0L))
+              .withColumn("valid_to", lit(null).cast("long")), table)
+        else {
+          val dim = TxnLog.read(spark, table)
+          val current = dim.filter(col("valid_to").isNull)
+            .drop("valid_from", "valid_to")
+          val changes = graft.operators.Differ.diff(current, snapshot, keys)
+          TxnLog.overwrite(
+            graft.operators.Differ.applyScd2(dim, changes, keys, newVersion = batchId),
+            table)
+        }
+        ()
+      }
+    }
+
   /** Exactly-once streaming CDC UPSERT into a keyed TxnLog table: each
     * micro-batch of change rows merges file-granularly (stat-pruned
     * copy-on-write) as table version batchId + 1 — version 0 is the

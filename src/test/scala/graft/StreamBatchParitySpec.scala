@@ -281,6 +281,59 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("scd2Sink: true streaming snapshot feed maintains the SCD2 history exactly once (r12)") {
+    // Snapshot files arrive one per micro-batch (maxFilesPerTrigger=1,
+    // mtime-ordered); the sink must leave the TxnLog table equal to the
+    // full SCD2 rebuild of the snapshot stack, with one table version per
+    // batch and replay a structural no-op.
+    import graft.sources.TxnLog
+    import graft.operators.Differ
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val snaps = Seq(
+      Seq((1L, 10.0), (2L, 20.0)),                 // v0
+      Seq((1L, 11.0), (3L, 30.0)),                 // v1: C(1), D(2), I(3)
+      Seq((1L, 11.0), (2L, 25.0), (3L, 30.0)))     // v2: N(1), re-I(2), N(3)
+      .map(_.toDF("k", "v"))
+    val streamDir = Files.createTempDirectory("graft_scd2sink_feed")
+    snaps.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft_scd2sink_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val src = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = streamDir.resolve(f"v$i%03d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val table = Files.createTempDirectory("graft_scd2sink").resolve("dim").toString
+    val q = spark.readStream.schema(snaps.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch(StreamOps.scd2Sink(table, Seq("k")))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd2sink_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = rowsOf(TxnLog.read(spark, table)
+        .select("k", "v", "valid_from", "valid_to"))
+      val stack = snaps.zipWithIndex.map { case (df, i) =>
+        df.select(col("k"), lit(i.toLong).as("version"), col("v")) }
+        .reduce(_ unionByName _)
+      val rebuilt = rowsOf(Differ.scd2(stack, Seq("k"), "version", Seq("v"), maxVersion = 2)
+        .select("k", "v", "valid_from", "valid_to"))
+      assert(streamed == rebuilt, s"streamed=$streamed rebuilt=$rebuilt")
+      assert(TxnLog.latestVersion(table) == 2)
+      // crash-replay: re-invoking an already-committed batch id is a no-op
+      StreamOps.scd2Sink(table, Seq("k"))(snaps(1), 1L)
+      assert(rowsOf(TxnLog.read(spark, table)
+        .select("k", "v", "valid_from", "valid_to")) == rebuilt)
+      assert(TxnLog.latestVersion(table) == 2)
+    } finally q.stop()
+  }
+
   test("alertWithState: streamed hysteresis episodes == batch LOCF-window episodes") {
     Tables.ensureConfs(spark)
     val sfDir = "/root/testdata/sf0.001"
