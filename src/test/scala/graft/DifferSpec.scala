@@ -690,6 +690,32 @@ class DifferSpec extends SparkTestBase {
     assert(e.getMessage.contains("dup_rank"))
   }
 
+  test("r12 preconditions fail loudly: compose vocabulary mismatch, scd2Sink version gap") {
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+    val b = Seq((1L, 2.0)).toDF("k", "v")
+    val other = Seq((1L, 1.0)).toDF("k", "w")
+    // Changesets that disagree on value columns must not silently fold.
+    val e1 = intercept[IllegalArgumentException](
+      Differ.composeChangesets(Differ.diff(a, b, Seq("k")),
+        Differ.diff(other, other, Seq("k")), Seq("k")))
+    assert(e1.getMessage.contains("disagree"))
+    // A non-diff frame must name what is missing.
+    val e2 = intercept[IllegalArgumentException](
+      Differ.composeChangesets(a, a, Seq("k")))
+    assert(e2.getMessage.contains("not a diff output"))
+    // A skipped micro-batch id would mis-stamp every later interval.
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_scd2gap").resolve("dim").toString
+    val sink = graft.streaming.StreamOps.scd2Sink(table, Seq("k"))
+    sink(a, 0L)
+    val e3 = intercept[IllegalArgumentException](sink(b, 2L))
+    assert(e3.getMessage.contains("version gap"))
+    // applyScd2 refuses a frame without the interval columns.
+    val e4 = intercept[IllegalArgumentException](
+      Differ.applyScd2(a, Differ.diff(a, b, Seq("k")), Seq("k"), 1L))
+    assert(e4.getMessage.contains("valid_from"))
+  }
+
   test("Graft facade delegates the r12 operators (compose/applyScd2/rankDrift/dupKeyRank)") {
     // The facade is what a reference-class user calls; each new operator
     // must be reachable there and agree with the Differ form.
