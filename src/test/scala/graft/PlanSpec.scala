@@ -1404,6 +1404,45 @@ class PlanSpec extends SparkTestBase {
       s"global range-sort of a snapshot crept in:\n${plan.take(1500)}")
   }
 
+  test("diff_binary_digest: the digest computes BELOW the join — no blob crosses the exchange") {
+    // digestCols' whole point: the full-outer exchange ships 64 hex chars
+    // per cell, never the payload bytes. Pin: every join input projects a
+    // sha2 over the payload (digest below the join), and no join OUTPUT
+    // column is binary-typed.
+    val df = queryNamed(DiffQueries.all, "diff_binary_digest")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(!side.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+          s"a binary column reached the join input: ${side.output.map(_.dataType)}")
+      }
+    }
+    assert(plan.toString.toLowerCase.contains("sha2"),
+      "digest projection vanished from the plan")
+  }
+
+  test("diff_fk_gate: changeset probes a BROADCAST dim key set; census agg is partial") {
+    val plan = physical(DiffQueries.all, "diff_fk_gate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim key set must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count"),
+      s"gate census lost its map-side combine:\n${plan.take(1500)}")
+  }
+
+  test("curation_incremental: ONE full-outer (the changeset diff) + broadcast retract anti join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = queryNamed(graft.queries.CurationQueries.all, "curation_incremental")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joins.count(_ == FullOuter) == 1,
+      s"exactly one full-outer (the changeset diff) expected: $joins")
+    assert(joins.contains(LeftAnti), s"retract anti join missing: $joins")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the changeset-sized retract list must broadcast")
+  }
+
   test("stream_diff_complete: snapshot side broadcasts; agg is partial (map-side combinable)") {
     // The expected frame is windows × snapshot with BOTH sides broadcast-
     // sized by contract; the only data-sized exchange is the (window, key)
