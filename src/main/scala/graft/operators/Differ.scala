@@ -777,6 +777,11 @@ object Differ {
     * omitted, the anti-join plans as a shuffle join, and AQE may still
     * downgrade it to a broadcast at runtime if the actual size turns out
     * small — the estimate only decides whether we *force* the collect.
+    *
+    * PRECONDITION (r12, shared with [[composeChangesets]]): `changes`
+    * must be a FULL-PAYLOAD changeset (DiffOptions.sparse = false) — a
+    * sparse changeset nulls the equal columns of C rows, so the upsert
+    * would overwrite them with NULLs; not detectable from the shape.
     */
   def applyChangeset(base: DataFrame, changes: DataFrame, keys: Seq[String],
                      opts: DiffOptions = DiffOptions()): DataFrame = {
@@ -974,6 +979,12 @@ object Differ {
     * Hop-1's left values ARE base values for every key hop 1 touched; a
     * key only hop 2 touched was N across hop 1, so ITS left values are
     * base values too — no third input needed.
+    *
+    * PRECONDITION: both inputs must be FULL-PAYLOAD changesets
+    * (DiffOptions.sparse = false, the default). A sparse changeset nulls
+    * the equal columns of C rows, which this fold would mis-read as null
+    * base/v2 values — same contract as [[applyChangeset]], and not
+    * detectable from the frame shape.
     *
     * Scale shape: changesets are diff-sized (≪ snapshots); one full-outer
     * equi-join on the keys is the only exchange, and the net output feeds
