@@ -359,4 +359,21 @@ class DifferPropSpec extends SparkTestBase {
         s"case $i: compose(d, invert(d)) must be empty")
     }
   }
+
+  test("compose holds on COMPOSITE and NULLABLE keys (r12)") {
+    // The generated-triple pin runs single-key; this covers the <=>
+    // key-join path: a two-column key with a NULL component must fold
+    // exactly like the direct diff (null-safe keys address null-keyed
+    // rows in both).
+    def t(rows: Seq[(java.lang.Long, String, java.lang.Double)]) =
+      rows.toDF("k1", "k2", "v")
+    val keys = Seq("k1", "k2")
+    val a = t(Seq((1L, "x", 1.0), (null, "y", 2.0), (2L, null, 3.0), (3L, "z", 4.0)))
+    val b = t(Seq((1L, "x", 1.5), (null, "y", 2.0), (2L, null, 3.5), (4L, "w", 9.0)))
+    val c = t(Seq((1L, "x", 1.0), (null, "y", 7.0), (2L, null, 3.5), (4L, "w", 9.5)))
+    val composed = rowsOf(Differ.composeChangesets(
+      Differ.diff(a, b, keys), Differ.diff(b, c, keys), keys))
+    val direct = rowsOf(Differ.diff(a, c, keys).filter(col("diff_status") =!= "N"))
+    assert(composed == direct, s"composite/null keys: $composed vs $direct")
+  }
 }
