@@ -136,6 +136,13 @@ object GraftExtensions {
       s"graft_diff option '$name' must be numeric, got $other")
   }
 
+  private def toBool(name: String, v: Any): Boolean = v match {
+    case b: Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"graft_diff option '$name' must be a BOOLEAN literal (true/false), " +
+        s"got $other — a quoted 'true' or a 1 would silently mean the default")
+  }
+
   /** Folds the TVF's named arguments onto [[DiffOptions]] — the SQL-side
     * parity surface for the Scala options record (r11 verdict ask: the
     * TVF previously reached only the defaults). Supported names mirror
@@ -155,9 +162,9 @@ object GraftExtensions {
         case "ignore_cols" => o.copy(ignoreCols = csv(strLit(na.value, na.key)))
         case "bag_cols" => o.copy(bagCols = csv(strLit(na.value, na.key)))
         case "digest_cols" => o.copy(digestCols = csv(strLit(na.value, na.key)))
-        case "ignore_case" => o.copy(ignoreCase = v == true)
-        case "trim_ws" => o.copy(trimWs = v == true)
-        case "null_safe_keys" => o.copy(nullSafeKeys = v == true)
+        case "ignore_case" => o.copy(ignoreCase = toBool(na.key, v))
+        case "trim_ws" => o.copy(trimWs = toBool(na.key, v))
+        case "null_safe_keys" => o.copy(nullSafeKeys = toBool(na.key, v))
         case other => throw new IllegalArgumentException(
           s"graft_diff: unknown option '$other' (supported: abs_tol, rel_tol, " +
             "tol_cols, ignore_cols, bag_cols, digest_cols, ignore_case, trim_ws, " +

@@ -80,10 +80,7 @@ object ScaleProbe {
       "o_orderdate", "o_orderpriority")
     def estOnly(l: DataFrame, r: DataFrame): DataFrame = {
       val B = 4096
-      val ld = operators.Differ.bucketDigests(l, keys, vcols5, B).alias("ld")
-      val rd = operators.Differ.bucketDigests(r, keys, vcols5, B).alias("rd")
-      ld.join(rd, col("ld.__graft_bucket") === col("rd.__graft_bucket"), "full_outer")
-        .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
+      operators.Differ.dirtyBuckets(l, r, keys, vcols5, B)
         .agg(count(lit(1)).cast("double").as("dirty"))
         .select((log(lit(1.0) - col("dirty") / B) / math.log(1.0 - 1.0 / B))
           .as("est_changed_keys"))

@@ -295,13 +295,28 @@ object Differ {
     case (d1: DecimalType, d2: DecimalType) =>
       val s = math.max(d1.scale, d2.scale)
       val ip = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
-      Some(DecimalType(math.min(38, ip + s), s))
+      Some(decimalOrDie(ip, s, d1, d2))
     case _ => None
+  }
+
+  /** The widening ladder's promise is LOSSLESS-upward; a decimal that
+    * would need more than 38 digits cannot keep it, and silently capping
+    * at 38 would overflow mid-query (an ANSI cast error on a data-
+    * dependent row) or silently NULL values. Refuse at ANALYSIS time with
+    * both types named instead (r12 review fix).
+    */
+  private def decimalOrDie(intDigits: Int, scale: Int,
+                           a: DataType, b: DataType): DataType = {
+    require(intDigits + scale <= 38,
+      s"cannot losslessly widen ${a.sql} and ${b.sql}: the common type needs " +
+        s"${intDigits + scale} digits ($intDigits integer + $scale scale) but " +
+        "DECIMAL caps at 38 — cast one side explicitly or ignore the column")
+    DecimalType(intDigits + scale, scale)
   }
 
   /** Decimal wide enough for the decimal side AND any long (20 digits). */
   private def widenDecInt(d: DecimalType): DataType =
-    DecimalType(math.min(38, math.max(d.precision - d.scale, 20) + d.scale), d.scale)
+    decimalOrDie(math.max(d.precision - d.scale, 20), d.scale, d, LongType)
 
   /** Cast BOTH sides' retyped shared value columns to their common wider
     * type (pure projection — no exchange, no extra pass), so a column that
@@ -345,19 +360,27 @@ object Differ {
     * before the compare ([[coerceValueTypes]]); the output pair carries
     * the widened type. Non-coercible retypes fail loudly.
     */
-  def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
-           opts: DiffOptions = DiffOptions()): DataFrame = {
-    val (left1, right1) = coerceValueTypes(left0, right0, keys, opts)
-    // Digest columns project to their SHA-256 hex at the scan — the
-    // full-outer exchange below ships 64 chars per cell, never the blob.
-    def digested(df: DataFrame): DataFrame = opts.digestCols.foldLeft(df) { (d0, c) =>
+  /** Digest-column projection (DiffOptions.digestCols): each named column
+    * becomes its SHA-256 hex at the scan, so no downstream exchange ever
+    * ships the blob. Shared by [[diff]] and [[diffViaHash]]. Runs BEFORE
+    * type coercion (r12 review fix): a blob column retyped STRING↔BINARY
+    * between snapshots digests to the same hex either way, so digesting
+    * first makes the retype a non-event instead of a coercion failure.
+    */
+  private def digested(df: DataFrame, keys: Seq[String],
+                       opts: DiffOptions): DataFrame =
+    opts.digestCols.foldLeft(df) { (d0, c) =>
       require(d0.columns.contains(c), s"digestCols('$c'): column absent " +
         s"from [${d0.columns.mkString(", ")}]")
       require(!keys.contains(c), s"digestCols('$c'): keys cannot be digested " +
         "(the join must address the real key)")
       d0.withColumn(c, sha2(bq(c).cast("binary"), 256))
     }
-    val (left, right) = (digested(left1), digested(right1))
+
+  def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
+           opts: DiffOptions = DiffOptions()): DataFrame = {
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     // Prune to keys + shared value columns before the join (column pruning
@@ -614,12 +637,12 @@ object Differ {
           // NaN / +-Inf cast to DECIMAL as NULL, which would collide with
           // genuine NULLs (caught by DifferPropSpec: diffViaHash must call
           // NaN-vs-null C exactly like <=> does) — name them explicitly.
-          when(isnan(col(c)), lit("NaN"))
-            .when(col(c) === Double.PositiveInfinity, lit("Inf"))
-            .when(col(c) === Double.NegativeInfinity, lit("-Inf"))
-            .otherwise(col(c).cast(DecimalType(18, 2)).cast(StringType))
-        case TimestampNTZType       => unix_micros(col(c).cast(TimestampType)).cast(StringType)
-        case TimestampType          => unix_micros(col(c)).cast(StringType)
+          when(isnan(bq(c)), lit("NaN"))
+            .when(bq(c) === Double.PositiveInfinity, lit("Inf"))
+            .when(bq(c) === Double.NegativeInfinity, lit("-Inf"))
+            .otherwise(bq(c).cast(DecimalType(18, 2)).cast(StringType))
+        case TimestampNTZType       => unix_micros(bq(c).cast(TimestampType)).cast(StringType)
+        case TimestampType          => unix_micros(bq(c)).cast(StringType)
         case _: MapType             =>
           // Key-sorted entries: a map's stored order is an accident of its
           // construction, and the hash must agree with colEqual's
@@ -627,8 +650,8 @@ object Differ {
           // Nested maps deeper inside arrays/structs stay stored-order in
           // the STRING rendering only — diff() handles those via
           // mapAwareEq; the hash path documents exact-compare semantics.
-          to_json(sortedEntries(col(c))).cast(StringType)
-        case _                      => col(c).cast(StringType)
+          to_json(sortedEntries(bq(c))).cast(StringType)
+        case _                      => bq(c).cast(StringType)
       }
       coalesce(s, lit("␀"))
     }
@@ -637,6 +660,23 @@ object Differ {
 
   def rowHash(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(rowHashCol(df, cols).as("row_sha"))
+
+  /** String-normalization projection for the HASH paths (diffViaHash /
+    * diffIncremental): canonicalize string value columns exactly like
+    * [[colEqual]]'s normalized-compare branch (trim, then case-fold)
+    * before fingerprinting, so the hash classification agrees with
+    * diff()'s under DiffOptions(ignoreCase/trimWs). Classification-only —
+    * value fetches read the original frames. No-op at default options.
+    */
+  private def normForHash(df: DataFrame, vcols: Seq[String],
+                          opts: DiffOptions): DataFrame =
+    if (!opts.ignoreCase && !opts.trimWs) df
+    else df.select(df.columns.toSeq.map { c =>
+      if (vcols.contains(c) && df.schema(c).dataType == StringType) {
+        val t = if (opts.trimWs) trim(bq(c)) else bq(c)
+        (if (opts.ignoreCase) lower(t) else t).as(c)
+      } else bq(c)
+    }: _*)
 
   /** Two-phase hash diff — the 100 TB execution path for [[diff]] when the
     * changed fraction is small (the common case for day-over-day snapshots).
@@ -651,13 +691,22 @@ object Differ {
     * N rows are intentionally not materialized (at scale they ARE the
     * data); equivalence is pinned by DifferSpec. Hash comparison is exact:
     * tolerance options do not apply (use [[diff]] for tolerant compare).
+    * The DISCRETE options DO apply (r12 review fix — they previously
+    * silently dropped here): retyped columns widen before hashing,
+    * digestCols hash (and report) the digest, and ignoreCase/trimWs
+    * normalize the classification hash while phase 2 still fetches the
+    * ORIGINAL values (classification-only, like diff()).
     */
-  def diffViaHash(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def diffViaHash(left0: DataFrame, right0: DataFrame, keys: Seq[String],
                   opts: DiffOptions = DiffOptions()): DataFrame = {
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val VH = "__graft_vhash"
-    val lh = left.select(keys.map(bq) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
-    val rh = right.select(keys.map(bq) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
+    val lh = normForHash(left, vcols, opts)
+      .select(keys.map(bq) :+ rowHashCol(left, vcols).as(VH): _*).alias("lh")
+    val rh = normForHash(right, vcols, opts)
+      .select(keys.map(bq) :+ rowHashCol(right, vcols).as(VH): _*).alias("rh")
     val hashCond = keys.map(k => q("lh", k) <=> q("rh", k)).reduce(_ && _)
     val status = when(col(s"lh.$VH").isNull, lit("I"))
       .when(col(s"rh.$VH").isNull, lit("D"))
@@ -707,6 +756,21 @@ object Differ {
       .groupBy(BK)
       .agg(sum(col("h")).as("digest"), count(lit(1)).as("n"))
 
+  /** The buckets whose content digests disagree between the two sides —
+    * ONE `__graft_bucket` column, ≤ `buckets` rows. The shared phase-0 of
+    * [[diffIncremental]], the `diff_estimate` census, and ScaleProbe
+    * (r12 review fix: three hand-rolled copies of this compare could
+    * drift on what "dirty" means).
+    */
+  def dirtyBuckets(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   vcols: Seq[String], buckets: Int): DataFrame = {
+    val ld = bucketDigests(left, keys, vcols, buckets).alias("ld")
+    val rd = bucketDigests(right, keys, vcols, buckets).alias("rd")
+    ld.join(rd, col(s"ld.$BK") === col(s"rd.$BK"), "full_outer")
+      .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
+      .select(coalesce(col(s"ld.$BK"), col(s"rd.$BK")).as(BK))
+  }
+
   /** Reserved bucket-id column (cf. `__graft_vhash`): a user table with a
     * key or value column literally named "bucket" must not be clobbered by
     * [[diffIncremental]]'s temp bucketing.
@@ -727,15 +791,20 @@ object Differ {
     * projected to (status, keys) — pruning is content-lossless, so the
     * oracle is the plain full-outer classification.
     */
-  def diffIncremental(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def diffIncremental(left0: DataFrame, right0: DataFrame, keys: Seq[String],
                       buckets: Int = 64,
                       opts: DiffOptions = DiffOptions()): DataFrame = {
-    val vcols = valueCols(left, right, keys, opts)
-    val ld = bucketDigests(left, keys, vcols, buckets).alias("ld")
-    val rd = bucketDigests(right, keys, vcols, buckets).alias("rd")
-    val dirty = ld.join(rd, col(s"ld.$BK") === col(s"rd.$BK"), "full_outer")
-      .filter(!(col("ld.digest") <=> col("rd.digest")) || !(col("ld.n") <=> col("rd.n")))
-      .select(coalesce(col(s"ld.$BK"), col(s"rd.$BK")).as(BK))
+    // Same discrete-option discipline as diffViaHash (r12 review fix):
+    // widen retypes, digest blob columns, normalize strings — all BEFORE
+    // fingerprinting, so the incremental classification agrees with
+    // diff()'s. (The output is (status, keys) only, so the normalized
+    // frames never leak values.)
+    val (leftC, rightC) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
+    val vcols = valueCols(leftC, rightC, keys, opts)
+    val left = normForHash(leftC, vcols, opts)
+    val right = normForHash(rightC, vcols, opts)
+    val dirty = dirtyBuckets(left, right, keys, vcols, buckets)
     def dirtyOnly(df: DataFrame): DataFrame =
       df.withColumn(BK, pmod(xxhash64(keys.map(bq): _*), lit(buckets)))
         .join(broadcast(dirty), Seq(BK), "left_semi")
@@ -828,7 +897,7 @@ object Differ {
         s"[${right.columns.mkString(", ")}]")
     val inv = columnMap.map(_.swap)
     val renamed = right.select(
-      right.columns.toSeq.map(c => col(c).as(inv.getOrElse(c, c))): _*)
+      right.columns.toSeq.map(c => bq(c).as(inv.getOrElse(c, c))): _*)
     diff(left, renamed, keys, opts)
   }
 
@@ -1125,9 +1194,9 @@ object Differ {
     val inv = when(st === "I", lit("D")).when(st === "D", lit("I")).otherwise(st)
     changes.filter(st =!= "N").select(
       inv.as(opts.statusCol) +:
-        (passthrough.map(col) ++
-          vcols.map(c => col(s"$rp$c").as(s"$lp$c")) ++
-          vcols.map(c => col(s"$lp$c").as(s"$rp$c"))): _*)
+        (passthrough.map(bq) ++
+          vcols.map(c => bq(s"$rp$c").as(s"$lp$c")) ++
+          vcols.map(c => bq(s"$lp$c").as(s"$rp$c"))): _*)
   }
 
   /** Slowly-changing-dimension (SCD type 2) history build from a stack of
@@ -1149,15 +1218,15 @@ object Differ {
   def scd2(snaps: DataFrame, keys: Seq[String], versionCol: String,
            valueCols: Seq[String], maxVersion: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(bq): _*).orderBy(col(versionCol))
-    val prevV = lag(col(versionCol), 1).over(w)
+      .partitionBy(keys.map(bq): _*).orderBy(bq(versionCol))
+    val prevV = lag(bq(versionCol), 1).over(w)
     val valueChanged = valueCols
-      .map(c => !(lag(col(c), 1).over(w) <=> col(c)))
+      .map(c => !(lag(bq(c), 1).over(w) <=> bq(c)))
       .reduce(_ || _)
-    val brk = when(prevV.isNull || prevV =!= col(versionCol) - 1 || valueChanged,
+    val brk = when(prevV.isNull || prevV =!= bq(versionCol) - 1 || valueChanged,
       1L).otherwise(0L)
     val runW = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(bq): _*).orderBy(col(versionCol))
+      .partitionBy(keys.map(bq): _*).orderBy(bq(versionCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     snaps
       .withColumn("__graft_brk", brk)
@@ -1165,11 +1234,11 @@ object Differ {
       .groupBy((keys :+ "__graft_seg").map(col): _*)
       // values are constant within a segment by construction; max is the
       // deterministic way to surface them through the agg
-      .agg(valueCols.map(c => max(col(c)).as(c)).head,
-        valueCols.tail.map(c => max(col(c)).as(c)) ++ Seq(
-          min(col(versionCol)).cast("long").as("valid_from"),
-          max(col(versionCol)).cast("long").as("__graft_vmax")): _*)
-      .select((keys.map(bq) ++ valueCols.map(col) ++ Seq(
+      .agg(valueCols.map(c => max(bq(c)).as(c)).head,
+        valueCols.tail.map(c => max(bq(c)).as(c)) ++ Seq(
+          min(bq(versionCol)).cast("long").as("valid_from"),
+          max(bq(versionCol)).cast("long").as("__graft_vmax")): _*)
+      .select((keys.map(bq) ++ valueCols.map(bq) ++ Seq(
         col("valid_from"),
         when(col("__graft_vmax") === maxVersion, lit(null).cast("long"))
           .otherwise(col("__graft_vmax") + 1).as("valid_to"))): _*)
@@ -1346,13 +1415,22 @@ object Differ {
     * this the [[diffViaHash]] two-phase path instead of materializing N
     * rows.
     */
-  def report(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def report(left0: DataFrame, right0: DataFrame, keys: Seq[String],
              exampleOn: String,
              opts: DiffOptions = DiffOptions(), k: Int = 5): DataFrame = {
+    // Column stats must re-compare the SAME values diff() compared — the
+    // widened/digested projections, not the original left schema (r12
+    // review fix: under a retype + tolerance, the original DecimalType
+    // would compare exactly here while the census compared tolerantly as
+    // double — an internally inconsistent report).
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val st = opts.statusCol
-    val d = diff(left, right, keys, opts)
+    // digestCols stripped for the inner call: the frames are already
+    // digested — diff() re-digesting would double-hash the column.
+    val d = diff(left, right, keys, opts.copy(digestCols = Set.empty))
     val matched = col(st).isin("N", "C")
     val nullD = lit(null).cast("double")
 
@@ -1412,9 +1490,9 @@ object Differ {
     // Pass 2: k example rows per non-N status, deterministic key order.
     val examples = TextOps.topKPerGroup(
       d.filter(col(st) =!= "N"), Seq(st), keys.map(bq), k = k,
-      bucketOn = col(keys.head))
+      bucketOn = bq(keys.head))
       .select(concat(lit("examples:"), col(st)).as("section"),
-        concat_ws("|", keys.map(kc => col(kc).cast("string")): _*).as("item"),
+        concat_ws("|", keys.map(kc => bq(kc).cast("string")): _*).as("item"),
         col("rank").cast("long").as("n"),
         // try_cast, not cast: under ANSI a plain cast THROWS on a
         // non-numeric exampleOn column (the totality house rule) — a

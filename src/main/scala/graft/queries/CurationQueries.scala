@@ -62,14 +62,7 @@ object CurationQueries {
     // flip low_diversity docs past the ratio gate, case-rewrite %19,
     // insert %29 re-keyed) so every retract/insert/re-gate path runs.
     Q("curation_incremental",
-      s"""WITH v2 AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
-         |              WHEN doc_id % 19 = 0 THEN upper(text)
-         |              ELSE text END AS text
-         |  FROM documents WHERE doc_id % 53 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+      s"""WITH ${DiffQueries.CorpusV2Cte},
          |sig AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |               len(list_distinct(string_split(text, ' '))) AS n_distinct
          |        FROM v2)
@@ -91,13 +84,7 @@ object CurationQueries {
               col("n_distinct") * distinctDen >= col("n_tokens") * distinctNum)
         }
         val v1 = Tables.cachedTable(s, d, "documents").select(col("doc_id"), col("text"))
-        val v2 = v1.filter(col("doc_id") % 53 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
-              .when(col("doc_id") % 19 === 0, upper(col("text")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(v1.filter(col("doc_id") % 29 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val v2 = DiffQueries.corpusV2(s, d).select(col("doc_id"), col("text"))
         // Yesterday's curated artifact + today's changeset.
         val curatedV1 = gate(v1)
         val changes = graft.operators.Differ.diff(v1, v2, Seq("doc_id"))

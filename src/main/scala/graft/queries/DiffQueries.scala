@@ -131,6 +131,37 @@ object DiffQueries {
        |           AS valid_to
        |  FROM sg GROUP BY k, seg)""".stripMargin
 
+  /** ONE corpus-v2 perturbation for every corpus-snapshot key (r12 review
+    * fix — three hand-maintained copies in two languages had to stay
+    * byte-equal for the oracles to mean anything): drop %53 docs, append
+    * a token to %17, case-rewrite %19, re-key %29 copies as inserts —
+    * pure integer/string ops both engines replay bit-identically.
+    * Consumers: diff_text_delta (inner join — the inserts and drops
+    * self-exclude), diff_binary_digest, curation_incremental.
+    */
+  private[queries] def corpusV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.cachedTable(s, d, "documents")
+    docs.filter(col("doc_id") % 53 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
+          .when(col("doc_id") % 19 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+  }
+
+  /** DuckDB mirror of [[corpusV2]] — a bare `v2 AS (...)` CTE body. */
+  private[queries] val CorpusV2Cte: String =
+    """v2 AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
+      |              WHEN doc_id % 19 = 0 THEN upper(text)
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 53 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents
+      |  WHERE doc_id % 29 = 0)""".stripMargin
+
   /** Fresh-per-call TxnLog dimension tables for stream_scd2_sink
     * (pid-scoped root + counter — the StreamingQueries sink discipline).
     */
@@ -617,15 +648,11 @@ object DiffQueries {
     // shape: one key equi-join of the two corpora; the set ops are
     // per-row; nothing quadratic, no pair explosion.
     Q("diff_text_delta",
-      """WITH dl AS (SELECT doc_id, text FROM documents),
-        |dr AS (SELECT doc_id,
-        |              CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
-        |                   WHEN doc_id % 19 = 0 THEN upper(text)
-        |                   ELSE text END AS text
-        |       FROM documents WHERE doc_id % 53 <> 0),
-        |c AS (SELECT dl.doc_id, dl.text AS lt, dr.text AS rt
-        |      FROM dl JOIN dr ON dl.doc_id = dr.doc_id
-        |      WHERE dl.text IS DISTINCT FROM dr.text),
+      s"""WITH dl AS (SELECT doc_id, text FROM documents),
+        |$CorpusV2Cte,
+        |c AS (SELECT dl.doc_id, dl.text AS lt, v2.text AS rt
+        |      FROM dl JOIN v2 ON dl.doc_id = v2.doc_id
+        |      WHERE dl.text IS DISTINCT FROM v2.text),
         |t AS (SELECT doc_id,
         |             list_distinct(string_split(lt, ' ')) AS ls,
         |             list_distinct(string_split(rt, ' ')) AS rs
@@ -637,12 +664,7 @@ object DiffQueries {
         |         / len(list_distinct(list_concat(ls, rs))) AS jaccard
         |FROM t""".stripMargin) { (s, d) =>
       val dl = Tables.cachedTable(s, d, "documents").select(col("doc_id"), col("text"))
-      val dr = Tables.cachedTable(s, d, "documents")
-        .filter(col("doc_id") % 53 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
-            .when(col("doc_id") % 19 === 0, upper(col("text")))
-            .otherwise(col("text")).as("text"))
+      val dr = corpusV2(s, d).select(col("doc_id"), col("text"))
       Differ.changed(dl, dr, Seq("doc_id"))
         .select(col("doc_id"),
           array_distinct(split(col("left_text"), " ")).as("ls"),
@@ -665,39 +687,22 @@ object DiffQueries {
     // oracle recomputes the same utf-8 digests in DuckDB (cross-engine
     // sha256 parity is pinned by diff_row_hash since r1).
     Q("diff_binary_digest",
-      """WITH dl AS (SELECT doc_id, lang, text FROM documents),
-        |dr AS (SELECT doc_id, lang,
-        |              CASE WHEN doc_id % 17 = 0 THEN text || ' zzzx'
-        |                   WHEN doc_id % 19 = 0 THEN upper(text)
-        |                   ELSE text END AS text
-        |       FROM documents WHERE doc_id % 53 <> 0
-        |       UNION ALL
-        |       SELECT doc_id + 1000000, lang, text FROM documents
-        |       WHERE doc_id % 29 = 0)
+      s"""WITH dl AS (SELECT doc_id, lang, text FROM documents),
+        |$CorpusV2Cte
         |SELECT CASE WHEN dl.doc_id IS NULL THEN 'I'
-        |            WHEN dr.doc_id IS NULL THEN 'D'
-        |            WHEN dl.lang IS DISTINCT FROM dr.lang
-        |              OR sha256(dl.text) IS DISTINCT FROM sha256(dr.text) THEN 'C'
+        |            WHEN v2.doc_id IS NULL THEN 'D'
+        |            WHEN dl.lang IS DISTINCT FROM v2.lang
+        |              OR sha256(dl.text) IS DISTINCT FROM sha256(v2.text) THEN 'C'
         |            ELSE 'N' END AS diff_status,
-        |       COALESCE(dl.doc_id, dr.doc_id) AS doc_id,
-        |       dl.lang AS left_lang, dr.lang AS right_lang,
-        |       sha256(dl.text) AS left_payload, sha256(dr.text) AS right_payload
-        |FROM dl FULL OUTER JOIN dr ON dl.doc_id = dr.doc_id""".stripMargin) {
+        |       COALESCE(dl.doc_id, v2.doc_id) AS doc_id,
+        |       dl.lang AS left_lang, v2.lang AS right_lang,
+        |       sha256(dl.text) AS left_payload, sha256(v2.text) AS right_payload
+        |FROM dl FULL OUTER JOIN v2 ON dl.doc_id = v2.doc_id""".stripMargin) {
       (s, d) =>
         def pack(df: DataFrame) = df.select(col("doc_id"), col("lang"),
           col("text").cast("binary").as("payload"))
-        val dl = pack(Tables.cachedTable(s, d, "documents"))
-        val dr = pack(Tables.cachedTable(s, d, "documents")
-          .filter(col("doc_id") % 53 =!= 0)
-          .select(col("doc_id"), col("lang"),
-            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" zzzx")))
-              .when(col("doc_id") % 19 === 0, upper(col("text")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(Tables.cachedTable(s, d, "documents")
-            .filter(col("doc_id") % 29 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
-        Differ.diff(dl, dr, Seq("doc_id"),
-          DiffOptions(digestCols = Set("payload")))
+        Differ.diff(pack(Tables.cachedTable(s, d, "documents")), pack(corpusV2(s, d)),
+          Seq("doc_id"), DiffOptions(digestCols = Set("payload")))
     },
 
     // Changeset FK gate (r12) — the integrity check an ingest runs BEFORE
@@ -755,12 +760,7 @@ object DiffQueries {
       val B = 4096
       val vcols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
-      val ld = Differ.bucketDigests(left(s, d), keys, vcols, B).alias("ld")
-      val rd = Differ.bucketDigests(right(s, d), keys, vcols, B).alias("rd")
-      val dirty = ld.join(rd, col("ld.__graft_bucket") === col("rd.__graft_bucket"),
-          "full_outer")
-        .filter(!(col("ld.digest") <=> col("rd.digest")) ||
-          !(col("ld.n") <=> col("rd.n")))
+      val dirty = Differ.dirtyBuckets(left(s, d), right(s, d), keys, vcols, B)
         .agg(count(lit(1)).cast("long").as("n_dirty"))
       val exact = Differ.diffViaHash(left(s, d), right(s, d), keys)
         .agg(count(lit(1)).cast("long").as("n_changed_exact"))

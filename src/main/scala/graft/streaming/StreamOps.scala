@@ -269,8 +269,12 @@ object StreamOps {
     stream
       .withWatermark(tsCol, delay)
       .select(
-        // exact integer floor-to-window (no double division anywhere)
-        (col("ts_us").cast("long") - pmod(col("ts_us").cast("long"), lit(widthUs)))
+        // exact integer floor-to-window (no double division anywhere),
+        // derived from tsCol ITSELF — the window clock and the watermark
+        // clock must be the same column or a closed window could still
+        // receive rows (r12 review fix: this previously read a hardcoded
+        // ts_us column)
+        (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
           .as("window_start_us"),
         col(keyCol).cast("long").as("key"),
         // watermark-tagged column must reach the stateful operator verbatim

@@ -690,6 +690,62 @@ class DifferSpec extends SparkTestBase {
     assert(e.getMessage.contains("dup_rank"))
   }
 
+  test("hash paths honor the discrete options: normalize/widen/digest match diff() (r12 review)") {
+    // diffViaHash and diffIncremental previously hashed RAW values, so a
+    // case-only edit classified C on the hash path while diff() said N.
+    val l = Seq((1L, "Alpha ", 10), (2L, "beta", 20), (3L, "gamma", 30))
+      .toDF("k", "s", "v")
+    val r = Seq((1L, "alpha", 10), (2L, "beta", 25), (4L, "delta", 40))
+      .toDF("k", "s", "v")
+    val o = DiffOptions(ignoreCase = true, trimWs = true)
+    val full = rowsOf(Differ.diff(l, r, keys, o).filter(col("diff_status") =!= "N"))
+    assert(rowsOf(Differ.diffViaHash(l, r, keys, o)) == full,
+      "viaHash diverged from diff under ignoreCase/trimWs")
+    val incKeys = rowsOf(Differ.diffIncremental(l, r, keys, buckets = 8, o))
+    assert(incKeys == rowsOf(Differ.diff(l, r, keys, o)
+      .filter(col("diff_status") =!= "N").select("diff_status", "k")),
+      "incremental diverged from diff under ignoreCase/trimWs")
+
+    // Retyped column: the hash path must widen before hashing — an int/long
+    // retype is N when values agree, exactly like diff().
+    val li = Seq((1L, 5), (2L, 7)).toDF("k", "v") // v: int
+    val ri = Seq((1L, 5L), (2L, 8L)).toDF("k", "v") // v: long
+    assert(rowsOf(Differ.diffViaHash(li, ri, keys)) ==
+      rowsOf(Differ.diff(li, ri, keys).filter(col("diff_status") =!= "N")))
+
+    // digestCols across a STRING<->BINARY retype: digesting first makes
+    // the retype a non-event (both sides hash the same utf-8 bytes).
+    val lb = Seq((1L, "blob-a"), (2L, "blob-b")).toDF("k", "payload")
+    val rb = Seq((1L, "blob-a"), (2L, "blob-c")).toDF("k", "payload")
+      .select(col("k"), col("payload").cast("binary").as("payload"))
+    val dg = Differ.diff(lb, rb, keys, DiffOptions(digestCols = Set("payload")))
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[String]("diff_status")).toMap
+    assert(dg == Map(1L -> "N", 2L -> "C"), s"digest across retype: $dg")
+    // and viaHash agrees, reporting digests too
+    assert(rowsOf(Differ.diffViaHash(lb, rb, keys, DiffOptions(digestCols = Set("payload")))) ==
+      rowsOf(Differ.diff(lb, rb, keys, DiffOptions(digestCols = Set("payload")))
+        .filter(col("diff_status") =!= "N")))
+
+    // A widening that cannot stay lossless refuses at analysis time.
+    val hugeL = Seq((1L, 1000000000L)).toDF("k", "v")
+    val hugeR = spark.sql("SELECT 1L AS k, CAST(1.5 AS DECIMAL(38,30)) AS v")
+    val e = intercept[IllegalArgumentException](Differ.diff(hugeL, hugeR, keys))
+    assert(e.getMessage.contains("38"), e.getMessage)
+  }
+
+  test("dotted/backticked names survive the hash and scd2 paths (r12 review)") {
+    val l = Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("k", "a.b", "c`d")
+    val r = Seq((1L, 1.0, "x"), (2L, 2.5, "y")).toDF("k", "a.b", "c`d")
+    assert(rowsOf(Differ.diffViaHash(l, r, keys)) ==
+      rowsOf(Differ.diff(l, r, keys).filter(col("diff_status") =!= "N")))
+    assert(Differ.diffDupKeyRank(l, r, keys).count() >= 2)
+    val snaps = l.select(col("k"), lit(0L).as("version"), col("`a.b`"))
+      .unionByName(r.select(col("k"), lit(1L).as("version"), col("`a.b`")))
+    assert(Differ.scd2(snaps, keys, "version", Seq("a.b"), maxVersion = 1).count() >= 2)
+    val inv = Differ.invertChangeset(Differ.diff(l, r, keys))
+    assert(inv.columns.contains("left_a.b"))
+  }
+
   test("r12 preconditions fail loudly: compose vocabulary mismatch, scd2Sink version gap") {
     val a = Seq((1L, 1.0)).toDF("k", "v")
     val b = Seq((1L, 2.0)).toDF("k", "v")

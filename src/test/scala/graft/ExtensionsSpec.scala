@@ -199,5 +199,14 @@ class ExtensionsSpec extends SparkTestBase {
         """SELECT * FROM graft_diff('ext_opt_l', 'ext_opt_r', 'o_orderkey',
           |  abs_tol => rand())""".stripMargin).collect()
     }
+
+    // Boolean options must be BOOLEAN literals — a quoted 'true' or a 1
+    // would otherwise silently mean the default (r12 review fix).
+    val eb = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_diff('ext_opt_l', 'ext_opt_r', 'o_orderkey', ignore_case => 'true')")
+        .collect()
+    }
+    assert(eb.getMessage.contains("BOOLEAN"), eb.getMessage.take(200))
   }
 }
