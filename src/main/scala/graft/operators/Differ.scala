@@ -873,7 +873,7 @@ object Differ {
     val buildSide =
       if (threshold > 0 && estBytes <= BigInt(threshold)) broadcast(removed) else removed
     val kept = base.join(buildSide,
-      keys.map(k => base(k) <=> buildSide(k)).reduce(_ && _), "left_anti")
+      keys.map(k => base(sqlBq(k)) <=> buildSide(sqlBq(k))).reduce(_ && _), "left_anti")
     val upserts = changes.filter(st === "C" || st === "I")
       .select(keys.map(bq) ++
         vcols.map(c => bq(s"${opts.rightPrefix}$c").as(c)): _*)
@@ -1285,7 +1285,7 @@ object Differ {
     val buildSide =
       if (threshold > 0 && estBytes <= BigInt(threshold)) broadcast(toClose) else toClose
     def keyCond(l: DataFrame) =
-      keys.map(k => l(k) <=> buildSide(k)).reduce(_ && _)
+      keys.map(k => l(sqlBq(k)) <=> buildSide(sqlBq(k))).reduce(_ && _)
     val current = dim.filter(col("valid_to").isNull)
     val closedHistory = dim.filter(col("valid_to").isNotNull)
     val stillCurrent = current.join(buildSide, keyCond(current), "left_anti")

@@ -744,6 +744,13 @@ class DifferSpec extends SparkTestBase {
     assert(Differ.scd2(snaps, keys, "version", Seq("a.b"), maxVersion = 1).count() >= 2)
     val inv = Differ.invertChangeset(Differ.diff(l, r, keys))
     assert(inv.columns.contains("left_a.b"))
+    // Dotted KEY through apply/compose: the df(name) refs must not
+    // dot-split either (same class, applyChangeset/applyScd2 keyCond).
+    val lk = Seq((1L, 10.0), (2L, 20.0)).toDF("k.x", "v")
+    val rk = Seq((1L, 11.0), (3L, 30.0)).toDF("k.x", "v")
+    val applied = Differ.applyChangeset(lk,
+      Differ.diff(lk, rk, Seq("k.x")), Seq("k.x"))
+    assert(rowsOf(applied) == rowsOf(rk), "dotted-key apply round-trip")
   }
 
   test("r12 preconditions fail loudly: compose vocabulary mismatch, scd2Sink version gap") {
