@@ -86,7 +86,9 @@ object GraftExtensions {
     * 't_new', 'k1,k2')` makes the keyed diff (and its status census via
     * `graft_diff_summary`) reachable from plain SQL with no Scala in
     * sight. The builder runs at ANALYSIS time: it resolves the two named
-    * tables through the active session's catalog, builds the exact same
+    * tables through the active session's catalog — or, when a name is not
+    * a catalog table, as an existing parquet PATH ([[resolveSide]]; zero
+    * registration ceremony) — and builds the exact same
     * [[graft.operators.Differ.diff]]/[[graft.operators.Differ.summary]]
     * plan the Scala API produces (one full-outer key join — Catalyst then
     * optimizes it like any other subtree: pushdown, AQE, broadcast), and
@@ -172,6 +174,31 @@ object GraftExtensions {
       }
     }
 
+  /** Resolve a TVF side argument: catalog table name first (the common
+    * case), else an existing parquet PATH (r13 — zero-registration
+    * ceremony: `graft_diff('path/a.parquet', 'path/b.parquet', 'k')` works
+    * straight against files). Both are analysis-time splices — the path
+    * form reads schema once here and plans the same pruned scan a
+    * registered table would. Neither resolving fails loudly with both
+    * interpretations named; a name with catalog-illegal characters (a
+    * path) skips the catalog probe instead of surfacing its parse error.
+    */
+  private def resolveSide(spark: SparkSession, name: String,
+                          what: String): org.apache.spark.sql.DataFrame = {
+    val inCatalog =
+      try spark.catalog.tableExists(name)
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (inCatalog) spark.table(name)
+    else {
+      val p = new org.apache.hadoop.fs.Path(name)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) spark.read.parquet(name)
+      else throw new IllegalArgumentException(
+        s"graft_diff: $what '$name' is neither a table in the session " +
+          "catalog nor an existing parquet path")
+    }
+  }
+
   private def diffTvf(summary: Boolean)(args: Seq[Expression]): LogicalPlan = {
     val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 3,
@@ -179,8 +206,8 @@ object GraftExtensions {
         "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
     val opts = foldOptions(named.map(_.asInstanceOf[NamedArgumentExpression]))
     val spark = SparkSession.active
-    val l = spark.table(strLit(positional.head, "left_table"))
-    val r = spark.table(strLit(positional(1), "right_table"))
+    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
     val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val df = if (summary) Differ.summary(l, r, keys, opts) else Differ.diff(l, r, keys, opts)
     df.queryExecution.analyzed

@@ -206,6 +206,35 @@ object CurateOps {
       .drop("__graft_band", "__graft_off", "__graft_rn")
   }
 
+  /** Banded two-phase inclusive CUMULATIVE SUMS over a global order — the
+    * [[bandedRank]] decomposition applied to running totals: phase 1 sums
+    * each weight per band (a band-grid-sized frame whose exclusive prefix
+    * sums broadcast), phase 2 runs the within-band running sums; the global
+    * running sum = band offset + local running sum. Lossless for any `band`
+    * monotone in `orderCol`; `orderCol` must be globally unique (a
+    * permutation order), so RANGE and ROWS frames coincide. Several weights
+    * cumulate in ONE pass — they share the band exchange and the local
+    * sort. Pinned against the naive global window in CuratePropSpec.
+    */
+  def bandedCumsum(df: DataFrame, orderCol: String, band: Column,
+      weights: Seq[(String, String)]): DataFrame = {
+    require(weights.nonEmpty, "bandedCumsum: need at least one weight column")
+    val b = df.withColumn("__graft_band", band)
+    val subs = b.groupBy("__graft_band").agg(
+      sum(weights.head._1).as(s"__graft_s_${weights.head._1}"),
+      weights.tail.map { case (in, _) => sum(in).as(s"__graft_s_$in") }: _*)
+    val wOff = Window.orderBy("__graft_band").rowsBetween(Long.MinValue, -1)
+    val off = subs.select(col("__graft_band") +: weights.map { case (in, _) =>
+      coalesce(sum(s"__graft_s_$in").over(wOff), lit(0L)).as(s"__graft_o_$in")
+    }: _*)
+    val wl = Window.partitionBy("__graft_band").orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, 0)
+    weights.foldLeft(b.join(broadcast(off), "__graft_band")) {
+      case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in)).over(wl) + col(s"__graft_o_$in"))
+    }.drop("__graft_band" +: weights.map { case (in, _) => s"__graft_o_$in" }: _*)
+  }
+
   /** Exact per-group quantiles WITHOUT per-group value buffers — the scale
     * replacement for `percentile()`, whose TypedImperativeAggregate
     * collects every value of a group into one executor buffer (the OOM at

@@ -53,6 +53,28 @@ import org.apache.spark.sql.types._
   *                    already accepted). Honored by [[Differ.diff]] and
   *                    everything built on it (summary/report/…)
   */
+/** Duplicate-surplus pairing rule for [[Differ.diffDupKeyRank]]: how rows
+  * within a non-unique key group line up for the rank-matched compare.
+  */
+sealed trait DupPairing
+object DupPairing {
+  /** Rank by the canonical value FINGERPRINT (rowHash) — stable, cheap
+    * (one hash per row regardless of width), but hash order scatters
+    * near-identical rows, so one changed value can re-rank a row far from
+    * its former counterpart and cascade C rows across the group.
+    */
+  case object ByHash extends DupPairing
+  /** Rank by the full VALUE TUPLE (all orderable shared value columns,
+    * ascending nulls-first, fingerprint as the final tie-break) —
+    * datacompy's practical sort-within-group behavior: near-identical rows
+    * stay adjacent, so a single changed value re-pairs minimally instead
+    * of cascading. Costs a wide sort key instead of one hash;
+    * non-orderable (map-bearing) columns ride only the fingerprint
+    * tie-break.
+    */
+  case object ByValue extends DupPairing
+}
+
 final case class DiffOptions(
     statusCol: String = "diff_status",
     leftPrefix: String = "left_",
@@ -75,7 +97,26 @@ final case class DiffOptions(
       * join. Value-column comparison is null-safe either way.
       */
     nullSafeKeys: Boolean = true,
-    digestCols: Set[String] = Set.empty) {
+    digestCols: Set[String] = Set.empty,
+    /** Pairing rule for duplicate-key rank matching — see [[DupPairing]].
+      * Only [[Differ.diffDupKeyRank]] reads it.
+      */
+    dupPairing: DupPairing = DupPairing.ByHash) {
+
+  // A digested column is a SHA-256 hex STRING at compare time, so a numeric
+  // tolerance silently degrades to exact hex equality and a bag compare
+  // fails with a type error deep in the plan. Refuse the contradiction at
+  // construction, naming the columns (r13 review fix — loud-failure house
+  // style, same tier as the unknown-TVF-option and vocabulary-mismatch
+  // requires).
+  {
+    val clash = digestCols.intersect(tolCols ++ bagCols)
+    require(clash.isEmpty,
+      s"digestCols overlap tolCols/bagCols on [${clash.toSeq.sorted.mkString(", ")}]: " +
+        "a digested column compares as its SHA-256 hex, so tolerance/bag " +
+        "semantics cannot apply — digest a column OR compare it by " +
+        "tolerance/bag, not both")
+  }
 
   /** Key-compare operator per [[nullSafeKeys]]. */
   private[operators] def keyEq(l: org.apache.spark.sql.Column,
@@ -290,8 +331,8 @@ object Differ {
       Some(if (a.defaultSize >= b.defaultSize) a else b)
     case (DoubleType | FloatType, _: NumericType) => Some(DoubleType)
     case (_: NumericType, DoubleType | FloatType) => Some(DoubleType)
-    case (d: DecimalType, i) if integral(i) => Some(widenDecInt(d))
-    case (i, d: DecimalType) if integral(i) => Some(widenDecInt(d))
+    case (d: DecimalType, i) if integral(i) => Some(widenDecInt(d, i))
+    case (i, d: DecimalType) if integral(i) => Some(widenDecInt(d, i))
     case (d1: DecimalType, d2: DecimalType) =>
       val s = math.max(d1.scale, d2.scale)
       val ip = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
@@ -314,9 +355,23 @@ object Differ {
     DecimalType(intDigits + scale, scale)
   }
 
-  /** Decimal wide enough for the decimal side AND any long (20 digits). */
-  private def widenDecInt(d: DecimalType): DataType =
-    decimalOrDie(math.max(d.precision - d.scale, 20), d.scale, d, LongType)
+  /** Decimal wide enough for the decimal side AND the ACTUAL integral type
+    * on the other side — the digit budget Spark's own `DecimalType.forType`
+    * assigns (byte 3, short 5, int 10, long 20). Sizing to the real type
+    * instead of a blanket long (r13 review fix) keeps int-vs-high-scale
+    * diffs losslessly representable: DECIMAL(38,28) vs INT needs
+    * max(10,10)+28 = 38 and passes, where the old long assumption demanded
+    * 48 and refused unconditionally. A genuine overflow (long vs scale>18)
+    * still refuses at analysis time via [[decimalOrDie]] — the explicit
+    * `cast` on one side, or DiffOptions.ignoreCols, is the escape hatch
+    * named in that error.
+    */
+  private def widenDecInt(d: DecimalType, i: DataType): DataType = {
+    val intDigits = i match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10; case _ => 20
+    }
+    decimalOrDie(math.max(d.precision - d.scale, intDigits), d.scale, d, i)
+  }
 
   /** Cast BOTH sides' retyped shared value columns to their common wider
     * type (pure projection — no exchange, no extra pass), so a column that
@@ -423,6 +478,59 @@ object Differ {
     diff(left, right, keys, opts)
       .groupBy(opts.statusCol)
       .agg(count(lit(1)).as("n"))
+
+  /** Catalog-level multi-table diff sweep (r13) — "did last night's load
+    * change ANY of the N tables?" as ONE long-format report: per table
+    * pair, [[summary]]'s 4-status census (every status always present,
+    * zero-filled via a broadcast spine — a fixed 4 rows per table so the
+    * report is scannable) plus [[schemaDiff]]'s non-`same` rows, each row
+    * carrying a per-table `pass`/`fail` verdict (`pass` ⇔ zero C/I/D AND
+    * zero schema drift).
+    *
+    * Output: `(table_name, kind['census'|'schema'], item[status letter |
+    * column name], detail[NULL | schema status], n[count | NULL],
+    * verdict)` — `tables × (4 + drift)` rows.
+    *
+    * Scale shape: one full-outer diff exchange per table pair (each
+    * [[diff]]'s documented single exchange), census aggs map-side
+    * combinable, the 4-row spines and the report-sized verdict window
+    * cost nothing; the per-pair plans UNION into one job — no driver-side
+    * loop over collected results, no action until the caller runs the
+    * report. Retyped columns follow [[diff]]'s coercion contract (a
+    * non-coercible retype fails loudly — schemaDiff alone is the tool for
+    * those pairs).
+    */
+  def catalogDiff(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])],
+                  opts: DiffOptions = DiffOptions()): DataFrame = {
+    require(pairs.nonEmpty, "catalogDiff: need at least one table pair")
+    val spark = pairs.head._2.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val spine = spark.range(1).select(
+      explode(array(lit("N"), lit("C"), lit("I"), lit("D"))).as("item"))
+    val perTable = pairs.map { case (name, l, r, keys) =>
+      val census = broadcast(spine)
+        .join(summary(l, r, keys, opts)
+            .withColumnRenamed(opts.statusCol, "item"),
+          Seq("item"), "left_outer")
+        .select(lit(name).as("table_name"), lit("census").as("kind"),
+          col("item"), lit(null).cast("string").as("detail"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val drift = schemaDiff(spark, l, r)
+        .filter(col("status") =!= "same")
+        .select(lit(name).as("table_name"), lit("schema").as("kind"),
+          col("column_name").as("item"), col("status").as("detail"),
+          lit(null).cast("long").as("n"))
+      census.unionByName(drift)
+    }.reduce(_ unionByName _)
+    val bad = when(
+      (col("kind") === "schema") ||
+        (col("kind") === "census" && col("item") =!= "N" && col("n") > 0L),
+      1).otherwise(0)
+    perTable
+      .withColumn("verdict",
+        when(max(bad).over(Window.partitionBy("table_name")) > 0, lit("fail"))
+          .otherwise(lit("pass")))
+  }
 
   /** UNKEYED diff — multiset (bag) semantics for tables with no reliable
     * primary key (the datacompy no-join-columns mode; keyed diff can't run
@@ -901,6 +1009,91 @@ object Differ {
     diff(left, renamed, keys, opts)
   }
 
+  /** AUTO-mapped diff (r13): compose column-mapping DISCOVERY (the
+    * diff_column_mapping distinct-value-overlap analysis) with
+    * [[diffMapped]] so a renamed table diffs with ZERO user input — and
+    * fail loudly where a human would have to look.
+    *
+    * Discovery contract: for every LEFT-only column name (absent from the
+    * right, not a key, not ignored) the candidates are RIGHT-only columns,
+    * scored by distinct-value overlap `|distinct(lc) ∩ distinct(rc)| /
+    * |distinct(lc)|` in ppm. A candidate at `thresholdPpm` or above is a
+    * match. Exactly one match → mapped. Two or more → AMBIGUOUS, throws
+    * naming every candidate with its ppm. None above threshold but one or
+    * more above `thresholdPpm / 2` → PARTIAL (a half-overlapping decoy —
+    * the diff_column_mapping fixture's ok_decoy case), throws likewise; a
+    * silent guess here would diff the wrong columns. No candidate at all →
+    * the column is a genuine DROP and is excluded from the compare, the
+    * same shared-vocabulary rule [[diff]] applies to any unmatched name.
+    * Two left columns claiming the same right column → throws (the map
+    * must be injective). Unclaimed right-only columns are ADDS and pass
+    * through unmatched, exactly like a new column under [[diff]].
+    *
+    * Scale shape: discovery moves per-column DISTINCT sets only (bounded
+    * by column cardinality, never row count — at 100 TB high-cardinality
+    * columns would ride an HLL or bottom-k sample, same plan); the
+    * candidate grid collect is (left-only × right-only) column-pair-sized
+    * — the bounded metadata-scale collect this repo documents (codebook
+    * precedent). The diff itself is [[diffMapped]]'s single full-outer
+    * exchange.
+    */
+  def diffAutoMapped(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     opts: DiffOptions = DiffOptions(),
+                     thresholdPpm: Long = 900000L): DataFrame = {
+    require(keys.forall(right.columns.contains),
+      s"diffAutoMapped maps VALUE columns only; key column(s) " +
+        s"${keys.filterNot(right.columns.contains).mkString(", ")} must exist " +
+        "on both sides by name (rename keys explicitly via diffMapped)")
+    val lOnly = left.columns.toSeq
+      .filterNot(right.columns.contains)
+      .filterNot(keys.contains)
+      .filterNot(opts.ignoreCols.contains)
+    val rOnly = right.columns.toSeq
+      .filterNot(left.columns.contains)
+      .filterNot(opts.ignoreCols.contains)
+    if (lOnly.isEmpty || rOnly.isEmpty) return diff(left, right, keys, opts)
+
+    def longForm(df: DataFrame, cols: Seq[String], side: String): DataFrame =
+      cols.map(c => df.select(lit(c).as(side), bq(c).cast("string").as("val"))
+          .filter(col("val").isNotNull).distinct())
+        .reduce(_ unionByName _)
+    val lf = longForm(left, lOnly, "lc")
+    val rf = longForm(right, rOnly, "rc")
+    val nL = lf.groupBy("lc").agg(count(lit(1)).as("n_left"))
+    val grid = lf.join(rf, "val")
+      .groupBy("lc", "rc").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(nL), "lc")
+      .select(col("lc"), col("rc"),
+        expr("n_shared * 1000000 div n_left").as("ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val columnMap = lOnly.flatMap { lc =>
+      val cands = grid.filter(_._1 == lc).sortBy(c => (-c._3, c._2))
+      val full = cands.filter(_._3 >= thresholdPpm)
+      val partial = cands.filter(c => c._3 < thresholdPpm && c._3 >= thresholdPpm / 2)
+      def render(cs: Seq[(String, String, Long)]) =
+        cs.map(c => s"${c._2} (${c._3} ppm)").mkString(", ")
+      if (full.length > 1) throw new IllegalArgumentException(
+        s"diffAutoMapped: AMBIGUOUS mapping for left column '$lc' — " +
+          s"candidates ${render(full)} all reach $thresholdPpm ppm; " +
+          "pass an explicit columnMap to diffMapped")
+      if (full.isEmpty && partial.nonEmpty) throw new IllegalArgumentException(
+        s"diffAutoMapped: PARTIAL match for left column '$lc' — " +
+          s"candidates ${render(partial)} overlap but stay below " +
+          s"$thresholdPpm ppm; a silent guess would diff the wrong column — " +
+          "pass an explicit columnMap to diffMapped or ignore the column")
+      full.headOption.map(c => lc -> c._2)
+    }.toMap
+    val claimed = columnMap.groupBy(_._2).filter(_._2.size > 1)
+    require(claimed.isEmpty,
+      s"diffAutoMapped: right column(s) ${claimed.keys.mkString(", ")} claimed " +
+        s"by multiple left columns " +
+        s"(${claimed.values.flatMap(_.keys).mkString(", ")}) — the mapping " +
+        "must be injective; pass an explicit columnMap to diffMapped")
+    diffMapped(left, right, keys, columnMap, opts)
+  }
+
   /** Duplicate-key RANK-MATCHED diff (datacompy's `temp_row_number`
     * semantics): when the join key is non-unique (order lines keyed by
     * order only — the everyday case [[diff]]'s PK contract rejects), each
@@ -909,15 +1102,20 @@ object Differ {
     * surplus ranks on one side become D (left larger) or I (right larger).
     *
     * Tie rule (documented contract): `dup_rank` = `row_number` over the
-    * canonical value fingerprint ([[rowHashCol]] of the shared value
-    * columns) within the key group. The order is value-derived, so the
-    * pairing is stable across runs, partitionings, and engines — never
-    * arrival order, which at 100 TB is whatever the shuffle delivered.
-    * Rows with identical values hash identically, so a hash tie only ever
-    * permutes interchangeable rows: the emitted (key, rank, values) set is
-    * unchanged. Like datacompy, rank matching is positional within the
-    * sorted group — a changed value can re-rank a row and shift which
-    * counterpart it compares against; the D+I decomposition stays exact.
+    * order [[DiffOptions.dupPairing]] selects — default
+    * [[DupPairing.ByHash]], the canonical value fingerprint
+    * ([[rowHashCol]] of the shared value columns) within the key group.
+    * Either order is value-derived, so the pairing is stable across runs,
+    * partitionings, and engines — never arrival order, which at 100 TB is
+    * whatever the shuffle delivered. Rows with identical values order
+    * identically, so a tie only ever permutes interchangeable rows: the
+    * emitted (key, rank, values) set is unchanged. Like datacompy, rank
+    * matching is positional within the sorted group — under ByHash a
+    * changed value can re-rank a row far from its former counterpart and
+    * cascade C rows; [[DupPairing.ByValue]] sorts by the full value tuple
+    * so near-identical rows stay adjacent and a single changed value
+    * re-pairs minimally (strictly fewer C rows on dup-heavy tables —
+    * DifferSpec pin). The D+I decomposition stays exact either way.
     *
     * Scale shape: ONE window per side (hash-partitioned on the key
     * columns) feeding the same single full-outer join as [[diff]]. Under
@@ -938,9 +1136,19 @@ object Differ {
     require(!left.columns.contains(rankCol) && !right.columns.contains(rankCol),
       s"rank column '$rankCol' already exists; pass rankCol = <fresh name>")
     def ranked(df: DataFrame): DataFrame = {
+      val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val order: Seq[Column] = opts.dupPairing match {
+        case DupPairing.ByHash => Seq(rowHashCol(df, vcols))
+        case DupPairing.ByValue =>
+          // full value tuple first (orderable columns only — map-bearing
+          // types have no total order in Spark), fingerprint as the final
+          // deterministic tie-break so identical-prefix rows never flap
+          vcols.filterNot(c => containsMap(types(c)))
+            .map(c => bq(c).asc_nulls_first) :+ rowHashCol(df, vcols)
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(bq): _*)
-        .orderBy(rowHashCol(df, vcols))
+        .orderBy(order: _*)
       // long, not int: the DuckDB oracle's row_number() is BIGINT and the
       // rank is an output key column — schema parity is part of the gate.
       df.withColumn(rankCol, row_number().over(w).cast("long"))
@@ -1128,19 +1336,34 @@ object Differ {
     * single task is the same documented exception as every two-phase
     * top-k in this repo. The join is k-vs-k sized. k must be small enough
     * to review (require'd ≤ 100k) — this is a report, not a table scan.
+    *
+    * Keys must be UNIQUE within each side's top-k (a leaderboard has one
+    * row per entrant): duplicate keys would fan the k-vs-k full outer out
+    * into contradictory cross-pair drift rows. Enforced in-plan with the
+    * [[Q.requireBand]] assert_true tripwire over a per-key count window on
+    * the k-bounded frame (r13 review fix) — zero extra jobs, fails loudly
+    * naming the operator; dup-keyed VALUE diffing is [[diffDupKeyRank]]'s
+    * job, not this report's.
     */
   def rankDrift(left: DataFrame, right: DataFrame, keys: Seq[String],
                 scoreCol: String, k: Int): DataFrame = {
     require(k > 0 && k <= 100000,
       s"rankDrift: k must be in [1, 100000] (a reviewable leaderboard), got $k")
     val order = bq(scoreCol).desc +: keys.map(k0 => bq(k0).asc)
-    def top(df: DataFrame, rankName: String) =
+    def top(df: DataFrame, rankName: String) = {
+      import org.apache.spark.sql.expressions.Window
       df.select((keys :+ scoreCol).map(bq): _*)
         .orderBy(order: _*)
         .limit(k)
-        .withColumn(rankName,
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+        .withColumn(rankName, row_number().over(Window.orderBy(order: _*)))
+        .withColumn("__graft_keydup",
+          count(lit(1)).over(Window.partitionBy(keys.map(bq): _*)))
+        .filter(assert_true(col("__graft_keydup") === 1L,
+          lit(s"rankDrift($rankName): duplicate keys inside the top-$k — " +
+            "rank pairing requires one row per key; dedupe first or use " +
+            "diffDupKeyRank for dup-keyed value diffing")).isNull)
         .select(keys.map(bq) :+ col(rankName): _*)
+    }
     val lt = top(left, "left_rank").alias("l")
     val rt = top(right, "right_rank").alias("r")
     val cond = keys.map(k0 => q("l", k0) <=> q("r", k0)).reduce(_ && _)

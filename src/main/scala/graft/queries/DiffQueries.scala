@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Q, Tables}
-import graft.operators.{DiffOptions, Differ, TextOps}
+import graft.operators.{DiffOptions, Differ, DupPairing, TextOps}
 
 /** §2.A diff core — the reference's own capability surface, exercised on a
   * deterministic left/right pair derived from `orders` so the DuckDB oracle
@@ -979,6 +979,73 @@ object DiffQueries {
           DiffOptions(nullSafeKeys = false))
     },
 
+    // Duplicate-key rank diff, CLOSEST pairing (r13; DupPairing.ByValue —
+    // datacompy's practical sort-within-group behavior): ranks order by
+    // the full value tuple (NULLS FIRST, fingerprint tie-break) instead of
+    // the value hash, so near-identical rows stay adjacent and a single
+    // changed value re-pairs minimally instead of cascading C rows across
+    // the group (DifferSpec pins strictly-fewer-C vs ByHash on the planted
+    // fixture). Same fixture and 100 TB shape as diff_dup_key_rank: one
+    // key-partitioned window per side — the sort key is wider (the value
+    // tuple) but the exchange count is identical.
+    Q("diff_dup_key_value",
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |            FROM lineitem),
+        |rgt AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 31 = 0 AND l_linenumber = 1
+        |              THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |         l_extendedprice
+        |  FROM li WHERE NOT (l_orderkey % 13 = 0 AND l_linenumber >= 4)
+        |  UNION ALL
+        |  SELECT l_orderkey, 99, l_quantity, l_extendedprice
+        |  FROM li WHERE l_orderkey % 17 = 0 AND l_linenumber = 1),
+        |lr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |         l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST,
+        |         l_extendedprice ASC NULLS FIRST,
+        |         sha256(concat_ws(chr(31),
+        |           CAST(l_linenumber AS VARCHAR),
+        |           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)))) AS dup_rank
+        |       FROM li),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |         l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST,
+        |         l_extendedprice ASC NULLS FIRST,
+        |         sha256(concat_ws(chr(31),
+        |           CAST(l_linenumber AS VARCHAR),
+        |           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)))) AS dup_rank
+        |       FROM rgt)
+        |SELECT CASE WHEN lr.l_orderkey IS NULL THEN 'I'
+        |            WHEN rr.l_orderkey IS NULL THEN 'D'
+        |            WHEN lr.l_linenumber IS DISTINCT FROM rr.l_linenumber
+        |              OR lr.l_quantity IS DISTINCT FROM rr.l_quantity
+        |              OR lr.l_extendedprice IS DISTINCT FROM rr.l_extendedprice THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       COALESCE(lr.l_orderkey, rr.l_orderkey) AS l_orderkey,
+        |       COALESCE(lr.dup_rank, rr.dup_rank) AS dup_rank,
+        |       lr.l_linenumber AS left_l_linenumber,
+        |       rr.l_linenumber AS right_l_linenumber,
+        |       lr.l_quantity AS left_l_quantity, rr.l_quantity AS right_l_quantity,
+        |       lr.l_extendedprice AS left_l_extendedprice,
+        |       rr.l_extendedprice AS right_l_extendedprice
+        |FROM lr FULL OUTER JOIN rr
+        |  ON lr.l_orderkey = rr.l_orderkey AND lr.dup_rank = rr.dup_rank""".stripMargin) {
+      (s, d) =>
+        val li = Tables.cachedTable(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val rbase = li
+          .filter(!(col("l_orderkey") % 13 === 0 && col("l_linenumber") >= 4))
+          .withColumn("l_quantity",
+            when(col("l_orderkey") % 31 === 0 && col("l_linenumber") === 1,
+              col("l_quantity") + 5).otherwise(col("l_quantity")))
+        val rins = li
+          .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1)
+          .withColumn("l_linenumber", lit(99))
+        Differ.diffDupKeyRank(li, rbase.unionByName(rins), Seq("l_orderkey"),
+          DiffOptions(nullSafeKeys = false, dupPairing = DupPairing.ByValue))
+    },
+
     Q("diff_tolerance",
       s"""$Prelude
          |SELECT l.o_orderkey AS o_orderkey,
@@ -1767,6 +1834,127 @@ object DiffQueries {
         .join(broadcast(n), "lc")
         .select(col("lc"), col("rc"), col("n_shared"),
           expr("n_shared * 1000000 div n_left").as("overlap_ppm"))
+    },
+
+    // AUTO-mapped diff (r13; composes diff_column_mapping's discovery into
+    // diffMapped — the r12 verdict's #3 ask): diff a RENAMED table with
+    // zero user input. Right side = the standard churn fixture with
+    // o_orderstatus→st, o_orderpriority→prio renamed plus an ok_decoy ADD
+    // column (o_orderkey strings — overlaps neither left column, proving
+    // unclaimed adds pass through like any new column). Discovery maps by
+    // distinct-value overlap ≥ 900000 ppm; ambiguous/partial candidates
+    // throw naming them (DifferSpec pins both failure modes + equality
+    // with the hand-written columnMap). COMPOSITION RULE: the oracle
+    // embeds the discovery CTEs and gates the diff on their outcome — if
+    // the discovered mapping ever drifts from {o_orderstatus→st,
+    // o_orderpriority→prio}, the oracle emits ZERO rows and the hash
+    // fails, so query and discovery cannot diverge silently. Scale shape:
+    // discovery ships per-column DISTINCT sets + a column-pair-sized
+    // grid collect; the diff is diffMapped's single full-outer exchange.
+    Q("diff_auto_mapped",
+      s"""$Prelude,
+         |rr AS (SELECT o_orderkey, o_custkey, o_orderstatus AS st, o_totalprice,
+         |              o_orderdate, o_orderpriority AS prio,
+         |              CAST(o_orderkey AS VARCHAR) AS ok_decoy FROM r),
+         |lf AS (SELECT 'o_orderstatus' AS lc, CAST(o_orderstatus AS VARCHAR) AS val
+         |       FROM l GROUP BY 2
+         |       UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+         |       FROM l GROUP BY 2),
+         |rf AS (SELECT 'st' AS rc, CAST(st AS VARCHAR) AS val FROM rr GROUP BY 2
+         |       UNION ALL SELECT 'prio', CAST(prio AS VARCHAR) FROM rr GROUP BY 2
+         |       UNION ALL SELECT 'ok_decoy', CAST(ok_decoy AS VARCHAR)
+         |       FROM rr GROUP BY 2),
+         |nn AS (SELECT lc, count(*) AS n_left FROM lf GROUP BY 1),
+         |m AS (SELECT lf.lc, rf.rc, count(*) AS n_shared
+         |      FROM lf JOIN rf USING (val) GROUP BY 1, 2),
+         |fm AS (SELECT m.lc, m.rc FROM m JOIN nn USING (lc)
+         |       WHERE n_shared * 1000000 // n_left >= 900000)
+         |SELECT
+         |  CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |       WHEN rr.o_orderkey IS NULL THEN 'D'
+         |       WHEN l.o_custkey IS DISTINCT FROM rr.o_custkey
+         |         OR l.o_orderstatus IS DISTINCT FROM rr.st
+         |         OR l.o_totalprice IS DISTINCT FROM rr.o_totalprice
+         |         OR l.o_orderdate IS DISTINCT FROM rr.o_orderdate
+         |         OR l.o_orderpriority IS DISTINCT FROM rr.prio THEN 'C'
+         |       ELSE 'N' END AS diff_status,
+         |  COALESCE(l.o_orderkey, rr.o_orderkey) AS o_orderkey,
+         |  l.o_custkey AS left_o_custkey, rr.o_custkey AS right_o_custkey,
+         |  l.o_orderstatus AS left_o_orderstatus, rr.st AS right_o_orderstatus,
+         |  l.o_totalprice AS left_o_totalprice, rr.o_totalprice AS right_o_totalprice,
+         |  l.o_orderdate AS left_o_orderdate, rr.o_orderdate AS right_o_orderdate,
+         |  l.o_orderpriority AS left_o_orderpriority, rr.prio AS right_o_orderpriority
+         |FROM l FULL OUTER JOIN rr ON l.o_orderkey = rr.o_orderkey
+         |WHERE (SELECT count(*) FROM fm) = 2
+         |  AND (SELECT count(*) FROM fm
+         |       WHERE (lc = 'o_orderstatus' AND rc = 'st')
+         |          OR (lc = 'o_orderpriority' AND rc = 'prio')) = 2""".stripMargin) {
+      (s, d) =>
+        val renamed = right(s, d)
+          .withColumnRenamed("o_orderstatus", "st")
+          .withColumnRenamed("o_orderpriority", "prio")
+          .withColumn("ok_decoy", col("o_orderkey").cast("string"))
+        Differ.diffAutoMapped(left(s, d), renamed, keys)
+    },
+
+    // Catalog-level multi-table diff sweep (r13; the r12 verdict's #4
+    // ask): "did last night's load change ANY of the N tables?" as one
+    // long-format report — per table, the 4-status census (zero-filled
+    // spine: always exactly 4 census rows) plus schema_diff's
+    // add/drop/retype rows, every row carrying the per-table pass/fail
+    // verdict. Fixture: orders = the churn pair (C/D/I mass → fail,
+    // no drift); orders_slim = identical data under schema drift (one
+    // dropped + one added column → 2 schema rows, census all-N → still
+    // fail; lineitem is out — its (orderkey, linenumber) pair is NON-
+    // unique in this synthetic data, the dup-key family's territory);
+    // customer = identical snapshot (→ the one pass). Report =
+    // 3×4 census + 2 schema = 14 rows. 100 TB shape: one full-outer diff
+    // exchange per table pair, census aggs map-side combinable, spines
+    // broadcast, verdict = a window over the 14-row report; the pairs
+    // UNION into ONE job — no driver-side loop over collected results.
+    Q("diff_catalog",
+      s"""$Prelude,
+         |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |                    WHEN r.o_orderkey IS NULL THEN 'D'
+         |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |                    ELSE 'N' END AS item
+         |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+         |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+         |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+         |rows0 AS (
+         |  SELECT 'orders' AS table_name, 'census' AS kind, spine.item,
+         |         CAST(NULL AS VARCHAR) AS detail,
+         |         COALESCE(oc.n, 0) AS n
+         |  FROM spine LEFT JOIN oc USING (item)
+         |  UNION ALL
+         |  SELECT 'orders_slim', 'census', s.item, NULL,
+         |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM orders)
+         |              ELSE 0 END
+         |  FROM spine s
+         |  UNION ALL SELECT 'orders_slim', 'schema', 'o_totalprice', 'removed', NULL
+         |  UNION ALL SELECT 'orders_slim', 'schema', 'load_batch', 'added', NULL
+         |  UNION ALL
+         |  SELECT 'customer', 'census', s.item, NULL,
+         |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+         |              ELSE 0 END
+         |  FROM spine s),
+         |flag AS (SELECT table_name,
+         |                max(CASE WHEN kind = 'schema'
+         |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+         |                         THEN 1 ELSE 0 END) AS bad
+         |         FROM rows0 GROUP BY 1)
+         |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+         |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+         |FROM rows0 r0 JOIN flag USING (table_name)""".stripMargin) {
+      (s, d) =>
+        val osL = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val osR = osL.drop("o_totalprice").withColumn("load_batch", lit(7L))
+        val cust = Tables.cachedTable(s, d, "customer")
+        Differ.catalogDiff(Seq(
+          ("orders", left(s, d), right(s, d), keys),
+          ("orders_slim", osL, osR, Seq("o_orderkey")),
+          ("customer", cust, cust, Seq("c_custkey"))))
     },
 
     // COMPOSITE-key diff (r8b): row identity = (l_orderkey, l_linenumber)

@@ -1396,17 +1396,28 @@ object TextAnalysisQueries {
             .otherwise(0L).as("gibberish"))
     },
 
-    // Vocabulary coverage curve (r9) — the tokenizer-design readout: how
-    // many vocabulary entries (frequency-ranked) cover 50/90/95/99% of
-    // the corpus token mass? The knee of this curve IS the vocab-size
-    // decision, and its drift under a corpus mix change is the signal to
-    // re-train the tokenizer. Over word BIGRAMS (the unigram vocab is the
-    // fixture's documented 31-word degenerate case — §fixture-traps);
-    // rank by (freq DESC, bigram), cumulative mass by ONE ordered window
-    // (rank key unique ⇒ RANGE = ROWS), per-threshold answer = min rank
-    // whose 100·cum ≥ thr·total — all BIGINT compares. 100 TB: freq is a
-    // map-side (bigram) agg; the curve runs on the vocab-sized frame,
-    // and the final min is 4 rows.
+    // Vocabulary coverage curve (r9; r13 scale rewrite) — the tokenizer-
+    // design readout: how many vocabulary entries (frequency-ranked) cover
+    // 50/90/95/99% of the corpus token mass? The knee of this curve IS the
+    // vocab-size decision, and its drift under a corpus mix change is the
+    // signal to re-train the tokenizer. Over word BIGRAMS (the unigram
+    // vocab is the fixture's documented 31-word degenerate case —
+    // §fixture-traps). The r9 form ranked the whole bigram vocabulary
+    // through ONE unpartitioned window — a single-task sort once the vocab
+    // outgrows one task (billions of bigrams at 100 TB; the r12 verdict's
+    // `weak`). The rewrite exploits that cumulative mass inside a
+    // same-count plateau grows by a CONSTANT c per rank, so the min-rank
+    // answer has a closed form on the DISTINCT-FREQUENCY grid:
+    //   vocab(thr) = N_above + ceil((thr·total − 100·M_above) / (100·c*))
+    // at the unique crossing plateau c* (100·cum_m ≥ thr·total and
+    // 100·(cum_m − mass) < thr·total) — the (freq DESC, bigram) tie-break
+    // cancels out of the answer entirely. The only cumulative runs over
+    // the frequency grid (O(distinct counts) ≪ vocab; ~√corpus under
+    // Zipf), banded via CurateOps.bandedCumsum so no unpartitioned window
+    // ever sees more than a band (PlanSpec pin). All-BIGINT arithmetic;
+    // the unchanged oracle hash is the losslessness proof. 100 TB: freq
+    // is a map-side (bigram) agg; grid agg is map-side over counts; the
+    // final filter touches 4 plateau rows.
     Q("tokenizer_coverage_curve",
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |occ AS (
@@ -1433,18 +1444,28 @@ object TextAnalysisQueries {
           .withColumn("w1", substring_index(col("bg"), " ", 1))
       }
       val f = occ.groupBy("bg").agg(count(lit(1)).as("c"))
-      val wOrd = Window.orderBy(col("c").desc, col("bg"))
-      val r = f.select(col("c"),
-        row_number().over(wOrd).cast("long").as("rk"),
-        sum(col("c")).over(wOrd.rowsBetween(Long.MinValue, 0)).as("cum"))
+      // Distinct-frequency grid: one row per count value, with how many
+      // bigrams carry it (n) and the mass they contribute (c·n). negc
+      // makes ascending order = frequency-DESC order; counts are unique
+      // at grid grain, so negc is the permutation key bandedCumsum needs.
+      val grid = f.groupBy("c").agg(count(lit(1)).as("n"))
+        .withColumn("negc", -col("c"))
+        .withColumn("mass", col("c") * col("n"))
+      val cum = graft.operators.CurateOps.bandedCumsum(grid, "negc",
+        expr("CAST(floor(negc / 64.0) AS BIGINT)"),
+        Seq("n" -> "cum_n", "mass" -> "cum_m"))
       val tot = f.agg(sum("c").as("total"))
       val th = (s.range(1, 2).select(
         explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("threshold_pct")))
-      th.crossJoin(r).crossJoin(broadcast(tot))
-        .filter(col("cum") * 100 >= col("threshold_pct") * col("total"))
-        .groupBy("threshold_pct", "total")
-        .agg(min(col("rk")).as("vocab_size"))
-        .select(col("threshold_pct"), col("vocab_size"),
+      broadcast(th).crossJoin(cum).crossJoin(broadcast(tot))
+        // the unique plateau where the threshold crosses: covered mass
+        // reaches thr·total here and had not before this plateau
+        .filter(col("cum_m") * 100 >= col("threshold_pct") * col("total") &&
+          (col("cum_m") - col("mass")) * 100 < col("threshold_pct") * col("total"))
+        .select(col("threshold_pct"),
+          (col("cum_n") - col("n") +
+            expr("(threshold_pct * total - (cum_m - mass) * 100 + 100 * c - 1) " +
+              "DIV (100 * c)")).as("vocab_size"),
           col("total").cast("long").as("total_tokens"))
     }
   )

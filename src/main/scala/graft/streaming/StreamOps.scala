@@ -77,6 +77,27 @@ final case class WinDiffState(counts: Map[Long, Long])
 final case class WinDiffOut(window_start_us: Long, key: Long,
     diff_status: String, left_n: Option[Long], right_n: Option[Long])
 
+/** One side-tagged arrival for [[StreamOps.diffStreamStream]]. */
+final case class SsDiffEvent(window_start_us: Long, key: Long,
+    left_side: Boolean, value: Double, tsm: java.sql.Timestamp)
+
+/** Per-(window, key) dual-feed state: per side, the arrival count and the
+  * running max — O(1) PER GROUP with no per-key map, so unlike the
+  * window-keyed census ([[WinDiffState]]) this state distributes across
+  * tasks by (window, key).
+  */
+final case class SsDiffState(ln: Long, lmax: Double, rn: Long, rmax: Double)
+
+/** One row of the stream-STREAM keyed diff: per closed (window, key), both
+  * feeds' per-window aggregates and the full I/C/N/D verdict — D here is a
+  * key the LEFT feed carried in the window while the right feed stayed
+  * silent, certified by the watermark passing the window's end on BOTH
+  * feeds (they share one watermark via the tagged union).
+  */
+final case class SsDiffOut(window_start_us: Long, key: Long,
+    diff_status: String, left_n: Option[Long], right_n: Option[Long],
+    left_max: Option[Double], right_max: Option[Double])
+
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
   * batch-equivalent queries in [[graft.queries.StreamingQueries]]: the same
@@ -211,8 +232,16 @@ object StreamOps {
     * aligned micros); state = the per-key arrival counts of the OPEN
     * window; the event-time timeout is set to window end, so the rows for
     * a window emit exactly once, when the watermark passes its end, and
-    * the state evicts — state is bounded by (open windows × keys seen),
-    * the identical bound the native windowed agg carries. Windows with no
+    * the state evicts — state SIZE is bounded by (open windows × keys
+    * seen), the same bound the native windowed agg carries, but the
+    * DISTRIBUTION is not: keying by window concentrates each window's
+    * full arrival traffic and key map in ONE task (the native agg spreads
+    * (window, key) groups across tasks). That concentration is the price
+    * of emitting the D census (no single (window,key) group can know
+    * which snapshot keys stayed silent) and is safe precisely because the
+    * snapshot side is dimension-sized by contract — a fact-rate feed
+    * needs a pre-aggregated (window,key) count stream in front of this
+    * operator. Windows with no
     * arrivals at all emit nothing (no event ever opens them) — true
     * empty-window detection needs a processing-time heartbeat, which is a
     * policy decision, not a diff semantic; the batch twin
@@ -251,11 +280,14 @@ object StreamOps {
         }
         arrived ++ silent
       } else {
-        val st0 = state.getOption.getOrElse(WinDiffState(Map.empty))
-        val st1 = WinDiffState(it.foldLeft(st0.counts) { (m, e) =>
-          m.updated(e.key, m.getOrElse(e.key, 0L) + 1L)
-        })
-        state.update(st1)
+        // One mutable map per TRIGGER, not one immutable copy per EVENT
+        // (r13 review fix): the fold over an immutable Map allocated a new
+        // tree node path for every arrival — O(events × log keys) garbage
+        // in the single task that already concentrates the window.
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        state.getOption.foreach(s => m ++= s.counts)
+        it.foreach(e => m.update(e.key, m.getOrElse(e.key, 0L) + 1L))
+        state.update(WinDiffState(m.toMap))
         // Fire when the watermark passes window end. A window whose end is
         // already below the watermark (late-but-not-dropped arrivals) gets
         // the earliest legal wake instead — setTimeoutTimestamp rejects
@@ -281,6 +313,86 @@ object StreamOps {
         col(tsCol).as("tsm"))
       .as[WinDiffEvent]
       .groupByKey(_.window_start_us)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Stream-STREAM keyed diff — the last member of the continuous-diff
+    * family ([[diffStream]] reconciles a stream against a STATIC snapshot;
+    * this reconciles two LIVE feeds, the primary-vs-replica / dual-CDC
+    * case). Per event-time window of `widthUs`, per key, both feeds'
+    * arrivals fold into per-side aggregates (count + max of `valCol` —
+    * order-independent, so the fold is deterministic under any shuffle
+    * arrival order); when the shared watermark passes the window's end the
+    * (window, key) group emits exactly once:
+    *   I (right feed only), D (left feed only — the absence verdict only a
+    *   closed window can certify), C (counts or maxes differ), N (match).
+    *
+    * Mechanics: tag each feed with its side, UNION the tagged feeds (one
+    * watermark governs both — the engine advances it to the MIN across
+    * sources, so a lagging feed holds the horizon open rather than
+    * mis-certifying D), then ONE `flatMapGroupsWithState` keyed by
+    * (window, key) with the event-time timeout at window end. State is
+    * O(1) per (window, key) — four numbers — bounded by
+    * (open windows × keys active in them) and evicted at emission;
+    * the groups hash across tasks by (window, key), so no task ever
+    * concentrates a whole window (the [[diffStreamComplete]] critique does
+    * not apply here — D needs no census because absence is per-key:
+    * left-side arrivals opened the group, the right side's silence IS the
+    * verdict). Keys silent on BOTH feeds emit nothing, exactly like the
+    * batch twin's full-outer join. The oracle-checked batch key
+    * (`stream_diff_stream`) runs the same per-window aggregate compare;
+    * StreamBatchParitySpec pins stream == batch row-for-row INCLUDING the
+    * watermark-flushed D rows.
+    */
+  def diffStreamStream(leftFeed: DataFrame, rightFeed: DataFrame,
+                       tsCol: String, keyCol: String, valCol: String,
+                       widthUs: Long, delay: String): Dataset[SsDiffOut] = {
+    val spark = leftFeed.sparkSession
+    import spark.implicits._
+    require(widthUs > 0, s"diffStreamStream: width must be positive, got $widthUs")
+
+    def prep(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(
+        (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
+          .as("window_start_us"),
+        col(keyCol).cast("long").as("key"),
+        lit(isLeft).as("left_side"),
+        col(valCol).cast("double").as("value"),
+        col(tsCol).as("tsm"))
+
+    def step(wk: (Long, Long), it: Iterator[SsDiffEvent],
+             state: GroupState[SsDiffState]): Iterator[SsDiffOut] = {
+      if (state.hasTimedOut) {
+        val s = state.getOption.getOrElse(SsDiffState(0L, 0.0, 0L, 0.0))
+        state.remove()
+        val status =
+          if (s.ln > 0 && s.rn == 0) "D"
+          else if (s.ln == 0 && s.rn > 0) "I"
+          else if (s.ln != s.rn || s.lmax != s.rmax) "C"
+          else "N"
+        Iterator.single(SsDiffOut(wk._1, wk._2, status,
+          if (s.ln > 0) Some(s.ln) else None,
+          if (s.rn > 0) Some(s.rn) else None,
+          if (s.ln > 0) Some(s.lmax) else None,
+          if (s.rn > 0) Some(s.rmax) else None))
+      } else {
+        var s = state.getOption.getOrElse(
+          SsDiffState(0L, Double.NegativeInfinity, 0L, Double.NegativeInfinity))
+        it.foreach { e =>
+          if (e.left_side) s = s.copy(ln = s.ln + 1, lmax = math.max(s.lmax, e.value))
+          else s = s.copy(rn = s.rn + 1, rmax = math.max(s.rmax, e.value))
+        }
+        state.update(s)
+        val endMs = (wk._1 + widthUs) / 1000L
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    prep(leftFeed, isLeft = true).unionByName(prep(rightFeed, isLeft = false))
+      .withWatermark("tsm", delay)
+      .as[SsDiffEvent]
+      .groupByKey(e => (e.window_start_us, e.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
@@ -349,7 +461,16 @@ object StreamOps {
     * copy-on-write overwrite. Batch 0 initializes every row at
     * valid_from 0. Version = batchId gives foreachBatch idempotence: a
     * crash-replayed batch sees latestVersion ≥ batchId and is a
-    * structural no-op; a SKIPPED batch id fails loudly (a gap would
+    * structural no-op — VERIFIED structural, not assumed (r13 review
+    * fix): the replay path diffs the arriving snapshot against the
+    * committed version's current rows and fails loudly on any non-N row,
+    * because the other way to reach latest ≥ batchId is CHECKPOINT LOSS
+    * (a restarted stream's batch ids begin again at 0 against a table at
+    * version N), where silently swallowing batches until ids catch up
+    * would drop real snapshots. A true replay passes the check free of
+    * false alarms; checkpoint loss trips it on the first divergent
+    * snapshot with the recovery options named. A SKIPPED batch id fails
+    * loudly (a gap would
     * silently mis-stamp every later interval). The oracle-checked key
     * `stream_scd2_sink` pins the read-back history == the full SCD2
     * rebuild from the snapshot stack; work per batch is changeset-sized
@@ -378,6 +499,23 @@ object StreamOps {
             graft.operators.Differ.applyScd2(dim, changes, keys, newVersion = batchId),
             table)
         }
+        ()
+      } else {
+        // latest >= batchId: idempotent replay — OR checkpoint loss. Prove
+        // it is the former: the replayed batch's snapshot must equal the
+        // current rows committed AT that version. Cost is one changeset-
+        // sized diff on a path taken at most once per crash recovery.
+        val committed = TxnLog.read(spark, table, asOf = Some(batchId))
+          .filter(col("valid_to").isNull)
+          .drop("valid_from", "valid_to")
+        val divergent = graft.operators.Differ.diff(committed, snapshot, keys)
+          .filter(col("diff_status") =!= "N").limit(1).count()
+        require(divergent == 0L,
+          s"scd2Sink: batch $batchId arrived for '$table' already at version " +
+            s"$latest, but its snapshot DIFFERS from the committed version " +
+            s"$batchId — this is checkpoint loss (restarted batch ids against " +
+            "existing history), not an idempotent replay; restore the stream " +
+            "checkpoint, or re-init the table to rebase ids")
         ()
       }
     }

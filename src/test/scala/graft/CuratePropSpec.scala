@@ -344,6 +344,33 @@ class CuratePropSpec extends SparkTestBase {
     }
   }
 
+  // ---- bandedCumsum ----------------------------------------------------
+
+  private val cumGen: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-20L, 20L)))
+  } yield rows.zipWithIndex.map { case ((a, b), i) => (i.toLong * 3 - 40, a, b) }
+
+  test("bandedCumsum == global running sums over the order for any monotone banding") {
+    for ((rows, i) <- samples(cumGen, 8, 29L).zipWithIndex;
+         bandWidth <- Seq(1L, 7L, 50L, 1000L)) {
+      val df = rows.toDF("o", "a", "b").repartition(5)
+      val got = CurateOps.bandedCumsum(df, "o",
+          org.apache.spark.sql.functions.expr(
+            s"CAST(floor(o / $bandWidth.0) AS BIGINT)"),
+          Seq("a" -> "ca", "b" -> "cb"))
+        .collect()
+        .map(r => r.getAs[Long]("o") -> (r.getAs[Long]("ca"), r.getAs[Long]("cb")))
+        .toMap
+      val sorted = rows.sortBy(_._1)
+      val want = sorted.scanLeft((0L, 0L, 0L)) { case ((_, ca, cb), (o, a, b)) =>
+        (o, ca + a, cb + b)
+      }.drop(1).map { case (o, ca, cb) => o -> (ca, cb) }.toMap
+      assert(got == want, s"case $i bw=$bandWidth")
+    }
+  }
+
   // ---- recursion-elimination identities --------------------------------
 
   private val seriesGen: Gen[Seq[Long]] = for {

@@ -1045,6 +1045,21 @@ class PlanSpec extends SparkTestBase {
       "a permutation-rank window lost its band partitioning (whole-table single-task sort)")
   }
 
+  test("tokenizer_coverage_curve: no corpus-scale window — the cumulative is banded on the frequency grid") {
+    val df = queryNamed(graft.queries.TextAnalysisQueries.all, "tokenizer_coverage_curve")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    // the ONLY legal unpartitioned window is bandedCumsum's offset prefix,
+    // which orders by the band key over the band-grid-sized aggregate —
+    // anything else is the r12 single-task vocab sort come back
+    assert(unpart.forall(_.orderSpec.forall(_.sql.toLowerCase.contains("band"))),
+      s"an unpartitioned window escaped the band-offset grid: " +
+        s"${unpart.map(_.orderSpec.map(_.sql)).mkString("; ")}")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the banded running-sum windows must survive optimization")
+  }
+
   test("txn_delete_mor read: the dv subtraction is a broadcast left-anti, not a shuffle join") {
     import graft.sources.TxnLog
     val t = java.nio.file.Files.createTempDirectory("graft-planspec-dv-")
