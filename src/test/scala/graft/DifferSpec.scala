@@ -825,4 +825,110 @@ class DifferSpec extends SparkTestBase {
       Differ.rankDrift(l, r, Seq("k"), "score", k = 0))
     assert(e.getMessage.contains("k must be"))
   }
+
+  test("rankDrift: duplicate keys inside a top-k trip the in-plan guard (r13)") {
+    val l = Seq(("a", 30.0), ("a", 20.0), ("b", 10.0)).toDF("k", "score")
+    val r = Seq(("a", 30.0), ("b", 10.0)).toDF("k", "score")
+    val e = intercept[Throwable](
+      Differ.rankDrift(l, r, Seq("k"), "score", k = 3).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("duplicate keys")),
+      s"expected the dup-key tripwire, got: ${chain(e).mkString(" | ")}")
+    // unique keys still pass untouched
+    val ok = Seq(("a", 30.0), ("b", 10.0)).toDF("k", "score")
+    assert(Differ.rankDrift(ok, ok, Seq("k"), "score", k = 2).count() == 2L)
+  }
+
+  test("dupPairing=ByValue re-pairs one changed value minimally; ByHash cascades (r13)") {
+    import graft.operators.DupPairing
+    val rows = (1 to 12).map(i => (1L, i.toLong, s"payload$i"))
+    val l = rows.toDF("k", "a", "s")
+    val r = rows.map { case (k, a, s) =>
+      if (a == 6L) (k, a, "CHANGED") else (k, a, s)
+    }.toDF("k", "a", "s")
+    def cOf(p: DupPairing): Long =
+      statusCounts(Differ.diffDupKeyRank(l, r, keys,
+        DiffOptions(dupPairing = p))).getOrElse("C", 0L)
+    val byValue = cOf(DupPairing.ByValue)
+    val byHash = cOf(DupPairing.ByHash)
+    // ByValue sorts by (a, s): 'a' alone is already a unique prefix, so the
+    // single changed payload pairs against its own former row — exactly 1 C.
+    assert(byValue == 1L, s"ByValue must re-pair minimally, got $byValue C rows")
+    // ByHash scatters the changed row to a hash-ordered rank, shifting every
+    // row between the old and new positions — strictly more C rows.
+    assert(byHash > byValue,
+      s"fixture must cascade under hash pairing (hash=$byHash, value=$byValue)")
+  }
+
+  test("digestCols overlapping tolCols/bagCols refuses at construction (r13)") {
+    val e = intercept[IllegalArgumentException](
+      DiffOptions(absTol = 1.0, tolCols = Set("v"), digestCols = Set("v")))
+    assert(e.getMessage.contains("digestCols overlap") && e.getMessage.contains("v"))
+    val e2 = intercept[IllegalArgumentException](
+      DiffOptions(bagCols = Set("tags"), digestCols = Set("tags")))
+    assert(e2.getMessage.contains("digestCols overlap") && e2.getMessage.contains("tags"))
+  }
+
+  test("decimal-vs-integral widening sizes to the actual integral type (r13)") {
+    import org.apache.spark.sql.types.DecimalType
+    // int vs DECIMAL(38,28): max(10, 10) + 28 = 38 — representable now
+    // (the old blanket-long assumption demanded 48 digits and refused).
+    val li = Seq((1L, 7)).toDF("k", "v")
+    val rd = Seq((1L, 7)).toDF("k", "v")
+      .withColumn("v", col("v").cast(DecimalType(38, 28)))
+    assert(statusCounts(Differ.diff(li, rd, keys)) == Map("N" -> 1L))
+    // long vs scale-28 decimal genuinely needs 48 digits — still refuses at
+    // analysis time with both types named.
+    val ll = Seq((1L, 7L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](Differ.diff(ll, rd, keys))
+    assert(e.getMessage.contains("cannot losslessly widen"))
+  }
+
+  test("diffAutoMapped == diffMapped with the hand map; ambiguous/partial throw naming candidates (r13)") {
+    val l = Seq((1L, "F", "HIGH"), (2L, "O", "LOW"), (3L, "P", "MED"))
+      .toDF("k", "status", "prio")
+    val r = l.withColumnRenamed("status", "st").withColumnRenamed("prio", "pr")
+      .withColumn("decoy", lit("zz-no-overlap"))
+    assert(rowsOf(Differ.diffAutoMapped(l, r, keys)) ==
+      rowsOf(Differ.diffMapped(l, r, keys, Map("status" -> "st", "prio" -> "pr"))))
+    // two right columns with identical value sets → AMBIGUOUS, both named
+    val amb = r.withColumn("st2", col("st"))
+    val e = intercept[IllegalArgumentException](Differ.diffAutoMapped(l, amb, keys))
+    assert(e.getMessage.contains("AMBIGUOUS") && e.getMessage.contains("status") &&
+      e.getMessage.contains("st2"))
+    // 2/3 distinct-value overlap (666666 ppm) sits in the partial band —
+    // a silent guess would diff the wrong column, so it throws
+    val lp = Seq((1L, "F"), (2L, "O"), (3L, "P")).toDF("k", "status")
+    val rp = Seq((1L, "F"), (2L, "O"), (3L, "Q")).toDF("k", "stx")
+    val e2 = intercept[IllegalArgumentException](Differ.diffAutoMapped(lp, rp, keys))
+    assert(e2.getMessage.contains("PARTIAL") && e2.getMessage.contains("stx"))
+  }
+
+  test("catalogDiff: fixed 4-row census per table, drift rows, per-table verdict (r13)") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val aChanged = Seq((1L, "x", 9.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    val drifted = a.drop("v").withColumn("w", lit(1L))
+    val out = Differ.catalogDiff(Seq(
+      ("t_changed", a, aChanged, Seq("k")),
+      ("t_drift", a, drifted, Seq("k")),
+      ("t_same", a, a, Seq("k")))).collect()
+    val byTable = out.groupBy(_.getAs[String]("table_name"))
+    // census always exactly 4 rows, zero-filled
+    assert(byTable.forall { case (_, rows) =>
+      rows.count(_.getAs[String]("kind") == "census") == 4 })
+    def verdict(t: String) = byTable(t).map(_.getAs[String]("verdict")).distinct.toSeq
+    assert(verdict("t_changed") == Seq("fail"))
+    assert(verdict("t_drift") == Seq("fail"))
+    assert(verdict("t_same") == Seq("pass"))
+    val driftRows = byTable("t_drift").filter(_.getAs[String]("kind") == "schema")
+      .map(r => r.getAs[String]("item") -> r.getAs[String]("detail")).toSet
+    assert(driftRows == Set("v" -> "removed", "w" -> "added"))
+    // t_same and t_changed carry no schema rows
+    assert(byTable("t_same").forall(_.getAs[String]("kind") == "census"))
+    val cen = byTable("t_changed")
+      .filter(_.getAs[String]("kind") == "census")
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    assert(cen == Map("N" -> 0L, "C" -> 1L, "I" -> 1L, "D" -> 1L))
+  }
 }

@@ -209,4 +209,38 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(eb.getMessage.contains("BOOLEAN"), eb.getMessage.take(200))
   }
+
+  test("graft_diff resolves parquet PATHS where a name is not in the catalog (r13)") {
+    GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.operators.Differ
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-path-")
+    val lPath = s"$dir/l.parquet"
+    val rPath = s"$dir/r.parquet"
+    graft.queries.DiffQueries.left(spark, sfDir).write.parquet(lPath)
+    graft.queries.DiffQueries.right(spark, sfDir).write.parquet(rPath)
+
+    // path + path
+    val viaPath = spark.sql(
+      s"SELECT * FROM graft_diff_summary('$lPath', '$rPath', 'o_orderkey')")
+    val viaApi = Differ.summary(
+      spark.read.parquet(lPath), spark.read.parquet(rPath), Seq("o_orderkey"))
+    assert(rowsOf(viaPath) == rowsOf(viaApi))
+
+    // catalog name takes precedence and mixes freely with a path
+    spark.read.parquet(lPath).createOrReplaceTempView("ext_path_l")
+    assert(rowsOf(spark.sql(
+      s"SELECT * FROM graft_diff_summary('ext_path_l', '$rPath', 'o_orderkey')")) ==
+      rowsOf(viaApi))
+
+    // neither a table nor an existing path → loud failure naming both
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_diff_summary('$dir/nope.parquet', '$rPath', 'o_orderkey')")
+        .collect()
+    }
+    assert(e.getMessage.contains("neither a table") ||
+      Option(e.getCause).exists(_.getMessage.contains("neither a table")),
+      s"expected the dual-resolution failure, got: ${e.getMessage.take(300)}")
+  }
 }

@@ -1060,6 +1060,21 @@ class PlanSpec extends SparkTestBase {
       "the banded running-sum windows must survive optimization")
   }
 
+  test("diff_catalog: one full-outer diff exchange per table pair, no cartesian") {
+    val plan = physical(graft.queries.DiffQueries.all, "diff_catalog")
+    assert(!plan.contains("CartesianProduct"), "spines/scalars must broadcast")
+    val fullOuters = plan.linesIterator.count(_.contains("FullOuter"))
+    assert(fullOuters == 3,
+      s"expected exactly one full-outer per table pair (3 pairs), got $fullOuters")
+  }
+
+  test("stream_diff_stream batch twin: two (window,key) aggs meet in ONE full-outer, no cartesian") {
+    val plan = physical(graft.queries.StreamingQueries.all, "stream_diff_stream")
+    assert(!plan.contains("CartesianProduct"))
+    val fullOuters = plan.linesIterator.count(_.contains("FullOuter"))
+    assert(fullOuters == 1, s"expected one full-outer exchange, got $fullOuters")
+  }
+
   test("txn_delete_mor read: the dv subtraction is a broadcast left-anti, not a shuffle join") {
     import graft.sources.TxnLog
     val t = java.nio.file.Files.createTempDirectory("graft-planspec-dv-")

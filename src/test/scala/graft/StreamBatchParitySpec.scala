@@ -586,4 +586,91 @@ class StreamBatchParitySpec extends SparkTestBase {
       assert(streamRows == batchRows)
     } finally q.stop()
   }
+
+  test("stream_diff_stream: two LIVE feeds reconciled == batch, incl. watermark-flushed D rows (r13)") {
+    // The last member of the diff family: stream-vs-STREAM. Both feeds ride
+    // one watermark (tagged union), one flatMapGroupsWithState keyed by
+    // (window, key) emits I/C/N/D as the horizon passes each window end.
+    // Pinned row-for-row against the oracle-checked batch key — D rows
+    // exist only because the watermark closed the window on BOTH feeds.
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val DayUs = 86400000000L
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff_stream")(spark, sfDir))
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    // Far-future flush sentinel in BOTH feeds (+2 days: comfortably past
+    // every real window end even when maxUs sits just after a boundary);
+    // its own (window, -999) group never closes, so it emits nothing.
+    def sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      expr(s"CAST(timestamp_micros(${maxUs + 2 * 86400L * 1000000L}L) " +
+        s"AS ${schema("ts").dataType.sql})").as("ts"),
+      lit(-999L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+
+    val lDir = Files.createTempDirectory("graft_ssdiff_l").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$lDir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    sentinel.write.mode("append").parquet(lDir)
+
+    // Right feed = the batch fixture's perturbation, materialized.
+    val rDir = Files.createTempDirectory("graft_ssdiff_r").toString
+    val ev = Tables.events(spark, sfDir).drop("ts_us")
+    ev.filter(col("user_id") % 11 =!= 0)
+      .withColumn("value",
+        when(col("user_id") % 5 === 0, col("value") + 1.0).otherwise(col("value")))
+      .unionByName(ev.filter(col("user_id") % 13 === 0)
+        .withColumn("user_id", col("user_id") + 100000L))
+      .write.mode("overwrite").parquet(rDir)
+    sentinel.write.mode("append").parquet(rDir)
+
+    def feed(dir: String) = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.diffStreamStream(feed(lDir), feed(rDir),
+        "tsm", "user_id", "value", DayUs, "10 minutes")
+      .toDF("window_start_us", "user_id", "diff_status",
+        "left_n", "right_n", "left_max", "right_max")
+      .writeStream.format("memory").queryName("ssdiff_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("ssdiff_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
+  test("scd2Sink: checkpoint loss fails loudly; true replay stays a verified no-op (r13)") {
+    // latest >= batchId has two causes: idempotent replay (fine) and
+    // checkpoint loss (batch ids restart at 0 against a table at version
+    // N — silently swallowing those batches would drop real snapshots).
+    // The sink now PROVES which one it is by diffing the arriving snapshot
+    // against the committed version's current rows.
+    import graft.sources.TxnLog
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_scd2loss").resolve("dim").toString
+    val s0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val s1 = Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v")
+    StreamOps.scd2Sink(table, Seq("k"))(s0, 0L)
+    StreamOps.scd2Sink(table, Seq("k"))(s1, 1L)
+    // true replays of both committed ids: verified no-ops
+    StreamOps.scd2Sink(table, Seq("k"))(s1, 1L)
+    StreamOps.scd2Sink(table, Seq("k"))(s0, 0L)
+    assert(TxnLog.latestVersion(table) == 1)
+    // checkpoint loss: a restarted stream's batch 0 carries a DIFFERENT
+    // snapshot — must throw naming the condition, not swallow it
+    val rogue = Seq((9L, 99.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      StreamOps.scd2Sink(table, Seq("k"))(rogue, 0L))
+    assert(e.getMessage.contains("checkpoint loss"), e.getMessage.take(300))
+    // and the table is untouched by the refused batch
+    assert(TxnLog.latestVersion(table) == 1)
+  }
 }
