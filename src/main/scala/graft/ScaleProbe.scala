@@ -100,6 +100,54 @@ object ScaleProbe {
       println(f"[scale-r12] m=$m rows=${150000L * m} compose=$tCompose%.2f " +
         f"estimate_nojoin=$tEst%.2f rank_drift=$tRank%.2f")
     }
+    // Part 4 (r13): the round's new shapes under scale-up. Claims:
+    // stream_diff_stream's batch twin is two map-side (window,key) aggs +
+    // one full-outer — linear; diff_catalog is 3 independent pair plans in
+    // one job — tracks the orders pair's diff slope; diff_auto_mapped adds
+    // only distinct-set discovery on top of diff_full — near diff_full's
+    // slope; tokenizer_coverage_curve's banded rewrite must scale in the
+    // occurrence count with NO single-task vocab sort (the r12 weak).
+    for (m <- Seq(1, 4, 8)) {
+      val evDir = s"/tmp/graft-scaleprobe-events-$m" // written by part 2
+      def time(f: => Unit): Double = {
+        f
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        ts.min
+      }
+      val tSs = time(noop(SparkEntry.queries("stream_diff_stream")(spark, evDir)))
+      val (l, r) = (scaled(l0, m), scaled(r0, m))
+      val renamed = r.withColumnRenamed("o_orderstatus", "st")
+        .withColumnRenamed("o_orderpriority", "prio")
+      val tAuto = time(noop(operators.Differ.diffAutoMapped(l, renamed, keys)))
+      val osL = l.select("o_orderkey", "o_custkey", "o_totalprice")
+      val osR = osL.drop("o_totalprice").withColumn("load_batch", lit(7L))
+      val tCat = time(noop(operators.Differ.catalogDiff(Seq(
+        ("orders", l, r, keys), ("orders_slim", osL, osR, keys),
+        ("orders_same", l, l, keys)))))
+      println(f"[scale-r13] m=$m rows=${150000L * m} stream_diff_stream=$tSs%.2f " +
+        f"auto_mapped=$tAuto%.2f catalog=$tCat%.2f")
+    }
+    // coverage-curve scale: replicate documents with re-keyed copies so the
+    // occurrence count grows m-fold (the vocab grows sublinearly — the
+    // realistic shape); the banded grid cumulative must track the
+    // occurrence slope, not the vocab sort the r12 form paid.
+    val docs0 = spark.read.parquet(s"$d/documents.parquet")
+    for (m <- Seq(1, 4, 8)) {
+      val dir = s"/tmp/graft-scaleprobe-docs-$m"
+      (0 until m).map(i => docs0.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def time(f: => Unit): Double = {
+        f
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        ts.min
+      }
+      val tCov = time(noop(SparkEntry.queries("tokenizer_coverage_curve")(spark, dir)))
+      println(f"[scale-r13] m=$m docs=${5000L * m} coverage_curve=$tCov%.2f")
+    }
     spark.stop()
   }
 }
