@@ -177,6 +177,32 @@ object Graft {
                  columnMap: Map[String, String]): DataFrame =
     Differ.diffMapped(left, right, keys, columnMap)
 
+  /** Diff a RENAMED table with zero user input: discovers the column map
+    * by distinct-value overlap and feeds it into [[diffMapped]]; ambiguous
+    * or partial matches fail loudly naming every candidate with its ppm.
+    */
+  def diffAutoMapped(left: DataFrame, right: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    Differ.diffAutoMapped(left, right, keys)
+
+  /** Catalog-level multi-table diff sweep: per table pair, the 4-status
+    * census + schema add/drop/retype rows, each row carrying a per-table
+    * pass/fail verdict — one long-format report, one job.
+    */
+  def catalogDiff(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
+    Differ.catalogDiff(pairs)
+
+  /** Stream-STREAM keyed diff: two live feeds reconciled per event-time
+    * window per key (I/C/N/D emitted as the shared watermark closes each
+    * window; O(1) state per (window, key)). Works under readStream on
+    * both sides; see [[graft.streaming.StreamOps.diffStreamStream]].
+    */
+  def diffStreams(leftFeed: DataFrame, rightFeed: DataFrame,
+                  tsCol: String, keyCol: String, valCol: String,
+                  widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStream(
+      leftFeed, rightFeed, tsCol, keyCol, valCol, widthUs, delay).toDF()
+
   /** SCD type-2 history from version-tagged snapshots: per key, maximal
     * constant-value version runs collapse to `[valid_from, valid_to)`
     * intervals; `valid_to` NULL marks the current row.
@@ -490,6 +516,14 @@ object Graft {
   def bandedRank(df: DataFrame, valueCol: String, tieCol: String,
                  band: Column, out: String): DataFrame =
     operators.CurateOps.bandedRank(df, valueCol, tieCol, band, out)
+
+  /** Global inclusive running sums over a unique order without a
+    * single-task sort (several weights in one pass) — the banded two-phase
+    * decomposition (see [[operators.CurateOps.bandedCumsum]]).
+    */
+  def bandedCumsum(df: DataFrame, orderCol: String, band: Column,
+                   weights: Seq[(String, String)]): DataFrame =
+    operators.CurateOps.bandedCumsum(df, orderCol, band, weights)
 
   /** Per-doc DEFLATE compressibility ratio (spam/boilerplate signal). */
   def compressibility(docs: DataFrame): DataFrame =
