@@ -21,19 +21,23 @@ object ScaleProbe {
         col("o_orderkey") + lit(i.toLong * 100000000L))).reduce(_ unionByName _)
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // ONE timing protocol for every part (r13 review fix — five drifting
+    // local copies): run once untimed (warm), then report the min of 2
+    // timed runs (the documented co-tenant-spike filter).
+    def timed(f: => Unit): Double = {
+      f
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val l0 = graft.queries.DiffQueries.left(spark, d)
     val r0 = graft.queries.DiffQueries.right(spark, d)
     for (m <- Seq(1, 2, 4, 8)) {
       val (l, r) = (scaled(l0, m), scaled(r0, m))
       noop(operators.Differ.diff(l, r, Seq("o_orderkey"))) // warm
-      def time(f: => Unit): Double = {
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-        ts.min
-      }
-      val tFull = time(noop(operators.Differ.diff(l, r, Seq("o_orderkey"))))
-      val tSum = time(noop(operators.Differ.summary(l, r, Seq("o_orderkey"))))
-      val tHash = time(noop(operators.Differ.diffViaHash(l, r, Seq("o_orderkey"))))
+      val tFull = timed(noop(operators.Differ.diff(l, r, Seq("o_orderkey"))))
+      val tSum = timed(noop(operators.Differ.summary(l, r, Seq("o_orderkey"))))
+      val tHash = timed(noop(operators.Differ.diffViaHash(l, r, Seq("o_orderkey"))))
       println(f"[scale] m=$m rows=${150000L * m} diff_full=$tFull%.2f " +
         f"summary=$tSum%.2f via_hash=$tHash%.2f")
     }
@@ -54,16 +58,10 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L)))
         .reduce(_ unionByName _)
       ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
-      def time(f: => Unit): Double = {
-        f
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-        ts.min
-      }
-      val tOoo = time(noop(SparkEntry.queries("events_out_of_order")(spark, dir)))
-      val tTs = time(noop(SparkEntry.queries("window_theil_sen")(spark, dir)))
-      val tIn = time(noop(SparkEntry.queries("window_interpolate")(spark, dir)))
-      val tSdc = time(noop(SparkEntry.queries("stream_diff_complete")(spark, dir)))
+      val tOoo = timed(noop(SparkEntry.queries("events_out_of_order")(spark, dir)))
+      val tTs = timed(noop(SparkEntry.queries("window_theil_sen")(spark, dir)))
+      val tIn = timed(noop(SparkEntry.queries("window_interpolate")(spark, dir)))
+      val tSdc = timed(noop(SparkEntry.queries("stream_diff_complete")(spark, dir)))
       println(f"[scale-ev] m=$m rows=${100000L * m} out_of_order=$tOoo%.2f " +
         f"theil_sen=$tTs%.2f interpolate=$tIn%.2f stream_diff_complete=$tSdc%.2f")
     }
@@ -88,15 +86,10 @@ object ScaleProbe {
     for (m <- Seq(1, 4, 8)) {
       val (l, r, r2) = (scaled(l0, m), scaled(r0, m), scaled(r20, m))
       noop(operators.Differ.diff(l, r, keys)) // warm
-      def time(f: => Unit): Double = {
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-        ts.min
-      }
-      val tCompose = time(noop(operators.Differ.composeChangesets(
+      val tCompose = timed(noop(operators.Differ.composeChangesets(
         operators.Differ.diff(l, r, keys), operators.Differ.diff(r, r2, keys), keys)))
-      val tEst = time(noop(estOnly(l, r)))
-      val tRank = time(noop(operators.Differ.rankDrift(l, r, keys, "o_totalprice", 100)))
+      val tEst = timed(noop(estOnly(l, r)))
+      val tRank = timed(noop(operators.Differ.rankDrift(l, r, keys, "o_totalprice", 100)))
       println(f"[scale-r12] m=$m rows=${150000L * m} compose=$tCompose%.2f " +
         f"estimate_nojoin=$tEst%.2f rank_drift=$tRank%.2f")
     }
@@ -109,20 +102,14 @@ object ScaleProbe {
     // occurrence count with NO single-task vocab sort (the r12 weak).
     for (m <- Seq(1, 4, 8)) {
       val evDir = s"/tmp/graft-scaleprobe-events-$m" // written by part 2
-      def time(f: => Unit): Double = {
-        f
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-        ts.min
-      }
-      val tSs = time(noop(SparkEntry.queries("stream_diff_stream")(spark, evDir)))
+      val tSs = timed(noop(SparkEntry.queries("stream_diff_stream")(spark, evDir)))
       val (l, r) = (scaled(l0, m), scaled(r0, m))
       val renamed = r.withColumnRenamed("o_orderstatus", "st")
         .withColumnRenamed("o_orderpriority", "prio")
-      val tAuto = time(noop(operators.Differ.diffAutoMapped(l, renamed, keys)))
+      val tAuto = timed(noop(operators.Differ.diffAutoMapped(l, renamed, keys)))
       val osL = l.select("o_orderkey", "o_custkey", "o_totalprice")
       val osR = osL.drop("o_totalprice").withColumn("load_batch", lit(7L))
-      val tCat = time(noop(operators.Differ.catalogDiff(Seq(
+      val tCat = timed(noop(operators.Differ.catalogDiff(Seq(
         ("orders", l, r, keys), ("orders_slim", osL, osR, keys),
         ("orders_same", l, l, keys)))))
       println(f"[scale-r13] m=$m rows=${150000L * m} stream_diff_stream=$tSs%.2f " +
@@ -139,13 +126,7 @@ object ScaleProbe {
           col("doc_id") + lit(i.toLong * 1000000000L)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      def time(f: => Unit): Double = {
-        f
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-        ts.min
-      }
-      val tCov = time(noop(SparkEntry.queries("tokenizer_coverage_curve")(spark, dir)))
+      val tCov = timed(noop(SparkEntry.queries("tokenizer_coverage_curve")(spark, dir)))
       println(f"[scale-r13] m=$m docs=${5000L * m} coverage_curve=$tCov%.2f")
     }
     spark.stop()

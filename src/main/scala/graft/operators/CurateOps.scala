@@ -214,25 +214,58 @@ object CurateOps {
     * monotone in `orderCol`; `orderCol` must be globally unique (a
     * permutation order), so RANGE and ROWS frames coincide. Several weights
     * cumulate in ONE pass — they share the band exchange and the local
-    * sort. Pinned against the naive global window in CuratePropSpec.
+    * sort. NULL weights follow SQL running-sum semantics exactly (r13
+    * review fix): a NULL contributes nothing, and a row whose entire
+    * global prefix is NULL reads NULL, not 0 — tracked by a parallel
+    * non-NULL running COUNT per weight (same windows, no extra pass).
+    * Output names must be fresh (not among the inputs): a weight's output
+    * overwriting a later weight's input would silently corrupt phase 2.
+    * Pinned against the naive global window (NULLs in the generator
+    * domain) in CuratePropSpec.
     */
   def bandedCumsum(df: DataFrame, orderCol: String, band: Column,
       weights: Seq[(String, String)]): DataFrame = {
     require(weights.nonEmpty, "bandedCumsum: need at least one weight column")
+    val ins = weights.map(_._1)
+    val outs = weights.map(_._2)
+    require(outs.distinct == outs,
+      s"bandedCumsum: duplicate output names [${outs.mkString(", ")}]")
+    val nameClash = outs.toSet.intersect(ins.toSet)
+    require(nameClash.isEmpty,
+      s"bandedCumsum: output name(s) [${nameClash.toSeq.sorted.mkString(", ")}] " +
+        "collide with weight input columns — a collision would overwrite an " +
+        "input mid-fold and silently corrupt later running sums; pick fresh " +
+        "output names")
     val b = df.withColumn("__graft_band", band)
-    val subs = b.groupBy("__graft_band").agg(
-      sum(weights.head._1).as(s"__graft_s_${weights.head._1}"),
-      weights.tail.map { case (in, _) => sum(in).as(s"__graft_s_$in") }: _*)
+    val subAggs = weights.flatMap { case (in, _) => Seq(
+      sum(col(in)).as(s"__graft_s_$in"),
+      count(col(in)).as(s"__graft_c_$in")) }
+    val subs = b.groupBy("__graft_band").agg(subAggs.head, subAggs.tail: _*)
     val wOff = Window.orderBy("__graft_band").rowsBetween(Long.MinValue, -1)
-    val off = subs.select(col("__graft_band") +: weights.map { case (in, _) =>
-      coalesce(sum(s"__graft_s_$in").over(wOff), lit(0L)).as(s"__graft_o_$in")
+    // band subtotals sum(in) are NULL for an all-NULL band: the offset
+    // prefix skips them exactly like the naive window skips the NULLs
+    // themselves, so no coalesce is needed on the sum leg — only the
+    // all-NULL-prefix case must stay distinguishable, which the count leg
+    // carries. A NULL offset with cnt>0 cannot occur (cnt>0 ⇒ some
+    // non-NULL weight ⇒ its band subtotal is non-NULL ⇒ the prefix sum of
+    // subtotals is non-NULL); coalesce(…, 0) keeps the arithmetic total
+    // anyway for the first bands.
+    val off = subs.select(col("__graft_band") +: weights.flatMap { case (in, _) => Seq(
+      coalesce(sum(s"__graft_s_$in").over(wOff), lit(0L)).as(s"__graft_o_$in"),
+      coalesce(sum(s"__graft_c_$in").over(wOff), lit(0L)).as(s"__graft_oc_$in"))
     }: _*)
     val wl = Window.partitionBy("__graft_band").orderBy(col(orderCol))
       .rowsBetween(Long.MinValue, 0)
     weights.foldLeft(b.join(broadcast(off), "__graft_band")) {
       case (acc, (in, out)) =>
-        acc.withColumn(out, sum(col(in)).over(wl) + col(s"__graft_o_$in"))
-    }.drop("__graft_band" +: weights.map { case (in, _) => s"__graft_o_$in" }: _*)
+        // non-NULL count over the same frame decides NULL-vs-0: the naive
+        // window's sum is NULL exactly when no non-NULL weight precedes
+        val cnt = count(col(in)).over(wl) + col(s"__graft_oc_$in")
+        val s0 = coalesce(sum(col(in)).over(wl), lit(0L)) + col(s"__graft_o_$in")
+        acc.withColumn(out, when(cnt > 0L, s0))
+    }.drop("__graft_band" +:
+      weights.flatMap { case (in, _) =>
+        Seq(s"__graft_o_$in", s"__graft_oc_$in") }: _*)
   }
 
   /** Exact per-group quantiles WITHOUT per-group value buffers — the scale

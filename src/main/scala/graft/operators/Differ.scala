@@ -423,7 +423,23 @@ object Differ {
     * first makes the retype a non-event instead of a coercion failure.
     */
   private def digested(df: DataFrame, keys: Seq[String],
-                       opts: DiffOptions): DataFrame =
+                       opts: DiffOptions): DataFrame = {
+    // The construction-time guard refuses EXPLICIT tolCols/bagCols overlap;
+    // the default-tolerance form (tolCols empty ⇒ tolerance applies to all
+    // floating columns) needs the schema, so it checks here (r13 review
+    // fix): digesting a floating column under an active default tolerance
+    // silently degrades that column to exact hex compare — the same
+    // contradiction, caught with the column and its type named.
+    if ((opts.absTol > 0.0 || opts.relTol > 0.0) && opts.tolCols.isEmpty) {
+      val clash = opts.digestCols.filter(c =>
+        df.schema.fields.exists(f => f.name == c && floating(f.dataType)))
+      require(clash.isEmpty,
+        s"digestCols [${clash.toSeq.sorted.mkString(", ")}] are floating " +
+          "columns under a default tolerance (tolCols empty applies " +
+          "absTol/relTol to ALL floating columns): a digested column " +
+          "compares as SHA-256 hex, so the tolerance cannot apply — name " +
+          "tolCols explicitly or drop the digest")
+    }
     opts.digestCols.foldLeft(df) { (d0, c) =>
       require(d0.columns.contains(c), s"digestCols('$c'): column absent " +
         s"from [${d0.columns.mkString(", ")}]")
@@ -431,6 +447,7 @@ object Differ {
         "(the join must address the real key)")
       d0.withColumn(c, sha2(bq(c).cast("binary"), 256))
     }
+  }
 
   def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions()): DataFrame = {
@@ -1053,10 +1070,15 @@ object Differ {
       .filterNot(opts.ignoreCols.contains)
     if (lOnly.isEmpty || rOnly.isEmpty) return diff(left, right, keys, opts)
 
+    // ONE scan per side (r13 review fix — the per-column select+union form
+    // re-read the input once per candidate column): explode a (name, value)
+    // struct array so every candidate column rides the same pass, then
+    // distinct on the exploded long form.
     def longForm(df: DataFrame, cols: Seq[String], side: String): DataFrame =
-      cols.map(c => df.select(lit(c).as(side), bq(c).cast("string").as("val"))
-          .filter(col("val").isNotNull).distinct())
-        .reduce(_ unionByName _)
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), bq(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.c").as(side), col("e.v").as("val"))
+        .filter(col("val").isNotNull).distinct()
     val lf = longForm(left, lOnly, "lc")
     val rf = longForm(right, rOnly, "rc")
     val nL = lf.groupBy("lc").agg(count(lit(1)).as("n_left"))
@@ -1142,9 +1164,24 @@ object Differ {
         case DupPairing.ByValue =>
           // full value tuple first (orderable columns only — map-bearing
           // types have no total order in Spark), fingerprint as the final
-          // deterministic tie-break so identical-prefix rows never flap
+          // deterministic tie-break so identical-prefix rows never flap.
+          // The sort key is the NORMALIZED value, exactly as colEqual will
+          // compare it (r13 review fix): under ignoreCase/trimWs/bagCols,
+          // raw-ordering normalization-equal rows could rank differently
+          // per side ("B","a" vs "B","A") and manufacture the C cascade
+          // this mode exists to prevent. Numeric tolerance is a
+          // RELAXATION, not an equivalence — tolerance-equal rows pair by
+          // raw order (documented contract).
+          def canon(c: Column, name: String, dt: DataType): Column = dt match {
+            case ArrayType(_, _) if opts.bagCols.contains(name) => array_sort(c)
+            case StringType if opts.ignoreCase || opts.trimWs =>
+              val t = if (opts.trimWs) trim(c) else c
+              if (opts.ignoreCase) lower(t) else t
+            case _ => c
+          }
           vcols.filterNot(c => containsMap(types(c)))
-            .map(c => bq(c).asc_nulls_first) :+ rowHashCol(df, vcols)
+            .map(c => canon(bq(c), c, types(c)).asc_nulls_first) :+
+            rowHashCol(df, vcols)
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(bq): _*)

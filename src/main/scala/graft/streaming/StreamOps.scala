@@ -77,16 +77,23 @@ final case class WinDiffState(counts: Map[Long, Long])
 final case class WinDiffOut(window_start_us: Long, key: Long,
     diff_status: String, left_n: Option[Long], right_n: Option[Long])
 
-/** One side-tagged arrival for [[StreamOps.diffStreamStream]]. */
-final case class SsDiffEvent(window_start_us: Long, key: Long,
-    left_side: Boolean, value: Double, tsm: java.sql.Timestamp)
+/** One side-tagged arrival for [[StreamOps.diffStreamStream]]. Key and
+  * value are Options (r13 review fix): a NULL value must fold like the
+  * batch twin's `max()` (skipped, the row still counts) instead of killing
+  * the query at the encoder, and a NULL key must classify instead of
+  * crashing.
+  */
+final case class SsDiffEvent(window_start_us: Long, key: Option[Long],
+    left_side: Boolean, value: Option[Double], tsm: java.sql.Timestamp)
 
 /** Per-(window, key) dual-feed state: per side, the arrival count and the
-  * running max — O(1) PER GROUP with no per-key map, so unlike the
+  * running max (None while every arrival's value was NULL — the batch
+  * `max()` NULL) — O(1) PER GROUP with no per-key map, so unlike the
   * window-keyed census ([[WinDiffState]]) this state distributes across
   * tasks by (window, key).
   */
-final case class SsDiffState(ln: Long, lmax: Double, rn: Long, rmax: Double)
+final case class SsDiffState(ln: Long, lmax: Option[Double],
+    rn: Long, rmax: Option[Double])
 
 /** One row of the stream-STREAM keyed diff: per closed (window, key), both
   * feeds' per-window aggregates and the full I/C/N/D verdict — D here is a
@@ -94,7 +101,7 @@ final case class SsDiffState(ln: Long, lmax: Double, rn: Long, rmax: Double)
   * silent, certified by the watermark passing the window's end on BOTH
   * feeds (they share one watermark via the tagged union).
   */
-final case class SsDiffOut(window_start_us: Long, key: Long,
+final case class SsDiffOut(window_start_us: Long, key: Option[Long],
     diff_status: String, left_n: Option[Long], right_n: Option[Long],
     left_max: Option[Double], right_max: Option[Double])
 
@@ -322,7 +329,11 @@ object StreamOps {
     * case). Per event-time window of `widthUs`, per key, both feeds'
     * arrivals fold into per-side aggregates (count + max of `valCol` —
     * order-independent, so the fold is deterministic under any shuffle
-    * arrival order); when the shared watermark passes the window's end the
+    * arrival order; NULL values skip the max exactly like the batch
+    * `max()`, NaN folds as the greatest double and compares equal to NaN,
+    * and NULL keys classify as unpairable D/I rows — all three pinned
+    * against the batch census in StreamBatchParitySpec); when the shared
+    * watermark passes the window's end the
     * (window, key) group emits exactly once:
     *   I (right feed only), D (left feed only — the absence verdict only a
     *   closed window can certify), C (counts or maxes differ), N (match).
@@ -360,27 +371,43 @@ object StreamOps {
         col(valCol).cast("double").as("value"),
         col(tsCol).as("tsm"))
 
-    def step(wk: (Long, Long), it: Iterator[SsDiffEvent],
+    // Spark max-aggregate ordering for the fold: NaN is the greatest
+    // double; NULL values are skipped (None state) — bit-for-bit the
+    // semantics the batch twin's max() applies (r13 review fix).
+    def foldMax(m: Option[Double], v: Option[Double]): Option[Double] = (m, v) match {
+      case (_, None)          => m
+      case (None, s)          => s
+      case (Some(a), Some(b)) =>
+        Some(if (b.isNaN || (!a.isNaN && b > a)) b else a)
+    }
+    // Spark <=> on the folded maxes: NULL equals NULL, NaN equals NaN,
+    // -0.0 equals 0.0 — primitive != would call NaN-vs-NaN a C where the
+    // oracle-checked batch form reads N.
+    def maxEq(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+      case (None, None)       => true
+      case (Some(x), Some(y)) => x == y || (x.isNaN && y.isNaN)
+      case _                  => false
+    }
+
+    def step(wk: (Long, Option[Long], Option[Boolean]), it: Iterator[SsDiffEvent],
              state: GroupState[SsDiffState]): Iterator[SsDiffOut] = {
       if (state.hasTimedOut) {
-        val s = state.getOption.getOrElse(SsDiffState(0L, 0.0, 0L, 0.0))
+        val s = state.getOption.getOrElse(SsDiffState(0L, None, 0L, None))
         state.remove()
         val status =
           if (s.ln > 0 && s.rn == 0) "D"
           else if (s.ln == 0 && s.rn > 0) "I"
-          else if (s.ln != s.rn || s.lmax != s.rmax) "C"
+          else if (s.ln != s.rn || !maxEq(s.lmax, s.rmax)) "C"
           else "N"
         Iterator.single(SsDiffOut(wk._1, wk._2, status,
           if (s.ln > 0) Some(s.ln) else None,
           if (s.rn > 0) Some(s.rn) else None,
-          if (s.ln > 0) Some(s.lmax) else None,
-          if (s.rn > 0) Some(s.rmax) else None))
+          s.lmax, s.rmax))
       } else {
-        var s = state.getOption.getOrElse(
-          SsDiffState(0L, Double.NegativeInfinity, 0L, Double.NegativeInfinity))
+        var s = state.getOption.getOrElse(SsDiffState(0L, None, 0L, None))
         it.foreach { e =>
-          if (e.left_side) s = s.copy(ln = s.ln + 1, lmax = math.max(s.lmax, e.value))
-          else s = s.copy(rn = s.rn + 1, rmax = math.max(s.rmax, e.value))
+          if (e.left_side) s = s.copy(ln = s.ln + 1, lmax = foldMax(s.lmax, e.value))
+          else s = s.copy(rn = s.rn + 1, rmax = foldMax(s.rmax, e.value))
         }
         state.update(s)
         val endMs = (wk._1 + widthUs) / 1000L
@@ -392,7 +419,13 @@ object StreamOps {
     prep(leftFeed, isLeft = true).unionByName(prep(rightFeed, isLeft = false))
       .withWatermark("tsm", delay)
       .as[SsDiffEvent]
-      .groupByKey(e => (e.window_start_us, e.key))
+      // NULL keys can never pair — the batch twin joins with plain `=` —
+      // so a null-keyed group is additionally split BY SIDE: each side's
+      // null-key census emits its own D/I row, exactly the two unmatched
+      // rows the batch full-outer produces (r13 review fix; previously a
+      // null key killed the query at the encoder).
+      .groupByKey(e => (e.window_start_us, e.key,
+        if (e.key.isEmpty) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 

@@ -346,10 +346,13 @@ class CuratePropSpec extends SparkTestBase {
 
   // ---- bandedCumsum ----------------------------------------------------
 
-  private val cumGen: Gen[Seq[(Long, Long, Long)]] = for {
+  // NULLs are IN the generator domain (r13 review fix: an all-NULL prefix
+  // must read NULL like the naive window, never 0; a NULL weight must
+  // contribute nothing without nulling the running total).
+  private val cumGen: Gen[Seq[(Long, Option[Long], Option[Long])]] = for {
     n <- Gen.chooseNum(1, 60)
-    rows <- Gen.listOfN(n,
-      Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-20L, 20L)))
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.option(Gen.chooseNum(0L, 50L)), Gen.option(Gen.chooseNum(-20L, 20L))))
   } yield rows.zipWithIndex.map { case ((a, b), i) => (i.toLong * 3 - 40, a, b) }
 
   test("bandedCumsum == global running sums over the order for any monotone banding") {
@@ -361,14 +364,33 @@ class CuratePropSpec extends SparkTestBase {
             s"CAST(floor(o / $bandWidth.0) AS BIGINT)"),
           Seq("a" -> "ca", "b" -> "cb"))
         .collect()
-        .map(r => r.getAs[Long]("o") -> (r.getAs[Long]("ca"), r.getAs[Long]("cb")))
+        .map(r => r.getAs[Long]("o") ->
+          (Option(r.getAs[java.lang.Long]("ca")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("cb")).map(_.toLong)))
         .toMap
       val sorted = rows.sortBy(_._1)
-      val want = sorted.scanLeft((0L, 0L, 0L)) { case ((_, ca, cb), (o, a, b)) =>
-        (o, ca + a, cb + b)
-      }.drop(1).map { case (o, ca, cb) => o -> (ca, cb) }.toMap
+      def add(acc: Option[Long], v: Option[Long]): Option[Long] = (acc, v) match {
+        case (None, None) => None
+        case _            => Some(acc.getOrElse(0L) + v.getOrElse(0L))
+      }
+      val want = sorted
+        .scanLeft((0L, Option.empty[Long], Option.empty[Long])) {
+          case ((_, ca, cb), (o, a, b)) => (o, add(ca, a), add(cb, b))
+        }.drop(1).map { case (o, ca, cb) => o -> (ca, cb) }.toMap
       assert(got == want, s"case $i bw=$bandWidth")
     }
+  }
+
+  test("bandedCumsum refuses output names that collide with weight inputs") {
+    val df = Seq((1L, 2L, 3L)).toDF("o", "a", "b")
+    val e = intercept[IllegalArgumentException](
+      CurateOps.bandedCumsum(df, "o",
+        org.apache.spark.sql.functions.expr("o"), Seq("a" -> "b", "b" -> "cb")))
+    assert(e.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException](
+      CurateOps.bandedCumsum(df, "o",
+        org.apache.spark.sql.functions.expr("o"), Seq("a" -> "x", "b" -> "x")))
+    assert(e2.getMessage.contains("duplicate output"))
   }
 
   // ---- recursion-elimination identities --------------------------------

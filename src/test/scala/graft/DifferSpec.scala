@@ -861,6 +861,36 @@ class DifferSpec extends SparkTestBase {
       s"fixture must cascade under hash pairing (hash=$byHash, value=$byValue)")
   }
 
+  test("ByValue pairing orders by the NORMALIZED value under ignoreCase/trimWs (r13 review fix)") {
+    import graft.operators.DupPairing
+    // Raw byte order: left "B"(66) < "a"(97) but right "A"(65) < "B"(66) —
+    // raw ordering would cross-pair (B,A)/(a,B) into 2 C rows where the
+    // normalized compare says both pair N. The sort key must be the same
+    // canon colEqual compares.
+    val l = Seq((1L, "B"), (1L, "a")).toDF("k", "s")
+    val r = Seq((1L, "B"), (1L, "A")).toDF("k", "s")
+    val opts = DiffOptions(ignoreCase = true, dupPairing = DupPairing.ByValue)
+    assert(statusCounts(Differ.diffDupKeyRank(l, r, keys, opts)) == Map("N" -> 2L))
+    val lw = Seq((1L, "x "), (1L, " b")).toDF("k", "s")
+    val rw = Seq((1L, "x"), (1L, "b ")).toDF("k", "s")
+    val optsW = DiffOptions(trimWs = true, dupPairing = DupPairing.ByValue)
+    assert(statusCounts(Differ.diffDupKeyRank(lw, rw, keys, optsW)) == Map("N" -> 2L))
+  }
+
+  test("digesting a floating column under a DEFAULT tolerance refuses (r13 review fix)") {
+    val l = Seq((1L, 1.0, "x")).toDF("k", "v", "s")
+    // tolCols empty + absTol>0 means tolerance applies to ALL floating
+    // columns — digesting one of them is the same contradiction the
+    // construction guard refuses for explicit tolCols.
+    val e = intercept[IllegalArgumentException](
+      Differ.diff(l, l, keys, DiffOptions(absTol = 0.5, digestCols = Set("v"))))
+    assert(e.getMessage.contains("default tolerance"), e.getMessage)
+    // explicit tolCols scoped to the other column: digesting the string is fine
+    assert(statusCounts(Differ.diff(l, l, keys,
+      DiffOptions(absTol = 0.5, tolCols = Set("v"), digestCols = Set("s")))) ==
+      Map("N" -> 1L))
+  }
+
   test("digestCols overlapping tolCols/bagCols refuses at construction (r13)") {
     val e = intercept[IllegalArgumentException](
       DiffOptions(absTol = 1.0, tolCols = Set("v"), digestCols = Set("v")))

@@ -647,6 +647,46 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("diffStreamStream: NULL values, NULL keys, NaN maxes — batch census semantics exactly (r13 review fix)") {
+    // Three divergence classes the review caught: a NULL value must fold
+    // like batch max() (skipped; the row still counts) instead of killing
+    // the query at the encoder; a NULL key must emit the SAME unpairable
+    // D + I rows the batch plain-`=` full-outer produces; NaN-vs-NaN maxes
+    // must read N (Spark <=>), not C (primitive !=).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val W = 1000000L // 1 s windows
+    val lIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    val rIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    def feed(in: MemoryStream[(Long, Option[Long], Option[Double])]) =
+      in.toDF().toDF("t_us", "k", "v")
+        .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
+    val q = StreamOps.diffStreamStream(feed(lIn), feed(rIn),
+        "ts", "k", "v", W, "0 seconds")
+      .toDF("ws", "k", "st", "ln", "rn", "lm", "rm")
+      .writeStream.format("memory").queryName("ssdiff_edge")
+      .outputMode("append").start()
+    try {
+      lIn.addData((100L, Some(1L), Some(Double.NaN)),
+        (300L, Some(2L), None), (400L, None, Some(5.0)))
+      rIn.addData((200L, Some(1L), Some(Double.NaN)),
+        (500L, None, Some(5.0)))
+      // flush sentinels on BOTH feeds push the shared watermark past the
+      // real window; their own far-future group never closes
+      lIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      rIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("ssdiff_edge"))
+      val want = Seq(
+        "0|1|N|1|1|NaN|NaN",   // NaN == NaN under <=>
+        "0|2|D|1|␀|␀|␀",       // NULL value: counted, max stays NULL
+        "0|␀|D|1|␀|5.0|␀",     // null key, left side — unpairable
+        "0|␀|I|␀|1|␀|5.0").sorted // null key, right side — unpairable
+      assert(got == want, s"got=$got")
+    } finally q.stop()
+  }
+
   test("scd2Sink: checkpoint loss fails loudly; true replay stays a verified no-op (r13)") {
     // latest >= batchId has two causes: idempotent replay (fine) and
     // checkpoint loss (batch ids restart at 0 against a table at version
