@@ -170,7 +170,7 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"graft_diff: unknown option '$other' (supported: abs_tol, rel_tol, " +
             "tol_cols, ignore_cols, bag_cols, digest_cols, ignore_case, trim_ws, " +
-            "null_safe_keys)")
+            "null_safe_keys, auto_map)")
       }
     }
 
@@ -200,16 +200,32 @@ object GraftExtensions {
   }
 
   private def diffTvf(summary: Boolean)(args: Seq[Expression]): LogicalPlan = {
-    val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 3,
       "usage: graft_diff[_summary]('left_table', 'right_table', 'key1,key2' " +
-        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
-    val opts = foldOptions(named.map(_.asInstanceOf[NamedArgumentExpression]))
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', auto_map => true, ...])")
+    // auto_map => true routes through diffAutoMapped (r13): discovery maps
+    // renamed value columns with zero user input, ambiguous/partial
+    // matches fail the query at analysis time naming candidates — the SQL
+    // twin of the Scala composition. Peeled off before foldOptions so the
+    // DiffOptions surface stays 1:1 with the case class.
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val autoMap = named.find(_.key == "auto_map")
+      .exists(na => toBool(na.key, optValue(na.key, na.value)))
+    val opts = foldOptions(named.filterNot(_.key == "auto_map"))
     val spark = SparkSession.active
     val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
     val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
     val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val df = if (summary) Differ.summary(l, r, keys, opts) else Differ.diff(l, r, keys, opts)
+    val diffed =
+      if (autoMap) Differ.diffAutoMapped(l, r, keys, opts)
+      else Differ.diff(l, r, keys, opts)
+    val df =
+      if (summary)
+        diffed.groupBy(org.apache.spark.sql.functions.col(opts.statusCol))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+      else diffed
     df.queryExecution.analyzed
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** SQL-surface registration of the native kernels. */
 class ExtensionsSpec extends SparkTestBase {
@@ -208,6 +208,40 @@ class ExtensionsSpec extends SparkTestBase {
         .collect()
     }
     assert(eb.getMessage.contains("BOOLEAN"), eb.getMessage.take(200))
+  }
+
+  test("graft_diff auto_map => true discovers renamed columns from SQL (r13)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    val l = Seq((1L, "F", "HIGH"), (2L, "O", "LOW"), (3L, "P", "MED"))
+      .toDF("k", "status", "prio")
+    val r = l.withColumnRenamed("status", "st").withColumnRenamed("prio", "pr")
+    l.createOrReplaceTempView("ext_am_l")
+    r.createOrReplaceTempView("ext_am_r")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_diff('ext_am_l', 'ext_am_r', 'k', auto_map => true)")
+    val viaApi = Differ.diffAutoMapped(l, r, Seq("k"))
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(rowsOf(viaSql) == rowsOf(viaApi))
+    // the summary TVF composes with auto_map
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_diff_summary('ext_am_l', 'ext_am_r', 'k', auto_map => true)"))
+      == rowsOf(Differ.diffAutoMapped(l, r, Seq("k"))
+        .groupBy("diff_status").agg(count(lit(1)).as("n"))))
+    // auto_map must be a BOOLEAN literal like every other boolean option
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff('ext_am_l', 'ext_am_r', 'k', auto_map => 'yes')")
+        .collect()
+    }
+    assert(e.getMessage.contains("BOOLEAN"), e.getMessage.take(200))
+    // an ambiguous rename fails the QUERY at analysis time, naming candidates
+    r.withColumn("st2", col("st")).createOrReplaceTempView("ext_am_amb")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff('ext_am_l', 'ext_am_amb', 'k', auto_map => true)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("AMBIGUOUS"), e2.getMessage.take(300))
   }
 
   test("graft_diff resolves parquet PATHS where a name is not in the catalog (r13)") {
