@@ -203,6 +203,16 @@ object Graft {
     graft.streaming.StreamOps.diffStreamStream(
       leftFeed, rightFeed, tsCol, keyCol, valCol, widthUs, delay).toDF()
 
+  /** Latest-VALUE stream-stream diff — the CDC last-write-wins sibling of
+    * [[diffStreams]]: per closed (window, key), each feed's final value
+    * compared under `<=>` semantics instead of the traffic census.
+    */
+  def diffStreamsLatest(leftFeed: DataFrame, rightFeed: DataFrame,
+                        tsCol: String, keyCol: String, valCol: String,
+                        widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamLatest(
+      leftFeed, rightFeed, tsCol, keyCol, valCol, widthUs, delay).toDF()
+
   /** SCD type-2 history from version-tagged snapshots: per key, maximal
     * constant-value version runs collapse to `[valid_from, valid_to)`
     * intervals; `valid_to` NULL marks the current row.

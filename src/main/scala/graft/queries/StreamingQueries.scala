@@ -419,6 +419,82 @@ object StreamingQueries {
             col("l.mx").as("left_max"), col("r.mx").as("right_max"))
     },
 
+    // Latest-VALUE stream-stream diff (r13; stream_diff_stream's CDC
+    // last-write-wins sibling): per (window, key) each feed reduces to its
+    // LATEST observation — greatest (ts, value), the value tie-break
+    // making equal-timestamp races deterministic in both engines — and
+    // the verdict compares the two FINAL values ("did both sinks END the
+    // window agreeing?" where the census form asks "did they SEE the same
+    // traffic?"). Same fixture as stream_diff_stream: %11 drop → D,
+    // %5 value drift → C (the +1.0 rides every event, so the latest
+    // drifts too), %13 re-keys → I. Streaming twin:
+    // StreamOps.diffStreamStreamLatest (state = at most two (ts, value)
+    // pairs per (window, key) group — even tighter than the census four
+    // numbers); parity-pinned including watermark-flushed D rows. 100 TB
+    // shape: greatest-(ts,value) is a map-side-combinable MAX over a
+    // two-field struct — NO row_number over raw traffic anywhere
+    // (PlanSpec pins a window-free plan) — meeting in one full-outer on
+    // the same (window, key).
+    Q("stream_diff_values",
+      s"""WITH le AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
+         |                   epoch_us(ts) AS t, value FROM events),
+         |lr AS (SELECT ws, user_id, value FROM (
+         |         SELECT ws, user_id, value,
+         |                row_number() OVER (PARTITION BY ws, user_id
+         |                  ORDER BY t DESC, value DESC NULLS LAST) AS rn
+         |         FROM le) WHERE rn = 1),
+         |rsrc AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+         |  FROM events WHERE user_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT user_id + 100000, ts, value FROM events WHERE user_id % 13 = 0),
+         |re AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
+         |              epoch_us(ts) AS t, value FROM rsrc),
+         |rr AS (SELECT ws, user_id, value FROM (
+         |         SELECT ws, user_id, value,
+         |                row_number() OVER (PARTITION BY ws, user_id
+         |                  ORDER BY t DESC, value DESC NULLS LAST) AS rn
+         |         FROM re) WHERE rn = 1)
+         |SELECT COALESCE(lr.ws, rr.ws) AS window_start_us,
+         |       COALESCE(lr.user_id, rr.user_id) AS user_id,
+         |       CASE WHEN lr.user_id IS NULL THEN 'I'
+         |            WHEN rr.user_id IS NULL THEN 'D'
+         |            WHEN lr.value IS DISTINCT FROM rr.value THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       lr.value AS left_value, rr.value AS right_value
+         |FROM lr FULL OUTER JOIN rr
+         |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        // greatest-(ts, value) as ONE struct max: map-side combinable, no
+        // per-group row buffer, no window — the oracle's row_number picks
+        // the identical row because struct order == (t DESC, v DESC NULLS
+        // LAST) pick-first.
+        def latest(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+          .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
+          .groupBy("ws", "user_id")
+          .agg(max(struct(col("ts_us").as("t"), col("value").as("v"))).as("m"))
+          .select(col("ws"), col("user_id"), col("m.v").as("value"))
+        val lv = latest(ev)
+        val rv = latest(ev.filter(col("user_id") % 11 =!= 0)
+          .withColumn("value",
+            when(col("user_id") % 5 === 0, col("value") + 1.0)
+              .otherwise(col("value")))
+          .unionByName(ev.filter(col("user_id") % 13 === 0)
+            .withColumn("user_id", col("user_id") + 100000L)))
+        lv.alias("l").join(rv.alias("r"),
+            col("l.ws") === col("r.ws") && col("l.user_id") === col("r.user_id"),
+            "full_outer")
+          .select(coalesce(col("l.ws"), col("r.ws")).as("window_start_us"),
+            coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+            when(col("l.user_id").isNull, "I")
+              .when(col("r.user_id").isNull, "D")
+              .when(!(col("l.value") <=> col("r.value")), "C")
+              .otherwise("N").as("diff_status"),
+            col("l.value").as("left_value"), col("r.value").as("right_value"))
+    },
+
     // Continuous-ingest CONTENT dedup vs the persisted corpus (r12) —
     // dedup_delta's streaming sibling at content grain: arriving docs
     // fingerprint (sha-256 of utf-8 text), drop if the fingerprint is in

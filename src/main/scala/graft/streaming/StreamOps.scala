@@ -105,6 +105,28 @@ final case class SsDiffOut(window_start_us: Long, key: Option[Long],
     diff_status: String, left_n: Option[Long], right_n: Option[Long],
     left_max: Option[Double], right_max: Option[Double])
 
+/** One side-tagged arrival for [[StreamOps.diffStreamStreamLatest]] —
+  * carries the raw event time so the fold can pick the LATEST value.
+  */
+final case class SsvEvent(window_start_us: Long, key: Option[Long],
+    left_side: Boolean, ts_us: Long, value: Option[Double],
+    tsm: java.sql.Timestamp)
+
+/** One side's latest observation inside the open (window, key) group. */
+final case class SsvSide(ts_us: Long, value: Option[Double])
+
+/** Per-(window, key) dual-feed LATEST state — one (ts, value) per side. */
+final case class SsvState(l: Option[SsvSide], r: Option[SsvSide])
+
+/** One row of the latest-VALUE stream-stream diff: per closed
+  * (window, key), each feed's last-write-wins value and the I/C/N/D
+  * verdict on the VALUES (the CDC replica-reconciliation semantic — the
+  * aggregate-census sibling is [[SsDiffOut]]).
+  */
+final case class SsvOut(window_start_us: Long, key: Option[Long],
+    diff_status: String, left_value: Option[Double],
+    right_value: Option[Double])
+
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
   * batch-equivalent queries in [[graft.queries.StreamingQueries]]: the same
@@ -424,6 +446,98 @@ object StreamOps {
       // null-key census emits its own D/I row, exactly the two unmatched
       // rows the batch full-outer produces (r13 review fix; previously a
       // null key killed the query at the encoder).
+      .groupByKey(e => (e.window_start_us, e.key,
+        if (e.key.isEmpty) Some(e.left_side) else None))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Latest-VALUE stream-stream keyed diff — [[diffStreamStream]]'s CDC
+    * last-write-wins sibling: instead of comparing per-window aggregates,
+    * each side keeps only its LATEST observation per (window, key) —
+    * greatest (ts, value) pair, the value tie-break making equal-timestamp
+    * races deterministic in both engines — and the closed window verdicts
+    * the two final VALUES: I/D by side presence, C when the latest values
+    * differ under Spark `<=>` (NULL equals NULL, NaN equals NaN), N
+    * otherwise. This is the replica-reconciliation question ("did both
+    * sinks END the window agreeing?") where the census form asks "did both
+    * sinks SEE the same traffic?".
+    *
+    * Same mechanics and bounds as [[diffStreamStream]]: tagged union under
+    * ONE watermark, a single `flatMapGroupsWithState` keyed by
+    * (window, key) (null keys side-split into unpairable D/I groups),
+    * state = at most TWO (ts, value) pairs per group, evicted at the
+    * event-time timeout. The fold order cannot matter: greatest-(ts,value)
+    * is associative/commutative, so shuffle arrival order never changes
+    * the verdict. Batch twin = per-side greatest-(ts,value) aggregates
+    * (max over a (ts, value) struct — no row_number over raw traffic)
+    * meeting in one full-outer; StreamBatchParitySpec pins stream == batch
+    * row-for-row including the watermark-flushed D rows.
+    */
+  def diffStreamStreamLatest(leftFeed: DataFrame, rightFeed: DataFrame,
+                             tsCol: String, keyCol: String, valCol: String,
+                             widthUs: Long, delay: String): Dataset[SsvOut] = {
+    val spark = leftFeed.sparkSession
+    import spark.implicits._
+    require(widthUs > 0, s"diffStreamStreamLatest: width must be positive, got $widthUs")
+
+    def prep(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(
+        (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
+          .as("window_start_us"),
+        col(keyCol).cast("long").as("key"),
+        lit(isLeft).as("left_side"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valCol).cast("double").as("value"),
+        col(tsCol).as("tsm"))
+
+    // Spark struct-ordering for (ts, value): later ts wins; on a ts tie the
+    // larger value wins with NULL smallest and NaN greatest — exactly how
+    // the batch twin's max(struct(ts, value)) breaks the same tie.
+    def later(a: SsvSide, b: SsvSide): SsvSide =
+      if (b.ts_us > a.ts_us) b
+      else if (b.ts_us < a.ts_us) a
+      else (a.value, b.value) match {
+        case (None, _)          => b
+        case (_, None)          => a
+        case (Some(x), Some(y)) =>
+          if (y.isNaN || (!x.isNaN && y > x)) b else a
+      }
+    def valEq(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+      case (None, None)       => true
+      case (Some(x), Some(y)) => x == y || (x.isNaN && y.isNaN)
+      case _                  => false
+    }
+
+    def step(wk: (Long, Option[Long], Option[Boolean]), it: Iterator[SsvEvent],
+             state: GroupState[SsvState]): Iterator[SsvOut] = {
+      if (state.hasTimedOut) {
+        val s = state.getOption.getOrElse(SsvState(None, None))
+        state.remove()
+        val status = (s.l, s.r) match {
+          case (Some(_), None) => "D"
+          case (None, Some(_)) => "I"
+          case (Some(a), Some(b)) => if (valEq(a.value, b.value)) "N" else "C"
+          case (None, None) => "N" // unreachable: a group only opens on an arrival
+        }
+        Iterator.single(SsvOut(wk._1, wk._2, status,
+          s.l.flatMap(_.value), s.r.flatMap(_.value)))
+      } else {
+        var s = state.getOption.getOrElse(SsvState(None, None))
+        it.foreach { e =>
+          val obs = SsvSide(e.ts_us, e.value)
+          if (e.left_side) s = s.copy(l = Some(s.l.fold(obs)(later(_, obs))))
+          else s = s.copy(r = Some(s.r.fold(obs)(later(_, obs))))
+        }
+        state.update(s)
+        val endMs = (wk._1 + widthUs) / 1000L
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    prep(leftFeed, isLeft = true).unionByName(prep(rightFeed, isLeft = false))
+      .withWatermark("tsm", delay)
+      .as[SsvEvent]
       .groupByKey(e => (e.window_start_us, e.key,
         if (e.key.isEmpty) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)

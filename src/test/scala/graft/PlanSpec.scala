@@ -1075,6 +1075,16 @@ class PlanSpec extends SparkTestBase {
     assert(fullOuters == 1, s"expected one full-outer exchange, got $fullOuters")
   }
 
+  test("stream_diff_values batch twin: struct-max latest pick is window-free, one full-outer") {
+    val df = queryNamed(graft.queries.StreamingQueries.all, "stream_diff_values")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "the latest pick must be a map-side struct MAX, never a row_number over raw traffic")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.count(_.contains("FullOuter")) == 1)
+  }
+
   test("txn_delete_mor read: the dv subtraction is a broadcast left-anti, not a shuffle join") {
     import graft.sources.TxnLog
     val t = java.nio.file.Files.createTempDirectory("graft-planspec-dv-")

@@ -647,6 +647,58 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream_diff_values: latest-value stream-stream diff == batch, incl. D rows (r13)") {
+    // The CDC last-write-wins sibling: same dual-feed harness as
+    // stream_diff_stream, but the verdict compares each side's FINAL
+    // (greatest (ts, value)) observation instead of the traffic census.
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val DayUs = 86400000000L
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff_values")(spark, sfDir))
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    def sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      expr(s"CAST(timestamp_micros(${maxUs + 2 * 86400L * 1000000L}L) " +
+        s"AS ${schema("ts").dataType.sql})").as("ts"),
+      lit(-999L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+
+    val lDir = Files.createTempDirectory("graft_ssv_l").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$lDir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    sentinel.write.mode("append").parquet(lDir)
+    val rDir = Files.createTempDirectory("graft_ssv_r").toString
+    val ev = Tables.events(spark, sfDir).drop("ts_us")
+    ev.filter(col("user_id") % 11 =!= 0)
+      .withColumn("value",
+        when(col("user_id") % 5 === 0, col("value") + 1.0).otherwise(col("value")))
+      .unionByName(ev.filter(col("user_id") % 13 === 0)
+        .withColumn("user_id", col("user_id") + 100000L))
+      .write.mode("overwrite").parquet(rDir)
+    sentinel.write.mode("append").parquet(rDir)
+
+    def feed(dir: String) = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val q = StreamOps.diffStreamStreamLatest(feed(lDir), feed(rDir),
+        "tsm", "user_id", "value", DayUs, "10 minutes")
+      .toDF("window_start_us", "user_id", "diff_status", "left_value", "right_value")
+      .writeStream.format("memory").queryName("ssv_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("ssv_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
   test("diffStreamStream: NULL values, NULL keys, NaN maxes — batch census semantics exactly (r13 review fix)") {
     // Three divergence classes the review caught: a NULL value must fold
     // like batch max() (skipped; the row still counts) instead of killing
