@@ -128,13 +128,14 @@ object Graft {
     Differ.invertChangeset(changes)
 
   /** Duplicate-key rank-matched diff (datacompy's temp_row_number
-    * semantics): rows rank within their key group by the canonical value
-    * fingerprint, then the standard diff runs on (key, rank); surplus
-    * ranks become I/D.
+    * semantics): rows rank within their key group by the order
+    * `opts.dupPairing` selects (value fingerprint by default;
+    * [[operators.DupPairing.ByValue]] for closest pairing), then the
+    * standard diff runs on (key, rank); surplus ranks become I/D.
     */
-  def diffDupKeyRank(left: DataFrame, right: DataFrame,
-                     keys: Seq[String]): DataFrame =
-    Differ.diffDupKeyRank(left, right, keys)
+  def diffDupKeyRank(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     opts: DiffOptions = DiffOptions()): DataFrame =
+    Differ.diffDupKeyRank(left, right, keys, opts)
 
   /** Changeset composition (diff algebra): fold base→v1 and v1→v2
     * changesets into the net base→v2 changeset without re-reading either

@@ -7,7 +7,7 @@ import graft.functions.{BoundedLevenshtein, ByteVecDot, FloatVecDot, SortedInter
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{IntegerType, StringType}
-import graft.operators.{DiffOptions, Differ}
+import graft.operators.{DiffOptions, Differ, DupPairing}
 
 /** Session extension that registers the native kernels as SQL functions,
   * so `spark.sql("SELECT float_vec_dot(a, b) ...")` works cluster-wide:
@@ -105,7 +105,11 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_diff_summary"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_summary"),
-      diffTvf(summary = true)(_))
+      diffTvf(summary = true)(_)),
+    (
+      FunctionIdentifier("graft_diff_dup"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_dup"),
+      dupTvf(_))
   )
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -227,6 +231,38 @@ object GraftExtensions {
             org.apache.spark.sql.functions.lit(1)).as("n"))
       else diffed
     df.queryExecution.analyzed
+  }
+
+  /** Duplicate-key rank-matched diff from SQL (r13 — the non-unique-key
+    * case the PK-contract `graft_diff` refuses):
+    * `graft_diff_dup('l', 'r', 'k' [, dup_pairing => 'by_value', …])`.
+    * `dup_pairing` selects the within-group order ('by_hash' default —
+    * the canonical value fingerprint; 'by_value' — closest pairing on the
+    * normalized value tuple); every other named option folds onto
+    * [[DiffOptions]] exactly like `graft_diff`.
+    */
+  private def dupTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff_dup('left_table', 'right_table', 'key1,key2' " +
+        "[, dup_pairing => 'by_value', abs_tol => 0.5, ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val pairing = named.find(_.key == "dup_pairing").map { na =>
+      strLit(na.value, na.key) match {
+        case "by_hash"  => DupPairing.ByHash
+        case "by_value" => DupPairing.ByValue
+        case other => throw new IllegalArgumentException(
+          s"graft_diff_dup: dup_pairing must be 'by_hash' or 'by_value', " +
+            s"got '$other'")
+      }
+    }.getOrElse(DupPairing.ByHash: DupPairing)
+    val opts = foldOptions(named.filterNot(_.key == "dup_pairing"))
+      .copy(dupPairing = pairing)
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
+    val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Differ.diffDupKeyRank(l, r, keys, opts).queryExecution.analyzed
   }
 
   /** Runtime registration into an existing session (idempotent): the

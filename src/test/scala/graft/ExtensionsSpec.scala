@@ -244,6 +244,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("AMBIGUOUS"), e2.getMessage.take(300))
   }
 
+  test("graft_diff_dup: dup-key rank diff from SQL, dup_pairing selects the order (r13)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.{DiffOptions, Differ, DupPairing}
+    val rows = (1 to 8).map(i => (1L, i.toLong, s"p$i"))
+    val l = rows.toDF("k", "a", "s")
+    val r = rows.map { case (k, a, s) => if (a == 4L) (k, a, "CHANGED") else (k, a, s) }
+      .toDF("k", "a", "s")
+    l.createOrReplaceTempView("ext_dup_l")
+    r.createOrReplaceTempView("ext_dup_r")
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_diff_dup('ext_dup_l', 'ext_dup_r', 'k')")) ==
+      rowsOf(Differ.diffDupKeyRank(l, r, Seq("k"))))
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_diff_dup('ext_dup_l', 'ext_dup_r', 'k', dup_pairing => 'by_value')")) ==
+      rowsOf(Differ.diffDupKeyRank(l, r, Seq("k"),
+        DiffOptions(dupPairing = DupPairing.ByValue))))
+    // an unknown pairing value fails loudly naming the legal ones
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_diff_dup('ext_dup_l', 'ext_dup_r', 'k', dup_pairing => 'closest')")
+        .collect()
+    }
+    assert(e.getMessage.contains("by_hash") && e.getMessage.contains("by_value"),
+      e.getMessage.take(200))
+  }
+
   test("graft_diff resolves parquet PATHS where a name is not in the catalog (r13)") {
     GraftExtensions.register(spark)
     val sfDir = "/root/testdata/sf0.001"
