@@ -158,7 +158,15 @@ object GraftExtensions {
     * Unknown names fail loudly with the supported list — a typo must not
     * silently diff with defaults.
     */
-  private def foldOptions(named: Seq[NamedArgumentExpression]): DiffOptions =
+  /** `fn` and `extra` exist for the error path only (r13 review fix): the
+    * unknown-option message must name the FUNCTION the user called and the
+    * function-specific options its caller peeled off before this fold
+    * (auto_map for graft_diff, dup_pairing for graft_diff_dup) — a typo
+    * must never be rejected with a list that claims the rejected name is
+    * supported, or that omits a genuinely supported one.
+    */
+  private def foldOptions(named: Seq[NamedArgumentExpression],
+                          fn: String, extra: Seq[String]): DiffOptions =
     named.foldLeft(DiffOptions()) { (o, na) =>
       val v = optValue(na.key, na.value)
       na.key match {
@@ -172,9 +180,10 @@ object GraftExtensions {
         case "trim_ws" => o.copy(trimWs = toBool(na.key, v))
         case "null_safe_keys" => o.copy(nullSafeKeys = toBool(na.key, v))
         case other => throw new IllegalArgumentException(
-          s"graft_diff: unknown option '$other' (supported: abs_tol, rel_tol, " +
-            "tol_cols, ignore_cols, bag_cols, digest_cols, ignore_case, trim_ws, " +
-            "null_safe_keys, auto_map)")
+          s"$fn: unknown option '$other' (supported: " +
+            (Seq("abs_tol", "rel_tol", "tol_cols", "ignore_cols", "bag_cols",
+              "digest_cols", "ignore_case", "trim_ws", "null_safe_keys") ++
+              extra).mkString(", ") + ")")
       }
     }
 
@@ -216,7 +225,8 @@ object GraftExtensions {
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
     val autoMap = named.find(_.key == "auto_map")
       .exists(na => toBool(na.key, optValue(na.key, na.value)))
-    val opts = foldOptions(named.filterNot(_.key == "auto_map"))
+    val opts = foldOptions(named.filterNot(_.key == "auto_map"),
+      if (summary) "graft_diff_summary" else "graft_diff", Seq("auto_map"))
     val spark = SparkSession.active
     val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
     val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
@@ -224,12 +234,7 @@ object GraftExtensions {
     val diffed =
       if (autoMap) Differ.diffAutoMapped(l, r, keys, opts)
       else Differ.diff(l, r, keys, opts)
-    val df =
-      if (summary)
-        diffed.groupBy(org.apache.spark.sql.functions.col(opts.statusCol))
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"))
-      else diffed
+    val df = if (summary) Differ.summaryOf(diffed, opts) else diffed
     df.queryExecution.analyzed
   }
 
@@ -256,8 +261,8 @@ object GraftExtensions {
             s"got '$other'")
       }
     }.getOrElse(DupPairing.ByHash: DupPairing)
-    val opts = foldOptions(named.filterNot(_.key == "dup_pairing"))
-      .copy(dupPairing = pairing)
+    val opts = foldOptions(named.filterNot(_.key == "dup_pairing"),
+      "graft_diff_dup", Seq("dup_pairing")).copy(dupPairing = pairing)
     val spark = SparkSession.active
     val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
     val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")

@@ -34,7 +34,6 @@ object ScaleProbe {
     val r0 = graft.queries.DiffQueries.right(spark, d)
     for (m <- Seq(1, 2, 4, 8)) {
       val (l, r) = (scaled(l0, m), scaled(r0, m))
-      noop(operators.Differ.diff(l, r, Seq("o_orderkey"))) // warm
       val tFull = timed(noop(operators.Differ.diff(l, r, Seq("o_orderkey"))))
       val tSum = timed(noop(operators.Differ.summary(l, r, Seq("o_orderkey"))))
       val tHash = timed(noop(operators.Differ.diffViaHash(l, r, Seq("o_orderkey"))))
@@ -85,7 +84,6 @@ object ScaleProbe {
     }
     for (m <- Seq(1, 4, 8)) {
       val (l, r, r2) = (scaled(l0, m), scaled(r0, m), scaled(r20, m))
-      noop(operators.Differ.diff(l, r, keys)) // warm
       val tCompose = timed(noop(operators.Differ.composeChangesets(
         operators.Differ.diff(l, r, keys), operators.Differ.diff(r, r2, keys), keys)))
       val tEst = timed(noop(estOnly(l, r)))

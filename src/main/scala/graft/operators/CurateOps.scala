@@ -230,12 +230,18 @@ object CurateOps {
     val outs = weights.map(_._2)
     require(outs.distinct == outs,
       s"bandedCumsum: duplicate output names [${outs.mkString(", ")}]")
-    val nameClash = outs.toSet.intersect(ins.toSet)
+    // outputs must be fresh vs weight inputs AND the order column AND the
+    // internal working names (r13 review second pass: an output named
+    // after orderCol overwrites the within-band sort key between folds —
+    // the same silent corruption as a weight-input collision)
+    val reserved = ins.toSet + orderCol + "__graft_band"
+    val nameClash = outs.toSet.intersect(reserved) ++
+      outs.filter(_.startsWith("__graft_"))
     require(nameClash.isEmpty,
       s"bandedCumsum: output name(s) [${nameClash.toSeq.sorted.mkString(", ")}] " +
-        "collide with weight input columns — a collision would overwrite an " +
-        "input mid-fold and silently corrupt later running sums; pick fresh " +
-        "output names")
+        "collide with the weight inputs, the order column, or internal " +
+        "__graft_* names — a collision would overwrite a column mid-fold " +
+        "and silently corrupt later running sums; pick fresh output names")
     val b = df.withColumn("__graft_band", band)
     val subAggs = weights.flatMap { case (in, _) => Seq(
       sum(col(in)).as(s"__graft_s_$in"),

@@ -422,14 +422,17 @@ object Differ {
     * between snapshots digests to the same hex either way, so digesting
     * first makes the retype a non-event instead of a coercion failure.
     */
-  private def digested(df: DataFrame, keys: Seq[String],
-                       opts: DiffOptions): DataFrame = {
-    // The construction-time guard refuses EXPLICIT tolCols/bagCols overlap;
-    // the default-tolerance form (tolCols empty ⇒ tolerance applies to all
-    // floating columns) needs the schema, so it checks here (r13 review
-    // fix): digesting a floating column under an active default tolerance
-    // silently degrades that column to exact hex compare — the same
-    // contradiction, caught with the column and its type named.
+  /** The construction-time guard refuses EXPLICIT tolCols/bagCols overlap;
+    * the default-tolerance form (tolCols empty ⇒ tolerance applies to all
+    * floating columns) needs the schema, so TOLERANT paths call this at
+    * their entry (r13 review fix, scoped in a second pass: only [[diff]]
+    * and its delegates compare with tolerance — the exact-hash paths
+    * (diffViaHash / diffIncremental) document that tolerance options do
+    * not apply there, so the contradiction does not exist for them and the
+    * guard must not reject their calls).
+    */
+  private def requireNoDefaultTolDigestClash(df: DataFrame,
+                                             opts: DiffOptions): Unit =
     if ((opts.absTol > 0.0 || opts.relTol > 0.0) && opts.tolCols.isEmpty) {
       val clash = opts.digestCols.filter(c =>
         df.schema.fields.exists(f => f.name == c && floating(f.dataType)))
@@ -440,6 +443,9 @@ object Differ {
           "compares as SHA-256 hex, so the tolerance cannot apply — name " +
           "tolCols explicitly or drop the digest")
     }
+
+  private def digested(df: DataFrame, keys: Seq[String],
+                       opts: DiffOptions): DataFrame =
     opts.digestCols.foldLeft(df) { (d0, c) =>
       require(d0.columns.contains(c), s"digestCols('$c'): column absent " +
         s"from [${d0.columns.mkString(", ")}]")
@@ -447,10 +453,10 @@ object Differ {
         "(the join must address the real key)")
       d0.withColumn(c, sha2(bq(c).cast("binary"), 256))
     }
-  }
 
   def diff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions()): DataFrame = {
+    requireNoDefaultTolDigestClash(left0, opts)
     val (left, right) = coerceValueTypes(
       digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
@@ -490,11 +496,17 @@ object Differ {
   }
 
   /** Headline report: row counts per diff status. */
+  /** The 4-status census over an already-built diff frame — ONE definition
+    * of the summary shape, shared by [[summary]] and the SQL TVF so the
+    * two surfaces cannot drift (r13 review fix).
+    */
+  def summaryOf(diffed: DataFrame,
+                opts: DiffOptions = DiffOptions()): DataFrame =
+    diffed.groupBy(opts.statusCol).agg(count(lit(1)).as("n"))
+
   def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
               opts: DiffOptions = DiffOptions()): DataFrame =
-    diff(left, right, keys, opts)
-      .groupBy(opts.statusCol)
-      .agg(count(lit(1)).as("n"))
+    summaryOf(diff(left, right, keys, opts), opts)
 
   /** Catalog-level multi-table diff sweep (r13) — "did last night's load
     * change ANY of the N tables?" as ONE long-format report: per table

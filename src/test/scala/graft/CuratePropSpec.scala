@@ -391,6 +391,16 @@ class CuratePropSpec extends SparkTestBase {
       CurateOps.bandedCumsum(df, "o",
         org.apache.spark.sql.functions.expr("o"), Seq("a" -> "x", "b" -> "x")))
     assert(e2.getMessage.contains("duplicate output"))
+    // an output named after the ORDER column would overwrite the sort key
+    // between folds — same silent corruption, same refusal
+    val e3 = intercept[IllegalArgumentException](
+      CurateOps.bandedCumsum(df, "o",
+        org.apache.spark.sql.functions.expr("o"), Seq("a" -> "o", "b" -> "cb")))
+    assert(e3.getMessage.contains("collide"))
+    val e4 = intercept[IllegalArgumentException](
+      CurateOps.bandedCumsum(df, "o",
+        org.apache.spark.sql.functions.expr("o"), Seq("a" -> "__graft_band")))
+    assert(e4.getMessage.contains("collide"))
   }
 
   // ---- recursion-elimination identities --------------------------------

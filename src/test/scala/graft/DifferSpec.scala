@@ -889,6 +889,19 @@ class DifferSpec extends SparkTestBase {
     assert(statusCounts(Differ.diff(l, l, keys,
       DiffOptions(absTol = 0.5, tolCols = Set("v"), digestCols = Set("s")))) ==
       Map("N" -> 1L))
+    // The EXACT-hash paths document that tolerance does not apply, so the
+    // default-tolerance clash guard must NOT fire there (r13 review second
+    // pass). Digesting a DOUBLE independently fails at ANALYSIS time
+    // (Spark refuses CAST(double AS BINARY)) on every path — the guard's
+    // job on diff() is to say WHY before that cryptic cast error — so the
+    // hash path's error is the cast refusal, never our tolerance message.
+    val sameOpts = DiffOptions(absTol = 0.5, digestCols = Set("v"))
+    val eh = intercept[Exception](Differ.diffViaHash(l, l, keys, sameOpts).count())
+    assert(!eh.getMessage.contains("default tolerance"), eh.getMessage.take(200))
+    // and the hash path stays fully legal for the REAL digest use — a
+    // string/binary payload column — under the same default tolerance
+    assert(Differ.diffViaHash(l, l, keys,
+      DiffOptions(absTol = 0.5, digestCols = Set("s"))).count() == 0L)
   }
 
   test("digestCols overlapping tolCols/bagCols refuses at construction (r13)") {
