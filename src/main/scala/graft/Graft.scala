@@ -204,6 +204,16 @@ object Graft {
     graft.streaming.StreamOps.diffStreamStream(
       leftFeed, rightFeed, tsCol, keyCol, valCol, widthUs, delay).toDF()
 
+  /** Multi-column form of [[diffStreams]] (r14): the census max rides
+    * `valCols.head`; the order-independent content digest covers the FULL
+    * payload, so drift in ANY value column reads C.
+    */
+  def diffStreams(leftFeed: DataFrame, rightFeed: DataFrame,
+                  tsCol: String, keyCol: String, valCols: Seq[String],
+                  widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStream(
+      leftFeed, rightFeed, tsCol, keyCol, valCols, widthUs, delay).toDF()
+
   /** Latest-VALUE stream-stream diff — the CDC last-write-wins sibling of
     * [[diffStreams]]: per closed (window, key), each feed's final value
     * compared under `<=>` semantics instead of the traffic census.
@@ -213,6 +223,16 @@ object Graft {
                         widthUs: Long, delay: String): DataFrame =
     graft.streaming.StreamOps.diffStreamStreamLatest(
       leftFeed, rightFeed, tsCol, keyCol, valCol, widthUs, delay).toDF()
+
+  /** Multi-column form of [[diffStreamsLatest]] (r14): the latest
+    * observation carries the full numeric payload tuple; the verdict
+    * compares per column null-safely.
+    */
+  def diffStreamsLatest(leftFeed: DataFrame, rightFeed: DataFrame,
+                        tsCol: String, keyCol: String, valCols: Seq[String],
+                        widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamLatest(
+      leftFeed, rightFeed, tsCol, keyCol, valCols, widthUs, delay).toDF()
 
   /** SCD type-2 history from version-tagged snapshots: per key, maximal
     * constant-value version runs collapse to `[valid_from, valid_to)`

@@ -109,7 +109,15 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_diff_dup"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_dup"),
-      dupTvf(_))
+      dupTvf(_)),
+    (
+      FunctionIdentifier("graft_diff_report"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_report"),
+      reportTvf(_)),
+    (
+      FunctionIdentifier("graft_schema_diff"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_schema_diff"),
+      schemaDiffTvf(_))
   )
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -196,8 +204,12 @@ object GraftExtensions {
     * interpretations named; a name with catalog-illegal characters (a
     * path) skips the catalog probe instead of surfacing its parse error.
     */
+  /** `fn` names the TVF the user actually called — the error message must
+    * never claim a different entry point (r13 ADVICE, same rationale as
+    * foldOptions' fn threading).
+    */
   private def resolveSide(spark: SparkSession, name: String,
-                          what: String): org.apache.spark.sql.DataFrame = {
+                          what: String, fn: String): org.apache.spark.sql.DataFrame = {
     val inCatalog =
       try spark.catalog.tableExists(name)
       catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -207,7 +219,7 @@ object GraftExtensions {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) spark.read.parquet(name)
       else throw new IllegalArgumentException(
-        s"graft_diff: $what '$name' is neither a table in the session " +
+        s"$fn: $what '$name' is neither a table in the session " +
           "catalog nor an existing parquet path")
     }
   }
@@ -228,14 +240,76 @@ object GraftExtensions {
     val opts = foldOptions(named.filterNot(_.key == "auto_map"),
       if (summary) "graft_diff_summary" else "graft_diff", Seq("auto_map"))
     val spark = SparkSession.active
-    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
-    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
+    val fn = if (summary) "graft_diff_summary" else "graft_diff"
+    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table", fn)
+    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table", fn)
     val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val diffed =
       if (autoMap) Differ.diffAutoMapped(l, r, keys, opts)
       else Differ.diff(l, r, keys, opts)
     val df = if (summary) Differ.summaryOf(diffed, opts) else diffed
     df.queryExecution.analyzed
+  }
+
+  private def toInt(name: String, v: Any): Int = v match {
+    case i: Int => i
+    case l: Long if l.isValidInt => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_diff option '$name' must be an INT literal, got $other")
+  }
+
+  /** datacompy-`report()` from SQL (r14 — the r13 verdict's #3 ask): the
+    * composed human-readable diff artifact as a TVF —
+    * `SELECT * FROM graft_diff_report('l', 'r', 'k' [, example_on =>
+    * 'col', k => 5, abs_tol => …])` — side row counts, the 4-status
+    * census, per-column change counts, and the first k example rows per
+    * non-N status, exactly [[Differ.report]]'s long format. `example_on`
+    * defaults to the first shared non-key column (the report degrades
+    * the value pair to NULL when it isn't a compared column, never
+    * fails); `k` bounds the example rows per status. Every other named
+    * option folds onto [[DiffOptions]] exactly like `graft_diff`. NOTE:
+    * report construction collects its ≤4-row status census eagerly (the
+    * documented bounded collect in Differ.report), so THIS TVF runs that
+    * 4-row job at analysis time — the splice is still one plan and the
+    * examples/aggregates stay distributed.
+    */
+  private def reportTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff_report('left_table', 'right_table', 'key1,key2' " +
+        "[, example_on => 'col', k => 5, abs_tol => 0.5, ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val exampleOn = named.find(_.key == "example_on").map(na => strLit(na.value, na.key))
+    val k = named.find(_.key == "k")
+      .map(na => toInt(na.key, optValue(na.key, na.value))).getOrElse(5)
+    val opts = foldOptions(
+      named.filterNot(na => na.key == "example_on" || na.key == "k"),
+      "graft_diff_report", Seq("example_on", "k"))
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(positional.head, "left_table"),
+      "left_table", "graft_diff_report")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"),
+      "right_table", "graft_diff_report")
+    val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val ex = exampleOn.getOrElse(
+      l.columns.find(c => !keys.contains(c) && r.columns.contains(c)).getOrElse(""))
+    Differ.report(l, r, keys, exampleOn = ex, opts, k = k).queryExecution.analyzed
+  }
+
+  /** Metadata-level schema diff from SQL (r14):
+    * `SELECT * FROM graft_schema_diff('l', 'r')` — columns added /
+    * removed / retyped as the same small frame [[Differ.schemaDiff]]
+    * returns. No keys, no options: schemas are the whole input.
+    */
+  private def schemaDiffTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 && !args.exists(_.isInstanceOf[NamedArgumentExpression]),
+      "usage: graft_schema_diff('left_table', 'right_table')")
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(args.head, "left_table"),
+      "left_table", "graft_schema_diff")
+    val r = resolveSide(spark, strLit(args(1), "right_table"),
+      "right_table", "graft_schema_diff")
+    Differ.schemaDiff(spark, l, r).queryExecution.analyzed
   }
 
   /** Duplicate-key rank-matched diff from SQL (r13 — the non-unique-key
@@ -264,8 +338,10 @@ object GraftExtensions {
     val opts = foldOptions(named.filterNot(_.key == "dup_pairing"),
       "graft_diff_dup", Seq("dup_pairing")).copy(dupPairing = pairing)
     val spark = SparkSession.active
-    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table")
-    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table")
+    val l = resolveSide(spark, strLit(positional.head, "left_table"),
+      "left_table", "graft_diff_dup")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"),
+      "right_table", "graft_diff_dup")
     val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     Differ.diffDupKeyRank(l, r, keys, opts).queryExecution.analyzed
   }

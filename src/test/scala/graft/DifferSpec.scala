@@ -974,4 +974,79 @@ class DifferSpec extends SparkTestBase {
       .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
     assert(cen == Map("N" -> 0L, "C" -> 1L, "I" -> 1L, "D" -> 1L))
   }
+
+  test("catalogDiff refuses duplicate table names loudly (r13 ADVICE)") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException](Differ.catalogDiff(Seq(
+      ("t", a, a, Seq("k")), ("t", a, a, Seq("k")), ("u", a, a, Seq("k")))))
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("t") &&
+      !e.getMessage.contains("u,"), e.getMessage)
+  }
+
+  test("autoMapReport verdicts agree with diffAutoMapped's decisions (r14)") {
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"),
+        r.getString(4))).toSet
+    // mapped + drop: two exact renames map; the zero-overlap decoy on the
+    // RIGHT is an unclaimed add (no row), a zero-overlap LEFT column drops
+    val l = Seq((1L, "F", "HIGH", "z1"), (2L, "O", "LOW", "z2"))
+      .toDF("k", "status", "prio", "ltag")
+    val r = Seq((1L, "F", "HIGH"), (2L, "O", "LOW")).toDF("k", "st", "pr")
+      .withColumn("decoy", lit("zz-no-overlap"))
+    assert(verdicts(Differ.autoMapReport(l, r, keys)) == Set(
+      ("status", "st", "mapped"), ("prio", "pr", "mapped"), ("ltag", "-", "drop")))
+    // ambiguous: both full candidates flagged, none mapped — and the
+    // throwing surface agrees (one discovery body, two surfaces)
+    val amb = r.withColumn("st2", col("st"))
+    val ambRep = verdicts(Differ.autoMapReport(l, amb, keys))
+    assert(ambRep.contains(("status", "st", "ambiguous")) &&
+      ambRep.contains(("status", "st2", "ambiguous")), ambRep)
+    intercept[IllegalArgumentException](Differ.diffAutoMapped(l, amb, keys))
+    // partial: 1/2 overlap (500000 ppm), no full candidate
+    val lp = Seq((1L, "F"), (2L, "O")).toDF("k", "status")
+    val rp = Seq((1L, "F"), (2L, "Q")).toDF("k", "stx")
+    assert(verdicts(Differ.autoMapReport(lp, rp, keys)) ==
+      Set(("status", "stx", "partial")))
+    intercept[IllegalArgumentException](Differ.diffAutoMapped(lp, rp, keys))
+    // conflict: two left columns with identical value sets both fully
+    // match one right column → injectivity breach, flagged on both rows
+    val lc = Seq((1L, "F", "F"), (2L, "O", "O")).toDF("k", "s1", "s2")
+    val rc = Seq((1L, "F"), (2L, "O")).toDF("k", "st")
+    assert(verdicts(Differ.autoMapReport(lc, rc, keys)) ==
+      Set(("s1", "st", "conflict"), ("s2", "st", "conflict")))
+    val e = intercept[IllegalArgumentException](Differ.diffAutoMapped(lc, rc, keys))
+    assert(e.getMessage.contains("injective") && e.getMessage.contains("s1") &&
+      e.getMessage.contains("s2"), e.getMessage)
+  }
+
+  test("catalogDiffTables: catalog enumeration, key inference, error rows survive (r14)") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val aChanged = Seq((1L, "x", 9.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    val dup = Seq((1L, "x"), (1L, "x")).toDF("k", "s") // no unique column
+    a.createOrReplaceTempView("cdt_good_l")
+    aChanged.createOrReplaceTempView("cdt_good_r")
+    dup.createOrReplaceTempView("cdt_nokey_l")
+    dup.createOrReplaceTempView("cdt_nokey_r")
+    a.createOrReplaceTempView("cdt_lost_l") // no _r twin
+    val out = Differ.catalogDiffTables(spark, "cdt_.*_l",
+      n => n.stripSuffix("_l") + "_r").collect()
+    val byTable = out.groupBy(_.getAs[String]("table_name"))
+    // the healthy pair diffed on the inferred key k: C=1, I=1, D=1
+    val cen = byTable("cdt_good_l").filter(_.getAs[String]("kind") == "census")
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    assert(cen == Map("N" -> 0L, "C" -> 1L, "I" -> 1L, "D" -> 1L))
+    // failure classes are single report rows, not exceptions
+    def err(t: String) = {
+      val rows = byTable(t)
+      assert(rows.length == 1 && rows.head.getAs[String]("kind") == "error" &&
+        rows.head.getAs[String]("verdict") == "fail", rows.mkString)
+      rows.head.getAs[String]("item")
+    }
+    assert(err("cdt_nokey_l") == "no_unique_key")
+    assert(err("cdt_lost_l") == "missing_right")
+    // an unmatched pattern fails loudly (an empty sweep is a typo)
+    val e = intercept[IllegalArgumentException](
+      Differ.catalogDiffTables(spark, "cdt_nothing_.*", identity))
+    assert(e.getMessage.contains("cdt_nothing_"), e.getMessage)
+  }
 }

@@ -304,4 +304,62 @@ class ExtensionsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("neither a table")),
       s"expected the dual-resolution failure, got: ${e.getMessage.take(300)}")
   }
+
+  test("graft_diff_report TVF == Differ.report; example_on/k options; composable (r14)") {
+    GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.operators.Differ
+    val l = graft.queries.DiffQueries.left(spark, sfDir)
+    val r = graft.queries.DiffQueries.right(spark, sfDir)
+    l.createOrReplaceTempView("ext_rep_l")
+    r.createOrReplaceTempView("ext_rep_r")
+    // TVF ≡ API, default example_on = first shared non-key column
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_diff_report('ext_rep_l', 'ext_rep_r', 'o_orderkey')")) ==
+      rowsOf(Differ.report(l, r, Seq("o_orderkey"), exampleOn = "o_custkey")))
+    // explicit example_on + k
+    assert(rowsOf(spark.sql(
+      """SELECT * FROM graft_diff_report('ext_rep_l', 'ext_rep_r', 'o_orderkey',
+        |  example_on => 'o_totalprice', k => 2)""".stripMargin)) ==
+      rowsOf(Differ.report(l, r, Seq("o_orderkey"),
+        exampleOn = "o_totalprice", k = 2)))
+    // composes like any relation
+    val sections = spark.sql(
+      """SELECT item, n FROM graft_diff_report('ext_rep_l', 'ext_rep_r', 'o_orderkey')
+        |WHERE section = 'summary'""".stripMargin).collect()
+    assert(sections.map(_.getString(0)).sorted.toSeq == Seq("C", "D", "I", "N"))
+    // an unknown option fails loudly naming graft_diff_report's surface
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_diff_report('ext_rep_l', 'ext_rep_r', 'o_orderkey', exmple => 'x')")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_diff_report") &&
+      e.getMessage.contains("example_on"), e.getMessage.take(300))
+  }
+
+  test("graft_schema_diff TVF == Differ.schemaDiff; usage errors name the TVF (r14)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    val l = Seq((1L, "a", 1.5)).toDF("k", "s", "v")
+    val r = Seq((1L, 2, "x")).toDF("k", "s", "w") // s retyped, v removed, w added
+    l.createOrReplaceTempView("ext_sd_l")
+    r.createOrReplaceTempView("ext_sd_r")
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_schema_diff('ext_sd_l', 'ext_sd_r')")) ==
+      rowsOf(Differ.schemaDiff(spark, l, r)))
+    // wrong arity fails the usage check loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_schema_diff('ext_sd_l')").collect()
+    }
+    assert(e.getMessage.contains("graft_schema_diff"), e.getMessage.take(300))
+    // the resolver error names the TVF the user called (r13 ADVICE)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_schema_diff('ext_sd_l', 'no_such_thing')").collect()
+    }
+    val msg = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("graft_schema_diff") && msg.contains("neither a table"),
+      msg.take(300))
+  }
 }

@@ -596,9 +596,18 @@ class StreamBatchParitySpec extends SparkTestBase {
     Tables.ensureConfs(spark)
     val sfDir = "/root/testdata/sf0.001"
     val DayUs = 86400000000L
-    val batchRows = rowsOf(SparkEntry.queries("stream_diff_stream")(spark, sfDir))
+    val batchDf = SparkEntry.queries("stream_diff_stream")(spark, sfDir)
+    val batchRows = rowsOf(batchDf)
     assert(batchRows.exists(_.contains("|D|")),
       "fixture must exercise D rows or the pin is vacuous")
+    // The r14 digest must be load-bearing: the planted %7==3 event_type
+    // reversal produces C groups whose count AND max agree — the
+    // compensating-drift case a (count, max) census certifies N for.
+    assert(batchDf.filter(col("diff_status") === "C" &&
+        col("left_n") === col("right_n") &&
+        col("left_max") <=> col("right_max")).limit(1).count() == 1L,
+      "fixture must carry a digest-only C group (same count, same max) " +
+        "or the content-digest pin is vacuous")
 
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val maxUs = Tables.events(spark, sfDir)
@@ -618,12 +627,16 @@ class StreamBatchParitySpec extends SparkTestBase {
       Paths.get(s"$lDir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     sentinel.write.mode("append").parquet(lDir)
 
-    // Right feed = the batch fixture's perturbation, materialized.
+    // Right feed = the batch fixture's perturbation, materialized
+    // (incl. the r14 %7==3 event_type reversal — the digest-only C).
     val rDir = Files.createTempDirectory("graft_ssdiff_r").toString
     val ev = Tables.events(spark, sfDir).drop("ts_us")
     ev.filter(col("user_id") % 11 =!= 0)
       .withColumn("value",
         when(col("user_id") % 5 === 0, col("value") + 1.0).otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("user_id") % 7 === 3, reverse(col("event_type")))
+          .otherwise(col("event_type")))
       .unionByName(ev.filter(col("user_id") % 13 === 0)
         .withColumn("user_id", col("user_id") + 100000L))
       .write.mode("overwrite").parquet(rDir)
@@ -633,9 +646,10 @@ class StreamBatchParitySpec extends SparkTestBase {
       .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
       .withColumn("tsm", timestamp_micros(col("ts_us")))
     val q = StreamOps.diffStreamStream(feed(lDir), feed(rDir),
-        "tsm", "user_id", "value", DayUs, "10 minutes")
+        "tsm", "user_id", Seq("value", "event_type"), DayUs, "10 minutes")
       .toDF("window_start_us", "user_id", "diff_status",
-        "left_n", "right_n", "left_max", "right_max")
+        "left_n", "right_n", "left_max", "right_max",
+        "left_digest", "right_digest")
       .writeStream.format("memory").queryName("ssdiff_parity")
       .outputMode("append").start()
     try {
@@ -686,13 +700,19 @@ class StreamBatchParitySpec extends SparkTestBase {
       .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
       .withColumn("tsm", timestamp_micros(col("ts_us")))
     val q = StreamOps.diffStreamStreamLatest(feed(lDir), feed(rDir),
-        "tsm", "user_id", "value", DayUs, "10 minutes")
-      .toDF("window_start_us", "user_id", "diff_status", "left_value", "right_value")
+        "tsm", "user_id", Seq("value", "event_id"), DayUs, "10 minutes")
+      .toDF("window_start_us", "user_id", "diff_status", "left_values", "right_values")
       .writeStream.format("memory").queryName("ssv_parity")
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      val streamRows = rowsOf(spark.table("ssv_parity"))
+      // flatten the payload tuples to the batch key's scalar columns
+      val streamRows = rowsOf(spark.table("ssv_parity")
+        .select(col("window_start_us"), col("user_id"), col("diff_status"),
+          element_at(col("left_values"), 1).as("left_value"),
+          element_at(col("right_values"), 1).as("right_value"),
+          element_at(col("left_values"), 2).as("left_eid"),
+          element_at(col("right_values"), 2).as("right_eid")))
       assert(streamRows.size == batchRows.size,
         s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
       assert(streamRows == batchRows)
@@ -716,7 +736,7 @@ class StreamBatchParitySpec extends SparkTestBase {
         .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
     val q = StreamOps.diffStreamStream(feed(lIn), feed(rIn),
         "ts", "k", "v", W, "0 seconds")
-      .toDF("ws", "k", "st", "ln", "rn", "lm", "rm")
+      .toDF("ws", "k", "st", "ln", "rn", "lm", "rm", "ld", "rd")
       .writeStream.format("memory").queryName("ssdiff_edge")
       .outputMode("append").start()
     try {
@@ -729,7 +749,11 @@ class StreamBatchParitySpec extends SparkTestBase {
       lIn.addData((10000000000L, Some(-999L), Some(0.0)))
       rIn.addData((10000000000L, Some(-999L), Some(0.0)))
       q.processAllAvailable()
-      val got = rowsOf(spark.table("ssdiff_edge"))
+      // digest columns projected away here: their cross-engine value is
+      // pinned by the DuckDB oracle + the big parity test above; this
+      // test pins the count/max/key/NaN SEMANTICS.
+      val got = rowsOf(spark.table("ssdiff_edge")
+        .select("ws", "k", "st", "ln", "rn", "lm", "rm"))
       val want = Seq(
         "0|1|N|1|1|NaN|NaN",   // NaN == NaN under <=>
         "0|2|D|1|␀|␀|␀",       // NULL value: counted, max stays NULL
@@ -737,6 +761,169 @@ class StreamBatchParitySpec extends SparkTestBase {
         "0|␀|I|␀|1|␀|5.0").sorted // null key, right side — unpairable
       assert(got == want, s"got=$got")
     } finally q.stop()
+  }
+
+  test("stream-stream diffs refuse non-integral key columns at construction (r13 ADVICE)") {
+    // A silent cast of a string key to long would NULL every key and
+    // collapse all traffic into the two unpairable null-key groups —
+    // garbage D/I rows with no error.
+    import spark.implicits._
+    val f = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k1", 1.0))
+      .toDF("ts", "k", "v")
+    val e = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStream(f, f, "ts", "k", "v", 1000000L, "0 seconds"))
+    assert(e.getMessage.contains("integral") && e.getMessage.contains("diffStreamStream"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamLatest(f, f, "ts", "k", "v", 1000000L, "0 seconds"))
+    assert(e2.getMessage.contains("integral") &&
+      e2.getMessage.contains("diffStreamStreamLatest"), e2.getMessage)
+    // and the latest form refuses a non-numeric payload column loudly
+    val e3 = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamLatest(
+        f.withColumn("k", lit(1L)), f.withColumn("k", lit(1L)),
+        "ts", "k", Seq("v", "ts"), 1000000L, "0 seconds"))
+    assert(e3.getMessage.contains("non-numeric"), e3.getMessage)
+  }
+
+  test("diffStreamStream: compensating sub-max drift reads C via the content digest (r14)") {
+    // The r13 verdict's planted case: {1, 5} vs {2, 5} in one window —
+    // same count (2), same max (5.0). A (count, max) census certifies N
+    // for exactly this replica divergence; the order-independent payload
+    // digest must read C.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val W = 1000000L
+    val lIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    val rIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    def feed(in: MemoryStream[(Long, Option[Long], Option[Double])]) =
+      in.toDF().toDF("t_us", "k", "v")
+        .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
+    val q = StreamOps.diffStreamStream(feed(lIn), feed(rIn),
+        "ts", "k", "v", W, "0 seconds")
+      .toDF("ws", "k", "st", "ln", "rn", "lm", "rm", "ld", "rd")
+      .writeStream.format("memory").queryName("ssdiff_comp")
+      .outputMode("append").start()
+    try {
+      lIn.addData((100L, Some(1L), Some(1.0)), (200L, Some(1L), Some(5.0)),
+        (300L, Some(2L), Some(7.0)))
+      rIn.addData((110L, Some(1L), Some(2.0)), (210L, Some(1L), Some(5.0)),
+        (310L, Some(2L), Some(7.0)))
+      lIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      rIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("ssdiff_comp")
+        .select("ws", "k", "st", "ln", "rn", "lm", "rm"))
+      val want = Seq(
+        "0|1|C|2|2|5.0|5.0",  // the compensating case: digest-only C
+        "0|2|N|1|1|7.0|7.0").sorted
+      assert(got == want, s"got=$got")
+      // and the digests themselves: equal for the N group, drifted for C
+      val dig = spark.table("ssdiff_comp").select("k", "ld", "rd").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(dig(2L)._1 == dig(2L)._2, s"N group digests must match: ${dig(2L)}")
+      assert(dig(1L)._1 != dig(1L)._2, s"C group digests must drift: ${dig(1L)}")
+    } finally q.stop()
+  }
+
+  test("diffStreamStream: a lagging feed holds the horizon open — per-feed watermarks, MIN policy (r14)") {
+    // r13 ADVICE (high): a single post-union watermark advances on the
+    // MAX event time across feeds, so a feed lagging more than `delay`
+    // had its rows dropped as late and its keys mis-certified D. With
+    // per-feed watermarks the engine takes the MIN: until the lagging
+    // feed catches up, NOTHING closes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val W = 1000000L
+    val lIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    val rIn = MemoryStream[(Long, Option[Long], Option[Double])]
+    def feed(in: MemoryStream[(Long, Option[Long], Option[Double])]) =
+      in.toDF().toDF("t_us", "k", "v")
+        .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
+    val q = StreamOps.diffStreamStream(feed(lIn), feed(rIn),
+        "ts", "k", "v", W, "0 seconds")
+      .toDF("ws", "k", "st", "ln", "rn", "lm", "rm", "ld", "rd")
+      .writeStream.format("memory").queryName("ssdiff_lag")
+      .outputMode("append").start()
+    try {
+      // both feeds carry window-0 traffic; only LEFT races ahead
+      lIn.addData((100L, Some(1L), Some(1.0)))
+      rIn.addData((150L, Some(1L), Some(1.0)))
+      lIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      q.processAllAvailable()
+      // left's watermark is far-future, right's is ~0 → global MIN holds
+      // window 0 open: nothing may emit (the broken form emitted here and
+      // then dropped right's later rows as late)
+      assert(spark.table("ssdiff_lag").count() == 0L,
+        "window closed while one feed lagged — watermark is not MIN across feeds")
+      // the lagging feed delivers MORE window-0 traffic, then catches up
+      rIn.addData((400L, Some(2L), Some(9.0)))
+      rIn.addData((10000000000L, Some(-999L), Some(0.0)))
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("ssdiff_lag")
+        .select("ws", "k", "st", "ln", "rn", "lm", "rm"))
+      val want = Seq(
+        "0|1|N|1|1|1.0|1.0",
+        "0|2|I|␀|1|␀|9.0").sorted // the row the broken form dropped as late
+      assert(got == want, s"got=$got")
+    } finally q.stop()
+  }
+
+  test("diffStreamStream parity holds under the RocksDB state store; state metrics surface (r14)") {
+    // The 100 TB state-store axis (r13 verdict ask #6): the default
+    // HDFS-backed in-memory provider caps state at executor heap; the
+    // RocksDB provider spills to local disk, which is what an operator of
+    // a long-horizon stream-stream diff actually deploys. Same query,
+    // same rows; stateOperators metrics must report the group count.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val W = 1000000L
+      val lIn = MemoryStream[(Long, Option[Long], Option[Double])]
+      val rIn = MemoryStream[(Long, Option[Long], Option[Double])]
+      def feed(in: MemoryStream[(Long, Option[Long], Option[Double])]) =
+        in.toDF().toDF("t_us", "k", "v")
+          .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
+      val q = StreamOps.diffStreamStream(feed(lIn), feed(rIn),
+          "ts", "k", "v", W, "0 seconds")
+        .toDF("ws", "k", "st", "ln", "rn", "lm", "rm", "ld", "rd")
+        .writeStream.format("memory").queryName("ssdiff_rocks")
+        .outputMode("append").start()
+      try {
+        lIn.addData((100L, Some(1L), Some(1.0)), (200L, Some(2L), Some(3.0)))
+        rIn.addData((150L, Some(1L), Some(1.0)), (250L, Some(3L), Some(4.0)))
+        q.processAllAvailable()
+        // state while windows are open: 4 groups (keys 1,2,3 + nothing
+        // null) — measured from the engine's own progress metrics
+        val open = q.lastProgress.stateOperators
+        assert(open.nonEmpty && open.head.numRowsTotal == 3L,
+          s"expected 3 open (window,key) state rows, got " +
+            s"${open.map(_.numRowsTotal).mkString(",")}")
+        lIn.addData((10000000000L, Some(-999L), Some(0.0)))
+        rIn.addData((10000000000L, Some(-999L), Some(0.0)))
+        q.processAllAvailable()
+        val got = rowsOf(spark.table("ssdiff_rocks")
+          .select("ws", "k", "st", "ln", "rn", "lm", "rm"))
+        val want = Seq(
+          "0|1|N|1|1|1.0|1.0",
+          "0|2|D|1|␀|3.0|␀",
+          "0|3|I|␀|1|␀|4.0").sorted
+        assert(got == want, s"got=$got")
+        // memory/bytes metric present (RocksDB reports memoryUsedBytes)
+        assert(q.lastProgress.stateOperators.head.memoryUsedBytes >= 0L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("scd2Sink: checkpoint loss fails loudly; true replay stays a verified no-op (r13)") {
