@@ -82,6 +82,17 @@ object DiffQueries {
   private val valueCols =
     Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** Per-process root + fresh-per-call suffix for the TxnLog-sweep
+    * fixture (TxnLog.init refuses to reuse a log dir; the pid keeps
+    * concurrent suites from seeing each other's torn directories — the
+    * RelationalQueries roundtripRoot precedent).
+    */
+  private lazy val txnSweepRoot: String = {
+    val run = java.lang.ProcessHandle.current().pid()
+    s"/tmp/graft-gdtxn-$run"
+  }
+  private val txnSweepSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Spark twin of [[Scd2Ctes]]'s `dim`: the SCD2 history built from the
     * three snapshot versions via [[Differ.scd2]].
     */
@@ -2198,6 +2209,67 @@ object DiffQueries {
         nokey.createOrReplaceTempView("gdcat_nokey_r")
         cust.select("c_custkey").createOrReplaceTempView("gdcat_lost_l")
         Differ.catalogDiffTables(s, "gdcat_.*_l", n => n.stripSuffix("_l") + "_r")
+    },
+
+    // TxnLog-DIRECTORY sweep (r14; the lakehouse half of the same ask —
+    // "did last night's commits change anything, per table?"): enumerate
+    // every TxnLog table under a root directory (child dir carrying a
+    // _graft_log), diff each table's PREVIOUS snapshot against its
+    // LATEST with the same auto-inferred keys and error-row survival as
+    // diff_catalog_tables; a single-version table cannot be diffed and
+    // lands as a no_previous_version error row. Fixture: orders_t = the
+    // churn pair committed as versions 0/1 (fail by data), cust_t =
+    // customer committed twice identically (pass), fresh_t = one version
+    // only (error) — 8 census + 1 error row. Version resolution is log
+    // metadata; both reads are snapshot-pinned, so the sweep stays
+    // consistent under concurrent writers. Oracle recomputes the v0→v1
+    // census from raw orders — a read that resolved the wrong version,
+    // lost a file, or inferred the wrong key flips the hash.
+    Q("diff_catalog_txnlog",
+      s"""$Prelude,
+         |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+         |                    WHEN r.o_orderkey IS NULL THEN 'D'
+         |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
+         |                    ELSE 'N' END AS item
+         |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+         |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+         |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+         |rows0 AS (
+         |  SELECT 'orders_t' AS table_name, 'census' AS kind, spine.item,
+         |         CAST(NULL AS VARCHAR) AS detail,
+         |         COALESCE(oc.n, 0) AS n
+         |  FROM spine LEFT JOIN oc USING (item)
+         |  UNION ALL
+         |  SELECT 'cust_t', 'census', s.item, NULL,
+         |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+         |              ELSE 0 END
+         |  FROM spine s),
+         |flag AS (SELECT table_name,
+         |                max(CASE WHEN kind = 'schema'
+         |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+         |                         THEN 1 ELSE 0 END) AS bad
+         |         FROM rows0 GROUP BY 1)
+         |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+         |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+         |FROM rows0 r0 JOIN flag USING (table_name)
+         |UNION ALL
+         |SELECT * FROM (VALUES
+         |  ('fresh_t', 'error', 'no_previous_version',
+         |   'latest version 0 — need two snapshots to diff',
+         |   CAST(NULL AS BIGINT), 'fail')
+         |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin) {
+      (s, d) =>
+        import graft.sources.TxnLog
+        val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"/r${txnSweepSeq.incrementAndGet()}"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        TxnLog.init(left(s, d), s"$root/orders_t") // v0
+        TxnLog.overwrite(right(s, d), s"$root/orders_t") // v1 = the churn
+        val cust = Tables.cachedTable(s, d, "customer")
+        TxnLog.init(cust, s"$root/cust_t")
+        TxnLog.overwrite(cust, s"$root/cust_t") // identical re-publish
+        TxnLog.init(cust.select("c_custkey"), s"$root/fresh_t") // v0 only
+        Differ.catalogDiffTxnLog(s, root)
     },
 
     // COMPOSITE-key diff (r8b): row identity = (l_orderkey, l_linenumber)

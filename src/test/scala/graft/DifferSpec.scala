@@ -1049,4 +1049,26 @@ class DifferSpec extends SparkTestBase {
       Differ.catalogDiffTables(spark, "cdt_nothing_.*", identity))
     assert(e.getMessage.contains("cdt_nothing_"), e.getMessage)
   }
+
+  test("catalogDiffTxnLog: version-resolved sweep; empty roots refuse loudly (r14)") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txnsweep").toString
+    // a non-directory and a table-free directory are both typos, not sweeps
+    intercept[IllegalArgumentException](
+      Differ.catalogDiffTxnLog(spark, s"$root/nope"))
+    intercept[IllegalArgumentException](Differ.catalogDiffTxnLog(spark, root))
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val a2 = Seq((1L, "x", 9.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    TxnLog.init(a, s"$root/t_changed")
+    TxnLog.overwrite(a2, s"$root/t_changed")
+    TxnLog.init(a, s"$root/t_young") // one version — cannot diff
+    val out = Differ.catalogDiffTxnLog(spark, root).collect()
+    val byTable = out.groupBy(_.getAs[String]("table_name"))
+    val cen = byTable("t_changed").filter(_.getAs[String]("kind") == "census")
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    assert(cen == Map("N" -> 0L, "C" -> 1L, "I" -> 1L, "D" -> 1L))
+    val young = byTable("t_young")
+    assert(young.length == 1 && young.head.getAs[String]("item") == "no_previous_version"
+      && young.head.getAs[String]("verdict") == "fail", young.mkString)
+  }
 }
