@@ -117,7 +117,11 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_schema_diff"),
       new ExpressionInfo(Differ.getClass.getName, "graft_schema_diff"),
-      schemaDiffTvf(_))
+      schemaDiffTvf(_)),
+    (
+      FunctionIdentifier("graft_diff_catalog"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog"),
+      catalogTvf(_))
   )
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -294,6 +298,33 @@ object GraftExtensions {
     val ex = exampleOn.getOrElse(
       l.columns.find(c => !keys.contains(c) && r.columns.contains(c)).getOrElse(""))
     Differ.report(l, r, keys, exampleOn = ex, opts, k = k).queryExecution.analyzed
+  }
+
+  /** Catalog-sourced multi-table sweep from SQL (r14):
+    * `SELECT * FROM graft_diff_catalog('name_regex', 'strip_suffix',
+    * 'append_suffix' [, abs_tol => …])` — every catalog table matching
+    * the regex diffs against its counterpart (left name with
+    * `strip_suffix` removed and `append_suffix` appended — the
+    * `staging_x_old` → `staging_x_new` convention), keys auto-inferred,
+    * one long-format report with per-table verdicts and error rows
+    * ([[Differ.catalogDiffTables]]). Enumeration, key inference, and the
+    * per-pair plan assembly all run at analysis time (catalog metadata +
+    * one schema-width stats job); the report itself stays one
+    * distributed union job.
+    */
+  private def catalogTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff_catalog('name_regex', 'strip_suffix', 'append_suffix' " +
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val opts = foldOptions(named, "graft_diff_catalog", Seq.empty)
+    val spark = SparkSession.active
+    val pattern = strLit(positional.head, "name_regex")
+    val strip = strLit(positional(1), "strip_suffix")
+    val app = strLit(positional(2), "append_suffix")
+    Differ.catalogDiffTables(spark, pattern,
+      n => n.stripSuffix(strip) + app, opts).queryExecution.analyzed
   }
 
   /** Metadata-level schema diff from SQL (r14):

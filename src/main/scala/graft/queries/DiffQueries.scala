@@ -87,6 +87,61 @@ object DiffQueries {
     * concurrent suites from seeing each other's torn directories — the
     * RelationalQueries roundtripRoot precedent).
     */
+  /** Shared fixture + oracle for the catalog-sweep pair
+    * (diff_catalog_tables and its TVF twin sql_diff_catalog_tvf): orders
+    * churn under the inferred o_orderkey (fail), customer vs itself under
+    * c_custkey (pass), a keyless lineitem slice and a counterpart-less
+    * table (two error rows).
+    */
+  private def gdcatFixture(s: SparkSession, d: String): Unit = {
+    left(s, d).createOrReplaceTempView("gdcat_orders_l")
+    right(s, d).createOrReplaceTempView("gdcat_orders_r")
+    val cust = Tables.cachedTable(s, d, "customer")
+    cust.createOrReplaceTempView("gdcat_cust_l")
+    cust.createOrReplaceTempView("gdcat_cust_r")
+    val nokey = Tables.cachedTable(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    nokey.createOrReplaceTempView("gdcat_nokey_l")
+    nokey.createOrReplaceTempView("gdcat_nokey_r")
+    cust.select("c_custkey").createOrReplaceTempView("gdcat_lost_l")
+  }
+
+  private lazy val GdcatSweepOracle: String =
+    s"""$Prelude,
+       |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+       |                    WHEN r.o_orderkey IS NULL THEN 'D'
+       |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
+       |                    ELSE 'N' END AS item
+       |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+       |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+       |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+       |rows0 AS (
+       |  SELECT 'gdcat_orders_l' AS table_name, 'census' AS kind, spine.item,
+       |         CAST(NULL AS VARCHAR) AS detail,
+       |         COALESCE(oc.n, 0) AS n
+       |  FROM spine LEFT JOIN oc USING (item)
+       |  UNION ALL
+       |  SELECT 'gdcat_cust_l', 'census', s.item, NULL,
+       |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+       |              ELSE 0 END
+       |  FROM spine s),
+       |flag AS (SELECT table_name,
+       |                max(CASE WHEN kind = 'schema'
+       |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+       |                         THEN 1 ELSE 0 END) AS bad
+       |         FROM rows0 GROUP BY 1)
+       |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+       |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+       |FROM rows0 r0 JOIN flag USING (table_name)
+       |UNION ALL
+       |SELECT * FROM (VALUES
+       |  ('gdcat_lost_l', 'error', 'missing_right', 'gdcat_lost_r',
+       |   CAST(NULL AS BIGINT), 'fail'),
+       |  ('gdcat_nokey_l', 'error', 'no_unique_key',
+       |   'no unique null-free atomic column on the left side',
+       |   CAST(NULL AS BIGINT), 'fail')
+       |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
+
   private lazy val txnSweepRoot: String = {
     val run = java.lang.ProcessHandle.current().pid()
     s"/tmp/graft-gdtxn-$run"
@@ -2162,53 +2217,24 @@ object DiffQueries {
     // metadata; key inference is ONE unioned job of per-table single
     // aggregates collected at (tables × columns) grain; the diffs are
     // catalogDiff's one-exchange-per-pair union.
-    Q("diff_catalog_tables",
-      s"""$Prelude,
-         |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
-         |                    WHEN r.o_orderkey IS NULL THEN 'D'
-         |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
-         |                    ELSE 'N' END AS item
-         |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
-         |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
-         |spine AS (SELECT unnest(['N','C','I','D']) AS item),
-         |rows0 AS (
-         |  SELECT 'gdcat_orders_l' AS table_name, 'census' AS kind, spine.item,
-         |         CAST(NULL AS VARCHAR) AS detail,
-         |         COALESCE(oc.n, 0) AS n
-         |  FROM spine LEFT JOIN oc USING (item)
-         |  UNION ALL
-         |  SELECT 'gdcat_cust_l', 'census', s.item, NULL,
-         |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
-         |              ELSE 0 END
-         |  FROM spine s),
-         |flag AS (SELECT table_name,
-         |                max(CASE WHEN kind = 'schema'
-         |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
-         |                         THEN 1 ELSE 0 END) AS bad
-         |         FROM rows0 GROUP BY 1)
-         |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
-         |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
-         |FROM rows0 r0 JOIN flag USING (table_name)
-         |UNION ALL
-         |SELECT * FROM (VALUES
-         |  ('gdcat_lost_l', 'error', 'missing_right', 'gdcat_lost_r',
-         |   CAST(NULL AS BIGINT), 'fail'),
-         |  ('gdcat_nokey_l', 'error', 'no_unique_key',
-         |   'no unique null-free atomic column on the left side',
-         |   CAST(NULL AS BIGINT), 'fail')
-         |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin) {
+    Q("diff_catalog_tables", GdcatSweepOracle) {
       (s, d) =>
-        left(s, d).createOrReplaceTempView("gdcat_orders_l")
-        right(s, d).createOrReplaceTempView("gdcat_orders_r")
-        val cust = Tables.cachedTable(s, d, "customer")
-        cust.createOrReplaceTempView("gdcat_cust_l")
-        cust.createOrReplaceTempView("gdcat_cust_r")
-        val nokey = Tables.cachedTable(s, d, "lineitem")
-          .select("l_orderkey", "l_suppkey")
-        nokey.createOrReplaceTempView("gdcat_nokey_l")
-        nokey.createOrReplaceTempView("gdcat_nokey_r")
-        cust.select("c_custkey").createOrReplaceTempView("gdcat_lost_l")
+        gdcatFixture(s, d)
         Differ.catalogDiffTables(s, "gdcat_.*_l", n => n.stripSuffix("_l") + "_r")
+    },
+
+    // SQL reach for the catalog sweep (r14): `SELECT * FROM
+    // graft_diff_catalog('gdcat_.*_l', '_l', '_r')` — the regex +
+    // suffix-rewrite convention (staging_x_old -> staging_x_new) with
+    // keys auto-inferred and error rows surviving, exactly the Scala
+    // catalogDiffTables (same fixture, same oracle — the TVF must be
+    // plan-equivalent to the API call). Enumeration + inference run at
+    // analysis time; the report is one distributed union job.
+    Q("sql_diff_catalog_tvf", GdcatSweepOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        gdcatFixture(s, d)
+        s.sql("SELECT * FROM graft_diff_catalog('gdcat_.*_l', '_l', '_r')")
     },
 
     // TxnLog-DIRECTORY sweep (r14; the lakehouse half of the same ask —

@@ -362,4 +362,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(msg.contains("graft_schema_diff") && msg.contains("neither a table"),
       msg.take(300))
   }
+
+  test("graft_diff_catalog TVF == Differ.catalogDiffTables; options fold; typos fail (r14)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.{DiffOptions, Differ}
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val aTol = Seq((1L, "x", 1.4), (2L, "y", 2.0)).toDF("k", "s", "v")
+    a.createOrReplaceTempView("extcat_a_old")
+    aTol.createOrReplaceTempView("extcat_a_new")
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_diff_catalog('extcat_.*_old', '_old', '_new')")) ==
+      rowsOf(Differ.catalogDiffTables(spark, "extcat_.*_old",
+        n => n.stripSuffix("_old") + "_new")))
+    // named options reach the sweep's DiffOptions: under abs_tol the 1.0
+    // vs 1.4 drift is N and the verdict flips to pass
+    val tol = spark.sql(
+      """SELECT DISTINCT verdict FROM graft_diff_catalog(
+        |  'extcat_.*_old', '_old', '_new', abs_tol => 0.5)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(tol == Seq("pass"), tol)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_diff_catalog('extcat_.*_old', '_old', '_new', bogus => 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_diff_catalog"), e.getMessage.take(300))
+  }
 }
