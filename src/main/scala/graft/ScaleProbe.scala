@@ -137,9 +137,8 @@ object ScaleProbe {
     // column-grid window — near-flat in rows beyond the distinct growth.
     for (m <- Seq(1, 4, 8)) {
       val evDir = s"/tmp/graft-scaleprobe-events-$m" // written by part 2
-      val ev = spark.read.parquet(s"$evDir/events.parquet")
-        .withColumn("ts_us", Tables.tsUsExpr(
-          spark.read.parquet(s"$evDir/events.parquet").schema("ts").dataType))
+      val ev0m = spark.read.parquet(s"$evDir/events.parquet")
+      val ev = ev0m.withColumn("ts_us", Tables.tsUsExpr(ev0m.schema("ts").dataType))
       val DayUs = 86400000000L
       def censusNoDigest(df: DataFrame): DataFrame = df
         .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
@@ -151,8 +150,11 @@ object ScaleProbe {
       val renamed = r.withColumnRenamed("o_orderstatus", "st")
         .withColumnRenamed("o_orderpriority", "prio")
       val tRep = timed(noop(operators.Differ.autoMapReport(l, renamed, keys)))
-      println(f"[scale-r14] m=$m rows=${100000L * m} census_no_digest=$tPlain%.2f " +
-        f"stream_diff_values=$tSsv%.2f auto_map_report=$tRep%.2f")
+      // two corpora in this row: event keys run on 100k·m events, the
+      // discovery report on the 150k·m orders pair — label both
+      println(f"[scale-r14] m=$m ev_rows=${100000L * m} census_no_digest=$tPlain%.2f " +
+        f"stream_diff_values=$tSsv%.2f orders_rows=${150000L * m} " +
+        f"auto_map_report=$tRep%.2f")
     }
     spark.stop()
   }

@@ -645,17 +645,32 @@ object Differ {
   }
 
   /** Shared sweep core of [[catalogDiffTables]] / [[catalogDiffTxnLog]]:
-    * key inference over every healthy pair's LEFT side in ONE unioned
-    * stats job (per table a single map-side-combinable aggregate — count
-    * plus per-column count/countDistinct riding one expand, the
-    * diff_key_candidates plan — collected once at (tables × columns)
+    * key inference over BOTH sides of every healthy pair in ONE unioned
+    * stats job (per table-side a single map-side-combinable aggregate —
+    * count plus per-column count/countDistinct riding one expand, the
+    * diff_key_candidates plan — collected once at (tables × columns × 2)
     * grain, schema-width-bounded), then [[catalogDiff]] over the keyed
     * pairs UNIONed with one `error`-kind fail row per unusable entry.
+    *
+    * The inferred key must be unique + null-free on BOTH sides (r14
+    * review fix: a left-only check let a double-loaded right table fan
+    * out the full-outer join and silently corrupt the census; a key
+    * column renamed away on the right killed the whole sweep at plan
+    * time). And because the sweep's contract is "one bad table cannot
+    * kill the other N−1", any per-pair plan-construction failure
+    * [[catalogDiff]]/[[diff]] raises (e.g. a non-coercible retype)
+    * becomes a `pair_invalid` error row carrying the refusal message
+    * instead of propagating.
     */
   private def sweepReport(spark: org.apache.spark.sql.SparkSession,
                           entries: Seq[(String, Either[(String, String),
                             (DataFrame, DataFrame)])],
                           opts: DiffOptions): DataFrame = {
+    locally {
+      val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"sweep: duplicate table name(s) ${dups.toSeq.sorted.mkString(", ")}")
+    }
     def candFrame(name: String, df: DataFrame): DataFrame = {
       val atomic: DataType => Boolean = {
         case _: NumericType | StringType | BooleanType | DateType | BinaryType |
@@ -681,23 +696,35 @@ object Differ {
     val pairs = entries.collect { case (n, Right(lr)) => (n, lr) }
     val stats =
       if (pairs.isEmpty) Map.empty[String, Array[(String, String, Int)]]
-      else pairs.map { case (n, (l, _)) => candFrame(n, l) }
+      else pairs.flatMap { case (n, (l, r)) =>
+          Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) }
         .reduce(_ unionByName _)
         .filter(col("uniq"))
-        .collect() // (tables × columns)-bounded — schema-width metadata
+        .collect() // (tables × columns × 2)-bounded — schema-width metadata
         .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
         .groupBy(_._1)
-    def keyOf(name: String): Option[String] =
-      stats.getOrElse(name, Array.empty[(String, String, Int)])
-        .minByOption(_._3).map(_._2)
+    def keyOf(name: String): Option[String] = {
+      val rUniq = stats.getOrElse(s"$nameR",
+        Array.empty[(String, String, Int)]).map(_._2).toSet
+      stats.getOrElse(s"$nameL", Array.empty[(String, String, Int)])
+        .sortBy(_._3).map(_._2).find(rUniq.contains)
+    }
 
     val resolved: Seq[Either[(String, String, String), // name, item, detail
-      (String, DataFrame, DataFrame, Seq[String])]] = entries.map {
+      DataFrame]] = entries.map {
       case (n, Left((item, detail))) => Left((n, item, detail))
       case (n, Right((l, r))) => keyOf(n) match {
-        case Some(k) => Right((n, l, r, Seq(k)))
+        case Some(k) =>
+          // A pair diff() refuses at plan time (non-coercible retype, …)
+          // must not kill the sweep — demote the refusal to its row.
+          scala.util.Try(catalogDiff(Seq((n, l, r, Seq(k))), opts)) match {
+            case scala.util.Success(df) => Right(df)
+            case scala.util.Failure(e) => Left((n, "pair_invalid",
+              Option(e.getMessage).getOrElse(e.toString)
+                .linesIterator.next().take(300)))
+          }
         case None => Left((n, "no_unique_key",
-          "no unique null-free atomic column on the left side"))
+          "no atomic column unique and null-free on both sides"))
       }
     }
     val errRows = resolved.collect { case Left((n, item, detail)) =>
@@ -705,9 +732,8 @@ object Differ {
         lit(item).as("item"), lit(detail).as("detail"),
         lit(null).cast("long").as("n"), lit("fail").as("verdict"))
     }
-    val good = resolved.collect { case Right(p) => p }
-    val reports = (if (good.nonEmpty) Seq(catalogDiff(good, opts)) else Nil) ++ errRows
-    reports.reduce(_ unionByName _)
+    (resolved.collect { case Right(df) => df } ++ errRows)
+      .reduce(_ unionByName _)
   }
 
   /** UNKEYED diff — multiset (bag) semantics for tables with no reliable

@@ -138,7 +138,7 @@ object DiffQueries {
        |  ('gdcat_lost_l', 'error', 'missing_right', 'gdcat_lost_r',
        |   CAST(NULL AS BIGINT), 'fail'),
        |  ('gdcat_nokey_l', 'error', 'no_unique_key',
-       |   'no unique null-free atomic column on the left side',
+       |   'no atomic column unique and null-free on both sides',
        |   CAST(NULL AS BIGINT), 'fail')
        |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
 

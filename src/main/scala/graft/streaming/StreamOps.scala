@@ -374,7 +374,18 @@ object StreamOps {
         .when(c === Double.PositiveInfinity, lit("Inf"))
         .when(c === Double.NegativeInfinity, lit("-Inf"))
         .otherwise(c.cast(DecimalType(18, 6)).cast(StringType))
-    case _: TimestampType | _: TimestampNTZType => unix_micros(c).cast(StringType)
+    // NTZ must cast to TimestampType BEFORE unix_micros (unix_micros
+    // rejects NTZ at analysis) — deterministic under the house UTC
+    // session timezone, exactly rowHashCol's NTZ branch (r14 review fix).
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(StringType)
+    case _: TimestampType => unix_micros(c).cast(StringType)
+    // A map's stored entry order is a construction accident: plain string
+    // cast would digest equal maps differently. Key-sorted JSON rendering
+    // (Differ.mapCanon — the diff-output discipline) keeps the digest
+    // order-insensitive; maps nested deeper inside arrays/structs stay
+    // stored-order in the rendering, same documented bound as rowHashCol
+    // (r14 review fix).
+    case _: MapType => graft.operators.Differ.mapCanon(c)
     case _ => c.cast(StringType)
   }
 
@@ -535,11 +546,16 @@ object StreamOps {
           if (s.rn > 0) Some(s"${s.rd1}:${s.rd2}") else None))
       } else {
         var s = state.getOption.getOrElse(zero)
+        // addExact, not +: the scaladoc's loud-overflow guarantee must
+        // hold on BOTH halves — the batch twin's sum() throws under ANSI,
+        // so a silently wrapping JVM add here would diverge from it at
+        // exactly the >2^31-events-per-group scale the bound documents
+        // (r14 review fix).
         it.foreach { e =>
           if (e.left_side) s = s.copy(ln = s.ln + 1, lmax = foldMax(s.lmax, e.value),
-            ld1 = s.ld1 + e.d1, ld2 = s.ld2 + e.d2)
+            ld1 = Math.addExact(s.ld1, e.d1), ld2 = Math.addExact(s.ld2, e.d2))
           else s = s.copy(rn = s.rn + 1, rmax = foldMax(s.rmax, e.value),
-            rd1 = s.rd1 + e.d1, rd2 = s.rd2 + e.d2)
+            rd1 = Math.addExact(s.rd1, e.d1), rd2 = Math.addExact(s.rd2, e.d2))
         }
         state.update(s)
         val endMs = (wk._1 + widthUs) / 1000L
@@ -581,6 +597,12 @@ object StreamOps {
     * — the payload tuple is carried and tie-broken as doubles, exactly
     * like the batch twin's `max(struct(ts, v1, v2, …))`; non-numeric
     * payloads belong to the census form, whose digest covers any type.
+    * DOCUMENTED PRECISION CONTRACT: the double carrier is IEEE-exact for
+    * integral values only up to 2^53 — a BIGINT surrogate key beyond that
+    * (e.g. a snowflake id) compares at double granularity on BOTH halves
+    * (batch twin included, so stream/batch/oracle stay in lockstep);
+    * route such columns through [[diffStreamStream]]'s content digest,
+    * which is exact at any width.
     *
     * Same mechanics and bounds as [[diffStreamStream]]: per-feed
     * watermarks before the union (MIN policy — a lagging feed holds the

@@ -1050,6 +1050,45 @@ class DifferSpec extends SparkTestBase {
     assert(e.getMessage.contains("cdt_nothing_"), e.getMessage)
   }
 
+  test("sweep key inference checks BOTH sides; plan refusals become rows (r14 review)") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    // right side double-loaded: k is unique on the left only — a
+    // left-only check would fan out the full-outer and corrupt the census
+    val doubled = a.unionByName(a)
+    a.createOrReplaceTempView("cdt2_dup_l")
+    doubled.createOrReplaceTempView("cdt2_dup_r")
+    // right side renamed the left's key column away: with no column
+    // unique on BOTH sides this is an error row, never a plan-time throw
+    // that kills the sweep
+    val renamed = Seq((1L, 9.0), (2L, 9.5)).toDF("k2", "v")
+    // v deliberately non-unique on the left so it can't stand in as the key
+    Seq((1L, 1.0), (2L, 1.0)).toDF("k", "v").createOrReplaceTempView("cdt2_ren_l")
+    renamed.createOrReplaceTempView("cdt2_ren_r")
+    // non-coercible retype: diff() refuses this pair at plan time — the
+    // sweep must demote the refusal to a pair_invalid row
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cdt2_retype_l")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "v").createOrReplaceTempView("cdt2_retype_r")
+    // and one healthy pair that must SURVIVE all of the above
+    a.createOrReplaceTempView("cdt2_good_l")
+    a.createOrReplaceTempView("cdt2_good_r")
+    val out = Differ.catalogDiffTables(spark, "cdt2_.*_l",
+      n => n.stripSuffix("_l") + "_r").collect()
+    val byTable = out.groupBy(_.getAs[String]("table_name"))
+    def one(t: String) = {
+      val rows = byTable(t)
+      assert(rows.length == 1 && rows.head.getAs[String]("verdict") == "fail",
+        rows.mkString)
+      (rows.head.getAs[String]("item"), rows.head.getAs[String]("detail"))
+    }
+    assert(one("cdt2_dup_l")._1 == "no_unique_key")
+    assert(one("cdt2_ren_l")._1 == "no_unique_key")
+    val (item, detail) = one("cdt2_retype_l")
+    assert(item == "pair_invalid" && detail.contains("DOUBLE"), (item, detail))
+    assert(byTable("cdt2_good_l").map(_.getAs[String]("verdict")).distinct.toSeq
+      == Seq("pass"))
+  }
+
   test("catalogDiffTxnLog: version-resolved sweep; empty roots refuse loudly (r14)") {
     import graft.sources.TxnLog
     val root = java.nio.file.Files.createTempDirectory("graft_txnsweep").toString
