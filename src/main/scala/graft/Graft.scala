@@ -193,6 +193,30 @@ object Graft {
   def catalogDiff(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
     Differ.catalogDiff(pairs)
 
+  /** Catalog-SOURCED sweep (r14): every catalog table matching the regex
+    * diffs against `rightFor(name)` with keys auto-inferred (unique +
+    * null-free on BOTH sides); unusable tables become error rows, never
+    * exceptions.
+    */
+  def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
+                        pattern: String, rightFor: String => String): DataFrame =
+    Differ.catalogDiffTables(spark, pattern, rightFor)
+
+  /** TxnLog-DIRECTORY sweep (r14): every TxnLog table under `rootDir`
+    * diffs its previous snapshot against its latest, version-pinned.
+    */
+  def catalogDiffTxnLog(spark: org.apache.spark.sql.SparkSession,
+                        rootDir: String): DataFrame =
+    Differ.catalogDiffTxnLog(spark, rootDir)
+
+  /** Non-throwing auto-map census (r14): the candidate grid
+    * [[diffAutoMapped]] decides from — (lc, rc, n_shared, overlap_ppm,
+    * verdict) with mapped/ambiguous/conflict/partial/below/drop verdicts.
+    */
+  def autoMapReport(left: DataFrame, right: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    Differ.autoMapReport(left, right, keys)
+
   /** Stream-STREAM keyed diff: two live feeds reconciled per event-time
     * window per key (I/C/N/D emitted as the shared watermark closes each
     * window; O(1) state per (window, key)). Works under readStream on

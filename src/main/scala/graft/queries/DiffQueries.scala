@@ -90,7 +90,7 @@ object DiffQueries {
   /** Shared fixture + oracle for the catalog-sweep pair
     * (diff_catalog_tables and its TVF twin sql_diff_catalog_tvf): orders
     * churn under the inferred o_orderkey (fail), customer vs itself under
-    * c_custkey (pass), a keyless lineitem slice and a counterpart-less
+    * c_custkey (pass), a keyless (custkey, status) slice and a counterpart-less
     * table (two error rows).
     */
   private def gdcatFixture(s: SparkSession, d: String): Unit = {
@@ -99,8 +99,11 @@ object DiffQueries {
     val cust = Tables.cachedTable(s, d, "customer")
     cust.createOrReplaceTempView("gdcat_cust_l")
     cust.createOrReplaceTempView("gdcat_cust_r")
-    val nokey = Tables.cachedTable(s, d, "lineitem")
-      .select("l_orderkey", "l_suppkey")
+    // keyless slice: (custkey, status) — both columns duplicated, no
+    // usable key (orders, not lineitem: this table exists only to produce
+    // the error row, so the cheapest dup-heavy slice wins — the
+    // inference job scans it per call)
+    val nokey = left(s, d).select("o_custkey", "o_orderstatus")
     nokey.createOrReplaceTempView("gdcat_nokey_l")
     nokey.createOrReplaceTempView("gdcat_nokey_r")
     cust.select("c_custkey").createOrReplaceTempView("gdcat_lost_l")
@@ -2203,8 +2206,8 @@ object DiffQueries {
     // diff_key_candidates verdict — first schema-order atomic column
     // unique + null-free on the left), and folds everything into one
     // catalogDiff report. Failures a sweep must SURVIVE become report
-    // rows, not exceptions: a left table with no usable key (lineitem's
-    // (orderkey, suppkey) slice — every column duplicated) and a left
+    // rows, not exceptions: a left table with no usable key (a
+    // (custkey, status) slice — every column duplicated) and a left
     // table whose right twin is missing both land as kind='error'
     // fail-verdict rows while the healthy tables still diff. Fixture:
     // orders churn pair (inferred key o_orderkey → fail by data),

@@ -1073,6 +1073,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     val fullOuters = plan.linesIterator.count(_.contains("FullOuter"))
     assert(fullOuters == 1, s"expected one full-outer exchange, got $fullOuters")
+    // r14 digest widening must ride the SAME partial aggregate — the sha
+    // slice sums are just two more agg expressions, never an extra
+    // shuffle: exactly one exchange per side feeding the join (plus the
+    // join's own requirement satisfied by them), so the whole plan
+    // carries exactly 2 data exchanges.
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"digest sums must not add an exchange — expected 2, got $exchanges\n$plan")
   }
 
   test("stream_diff_values batch twin: struct-max latest pick is window-free, one full-outer") {
