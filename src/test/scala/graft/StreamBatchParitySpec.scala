@@ -915,8 +915,14 @@ class StreamBatchParitySpec extends SparkTestBase {
           "0|2|D|1|␀|3.0|␀",
           "0|3|I|␀|1|␀|4.0").sorted
         assert(got == want, s"got=$got")
-        // memory/bytes metric present (RocksDB reports memoryUsedBytes)
-        assert(q.lastProgress.stateOperators.head.memoryUsedBytes >= 0L)
+        // memory/bytes metric present (RocksDB reports memoryUsedBytes);
+        // printed so the scaladoc's measured-state-size claim is
+        // reproducible from this test's output
+        val so = q.lastProgress.stateOperators.head
+        info(s"[rocksdb-state] numRowsTotal=${so.numRowsTotal} " +
+          s"memoryUsedBytes=${so.memoryUsedBytes} " +
+          s"custom=${so.customMetrics}")
+        assert(so.memoryUsedBytes >= 0L)
       } finally q.stop()
     } finally {
       prev match {
