@@ -121,7 +121,11 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_diff_catalog"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog"),
-      catalogTvf(_))
+      catalogTvf(_)),
+    (
+      FunctionIdentifier("graft_diff_txnlog"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_txnlog"),
+      txnLogTvf(_))
   )
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -325,6 +329,25 @@ object GraftExtensions {
     val app = strLit(positional(2), "append_suffix")
     Differ.catalogDiffTables(spark, pattern,
       n => n.stripSuffix(strip) + app, opts).queryExecution.analyzed
+  }
+
+  /** TxnLog-directory sweep from SQL (r14):
+    * `SELECT * FROM graft_diff_txnlog('/data/tables' [, abs_tol => …])` —
+    * every TxnLog table under the root diffs its PREVIOUS snapshot
+    * against its LATEST (version-pinned reads, keys auto-inferred,
+    * error rows for single-version tables), splicing
+    * [[Differ.catalogDiffTxnLog]]'s plan. The nightly "did last night's
+    * commits change anything?" check with zero Scala.
+    */
+  private def txnLogTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 1,
+      "usage: graft_diff_txnlog('/root/dir/of/txnlog/tables' " +
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val opts = foldOptions(named, "graft_diff_txnlog", Seq.empty)
+    Differ.catalogDiffTxnLog(SparkSession.active,
+      strLit(positional.head, "root_dir"), opts).queryExecution.analyzed
   }
 
   /** Metadata-level schema diff from SQL (r14):

@@ -145,6 +145,61 @@ object DiffQueries {
        |   CAST(NULL AS BIGINT), 'fail')
        |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
 
+  /** Shared oracle for the TxnLog-sweep pair (diff_catalog_txnlog and its
+    * TVF twin sql_diff_txnlog_tvf).
+    */
+  private lazy val TxnSweepOracle: String =
+    s"""$Prelude,
+       |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+       |                    WHEN r.o_orderkey IS NULL THEN 'D'
+       |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
+       |                    ELSE 'N' END AS item
+       |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+       |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+       |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+       |rows0 AS (
+       |  SELECT 'orders_t' AS table_name, 'census' AS kind, spine.item,
+       |         CAST(NULL AS VARCHAR) AS detail,
+       |         COALESCE(oc.n, 0) AS n
+       |  FROM spine LEFT JOIN oc USING (item)
+       |  UNION ALL
+       |  SELECT 'cust_t', 'census', s.item, NULL,
+       |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+       |              ELSE 0 END
+       |  FROM spine s),
+       |flag AS (SELECT table_name,
+       |                max(CASE WHEN kind = 'schema'
+       |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+       |                         THEN 1 ELSE 0 END) AS bad
+       |         FROM rows0 GROUP BY 1)
+       |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+       |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+       |FROM rows0 r0 JOIN flag USING (table_name)
+       |UNION ALL
+       |SELECT * FROM (VALUES
+       |  ('fresh_t', 'error', 'no_previous_version',
+       |   'latest version 0 — need two snapshots to diff',
+       |   CAST(NULL AS BIGINT), 'fail')
+       |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
+
+  /** Builds a fresh TxnLog-sweep fixture root (orders churn as v0/v1,
+    * customer re-published identically, a single-version table) and
+    * returns its path — shared by diff_catalog_txnlog and the TVF twin.
+    */
+  private def txnSweepFixture(s: SparkSession, d: String): String = {
+    import graft.sources.TxnLog
+    val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"/r${txnSweepSeq.incrementAndGet()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    TxnLog.init(left(s, d), s"$root/orders_t") // v0
+    TxnLog.overwrite(right(s, d), s"$root/orders_t") // v1 = the churn
+    val cust = Tables.cachedTable(s, d, "customer")
+    TxnLog.init(cust, s"$root/cust_t")
+    TxnLog.overwrite(cust, s"$root/cust_t") // identical re-publish
+    TxnLog.init(cust.select("c_custkey"), s"$root/fresh_t") // v0 only
+    root
+  }
+
   private lazy val txnSweepRoot: String = {
     val run = java.lang.ProcessHandle.current().pid()
     s"/tmp/graft-gdtxn-$run"
@@ -2254,51 +2309,22 @@ object DiffQueries {
     // consistent under concurrent writers. Oracle recomputes the v0→v1
     // census from raw orders — a read that resolved the wrong version,
     // lost a file, or inferred the wrong key flips the hash.
-    Q("diff_catalog_txnlog",
-      s"""$Prelude,
-         |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
-         |                    WHEN r.o_orderkey IS NULL THEN 'D'
-         |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
-         |                    ELSE 'N' END AS item
-         |        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
-         |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
-         |spine AS (SELECT unnest(['N','C','I','D']) AS item),
-         |rows0 AS (
-         |  SELECT 'orders_t' AS table_name, 'census' AS kind, spine.item,
-         |         CAST(NULL AS VARCHAR) AS detail,
-         |         COALESCE(oc.n, 0) AS n
-         |  FROM spine LEFT JOIN oc USING (item)
-         |  UNION ALL
-         |  SELECT 'cust_t', 'census', s.item, NULL,
-         |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
-         |              ELSE 0 END
-         |  FROM spine s),
-         |flag AS (SELECT table_name,
-         |                max(CASE WHEN kind = 'schema'
-         |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
-         |                         THEN 1 ELSE 0 END) AS bad
-         |         FROM rows0 GROUP BY 1)
-         |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
-         |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
-         |FROM rows0 r0 JOIN flag USING (table_name)
-         |UNION ALL
-         |SELECT * FROM (VALUES
-         |  ('fresh_t', 'error', 'no_previous_version',
-         |   'latest version 0 — need two snapshots to diff',
-         |   CAST(NULL AS BIGINT), 'fail')
-         |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin) {
+    Q("diff_catalog_txnlog", TxnSweepOracle) {
       (s, d) =>
-        import graft.sources.TxnLog
-        val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
-          s"/r${txnSweepSeq.incrementAndGet()}"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-        TxnLog.init(left(s, d), s"$root/orders_t") // v0
-        TxnLog.overwrite(right(s, d), s"$root/orders_t") // v1 = the churn
-        val cust = Tables.cachedTable(s, d, "customer")
-        TxnLog.init(cust, s"$root/cust_t")
-        TxnLog.overwrite(cust, s"$root/cust_t") // identical re-publish
-        TxnLog.init(cust.select("c_custkey"), s"$root/fresh_t") // v0 only
-        Differ.catalogDiffTxnLog(s, root)
+        Differ.catalogDiffTxnLog(s, txnSweepFixture(s, d))
+    },
+
+    // TxnLog sweep from SQL (r14): `SELECT * FROM
+    // graft_diff_txnlog('/data/tables')` — the nightly "did last night's
+    // commits change anything, per table?" check with zero Scala; same
+    // fixture root and oracle as diff_catalog_txnlog, so the TVF must be
+    // plan-equivalent to the API call (the root path is a STRING literal
+    // spliced at parse time — plan shape can't be data-dependent).
+    Q("sql_diff_txnlog_tvf", TxnSweepOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        val root = txnSweepFixture(s, d)
+        s.sql(s"SELECT * FROM graft_diff_txnlog('$root')")
     },
 
     // COMPOSITE-key diff (r8b): row identity = (l_orderkey, l_linenumber)

@@ -389,4 +389,21 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("graft_diff_catalog"), e.getMessage.take(300))
   }
+
+  test("graft_diff_txnlog TVF == Differ.catalogDiffTxnLog; usage names the TVF (r14)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txntvf").toString
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    TxnLog.init(a, s"$root/t1")
+    TxnLog.overwrite(Seq((1L, "x", 9.0)).toDF("k", "s", "v"), s"$root/t1")
+    assert(rowsOf(spark.sql(s"SELECT * FROM graft_diff_txnlog('$root')")) ==
+      rowsOf(Differ.catalogDiffTxnLog(spark, root)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff_txnlog('/a', '/b')").collect()
+    }
+    assert(e.getMessage.contains("graft_diff_txnlog"), e.getMessage.take(300))
+  }
 }
