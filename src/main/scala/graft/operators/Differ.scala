@@ -576,14 +576,18 @@ object Differ {
     * matching `pattern` against its counterpart"): enumerate catalog
     * tables whose name matches the regex, pair each with `rightFor(name)`,
     * AUTO-infer the diff key per pair (the [[diff_key_candidates]]
-    * verdict: the first schema-order atomic column that is unique and
-    * null-free on the left side), and fold everything into one
-    * [[catalogDiff]] report. Failures a sweep must SURVIVE become report
-    * rows, not exceptions (one bad table cannot kill the other N−1):
+    * verdict: the first left-schema-order atomic column that is unique
+    * and null-free on BOTH sides — left-only uniqueness would let a
+    * double-loaded right table fan out the join), and fold everything
+    * into one [[catalogDiff]] report. Failures a sweep must SURVIVE
+    * become report rows, not exceptions (one bad table cannot kill the
+    * other N−1):
     *   - right table missing from the catalog →
     *     `(name, 'error', 'missing_right', <right name>, NULL, 'fail')`
-    *   - no unique null-free atomic column to key on →
+    *   - no atomic column unique + null-free on both sides →
     *     `(name, 'error', 'no_unique_key', <prose>, NULL, 'fail')`
+    *   - a pair the diff plan refuses (non-coercible retype, …) →
+    *     `(name, 'error', 'pair_invalid', <refusal message>, NULL, 'fail')`
     *
     * Scale shape: the table listing is metadata (catalog API); key
     * inference is ONE job — per table a single map-side-combinable
@@ -719,9 +723,15 @@ object Differ {
           // must not kill the sweep — demote the refusal to its row.
           scala.util.Try(catalogDiff(Seq((n, l, r, Seq(k))), opts)) match {
             case scala.util.Success(df) => Right(df)
-            case scala.util.Failure(e) => Left((n, "pair_invalid",
-              Option(e.getMessage).getOrElse(e.toString)
-                .linesIterator.next().take(300)))
+            case scala.util.Failure(e) => Left((n, "pair_invalid", {
+              // total: an exception with a null/empty/whitespace message
+              // must still yield a row, never a NoSuchElementException
+              // out of linesIterator on "" (r14 review #2)
+              val m = Option(e.getMessage).getOrElse("").trim
+              (if (m.nonEmpty) m else e.toString)
+                .linesIterator.nextOption()
+                .getOrElse(e.getClass.getName).take(300)
+            }))
           }
         case None => Left((n, "no_unique_key",
           "no atomic column unique and null-free on both sides"))

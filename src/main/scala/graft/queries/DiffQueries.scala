@@ -2259,7 +2259,7 @@ object DiffQueries {
     // Differ.catalogDiffTables enumerates the session catalog by regex,
     // pairs via a name mapping, AUTO-infers each pair's key (the
     // diff_key_candidates verdict — first schema-order atomic column
-    // unique + null-free on the left), and folds everything into one
+    // unique + null-free on BOTH sides), and folds everything into one
     // catalogDiff report. Failures a sweep must SURVIVE become report
     // rows, not exceptions: a left table with no usable key (a
     // (custkey, status) slice — every column duplicated) and a left

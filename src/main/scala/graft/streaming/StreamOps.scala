@@ -480,11 +480,12 @@ object StreamOps {
     *
     * State-store sizing (the axis a 100 TB operator tunes; r13 verdict
     * ask #6): parity is additionally pinned under
-    * `RocksDBStateStoreProvider`, and the test prints the engine's own
-    * `stateOperators` metrics — at the MemoryStream fixture, 3 open
-    * (window, key) groups report as `numRowsTotal=3`, and the resident
-    * store floor measures ~16 KB (`memoryUsedBytes=16180` with one live
-    * group — block-cache/SST overhead dominates at toy scale; the
+    * `RocksDBStateStoreProvider`. The test ASSERTS `numRowsTotal == 3`
+    * from the mid-stream progress (3 open (window, key) groups at the
+    * MemoryStream fixture) and prints the final progress — after the
+    * watermark evicts the closed groups only the sentinel group remains
+    * (`numRowsTotal=1`) at a ~16 KB resident floor (`memoryUsedBytes`
+    * ≈ 16.2 KB — block-cache/SST overhead dominates at toy scale; the
     * marginal row is the encoded [[SsDiffState]], 8 longs + 2 optional
     * doubles + the (window, key, side) grouping key ≈ 150 bytes). So at
     * production grain the bound is ≈ 150 B × (open windows × active keys
