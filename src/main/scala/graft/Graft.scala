@@ -258,6 +258,27 @@ object Graft {
     graft.streaming.StreamOps.diffStreamStreamLatest(
       leftFeed, rightFeed, tsCol, keyCol, valCols, widthUs, delay).toDF()
 
+  /** HISTORICAL stream-stream census diff (r14) — [[diffStreams]]' batch
+    * twin over two already-landed feeds keyed by an epoch-micros column:
+    * per (window, key), count + max + the order-independent content
+    * digest, one full-outer, I/C/N/D.
+    */
+  def diffStreamsBatch(left: DataFrame, right: DataFrame,
+                       tsUsCol: String, keyCol: String, valCols: Seq[String],
+                       widthUs: Long): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamBatch(
+      left, right, tsUsCol, keyCol, valCols, widthUs)
+
+  /** HISTORICAL last-write-wins diff (r14) — [[diffStreamsLatest]]'s
+    * batch twin: per (window, key) each side's final payload tuple,
+    * compared per column null-safely.
+    */
+  def diffStreamsLatestBatch(left: DataFrame, right: DataFrame,
+                             tsUsCol: String, keyCol: String,
+                             valCols: Seq[String], widthUs: Long): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamLatestBatch(
+      left, right, tsUsCol, keyCol, valCols, widthUs)
+
   /** SCD type-2 history from version-tagged snapshots: per key, maximal
     * constant-value version runs collapse to `[valid_from, valid_to)`
     * intervals; `valid_to` NULL marks the current row.

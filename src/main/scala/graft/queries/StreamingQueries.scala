@@ -413,8 +413,8 @@ object StreamingQueries {
          |       FROM rc GROUP BY 1, 2)
          |SELECT COALESCE(lf.ws, rf.ws) AS window_start_us,
          |       COALESCE(lf.user_id, rf.user_id) AS user_id,
-         |       CASE WHEN lf.user_id IS NULL THEN 'I'
-         |            WHEN rf.user_id IS NULL THEN 'D'
+         |       CASE WHEN lf.n IS NULL THEN 'I'
+         |            WHEN rf.n IS NULL THEN 'D'
          |            WHEN lf.n <> rf.n OR lf.mx IS DISTINCT FROM rf.mx
          |              OR lf.dg1 <> rf.dg1 OR lf.dg2 <> rf.dg2 THEN 'C'
          |            ELSE 'N' END AS diff_status,
@@ -425,20 +425,11 @@ object StreamingQueries {
          |FROM lf FULL OUTER JOIN rf
          |  ON lf.ws = rf.ws AND lf.user_id = rf.user_id""".stripMargin) {
       (s, d) =>
+        // ONE body serves this oracle-checked key, the historical-
+        // reconciliation API (StreamOps.diffStreamStreamBatch), and the
+        // property-model pin (StreamCensusPropSpec) — the surfaces
+        // cannot drift.
         val ev = Tables.events(s, d)
-        def census(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          // ONE canonicalization/digest body serves the operator and this
-          // batch twin (StreamOps.payloadCanon/digestSlices) — the two
-          // surfaces cannot drift.
-          val (d1, d2) = graft.streaming.StreamOps.digestSlices(
-            graft.streaming.StreamOps.payloadCanon(df, Seq("value", "event_type")))
-          df.withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
-            .withColumn("pd1", d1).withColumn("pd2", d2)
-            .groupBy("ws", "user_id")
-            .agg(count(lit(1)).as("n"), max("value").as("mx"),
-              sum("pd1").as("dg1"), sum("pd2").as("dg2"))
-        }
-        val lf = census(ev)
         val rsrc = ev.filter(col("user_id") % 11 =!= 0)
           .withColumn("value",
             when(col("user_id") % 5 === 0, col("value") + 1.0)
@@ -448,23 +439,8 @@ object StreamingQueries {
               .otherwise(col("event_type")))
           .unionByName(ev.filter(col("user_id") % 13 === 0)
             .withColumn("user_id", col("user_id") + 100000L))
-        val rf = census(rsrc)
-        lf.alias("l").join(rf.alias("r"),
-            col("l.ws") === col("r.ws") && col("l.user_id") === col("r.user_id"),
-            "full_outer")
-          .select(coalesce(col("l.ws"), col("r.ws")).as("window_start_us"),
-            coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
-            when(col("l.user_id").isNull, "I")
-              .when(col("r.user_id").isNull, "D")
-              .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx"))
-                || col("l.dg1") =!= col("r.dg1") || col("l.dg2") =!= col("r.dg2"), "C")
-              .otherwise("N").as("diff_status"),
-            col("l.n").as("left_n"), col("r.n").as("right_n"),
-            col("l.mx").as("left_max"), col("r.mx").as("right_max"),
-            concat(col("l.dg1").cast("string"), lit(":"),
-              col("l.dg2").cast("string")).as("left_digest"),
-            concat(col("r.dg1").cast("string"), lit(":"),
-              col("r.dg2").cast("string")).as("right_digest"))
+        graft.streaming.StreamOps.diffStreamStreamBatch(
+          ev, rsrc, "ts_us", "user_id", Seq("value", "event_type"), DayUs)
     },
 
     // Latest-VALUE stream-stream diff (r13; multi-column payload r14 —
@@ -513,47 +489,31 @@ object StreamingQueries {
          |         FROM re) WHERE rn = 1)
          |SELECT COALESCE(lr.ws, rr.ws) AS window_start_us,
          |       COALESCE(lr.user_id, rr.user_id) AS user_id,
-         |       CASE WHEN lr.user_id IS NULL THEN 'I'
-         |            WHEN rr.user_id IS NULL THEN 'D'
+         |       CASE WHEN lr.ws IS NULL THEN 'I'
+         |            WHEN rr.ws IS NULL THEN 'D'
          |            WHEN lr.value IS DISTINCT FROM rr.value
          |              OR lr.eid IS DISTINCT FROM rr.eid THEN 'C'
          |            ELSE 'N' END AS diff_status,
          |       lr.value AS left_value, rr.value AS right_value,
-         |       lr.eid AS left_eid, rr.eid AS right_eid
+         |       lr.eid AS left_event_id, rr.eid AS right_event_id
          |FROM lr FULL OUTER JOIN rr
          |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id""".stripMargin) {
       (s, d) =>
+        // ONE body serves this key, the historical API
+        // (StreamOps.diffStreamStreamLatestBatch), and the property-model
+        // pin — greatest-(ts, v…) as ONE struct max: map-side combinable,
+        // no per-group row buffer, no window; the oracle's row_number
+        // picks the identical row because struct order == (t DESC, v DESC
+        // NULLS LAST, eid DESC NULLS LAST) pick-first.
         val ev = Tables.events(s, d)
-        // greatest-(ts, v…) as ONE struct max: map-side combinable, no
-        // per-group row buffer, no window — the oracle's row_number picks
-        // the identical row because struct order == (t DESC, v DESC NULLS
-        // LAST, eid DESC NULLS LAST) pick-first.
-        def latest(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
-          .withColumn("ws", col("ts_us") - pmod(col("ts_us"), lit(DayUs)))
-          .groupBy("ws", "user_id")
-          .agg(max(struct(col("ts_us").as("t"), col("value").as("v"),
-            col("event_id").cast("double").as("e"))).as("m"))
-          .select(col("ws"), col("user_id"),
-            col("m.v").as("value"), col("m.e").as("eid"))
-        val lv = latest(ev)
-        val rv = latest(ev.filter(col("user_id") % 11 =!= 0)
+        val rsrc = ev.filter(col("user_id") % 11 =!= 0)
           .withColumn("value",
             when(col("user_id") % 5 === 0, col("value") + 1.0)
               .otherwise(col("value")))
           .unionByName(ev.filter(col("user_id") % 13 === 0)
-            .withColumn("user_id", col("user_id") + 100000L)))
-        lv.alias("l").join(rv.alias("r"),
-            col("l.ws") === col("r.ws") && col("l.user_id") === col("r.user_id"),
-            "full_outer")
-          .select(coalesce(col("l.ws"), col("r.ws")).as("window_start_us"),
-            coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
-            when(col("l.user_id").isNull, "I")
-              .when(col("r.user_id").isNull, "D")
-              .when(!(col("l.value") <=> col("r.value"))
-                || !(col("l.eid") <=> col("r.eid")), "C")
-              .otherwise("N").as("diff_status"),
-            col("l.value").as("left_value"), col("r.value").as("right_value"),
-            col("l.eid").as("left_eid"), col("r.eid").as("right_eid"))
+            .withColumn("user_id", col("user_id") + 100000L))
+        graft.streaming.StreamOps.diffStreamStreamLatestBatch(
+          ev, rsrc, "ts_us", "user_id", Seq("value", "event_id"), DayUs)
     },
 
     // Continuous-ingest CONTENT dedup vs the persisted corpus (r12) —

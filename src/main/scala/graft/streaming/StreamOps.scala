@@ -428,6 +428,73 @@ object StreamOps {
           "dictionary-encode the key upstream (e.g. xxhash64/conv-of-sha)")
     }
 
+  /** BATCH twin of [[diffStreamStream]] as a first-class operator (r14) —
+    * the same per-(window, key) census diff over two HISTORICAL feeds
+    * (backfill reconciliation, re-running yesterday's stream check over a
+    * month of data): per event-time window of `widthUs` per key, each
+    * side folds to (count, max of `valCols.head` when numeric, the
+    * two exact sha-slice digest sums over the full canonical payload),
+    * and the two censuses meet in ONE full-outer with the I/C/N/D
+    * verdict — C on count, max, OR digest drift. `tsUsCol` is an epoch-
+    * micros BIGINT column (the batch feeds' native clock; the streaming
+    * twin takes a timestamp because the watermark needs one).
+    *
+    * This is the SAME body the oracle-checked `stream_diff_stream` key
+    * runs (one definition, two surfaces), and StreamCensusPropSpec pins
+    * it against an independent JVM model on randomized feeds (NaN/null/
+    * ±Inf values, null keys and payload strings, multi-window traffic).
+    * 100 TB shape: two map-side-combinable (window, key) aggs into one
+    * full-outer exchange on the same key — PlanSpec pins exactly 2
+    * exchanges.
+    */
+  def diffStreamStreamBatch(left: DataFrame, right: DataFrame,
+                            tsUsCol: String, keyCol: String,
+                            valCols: Seq[String],
+                            widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"diffStreamStreamBatch: width must be positive, got $widthUs")
+    require(valCols.nonEmpty, "diffStreamStreamBatch: need at least one value column")
+    def census(df: DataFrame): DataFrame = {
+      val (d1, d2) = digestSlices(payloadCanon(df, valCols))
+      val headline = df.schema(valCols.head).dataType match {
+        case _: NumericType => col(valCols.head).cast("double")
+        case _ => lit(null).cast("double")
+      }
+      df.withColumn("__graft_ws",
+          col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
+        .withColumn("__graft_v", headline)
+        .withColumn("__graft_d1", d1).withColumn("__graft_d2", d2)
+        .groupBy(col("__graft_ws"), col(keyCol))
+        .agg(count(lit(1)).as("n"), max("__graft_v").as("mx"),
+          sum("__graft_d1").as("dg1"), sum("__graft_d2").as("dg2"))
+    }
+    val lf = census(left)
+    val rf = census(right)
+    lf.alias("l").join(rf.alias("r"),
+        col("l.__graft_ws") === col("r.__graft_ws") &&
+          col(s"l.$keyCol") === col(s"r.$keyCol"),
+        "full_outer")
+      .select(
+        coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us"),
+        coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol),
+        // Side PRESENCE must test the count (non-null on every census
+        // row), never the key: a NULL-key left group would read `l.key IS
+        // NULL` and misclassify as I (r14 — caught by the
+        // StreamCensusPropSpec model; null keys never pair under `=`, so
+        // each side's null-key census is its own D/I row, exactly the
+        // streaming twin's side-split)
+        when(col("l.n").isNull, "I")
+          .when(col("r.n").isNull, "D")
+          .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx"))
+            || col("l.dg1") =!= col("r.dg1") || col("l.dg2") =!= col("r.dg2"), "C")
+          .otherwise("N").as("diff_status"),
+        col("l.n").as("left_n"), col("r.n").as("right_n"),
+        col("l.mx").as("left_max"), col("r.mx").as("right_max"),
+        concat(col("l.dg1").cast("string"), lit(":"),
+          col("l.dg2").cast("string")).as("left_digest"),
+        concat(col("r.dg1").cast("string"), lit(":"),
+          col("r.dg2").cast("string")).as("right_digest"))
+  }
+
   /** Single-value-column convenience form of [[diffStreamStream]]. */
   def diffStreamStream(leftFeed: DataFrame, rightFeed: DataFrame,
                        tsCol: String, keyCol: String, valCol: String,
@@ -588,6 +655,61 @@ object StreamOps {
       .groupByKey(e => (e.window_start_us, e.key,
         if (e.key.isEmpty) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** BATCH twin of [[diffStreamStreamLatest]] as a first-class operator
+    * (r14) — historical last-write-wins reconciliation: per (window, key)
+    * each side reduces to its LATEST observation (ONE map-side-combinable
+    * `max(struct(ts, v…))`; the payload tie-break makes equal-timestamp
+    * races deterministic) and the verdict compares the final payloads PER
+    * COLUMN null-safely. Output carries `left_<col>`/`right_<col>` pairs
+    * in `valCols` order (the diff naming convention). Same numeric-only
+    * payload contract and 2^53 double-carrier bound as the streaming
+    * twin; side presence tests the non-null window column, so null-key
+    * groups side-split into D/I exactly like the streaming form. This is
+    * the body the oracle-checked `stream_diff_values` key runs;
+    * StreamCensusPropSpec pins it against an independent JVM model.
+    */
+  def diffStreamStreamLatestBatch(left: DataFrame, right: DataFrame,
+                                  tsUsCol: String, keyCol: String,
+                                  valCols: Seq[String],
+                                  widthUs: Long): DataFrame = {
+    require(widthUs > 0,
+      s"diffStreamStreamLatestBatch: width must be positive, got $widthUs")
+    require(valCols.nonEmpty,
+      "diffStreamStreamLatestBatch: need at least one value column")
+    Seq(left, right).foreach { df =>
+      val bad = valCols.filterNot(c => df.schema(c).dataType.isInstanceOf[NumericType])
+      require(bad.isEmpty,
+        s"diffStreamStreamLatestBatch: value column(s) ${bad.mkString(", ")} are " +
+          "non-numeric — use diffStreamStreamBatch (census + content digest) " +
+          "for arbitrary types")
+    }
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("__graft_ws", col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
+      .groupBy(col("__graft_ws"), col(keyCol))
+      .agg(max(struct(col(tsUsCol).as("__t") +:
+        valCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__v$i") }: _*)).as("m"))
+    val lf = latest(left).alias("l")
+    val rf = latest(right).alias("r")
+    val anyDiff = valCols.indices
+      .map(i => !(col(s"l.m.__v$i") <=> col(s"r.m.__v$i")))
+      .reduce(_ || _)
+    lf.join(rf,
+        col("l.__graft_ws") === col("r.__graft_ws") &&
+          col(s"l.$keyCol") === col(s"r.$keyCol"),
+        "full_outer")
+      .select(
+        coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us") +:
+          coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol) +:
+          when(col("l.__graft_ws").isNull, "I")
+            .when(col("r.__graft_ws").isNull, "D")
+            .when(anyDiff, "C")
+            .otherwise("N").as("diff_status") +:
+          valCols.zipWithIndex.flatMap { case (c, i) => Seq(
+            col(s"l.m.__v$i").as(s"left_$c"),
+            col(s"r.m.__v$i").as(s"right_$c")) }: _*)
   }
 
   /** Single-value-column convenience form of [[diffStreamStreamLatest]]. */
