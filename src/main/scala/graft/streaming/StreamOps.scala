@@ -428,6 +428,46 @@ object StreamOps {
           "dictionary-encode the key upstream (e.g. xxhash64/conv-of-sha)")
     }
 
+  /** The content digest canonicalizes BY TYPE ([[canonCol]]), so the two
+    * feeds must agree on every payload column's dtype — a DOUBLE-vs-
+    * DECIMAL skew would canonicalize "1.500000" vs "1.50" and read every
+    * paired group C (r14 review #3) — refuse loudly at construction.
+    */
+  private def requireMatchedPayload(left: DataFrame, right: DataFrame,
+                                    valCols: Seq[String], fn: String): Unit = {
+    val skew = valCols.filter(c => left.schema(c).dataType != right.schema(c).dataType)
+    require(skew.isEmpty,
+      s"$fn: payload column(s) ${skew.mkString(", ")} differ in type between " +
+        s"the feeds (${skew.map(c => s"$c: ${left.schema(c).dataType.sql} vs " +
+          s"${right.schema(c).dataType.sql}").mkString("; ")}) — the content " +
+        "digest canonicalizes by type, so a dtype skew would read every " +
+        "group C; cast the feeds to one schema first")
+  }
+
+  /** Headline metric for the census forms: `valCols.head` as double when
+    * numeric, NULL otherwise (the digest carries the compare for
+    * non-numeric payloads). One definition for batch + stream (r14
+    * review #3 — duplicated logic invites exactly the drift the shared
+    * bodies exist to prevent).
+    */
+  private def headlineCol(df: DataFrame, valCols: Seq[String]): Column =
+    df.schema(valCols.head).dataType match {
+      case _: NumericType => col(valCols.head).cast("double")
+      case _ => lit(null).cast("double")
+    }
+
+  /** Numeric-only payload contract of the latest-value forms — shared by
+    * batch + stream.
+    */
+  private def requireNumericPayload(df: DataFrame, valCols: Seq[String],
+                                    fn: String): Unit = {
+    val bad = valCols.filterNot(c => df.schema(c).dataType.isInstanceOf[NumericType])
+    require(bad.isEmpty,
+      s"$fn: value column(s) ${bad.mkString(", ")} are non-numeric — the " +
+        "latest-value payload is carried as doubles; use the census + " +
+        "content-digest form for arbitrary types")
+  }
+
   /** BATCH twin of [[diffStreamStream]] as a first-class operator (r14) —
     * the same per-(window, key) census diff over two HISTORICAL feeds
     * (backfill reconciliation, re-running yesterday's stream check over a
@@ -453,12 +493,10 @@ object StreamOps {
                             widthUs: Long): DataFrame = {
     require(widthUs > 0, s"diffStreamStreamBatch: width must be positive, got $widthUs")
     require(valCols.nonEmpty, "diffStreamStreamBatch: need at least one value column")
+    requireMatchedPayload(left, right, valCols, "diffStreamStreamBatch")
     def census(df: DataFrame): DataFrame = {
       val (d1, d2) = digestSlices(payloadCanon(df, valCols))
-      val headline = df.schema(valCols.head).dataType match {
-        case _: NumericType => col(valCols.head).cast("double")
-        case _ => lit(null).cast("double")
-      }
+      val headline = headlineCol(df, valCols)
       df.withColumn("__graft_ws",
           col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
         .withColumn("__graft_v", headline)
@@ -568,13 +606,11 @@ object StreamOps {
     require(valCols.nonEmpty, "diffStreamStream: need at least one value column")
     requireIntegralKey(leftFeed, keyCol, "diffStreamStream")
     requireIntegralKey(rightFeed, keyCol, "diffStreamStream")
+    requireMatchedPayload(leftFeed, rightFeed, valCols, "diffStreamStream")
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame = {
       val (d1, d2) = digestSlices(payloadCanon(df, valCols))
-      val headline = df.schema(valCols.head).dataType match {
-        case _: NumericType => col(valCols.head).cast("double")
-        case _ => lit(null).cast("double") // non-numeric headline: digest carries the compare
-      }
+      val headline = headlineCol(df, valCols)
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
@@ -678,13 +714,8 @@ object StreamOps {
       s"diffStreamStreamLatestBatch: width must be positive, got $widthUs")
     require(valCols.nonEmpty,
       "diffStreamStreamLatestBatch: need at least one value column")
-    Seq(left, right).foreach { df =>
-      val bad = valCols.filterNot(c => df.schema(c).dataType.isInstanceOf[NumericType])
-      require(bad.isEmpty,
-        s"diffStreamStreamLatestBatch: value column(s) ${bad.mkString(", ")} are " +
-          "non-numeric — use diffStreamStreamBatch (census + content digest) " +
-          "for arbitrary types")
-    }
+    Seq(left, right).foreach(df =>
+      requireNumericPayload(df, valCols, "diffStreamStreamLatestBatch"))
     def latest(df: DataFrame): DataFrame = df
       .withColumn("__graft_ws", col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
       .groupBy(col("__graft_ws"), col(keyCol))
@@ -703,8 +734,12 @@ object StreamOps {
       .select(
         coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us") +:
           coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol) +:
-          when(col("l.__graft_ws").isNull, "I")
-            .when(col("r.__graft_ws").isNull, "D")
+          // presence via the struct MAX (never null for a present group,
+          // even when tsUsCol itself is NULL — a NULL-ts window column
+          // would misread a left-only group as I; r14 review #3, the same
+          // null-presence class the census form's l.n test closes)
+          when(col("l.m").isNull, "I")
+            .when(col("r.m").isNull, "D")
             .when(anyDiff, "C")
             .otherwise("N").as("diff_status") +:
           valCols.zipWithIndex.flatMap { case (c, i) => Seq(
@@ -766,13 +801,8 @@ object StreamOps {
     require(valCols.nonEmpty, "diffStreamStreamLatest: need at least one value column")
     requireIntegralKey(leftFeed, keyCol, "diffStreamStreamLatest")
     requireIntegralKey(rightFeed, keyCol, "diffStreamStreamLatest")
-    Seq(leftFeed, rightFeed).foreach { df =>
-      val bad = valCols.filterNot(c => df.schema(c).dataType.isInstanceOf[NumericType])
-      require(bad.isEmpty,
-        s"diffStreamStreamLatest: value column(s) ${bad.mkString(", ")} are " +
-          "non-numeric — the latest-value payload is carried as doubles; use " +
-          "diffStreamStream (census + content digest) for arbitrary types")
-    }
+    Seq(leftFeed, rightFeed).foreach(df =>
+      requireNumericPayload(df, valCols, "diffStreamStreamLatest"))
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame =
       df.select(

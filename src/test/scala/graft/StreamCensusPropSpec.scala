@@ -28,7 +28,10 @@ class StreamCensusPropSpec extends SparkTestBase {
   private val evGen: Gen[Ev] = for {
     t <- Gen.choose(0L, 3L * W - 1L)
     k <- Gen.option(Gen.choose(0L, 3L))
-    v <- Gen.option(Gen.oneOf(1.0, 2.5, 0.1234567, 1e-9, -3.75,
+    // 9.9e11 sits at the edge of DECIMAL(18,6)'s 12 integral digits —
+    // values BEYOND it fail loudly under ANSI in both engines (the
+    // DECIMAL-ladder discipline), so the tested domain is |v| < 1e12
+    v <- Gen.option(Gen.oneOf(1.0, 2.5, 0.1234567, 1e-9, -3.75, 9.9e11,
       Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
     s <- Gen.option(Gen.oneOf("view", "click", "weiv", ""))
   } yield (t, k, v, s)
@@ -217,6 +220,27 @@ class StreamCensusPropSpec extends SparkTestBase {
         s"case $i diverged from the latest-form model\nspark=$got\nmodel=$want\n" +
           s"l=$lRows\nr=$rRows")
     }
+  }
+
+  test("census refuses dtype-skewed payload feeds; latest form survives NULL timestamps (r14 review)") {
+    import org.apache.spark.sql.functions.col
+    // a DOUBLE-vs-DECIMAL payload skew would canonicalize "1.500000" vs
+    // "1.50" and read every paired group C — must refuse at construction
+    val l = toDF(Seq((100L, Some(1L), Some(1.5), Some("a"))))
+    val rSkew = l.withColumn("v", col("v").cast("decimal(10,2)"))
+    val e = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamBatch(l, rSkew, "ts_us", "k", Seq("v", "et"), W))
+    assert(e.getMessage.contains("diffStreamStreamBatch") &&
+      e.getMessage.contains("DECIMAL(10,2)"), e.getMessage)
+    // latest form: a NULL-ts left-only group must read D, not I (presence
+    // tests the struct MAX, never the nullable window column)
+    val lNullTs = Seq((1L, Some(7L), Some(1.0))).toDF("ts0", "k", "v")
+      .select(org.apache.spark.sql.functions.lit(null).cast("bigint").as("ts_us"),
+        col("k"), col("v"))
+    val rEmpty = lNullTs.filter(org.apache.spark.sql.functions.lit(false))
+    val out = StreamOps.diffStreamStreamLatestBatch(
+      lNullTs, rEmpty, "ts_us", "k", Seq("v"), W).collect()
+    assert(out.length == 1 && out.head.getString(2) == "D", out.mkString)
   }
 
   test("digest is load-bearing: compensating sub-max drift is C, permutation is N") {
