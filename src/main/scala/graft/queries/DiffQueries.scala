@@ -182,23 +182,32 @@ object DiffQueries {
        |   CAST(NULL AS BIGINT), 'fail')
        |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
 
-  /** Builds a fresh TxnLog-sweep fixture root (orders churn as v0/v1,
-    * customer re-published identically, a single-version table) and
-    * returns its path — shared by diff_catalog_txnlog and the TVF twin.
+  /** Builds (once per process per dataset — the fixture tables are the
+    * sweep's INPUTS, not the operator, so they cache exactly like the
+    * Tables.cached diff_right artifact; every call still runs the full
+    * enumeration + inference + diff) the TxnLog-sweep fixture root
+    * (orders churn as v0/v1, customer re-published identically, a
+    * single-version table) and returns its path — shared by
+    * diff_catalog_txnlog and the TVF twin. The root is published to the
+    * cache only AFTER all commits land, so a concurrent reader never
+    * sees a half-built table.
     */
-  private def txnSweepFixture(s: SparkSession, d: String): String = {
-    import graft.sources.TxnLog
-    val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"/r${txnSweepSeq.incrementAndGet()}"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    TxnLog.init(left(s, d), s"$root/orders_t") // v0
-    TxnLog.overwrite(right(s, d), s"$root/orders_t") // v1 = the churn
-    val cust = Tables.cachedTable(s, d, "customer")
-    TxnLog.init(cust, s"$root/cust_t")
-    TxnLog.overwrite(cust, s"$root/cust_t") // identical re-publish
-    TxnLog.init(cust.select("c_custkey"), s"$root/fresh_t") // v0 only
-    root
-  }
+  private val txnSweepRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txnSweepFixture(s: SparkSession, d: String): String =
+    txnSweepRoots.computeIfAbsent(d, _ => {
+      import graft.sources.TxnLog
+      val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/r${txnSweepSeq.incrementAndGet()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      TxnLog.init(left(s, d), s"$root/orders_t") // v0
+      TxnLog.overwrite(right(s, d), s"$root/orders_t") // v1 = the churn
+      val cust = Tables.cachedTable(s, d, "customer")
+      TxnLog.init(cust, s"$root/cust_t")
+      TxnLog.overwrite(cust, s"$root/cust_t") // identical re-publish
+      TxnLog.init(cust.select("c_custkey"), s"$root/fresh_t") // v0 only
+      root
+    })
 
   private lazy val txnSweepRoot: String = {
     val run = java.lang.ProcessHandle.current().pid()
