@@ -77,19 +77,6 @@ final case class WinDiffState(counts: Map[Long, Long])
 final case class WinDiffOut(window_start_us: Long, key: Long,
     diff_status: String, left_n: Option[Long], right_n: Option[Long])
 
-/** One side-tagged arrival for [[StreamOps.diffStreamStream]]. Key and
-  * value are Options (r13 review fix): a NULL value must fold like the
-  * batch twin's `max()` (skipped, the row still counts) instead of killing
-  * the query at the encoder, and a NULL key must classify instead of
-  * crashing. `d1`/`d2` are the event's two 32-bit content-digest slices
-  * ([[StreamOps.digestSlices]] over the canonicalized FULL payload) — the
-  * canonicalization names NULL/NaN explicitly, so the slices are always
-  * defined.
-  */
-final case class SsDiffEvent(window_start_us: Long, key: Option[Long],
-    left_side: Boolean, value: Option[Double], d1: Long, d2: Long,
-    tsm: java.sql.Timestamp)
-
 /** Per-(window, key) dual-feed state: per side, the arrival count, the
   * running max (None while every arrival's value was NULL — the batch
   * `max()` NULL), and the two order-independent content-digest sums
@@ -115,14 +102,6 @@ final case class SsDiffOut(window_start_us: Long, key: Option[Long],
     left_max: Option[Double], right_max: Option[Double],
     left_digest: Option[String], right_digest: Option[String])
 
-/** One side-tagged arrival for [[StreamOps.diffStreamStreamLatest]] —
-  * carries the raw event time so the fold can pick the LATEST observation,
-  * and the FULL numeric payload tuple (r14 multi-column widening).
-  */
-final case class SsvEvent(window_start_us: Long, key: Option[Long],
-    left_side: Boolean, ts_us: Long, values: Seq[Option[Double]],
-    tsm: java.sql.Timestamp)
-
 /** One side's latest observation inside the open (window, key) group. */
 final case class SsvSide(ts_us: Long, values: Seq[Option[Double]])
 
@@ -138,6 +117,65 @@ final case class SsvState(l: Option[SsvSide], r: Option[SsvSide])
 final case class SsvOut(window_start_us: Long, key: Option[Long],
     diff_status: String, left_values: Option[Seq[Option[Double]]],
     right_values: Option[Seq[Option[Double]]])
+
+/** One side-tagged arrival for the KEYED (composite/string-key, r15)
+  * stream-stream census core: `kp` carries the key TUPLE as canonical
+  * strings, one entry per key column in call order (None = that part is
+  * NULL). The canonical form is a plain string cast, admitted only for
+  * types where string equality coincides with SQL `=`
+  * ([[StreamOps.requireKeyedKeys]]), so grouping on `kp` partitions rows
+  * exactly like the batch twin's multi-column equi-join — and the typed
+  * key columns are restored losslessly on output by casting back.
+  */
+final case class SsDiffKEvent(window_start_us: Long, kp: Seq[Option[String]],
+    left_side: Boolean, value: Option[Double], d1: Long, d2: Long,
+    tsm: java.sql.Timestamp)
+
+/** Keyed-census output row before the typed key columns are restored. */
+final case class SsDiffKOut(window_start_us: Long, kp: Seq[Option[String]],
+    diff_status: String, left_n: Option[Long], right_n: Option[Long],
+    left_max: Option[Double], right_max: Option[Double],
+    left_digest: Option[String], right_digest: Option[String])
+
+/** Keyed arrival for the latest-value core — carries the raw event time
+  * (fold picks the LATEST observation), the full numeric payload tuple,
+  * and the key tuple in canonical-string form.
+  */
+final case class SsvKEvent(window_start_us: Long, kp: Seq[Option[String]],
+    left_side: Boolean, ts_us: Long, values: Seq[Option[Double]],
+    tsm: java.sql.Timestamp)
+
+/** Keyed latest-value output row before key restoration. */
+final case class SsvKOut(window_start_us: Long, kp: Seq[Option[String]],
+    diff_status: String, left_values: Option[Seq[Option[Double]]],
+    right_values: Option[Seq[Option[Double]]])
+
+/** One side-tagged arrival for the ANY-TYPE latest-value form (r15):
+  * `pay` is the canonical payload string over ALL value columns (the
+  * census discipline — [[StreamOps.payloadCanon]]); `disp` carries the
+  * NUMERIC value columns as display doubles (non-numeric columns live in
+  * the payload string only). `ts_us` is optional: a NULL event time sorts
+  * smallest, exactly like the batch twin's struct-max.
+  */
+final case class SsvAEvent(window_start_us: Long, kp: Seq[Option[String]],
+    left_side: Boolean, ts_us: Option[Long], pay: String,
+    disp: Seq[Option[Double]], tsm: java.sql.Timestamp)
+
+/** One side's latest observation in the any-type form. */
+final case class SsvASide(ts_us: Option[Long], pay: String,
+    disp: Seq[Option[Double]])
+
+/** Per-(window, key-tuple) dual-feed latest state, any-type form. */
+final case class SsvAState(l: Option[SsvASide], r: Option[SsvASide])
+
+/** Any-type latest-value output row before key restoration: the verdict
+  * compares the two canonical payload strings; the display doubles render
+  * the numeric columns.
+  */
+final case class SsvAOut(window_start_us: Long, kp: Seq[Option[String]],
+    diff_status: String, left_payload: Option[String],
+    right_payload: Option[String], left_disp: Option[Seq[Option[Double]]],
+    right_disp: Option[Seq[Option[Double]]])
 
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
@@ -468,6 +506,66 @@ object StreamOps {
         "content-digest form for arbitrary types")
   }
 
+  /** Key contract of the keyed (composite/string-key) stream-stream family
+    * (r15). The state carries the key tuple as canonical STRINGS (one per
+    * key column), so grouping on the tuple must partition rows exactly
+    * like the batch twin's multi-column `=` join, and casting the string
+    * back to the declared type must be lossless. Both hold for integral /
+    * STRING / BOOLEAN / DATE / DECIMAL columns (plain string cast is
+    * injective and `=`-consistent there) — and for NOTHING else, loudly:
+    * FLOAT/DOUBLE keys break `=` itself (NaN never pairs, -0.0 = 0.0 but
+    * renders differently) and TIMESTAMP string forms are
+    * session-timezone-indirect (unix_micros the key upstream instead).
+    * Both feeds must declare the SAME dtype per key column (a BIGINT vs
+    * STRING skew would canonicalize '42' on both sides and silently pair
+    * rows the batch `=` join refuses at analysis). Key names may not
+    * collide with the fixed output columns. The batch twins enforce the
+    * identical contract so the stream/batch pair stays interchangeable.
+    */
+  private def requireKeyedKeys(left: DataFrame, right: DataFrame,
+                               keys: Seq[String], fn: String): Unit = {
+    require(keys.nonEmpty, s"$fn: need at least one key column")
+    val reserved = Set("window_start_us", "diff_status", "left_n", "right_n",
+      "left_max", "right_max", "left_digest", "right_digest",
+      "left_payload", "right_payload")
+    val clash = keys.filter(reserved)
+    require(clash.isEmpty,
+      s"$fn: key column(s) ${clash.mkString(", ")} collide with the " +
+        "operator's fixed output columns — rename them upstream")
+    def ok(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    keys.foreach { k =>
+      val (lt, rt) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lt == rt,
+        s"$fn: key column '$k' differs in type between the feeds " +
+          s"(${lt.sql} vs ${rt.sql}) — keys canonicalize by type; cast the " +
+          "feeds to one schema first")
+      if (!ok(lt)) throw new IllegalArgumentException(
+        s"$fn: key column '$k' has type ${lt.sql} — keyed state carries the " +
+          "key tuple as canonical strings, admitted for integral/STRING/" +
+          "BOOLEAN/DATE/DECIMAL columns where string equality coincides " +
+          "with SQL `=`; FLOAT/DOUBLE keys break `=` (NaN/-0.0) and " +
+          "TIMESTAMP keys should be unix_micros'd upstream")
+    }
+  }
+
+  /** The key tuple in canonical-string form — see [[requireKeyedKeys]]. */
+  private def keyPartsCol(keys: Seq[String]): Column =
+    array(keys.map(k => col(k).cast(StringType)): _*)
+
+  /** Restore the typed key columns from the state's canonical strings —
+    * lossless for every admitted key type by [[requireKeyedKeys]]'
+    * admission rule.
+    */
+  private def restoredKeyCols(template: StructType, keys: Seq[String]): Seq[Column] =
+    keys.zipWithIndex.map { case (k, i) =>
+      element_at(col("kp"), i + 1).cast(template(k).dataType).as(k)
+    }
+
   /** BATCH twin of [[diffStreamStream]] as a first-class operator (r14) —
     * the same per-(window, key) census diff over two HISTORICAL feeds
     * (backfill reconciliation, re-running yesterday's stream check over a
@@ -490,9 +588,31 @@ object StreamOps {
   def diffStreamStreamBatch(left: DataFrame, right: DataFrame,
                             tsUsCol: String, keyCol: String,
                             valCols: Seq[String],
-                            widthUs: Long): DataFrame = {
+                            widthUs: Long): DataFrame =
+    diffStreamStreamBatchKeyed(left, right, tsUsCol, Seq(keyCol), valCols, widthUs)
+
+  /** COMPOSITE/STRING-key generalization of [[diffStreamStreamBatch]]
+    * (r15 — real CDC feeds key on tuples like (order, line) or
+    * (user, day), and UUID string keys are the most common CDC identity):
+    * row identity = the key TUPLE, exactly [[graft.operators.Differ.diff]]'s
+    * `keys: Seq[String]` contract. Each side's census groups by (window,
+    * k1, …, kn) — one map-side-combinable aggregate, the composite key
+    * hashing through ONE exchange as a tuple, no extra shuffle for extra
+    * key columns — and the two censuses meet in one full-outer on window +
+    * every key column under plain `=` (a row with ANY null key part never
+    * pairs; each side's null-part groups surface as their own D/I rows,
+    * like the batch diff's non-null-safe key mode). Key types per
+    * [[requireKeyedKeys]] — enforced here too, so the batch twin refuses
+    * exactly what the streaming twin refuses. This is the single fold
+    * body: the single-key form above delegates here.
+    */
+  def diffStreamStreamBatchKeyed(left: DataFrame, right: DataFrame,
+                                 tsUsCol: String, keys: Seq[String],
+                                 valCols: Seq[String],
+                                 widthUs: Long): DataFrame = {
     require(widthUs > 0, s"diffStreamStreamBatch: width must be positive, got $widthUs")
     require(valCols.nonEmpty, "diffStreamStreamBatch: need at least one value column")
+    requireKeyedKeys(left, right, keys, "diffStreamStreamBatch")
     requireMatchedPayload(left, right, valCols, "diffStreamStreamBatch")
     def census(df: DataFrame): DataFrame = {
       val (d1, d2) = digestSlices(payloadCanon(df, valCols))
@@ -501,36 +621,36 @@ object StreamOps {
           col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
         .withColumn("__graft_v", headline)
         .withColumn("__graft_d1", d1).withColumn("__graft_d2", d2)
-        .groupBy(col("__graft_ws"), col(keyCol))
+        .groupBy(col("__graft_ws") +: keys.map(col): _*)
         .agg(count(lit(1)).as("n"), max("__graft_v").as("mx"),
           sum("__graft_d1").as("dg1"), sum("__graft_d2").as("dg2"))
     }
     val lf = census(left)
     val rf = census(right)
+    val keyEq = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     lf.alias("l").join(rf.alias("r"),
-        col("l.__graft_ws") === col("r.__graft_ws") &&
-          col(s"l.$keyCol") === col(s"r.$keyCol"),
+        col("l.__graft_ws") === col("r.__graft_ws") && keyEq,
         "full_outer")
       .select(
-        coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us"),
-        coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol),
-        // Side PRESENCE must test the count (non-null on every census
-        // row), never the key: a NULL-key left group would read `l.key IS
-        // NULL` and misclassify as I (r14 — caught by the
-        // StreamCensusPropSpec model; null keys never pair under `=`, so
-        // each side's null-key census is its own D/I row, exactly the
-        // streaming twin's side-split)
-        when(col("l.n").isNull, "I")
-          .when(col("r.n").isNull, "D")
-          .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx"))
-            || col("l.dg1") =!= col("r.dg1") || col("l.dg2") =!= col("r.dg2"), "C")
-          .otherwise("N").as("diff_status"),
-        col("l.n").as("left_n"), col("r.n").as("right_n"),
-        col("l.mx").as("left_max"), col("r.mx").as("right_max"),
-        concat(col("l.dg1").cast("string"), lit(":"),
-          col("l.dg2").cast("string")).as("left_digest"),
-        concat(col("r.dg1").cast("string"), lit(":"),
-          col("r.dg2").cast("string")).as("right_digest"))
+        coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us") +:
+          keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) ++: Seq(
+          // Side PRESENCE must test the count (non-null on every census
+          // row), never the key: a NULL-key left group would read `l.key IS
+          // NULL` and misclassify as I (r14 — caught by the
+          // StreamCensusPropSpec model; null keys never pair under `=`, so
+          // each side's null-key census is its own D/I row, exactly the
+          // streaming twin's side-split)
+          when(col("l.n").isNull, "I")
+            .when(col("r.n").isNull, "D")
+            .when(col("l.n") =!= col("r.n") || !(col("l.mx") <=> col("r.mx"))
+              || col("l.dg1") =!= col("r.dg1") || col("l.dg2") =!= col("r.dg2"), "C")
+            .otherwise("N").as("diff_status"),
+          col("l.n").as("left_n"), col("r.n").as("right_n"),
+          col("l.mx").as("left_max"), col("r.mx").as("right_max"),
+          concat(col("l.dg1").cast("string"), lit(":"),
+            col("l.dg2").cast("string")).as("left_digest"),
+          concat(col("r.dg1").cast("string"), lit(":"),
+            col("r.dg2").cast("string")).as("right_digest")): _*)
   }
 
   /** Single-value-column convenience form of [[diffStreamStream]]. */
@@ -602,11 +722,65 @@ object StreamOps {
                        widthUs: Long, delay: String): Dataset[SsDiffOut] = {
     val spark = leftFeed.sparkSession
     import spark.implicits._
-    require(widthUs > 0, s"diffStreamStream: width must be positive, got $widthUs")
-    require(valCols.nonEmpty, "diffStreamStream: need at least one value column")
+    // The single-key surface keeps its long-typed `key` output column and
+    // its original integral-only contract; the FOLD is the shared keyed
+    // core (r15 — one fold body, every surface).
     requireIntegralKey(leftFeed, keyCol, "diffStreamStream")
     requireIntegralKey(rightFeed, keyCol, "diffStreamStream")
-    requireMatchedPayload(leftFeed, rightFeed, valCols, "diffStreamStream")
+    diffStreamStreamCore(leftFeed, rightFeed, tsCol, Seq(keyCol), valCols,
+        widthUs, delay, "diffStreamStream")
+      .select(col("window_start_us"),
+        element_at(col("kp"), 1).cast("long").as("key"),
+        col("diff_status"), col("left_n"), col("right_n"),
+        col("left_max"), col("right_max"),
+        col("left_digest"), col("right_digest"))
+      .as[SsDiffOut]
+  }
+
+  /** COMPOSITE/STRING-key stream-stream census diff (r15): the live twin
+    * of [[diffStreamStreamBatchKeyed]] — row identity is the key TUPLE
+    * (`keys`, the batch differ's `Seq[String]` contract), admitted key
+    * types per [[requireKeyedKeys]] (so UUID/string CDC identities work
+    * natively — no pre-hashing, no collision class). Mechanics, state
+    * bounds, and verdicts are exactly [[diffStreamStream]]'s: per-feed
+    * watermarks before the tagged union (MIN policy), ONE
+    * flatMapGroupsWithState keyed by (window, key-tuple) with the
+    * event-time timeout at window end, O(1) state per group (the same 8
+    * numbers — the grouping key now carries the canonical key strings, so
+    * the marginal state row grows by the key tuple's rendered bytes).
+    * A group with ANY null key part side-splits into unpairable D/I rows,
+    * mirroring the batch twin's plain-`=` multi-column join. Output
+    * restores the TYPED key columns by name (lossless cast back from the
+    * canonical strings). Parity with the batch twin — including
+    * watermark-flushed D rows, a string key column, and null key parts —
+    * is pinned in StreamBatchParitySpec.
+    */
+  def diffStreamStreamKeyed(leftFeed: DataFrame, rightFeed: DataFrame,
+                            tsCol: String, keys: Seq[String],
+                            valCols: Seq[String],
+                            widthUs: Long, delay: String): DataFrame =
+    diffStreamStreamCore(leftFeed, rightFeed, tsCol, keys, valCols,
+        widthUs, delay, "diffStreamStreamKeyed")
+      .select(col("window_start_us") +:
+        restoredKeyCols(leftFeed.schema, keys) ++: Seq(
+        col("diff_status"), col("left_n"), col("right_n"),
+        col("left_max"), col("right_max"),
+        col("left_digest"), col("right_digest")): _*)
+
+  /** The one census fold body behind [[diffStreamStream]] and
+    * [[diffStreamStreamKeyed]].
+    */
+  private def diffStreamStreamCore(leftFeed: DataFrame, rightFeed: DataFrame,
+                                   tsCol: String, keys: Seq[String],
+                                   valCols: Seq[String], widthUs: Long,
+                                   delay: String,
+                                   fn: String): Dataset[SsDiffKOut] = {
+    val spark = leftFeed.sparkSession
+    import spark.implicits._
+    require(widthUs > 0, s"$fn: width must be positive, got $widthUs")
+    require(valCols.nonEmpty, s"$fn: need at least one value column")
+    requireKeyedKeys(leftFeed, rightFeed, keys, fn)
+    requireMatchedPayload(leftFeed, rightFeed, valCols, fn)
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame = {
       val (d1, d2) = digestSlices(payloadCanon(df, valCols))
@@ -614,7 +788,7 @@ object StreamOps {
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
-          col(keyCol).cast("long").as("key"),
+          keyPartsCol(keys).as("kp"),
           lit(isLeft).as("left_side"),
           headline.as("value"),
           d1.as("d1"), d2.as("d2"),
@@ -644,8 +818,9 @@ object StreamOps {
     }
     val zero = SsDiffState(0L, None, 0L, 0L, 0L, None, 0L, 0L)
 
-    def step(wk: (Long, Option[Long], Option[Boolean]), it: Iterator[SsDiffEvent],
-             state: GroupState[SsDiffState]): Iterator[SsDiffOut] = {
+    def step(wk: (Long, Seq[Option[String]], Option[Boolean]),
+             it: Iterator[SsDiffKEvent],
+             state: GroupState[SsDiffState]): Iterator[SsDiffKOut] = {
       if (state.hasTimedOut) {
         val s = state.getOption.getOrElse(zero)
         state.remove()
@@ -655,7 +830,7 @@ object StreamOps {
           else if (s.ln != s.rn || !maxEq(s.lmax, s.rmax) ||
             s.ld1 != s.rd1 || s.ld2 != s.rd2) "C"
           else "N"
-        Iterator.single(SsDiffOut(wk._1, wk._2, status,
+        Iterator.single(SsDiffKOut(wk._1, wk._2, status,
           if (s.ln > 0) Some(s.ln) else None,
           if (s.rn > 0) Some(s.rn) else None,
           s.lmax, s.rmax,
@@ -682,14 +857,15 @@ object StreamOps {
     }
 
     prep(leftFeed, isLeft = true).unionByName(prep(rightFeed, isLeft = false))
-      .as[SsDiffEvent]
-      // NULL keys can never pair — the batch twin joins with plain `=` —
-      // so a null-keyed group is additionally split BY SIDE: each side's
-      // null-key census emits its own D/I row, exactly the two unmatched
-      // rows the batch full-outer produces (r13 review fix; previously a
-      // null key killed the query at the encoder).
-      .groupByKey(e => (e.window_start_us, e.key,
-        if (e.key.isEmpty) Some(e.left_side) else None))
+      .as[SsDiffKEvent]
+      // A key tuple with ANY null part can never pair — the batch twin
+      // joins every key column with plain `=` — so such a group is
+      // additionally split BY SIDE: each side's null-part census emits its
+      // own D/I row, exactly the unmatched rows the batch full-outer
+      // produces (r13 review fix; previously a null key killed the query
+      // at the encoder).
+      .groupByKey(e => (e.window_start_us, e.kp,
+        if (e.kp.exists(_.isEmpty)) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
@@ -709,42 +885,58 @@ object StreamOps {
   def diffStreamStreamLatestBatch(left: DataFrame, right: DataFrame,
                                   tsUsCol: String, keyCol: String,
                                   valCols: Seq[String],
-                                  widthUs: Long): DataFrame = {
+                                  widthUs: Long): DataFrame =
+    diffStreamStreamLatestBatchKeyed(left, right, tsUsCol, Seq(keyCol),
+      valCols, widthUs)
+
+  /** COMPOSITE/STRING-key generalization of [[diffStreamStreamLatestBatch]]
+    * (r15): identical last-write-wins semantics with row identity = the
+    * key TUPLE. Same plan shape — one map-side-combinable struct-max per
+    * side (the composite key hashes through the exchange as a tuple),
+    * one full-outer on window + every key column under plain `=` (any
+    * null key part → unpairable D/I rows). Key types per
+    * [[requireKeyedKeys]]; single-key form delegates here.
+    */
+  def diffStreamStreamLatestBatchKeyed(left: DataFrame, right: DataFrame,
+                                       tsUsCol: String, keys: Seq[String],
+                                       valCols: Seq[String],
+                                       widthUs: Long): DataFrame = {
     require(widthUs > 0,
       s"diffStreamStreamLatestBatch: width must be positive, got $widthUs")
     require(valCols.nonEmpty,
       "diffStreamStreamLatestBatch: need at least one value column")
+    requireKeyedKeys(left, right, keys, "diffStreamStreamLatestBatch")
     Seq(left, right).foreach(df =>
       requireNumericPayload(df, valCols, "diffStreamStreamLatestBatch"))
     def latest(df: DataFrame): DataFrame = df
       .withColumn("__graft_ws", col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
-      .groupBy(col("__graft_ws"), col(keyCol))
+      .groupBy(col("__graft_ws") +: keys.map(col): _*)
       .agg(max(struct(col(tsUsCol).as("__t") +:
         valCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("double").as(s"__v$i") }: _*)).as("m"))
     val lf = latest(left).alias("l")
     val rf = latest(right).alias("r")
+    val keyEq = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val anyDiff = valCols.indices
       .map(i => !(col(s"l.m.__v$i") <=> col(s"r.m.__v$i")))
       .reduce(_ || _)
     lf.join(rf,
-        col("l.__graft_ws") === col("r.__graft_ws") &&
-          col(s"l.$keyCol") === col(s"r.$keyCol"),
+        col("l.__graft_ws") === col("r.__graft_ws") && keyEq,
         "full_outer")
       .select(
         coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us") +:
-          coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol) +:
+          keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) ++:
           // presence via the struct MAX (never null for a present group,
           // even when tsUsCol itself is NULL — a NULL-ts window column
           // would misread a left-only group as I; r14 review #3, the same
           // null-presence class the census form's l.n test closes)
-          when(col("l.m").isNull, "I")
+          (when(col("l.m").isNull, "I")
             .when(col("r.m").isNull, "D")
             .when(anyDiff, "C")
             .otherwise("N").as("diff_status") +:
           valCols.zipWithIndex.flatMap { case (c, i) => Seq(
             col(s"l.m.__v$i").as(s"left_$c"),
-            col(s"r.m.__v$i").as(s"right_$c")) }: _*)
+            col(s"r.m.__v$i").as(s"right_$c")) }): _*)
   }
 
   /** Single-value-column convenience form of [[diffStreamStreamLatest]]. */
@@ -797,18 +989,61 @@ object StreamOps {
                              widthUs: Long, delay: String): Dataset[SsvOut] = {
     val spark = leftFeed.sparkSession
     import spark.implicits._
-    require(widthUs > 0, s"diffStreamStreamLatest: width must be positive, got $widthUs")
-    require(valCols.nonEmpty, "diffStreamStreamLatest: need at least one value column")
+    // Single-key surface: long-typed `key` output + the original
+    // integral-only contract; the fold is the shared keyed core (r15).
     requireIntegralKey(leftFeed, keyCol, "diffStreamStreamLatest")
     requireIntegralKey(rightFeed, keyCol, "diffStreamStreamLatest")
+    diffStreamStreamLatestCore(leftFeed, rightFeed, tsCol, Seq(keyCol),
+        valCols, widthUs, delay, "diffStreamStreamLatest")
+      .select(col("window_start_us"),
+        element_at(col("kp"), 1).cast("long").as("key"),
+        col("diff_status"), col("left_values"), col("right_values"))
+      .as[SsvOut]
+  }
+
+  /** COMPOSITE/STRING-key latest-value stream-stream diff (r15): the live
+    * twin of [[diffStreamStreamLatestBatchKeyed]] — same last-write-wins
+    * fold, row identity = the key tuple ([[requireKeyedKeys]] types).
+    * Output restores the typed key columns plus `left_<col>`/`right_<col>`
+    * display pairs per value column, matching the batch twin exactly
+    * (parity pinned in StreamBatchParitySpec, D rows included). Same
+    * state bound as the single-key form: at most TWO (ts, payload)
+    * tuples per (window, key-tuple) group.
+    */
+  def diffStreamStreamLatestKeyed(leftFeed: DataFrame, rightFeed: DataFrame,
+                                  tsCol: String, keys: Seq[String],
+                                  valCols: Seq[String],
+                                  widthUs: Long, delay: String): DataFrame =
+    diffStreamStreamLatestCore(leftFeed, rightFeed, tsCol, keys, valCols,
+        widthUs, delay, "diffStreamStreamLatestKeyed")
+      .select(col("window_start_us") +:
+        restoredKeyCols(leftFeed.schema, keys) ++:
+        (col("diff_status") +:
+          valCols.zipWithIndex.flatMap { case (c, i) => Seq(
+            element_at(col("left_values"), i + 1).as(s"left_$c"),
+            element_at(col("right_values"), i + 1).as(s"right_$c")) }): _*)
+
+  /** The one latest-value fold body behind [[diffStreamStreamLatest]] and
+    * [[diffStreamStreamLatestKeyed]].
+    */
+  private def diffStreamStreamLatestCore(leftFeed: DataFrame, rightFeed: DataFrame,
+                                         tsCol: String, keys: Seq[String],
+                                         valCols: Seq[String], widthUs: Long,
+                                         delay: String,
+                                         fn: String): Dataset[SsvKOut] = {
+    val spark = leftFeed.sparkSession
+    import spark.implicits._
+    require(widthUs > 0, s"$fn: width must be positive, got $widthUs")
+    require(valCols.nonEmpty, s"$fn: need at least one value column")
+    requireKeyedKeys(leftFeed, rightFeed, keys, fn)
     Seq(leftFeed, rightFeed).foreach(df =>
-      requireNumericPayload(df, valCols, "diffStreamStreamLatest"))
+      requireNumericPayload(df, valCols, fn))
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame =
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
-          col(keyCol).cast("long").as("key"),
+          keyPartsCol(keys).as("kp"),
           lit(isLeft).as("left_side"),
           unix_micros(col(tsCol)).as("ts_us"),
           array(valCols.map(c => col(c).cast("double")): _*).as("values"),
@@ -841,8 +1076,9 @@ object StreamOps {
         case _                  => false
       }
 
-    def step(wk: (Long, Option[Long], Option[Boolean]), it: Iterator[SsvEvent],
-             state: GroupState[SsvState]): Iterator[SsvOut] = {
+    def step(wk: (Long, Seq[Option[String]], Option[Boolean]),
+             it: Iterator[SsvKEvent],
+             state: GroupState[SsvState]): Iterator[SsvKOut] = {
       if (state.hasTimedOut) {
         val s = state.getOption.getOrElse(SsvState(None, None))
         state.remove()
@@ -852,7 +1088,7 @@ object StreamOps {
           case (Some(a), Some(b)) => if (valEq(a.values, b.values)) "N" else "C"
           case (None, None) => "N" // unreachable: a group only opens on an arrival
         }
-        Iterator.single(SsvOut(wk._1, wk._2, status,
+        Iterator.single(SsvKOut(wk._1, wk._2, status,
           s.l.map(_.values), s.r.map(_.values)))
       } else {
         var s = state.getOption.getOrElse(SsvState(None, None))
@@ -869,10 +1105,199 @@ object StreamOps {
     }
 
     prep(leftFeed, isLeft = true).unionByName(prep(rightFeed, isLeft = false))
-      .as[SsvEvent]
-      .groupByKey(e => (e.window_start_us, e.key,
-        if (e.key.isEmpty) Some(e.left_side) else None))
+      .as[SsvKEvent]
+      .groupByKey(e => (e.window_start_us, e.kp,
+        if (e.kp.exists(_.isEmpty)) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** ANY-TYPE latest-value stream-stream diff, batch twin (r15 — the r14
+    * verdict's #3 ask: last-write-wins over string/struct CDC rows, which
+    * the numeric form refuses): per (window, key-tuple) each side reduces
+    * to its LATEST observation and the verdict compares the two final
+    * CANONICAL PAYLOAD STRINGS ([[payloadCanon]] over ALL `valCols` — the
+    * census discipline: any column type, NULL named U+2400, NaN/±Inf
+    * named, doubles at DECIMAL(18,6) grain; that grain IS the documented
+    * verdict granularity, coarser than the numeric form's exact-double
+    * `<=>`). The latest pick is greatest (ts, payload, display-doubles) —
+    * payload compared in UTF-8 BYTE order (Spark string order, DuckDB
+    * memcmp), display doubles per Spark struct order — so equal-timestamp
+    * races resolve identically in the stream fold, this batch twin, and
+    * the DuckDB oracle. Output: the typed key columns, the verdict, both
+    * canonical payloads (`left_payload`/`right_payload`), and
+    * `left_<c>`/`right_<c>` display doubles for each NUMERIC value column
+    * (non-numeric columns render inside the payload string). One
+    * map-side-combinable struct-max per side into one full-outer on
+    * (window, keys) — the same 2-exchange plan as every member of the
+    * family.
+    */
+  def diffStreamStreamLatestAnyBatch(left: DataFrame, right: DataFrame,
+                                     tsUsCol: String, keys: Seq[String],
+                                     valCols: Seq[String],
+                                     widthUs: Long): DataFrame = {
+    require(widthUs > 0,
+      s"diffStreamStreamLatestAnyBatch: width must be positive, got $widthUs")
+    require(valCols.nonEmpty,
+      "diffStreamStreamLatestAnyBatch: need at least one value column")
+    requireKeyedKeys(left, right, keys, "diffStreamStreamLatestAnyBatch")
+    requireMatchedPayload(left, right, valCols, "diffStreamStreamLatestAnyBatch")
+    val numCols = valCols.filter(c =>
+      left.schema(c).dataType.isInstanceOf[NumericType])
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("__graft_ws", col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
+      .withColumn("__graft_pay", payloadCanon(df, valCols))
+      .groupBy(col("__graft_ws") +: keys.map(col): _*)
+      .agg(max(struct(
+        col(tsUsCol).as("__t") +: col("__graft_pay").as("__p") +:
+          numCols.zipWithIndex.map { case (c, i) =>
+            col(c).cast("double").as(s"__v$i") }: _*)).as("m"))
+    val lf = latest(left).alias("l")
+    val rf = latest(right).alias("r")
+    val keyEq = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    lf.join(rf,
+        col("l.__graft_ws") === col("r.__graft_ws") && keyEq,
+        "full_outer")
+      .select(
+        coalesce(col("l.__graft_ws"), col("r.__graft_ws")).as("window_start_us") +:
+          keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) ++:
+          (when(col("l.m").isNull, "I")
+            .when(col("r.m").isNull, "D")
+            // payload strings are non-null by construction (every field
+            // coalesces to U+2400), so plain != is total here
+            .when(col("l.m.__p") =!= col("r.m.__p"), "C")
+            .otherwise("N").as("diff_status") +:
+          col("l.m.__p").as("left_payload") +:
+          col("r.m.__p").as("right_payload") +:
+          numCols.zipWithIndex.flatMap { case (c, i) => Seq(
+            col(s"l.m.__v$i").as(s"left_$c"),
+            col(s"r.m.__v$i").as(s"right_$c")) }): _*)
+  }
+
+  /** ANY-TYPE latest-value stream-stream diff, LIVE form (r15): the
+    * streaming twin of [[diffStreamStreamLatestAnyBatch]] — same
+    * mechanics as the numeric keyed form (per-feed watermarks → tagged
+    * union under MIN policy → one flatMapGroupsWithState keyed by
+    * (window, key-tuple), event-time timeout at window end, null key
+    * parts side-split), but state carries at most TWO (ts, canonical
+    * payload, display doubles) observations per group and the verdict is
+    * on the canonical payload strings. The fold's tie order — ts, then
+    * payload in UTF-8 byte order, then display doubles — is exactly the
+    * batch twin's struct max, so stream == batch row-for-row
+    * (StreamBatchParitySpec, D rows and a string value column included).
+    */
+  def diffStreamStreamLatestAny(leftFeed: DataFrame, rightFeed: DataFrame,
+                                tsCol: String, keys: Seq[String],
+                                valCols: Seq[String],
+                                widthUs: Long, delay: String): DataFrame = {
+    val spark = leftFeed.sparkSession
+    import spark.implicits._
+    require(widthUs > 0,
+      s"diffStreamStreamLatestAny: width must be positive, got $widthUs")
+    require(valCols.nonEmpty,
+      "diffStreamStreamLatestAny: need at least one value column")
+    requireKeyedKeys(leftFeed, rightFeed, keys, "diffStreamStreamLatestAny")
+    requireMatchedPayload(leftFeed, rightFeed, valCols, "diffStreamStreamLatestAny")
+    val numCols = valCols.filter(c =>
+      leftFeed.schema(c).dataType.isInstanceOf[NumericType])
+
+    def prep(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(
+          (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
+            .as("window_start_us"),
+          keyPartsCol(keys).as("kp"),
+          lit(isLeft).as("left_side"),
+          unix_micros(col(tsCol)).as("ts_us"),
+          payloadCanon(df, valCols).as("pay"),
+          (if (numCols.isEmpty) array().cast("array<double>")
+           else array(numCols.map(c => col(c).cast("double")): _*)).as("disp"),
+          col(tsCol).as("tsm"))
+        .withWatermark("tsm", delay) // per-feed, BEFORE union → MIN policy
+
+    // UTF-8 BYTE order, not String.compareTo (UTF-16 code-unit order):
+    // Spark compares strings as UTF8String bytes and DuckDB as memcmp —
+    // the two differ from Java's order for supplementary-plane text, and
+    // the fold's tie-break must match BOTH.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // display-double comparison — Spark struct-field order (null smallest,
+    // NaN greatest), the same cmpVals contract as the numeric form
+    def cmpD(a: Seq[Option[Double]], b: Seq[Option[Double]]): Int =
+      a.zip(b).iterator.map {
+        case (None, None)       => 0
+        case (None, Some(_))    => -1
+        case (Some(_), None)    => 1
+        case (Some(x), Some(y)) =>
+          if (x == y || (x.isNaN && y.isNaN)) 0
+          else if (y.isNaN || (!x.isNaN && x < y)) -1
+          else 1
+      }.find(_ != 0).getOrElse(0)
+    // greatest (ts, pay, disp); NULL ts smallest, like the struct max
+    def later(a: SsvASide, b: SsvASide): SsvASide = {
+      val byTs = (a.ts_us, b.ts_us) match {
+        case (None, None)       => 0
+        case (None, Some(_))    => -1
+        case (Some(_), None)    => 1
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+      }
+      if (byTs < 0) b else if (byTs > 0) a
+      else if (utf8Lt(a.pay, b.pay)) b
+      else if (utf8Lt(b.pay, a.pay)) a
+      else if (cmpD(a.disp, b.disp) < 0) b
+      else a
+    }
+
+    def step(wk: (Long, Seq[Option[String]], Option[Boolean]),
+             it: Iterator[SsvAEvent],
+             state: GroupState[SsvAState]): Iterator[SsvAOut] = {
+      if (state.hasTimedOut) {
+        val s = state.getOption.getOrElse(SsvAState(None, None))
+        state.remove()
+        val status = (s.l, s.r) match {
+          case (Some(_), None) => "D"
+          case (None, Some(_)) => "I"
+          case (Some(a), Some(b)) => if (a.pay == b.pay) "N" else "C"
+          case (None, None) => "N" // unreachable: a group only opens on an arrival
+        }
+        Iterator.single(SsvAOut(wk._1, wk._2, status,
+          s.l.map(_.pay), s.r.map(_.pay),
+          s.l.map(_.disp), s.r.map(_.disp)))
+      } else {
+        var s = state.getOption.getOrElse(SsvAState(None, None))
+        it.foreach { e =>
+          val obs = SsvASide(e.ts_us, e.pay, e.disp)
+          if (e.left_side) s = s.copy(l = Some(s.l.fold(obs)(later(_, obs))))
+          else s = s.copy(r = Some(s.r.fold(obs)(later(_, obs))))
+        }
+        state.update(s)
+        val endMs = (wk._1 + widthUs) / 1000L
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    val out = prep(leftFeed, isLeft = true)
+      .unionByName(prep(rightFeed, isLeft = false))
+      .as[SsvAEvent]
+      .groupByKey(e => (e.window_start_us, e.kp,
+        if (e.kp.exists(_.isEmpty)) Some(e.left_side) else None))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+    out.select(col("window_start_us") +:
+      restoredKeyCols(leftFeed.schema, keys) ++:
+      (col("diff_status") +:
+        col("left_payload") +: col("right_payload") +:
+        numCols.zipWithIndex.flatMap { case (c, i) => Seq(
+          element_at(col("left_disp"), i + 1).as(s"left_$c"),
+          element_at(col("right_disp"), i + 1).as(s"right_$c")) }): _*)
   }
 
   /** Continuous-ingest CONTENT dedup against a persisted corpus — the
