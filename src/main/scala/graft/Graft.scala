@@ -279,6 +279,44 @@ object Graft {
     graft.streaming.StreamOps.diffStreamStreamLatestBatch(
       left, right, tsUsCol, keyCol, valCols, widthUs)
 
+  /** COMPOSITE/STRING-key form of [[diffStreams]] (r15): row identity =
+    * the key TUPLE — the batch differ's `keys: Seq[String]` contract on
+    * the live family, with string keys (UUID CDC identities) admitted
+    * natively. Output restores the typed key columns by name.
+    */
+  def diffStreamsKeyed(leftFeed: DataFrame, rightFeed: DataFrame,
+                       tsCol: String, keys: Seq[String], valCols: Seq[String],
+                       widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamKeyed(
+      leftFeed, rightFeed, tsCol, keys, valCols, widthUs, delay)
+
+  /** Composite/string-key form of [[diffStreamsLatest]] (r15). */
+  def diffStreamsLatestKeyed(leftFeed: DataFrame, rightFeed: DataFrame,
+                             tsCol: String, keys: Seq[String],
+                             valCols: Seq[String],
+                             widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamLatestKeyed(
+      leftFeed, rightFeed, tsCol, keys, valCols, widthUs, delay)
+
+  /** ANY-TYPE payload last-write-wins diff (r15): verdict on the
+    * canonical payload string (DECIMAL(18,6) grain for doubles), numeric
+    * columns displayed as doubles — non-numeric CDC payloads reconcile
+    * too. Live form; `Batch` sibling on [[graft.streaming.StreamOps]].
+    */
+  def diffStreamsLatestAny(leftFeed: DataFrame, rightFeed: DataFrame,
+                           tsCol: String, keys: Seq[String],
+                           valCols: Seq[String],
+                           widthUs: Long, delay: String): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamLatestAny(
+      leftFeed, rightFeed, tsCol, keys, valCols, widthUs, delay)
+
+  /** Composite/string-key form of [[diffStreamsBatch]] (r15). */
+  def diffStreamsBatchKeyed(left: DataFrame, right: DataFrame,
+                            tsUsCol: String, keys: Seq[String],
+                            valCols: Seq[String], widthUs: Long): DataFrame =
+    graft.streaming.StreamOps.diffStreamStreamBatchKeyed(
+      left, right, tsUsCol, keys, valCols, widthUs)
+
   /** SCD type-2 history from version-tagged snapshots: per key, maximal
     * constant-value version runs collapse to `[valid_from, valid_to)`
     * intervals; `valid_to` NULL marks the current row.

@@ -958,4 +958,192 @@ class StreamBatchParitySpec extends SparkTestBase {
     // and the table is untouched by the refused batch
     assert(TxnLog.latestVersion(table) == 1)
   }
+
+  /** Shared dual-feed fixture dirs for the r15 composite-key parity
+    * tests: both sides WRITTEN from the loaded events frame (so the ts
+    * dtype is uniform across dirs), event_type NULLed on user%17==3 on
+    * BOTH feeds (the null-key-part class), right feed additionally
+    * perturbed exactly like the stream_diff_stream_multi oracle fixture.
+    */
+  private def multiKeyFixtureDirs(): (String, String) = {
+    Tables.ensureConfs(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val ev0 = Tables.events(spark, sfDir).drop("ts_us")
+    val ev = ev0.withColumn("event_type",
+      when(col("user_id") % 17 === 3, lit(null).cast("string"))
+        .otherwise(col("event_type")))
+    val lDir = Files.createTempDirectory("graft_ssk_l").toString
+    ev.write.mode("overwrite").parquet(lDir)
+    val rDir = Files.createTempDirectory("graft_ssk_r").toString
+    ev.filter(col("user_id") % 11 =!= 0)
+      .withColumn("value",
+        when(col("user_id") % 5 === 0, col("value") + 1.0).otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("user_id") % 13 === 0, concat(col("event_type"), lit("_x")))
+          .otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(rDir)
+    // far-future flush sentinel in BOTH feeds; its own (window, -999,
+    // view) group never closes, so it emits nothing
+    val schema = spark.read.parquet(lDir).schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    def sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      expr(s"CAST(timestamp_micros(${maxUs + 2 * 86400L * 1000000L}L) " +
+        s"AS ${schema("ts").dataType.sql})").as("ts"),
+      lit(-999L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    sentinel.write.mode("append").parquet(lDir)
+    sentinel.write.mode("append").parquet(rDir)
+    (lDir, rDir)
+  }
+
+  private def keyedFeed(dir: String) = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_us", Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+  }
+
+  test("diffStreamStreamKeyed: composite (long, string) keys == batch, incl. D rows and null key parts (r15)") {
+    // The r14 verdict's #1 ask made live: two feeds keyed on the
+    // (user_id, event_type) TUPLE — a string key column admitted natively
+    // — reconciled by the same fold the single-key oracle key runs.
+    // Pinned row-for-row against the oracle-checked batch key, including
+    // the watermark-flushed D rows, the %13 string re-key (traffic moving
+    // BETWEEN composite identities), and the %17 null-key-part side-split.
+    val DayUs = 86400000000L
+    val sfDir = "/root/testdata/sf0.001"
+    val batchDf = SparkEntry.queries("stream_diff_stream_multi")(spark, sfDir)
+    val batchRows = rowsOf(batchDf)
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+    // null key parts must exist AND side-split (both a D and an I row)
+    assert(batchDf.filter(col("event_type").isNull &&
+        col("diff_status") === "D").limit(1).count() == 1L &&
+      batchDf.filter(col("event_type").isNull &&
+        col("diff_status") === "I").limit(1).count() == 1L,
+      "fixture must carry side-split null-key-part D and I rows")
+
+    val (lDir, rDir) = multiKeyFixtureDirs()
+    val q = StreamOps.diffStreamStreamKeyed(keyedFeed(lDir), keyedFeed(rDir),
+        "tsm", Seq("user_id", "event_type"), Seq("value"), DayUs, "10 minutes")
+      .writeStream.format("memory").queryName("ssk_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("ssk_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
+  test("diffStreamStreamLatestKeyed: composite-key last-write-wins == batch (r15)") {
+    // The values sibling on the same composite fixture: per closed
+    // (window, user, type) group each side's latest (ts, value, event_id)
+    // observation, verdict per column — stream == the oracle-checked
+    // batch key row-for-row.
+    val DayUs = 86400000000L
+    val sfDir = "/root/testdata/sf0.001"
+    val batchRows = rowsOf(SparkEntry.queries("stream_diff_values_multi")(spark, sfDir))
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+    val (lDir, rDir) = multiKeyFixtureDirs()
+    val q = StreamOps.diffStreamStreamLatestKeyed(keyedFeed(lDir), keyedFeed(rDir),
+        "tsm", Seq("user_id", "event_type"), Seq("value", "event_id"),
+        DayUs, "10 minutes")
+      .writeStream.format("memory").queryName("ssvk_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("ssvk_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
+  test("diffStreamStreamLatestAny: string-payload last-write-wins == batch; string-only drift reads C (r15)") {
+    // The r14 verdict's #3 ask made live: the latest-value verdict over
+    // an arbitrary-type payload — (value, event_type) with a STRING
+    // column — compared on the canonical payload string. The load-bearing
+    // class: %7==3 reverses event_type with value untouched; a
+    // doubles-only verdict reads N there, the canonical payload reads C.
+    Tables.ensureConfs(spark)
+    val DayUs = 86400000000L
+    val sfDir = "/root/testdata/sf0.001"
+    val batchDf = SparkEntry.queries("stream_diff_values_any")(spark, sfDir)
+    val batchRows = rowsOf(batchDf)
+    assert(batchRows.exists(_.contains("|D|")),
+      "fixture must exercise D rows or the pin is vacuous")
+    assert(batchDf.filter(col("diff_status") === "C" &&
+        col("left_value") <=> col("right_value")).limit(1).count() == 1L,
+      "fixture must carry a string-only C row (equal display doubles) " +
+        "or the canonical-payload pin is vacuous")
+
+    val ev0 = Tables.events(spark, sfDir).drop("ts_us")
+    val lDir = Files.createTempDirectory("graft_ssa_l").toString
+    ev0.write.mode("overwrite").parquet(lDir)
+    val rDir = Files.createTempDirectory("graft_ssa_r").toString
+    ev0.filter(col("user_id") % 11 =!= 0)
+      .withColumn("value",
+        when(col("user_id") % 5 === 0, col("value") + 1.0).otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("user_id") % 7 === 3, reverse(col("event_type")))
+          .otherwise(col("event_type")))
+      .unionByName(ev0.filter(col("user_id") % 13 === 0)
+        .withColumn("user_id", col("user_id") + 100000L))
+      .write.mode("overwrite").parquet(rDir)
+    val schema = spark.read.parquet(lDir).schema
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    def sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      expr(s"CAST(timestamp_micros(${maxUs + 2 * 86400L * 1000000L}L) " +
+        s"AS ${schema("ts").dataType.sql})").as("ts"),
+      lit(-999L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    sentinel.write.mode("append").parquet(lDir)
+    sentinel.write.mode("append").parquet(rDir)
+
+    val q = StreamOps.diffStreamStreamLatestAny(keyedFeed(lDir), keyedFeed(rDir),
+        "tsm", Seq("user_id"), Seq("value", "event_type"), DayUs, "10 minutes")
+      .writeStream.format("memory").queryName("ssa_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = rowsOf(spark.table("ssa_parity"))
+      assert(streamRows.size == batchRows.size,
+        s"row counts differ: stream ${streamRows.size} vs batch ${batchRows.size}")
+      assert(streamRows == batchRows)
+    } finally q.stop()
+  }
+
+  test("keyed stream-stream forms refuse double keys, dtype-skewed keys, and reserved names (r15)") {
+    // The keyed family's loud-contract trio: a DOUBLE key breaks `=`
+    // itself (NaN never pairs under SQL `=` but WOULD pair as the
+    // canonical string 'NaN'); a cross-feed key dtype skew would pair
+    // rows the batch `=` join refuses at analysis; a key named like a
+    // fixed output column would silently shadow it.
+    import spark.implicits._
+    val f = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5, 1.0))
+      .toDF("ts", "k", "v")
+    val e = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamKeyed(f, f, "ts", Seq("k"), Seq("v"),
+        1000000L, "0 seconds"))
+    assert(e.getMessage.contains("DOUBLE") &&
+      e.getMessage.contains("diffStreamStreamKeyed"), e.getMessage)
+    val g = f.withColumn("k", lit(1L))
+    val gSkew = f.withColumn("k", lit("1"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamLatestAny(g, gSkew, "ts", Seq("k"), Seq("v"),
+        1000000L, "0 seconds"))
+    assert(e2.getMessage.contains("differs in type"), e2.getMessage)
+    val h = g.withColumnRenamed("v", "diff_status").withColumn("v", lit(2.0))
+    val e3 = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamKeyed(h, h, "ts", Seq("diff_status"), Seq("v"),
+        1000000L, "0 seconds"))
+    assert(e3.getMessage.contains("collide"), e3.getMessage)
+  }
 }

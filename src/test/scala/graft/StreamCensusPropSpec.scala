@@ -260,4 +260,150 @@ class StreamCensusPropSpec extends SparkTestBase {
       Seq("v", "et"), W).collect()
     assert(n.length == 1 && n.head.getString(2) == "N", n.mkString)
   }
+
+  // ---- tuple-key census model (r15) ---------------------------------------
+
+  private val NUL = "␀" // rowsOf's null marker
+  private val US = ""  // payload field separator
+
+  /** Census keyed by the (k, et) TUPLE — the composite/string-key
+    * generalization. Payload = v alone (et moved from payload to key).
+    */
+  private def censusK(rows: Seq[Ev]): Map[(Long, Option[Long], Option[String]), Cen] =
+    rows.groupBy(e => (e._1 - java.lang.Math.floorMod(e._1, W), e._2, e._4))
+      .map { case (g, es) =>
+        val vs = es.flatMap(_._3)
+        val mx = if (vs.isEmpty) None
+          else Some(vs.reduce((a, b) =>
+            if (b.isNaN || (!a.isNaN && b > a)) b else a))
+        val ds = es.map(e => slices(canonDouble(e._3)))
+        g -> Cen(es.size, mx, ds.map(_._1).sum, ds.map(_._2).sum)
+      }
+
+  private def modelK(l: Seq[Ev], r: Seq[Ev]): Seq[String] = {
+    val lc = censusK(l)
+    val rc = censusK(r)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def dig(c: Cen) = s"${c.d1}:${c.d2}"
+    def ks(k: Option[Long]) = k.map(_.toString).getOrElse(NUL)
+    def ss(k: Option[String]) = k.getOrElse(NUL)
+    // a tuple with ANY null part never pairs (batch joins all key columns
+    // with plain `=`) — those groups side-split below
+    for (g @ (ws, k1, k2) <- (lc.keySet ++ rc.keySet)
+         if k1.nonEmpty && k2.nonEmpty) {
+      (lc.get(g), rc.get(g)) match {
+        case (Some(a), Some(b)) =>
+          val st =
+            if (a.n != b.n || !maxEq(a.mx, b.mx) || a.d1 != b.d1 || a.d2 != b.d2) "C"
+            else "N"
+          out += s"$ws|${ks(k1)}|${ss(k2)}|$st|${a.n}|${b.n}|${fmtD(a.mx)}|${fmtD(b.mx)}|${dig(a)}|${dig(b)}"
+        case (Some(a), None) =>
+          out += s"$ws|${ks(k1)}|${ss(k2)}|D|${a.n}|$NUL|${fmtD(a.mx)}|$NUL|${dig(a)}|$NUL"
+        case (None, Some(b)) =>
+          out += s"$ws|${ks(k1)}|${ss(k2)}|I|$NUL|${b.n}|$NUL|${fmtD(b.mx)}|$NUL|${dig(b)}"
+        case _ =>
+      }
+    }
+    for (g @ (ws, k1, k2) <- lc.keySet if k1.isEmpty || k2.isEmpty) {
+      val a = lc(g)
+      out += s"$ws|${ks(k1)}|${ss(k2)}|D|${a.n}|$NUL|${fmtD(a.mx)}|$NUL|${dig(a)}|$NUL"
+    }
+    for (g @ (ws, k1, k2) <- rc.keySet if k1.isEmpty || k2.isEmpty) {
+      val b = rc(g)
+      out += s"$ws|${ks(k1)}|${ss(k2)}|I|$NUL|${b.n}|$NUL|${fmtD(b.mx)}|$NUL|${dig(b)}"
+    }
+    out.toSeq.sorted
+  }
+
+  test("diffStreamStreamBatchKeyed == independent JVM model on tuple-key feeds (r15)") {
+    // The composite/string-key generalization against the same independent
+    // re-implementation discipline: key = (k BIGINT, et STRING) with null
+    // parts, payload = v. Any drift in tuple grouping, null-part
+    // side-split, or the restored key columns fails here.
+    val cases = samples(Gen.zip(feedGen, feedGen), 12, seed = 4242L)
+    for (((lRows, rRows), i) <- cases.zipWithIndex) {
+      val got = rowsOf(StreamOps.diffStreamStreamBatchKeyed(
+        toDF(lRows), toDF(rRows), "ts_us", Seq("k", "et"), Seq("v"), W))
+      val want = modelK(lRows, rRows)
+      assert(got == want,
+        s"case $i diverged from the tuple-key model\nspark=$got\nmodel=$want\n" +
+          s"l=$lRows\nr=$rRows")
+    }
+  }
+
+  // ---- any-type latest model (r15) ----------------------------------------
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def payA(v: Option[Double], s: Option[String]): String =
+    canonDouble(v) + US + canonStr(s)
+
+  /** Latest per (window, key) by (ts, payload-utf8, display) — the
+    * any-type form's documented pick order.
+    */
+  private def latestA(rows: Seq[Ev]): Map[(Long, Option[Long]), (String, Option[Double])] =
+    rows.groupBy(e => (e._1 - java.lang.Math.floorMod(e._1, W), e._2))
+      .map { case (g, es) =>
+        val win = es.reduce { (a, b) =>
+          if (a._1 != b._1) { if (a._1 > b._1) a else b }
+          else {
+            val c = utf8Cmp(payA(a._3, a._4), payA(b._3, b._4))
+            if (c != 0) { if (c > 0) a else b }
+            else if (cmpOpt(a._3, b._3) >= 0) a else b
+          }
+        }
+        g -> (payA(win._3, win._4), win._3)
+      }
+
+  private def modelLatestA(l: Seq[Ev], r: Seq[Ev]): Seq[String] = {
+    val lc = latestA(l)
+    val rc = latestA(r)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def row(ws: Long, k: Option[Long], st: String,
+            a: Option[(String, Option[Double])],
+            b: Option[(String, Option[Double])]) = {
+      val kStr = k.map(_.toString).getOrElse(NUL)
+      def p(x: Option[(String, Option[Double])]) = x.map(_._1).getOrElse(NUL)
+      def d(x: Option[(String, Option[Double])]) = x.map(t => fmtD(t._2)).getOrElse(NUL)
+      out += s"$ws|$kStr|$st|${p(a)}|${p(b)}|${d(a)}|${d(b)}"
+    }
+    for ((ws, k) <- (lc.keySet ++ rc.keySet) if k.nonEmpty) {
+      (lc.get((ws, k)), rc.get((ws, k))) match {
+        case (Some(a), Some(b)) =>
+          row(ws, k, if (a._1 == b._1) "N" else "C", Some(a), Some(b))
+        case (Some(a), None) => row(ws, k, "D", Some(a), None)
+        case (None, Some(b)) => row(ws, k, "I", None, Some(b))
+        case _ =>
+      }
+    }
+    for ((ws, k) <- lc.keySet if k.isEmpty) row(ws, k, "D", Some(lc((ws, k))), None)
+    for ((ws, k) <- rc.keySet if k.isEmpty) row(ws, k, "I", None, Some(rc((ws, k))))
+    out.toSeq.sorted
+  }
+
+  test("diffStreamStreamLatestAnyBatch == independent JVM model on randomized feeds (r15)") {
+    // The any-type latest form: payload = (v DOUBLE, et STRING), verdict
+    // on the canonical payload string, display on the double. The model
+    // re-derives the (ts, payload-utf8, display) pick order and the
+    // canonical string from the documented contract alone.
+    val cases = samples(Gen.zip(feedGen, feedGen), 12, seed = 5656L)
+    for (((lRows, rRows), i) <- cases.zipWithIndex) {
+      val got = rowsOf(StreamOps.diffStreamStreamLatestAnyBatch(
+        toDF(lRows), toDF(rRows), "ts_us", Seq("k"), Seq("v", "et"), W))
+      val want = modelLatestA(lRows, rRows)
+      assert(got == want,
+        s"case $i diverged from the any-latest model\nspark=$got\nmodel=$want\n" +
+          s"l=$lRows\nr=$rRows")
+    }
+  }
 }
