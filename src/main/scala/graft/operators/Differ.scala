@@ -575,10 +575,11 @@ object Differ {
     * the production question directly: "diff every table in the catalog
     * matching `pattern` against its counterpart"): enumerate catalog
     * tables whose name matches the regex, pair each with `rightFor(name)`,
-    * AUTO-infer the diff key per pair (the [[diff_key_candidates]]
-    * verdict: the first left-schema-order atomic column that is unique
-    * and null-free on BOTH sides — left-only uniqueness would let a
-    * double-loaded right table fan out the join), and fold everything
+    * AUTO-infer the diff key per pair ([[electKeys]]: an atomic column
+    * unique and null-free on BOTH sides — left-only uniqueness would let
+    * a double-loaded right table fan out the join — with multi-candidate
+    * ties broken by cross-side distinct-value overlap, so a churned
+    * load-timestamp decoy ahead of the real key loses), and fold everything
     * into one [[catalogDiff]] report. Failures a sweep must SURVIVE
     * become report rows, not exceptions (one bad table cannot kill the
     * other N−1):
@@ -648,33 +649,33 @@ object Differ {
     }, opts)
   }
 
-  /** Shared sweep core of [[catalogDiffTables]] / [[catalogDiffTxnLog]]:
-    * key inference over BOTH sides of every healthy pair in ONE unioned
-    * stats job (per table-side a single map-side-combinable aggregate —
-    * count plus per-column count/countDistinct riding one expand, the
-    * diff_key_candidates plan — collected once at (tables × columns × 2)
-    * grain, schema-width-bounded), then [[catalogDiff]] over the keyed
-    * pairs UNIONed with one `error`-kind fail row per unusable entry.
+  /** Key ELECTION shared by the sweep surfaces and the single-pair
+    * `keys => 'auto'` TVF path (r15): per named pair, the diff key is the
+    * atomic column unique + null-free on BOTH sides — and when MORE THAN
+    * ONE column qualifies, the tie is broken by CROSS-SIDE DISTINCT-VALUE
+    * OVERLAP, schema position last (r14 verdict "what's wrong" #1: schema
+    * order alone could elect a unique-but-wrong identity column — a load
+    * timestamp or per-snapshot surrogate sitting EARLIER than the real
+    * key; if its values churn between snapshots, every changed row
+    * reports as a D+I pair instead of C. The real key's values persist
+    * across snapshots; a churned surrogate's do not — the same
+    * distinct-set-overlap signal [[autoMapReport]] grades value columns
+    * with, applied at candidate scope).
     *
-    * The inferred key must be unique + null-free on BOTH sides (r14
-    * review fix: a left-only check let a double-loaded right table fan
-    * out the full-outer join and silently corrupt the census; a key
-    * column renamed away on the right killed the whole sweep at plan
-    * time). And because the sweep's contract is "one bad table cannot
-    * kill the other N−1", any per-pair plan-construction failure
-    * [[catalogDiff]]/[[diff]] raises (e.g. a non-coercible retype)
-    * becomes a `pair_invalid` error row carrying the refusal message
-    * instead of propagating.
+    * Scale shape: uniqueness stats are ONE unioned job (per table-side a
+    * single map-side-combinable aggregate — count + per-column count/
+    * countDistinct riding one expand — collected at (tables × columns ×
+    * 2) grain, schema-width-bounded). The overlap tie-break is a SECOND
+    * unioned job over ONLY the multi-candidate tables: per candidate
+    * column, each side's distinct string-cast values meet in one inner
+    * join counted at (tables × candidates) grain — the shuffle carries
+    * candidate-column distinct values, the same class as the stats job's
+    * own scan, and is skipped entirely when every table has at most one
+    * candidate.
     */
-  private def sweepReport(spark: org.apache.spark.sql.SparkSession,
-                          entries: Seq[(String, Either[(String, String),
-                            (DataFrame, DataFrame)])],
-                          opts: DiffOptions): DataFrame = {
-    locally {
-      val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
-      require(dups.isEmpty,
-        s"sweep: duplicate table name(s) ${dups.toSeq.sorted.mkString(", ")}")
-    }
+  private def electKeys(spark: org.apache.spark.sql.SparkSession,
+                        pairs: Seq[(String, (DataFrame, DataFrame))])
+      : Map[String, Option[String]] = {
     def candFrame(name: String, df: DataFrame): DataFrame = {
       val atomic: DataType => Boolean = {
         case _: NumericType | StringType | BooleanType | DateType | BinaryType |
@@ -697,7 +698,6 @@ object Differ {
           }: _*)).as("e"))
         .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"))
     }
-    val pairs = entries.collect { case (n, Right(lr)) => (n, lr) }
     val stats =
       if (pairs.isEmpty) Map.empty[String, Array[(String, String, Int)]]
       else pairs.flatMap { case (n, (l, r)) =>
@@ -707,17 +707,84 @@ object Differ {
         .collect() // (tables × columns × 2)-bounded — schema-width metadata
         .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
         .groupBy(_._1)
-    def keyOf(name: String): Option[String] = {
+    def sharedCands(name: String): Seq[(String, Int)] = {
       val rUniq = stats.getOrElse(s"$nameR",
         Array.empty[(String, String, Int)]).map(_._2).toSet
       stats.getOrElse(s"$nameL", Array.empty[(String, String, Int)])
-        .sortBy(_._3).map(_._2).find(rUniq.contains)
+        .sortBy(_._3).collect { case (_, c, pos) if rUniq(c) => (c, pos) }.toSeq
     }
+    val multi = pairs.filter { case (n, _) => sharedCands(n).size > 1 }
+    val overlapPpm: Map[(String, String), Long] =
+      if (multi.isEmpty) Map.empty
+      else {
+        // candidate columns are null-free by election, so no null filter;
+        // string cast is the cross-type value carrier (autoMapReport's
+        // long-form discipline)
+        def longForm(name: String, df: DataFrame): DataFrame = {
+          val cs = sharedCands(name).map(_._1)
+          df.select(lit(name).as("tbl"),
+              explode(array(cs.map(c => struct(lit(c).as("c"),
+                bq(c).cast("string").as("v"))): _*)).as("e"))
+            .select(col("tbl"), col("e.c").as("c"), col("e.v").as("v"))
+            .distinct()
+        }
+        val lf = multi.map { case (n, (l, _)) => longForm(n, l) }
+          .reduce(_ unionByName _)
+        val rf = multi.map { case (n, (_, r)) => longForm(n, r) }
+          .reduce(_ unionByName _)
+        val nLeft = lf.groupBy("tbl", "c").agg(count(lit(1)).as("n_left"))
+        lf.join(rf, Seq("tbl", "c", "v"))
+          .groupBy("tbl", "c").agg(count(lit(1)).as("n_shared"))
+          .join(nLeft, Seq("tbl", "c"))
+          .select(col("tbl"), col("c"),
+            expr("n_shared * 1000000 div n_left").as("ppm"))
+          .collect() // (tables × candidate columns)-bounded
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      }
+    pairs.map { case (n, _) =>
+      val cands = sharedCands(n)
+      n -> (if (cands.size <= 1) cands.headOption.map(_._1)
+            else Some(cands.minBy { case (c, pos) =>
+              (-overlapPpm.getOrElse((n, c), 0L), pos) }._1))
+    }.toMap
+  }
+
+  /** Single-pair diff-key inference — the election [[electKeys]] runs per
+    * sweep pair, surfaced for the `graft_diff(..., 'auto')` TVF and direct
+    * API use. None when no atomic column is unique + null-free on both
+    * sides.
+    */
+  def inferDiffKey(left: DataFrame, right: DataFrame): Option[String] =
+    electKeys(left.sparkSession, Seq(("pair", (left, right))))("pair")
+
+  /** Shared sweep core of [[catalogDiffTables]] / [[catalogDiffTxnLog]]:
+    * [[electKeys]] infers the diff key per healthy pair (unique +
+    * null-free on BOTH sides — r14 review fix: a left-only check let a
+    * double-loaded right table fan out the full-outer join — with
+    * multi-candidate ties broken by cross-side distinct-value overlap,
+    * r15), then [[catalogDiff]] over the keyed pairs UNIONed with one
+    * `error`-kind fail row per unusable entry. Because the sweep's
+    * contract is "one bad table cannot kill the other N−1", any per-pair
+    * plan-construction failure [[catalogDiff]]/[[diff]] raises (e.g. a
+    * non-coercible retype) becomes a `pair_invalid` error row carrying
+    * the refusal message instead of propagating.
+    */
+  private def sweepReport(spark: org.apache.spark.sql.SparkSession,
+                          entries: Seq[(String, Either[(String, String),
+                            (DataFrame, DataFrame)])],
+                          opts: DiffOptions): DataFrame = {
+    locally {
+      val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"sweep: duplicate table name(s) ${dups.toSeq.sorted.mkString(", ")}")
+    }
+    val pairs = entries.collect { case (n, Right(lr)) => (n, lr) }
+    val keyFor = electKeys(spark, pairs)
 
     val resolved: Seq[Either[(String, String, String), // name, item, detail
       DataFrame]] = entries.map {
       case (n, Left((item, detail))) => Left((n, item, detail))
-      case (n, Right((l, r))) => keyOf(n) match {
+      case (n, Right((l, r))) => keyFor(n) match {
         case Some(k) =>
           // A pair diff() refuses at plan time (non-coercible retype, …)
           // must not kill the sweep — demote the refusal to its row.

@@ -107,6 +107,28 @@ object DiffQueries {
     nokey.createOrReplaceTempView("gdcat_nokey_l")
     nokey.createOrReplaceTempView("gdcat_nokey_r")
     cust.select("c_custkey").createOrReplaceTempView("gdcat_lost_l")
+    // DECOY pair (r15 — the r14 verdict's "what's wrong" #1 fixture): a
+    // unique, null-free but CHURNED load_ts column sits AHEAD of the real
+    // key k in schema order (odd values on the left, even/negative on the
+    // right — zero cross-side overlap), so a schema-order-only election
+    // would pick load_ts and report every changed row as a D+I pair; the
+    // overlap tie-break must elect k. The oracle hard-codes the
+    // k-election outcome (C for every paired row — load_ts churns on all
+    // of them — D for the %23 drops, I for the %89 re-keys), so a wrong
+    // election flips the hash.
+    val o = left(s, d)
+    o.select((col("o_orderkey") * 2 + 1).as("load_ts"),
+        col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      .createOrReplaceTempView("gdcat_decoy_l")
+    o.filter(col("o_orderkey") % 23 =!= 0)
+      .select((col("o_orderkey") * 2).as("load_ts"),
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")).as("v"))
+      .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+        .select((-col("o_orderkey")).as("load_ts"),
+          (col("o_orderkey") + 30000000L).as("k"), col("o_custkey").as("v")))
+      .createOrReplaceTempView("gdcat_decoy_r")
   }
 
   private lazy val GdcatSweepOracle: String =
@@ -127,6 +149,14 @@ object DiffQueries {
        |  SELECT 'gdcat_cust_l', 'census', s.item, NULL,
        |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
        |              ELSE 0 END
+       |  FROM spine s
+       |  UNION ALL
+       |  SELECT 'gdcat_decoy_l', 'census', s.item, NULL,
+       |         CASE s.item
+       |           WHEN 'C' THEN (SELECT count(*) FROM orders WHERE o_orderkey % 23 <> 0)
+       |           WHEN 'D' THEN (SELECT count(*) FROM orders WHERE o_orderkey % 23 = 0)
+       |           WHEN 'I' THEN (SELECT count(*) FROM orders WHERE o_orderkey % 89 = 0)
+       |           ELSE 0 END
        |  FROM spine s),
        |flag AS (SELECT table_name,
        |                max(CASE WHEN kind = 'schema'
@@ -2267,8 +2297,10 @@ object DiffQueries {
     // directly: "diff every gdcat_*_l table against its _r counterpart"):
     // Differ.catalogDiffTables enumerates the session catalog by regex,
     // pairs via a name mapping, AUTO-infers each pair's key (the
-    // diff_key_candidates verdict — first schema-order atomic column
-    // unique + null-free on BOTH sides), and folds everything into one
+    // electKeys election — atomic column unique + null-free on BOTH
+    // sides, multi-candidate ties broken by cross-side distinct-value
+    // overlap so the planted churned-load_ts decoy loses, r15), and
+    // folds everything into one
     // catalogDiff report. Failures a sweep must SURVIVE become report
     // rows, not exceptions: a left table with no usable key (a
     // (custkey, status) slice — every column duplicated) and a left

@@ -1110,4 +1110,30 @@ class DifferSpec extends SparkTestBase {
     assert(young.length == 1 && young.head.getAs[String]("item") == "no_previous_version"
       && young.head.getAs[String]("verdict") == "fail", young.mkString)
   }
+
+  test("inferDiffKey: overlap tie-break beats a churned decoy ahead of the real key (r15)") {
+    // The r14 verdict's "what's wrong" #1: a unique, null-free load
+    // timestamp EARLIER in schema order than the real key must lose the
+    // election when its values churn between snapshots (zero cross-side
+    // overlap), because electing it would turn every changed row into a
+    // D+I pair. The real key's values persist -> highest overlap wins.
+    val l = (1L to 200L).map(k => (2 * k + 1, k, k % 7)).toDF("load_ts", "k", "v")
+    val r = (1L to 200L).filter(_ % 23 != 0)
+      .map(k => (2 * k, k, if (k % 5 == 0) k % 7 + 1 else k % 7))
+      .toDF("load_ts", "k", "v")
+    assert(Differ.inferDiffKey(l, r).contains("k"))
+    // single candidate: no overlap job needed, schema order still decides
+    val l1 = (1L to 50L).map(k => (k, k % 3)).toDF("k", "v")
+    assert(Differ.inferDiffKey(l1, l1).contains("k"))
+    // ALL-candidates-churned: the election still returns the best-overlap
+    // (here zero-overlap) column deterministically by schema position —
+    // the sweep's census then reports the drift loudly rather than
+    // guessing silently
+    val l2 = (1L to 50L).map(k => (2 * k + 1, k % 3)).toDF("load_ts", "v")
+    val r2 = (1L to 50L).map(k => (2 * k, k % 3)).toDF("load_ts", "v")
+    assert(Differ.inferDiffKey(l2, r2).contains("load_ts"))
+    // no unique column anywhere -> None
+    val dup = Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("k", "s")
+    assert(Differ.inferDiffKey(dup, dup).isEmpty)
+  }
 }
