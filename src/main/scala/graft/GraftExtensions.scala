@@ -236,7 +236,9 @@ object GraftExtensions {
     val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 3,
       "usage: graft_diff[_summary]('left_table', 'right_table', 'key1,key2' " +
-        "[, abs_tol => 0.5, ignore_cols => 'a,b', auto_map => true, ...])")
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', auto_map => true, ...]); " +
+        "keys may be 'auto' to infer the key from the data (quote a real " +
+        "column named auto as '`auto`')")
     // auto_map => true routes through diffAutoMapped (r13): discovery maps
     // renamed value columns with zero user input, ambiguous/partial
     // matches fail the query at analysis time naming candidates — the SQL
@@ -251,7 +253,24 @@ object GraftExtensions {
     val fn = if (summary) "graft_diff_summary" else "graft_diff"
     val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table", fn)
     val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table", fn)
-    val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // keys => 'auto' (r15): the whole argument being the bare word `auto`
+    // is a SENTINEL — infer the key from the data (the sweep's election:
+    // unique + null-free on both sides, ties broken by cross-side value
+    // overlap). The sentinel is deliberate about shadowing: a REAL column
+    // named auto is addressed by SQL-identifier quoting — keys =>
+    // '`auto`' — and every key token strips ONE outer backtick pair, so
+    // quoted names always mean the column and never the sentinel
+    // (ExtensionsSpec pins both paths). Inference failure is loud: a
+    // single-pair call asked for a diff, not a sweep row.
+    val rawKeys = strLit(positional(2), "keys")
+    val keys: Seq[String] =
+      if (rawKeys.trim == "auto")
+        Seq(Differ.inferDiffKey(l, r).getOrElse(throw new IllegalArgumentException(
+          s"$fn: keys => 'auto' found no atomic column unique and " +
+            "null-free on both sides — pass explicit key columns")))
+      else rawKeys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(t => if (t.length > 1 && t.startsWith("`") && t.endsWith("`"))
+          t.substring(1, t.length - 1) else t)
     val diffed =
       if (autoMap) Differ.diffAutoMapped(l, r, keys, opts)
       else Differ.diff(l, r, keys, opts)
@@ -339,15 +358,31 @@ object GraftExtensions {
     * [[Differ.catalogDiffTxnLog]]'s plan. The nightly "did last night's
     * commits change anything?" check with zero Scala.
     */
+  private def toLong(name: String, v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"graft_diff option '$name' must be an integer literal, got $other")
+  }
+
   private def txnLogTvf(args: Seq[Expression]): LogicalPlan = {
     val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 1,
       "usage: graft_diff_txnlog('/root/dir/of/txnlog/tables' " +
-        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+        "[, from_version => 0, to_version => 2, abs_tol => 0.5, ...])")
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
-    val opts = foldOptions(named, "graft_diff_txnlog", Seq.empty)
+    // version-range overrides (r15): the sweep's (fromVer, toVer) pins
+    // from SQL — "what changed between v0 and v2, per table"
+    def verArg(key: String) = named.find(_.key == key)
+      .map(na => toLong(na.key, optValue(na.key, na.value)))
+    val fromV = verArg("from_version")
+    val toV = verArg("to_version")
+    val opts = foldOptions(
+      named.filterNot(na => na.key == "from_version" || na.key == "to_version"),
+      "graft_diff_txnlog", Seq("from_version", "to_version"))
     Differ.catalogDiffTxnLog(SparkSession.active,
-      strLit(positional.head, "root_dir"), opts).queryExecution.analyzed
+      strLit(positional.head, "root_dir"), opts, fromV, toV)
+      .queryExecution.analyzed
   }
 
   /** Metadata-level schema diff from SQL (r14):

@@ -625,9 +625,24 @@ object Differ {
     * the reads are snapshot-pinned parquet scans, so the whole sweep is
     * time-travel-consistent even while writers keep committing.
     */
+  /** Version-RANGE overrides (r15 — the r14 verdict's #4 ask): the
+    * default `(None, None)` diffs prev-vs-latest per table (the nightly
+    * check); `fromVer`/`toVer` pin the endpoints GLOBALLY across the
+    * sweep — "what changed between v0 and v2, per table" / "since Monday"
+    * when the caller resolves the Monday version numbers. `toVer = None`
+    * means each table's latest; `fromVer = None` means `toVer - 1`. A
+    * table that cannot satisfy the requested range (version beyond its
+    * latest, or from > to) survives as a `version_out_of_range` error row
+    * — the same one-bad-table-cannot-kill-the-sweep contract as every
+    * other failure class. All reads stay snapshot-pinned
+    * (`TxnLog.read(asOf)`), so the sweep is time-travel-consistent under
+    * concurrent writers at ANY requested range.
+    */
   def catalogDiffTxnLog(spark: org.apache.spark.sql.SparkSession,
                         rootDir: String,
-                        opts: DiffOptions = DiffOptions()): DataFrame = {
+                        opts: DiffOptions = DiffOptions(),
+                        fromVer: Option[Long] = None,
+                        toVer: Option[Long] = None): DataFrame = {
     import graft.sources.TxnLog
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(rootDir)
@@ -641,11 +656,16 @@ object Differ {
     sweepReport(spark, tables.map { p =>
       val name = p.getFileName.toString
       val latest = TxnLog.latestVersion(p.toString)
-      if (latest < 1L)
+      val t = toVer.getOrElse(latest)
+      val f = fromVer.getOrElse(t - 1L)
+      if (fromVer.isEmpty && toVer.isEmpty && latest < 1L)
         (name, Left(("no_previous_version",
           s"latest version $latest — need two snapshots to diff")))
-      else (name, Right((TxnLog.read(spark, p.toString, Some(latest - 1L)),
-        TxnLog.read(spark, p.toString))))
+      else if (f < 0L || t > latest || f > t)
+        (name, Left(("version_out_of_range",
+          s"requested v$f..v$t, table has versions 0..$latest")))
+      else (name, Right((TxnLog.read(spark, p.toString, Some(f)),
+        TxnLog.read(spark, p.toString, Some(t)))))
     }, opts)
   }
 

@@ -245,6 +245,83 @@ object DiffQueries {
   }
   private val txnSweepSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Fixture root for the VERSION-RANGE TxnLog sweep (r15): orders_t3
+    * commits the churn chain v0=left / v1=right / v2=right2 so a v0→v2
+    * range diff must SKIP v1 (a sweep that silently resolved
+    * prev-vs-latest would diff v1→v2 and flip the hash); cust_t3 commits
+    * three identical snapshots (pass); shallow_t has one version only, so
+    * the requested v0→v2 lands as a version_out_of_range error row. Built
+    * once per process per dataset, same publish-after-commit discipline
+    * as [[txnSweepFixture]].
+    */
+  private val txnRangeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txnRangeFixture(s: SparkSession, d: String): String =
+    txnRangeRoots.computeIfAbsent(d, _ => {
+      import graft.sources.TxnLog
+      val root = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/range${txnSweepSeq.incrementAndGet()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      TxnLog.init(left(s, d), s"$root/orders_t3") // v0
+      TxnLog.overwrite(right(s, d), s"$root/orders_t3") // v1 (must be SKIPPED)
+      TxnLog.overwrite(right2(s, d), s"$root/orders_t3") // v2
+      val cust = Tables.cachedTable(s, d, "customer")
+      TxnLog.init(cust, s"$root/cust_t3")
+      TxnLog.overwrite(cust, s"$root/cust_t3")
+      TxnLog.overwrite(cust, s"$root/cust_t3") // three identical versions
+      TxnLog.init(cust.select("c_custkey"), s"$root/shallow_t") // v0 only
+      root
+    })
+
+  /** Oracle for the version-range sweep: the v0→v2 census recomputed from
+    * the RAW snapshot derivations (left vs right2) — prev-vs-latest
+    * resolution (v1→v2) would produce different counts and flip the hash.
+    */
+  private lazy val TxnRangeOracle: String =
+    s"""$Prelude,
+       |r2 AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |         CASE WHEN o_orderkey % 62 = 0 THEN o_totalprice * 1.1
+       |              WHEN o_orderkey % 41 = 0 THEN o_totalprice * 0.9
+       |              ELSE o_totalprice END AS o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 113 <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 79 = 0),
+       |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+       |                    WHEN r.o_orderkey IS NULL THEN 'D'
+       |                    WHEN ${anyDistinct(valueCols)} THEN 'C'
+       |                    ELSE 'N' END AS item
+       |        FROM l FULL OUTER JOIN r2 r ON l.o_orderkey = r.o_orderkey),
+       |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+       |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+       |rows0 AS (
+       |  SELECT 'orders_t3' AS table_name, 'census' AS kind, spine.item,
+       |         CAST(NULL AS VARCHAR) AS detail,
+       |         COALESCE(oc.n, 0) AS n
+       |  FROM spine LEFT JOIN oc USING (item)
+       |  UNION ALL
+       |  SELECT 'cust_t3', 'census', s.item, NULL,
+       |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+       |              ELSE 0 END
+       |  FROM spine s),
+       |flag AS (SELECT table_name,
+       |                max(CASE WHEN kind = 'schema'
+       |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+       |                         THEN 1 ELSE 0 END) AS bad
+       |         FROM rows0 GROUP BY 1)
+       |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+       |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+       |FROM rows0 r0 JOIN flag USING (table_name)
+       |UNION ALL
+       |SELECT * FROM (VALUES
+       |  ('shallow_t', 'error', 'version_out_of_range',
+       |   'requested v0..v2, table has versions 0..0',
+       |   CAST(NULL AS BIGINT), 'fail')
+       |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
+
   /** Spark twin of [[Scd2Ctes]]'s `dim`: the SCD2 history built from the
     * three snapshot versions via [[Differ.scd2]].
     */
@@ -2336,6 +2413,43 @@ object DiffQueries {
         s.sql("SELECT * FROM graft_diff_catalog('gdcat_.*_l', '_l', '_r')")
     },
 
+    // Single-pair key inference from SQL (r15; the r14 verdict's #5 ask):
+    // `graft_diff('l', 'r', 'auto')` — the sweep's election (unique +
+    // null-free on both sides, ties broken by cross-side value overlap)
+    // surfaced for ONE pair, so a SQL user needn't know the key to diff
+    // two snapshots. Sentinel design: the whole keys argument being the
+    // bare word `auto` triggers inference; a REAL column named auto is
+    // addressed by identifier quoting ('`auto`' — every key token strips
+    // one outer backtick pair), so quoting always means the column —
+    // ExtensionsSpec pins both paths and the loud no-unique-key failure.
+    // Fixture: the decoy pair — a unique-but-churned load_ts AHEAD of the
+    // real key k — and the oracle hard-codes the k-keyed full diff, so an
+    // election that picked load_ts (all D+I, zero C) flips the hash.
+    Q("sql_diff_tvf_auto",
+      """WITH dl AS (SELECT o_orderkey * 2 + 1 AS load_ts, o_orderkey AS k,
+        |                   o_custkey AS v FROM orders),
+        |dr AS (SELECT o_orderkey * 2 AS load_ts, o_orderkey AS k,
+        |              CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1
+        |                   ELSE o_custkey END AS v
+        |       FROM orders WHERE o_orderkey % 23 <> 0
+        |       UNION ALL
+        |       SELECT -o_orderkey, o_orderkey + 30000000, o_custkey
+        |       FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT CASE WHEN l.k IS NULL THEN 'I'
+        |            WHEN r.k IS NULL THEN 'D'
+        |            WHEN l.load_ts IS DISTINCT FROM r.load_ts
+        |              OR l.v IS DISTINCT FROM r.v THEN 'C'
+        |            ELSE 'N' END AS diff_status,
+        |       COALESCE(l.k, r.k) AS k,
+        |       l.load_ts AS left_load_ts, r.load_ts AS right_load_ts,
+        |       l.v AS left_v, r.v AS right_v
+        |FROM dl l FULL OUTER JOIN dr r ON l.k = r.k""".stripMargin) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        gdcatFixture(s, d)
+        s.sql("SELECT * FROM graft_diff('gdcat_decoy_l', 'gdcat_decoy_r', 'auto')")
+    },
+
     // TxnLog-DIRECTORY sweep (r14; the lakehouse half of the same ask —
     // "did last night's commits change anything, per table?"): enumerate
     // every TxnLog table under a root directory (child dir carrying a
@@ -2353,6 +2467,27 @@ object DiffQueries {
     Q("diff_catalog_txnlog", TxnSweepOracle) {
       (s, d) =>
         Differ.catalogDiffTxnLog(s, txnSweepFixture(s, d))
+    },
+
+    // VERSION-RANGE TxnLog sweep (r15; the r14 verdict's #4 ask —
+    // prev-vs-latest answers "what changed last night"; (fromVer, toVer)
+    // answers "what changed since Monday, per table"): same enumeration,
+    // inference, and error-row survival, with both endpoints pinned to
+    // requested versions instead of the implicit (latest-1, latest).
+    // Fixture: orders_t3 commits v0=left / v1=right / v2=right2 — the
+    // v0→v2 diff must SKIP v1, so the oracle recomputes the census from
+    // the RAW v0/v2 derivations (a sweep that silently resolved
+    // prev-vs-latest would diff v1→v2 and flip the hash); cust_t3 = three
+    // identical versions (pass); shallow_t has one version, landing as a
+    // version_out_of_range error row with the range and the table's real
+    // version span named. Reads stay snapshot-pinned at BOTH endpoints —
+    // consistent under concurrent writers at any requested range. SQL
+    // twin: graft_diff_txnlog(root, from_version => 0, to_version => 2),
+    // plan-equivalence pinned in ExtensionsSpec.
+    Q("diff_catalog_txnlog_range", TxnRangeOracle) {
+      (s, d) =>
+        Differ.catalogDiffTxnLog(s, txnRangeFixture(s, d),
+          fromVer = Some(0L), toVer = Some(2L))
     },
 
     // TxnLog sweep from SQL (r14): `SELECT * FROM

@@ -406,4 +406,65 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("graft_diff_txnlog"), e.getMessage.take(300))
   }
+
+  test("graft_diff keys => 'auto' infers the key; '`auto`' means the real column (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    // decoy-shaped pair: a churned unique load_ts AHEAD of the real key —
+    // the sentinel must elect k (overlap tie-break), not schema order
+    val l = (1L to 100L).map(k => (2 * k + 1, k, k % 7)).toDF("load_ts", "k", "v")
+    val r = (1L to 100L).filter(_ % 11 != 0)
+      .map(k => (2 * k, k, k % 7)).toDF("load_ts", "k", "v")
+    l.createOrReplaceTempView("gda_l")
+    r.createOrReplaceTempView("gda_r")
+    val auto = spark.sql("SELECT * FROM graft_diff('gda_l', 'gda_r', 'auto')")
+    assert(rowsOf(auto) == rowsOf(Differ.diff(l, r, Seq("k"))))
+    // a REAL column named auto: the quoted form addresses the column...
+    val la = (1L to 50L).map(k => (k, k % 5)).toDF("auto", "v")
+    la.createOrReplaceTempView("gda_auto_l")
+    la.createOrReplaceTempView("gda_auto_r")
+    val quoted = spark.sql(
+      "SELECT * FROM graft_diff('gda_auto_l', 'gda_auto_r', '`auto`')")
+    assert(rowsOf(quoted) == rowsOf(Differ.diff(la, la, Seq("auto"))))
+    // ...and the bare word still means the sentinel on the same pair (the
+    // election picks the unique column, which here IS `auto`) — the two
+    // addressing modes coexist with no shadowing
+    val bare = spark.sql(
+      "SELECT * FROM graft_diff('gda_auto_l', 'gda_auto_r', 'auto')")
+    assert(rowsOf(bare) == rowsOf(quoted))
+    // no unique column on both sides: the single-pair call fails LOUDLY
+    // (a diff was asked for, not a sweep error row)
+    Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("k", "s")
+      .createOrReplaceTempView("gda_dup")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff('gda_dup', 'gda_dup', 'auto')").collect()
+    }
+    assert(e.getMessage.contains("auto") && e.getMessage.contains("graft_diff"),
+      e.getMessage.take(300))
+  }
+
+  test("graft_diff_txnlog from_version/to_version == the ranged API; range differs from prev-vs-latest (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.{DiffOptions, Differ}
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tvfrange").toString
+    val t = s"$root/t3"
+    TxnLog.init(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), t) // v0
+    TxnLog.overwrite(Seq((1L, 1.0)).toDF("k", "v"), t) // v1: k=2 deleted
+    TxnLog.overwrite(Seq((1L, 9.0), (2L, 2.0)).toDF("k", "v"), t) // v2
+    val api = Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+      fromVer = Some(0L), toVer = Some(2L))
+    val tvf = spark.sql(s"SELECT * FROM graft_diff_txnlog('$root', " +
+      "from_version => 0, to_version => 2)")
+    assert(rowsOf(tvf) == rowsOf(api))
+    // v0→v2 sees k=2 on both ends (N); prev-vs-latest (v1→v2) reads it as
+    // I — the range pin is load-bearing, not a default in disguise
+    val dflt = Differ.catalogDiffTxnLog(spark, root)
+    def n(df: org.apache.spark.sql.DataFrame, item: String) =
+      df.filter(col("item") === item).select("n").collect().head.getLong(0)
+    assert(n(api, "I") == 0L && n(dflt, "I") == 1L,
+      s"range I=${n(api, "I")} default I=${n(dflt, "I")}")
+  }
 }
