@@ -30,6 +30,12 @@ object ScaleProbe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // builder-side convenience: `runMain graft.ScaleProbe 6` runs only the
+    // named parts (no args = all); parts 1-5 share fixture state (the
+    // /tmp event/doc corpora part 2 writes) so they gate as one block.
+    val parts: Set[Int] =
+      if (args.isEmpty) (1 to 6).toSet else args.map(_.toInt).toSet
+    if (parts.exists(_ <= 5)) {
     val l0 = graft.queries.DiffQueries.left(spark, d)
     val r0 = graft.queries.DiffQueries.right(spark, d)
     for (m <- Seq(1, 2, 4, 8)) {
@@ -155,6 +161,31 @@ object ScaleProbe {
       println(f"[scale-r14] m=$m ev_rows=${100000L * m} census_no_digest=$tPlain%.2f " +
         f"stream_diff_values=$tSsv%.2f orders_rows=${150000L * m} " +
         f"auto_map_report=$tRep%.2f")
+    }
+    } // parts 1-5
+
+    // Part 6 (r15): sweep scaling in TABLE COUNT (r14 "what's wrong" #2).
+    // The sweep is one unioned stats job + one unioned report job — the
+    // concern at thousands of tables is the SINGLE-PLAN analyzer/optimizer
+    // cost, which can grow superlinearly in plan size even when per-table
+    // work is constant. Measure total and per-table wall time at 3/30/300
+    // tiny churn pairs (2k rows each, so plan cost dominates data cost by
+    // design); the measured slope lands in PLANS.md and the batching
+    // guidance in the catalogDiffTables scaladoc.
+    if (parts(6)) {
+      for (n <- Seq(3, 30, 300)) {
+        (0 until n).foreach { i =>
+          val base = spark.range(2000).select(col("id").as("k"),
+            (col("id") % 97).as("v"))
+          base.createOrReplaceTempView(s"swp${n}_t${i}_l")
+          base.withColumn("v",
+              when(col("k") % 13 === 0, col("v") + 1).otherwise(col("v")))
+            .createOrReplaceTempView(s"swp${n}_t${i}_r")
+        }
+        val t = timed(noop(operators.Differ.catalogDiffTables(
+          spark, s"swp${n}_t\\d+_l", nm => nm.stripSuffix("_l") + "_r")))
+        println(f"[scale-r15] sweep_tables n=$n total=$t%.2f per_table=${t / n}%.4f")
+      }
     }
     spark.stop()
   }

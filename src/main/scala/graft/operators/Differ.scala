@@ -597,6 +597,15 @@ object Differ {
     * collected once at (tables × columns) grain — bounded by schema
     * width, never row count. The diffs themselves are [[catalogDiff]]'s
     * one-exchange-per-pair union job.
+    *
+    * Plan-size bound in TABLE COUNT (measured, ScaleProbe part 6 r15):
+    * 3/30/300 pairs ran 2.43/9.68/127.37 s end-to-end on tiny tables —
+    * near-linear, with a ~1.3× superlinear factor at 300 from analyzing
+    * one plan with 300 unioned pair subtrees. Through a few hundred
+    * tables the single-job design holds; a MULTI-THOUSAND-table catalog
+    * should batch the sweep into chunks of ~300 pairs per call (the
+    * report is a plain union — chunked results concatenate exactly)
+    * rather than pay superlinear single-plan analysis.
     */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
                         pattern: String, rightFor: String => String,
