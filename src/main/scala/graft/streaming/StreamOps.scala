@@ -553,6 +553,19 @@ object StreamOps {
     }
   }
 
+  /** The latest forms emit `left_<col>`/`right_<col>` display pairs, so a
+    * KEY named like one of them would silently duplicate an output column
+    * (r15 review) — refuse loudly like every other name collision.
+    */
+  private def requireNoDisplayClash(keys: Seq[String], valCols: Seq[String],
+                                    fn: String): Unit = {
+    val display = valCols.flatMap(c => Seq(s"left_$c", s"right_$c")).toSet
+    val clash = keys.filter(display)
+    require(clash.isEmpty,
+      s"$fn: key column(s) ${clash.mkString(", ")} collide with the " +
+        "left_<col>/right_<col> display columns — rename them upstream")
+  }
+
   /** The key tuple in canonical-string form — see [[requireKeyedKeys]]. */
   private def keyPartsCol(keys: Seq[String]): Column =
     array(keys.map(k => col(k).cast(StringType)): _*)
@@ -906,6 +919,7 @@ object StreamOps {
     require(valCols.nonEmpty,
       "diffStreamStreamLatestBatch: need at least one value column")
     requireKeyedKeys(left, right, keys, "diffStreamStreamLatestBatch")
+    requireNoDisplayClash(keys, valCols, "diffStreamStreamLatestBatch")
     Seq(left, right).foreach(df =>
       requireNumericPayload(df, valCols, "diffStreamStreamLatestBatch"))
     def latest(df: DataFrame): DataFrame = df
@@ -1036,6 +1050,7 @@ object StreamOps {
     require(widthUs > 0, s"$fn: width must be positive, got $widthUs")
     require(valCols.nonEmpty, s"$fn: need at least one value column")
     requireKeyedKeys(leftFeed, rightFeed, keys, fn)
+    requireNoDisplayClash(keys, valCols, fn)
     Seq(leftFeed, rightFeed).foreach(df =>
       requireNumericPayload(df, valCols, fn))
 
@@ -1140,6 +1155,7 @@ object StreamOps {
     require(valCols.nonEmpty,
       "diffStreamStreamLatestAnyBatch: need at least one value column")
     requireKeyedKeys(left, right, keys, "diffStreamStreamLatestAnyBatch")
+    requireNoDisplayClash(keys, valCols, "diffStreamStreamLatestAnyBatch")
     requireMatchedPayload(left, right, valCols, "diffStreamStreamLatestAnyBatch")
     val numCols = valCols.filter(c =>
       left.schema(c).dataType.isInstanceOf[NumericType])
@@ -1196,6 +1212,7 @@ object StreamOps {
     require(valCols.nonEmpty,
       "diffStreamStreamLatestAny: need at least one value column")
     requireKeyedKeys(leftFeed, rightFeed, keys, "diffStreamStreamLatestAny")
+    requireNoDisplayClash(keys, valCols, "diffStreamStreamLatestAny")
     requireMatchedPayload(leftFeed, rightFeed, valCols, "diffStreamStreamLatestAny")
     val numCols = valCols.filter(c =>
       leftFeed.schema(c).dataType.isInstanceOf[NumericType])

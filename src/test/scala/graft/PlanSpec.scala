@@ -1094,6 +1094,40 @@ class PlanSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("FullOuter")) == 1)
   }
 
+  test("stream_diff_stream_multi: the composite key rides the SAME 2-exchange census plan (r15)") {
+    // The keyed generalization's scale contract: an extra key column is
+    // one more column in the hash — never an extra shuffle. Same pins as
+    // the single-key census: two map-side-combinable (window, keys) aggs
+    // meeting in exactly one full-outer, 2 hash exchanges total.
+    val plan = physical(graft.queries.StreamingQueries.all, "stream_diff_stream_multi")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.count(_.contains("FullOuter")) == 1, plan.take(1200))
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"composite key must not add an exchange — expected 2, got $exchanges\n$plan")
+  }
+
+  test("stream_diff_values_multi / _any: keyed + any-payload latest picks stay window-free (r15)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("stream_diff_values_multi", "stream_diff_values_any")) {
+      val df = queryNamed(graft.queries.StreamingQueries.all, name)
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        s"$name: the latest pick must be a map-side struct MAX, " +
+          "never a row_number over raw traffic")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), name)
+      assert(plan.linesIterator.count(_.contains("FullOuter")) == 1, name)
+      // the canonical payload string (any form) and the composite key
+      // (multi form) are per-row projection work under the same
+      // aggregate — exactly 2 hash exchanges, like every family member
+      val exchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(exchanges == 2,
+        s"$name: expected 2 hash exchanges, got $exchanges\n$plan")
+    }
+  }
+
   test("txn_delete_mor read: the dv subtraction is a broadcast left-anti, not a shuffle join") {
     import graft.sources.TxnLog
     val t = java.nio.file.Files.createTempDirectory("graft-planspec-dv-")

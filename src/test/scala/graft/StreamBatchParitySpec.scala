@@ -1145,5 +1145,12 @@ class StreamBatchParitySpec extends SparkTestBase {
       StreamOps.diffStreamStreamKeyed(h, h, "ts", Seq("diff_status"), Seq("v"),
         1000000L, "0 seconds"))
     assert(e3.getMessage.contains("collide"), e3.getMessage)
+    // a key named like a left_<col>/right_<col> display column would
+    // silently duplicate an output name in the latest forms (r15 review)
+    val j = g.withColumnRenamed("k", "left_v")
+    val e4 = intercept[IllegalArgumentException](
+      StreamOps.diffStreamStreamLatestKeyed(j, j, "ts", Seq("left_v"), Seq("v"),
+        1000000L, "0 seconds"))
+    assert(e4.getMessage.contains("display"), e4.getMessage)
   }
 }
