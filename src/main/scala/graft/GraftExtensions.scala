@@ -125,7 +125,15 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_diff_txnlog"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_txnlog"),
-      txnLogTvf(_))
+      txnLogTvf(_)),
+    (
+      FunctionIdentifier("graft_diff_streams"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_streams"),
+      streamsTvf(latest = false)(_)),
+    (
+      FunctionIdentifier("graft_diff_streams_latest"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_streams_latest"),
+      streamsTvf(latest = true)(_))
   )
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -383,6 +391,65 @@ object GraftExtensions {
     Differ.catalogDiffTxnLog(SparkSession.active,
       strLit(positional.head, "root_dir"), opts, fromV, toV)
       .queryExecution.analyzed
+  }
+
+  /** Stream-stream reconciliation from SQL (r15): the keyed BATCH twins of
+    * the live stream-stream diff family, spliced at analysis time like
+    * every graft TVF — `graft_diff_streams('l', 'r', 'ts_us', 'k1,k2',
+    * 'v1,v2', 86400000000)` runs the per-(window, key-tuple) CENSUS diff
+    * (count / max / content digest, I/C/N/D), and
+    * `graft_diff_streams_latest(...)` the last-write-wins form, with
+    * `payload => 'any'` selecting the canonical-payload any-type variant
+    * (string/struct CDC rows; verdict on the canonical string). The
+    * timestamp column is epoch micros (the batch feeds' native clock);
+    * `width_us` must be an integral literal — it IS the window
+    * assignment, so it cannot be data-dependent.
+    */
+  private def streamsTvf(latest: Boolean)(args: Seq[Expression]): LogicalPlan = {
+    val fn = if (latest) "graft_diff_streams_latest" else "graft_diff_streams"
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 6,
+      s"usage: $fn('left_table', 'right_table', 'ts_us_col', 'k1,k2', " +
+        "'v1,v2', width_us" +
+        (if (latest) " [, payload => 'any']" else "") + ")")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val payloadAny = named.find(_.key == "payload") match {
+      case Some(na) =>
+        require(latest,
+          s"$fn: option 'payload' applies to graft_diff_streams_latest only")
+        strLit(na.value, na.key) match {
+          case "any" => true
+          case "numeric" => false
+          case other => throw new IllegalArgumentException(
+            s"$fn: payload must be 'any' or 'numeric', got '$other'")
+        }
+      case None => false
+    }
+    val unknown = named.filterNot(_.key == "payload")
+    require(unknown.isEmpty,
+      s"$fn: unknown option(s) ${unknown.map(_.key).mkString(", ")} " +
+        "(supported: payload)")
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table", fn)
+    val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table", fn)
+    val ts = strLit(positional(2), "ts_us_col")
+    val keys = strLit(positional(3), "keys")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val vals = strLit(positional(4), "value_cols")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val width = positional(5) match {
+      case Literal(v, _) if v != null => toLong("width_us", v)
+      case other => throw new IllegalArgumentException(
+        s"$fn: width_us must be an integral literal, got $other")
+    }
+    val df =
+      if (!latest)
+        graft.streaming.StreamOps.diffStreamStreamBatchKeyed(l, r, ts, keys, vals, width)
+      else if (payloadAny)
+        graft.streaming.StreamOps.diffStreamStreamLatestAnyBatch(l, r, ts, keys, vals, width)
+      else
+        graft.streaming.StreamOps.diffStreamStreamLatestBatchKeyed(l, r, ts, keys, vals, width)
+    df.queryExecution.analyzed
   }
 
   /** Metadata-level schema diff from SQL (r14):

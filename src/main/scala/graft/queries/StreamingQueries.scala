@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -30,6 +31,118 @@ object StreamingQueries {
     * across shuffle partitions would not be deterministic (§7.5).
     */
   private def sumValue = sum(col("value").cast(DecimalType(18, 6))).cast("double")
+
+  /** Shared composite-key dual-feed fixture of the `*_multi` keys and
+    * their TVF twins (r15): event_type NULLed on user%17==3 on BOTH feeds
+    * (the null-key-part side-split class); the right feed drops user%11
+    * (→D), drifts value on %5 (→C), and re-keys %13 by appending '_x' to
+    * the string key part (→D+I pairs).
+    */
+  private def ssMultiPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+      .withColumn("event_type",
+        when(col("user_id") % 17 === 3, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+    val rsrc = ev.filter(col("user_id") % 11 =!= 0)
+      .withColumn("value",
+        when(col("user_id") % 5 === 0, col("value") + 1.0)
+          .otherwise(col("value")))
+      // `concat` nulls out on a null arg in BOTH engines (|| in DuckDB),
+      // so the %13∩%17 class stays a null key part
+      .withColumn("event_type",
+        when(col("user_id") % 13 === 0, concat(col("event_type"), lit("_x")))
+          .otherwise(col("event_type")))
+    (ev, rsrc)
+  }
+
+  /** Shared oracle of stream_diff_stream_multi and its TVF twin. */
+  private lazy val SsMultiCensusOracle: String =
+      s"""WITH base AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
+         |  CASE WHEN user_id % 17 = 3 THEN NULL ELSE event_type END AS event_type,
+         |  value FROM events),
+         |lc AS (SELECT ws, user_id, event_type, value,
+         |  COALESCE(CASE WHEN isnan(value) THEN 'NaN'
+         |                WHEN isinf(value) AND value > 0 THEN 'Inf'
+         |                WHEN isinf(value) THEN '-Inf'
+         |                ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END,
+         |           '␀') AS pay
+         |  FROM base),
+         |lf AS (SELECT ws, user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         |       max(value) AS mx,
+         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
+         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
+         |       FROM lc GROUP BY 1, 2, 3),
+         |rb AS (SELECT ws, user_id,
+         |         CASE WHEN user_id % 13 = 0 THEN event_type || '_x'
+         |              ELSE event_type END AS event_type,
+         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+         |       FROM base WHERE user_id % 11 <> 0),
+         |rc AS (SELECT ws, user_id, event_type, value,
+         |  COALESCE(CASE WHEN isnan(value) THEN 'NaN'
+         |                WHEN isinf(value) AND value > 0 THEN 'Inf'
+         |                WHEN isinf(value) THEN '-Inf'
+         |                ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END,
+         |           '␀') AS pay
+         |  FROM rb),
+         |rf AS (SELECT ws, user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         |       max(value) AS mx,
+         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
+         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
+         |       FROM rc GROUP BY 1, 2, 3)
+         |SELECT COALESCE(lf.ws, rf.ws) AS window_start_us,
+         |       COALESCE(lf.user_id, rf.user_id) AS user_id,
+         |       COALESCE(lf.event_type, rf.event_type) AS event_type,
+         |       CASE WHEN lf.n IS NULL THEN 'I'
+         |            WHEN rf.n IS NULL THEN 'D'
+         |            WHEN lf.n <> rf.n OR lf.mx IS DISTINCT FROM rf.mx
+         |              OR lf.dg1 <> rf.dg1 OR lf.dg2 <> rf.dg2 THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       lf.n AS left_n, rf.n AS right_n,
+         |       lf.mx AS left_max, rf.mx AS right_max,
+         |       CAST(lf.dg1 AS VARCHAR) || ':' || CAST(lf.dg2 AS VARCHAR) AS left_digest,
+         |       CAST(rf.dg1 AS VARCHAR) || ':' || CAST(rf.dg2 AS VARCHAR) AS right_digest
+         |FROM lf FULL OUTER JOIN rf
+         |  ON lf.ws = rf.ws AND lf.user_id = rf.user_id
+         |  AND lf.event_type = rf.event_type""".stripMargin
+
+  /** Shared oracle of stream_diff_values_multi and its TVF twin. */
+  private lazy val SsMultiLatestOracle: String =
+      s"""WITH base AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
+         |  CASE WHEN user_id % 17 = 3 THEN NULL ELSE event_type END AS event_type,
+         |  epoch_us(ts) AS t, value, CAST(event_id AS DOUBLE) AS eid
+         |  FROM events),
+         |lr AS (SELECT ws, user_id, event_type, value, eid FROM (
+         |         SELECT ws, user_id, event_type, value, eid,
+         |                row_number() OVER (PARTITION BY ws, user_id, event_type
+         |                  ORDER BY t DESC NULLS LAST, value DESC NULLS LAST,
+         |                           eid DESC NULLS LAST) AS rn
+         |         FROM base) WHERE rn = 1),
+         |rb AS (SELECT ws, user_id,
+         |         CASE WHEN user_id % 13 = 0 THEN event_type || '_x'
+         |              ELSE event_type END AS event_type,
+         |         t,
+         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value,
+         |         eid
+         |       FROM base WHERE user_id % 11 <> 0),
+         |rr AS (SELECT ws, user_id, event_type, value, eid FROM (
+         |         SELECT ws, user_id, event_type, value, eid,
+         |                row_number() OVER (PARTITION BY ws, user_id, event_type
+         |                  ORDER BY t DESC NULLS LAST, value DESC NULLS LAST,
+         |                           eid DESC NULLS LAST) AS rn
+         |         FROM rb) WHERE rn = 1)
+         |SELECT COALESCE(lr.ws, rr.ws) AS window_start_us,
+         |       COALESCE(lr.user_id, rr.user_id) AS user_id,
+         |       COALESCE(lr.event_type, rr.event_type) AS event_type,
+         |       CASE WHEN lr.ws IS NULL THEN 'I'
+         |            WHEN rr.ws IS NULL THEN 'D'
+         |            WHEN lr.value IS DISTINCT FROM rr.value
+         |              OR lr.eid IS DISTINCT FROM rr.eid THEN 'C'
+         |            ELSE 'N' END AS diff_status,
+         |       lr.value AS left_value, rr.value AS right_value,
+         |       lr.eid AS left_event_id, rr.eid AS right_event_id
+         |FROM lr FULL OUTER JOIN rr
+         |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id
+         |  AND lr.event_type = rr.event_type""".stripMargin
 
   /** Shared ordered-funnel CTE prefix: `v`/`c`/`p` are the per-user first
     * view / first click-after-view / first purchase-after-click times —
@@ -536,68 +649,9 @@ object StreamingQueries {
     // hashes through ONE exchange as a tuple — two map-side-combinable
     // (window, keys) aggs into one full-outer, no extra shuffle for the
     // extra key column.
-    Q("stream_diff_stream_multi",
-      s"""WITH base AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |  CASE WHEN user_id % 17 = 3 THEN NULL ELSE event_type END AS event_type,
-         |  value FROM events),
-         |lc AS (SELECT ws, user_id, event_type, value,
-         |  COALESCE(CASE WHEN isnan(value) THEN 'NaN'
-         |                WHEN isinf(value) AND value > 0 THEN 'Inf'
-         |                WHEN isinf(value) THEN '-Inf'
-         |                ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END,
-         |           '␀') AS pay
-         |  FROM base),
-         |lf AS (SELECT ws, user_id, event_type, CAST(count(*) AS BIGINT) AS n,
-         |       max(value) AS mx,
-         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
-         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
-         |       FROM lc GROUP BY 1, 2, 3),
-         |rb AS (SELECT ws, user_id,
-         |         CASE WHEN user_id % 13 = 0 THEN event_type || '_x'
-         |              ELSE event_type END AS event_type,
-         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
-         |       FROM base WHERE user_id % 11 <> 0),
-         |rc AS (SELECT ws, user_id, event_type, value,
-         |  COALESCE(CASE WHEN isnan(value) THEN 'NaN'
-         |                WHEN isinf(value) AND value > 0 THEN 'Inf'
-         |                WHEN isinf(value) THEN '-Inf'
-         |                ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END,
-         |           '␀') AS pay
-         |  FROM rb),
-         |rf AS (SELECT ws, user_id, event_type, CAST(count(*) AS BIGINT) AS n,
-         |       max(value) AS mx,
-         |       CAST(sum(('0x' || substr(sha256(pay), 1, 8))::BIGINT) AS BIGINT) AS dg1,
-         |       CAST(sum(('0x' || substr(sha256(pay), 9, 8))::BIGINT) AS BIGINT) AS dg2
-         |       FROM rc GROUP BY 1, 2, 3)
-         |SELECT COALESCE(lf.ws, rf.ws) AS window_start_us,
-         |       COALESCE(lf.user_id, rf.user_id) AS user_id,
-         |       COALESCE(lf.event_type, rf.event_type) AS event_type,
-         |       CASE WHEN lf.n IS NULL THEN 'I'
-         |            WHEN rf.n IS NULL THEN 'D'
-         |            WHEN lf.n <> rf.n OR lf.mx IS DISTINCT FROM rf.mx
-         |              OR lf.dg1 <> rf.dg1 OR lf.dg2 <> rf.dg2 THEN 'C'
-         |            ELSE 'N' END AS diff_status,
-         |       lf.n AS left_n, rf.n AS right_n,
-         |       lf.mx AS left_max, rf.mx AS right_max,
-         |       CAST(lf.dg1 AS VARCHAR) || ':' || CAST(lf.dg2 AS VARCHAR) AS left_digest,
-         |       CAST(rf.dg1 AS VARCHAR) || ':' || CAST(rf.dg2 AS VARCHAR) AS right_digest
-         |FROM lf FULL OUTER JOIN rf
-         |  ON lf.ws = rf.ws AND lf.user_id = rf.user_id
-         |  AND lf.event_type = rf.event_type""".stripMargin) {
+    Q("stream_diff_stream_multi", SsMultiCensusOracle) {
       (s, d) =>
-        val ev = Tables.events(s, d)
-          .withColumn("event_type",
-            when(col("user_id") % 17 === 3, lit(null).cast("string"))
-              .otherwise(col("event_type")))
-        val rsrc = ev.filter(col("user_id") % 11 =!= 0)
-          .withColumn("value",
-            when(col("user_id") % 5 === 0, col("value") + 1.0)
-              .otherwise(col("value")))
-          // `concat` nulls out on a null arg in BOTH engines (|| in
-          // DuckDB), so the %13∩%17 class stays a null key part
-          .withColumn("event_type",
-            when(col("user_id") % 13 === 0, concat(col("event_type"), lit("_x")))
-              .otherwise(col("event_type")))
+        val (ev, rsrc) = ssMultiPair(s, d)
         graft.streaming.StreamOps.diffStreamStreamBatchKeyed(
           ev, rsrc, "ts_us", Seq("user_id", "event_type"), Seq("value"), DayUs)
     },
@@ -612,55 +666,9 @@ object StreamingQueries {
     // pins). Plan: one struct-MAX per side — map-side combinable, no
     // row_number over raw traffic — into one full-outer on
     // (window, user_id, event_type).
-    Q("stream_diff_values_multi",
-      s"""WITH base AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |  CASE WHEN user_id % 17 = 3 THEN NULL ELSE event_type END AS event_type,
-         |  epoch_us(ts) AS t, value, CAST(event_id AS DOUBLE) AS eid
-         |  FROM events),
-         |lr AS (SELECT ws, user_id, event_type, value, eid FROM (
-         |         SELECT ws, user_id, event_type, value, eid,
-         |                row_number() OVER (PARTITION BY ws, user_id, event_type
-         |                  ORDER BY t DESC NULLS LAST, value DESC NULLS LAST,
-         |                           eid DESC NULLS LAST) AS rn
-         |         FROM base) WHERE rn = 1),
-         |rb AS (SELECT ws, user_id,
-         |         CASE WHEN user_id % 13 = 0 THEN event_type || '_x'
-         |              ELSE event_type END AS event_type,
-         |         t,
-         |         CASE WHEN user_id % 5 = 0 THEN value + 1.0 ELSE value END AS value,
-         |         eid
-         |       FROM base WHERE user_id % 11 <> 0),
-         |rr AS (SELECT ws, user_id, event_type, value, eid FROM (
-         |         SELECT ws, user_id, event_type, value, eid,
-         |                row_number() OVER (PARTITION BY ws, user_id, event_type
-         |                  ORDER BY t DESC NULLS LAST, value DESC NULLS LAST,
-         |                           eid DESC NULLS LAST) AS rn
-         |         FROM rb) WHERE rn = 1)
-         |SELECT COALESCE(lr.ws, rr.ws) AS window_start_us,
-         |       COALESCE(lr.user_id, rr.user_id) AS user_id,
-         |       COALESCE(lr.event_type, rr.event_type) AS event_type,
-         |       CASE WHEN lr.ws IS NULL THEN 'I'
-         |            WHEN rr.ws IS NULL THEN 'D'
-         |            WHEN lr.value IS DISTINCT FROM rr.value
-         |              OR lr.eid IS DISTINCT FROM rr.eid THEN 'C'
-         |            ELSE 'N' END AS diff_status,
-         |       lr.value AS left_value, rr.value AS right_value,
-         |       lr.eid AS left_event_id, rr.eid AS right_event_id
-         |FROM lr FULL OUTER JOIN rr
-         |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id
-         |  AND lr.event_type = rr.event_type""".stripMargin) {
+    Q("stream_diff_values_multi", SsMultiLatestOracle) {
       (s, d) =>
-        val ev = Tables.events(s, d)
-          .withColumn("event_type",
-            when(col("user_id") % 17 === 3, lit(null).cast("string"))
-              .otherwise(col("event_type")))
-        val rsrc = ev.filter(col("user_id") % 11 =!= 0)
-          .withColumn("value",
-            when(col("user_id") % 5 === 0, col("value") + 1.0)
-              .otherwise(col("value")))
-          .withColumn("event_type",
-            when(col("user_id") % 13 === 0, concat(col("event_type"), lit("_x")))
-              .otherwise(col("event_type")))
+        val (ev, rsrc) = ssMultiPair(s, d)
         graft.streaming.StreamOps.diffStreamStreamLatestBatchKeyed(
           ev, rsrc, "ts_us", Seq("user_id", "event_type"),
           Seq("value", "event_id"), DayUs)
@@ -745,6 +753,39 @@ object StreamingQueries {
             .withColumn("user_id", col("user_id") + 100000L))
         graft.streaming.StreamOps.diffStreamStreamLatestAnyBatch(
           ev, rsrc, "ts_us", Seq("user_id"), Seq("value", "event_type"), DayUs)
+    },
+
+    // Stream-stream census from SQL (r15): `SELECT * FROM
+    // graft_diff_streams('l', 'r', 'ts_us', 'user_id,event_type',
+    // 'value', <width>)` — the keyed batch twin reachable with zero
+    // Scala, for the backfill-reconciliation question ("re-run last
+    // month's replica check") asked from a SQL console. Same fixture
+    // views and the SAME oracle as stream_diff_stream_multi — the TVF
+    // must be plan-equivalent to the API call (ExtensionsSpec pins it);
+    // width is an integral literal by construction (it IS the window
+    // assignment).
+    Q("sql_diff_stream_tvf", SsMultiCensusOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        val (ev, rsrc) = ssMultiPair(s, d)
+        ev.createOrReplaceTempView("gss_multi_l")
+        rsrc.createOrReplaceTempView("gss_multi_r")
+        s.sql("SELECT * FROM graft_diff_streams('gss_multi_l', " +
+          s"'gss_multi_r', 'ts_us', 'user_id,event_type', 'value', $DayUs)")
+    },
+
+    // Last-write-wins stream-stream diff from SQL (r15):
+    // `graft_diff_streams_latest(...)`; `payload => 'any'` selects the
+    // canonical-payload any-type form (pinned in ExtensionsSpec). Same
+    // fixture views and oracle as stream_diff_values_multi.
+    Q("sql_diff_stream_values_tvf", SsMultiLatestOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        val (ev, rsrc) = ssMultiPair(s, d)
+        ev.createOrReplaceTempView("gss_multi_l")
+        rsrc.createOrReplaceTempView("gss_multi_r")
+        s.sql("SELECT * FROM graft_diff_streams_latest('gss_multi_l', " +
+          s"'gss_multi_r', 'ts_us', 'user_id,event_type', 'value,event_id', $DayUs)")
     },
 
     // Continuous-ingest CONTENT dedup vs the persisted corpus (r12) —

@@ -407,6 +407,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("graft_diff_txnlog"), e.getMessage.take(300))
   }
 
+  test("graft_diff_streams[_latest]: TVF == keyed batch API; payload mode + literal width enforced (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val l = Seq((100L, 1L, "a", 1.5), (200L, 1L, "a", 2.5), (150L, 2L, "b", 7.0))
+      .toDF("ts_us", "k", "et", "v")
+    val r = Seq((110L, 1L, "a", 1.5), (210L, 1L, "a", 3.5), (160L, 3L, "b", 7.0))
+      .toDF("ts_us", "k", "et", "v")
+    l.createOrReplaceTempView("gds_l")
+    r.createOrReplaceTempView("gds_r")
+    val W = 1000000L
+    // census TVF == the keyed batch API
+    val cT = spark.sql(s"SELECT * FROM graft_diff_streams('gds_l', 'gds_r', " +
+      s"'ts_us', 'k,et', 'v', $W)")
+    assert(rowsOf(cT) == rowsOf(
+      StreamOps.diffStreamStreamBatchKeyed(l, r, "ts_us", Seq("k", "et"), Seq("v"), W)))
+    // latest TVF, numeric default == keyed latest API
+    val vT = spark.sql(s"SELECT * FROM graft_diff_streams_latest('gds_l', " +
+      s"'gds_r', 'ts_us', 'k,et', 'v', $W)")
+    assert(rowsOf(vT) == rowsOf(
+      StreamOps.diffStreamStreamLatestBatchKeyed(l, r, "ts_us", Seq("k", "et"), Seq("v"), W)))
+    // payload => 'any' switches to the canonical-payload form
+    val aT = spark.sql(s"SELECT * FROM graft_diff_streams_latest('gds_l', " +
+      s"'gds_r', 'ts_us', 'k', 'v,et', $W, payload => 'any')")
+    assert(rowsOf(aT) == rowsOf(
+      StreamOps.diffStreamStreamLatestAnyBatch(l, r, "ts_us", Seq("k"), Seq("v", "et"), W)))
+    // 'payload' is a latest-only option; the census TVF refuses it
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_diff_streams('gds_l', 'gds_r', " +
+        s"'ts_us', 'k', 'v', $W, payload => 'any')").collect()
+    }
+    assert(e1.getMessage.contains("graft_diff_streams_latest only"),
+      e1.getMessage.take(300))
+    // width chooses the window assignment — a column ref is refused by the
+    // analyzer itself (TVF args see no input rows), and a NULL literal is
+    // refused by the builder naming the argument
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff_streams('gds_l', 'gds_r', " +
+        "'ts_us', 'k', 'v', CAST(NULL AS BIGINT))").collect()
+    }
+    assert(e2.getMessage.contains("width_us"), e2.getMessage.take(300))
+  }
+
   test("graft_diff keys => 'auto' infers the key; '`auto`' means the real column (r15)") {
     GraftExtensions.register(spark)
     import spark.implicits._
