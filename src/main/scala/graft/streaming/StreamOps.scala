@@ -509,18 +509,21 @@ object StreamOps {
   /** Key contract of the keyed (composite/string-key) stream-stream family
     * (r15). The state carries the key tuple as canonical STRINGS (one per
     * key column), so grouping on the tuple must partition rows exactly
-    * like the batch twin's multi-column `=` join, and casting the string
-    * back to the declared type must be lossless. Both hold for integral /
-    * STRING / BOOLEAN / DATE / DECIMAL columns (plain string cast is
-    * injective and `=`-consistent there) — and for NOTHING else, loudly:
-    * FLOAT/DOUBLE keys break `=` itself (NaN never pairs, -0.0 = 0.0 but
-    * renders differently) and TIMESTAMP string forms are
-    * session-timezone-indirect (unix_micros the key upstream instead).
-    * Both feeds must declare the SAME dtype per key column (a BIGINT vs
-    * STRING skew would canonicalize '42' on both sides and silently pair
-    * rows the batch `=` join refuses at analysis). Key names may not
-    * collide with the fixed output columns. The batch twins enforce the
-    * identical contract so the stream/batch pair stays interchangeable.
+    * like the batch twin's multi-column `=` join, and the canonical form
+    * must restore to the declared type losslessly. Both hold for
+    * integral / STRING / BOOLEAN / DATE / DECIMAL columns (plain string
+    * cast is injective and `=`-consistent there) and for TIMESTAMP /
+    * TIMESTAMP_NTZ columns via an epoch-micros rendering (`=` on
+    * timestamps IS micros equality; NTZ routes through the session
+    * timezone — exact under the house UTC default, and deterministic
+    * under any fixed zone) — and for NOTHING else, loudly: FLOAT/DOUBLE
+    * keys break `=` itself (NaN never pairs, -0.0 = 0.0 but renders
+    * differently). Both feeds must declare the SAME dtype per key column
+    * (a BIGINT vs STRING skew would canonicalize '42' on both sides and
+    * silently pair rows the batch `=` join refuses at analysis). Key
+    * names may not collide with the fixed output columns. The batch
+    * twins enforce the identical contract so the stream/batch pair stays
+    * interchangeable.
     */
   private def requireKeyedKeys(left: DataFrame, right: DataFrame,
                                keys: Seq[String], fn: String): Unit = {
@@ -534,8 +537,8 @@ object StreamOps {
         "operator's fixed output columns — rename them upstream")
     def ok(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | BooleanType |
-           DateType | StringType => true
-      case _: DecimalType => true
+           DateType | StringType | TimestampNTZType => true
+      case _: DecimalType | _: TimestampType => true
       case _ => false
     }
     keys.foreach { k =>
@@ -547,9 +550,9 @@ object StreamOps {
       if (!ok(lt)) throw new IllegalArgumentException(
         s"$fn: key column '$k' has type ${lt.sql} — keyed state carries the " +
           "key tuple as canonical strings, admitted for integral/STRING/" +
-          "BOOLEAN/DATE/DECIMAL columns where string equality coincides " +
-          "with SQL `=`; FLOAT/DOUBLE keys break `=` (NaN/-0.0) and " +
-          "TIMESTAMP keys should be unix_micros'd upstream")
+          "BOOLEAN/DATE/DECIMAL/TIMESTAMP[_NTZ] columns where the canonical " +
+          "form coincides with SQL `=`; FLOAT/DOUBLE keys break `=` " +
+          "(NaN/-0.0) — dictionary-encode or quantize them upstream")
     }
   }
 
@@ -566,17 +569,36 @@ object StreamOps {
         "left_<col>/right_<col> display columns — rename them upstream")
   }
 
+  /** Canonical string of ONE key part — plain string cast except the
+    * timestamp types, which render as epoch micros (`=` on timestamps IS
+    * micros equality; a plain string cast would be session-timezone-
+    * formatted, and NTZ wouldn't even order like `=`).
+    */
+  private def keyCanon(dt: DataType, c: Column): Column = dt match {
+    case _: TimestampType => unix_micros(c).cast(StringType)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(StringType)
+    case _ => c.cast(StringType)
+  }
+
   /** The key tuple in canonical-string form — see [[requireKeyedKeys]]. */
-  private def keyPartsCol(keys: Seq[String]): Column =
-    array(keys.map(k => col(k).cast(StringType)): _*)
+  private def keyPartsCol(schema: StructType, keys: Seq[String]): Column =
+    array(keys.map(k => keyCanon(schema(k).dataType, col(k))): _*)
 
   /** Restore the typed key columns from the state's canonical strings —
     * lossless for every admitted key type by [[requireKeyedKeys]]'
-    * admission rule.
+    * admission rule (timestamps restore from the epoch-micros rendering;
+    * NTZ re-enters wall-clock through the same session timezone the canon
+    * left it by, so the roundtrip is exact under any fixed zone).
     */
   private def restoredKeyCols(template: StructType, keys: Seq[String]): Seq[Column] =
     keys.zipWithIndex.map { case (k, i) =>
-      element_at(col("kp"), i + 1).cast(template(k).dataType).as(k)
+      val raw = element_at(col("kp"), i + 1)
+      (template(k).dataType match {
+        case _: TimestampType => timestamp_micros(raw.cast(LongType))
+        case TimestampNTZType =>
+          timestamp_micros(raw.cast(LongType)).cast(TimestampNTZType)
+        case dt => raw.cast(dt)
+      }).as(k)
     }
 
   /** BATCH twin of [[diffStreamStream]] as a first-class operator (r14) —
@@ -801,7 +823,7 @@ object StreamOps {
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
-          keyPartsCol(keys).as("kp"),
+          keyPartsCol(df.schema, keys).as("kp"),
           lit(isLeft).as("left_side"),
           headline.as("value"),
           d1.as("d1"), d2.as("d2"),
@@ -1058,7 +1080,7 @@ object StreamOps {
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
-          keyPartsCol(keys).as("kp"),
+          keyPartsCol(df.schema, keys).as("kp"),
           lit(isLeft).as("left_side"),
           unix_micros(col(tsCol)).as("ts_us"),
           array(valCols.map(c => col(c).cast("double")): _*).as("values"),
@@ -1221,7 +1243,7 @@ object StreamOps {
       df.select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
-          keyPartsCol(keys).as("kp"),
+          keyPartsCol(df.schema, keys).as("kp"),
           lit(isLeft).as("left_side"),
           unix_micros(col(tsCol)).as("ts_us"),
           payloadCanon(df, valCols).as("pay"),

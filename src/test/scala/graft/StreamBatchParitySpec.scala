@@ -1120,6 +1120,49 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("keyed stream-stream census admits TIMESTAMP keys; stream == batch with restored values (r15)") {
+    // The remaining common CDC identity type: keys canonicalize as epoch
+    // micros (`=` on timestamps IS micros equality) and restore to real
+    // TIMESTAMP columns on output — live and batch twins must agree
+    // row-for-row including the D/I rows and the rendered key values.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val W = 1000000L
+    val lRows = Seq((100L, 42000000L, Some(1.0)), (200L, 42000000L, Some(2.0)),
+      (300L, 77000000L, Some(5.0)))
+    val rRows = Seq((150L, 42000000L, Some(1.0)), (250L, 42000000L, Some(2.0)),
+      (350L, 99000000L, Some(6.0)))
+    def frame(rows: Seq[(Long, Long, Option[Double])]) =
+      rows.toDF("t_us", "kt_us", "v")
+        .select(col("t_us").as("ts_us"),
+          timestamp_micros(col("kt_us")).as("kt"), col("v"))
+    val batchRows = rowsOf(StreamOps.diffStreamStreamBatchKeyed(
+      frame(lRows), frame(rRows), "ts_us", Seq("kt"), Seq("v"), W))
+    assert(batchRows.exists(_.contains("|D|")) && batchRows.exists(_.contains("|I|")),
+      s"fixture must exercise D and I rows: $batchRows")
+
+    val lIn = MemoryStream[(Long, Long, Option[Double])]
+    val rIn = MemoryStream[(Long, Long, Option[Double])]
+    def feed(in: MemoryStream[(Long, Long, Option[Double])]) =
+      in.toDF().toDF("t_us", "kt_us", "v")
+        .select(timestamp_micros(col("t_us")).as("ts"),
+          timestamp_micros(col("kt_us")).as("kt"), col("v"))
+    val q = StreamOps.diffStreamStreamKeyed(feed(lIn), feed(rIn),
+        "ts", Seq("kt"), Seq("v"), W, "0 seconds")
+      .writeStream.format("memory").queryName("sskt_parity")
+      .outputMode("append").start()
+    try {
+      lIn.addData(lRows: _*)
+      rIn.addData(rRows: _*)
+      lIn.addData((10000000000L, 1L, Some(0.0)))
+      rIn.addData((10000000000L, 1L, Some(0.0)))
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("sskt_parity"))
+      assert(got == batchRows, s"got=$got\nwant=$batchRows")
+    } finally q.stop()
+  }
+
   test("keyed stream-stream forms refuse double keys, dtype-skewed keys, and reserved names (r15)") {
     // The keyed family's loud-contract trio: a DOUBLE key breaks `=`
     // itself (NaN never pairs under SQL `=` but WOULD pair as the
