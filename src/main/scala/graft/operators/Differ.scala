@@ -742,7 +742,15 @@ object Differ {
       stats.getOrElse(s"$nameL", Array.empty[(String, String, Int)])
         .sortBy(_._3).collect { case (_, c, pos) if rUniq(c) => (c, pos) }.toSeq
     }
-    val multi = pairs.filter { case (n, _) => sharedCands(n).size > 1 }
+    val multi = pairs.filter { case (n, (l, r)) =>
+      sharedCands(n).size > 1 &&
+        // provably-identical relations (a table swept against itself —
+        // the re-publish-check case) tie every candidate at full overlap,
+        // so the election falls to schema position either way; skip their
+        // overlap scan (sameResult is conservative: false negatives just
+        // pay the job, never change the election)
+        !l.queryExecution.analyzed.sameResult(r.queryExecution.analyzed)
+    }
     val overlapPpm: Map[(String, String), Long] =
       if (multi.isEmpty) Map.empty
       else {
