@@ -377,7 +377,7 @@ object StreamOps {
       }
     }
 
-    stream
+    requireEventTime(stream, tsCol, "diffStreamComplete")
       .withWatermark(tsCol, delay)
       .select(
         // exact integer floor-to-window (no double division anywhere),
@@ -568,6 +568,22 @@ object StreamOps {
       s"$fn: key column(s) ${clash.mkString(", ")} collide with the " +
         "left_<col>/right_<col> display columns — rename them upstream")
   }
+
+  /** Loud NULL-event-time guard for the streaming preps (r15 review): a
+    * NULL timestamp makes the window assignment NULL, which previously
+    * died as an opaque encoder NPE mid-stream. The batch twins CLASSIFY
+    * null-ts rows (a null window group in the full-outer); a stream can
+    * never close a null window, so the honest behavior is a named
+    * construction-visible failure on the first such row. `assert_true`
+    * returns NULL when the condition holds, so the filter keeps every
+    * valid row at one codegen'd null-check per row (the Q.requireBand
+    * mechanism).
+    */
+  private def requireEventTime(df: DataFrame, tsCol: String, fn: String): DataFrame =
+    df.filter(assert_true(col(tsCol).isNotNull,
+      lit(s"$fn: NULL event time in '$tsCol' — a stream cannot close a " +
+        "null window (the batch twin classifies null-ts rows into a null " +
+        "window group); filter or repair event times upstream")).isNull)
 
   /** Canonical string of ONE key part — plain string cast except the
     * timestamp types, which render as epoch micros (`=` on timestamps IS
@@ -820,7 +836,7 @@ object StreamOps {
     def prep(df: DataFrame, isLeft: Boolean): DataFrame = {
       val (d1, d2) = digestSlices(payloadCanon(df, valCols))
       val headline = headlineCol(df, valCols)
-      df.select(
+      requireEventTime(df, tsCol, fn).select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
           keyPartsCol(df.schema, keys).as("kp"),
@@ -1077,7 +1093,7 @@ object StreamOps {
       requireNumericPayload(df, valCols, fn))
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame =
-      df.select(
+      requireEventTime(df, tsCol, fn).select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
           keyPartsCol(df.schema, keys).as("kp"),
@@ -1240,7 +1256,7 @@ object StreamOps {
       leftFeed.schema(c).dataType.isInstanceOf[NumericType])
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame =
-      df.select(
+      requireEventTime(df, tsCol, "diffStreamStreamLatestAny").select(
           (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(widthUs)))
             .as("window_start_us"),
           keyPartsCol(df.schema, keys).as("kp"),

@@ -1120,6 +1120,32 @@ class StreamBatchParitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming diffs fail LOUDLY on a NULL event time, naming the column (r15 review)") {
+    // A null timestamp nulls the window assignment, which previously died
+    // as an opaque encoder NPE mid-stream; the batch twins CLASSIFY
+    // null-ts rows, but a stream can never close a null window — the
+    // honest behavior is a named failure on the first such row.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Option[Long], Long, Option[Double])]
+    val feed = in.toDF().toDF("t_us", "k", "v")
+      .select(timestamp_micros(col("t_us")).as("ts"), col("k"), col("v"))
+    val q = StreamOps.diffStreamStreamKeyed(feed, feed, "ts", Seq("k"), Seq("v"),
+        1000000L, "0 seconds")
+      .writeStream.format("memory").queryName("ss_nullts")
+      .outputMode("append").start()
+    try {
+      in.addData((None, 1L, Some(1.0)))
+      val e = intercept[Exception](q.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("NULL event time") && m.contains("ts")),
+        messages(e).mkString(" | ").take(500))
+    } finally q.stop()
+  }
+
   test("keyed stream-stream census admits TIMESTAMP keys; stream == batch with restored values (r15)") {
     // The remaining common CDC identity type: keys canonicalize as epoch
     // micros (`=` on timestamps IS micros equality) and restore to real
