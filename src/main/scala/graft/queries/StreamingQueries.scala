@@ -692,7 +692,7 @@ object StreamingQueries {
     // all three. Streaming twin: StreamOps.diffStreamStreamLatestAny.
     Q("stream_diff_values_any",
       s"""WITH le AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |  epoch_us(ts) AS t, value,
+         |  epoch_us(ts) AS t, value, event_type,
          |  concat_ws(chr(31),
          |    COALESCE(CASE WHEN isnan(value) THEN 'NaN'
          |                  WHEN isinf(value) AND value > 0 THEN 'Inf'
@@ -700,8 +700,8 @@ object StreamingQueries {
          |                  ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END, '␀'),
          |    COALESCE(event_type, '␀')) AS pay
          |  FROM events),
-         |lr AS (SELECT ws, user_id, pay, value FROM (
-         |         SELECT ws, user_id, pay, value,
+         |lr AS (SELECT ws, user_id, pay, value, event_type FROM (
+         |         SELECT ws, user_id, pay, value, event_type,
          |                row_number() OVER (PARTITION BY ws, user_id
          |                  ORDER BY t DESC NULLS LAST, pay DESC,
          |                           value DESC NULLS LAST) AS rn
@@ -716,7 +716,7 @@ object StreamingQueries {
          |  SELECT user_id + 100000, ts, value, event_type
          |  FROM events WHERE user_id % 13 = 0),
          |re AS (SELECT (epoch_us(ts) // $DayUs) * $DayUs AS ws, user_id,
-         |  epoch_us(ts) AS t, value,
+         |  epoch_us(ts) AS t, value, event_type,
          |  concat_ws(chr(31),
          |    COALESCE(CASE WHEN isnan(value) THEN 'NaN'
          |                  WHEN isinf(value) AND value > 0 THEN 'Inf'
@@ -724,8 +724,8 @@ object StreamingQueries {
          |                  ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END, '␀'),
          |    COALESCE(event_type, '␀')) AS pay
          |  FROM rsrc),
-         |rr AS (SELECT ws, user_id, pay, value FROM (
-         |         SELECT ws, user_id, pay, value,
+         |rr AS (SELECT ws, user_id, pay, value, event_type FROM (
+         |         SELECT ws, user_id, pay, value, event_type,
          |                row_number() OVER (PARTITION BY ws, user_id
          |                  ORDER BY t DESC NULLS LAST, pay DESC,
          |                           value DESC NULLS LAST) AS rn
@@ -737,7 +737,9 @@ object StreamingQueries {
          |            WHEN lr.pay <> rr.pay THEN 'C'
          |            ELSE 'N' END AS diff_status,
          |       lr.pay AS left_payload, rr.pay AS right_payload,
-         |       lr.value AS left_value, rr.value AS right_value
+         |       lr.value AS left_value, rr.value AS right_value,
+         |       lr.event_type AS left_event_type,
+         |       rr.event_type AS right_event_type
          |FROM lr FULL OUTER JOIN rr
          |  ON lr.ws = rr.ws AND lr.user_id = rr.user_id""".stripMargin) {
       (s, d) =>

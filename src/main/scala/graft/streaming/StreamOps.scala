@@ -159,23 +159,30 @@ final case class SsvKOut(window_start_us: Long, kp: Seq[Option[String]],
   */
 final case class SsvAEvent(window_start_us: Long, kp: Seq[Option[String]],
     left_side: Boolean, ts_us: Option[Long], pay: String,
-    disp: Seq[Option[Double]], tsm: java.sql.Timestamp)
+    disp: Seq[Option[Double]], cvals: Seq[Option[String]],
+    tsm: java.sql.Timestamp)
 
-/** One side's latest observation in the any-type form. */
+/** One side's latest observation in the any-type form: the pick-order
+  * fields (ts, pay, disp) plus the per-NON-NUMERIC-column canonicals
+  * (`cvals`, functionally determined by pay) that restore the typed
+  * display columns on output.
+  */
 final case class SsvASide(ts_us: Option[Long], pay: String,
-    disp: Seq[Option[Double]])
+    disp: Seq[Option[Double]], cvals: Seq[Option[String]])
 
 /** Per-(window, key-tuple) dual-feed latest state, any-type form. */
 final case class SsvAState(l: Option[SsvASide], r: Option[SsvASide])
 
 /** Any-type latest-value output row before key restoration: the verdict
   * compares the two canonical payload strings; the display doubles render
-  * the numeric columns.
+  * the numeric columns and the canonical slots the non-numeric ones.
   */
 final case class SsvAOut(window_start_us: Long, kp: Seq[Option[String]],
     diff_status: String, left_payload: Option[String],
     right_payload: Option[String], left_disp: Option[Seq[Option[Double]]],
-    right_disp: Option[Seq[Option[Double]]])
+    right_disp: Option[Seq[Option[Double]]],
+    left_cvals: Option[Seq[Option[String]]],
+    right_cvals: Option[Seq[Option[String]]])
 
 /** True Structured Streaming operators over an event stream with an
   * event-time column. These are the incremental-execution twins of the
@@ -584,6 +591,23 @@ object StreamOps {
       lit(s"$fn: NULL event time in '$tsCol' — a stream cannot close a " +
         "null window (the batch twin classifies null-ts rows into a null " +
         "window group); filter or repair event times upstream")).isNull)
+
+  /** Typed display restore for a NON-NUMERIC value column's canonical
+    * string (the any-payload latest form, r15): lossless for the atomic
+    * types whose [[canonCol]] rendering is invertible — strings
+    * (identity), boolean/date/decimal (plain cast), timestamps (epoch
+    * micros back through timestamp_micros). Nested/binary canonicals are
+    * NOT invertible (key-sorted JSON for maps, utf8-interpreted casts) —
+    * those display AS the canonical string, documented.
+    */
+  private def displayRestore(dt: DataType, c: Column): Column = dt match {
+    case StringType => c
+    case BooleanType | DateType => c.cast(dt)
+    case d: DecimalType => c.cast(d)
+    case _: TimestampType => timestamp_micros(c.cast(LongType))
+    case TimestampNTZType => timestamp_micros(c.cast(LongType)).cast(TimestampNTZType)
+    case _ => c
+  }
 
   /** Canonical string of ONE key part — plain string cast except the
     * timestamp types, which render as epoch micros (`=` on timestamps IS
@@ -1178,11 +1202,13 @@ object StreamOps {
     * races resolve identically in the stream fold, this batch twin, and
     * the DuckDB oracle. Output: the typed key columns, the verdict, both
     * canonical payloads (`left_payload`/`right_payload`), and
-    * `left_<c>`/`right_<c>` display doubles for each NUMERIC value column
-    * (non-numeric columns render inside the payload string). One
-    * map-side-combinable struct-max per side into one full-outer on
-    * (window, keys) — the same 2-exchange plan as every member of the
-    * family.
+    * `left_<c>`/`right_<c>` display pairs for EVERY value column —
+    * numeric columns as exact doubles, non-numeric atomic columns
+    * restored to their declared type from the per-column canonical
+    * ([[displayRestore]]; nested/binary canonicals are not invertible and
+    * display as the canonical string). One map-side-combinable struct-max
+    * per side into one full-outer on (window, keys) — the same 2-exchange
+    * plan as every member of the family.
     */
   def diffStreamStreamLatestAnyBatch(left: DataFrame, right: DataFrame,
                                      tsUsCol: String, keys: Seq[String],
@@ -1195,19 +1221,35 @@ object StreamOps {
     requireKeyedKeys(left, right, keys, "diffStreamStreamLatestAnyBatch")
     requireNoDisplayClash(keys, valCols, "diffStreamStreamLatestAnyBatch")
     requireMatchedPayload(left, right, valCols, "diffStreamStreamLatestAnyBatch")
-    val numCols = valCols.filter(c =>
-      left.schema(c).dataType.isInstanceOf[NumericType])
+    val types = valCols.map(c => c -> left.schema(c).dataType).toMap
+    val numCols = valCols.filter(c => types(c).isInstanceOf[NumericType])
+    val strCols = valCols.filterNot(c => types(c).isInstanceOf[NumericType])
     def latest(df: DataFrame): DataFrame = df
       .withColumn("__graft_ws", col(tsUsCol) - pmod(col(tsUsCol), lit(widthUs)))
       .withColumn("__graft_pay", payloadCanon(df, valCols))
       .groupBy(col("__graft_ws") +: keys.map(col): _*)
       .agg(max(struct(
         col(tsUsCol).as("__t") +: col("__graft_pay").as("__p") +:
-          numCols.zipWithIndex.map { case (c, i) =>
-            col(c).cast("double").as(s"__v$i") }: _*)).as("m"))
+          // every field after __p is functionally determined by __p, so
+          // the struct order stays (ts, payload, displays) — the
+          // documented pick order
+          (numCols.zipWithIndex.map { case (c, i) =>
+            col(c).cast("double").as(s"__v$i") } ++
+          strCols.zipWithIndex.map { case (c, i) =>
+            canonCol(types(c), col(c)).as(s"__c$i") }): _*)).as("m"))
     val lf = latest(left).alias("l")
     val rf = latest(right).alias("r")
     val keyEq = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val numIdx = numCols.zipWithIndex.toMap
+    val strIdx = strCols.zipWithIndex.toMap
+    def displayPair(c: String): Seq[Column] = numIdx.get(c) match {
+      case Some(i) => Seq(col(s"l.m.__v$i").as(s"left_$c"),
+        col(s"r.m.__v$i").as(s"right_$c"))
+      case None =>
+        val i = strIdx(c)
+        Seq(displayRestore(types(c), col(s"l.m.__c$i")).as(s"left_$c"),
+          displayRestore(types(c), col(s"r.m.__c$i")).as(s"right_$c"))
+    }
     lf.join(rf,
         col("l.__graft_ws") === col("r.__graft_ws") && keyEq,
         "full_outer")
@@ -1222,9 +1264,7 @@ object StreamOps {
             .otherwise("N").as("diff_status") +:
           col("l.m.__p").as("left_payload") +:
           col("r.m.__p").as("right_payload") +:
-          numCols.zipWithIndex.flatMap { case (c, i) => Seq(
-            col(s"l.m.__v$i").as(s"left_$c"),
-            col(s"r.m.__v$i").as(s"right_$c")) }): _*)
+          valCols.flatMap(displayPair)): _*)
   }
 
   /** ANY-TYPE latest-value stream-stream diff, LIVE form (r15): the
@@ -1233,8 +1273,10 @@ object StreamOps {
     * union under MIN policy → one flatMapGroupsWithState keyed by
     * (window, key-tuple), event-time timeout at window end, null key
     * parts side-split), but state carries at most TWO (ts, canonical
-    * payload, display doubles) observations per group and the verdict is
-    * on the canonical payload strings. The fold's tie order — ts, then
+    * payload, display doubles, per-non-numeric-column canonicals)
+    * observations per group and the verdict is on the canonical payload
+    * strings; output restores TYPED left_<c>/right_<c> displays for every
+    * value column ([[displayRestore]]). The fold's tie order — ts, then
     * payload in UTF-8 byte order, then display doubles — is exactly the
     * batch twin's struct max, so stream == batch row-for-row
     * (StreamBatchParitySpec, D rows and a string value column included).
@@ -1252,8 +1294,9 @@ object StreamOps {
     requireKeyedKeys(leftFeed, rightFeed, keys, "diffStreamStreamLatestAny")
     requireNoDisplayClash(keys, valCols, "diffStreamStreamLatestAny")
     requireMatchedPayload(leftFeed, rightFeed, valCols, "diffStreamStreamLatestAny")
-    val numCols = valCols.filter(c =>
-      leftFeed.schema(c).dataType.isInstanceOf[NumericType])
+    val types = valCols.map(c => c -> leftFeed.schema(c).dataType).toMap
+    val numCols = valCols.filter(c => types(c).isInstanceOf[NumericType])
+    val strCols = valCols.filterNot(c => types(c).isInstanceOf[NumericType])
 
     def prep(df: DataFrame, isLeft: Boolean): DataFrame =
       requireEventTime(df, tsCol, "diffStreamStreamLatestAny").select(
@@ -1265,6 +1308,11 @@ object StreamOps {
           payloadCanon(df, valCols).as("pay"),
           (if (numCols.isEmpty) array().cast("array<double>")
            else array(numCols.map(c => col(c).cast("double")): _*)).as("disp"),
+          // per-NON-NUMERIC-column canonicals (NULL kept, not '\u2400' —
+          // the display restores real NULLs); determined by pay, so the
+          // pick order is untouched
+          (if (strCols.isEmpty) array().cast("array<string>")
+           else array(strCols.map(c => canonCol(types(c), col(c))): _*)).as("cvals"),
           col(tsCol).as("tsm"))
         .withWatermark("tsm", delay) // per-feed, BEFORE union → MIN policy
 
@@ -1325,11 +1373,12 @@ object StreamOps {
         }
         Iterator.single(SsvAOut(wk._1, wk._2, status,
           s.l.map(_.pay), s.r.map(_.pay),
-          s.l.map(_.disp), s.r.map(_.disp)))
+          s.l.map(_.disp), s.r.map(_.disp),
+          s.l.map(_.cvals), s.r.map(_.cvals)))
       } else {
         var s = state.getOption.getOrElse(SsvAState(None, None))
         it.foreach { e =>
-          val obs = SsvASide(e.ts_us, e.pay, e.disp)
+          val obs = SsvASide(e.ts_us, e.pay, e.disp, e.cvals)
           if (e.left_side) s = s.copy(l = Some(s.l.fold(obs)(later(_, obs))))
           else s = s.copy(r = Some(s.r.fold(obs)(later(_, obs))))
         }
@@ -1346,13 +1395,23 @@ object StreamOps {
       .groupByKey(e => (e.window_start_us, e.kp,
         if (e.kp.exists(_.isEmpty)) Some(e.left_side) else None))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+    val numIdx = numCols.zipWithIndex.toMap
+    val strIdx = strCols.zipWithIndex.toMap
+    def displayPair(c: String): Seq[Column] = numIdx.get(c) match {
+      case Some(i) => Seq(
+        element_at(col("left_disp"), i + 1).as(s"left_$c"),
+        element_at(col("right_disp"), i + 1).as(s"right_$c"))
+      case None =>
+        val i = strIdx(c)
+        Seq(
+          displayRestore(types(c), element_at(col("left_cvals"), i + 1)).as(s"left_$c"),
+          displayRestore(types(c), element_at(col("right_cvals"), i + 1)).as(s"right_$c"))
+    }
     out.select(col("window_start_us") +:
       restoredKeyCols(leftFeed.schema, keys) ++:
       (col("diff_status") +:
         col("left_payload") +: col("right_payload") +:
-        numCols.zipWithIndex.flatMap { case (c, i) => Seq(
-          element_at(col("left_disp"), i + 1).as(s"left_$c"),
-          element_at(col("right_disp"), i + 1).as(s"right_$c")) }): _*)
+        valCols.flatMap(displayPair)): _*)
   }
 
   /** Continuous-ingest CONTENT dedup against a persisted corpus — the

@@ -349,9 +349,10 @@ class StreamCensusPropSpec extends SparkTestBase {
     canonDouble(v) + US + canonStr(s)
 
   /** Latest per (window, key) by (ts, payload-utf8, display) — the
-    * any-type form's documented pick order.
+    * any-type form's documented pick order. Carries (pay, value display,
+    * typed et display) per side.
     */
-  private def latestA(rows: Seq[Ev]): Map[(Long, Option[Long]), (String, Option[Double])] =
+  private def latestA(rows: Seq[Ev]): Map[(Long, Option[Long]), (String, Option[Double], Option[String])] =
     rows.groupBy(e => (e._1 - java.lang.Math.floorMod(e._1, W), e._2))
       .map { case (g, es) =>
         val win = es.reduce { (a, b) =>
@@ -362,7 +363,7 @@ class StreamCensusPropSpec extends SparkTestBase {
             else if (cmpOpt(a._3, b._3) >= 0) a else b
           }
         }
-        g -> (payA(win._3, win._4), win._3)
+        g -> (payA(win._3, win._4), win._3, win._4)
       }
 
   private def modelLatestA(l: Seq[Ev], r: Seq[Ev]): Seq[String] = {
@@ -370,12 +371,13 @@ class StreamCensusPropSpec extends SparkTestBase {
     val rc = latestA(r)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     def row(ws: Long, k: Option[Long], st: String,
-            a: Option[(String, Option[Double])],
-            b: Option[(String, Option[Double])]) = {
+            a: Option[(String, Option[Double], Option[String])],
+            b: Option[(String, Option[Double], Option[String])]) = {
       val kStr = k.map(_.toString).getOrElse(NUL)
-      def p(x: Option[(String, Option[Double])]) = x.map(_._1).getOrElse(NUL)
-      def d(x: Option[(String, Option[Double])]) = x.map(t => fmtD(t._2)).getOrElse(NUL)
-      out += s"$ws|$kStr|$st|${p(a)}|${p(b)}|${d(a)}|${d(b)}"
+      def p(x: Option[(String, Option[Double], Option[String])]) = x.map(_._1).getOrElse(NUL)
+      def d(x: Option[(String, Option[Double], Option[String])]) = x.map(t => fmtD(t._2)).getOrElse(NUL)
+      def e(x: Option[(String, Option[Double], Option[String])]) = x.flatMap(_._3).getOrElse(NUL)
+      out += s"$ws|$kStr|$st|${p(a)}|${p(b)}|${d(a)}|${d(b)}|${e(a)}|${e(b)}"
     }
     for ((ws, k) <- (lc.keySet ++ rc.keySet) if k.nonEmpty) {
       (lc.get((ws, k)), rc.get((ws, k))) match {
@@ -393,9 +395,10 @@ class StreamCensusPropSpec extends SparkTestBase {
 
   test("diffStreamStreamLatestAnyBatch == independent JVM model on randomized feeds (r15)") {
     // The any-type latest form: payload = (v DOUBLE, et STRING), verdict
-    // on the canonical payload string, display on the double. The model
-    // re-derives the (ts, payload-utf8, display) pick order and the
-    // canonical string from the documented contract alone.
+    // on the canonical payload string, display = the exact double for v
+    // plus the TYPED restore for et (r15 widening). The model re-derives
+    // the (ts, payload-utf8, display) pick order, the canonical string,
+    // and the typed et display from the documented contract alone.
     val cases = samples(Gen.zip(feedGen, feedGen), 12, seed = 5656L)
     for (((lRows, rRows), i) <- cases.zipWithIndex) {
       val got = rowsOf(StreamOps.diffStreamStreamLatestAnyBatch(
