@@ -34,7 +34,7 @@ object ScaleProbe {
     // named parts (no args = all); parts 1-5 share fixture state (the
     // /tmp event/doc corpora part 2 writes) so they gate as one block.
     val parts: Set[Int] =
-      if (args.isEmpty) (1 to 6).toSet else args.map(_.toInt).toSet
+      if (args.isEmpty) (1 to 7).toSet else args.map(_.toInt).toSet
     if (parts.exists(_ <= 5)) {
     val l0 = graft.queries.DiffQueries.left(spark, d)
     val r0 = graft.queries.DiffQueries.right(spark, d)
@@ -172,6 +172,33 @@ object ScaleProbe {
     // tiny churn pairs (2k rows each, so plan cost dominates data cost by
     // design); the measured slope lands in PLANS.md and the batching
     // guidance in the catalogDiffTables scaladoc.
+    // Part 7 (r15): the composite/string-key census vs its single-key
+    // sibling under the same scale-up — the claim is that the key tuple
+    // is ONE MORE HASHED COLUMN through the same 2-exchange plan, not a
+    // plan change: same slope, small constant for the extra column and
+    // the string hashing. stream_diff_values_any rides along to price the
+    // canonical-payload carrier. Self-sufficient: writes the id-shifted
+    // event corpora if part 2 hasn't this session.
+    if (parts(7)) {
+      val ev7 = spark.read.parquet(s"$d/events.parquet")
+      for (m <- Seq(1, 4, 8)) {
+        val dir = s"/tmp/graft-scaleprobe-events-$m"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/events.parquet"))) {
+          (0 until m).map(i => ev7
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000000L))
+            .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        }
+        val tSingle = timed(noop(SparkEntry.queries("stream_diff_stream")(spark, dir)))
+        val tMulti = timed(noop(SparkEntry.queries("stream_diff_stream_multi")(spark, dir)))
+        val tAny = timed(noop(SparkEntry.queries("stream_diff_values_any")(spark, dir)))
+        println(f"[scale-r15] m=$m ev_rows=${100000L * m} census_single=$tSingle%.2f " +
+          f"census_multi=$tMulti%.2f latest_any=$tAny%.2f")
+      }
+    }
+
     if (parts(6)) {
       for (n <- Seq(3, 30, 300)) {
         (0 until n).foreach { i =>
