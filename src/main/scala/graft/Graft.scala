@@ -204,10 +204,19 @@ object Graft {
 
   /** TxnLog-DIRECTORY sweep (r14): every TxnLog table under `rootDir`
     * diffs its previous snapshot against its latest, version-pinned.
+    * Version endpoints override per side (r15: "v0→v2, per table");
+    * timestamp endpoints (`fromTs`/`toTs`, epoch millis) resolve per
+    * table to the latest version committed at-or-before the instant
+    * (r15: "what changed since Monday 09:00?").
     */
   def catalogDiffTxnLog(spark: org.apache.spark.sql.SparkSession,
-                        rootDir: String): DataFrame =
-    Differ.catalogDiffTxnLog(spark, rootDir)
+                        rootDir: String,
+                        fromVer: Option[Long] = None,
+                        toVer: Option[Long] = None,
+                        fromTs: Option[Long] = None,
+                        toTs: Option[Long] = None): DataFrame =
+    Differ.catalogDiffTxnLog(spark, rootDir, DiffOptions(),
+      fromVer, toVer, fromTs, toTs)
 
   /** Non-throwing auto-map census (r14): the candidate grid
     * [[diffAutoMapped]] decides from — (lc, rc, n_shared, overlap_ppm,

@@ -377,7 +377,8 @@ object GraftExtensions {
     val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 1,
       "usage: graft_diff_txnlog('/root/dir/of/txnlog/tables' " +
-        "[, from_version => 0, to_version => 2, abs_tol => 0.5, ...])")
+        "[, from_version => 0, to_version => 2, " +
+        "from_ts => '2026-01-05T12:00:00Z', to_ts => ..., abs_tol => 0.5, ...])")
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
     // version-range overrides (r15): the sweep's (fromVer, toVer) pins
     // from SQL — "what changed between v0 and v2, per table"
@@ -385,11 +386,31 @@ object GraftExtensions {
       .map(na => toLong(na.key, optValue(na.key, na.value)))
     val fromV = verArg("from_version")
     val toV = verArg("to_version")
-    val opts = foldOptions(
-      named.filterNot(na => na.key == "from_version" || na.key == "to_version"),
-      "graft_diff_txnlog", Seq("from_version", "to_version"))
+    // timestamp endpoints (r15): ISO-8601 instant string or epoch-millis
+    // integer → each table's latest version committed at-or-before the
+    // instant ("what changed since Monday 09:00?")
+    def tsArg(key: String): Option[Long] = named.find(_.key == key)
+      .map(na => optValue(na.key, na.value) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s if na.value.dataType == org.apache.spark.sql.types.StringType =>
+          try java.time.Instant.parse(s.toString).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"graft_diff_txnlog: '$key' must be an ISO-8601 instant " +
+                s"(e.g. '2026-01-05T12:00:00Z') or epoch millis, got '$s'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_diff_txnlog: '$key' must be an ISO-8601 instant string " +
+            s"or epoch-millis integer literal, got $other")
+      })
+    val fromT = tsArg("from_ts")
+    val toT = tsArg("to_ts")
+    val tvfKeys = Seq("from_version", "to_version", "from_ts", "to_ts")
+    val opts = foldOptions(named.filterNot(na => tvfKeys.contains(na.key)),
+      "graft_diff_txnlog", tvfKeys)
     Differ.catalogDiffTxnLog(SparkSession.active,
-      strLit(positional.head, "root_dir"), opts, fromV, toV)
+      strLit(positional.head, "root_dir"), opts, fromV, toV, fromT, toT)
       .queryExecution.analyzed
   }
 

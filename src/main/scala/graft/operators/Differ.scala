@@ -160,6 +160,28 @@ object Differ {
   private def q(alias: String, name: String): Column =
     col(s"$alias.`${name.replace("`", "``")}`")
 
+  /** N-ary union as a BALANCED pairwise tree, not a left fold (r15, the
+    * ScaleProbe part-6 finding): every Dataset is eagerly ANALYZED at
+    * creation, so `reduce(_ unionByName _)` re-analyzes the cumulative
+    * k-child union at each of its N steps — O(N²) analyzer node visits
+    * just to assemble the sweep, the measured superlinear factor at 300
+    * pairs. Pairwise halving analyzes O(N log N) nodes total. Execution
+    * is identical either way: CombineUnions collapses both shapes to the
+    * same single flat multi-child Union (DifferSpec pins the optimized
+    * plans equal at arity 33).
+    */
+  private[graft] def unionAllByName(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAllByName: need at least one frame")
+    @annotation.tailrec
+    def go(xs: Seq[DataFrame]): DataFrame =
+      if (xs.sizeIs == 1) xs.head
+      else go(xs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a)    => a
+      }.toSeq)
+    go(dfs)
+  }
+
   /** Escapes for embedding names in generated SQL (stack() reshape): the
     * item label is a single-quoted literal, the value a backticked ref.
     */
@@ -559,12 +581,13 @@ object Differ {
           col("column_name").as("item"), col("status").as("detail"),
           lit(null).cast("long").as("n"))
       census.unionByName(drift)
-    }.reduce(_ unionByName _)
+    }
+    val folded = unionAllByName(perTable)
     val bad = when(
       (col("kind") === "schema") ||
         (col("kind") === "census" && col("item") =!= "N" && col("n") > 0L),
       1).otherwise(0)
-    perTable
+    folded
       .withColumn("verdict",
         when(max(bad).over(Window.partitionBy("table_name")) > 0, lit("fail"))
           .otherwise(lit("pass")))
@@ -599,13 +622,17 @@ object Differ {
     * one-exchange-per-pair union job.
     *
     * Plan-size bound in TABLE COUNT (measured, ScaleProbe part 6 r15):
-    * 3/30/300 pairs ran 2.43/9.68/127.37 s end-to-end on tiny tables —
-    * near-linear, with a ~1.3× superlinear factor at 300 from analyzing
-    * one plan with 300 unioned pair subtrees. Through a few hundred
-    * tables the single-job design holds; a MULTI-THOUSAND-table catalog
-    * should batch the sweep into chunks of ~300 pairs per call (the
-    * report is a plain union — chunked results concatenate exactly)
-    * rather than pay superlinear single-plan analysis.
+    * with [[unionAllByName]]'s balanced assembly, 3/30/300 pairs ran
+    * 3.4/7.2/64.7 s end-to-end on tiny tables — per-table cost FALLS
+    * with N (0.24 s at 30 → 0.22 s at 300; fixed session cost amortizes,
+    * no superlinear term). The prior left-fold assembly measured 127.4 s
+    * at 300 (each fold step eagerly re-analyzes the cumulative union —
+    * O(N²) analyzer visits); the balanced tree halved it. Through
+    * hundreds of tables the single-job design holds outright; a
+    * MULTI-THOUSAND-table catalog can still batch into chunks of a few
+    * hundred pairs per call (the report is a plain union — chunked
+    * results concatenate exactly) to bound single-job failure blast
+    * radius, but plan cost no longer forces it.
     */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
                         pattern: String, rightFor: String => String,
@@ -647,13 +674,31 @@ object Differ {
     * (`TxnLog.read(asOf)`), so the sweep is time-travel-consistent under
     * concurrent writers at ANY requested range.
     */
+  /** TIMESTAMP endpoints (r15 — the "/asOf" half of the r14 verdict's #4
+    * ask): `fromTs`/`toTs` (epoch millis) resolve PER TABLE to the latest
+    * version committed at-or-before the instant ([[graft.sources.TxnLog
+    * .versionAsOf]] — Delta-style: a commit's timestamp is its log file's
+    * modification time), so ONE wall-clock question — "what changed since
+    * Monday 09:00?" — sweeps a catalog whose tables all sit at different
+    * version numbers. A table whose whole log postdates a requested
+    * instant survives as a `timestamp_out_of_range` error row. Version
+    * and timestamp pins are mutually exclusive PER ENDPOINT (mixing, e.g.
+    * `fromVer` with `toTs`, is legal); resolution is log metadata, the
+    * reads stay snapshot-pinned.
+    */
   def catalogDiffTxnLog(spark: org.apache.spark.sql.SparkSession,
                         rootDir: String,
                         opts: DiffOptions = DiffOptions(),
                         fromVer: Option[Long] = None,
-                        toVer: Option[Long] = None): DataFrame = {
+                        toVer: Option[Long] = None,
+                        fromTs: Option[Long] = None,
+                        toTs: Option[Long] = None): DataFrame = {
     import graft.sources.TxnLog
     import scala.jdk.CollectionConverters._
+    require(fromVer.isEmpty || fromTs.isEmpty,
+      "catalogDiffTxnLog: give from_version OR from_ts, not both")
+    require(toVer.isEmpty || toTs.isEmpty,
+      "catalogDiffTxnLog: give to_version OR to_ts, not both")
     val root = java.nio.file.Paths.get(rootDir)
     require(java.nio.file.Files.isDirectory(root),
       s"catalogDiffTxnLog: '$rootDir' is not a directory")
@@ -662,19 +707,38 @@ object Differ {
       .toSeq.sortBy(_.getFileName.toString)
     require(tables.nonEmpty,
       s"catalogDiffTxnLog: no TxnLog table (dir with _graft_log) under '$rootDir'")
+    val defaultPrev =
+      fromVer.isEmpty && toVer.isEmpty && fromTs.isEmpty && toTs.isEmpty
     sweepReport(spark, tables.map { p =>
       val name = p.getFileName.toString
       val latest = TxnLog.latestVersion(p.toString)
-      val t = toVer.getOrElse(latest)
-      val f = fromVer.getOrElse(t - 1L)
-      if (fromVer.isEmpty && toVer.isEmpty && latest < 1L)
-        (name, Left(("no_previous_version",
-          s"latest version $latest — need two snapshots to diff")))
-      else if (f < 0L || t > latest || f > t)
-        (name, Left(("version_out_of_range",
-          s"requested v$f..v$t, table has versions 0..$latest")))
-      else (name, Right((TxnLog.read(spark, p.toString, Some(f)),
-        TxnLog.read(spark, p.toString, Some(t)))))
+      // Either = the sweep's survive-one-bad-table carrier: a per-table
+      // resolution failure becomes its error row, never an exception
+      def resolve(ts: Long, label: String): Either[(String, String), Long] =
+        TxnLog.versionAsOf(p.toString, ts) match {
+          case Some(v) => Right(v)
+          case None => Left(("timestamp_out_of_range",
+            s"$label ${java.time.Instant.ofEpochMilli(ts)} predates the " +
+              s"first commit (versions 0..$latest)"))
+        }
+      val endpoints = for {
+        t <- toVer.map(v => Right(v): Either[(String, String), Long])
+          .orElse(toTs.map(resolve(_, "to_ts"))).getOrElse(Right(latest))
+        f <- fromVer.map(v => Right(v): Either[(String, String), Long])
+          .orElse(fromTs.map(resolve(_, "from_ts"))).getOrElse(Right(t - 1L))
+      } yield (f, t)
+      endpoints match {
+        case Left(err) => (name, Left(err))
+        case Right((f, t)) =>
+          if (defaultPrev && latest < 1L)
+            (name, Left(("no_previous_version",
+              s"latest version $latest — need two snapshots to diff")))
+          else if (f < 0L || t > latest || f > t)
+            (name, Left(("version_out_of_range",
+              s"requested v$f..v$t, table has versions 0..$latest")))
+          else (name, Right((TxnLog.read(spark, p.toString, Some(f)),
+            TxnLog.read(spark, p.toString, Some(t)))))
+      }
     }, opts)
   }
 
@@ -729,9 +793,8 @@ object Differ {
     }
     val stats =
       if (pairs.isEmpty) Map.empty[String, Array[(String, String, Int)]]
-      else pairs.flatMap { case (n, (l, r)) =>
-          Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) }
-        .reduce(_ unionByName _)
+      else unionAllByName(pairs.flatMap { case (n, (l, r)) =>
+          Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) })
         .filter(col("uniq"))
         .collect() // (tables × columns × 2)-bounded — schema-width metadata
         .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
@@ -765,10 +828,8 @@ object Differ {
             .select(col("tbl"), col("e.c").as("c"), col("e.v").as("v"))
             .distinct()
         }
-        val lf = multi.map { case (n, (l, _)) => longForm(n, l) }
-          .reduce(_ unionByName _)
-        val rf = multi.map { case (n, (_, r)) => longForm(n, r) }
-          .reduce(_ unionByName _)
+        val lf = unionAllByName(multi.map { case (n, (l, _)) => longForm(n, l) })
+        val rf = unionAllByName(multi.map { case (n, (_, r)) => longForm(n, r) })
         val nLeft = lf.groupBy("tbl", "c").agg(count(lit(1)).as("n_left"))
         lf.join(rf, Seq("tbl", "c", "v"))
           .groupBy("tbl", "c").agg(count(lit(1)).as("n_shared"))
@@ -846,8 +907,7 @@ object Differ {
         lit(item).as("item"), lit(detail).as("detail"),
         lit(null).cast("long").as("n"), lit("fail").as("verdict"))
     }
-    (resolved.collect { case Right(df) => df } ++ errRows)
-      .reduce(_ unionByName _)
+    unionAllByName(resolved.collect { case Right(df) => df } ++ errRows)
   }
 
   /** UNKEYED diff — multiset (bag) semantics for tables with no reliable

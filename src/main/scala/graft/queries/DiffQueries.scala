@@ -270,14 +270,36 @@ object DiffQueries {
       TxnLog.overwrite(cust, s"$root/cust_t3")
       TxnLog.overwrite(cust, s"$root/cust_t3") // three identical versions
       TxnLog.init(cust.select("c_custkey"), s"$root/shallow_t") // v0 only
+      // Pin commit TIMESTAMPS (log-file mtimes — TxnLog's Delta-style
+      // timestamp-travel clock) so the asOf sweep resolves
+      // deterministically: versions land a day apart Jan 5/6/7; shallow_t's
+      // only commit sits mid-window at Jan 6 12:00, so a from_ts of Jan 5
+      // 12:00 PREDATES its whole log (the timestamp_out_of_range class).
+      // Version-pinned reads never consult mtimes, so the range key
+      // sharing this fixture is unaffected.
+      def pin(tbl: String, vts: (Long, String)*): Unit = vts.foreach {
+        case (v, iso) => TxnLog.setCommitTime(s"$root/$tbl", v,
+          java.time.Instant.parse(iso).toEpochMilli)
+      }
+      pin("orders_t3", 0L -> "2026-01-05T00:00:00Z",
+        1L -> "2026-01-06T00:00:00Z", 2L -> "2026-01-07T00:00:00Z")
+      pin("cust_t3", 0L -> "2026-01-05T00:00:00Z",
+        1L -> "2026-01-06T00:00:00Z", 2L -> "2026-01-07T00:00:00Z")
+      pin("shallow_t", 0L -> "2026-01-06T12:00:00Z")
       root
     })
 
   /** Oracle for the version-range sweep: the v0→v2 census recomputed from
     * the RAW snapshot derivations (left vs right2) — prev-vs-latest
     * resolution (v1→v2) would produce different counts and flip the hash.
+    * Parameterized on the shallow_t error row only: the version-range key
+    * requests v0..v2 (out of range for the 1-version table), the asOf key
+    * a from_ts its whole log postdates (timestamp_out_of_range) — the
+    * orders_t3/cust_t3 censuses are IDENTICAL by construction, which is
+    * itself the pin that both endpoint spellings resolve the same
+    * snapshots.
     */
-  private lazy val TxnRangeOracle: String =
+  private def txnRangeOracleCore(errRowSql: String): String =
     s"""$Prelude,
        |r2 AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -317,10 +339,18 @@ object DiffQueries {
        |FROM rows0 r0 JOIN flag USING (table_name)
        |UNION ALL
        |SELECT * FROM (VALUES
-       |  ('shallow_t', 'error', 'version_out_of_range',
-       |   'requested v0..v2, table has versions 0..0',
-       |   CAST(NULL AS BIGINT), 'fail')
+       |  $errRowSql
        |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
+
+  private lazy val TxnRangeOracle: String = txnRangeOracleCore(
+    """('shallow_t', 'error', 'version_out_of_range',
+      |   'requested v0..v2, table has versions 0..0',
+      |   CAST(NULL AS BIGINT), 'fail')""".stripMargin)
+
+  private lazy val TxnAsofOracle: String = txnRangeOracleCore(
+    """('shallow_t', 'error', 'timestamp_out_of_range',
+      |   'from_ts 2026-01-05T12:00:00Z predates the first commit (versions 0..0)',
+      |   CAST(NULL AS BIGINT), 'fail')""".stripMargin)
 
   /** Spark twin of [[Scd2Ctes]]'s `dim`: the SCD2 history built from the
     * three snapshot versions via [[Differ.scd2]].
@@ -2488,6 +2518,28 @@ object DiffQueries {
       (s, d) =>
         Differ.catalogDiffTxnLog(s, txnRangeFixture(s, d),
           fromVer = Some(0L), toVer = Some(2L))
+    },
+
+    // TIMESTAMP-endpoint TxnLog sweep (r15; the "/asOf" half of the r14
+    // verdict's #4 ask): from_ts/to_ts resolve PER TABLE to the latest
+    // version committed at-or-before the instant (Delta-style — the
+    // commit's timestamp is its log file's mtime, pinned by the fixture:
+    // orders_t3/cust_t3 commit v0/v1/v2 a day apart Jan 5/6/7), so ONE
+    // wall-clock question sweeps tables sitting at different version
+    // numbers. from_ts = Jan 5 12:00 / to_ts = Jan 7 12:00 must resolve
+    // v0→v2 on both 3-version tables — the oracle recomputes THAT census
+    // from the raw snapshot derivations, so resolving prev-vs-latest,
+    // rounding to the NEAREST commit instead of at-or-before, or applying
+    // one global version number would all flip the hash. shallow_t's only
+    // commit (Jan 6 12:00) POSTDATES from_ts and survives as a
+    // timestamp_out_of_range error row. SQL twin: graft_diff_txnlog(root,
+    // from_ts => '2026-01-05T12:00:00Z', ...), plan-equivalence pinned in
+    // ExtensionsSpec.
+    Q("diff_catalog_txnlog_asof", TxnAsofOracle) {
+      (s, d) =>
+        Differ.catalogDiffTxnLog(s, txnRangeFixture(s, d),
+          fromTs = Some(java.time.Instant.parse("2026-01-05T12:00:00Z").toEpochMilli),
+          toTs = Some(java.time.Instant.parse("2026-01-07T12:00:00Z").toEpochMilli))
     },
 
     // TxnLog sweep from SQL (r14): `SELECT * FROM

@@ -113,6 +113,46 @@ object TxnLog {
       .foldLeft(-1L)(math.max)
   }
 
+  /** Commit history as (version, commitTimeMillis), ascending by version —
+    * Delta-style TIMESTAMP time travel: a commit's timestamp IS its log
+    * file's filesystem modification time (Delta resolves `timestampAsOf`
+    * exactly this way — no clock rides inside the commit JSON, so the log
+    * format is unchanged and pre-existing tables resolve retroactively).
+    * Metadata-only: one directory listing + one mtime stat per commit
+    * file, never a data read.
+    */
+  def commitTimes(table: String): Seq[(Long, Long)] = {
+    val dir = logPath(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => (p.getFileName.toString.stripSuffix(".json").toLong,
+        Files.getLastModifiedTime(p).toMillis))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Latest version whose commit time ≤ `tsMillis`, or None when the
+    * whole log postdates the instant (the caller's out-of-range class —
+    * a sweep demotes it to an error row). Ties at the exact instant
+    * resolve to that version (≤, not <); when wall clocks make commit
+    * times non-monotonic, the LATEST qualifying version wins — "the
+    * table as a reader at that instant would have seen it".
+    */
+  def versionAsOf(table: String, tsMillis: Long): Option[Long] = {
+    val qualifying = commitTimes(table).filter(_._2 <= tsMillis)
+    if (qualifying.isEmpty) None else Some(qualifying.map(_._1).max)
+  }
+
+  /** Pin a commit's timestamp (sets the log file's mtime) — the fixture /
+    * backfill tool for deterministic [[versionAsOf]] resolution.
+    */
+  def setCommitTime(table: String, version: Long, tsMillis: Long): Unit = {
+    val f = commitFile(table, version)
+    require(Files.exists(f), s"TxnLog.setCommitTime: no commit $version at $table")
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(tsMillis))
+  }
+
   /** Live data files with stats at `asOf` (default: latest), by replay. */
   def liveFileStats(table: String, asOf: Option[Long] = None): Seq[FileStat] = {
     val last = latestVersion(table)

@@ -1136,4 +1136,30 @@ class DifferSpec extends SparkTestBase {
     val dup = Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("k", "s")
     assert(Differ.inferDiffKey(dup, dup).isEmpty)
   }
+
+  test("unionAllByName: balanced tree == left fold at every arity; same flat optimized Union (r15)") {
+    // The sweep-assembly fix for ScaleProbe part 6's superlinear factor.
+    // The win is CONSTRUCTION cost, not final shape: every Dataset is
+    // eagerly analyzed at creation, so a left fold re-analyzes the
+    // cumulative k-child union at each of N steps (O(N²) analyzer node
+    // visits) while pairwise halving analyzes O(N log N); the OPTIMIZED
+    // plan must be the identical single flat Union either way
+    // (CombineUnions), so execution cannot differ. Pin the multiset at
+    // arity 1 / 2 / odd / pow2 and the flat-Union equivalence.
+    def frames(n: Int) = (1 to n).map(i =>
+      Seq((i.toLong, s"t$i")).toDF("k", "s"))
+    for (n <- Seq(1, 2, 3, 7, 8)) {
+      val fs = frames(n)
+      val bal = Differ.unionAllByName(fs)
+      val fold = fs.reduce(_ unionByName _)
+      assert(rowsOf(bal) == rowsOf(fold), s"arity $n")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val balOpt = Differ.unionAllByName(frames(33)).queryExecution.optimizedPlan
+    val foldOpt = frames(33).reduce(_ unionByName _).queryExecution.optimizedPlan
+    def unionArity(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case u: Union => u.children.length }
+    assert(unionArity(balOpt) == Seq(33), s"balanced: ${unionArity(balOpt)}")
+    assert(unionArity(foldOpt) == Seq(33), s"fold: ${unionArity(foldOpt)}")
+  }
 }

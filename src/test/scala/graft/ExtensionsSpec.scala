@@ -510,4 +510,62 @@ class ExtensionsSpec extends SparkTestBase {
     assert(n(api, "I") == 0L && n(dflt, "I") == 1L,
       s"range I=${n(api, "I")} default I=${n(dflt, "I")}")
   }
+
+  test("graft_diff_txnlog from_ts/to_ts resolve at-or-before per table; predating log = error row (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.{DiffOptions, Differ}
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tvfasof").toString
+    val t = s"$root/t3"
+    TxnLog.init(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), t) // v0
+    TxnLog.overwrite(Seq((1L, 1.0)).toDF("k", "v"), t) // v1: k=2 deleted
+    TxnLog.overwrite(Seq((1L, 9.0), (2L, 2.0)).toDF("k", "v"), t) // v2
+    def ms(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+    TxnLog.setCommitTime(t, 0L, ms("2026-01-05T00:00:00Z"))
+    TxnLog.setCommitTime(t, 1L, ms("2026-01-06T00:00:00Z"))
+    TxnLog.setCommitTime(t, 2L, ms("2026-01-07T00:00:00Z"))
+    // AT-OR-BEFORE, not nearest: 23:59 on Jan 5 sits a minute from v1's
+    // commit but must resolve v0
+    assert(TxnLog.versionAsOf(t, ms("2026-01-05T23:59:00Z")).contains(0L))
+    // a tie at the exact commit instant resolves to that version (≤, not <)
+    assert(TxnLog.versionAsOf(t, ms("2026-01-06T00:00:00Z")).contains(1L))
+    assert(TxnLog.versionAsOf(t, ms("2026-01-04T00:00:00Z")).isEmpty)
+    val api = Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+      fromTs = Some(ms("2026-01-05T23:59:00Z")),
+      toTs = Some(ms("2026-01-07T01:00:00Z")))
+    // the ISO-instant string and epoch-millis spellings both parse, and
+    // the TVF splices the API's plan
+    val tvf = spark.sql(s"SELECT * FROM graft_diff_txnlog('$root', " +
+      "from_ts => '2026-01-05T23:59:00Z', to_ts => " +
+      ms("2026-01-07T01:00:00Z") + ")")
+    assert(rowsOf(tvf) == rowsOf(api))
+    // resolution is the ONLY delta vs the version-pinned sweep...
+    val ranged = Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+      fromVer = Some(0L), toVer = Some(2L))
+    assert(rowsOf(api) == rowsOf(ranged))
+    // ...and MIXING spellings across endpoints is legal (fromVer + toTs)
+    val mixed = Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+      fromVer = Some(0L), toTs = Some(ms("2026-01-07T01:00:00Z")))
+    assert(rowsOf(mixed) == rowsOf(ranged))
+    // a from_ts the whole log postdates survives as an error row
+    val err = Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+      fromTs = Some(ms("2026-01-04T00:00:00Z")))
+    val rows = err.filter(col("kind") === "error").collect()
+    assert(rows.length == 1 && rows.head.getString(2) == "timestamp_out_of_range",
+      rows.mkString(";"))
+    // both spellings of ONE endpoint refuse loudly at construction
+    val e = intercept[IllegalArgumentException] {
+      Differ.catalogDiffTxnLog(spark, root, DiffOptions(),
+        fromVer = Some(0L), fromTs = Some(0L))
+    }
+    assert(e.getMessage.contains("from_version OR from_ts"), e.getMessage)
+    // a malformed TVF timestamp names the argument and the accepted forms
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_diff_txnlog('$root', " +
+        "from_ts => 'last monday')").collect()
+    }
+    assert(e2.getMessage.contains("from_ts") &&
+      e2.getMessage.contains("ISO-8601"), e2.getMessage.take(300))
+  }
 }
