@@ -199,8 +199,11 @@ object Graft {
     * exceptions.
     */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
-                        pattern: String, rightFor: String => String): DataFrame =
-    Differ.catalogDiffTables(spark, pattern, rightFor)
+                        pattern: String, rightFor: String => String,
+                        keysFor: String => Option[Seq[String]] = _ => None)
+      : DataFrame =
+    Differ.catalogDiffTables(spark, pattern, rightFor,
+      operators.DiffOptions(), keysFor)
 
   /** TxnLog-DIRECTORY sweep (r14): every TxnLog table under `rootDir`
     * diffs its previous snapshot against its latest, version-pinned.

@@ -347,15 +347,34 @@ object GraftExtensions {
     val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 3,
       "usage: graft_diff_catalog('name_regex', 'strip_suffix', 'append_suffix' " +
-        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+        "[, keys_for => 'tbl:k1,k2;tbl2:k3', abs_tol => 0.5, ...])")
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
-    val opts = foldOptions(named, "graft_diff_catalog", Seq.empty)
+    // per-table key OVERRIDES (r15): 'table:col1,col2;table2:col' — the
+    // composite-key escape hatch (election elects single columns only)
+    val keysFor: String => Option[Seq[String]] =
+      named.find(_.key == "keys_for") match {
+        case None => _ => None
+        case Some(na) =>
+          val m = strLit(na.value, "keys_for").split(";").map(_.trim)
+            .filter(_.nonEmpty).map { part =>
+              val i = part.indexOf(':')
+              require(i > 0 && i < part.length - 1,
+                s"graft_diff_catalog: keys_for entry '$part' must be " +
+                  "'table:col1,col2' (';'-separated entries)")
+              part.substring(0, i).trim ->
+                part.substring(i + 1).split(",").map(_.trim)
+                  .filter(_.nonEmpty).toSeq
+            }.toMap
+          m.get _
+      }
+    val opts = foldOptions(named.filterNot(_.key == "keys_for"),
+      "graft_diff_catalog", Seq("keys_for"))
     val spark = SparkSession.active
     val pattern = strLit(positional.head, "name_regex")
     val strip = strLit(positional(1), "strip_suffix")
     val app = strLit(positional(2), "append_suffix")
     Differ.catalogDiffTables(spark, pattern,
-      n => n.stripSuffix(strip) + app, opts).queryExecution.analyzed
+      n => n.stripSuffix(strip) + app, opts, keysFor).queryExecution.analyzed
   }
 
   /** TxnLog-directory sweep from SQL (r14):

@@ -634,9 +634,22 @@ object Differ {
     * results concatenate exactly) to bound single-job failure blast
     * radius, but plan cost no longer forces it.
     */
+  /** Per-table KEY OVERRIDES (r15): `keysFor(name) = Some(keys)` pins a
+    * pair's diff key explicitly — election only elects SINGLE columns, so
+    * a table whose identity is COMPOSITE ((order, line), (user, day))
+    * would otherwise dead-end as a `no_unique_key` error row with no
+    * recourse. An overridden pair skips the inference stats scan
+    * entirely (its columns never enter the unioned stats job); the
+    * override is the caller's assertion, carried on [[diff]]'s own
+    * contract (uniqueness is not re-verified — [[diffDupKeys]] is the
+    * audit tool), and an override naming absent columns demotes to that
+    * pair's `pair_invalid` error row like any other plan-time refusal.
+    */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
                         pattern: String, rightFor: String => String,
-                        opts: DiffOptions = DiffOptions()): DataFrame = {
+                        opts: DiffOptions = DiffOptions(),
+                        keysFor: String => Option[Seq[String]] = _ => None)
+      : DataFrame = {
     val names = spark.catalog.listTables().collect() // metadata-scale
       .map(_.name).filter(_.matches(pattern)).sorted.toSeq
     require(names.nonEmpty,
@@ -646,7 +659,7 @@ object Differ {
       if (!spark.catalog.tableExists(rName))
         (n, Left(("missing_right", rName)))
       else (n, Right((spark.table(n), spark.table(rName))))
-    }, opts)
+    }, opts, keysFor)
   }
 
   /** [[catalogDiffTables]]' lakehouse sibling (r14 — the "and/or a TxnLog
@@ -692,7 +705,9 @@ object Differ {
                         fromVer: Option[Long] = None,
                         toVer: Option[Long] = None,
                         fromTs: Option[Long] = None,
-                        toTs: Option[Long] = None): DataFrame = {
+                        toTs: Option[Long] = None,
+                        keysFor: String => Option[Seq[String]] = _ => None)
+      : DataFrame = {
     import graft.sources.TxnLog
     import scala.jdk.CollectionConverters._
     require(fromVer.isEmpty || fromTs.isEmpty,
@@ -739,7 +754,7 @@ object Differ {
           else (name, Right((TxnLog.read(spark, p.toString, Some(f)),
             TxnLog.read(spark, p.toString, Some(t)))))
       }
-    }, opts)
+    }, opts, keysFor)
   }
 
   /** Key ELECTION shared by the sweep surfaces and the single-pair
@@ -870,23 +885,32 @@ object Differ {
   private def sweepReport(spark: org.apache.spark.sql.SparkSession,
                           entries: Seq[(String, Either[(String, String),
                             (DataFrame, DataFrame)])],
-                          opts: DiffOptions): DataFrame = {
+                          opts: DiffOptions,
+                          keysFor: String => Option[Seq[String]] = _ => None)
+      : DataFrame = {
     locally {
       val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
       require(dups.isEmpty,
         s"sweep: duplicate table name(s) ${dups.toSeq.sorted.mkString(", ")}")
     }
-    val pairs = entries.collect { case (n, Right(lr)) => (n, lr) }
+    // overridden pairs never enter the inference stats job — the caller
+    // pinned their key, so scanning their columns for uniqueness would be
+    // pure waste (and composite-key tables would fail it anyway)
+    val pairs = entries.collect {
+      case (n, Right(lr)) if keysFor(n).isEmpty => (n, lr)
+    }
     val keyFor = electKeys(spark, pairs)
 
     val resolved: Seq[Either[(String, String, String), // name, item, detail
       DataFrame]] = entries.map {
       case (n, Left((item, detail))) => Left((n, item, detail))
-      case (n, Right((l, r))) => keyFor(n) match {
-        case Some(k) =>
-          // A pair diff() refuses at plan time (non-coercible retype, …)
-          // must not kill the sweep — demote the refusal to its row.
-          scala.util.Try(catalogDiff(Seq((n, l, r, Seq(k))), opts)) match {
+      case (n, Right((l, r))) =>
+        keysFor(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
+        case Some(ks) =>
+          // A pair diff() refuses at plan time (non-coercible retype, an
+          // override naming absent columns, …) must not kill the sweep —
+          // demote the refusal to its row.
+          scala.util.Try(catalogDiff(Seq((n, l, r, ks)), opts)) match {
             case scala.util.Success(df) => Right(df)
             case scala.util.Failure(e) => Left((n, "pair_invalid", {
               // total: an exception with a null/empty/whitespace message

@@ -131,6 +131,71 @@ object DiffQueries {
       .createOrReplaceTempView("gdcat_decoy_r")
   }
 
+  /** Fixture for the sweep KEY-OVERRIDE key (r15): a lineitem slice whose
+    * identity is COMPOSITE — (l_orderkey, l_linenumber), no single column
+    * unique on either side at any SF — so the election alone would
+    * dead-end it as a no_unique_key error row; the `keysFor` override is
+    * what unlocks the diff. The churn reuses diff_composite_key's
+    * derivation so the census classes are structural (C on %37 of the
+    * retained pairs, D on %41, I on the +10-linenumber %43 inserts).
+    * gdko_cust rides along UN-overridden: election and override coexist
+    * in one sweep, and the overridden pair is excluded from the inference
+    * stats job it would otherwise fail.
+    */
+  private def gdkoFixture(s: SparkSession, d: String): Unit = {
+    val li = Tables.cachedTable(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    li.createOrReplaceTempView("gdko_li_l")
+    val sum = col("l_orderkey") + col("l_linenumber")
+    li.filter(sum % 41 =!= 0)
+      .withColumn("l_quantity",
+        when(sum % 37 === 0, col("l_quantity") + 5).otherwise(col("l_quantity")))
+      .unionByName(li.filter(sum % 43 === 0)
+        .withColumn("l_linenumber", col("l_linenumber") + 10))
+      .createOrReplaceTempView("gdko_li_r")
+    val cust = Tables.cachedTable(s, d, "customer")
+    cust.createOrReplaceTempView("gdko_cust_l")
+    cust.createOrReplaceTempView("gdko_cust_r")
+  }
+
+  private lazy val GdkoOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+      |lr AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CASE WHEN (l_orderkey + l_linenumber) % 37 = 0
+      |              THEN l_quantity + 5 ELSE l_quantity END AS l_quantity
+      |  FROM li WHERE (l_orderkey + l_linenumber) % 41 <> 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber + 10, l_quantity
+      |  FROM li WHERE (l_orderkey + l_linenumber) % 43 = 0),
+      |cen AS (SELECT CASE WHEN a.l_orderkey IS NULL THEN 'I'
+      |                    WHEN b.l_orderkey IS NULL THEN 'D'
+      |                    WHEN a.l_quantity IS DISTINCT FROM b.l_quantity THEN 'C'
+      |                    ELSE 'N' END AS item
+      |        FROM li a FULL OUTER JOIN lr b
+      |          ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_linenumber = b.l_linenumber),
+      |oc AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cen GROUP BY 1),
+      |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+      |rows0 AS (
+      |  SELECT 'gdko_li_l' AS table_name, 'census' AS kind, spine.item,
+      |         CAST(NULL AS VARCHAR) AS detail,
+      |         COALESCE(oc.n, 0) AS n
+      |  FROM spine LEFT JOIN oc USING (item)
+      |  UNION ALL
+      |  SELECT 'gdko_cust_l', 'census', s.item, NULL,
+      |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+      |              ELSE 0 END
+      |  FROM spine s),
+      |flag AS (SELECT table_name,
+      |                max(CASE WHEN kind = 'schema'
+      |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+      |                         THEN 1 ELSE 0 END) AS bad
+      |         FROM rows0 GROUP BY 1)
+      |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+      |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+      |FROM rows0 r0 JOIN flag USING (table_name)""".stripMargin
+
   private lazy val GdcatSweepOracle: String =
     s"""$Prelude,
        |cen AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
@@ -2441,6 +2506,28 @@ object DiffQueries {
         graft.GraftExtensions.register(s)
         gdcatFixture(s, d)
         s.sql("SELECT * FROM graft_diff_catalog('gdcat_.*_l', '_l', '_r')")
+    },
+
+    // Sweep KEY OVERRIDES (r15): the election elects SINGLE columns only,
+    // so a table whose identity is composite — (order, line), (user, day)
+    // — would dead-end as a no_unique_key error row with no recourse.
+    // `keysFor(name) = Some(keys)` pins the key explicitly per table
+    // (`keys_for => 'tbl:k1,k2;...'` from SQL): the overridden pair skips
+    // the inference stats scan entirely (its columns would fail the
+    // uniqueness test anyway), the override rides diff()'s own contract
+    // (uniqueness asserted by the caller — diffDupKeys is the audit
+    // tool), and a bad override (absent columns) demotes to that pair's
+    // pair_invalid error row. Fixture: a lineitem slice keyed on
+    // (l_orderkey, l_linenumber) — neither column unique on either side
+    // at any SF, so election CANNOT have produced this census (a sweep
+    // that ignored the override flips the hash to an error row) —
+    // swept alongside an un-overridden customer pair whose key still
+    // elects (override and election coexist in one report).
+    Q("diff_catalog_key_override", GdkoOracle) {
+      (s, d) =>
+        gdkoFixture(s, d)
+        Differ.catalogDiffTables(s, "gdko_.*_l", n => n.stripSuffix("_l") + "_r",
+          keysFor = Map("gdko_li_l" -> Seq("l_orderkey", "l_linenumber")).get)
     },
 
     // Single-pair key inference from SQL (r15; the r14 verdict's #5 ask):

@@ -1137,6 +1137,42 @@ class DifferSpec extends SparkTestBase {
     assert(Differ.inferDiffKey(dup, dup).isEmpty)
   }
 
+  test("sweep keysFor: composite override unlocks a no-unique-key table; bad override survives as pair_invalid (r15)") {
+    import spark.implicits._
+    // composite identity: k repeats, part repeats — no single unique col
+    val l = (1L to 60L).flatMap(k => Seq(1L, 2L).map(p => (k, p, k * 10 + p)))
+      .toDF("k", "part", "v")
+    val r = l.withColumn("v",
+      when(col("k") % 7 === 0 && col("part") === 1L, col("v") + 1)
+        .otherwise(col("v")))
+    l.createOrReplaceTempView("gko_t_l"); r.createOrReplaceTempView("gko_t_r")
+    // without the override: dead end
+    val bare = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r")
+    assert(bare.filter(col("item") === "no_unique_key").count() == 1)
+    // with it: the real census (8 C rows = the %7 k values, part=1)
+    val swept = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
+      keysFor = Map("gko_t_l" -> Seq("k", "part")).get)
+    def n(df: org.apache.spark.sql.DataFrame, item: String) =
+      df.filter(col("item") === item).select("n").collect().head.getLong(0)
+    assert(n(swept, "C") == 8L && n(swept, "N") == 112L &&
+      n(swept, "I") == 0L && n(swept, "D") == 0L, rowsOf(swept).mkString(";"))
+    // an override naming an absent column: that pair's error row, not an
+    // exception (the sweep survival contract covers caller mistakes too)
+    val bad = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
+      keysFor = Map("gko_t_l" -> Seq("nope")).get)
+    val row = bad.filter(col("kind") === "error").collect()
+    assert(row.length == 1 && row.head.getString(2) == "pair_invalid",
+      row.mkString(";"))
+    // the TxnLog sweep takes the same override
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_gko").toString
+    TxnLog.init(l, s"$root/lines")
+    TxnLog.overwrite(r, s"$root/lines")
+    val txn = Differ.catalogDiffTxnLog(spark, root,
+      keysFor = Map("lines" -> Seq("k", "part")).get)
+    assert(n(txn, "C") == 8L && n(txn, "N") == 112L, rowsOf(txn).mkString(";"))
+  }
+
   test("unionAllByName: balanced tree == left fold at every arity; same flat optimized Union (r15)") {
     // The sweep-assembly fix for ScaleProbe part 6's superlinear factor.
     // The win is CONSTRUCTION cost, not final shape: every Dataset is

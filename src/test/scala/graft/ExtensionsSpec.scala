@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** SQL-surface registration of the native kernels. */
 class ExtensionsSpec extends SparkTestBase {
@@ -567,5 +567,31 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("from_ts") &&
       e2.getMessage.contains("ISO-8601"), e2.getMessage.take(300))
+  }
+
+  test("graft_diff_catalog keys_for pins composite keys == the API; malformed entries refuse (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    val l = (1L to 40L).flatMap(k => Seq(1L, 2L).map(p => (k, p, k + p)))
+      .toDF("k", "part", "v")
+    val r = l.withColumn("v",
+      when(col("k") % 5 === 0 && col("part") === 2L, col("v") + 1)
+        .otherwise(col("v")))
+    l.createOrReplaceTempView("gkf_t_l"); r.createOrReplaceTempView("gkf_t_r")
+    val tvf = spark.sql("SELECT * FROM graft_diff_catalog('gkf_t_l', '_l', " +
+      "'_r', keys_for => 'gkf_t_l:k,part')")
+    val api = Differ.catalogDiffTables(spark, "gkf_t_l", _ => "gkf_t_r",
+      keysFor = Map("gkf_t_l" -> Seq("k", "part")).get)
+    assert(rowsOf(tvf) == rowsOf(api))
+    // the census is the override's (8 C = %5 keys at part 2), not an error
+    assert(rowsOf(tvf).exists(s => s.contains("C") && s.contains("8")),
+      rowsOf(tvf).mkString(";"))
+    // a keys_for entry without 'table:cols' shape refuses naming the entry
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff_catalog('gkf_t_l', '_l', '_r', " +
+        "keys_for => 'gkf_t_l')").collect()
+    }
+    assert(e.getMessage.contains("keys_for entry"), e.getMessage.take(300))
   }
 }
