@@ -349,24 +349,7 @@ object GraftExtensions {
       "usage: graft_diff_catalog('name_regex', 'strip_suffix', 'append_suffix' " +
         "[, keys_for => 'tbl:k1,k2;tbl2:k3', abs_tol => 0.5, ...])")
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
-    // per-table key OVERRIDES (r15): 'table:col1,col2;table2:col' — the
-    // composite-key escape hatch (election elects single columns only)
-    val keysFor: String => Option[Seq[String]] =
-      named.find(_.key == "keys_for") match {
-        case None => _ => None
-        case Some(na) =>
-          val m = strLit(na.value, "keys_for").split(";").map(_.trim)
-            .filter(_.nonEmpty).map { part =>
-              val i = part.indexOf(':')
-              require(i > 0 && i < part.length - 1,
-                s"graft_diff_catalog: keys_for entry '$part' must be " +
-                  "'table:col1,col2' (';'-separated entries)")
-              part.substring(0, i).trim ->
-                part.substring(i + 1).split(",").map(_.trim)
-                  .filter(_.nonEmpty).toSeq
-            }.toMap
-          m.get _
-      }
+    val keysFor = parseKeysFor(named, "graft_diff_catalog")
     val opts = foldOptions(named.filterNot(_.key == "keys_for"),
       "graft_diff_catalog", Seq("keys_for"))
     val spark = SparkSession.active
@@ -392,12 +375,35 @@ object GraftExtensions {
       s"graft_diff option '$name' must be an integer literal, got $other")
   }
 
+  /** Per-table key OVERRIDES from SQL (r15): `keys_for =>
+    * 'table:col1,col2;table2:col'` — the composite-key escape hatch
+    * (election elects single columns only), shared by both sweep TVFs.
+    */
+  private def parseKeysFor(named: Seq[NamedArgumentExpression],
+                           fn: String): String => Option[Seq[String]] =
+    named.find(_.key == "keys_for") match {
+      case None => _ => None
+      case Some(na) =>
+        val m = strLit(na.value, "keys_for").split(";").map(_.trim)
+          .filter(_.nonEmpty).map { part =>
+            val i = part.indexOf(':')
+            require(i > 0 && i < part.length - 1,
+              s"$fn: keys_for entry '$part' must be " +
+                "'table:col1,col2' (';'-separated entries)")
+            part.substring(0, i).trim ->
+              part.substring(i + 1).split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
+          }.toMap
+        m.get _
+    }
+
   private def txnLogTvf(args: Seq[Expression]): LogicalPlan = {
     val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
     require(positional.length == 1,
       "usage: graft_diff_txnlog('/root/dir/of/txnlog/tables' " +
         "[, from_version => 0, to_version => 2, " +
-        "from_ts => '2026-01-05T12:00:00Z', to_ts => ..., abs_tol => 0.5, ...])")
+        "from_ts => '2026-01-05T12:00:00Z', to_ts => ..., " +
+        "keys_for => 'tbl:k1,k2', abs_tol => 0.5, ...])")
     val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
     // version-range overrides (r15): the sweep's (fromVer, toVer) pins
     // from SQL — "what changed between v0 and v2, per table"
@@ -425,11 +431,12 @@ object GraftExtensions {
       })
     val fromT = tsArg("from_ts")
     val toT = tsArg("to_ts")
-    val tvfKeys = Seq("from_version", "to_version", "from_ts", "to_ts")
+    val keysFor = parseKeysFor(named, "graft_diff_txnlog")
+    val tvfKeys = Seq("from_version", "to_version", "from_ts", "to_ts", "keys_for")
     val opts = foldOptions(named.filterNot(na => tvfKeys.contains(na.key)),
       "graft_diff_txnlog", tvfKeys)
     Differ.catalogDiffTxnLog(SparkSession.active,
-      strLit(positional.head, "root_dir"), opts, fromV, toV, fromT, toT)
+      strLit(positional.head, "root_dir"), opts, fromV, toV, fromT, toT, keysFor)
       .queryExecution.analyzed
   }
 

@@ -593,5 +593,17 @@ class ExtensionsSpec extends SparkTestBase {
         "keys_for => 'gkf_t_l')").collect()
     }
     assert(e.getMessage.contains("keys_for entry"), e.getMessage.take(300))
+    // the TxnLog sweep TVF takes the same override spelling
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_gkf").toString
+    TxnLog.init(l, s"$root/lines")
+    TxnLog.overwrite(r, s"$root/lines")
+    val txnTvf = spark.sql(s"SELECT * FROM graft_diff_txnlog('$root', " +
+      "keys_for => 'lines:k,part')")
+    val txnApi = Differ.catalogDiffTxnLog(spark, root,
+      keysFor = Map("lines" -> Seq("k", "part")).get)
+    assert(rowsOf(txnTvf) == rowsOf(txnApi))
+    assert(rowsOf(txnTvf).exists(s => s.contains("C") && s.contains("8")),
+      rowsOf(txnTvf).mkString(";"))
   }
 }
