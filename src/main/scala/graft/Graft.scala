@@ -193,6 +193,14 @@ object Graft {
   def catalogDiff(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
     Differ.catalogDiff(pairs)
 
+  /** Catalog-wide COLUMN drift census (r15): per (table, column), the
+    * count of key-matched rows differing in that column, with the pair's
+    * matched-row count as denominator — "which column drifted,
+    * catalog-wide?"
+    */
+  def catalogDiffCols(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
+    Differ.catalogDiffCols(pairs)
+
   /** Catalog-SOURCED sweep (r14): every catalog table matching the regex
     * diffs against `rightFor(name)` with keys auto-inferred (unique +
     * null-free on BOTH sides); unusable tables become error rows, never

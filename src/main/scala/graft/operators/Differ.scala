@@ -593,6 +593,60 @@ object Differ {
           .otherwise(lit("pass")))
   }
 
+  /** Catalog-wide COLUMN drift census (r15) — the column-grain sibling of
+    * [[catalogDiff]]'s row-grain census: per (table, column), how many
+    * key-matched rows differ in THAT column, with the pair's matched-row
+    * count as the shared denominator — "which column drifted,
+    * catalog-wide, and at what rate?" (a row census says 40k C rows; this
+    * says they're ALL the price column — the difference between paging a
+    * team and fixing one upstream job). Output: `(table_name,
+    * column_name, n_diff, n_matched)`, one row per shared value column
+    * per pair; a keys-only pair contributes no rows.
+    *
+    * Scale shape: per pair ONE inner-join exchange ([[columnStats]]'
+    * plan) and ONE aggregation pass — count(*) plus every per-column
+    * conditional sum riding the same map-side-combinable agg, so column
+    * count widens the agg row, never adds jobs — then a codegen'd stack
+    * unpivot of the 1-row agg result; pairs union into one job
+    * ([[unionAllByName]]). Tolerance/ignore options apply per
+    * [[DiffOptions]] exactly as in [[diff]].
+    */
+  def catalogDiffCols(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])],
+                      opts: DiffOptions = DiffOptions()): DataFrame = {
+    require(pairs.nonEmpty, "catalogDiffCols: need at least one table pair")
+    locally {
+      val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+      require(dups.isEmpty,
+        s"catalogDiffCols: duplicate table_name(s) ${dups.mkString(", ")}")
+    }
+    val spark = pairs.head._2.sparkSession
+    val perTable = pairs.map { case (name, left, right, keys) =>
+      val vcols = valueCols(left, right, keys, opts)
+      if (vcols.isEmpty)
+        spark.range(0).select(lit(name).as("table_name"),
+          lit("").as("column_name"), lit(0L).as("n_diff"),
+          lit(0L).as("n_matched"))
+      else {
+        val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+        val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+        val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+        val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
+        val aggs = count(lit(1)).as("__graft_nm") +: vcols.map { c =>
+          coalesce(sum(when(!colEqual(q("l", c), q("r", c), types(c), opts, c),
+            1L).otherwise(0L)), lit(0L)).as(c)
+        }
+        val wide = l.join(r, joinCond, "inner").agg(aggs.head, aggs.tail: _*)
+        val stackExpr = vcols.map(c => s"'${sqlStr(c)}', ${sqlBq(c)}").mkString(", ")
+        wide.selectExpr(
+            s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)",
+            "__graft_nm")
+          .select(lit(name).as("table_name"), col("column_name"),
+            col("n_diff"), col("__graft_nm").as("n_matched"))
+      }
+    }
+    unionAllByName(perTable)
+  }
+
   /** Catalog-SOURCED multi-table diff sweep (r14 — the r13 verdict's #4
     * ask; [[catalogDiff]] takes caller-constructed pairs, this one takes
     * the production question directly: "diff every table in the catalog

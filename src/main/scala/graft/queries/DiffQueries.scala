@@ -2464,6 +2464,63 @@ object DiffQueries {
           ("customer", cust, cust, Seq("c_custkey"))))
     },
 
+    // Catalog-wide COLUMN drift census (r15) — the column-grain sibling
+    // of diff_catalog's row census: per (table, column), how many
+    // key-matched rows differ in THAT column, with the pair's matched-row
+    // count as the denominator. A row census says "40k C rows"; this says
+    // they're ALL o_totalprice — the difference between paging a team and
+    // fixing one upstream job. Same three fixture pairs as diff_catalog:
+    // orders churn (only o_totalprice drifts — the %31 class — and the
+    // oracle pins the OTHER four columns at exactly 0, so a compare that
+    // leaked the key churn into value columns flips the hash),
+    // orders_slim (shared value column o_custkey only — dropped/added
+    // columns are schema drift, diff_catalog's beat, NOT cell drift), and
+    // customer vs itself (4 all-zero columns at the full matched count).
+    // One inner-join exchange + ONE agg pass per pair (count + every
+    // per-column conditional sum in the same map-side-combinable agg),
+    // stack-unpivoted; pairs union into one job.
+    Q("diff_catalog_cols",
+      s"""$Prelude,
+         |m AS (SELECT count(*) AS nm,
+         |        sum(CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+         |                 THEN 1 ELSE 0 END) AS d1,
+         |        sum(CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+         |                 THEN 1 ELSE 0 END) AS d2,
+         |        sum(CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+         |                 THEN 1 ELSE 0 END) AS d3,
+         |        sum(CASE WHEN l.o_orderdate IS DISTINCT FROM r.o_orderdate
+         |                 THEN 1 ELSE 0 END) AS d4,
+         |        sum(CASE WHEN l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+         |                 THEN 1 ELSE 0 END) AS d5
+         |      FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
+         |SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+         |       CAST(d1 AS BIGINT) AS n_diff, CAST(nm AS BIGINT) AS n_matched
+         |FROM m
+         |UNION ALL SELECT 'orders', 'o_orderstatus', CAST(d2 AS BIGINT),
+         |       CAST(nm AS BIGINT) FROM m
+         |UNION ALL SELECT 'orders', 'o_totalprice', CAST(d3 AS BIGINT),
+         |       CAST(nm AS BIGINT) FROM m
+         |UNION ALL SELECT 'orders', 'o_orderdate', CAST(d4 AS BIGINT),
+         |       CAST(nm AS BIGINT) FROM m
+         |UNION ALL SELECT 'orders', 'o_orderpriority', CAST(d5 AS BIGINT),
+         |       CAST(nm AS BIGINT) FROM m
+         |UNION ALL SELECT 'orders_slim', 'o_custkey', CAST(0 AS BIGINT),
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         |UNION ALL SELECT 'customer', v.c, CAST(0 AS BIGINT),
+         |       (SELECT CAST(count(*) AS BIGINT) FROM customer)
+         |FROM (VALUES ('c_name'), ('c_nationkey'), ('c_acctbal'),
+         |             ('c_mktsegment')) v(c)""".stripMargin) {
+      (s, d) =>
+        val osL = Tables.cachedTable(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val osR = osL.drop("o_totalprice").withColumn("load_batch", lit(7L))
+        val cust = Tables.cachedTable(s, d, "customer")
+        Differ.catalogDiffCols(Seq(
+          ("orders", left(s, d), right(s, d), keys),
+          ("orders_slim", osL, osR, Seq("o_orderkey")),
+          ("customer", cust, cust, Seq("c_custkey"))))
+    },
+
     // Catalog-SOURCED sweep (r14; the r13 verdict's #4 ask — diff_catalog
     // takes caller-built pairs, this answers the production question
     // directly: "diff every gdcat_*_l table against its _r counterpart"):

@@ -1173,6 +1173,32 @@ class DifferSpec extends SparkTestBase {
     assert(n(txn, "C") == 8L && n(txn, "N") == 112L, rowsOf(txn).mkString(";"))
   }
 
+  test("catalogDiffCols: zero-match pairs report n_matched=0, keys-only pairs no rows, tolerance respected (r15)") {
+    import spark.implicits._
+    val l = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "s")
+    val r = Seq((1L, 10.4, "a"), (2L, 20.0, "c")).toDF("k", "v", "s")
+    val out = Differ.catalogDiffCols(Seq(("t", l, r, Seq("k")))).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(out == Set(("v", 1L, 2L), ("s", 1L, 2L)), out.toString)
+    // tolerance flows through DiffOptions exactly as in diff()
+    val tol = Differ.catalogDiffCols(Seq(("t", l, r, Seq("k"))),
+      DiffOptions(absTol = 0.5)).collect()
+      .map(x => (x.getString(1), x.getLong(2))).toSet
+    assert(tol == Set(("v", 0L), ("s", 1L)), tol.toString)
+    // disjoint keys: the agg over zero joined rows must land n_matched=0
+    // (count) and n_diff=0 (coalesced sums), not NULLs
+    val rx = Seq((9L, 1.0, "z")).toDF("k", "v", "s")
+    val zero = Differ.catalogDiffCols(Seq(("t", l, rx, Seq("k")))).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(zero == Set(("v", 0L, 0L), ("s", 0L, 0L)), zero.toString)
+    // keys-only pair: nothing to census, zero rows — alongside a real pair
+    val ko = Seq(Tuple1(1L)).toDF("k")
+    val mixed = Differ.catalogDiffCols(Seq(
+      ("keysonly", ko, ko, Seq("k")), ("t", l, r, Seq("k"))))
+    assert(mixed.filter(col("table_name") === "keysonly").count() == 0 &&
+      mixed.filter(col("table_name") === "t").count() == 2)
+  }
+
   test("unionAllByName: balanced tree == left fold at every arity; same flat optimized Union (r15)") {
     // The sweep-assembly fix for ScaleProbe part 6's superlinear factor.
     // The win is CONSTRUCTION cost, not final shape: every Dataset is
