@@ -208,7 +208,7 @@ object Graft {
     */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
                         pattern: String, rightFor: String => String,
-                        keysFor: String => Option[Seq[String]] = _ => None)
+                        keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame =
     Differ.catalogDiffTables(spark, pattern, rightFor,
       operators.DiffOptions(), keysFor)
@@ -225,9 +225,10 @@ object Graft {
                         fromVer: Option[Long] = None,
                         toVer: Option[Long] = None,
                         fromTs: Option[Long] = None,
-                        toTs: Option[Long] = None): DataFrame =
+                        toTs: Option[Long] = None,
+                        keysFor: Map[String, Seq[String]] = Map.empty): DataFrame =
     Differ.catalogDiffTxnLog(spark, rootDir, DiffOptions(),
-      fromVer, toVer, fromTs, toTs)
+      fromVer, toVer, fromTs, toTs, keysFor)
 
   /** Non-throwing auto-map census (r14): the candidate grid
     * [[diffAutoMapped]] decides from — (lc, rc, n_shared, overlap_ppm,

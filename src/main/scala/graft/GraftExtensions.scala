@@ -378,14 +378,17 @@ object GraftExtensions {
   /** Per-table key OVERRIDES from SQL (r15): `keys_for =>
     * 'table:col1,col2;table2:col'` — the composite-key escape hatch
     * (election elects single columns only), shared by both sweep TVFs.
+    * Duplicate table entries refuse loudly (a .toMap would silently keep
+    * the last — r15 review); unmatched table names refuse downstream in
+    * the sweep itself.
     */
   private def parseKeysFor(named: Seq[NamedArgumentExpression],
-                           fn: String): String => Option[Seq[String]] =
+                           fn: String): Map[String, Seq[String]] =
     named.find(_.key == "keys_for") match {
-      case None => _ => None
+      case None => Map.empty
       case Some(na) =>
-        val m = strLit(na.value, "keys_for").split(";").map(_.trim)
-          .filter(_.nonEmpty).map { part =>
+        val entries = strLit(na.value, "keys_for").split(";").map(_.trim)
+          .filter(_.nonEmpty).toSeq.map { part =>
             val i = part.indexOf(':')
             require(i > 0 && i < part.length - 1,
               s"$fn: keys_for entry '$part' must be " +
@@ -393,8 +396,12 @@ object GraftExtensions {
             part.substring(0, i).trim ->
               part.substring(i + 1).split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq
-          }.toMap
-        m.get _
+          }
+        val dups = entries.map(_._1).groupBy(identity)
+          .filter(_._2.size > 1).keys.toSeq.sorted
+        require(dups.isEmpty,
+          s"$fn: keys_for names table(s) ${dups.mkString(", ")} more than once")
+        entries.toMap
     }
 
   private def txnLogTvf(args: Seq[Expression]): LogicalPlan = {

@@ -619,32 +619,54 @@ object Differ {
       require(dups.isEmpty,
         s"catalogDiffCols: duplicate table_name(s) ${dups.mkString(", ")}")
     }
-    val spark = pairs.head._2.sparkSession
-    val perTable = pairs.map { case (name, left, right, keys) =>
-      val vcols = valueCols(left, right, keys, opts)
-      if (vcols.isEmpty)
-        spark.range(0).select(lit(name).as("table_name"),
-          lit("").as("column_name"), lit(0L).as("n_diff"),
-          lit(0L).as("n_matched"))
-      else {
-        val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
-        val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
-        val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
-        val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
-        val aggs = count(lit(1)).as("__graft_nm") +: vcols.map { c =>
-          coalesce(sum(when(!colEqual(q("l", c), q("r", c), types(c), opts, c),
-            1L).otherwise(0L)), lit(0L)).as(c)
-        }
-        val wide = l.join(r, joinCond, "inner").agg(aggs.head, aggs.tail: _*)
-        val stackExpr = vcols.map(c => s"'${sqlStr(c)}', ${sqlBq(c)}").mkString(", ")
-        wide.selectExpr(
-            s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)",
-            "__graft_nm")
-          .select(lit(name).as("table_name"), col("column_name"),
-            col("n_diff"), col("__graft_nm").as("n_matched"))
-      }
+    unionAllByName(pairs.map { case (name, left, right, keys) =>
+      columnDiffCounts(left, right, keys, opts)
+        .select(lit(name).as("table_name"), col("column_name"),
+          col("n_diff"), col("n_matched"))
+    })
+  }
+
+  /** Shared body of [[columnStats]] and [[catalogDiffCols]] (r15 review:
+    * two near-identical copies would drift): keys + shared value columns
+    * through [[digested]] + [[coerceValueTypes]] — the SAME preparation
+    * as [[diff]], so a retyped column widens (or refuses) identically and
+    * tolerance applies on the widened type, never via a silent implicit
+    * cast on mismatched sides — then ONE inner join + ONE aggregation
+    * pass (count(*) plus every per-column conditional sum in the same
+    * map-side-combinable agg) and a codegen'd stack unpivot. Internal
+    * aliases are positional (`__graft_d_<i>`), so user columns named
+    * anything — including the markers themselves — cannot collide.
+    * Output: (column_name, n_diff, n_matched); zero shared value columns
+    * → zero rows.
+    */
+  private def columnDiffCounts(left0: DataFrame, right0: DataFrame,
+                               keys: Seq[String],
+                               opts: DiffOptions): DataFrame = {
+    requireNoDefaultTolDigestClash(left0, opts)
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
+    val vcols = valueCols(left, right, keys, opts)
+    val spark = left0.sparkSession
+    if (vcols.isEmpty)
+      return spark.range(0).select(lit("").as("column_name"),
+        lit(0L).as("n_diff"), lit(0L).as("n_matched"))
+    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
+    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
+    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
+    val aggs = count(lit(1)).as("__graft_nm") +: vcols.zipWithIndex.map {
+      case (c, i) =>
+        coalesce(sum(when(!colEqual(q("l", c), q("r", c), types(c), opts, c),
+          1L).otherwise(0L)), lit(0L)).as(s"__graft_d_$i")
     }
-    unionAllByName(perTable)
+    val wide = l.join(r, joinCond, "inner").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = vcols.zipWithIndex
+      .map { case (c, i) => s"'${sqlStr(c)}', `__graft_d_$i`" }.mkString(", ")
+    wide.selectExpr(
+        s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)",
+        "`__graft_nm`")
+      .select(col("column_name"), col("n_diff"),
+        col("__graft_nm").as("n_matched"))
   }
 
   /** Catalog-SOURCED multi-table diff sweep (r14 — the r13 verdict's #4
@@ -687,8 +709,8 @@ object Differ {
     * hundred pairs per call (the report is a plain union — chunked
     * results concatenate exactly) to bound single-job failure blast
     * radius, but plan cost no longer forces it.
-    */
-  /** Per-table KEY OVERRIDES (r15): `keysFor(name) = Some(keys)` pins a
+    *
+    * Per-table KEY OVERRIDES (r15): `keysFor(name) = keys` pins a
     * pair's diff key explicitly — election only elects SINGLE columns, so
     * a table whose identity is COMPOSITE ((order, line), (user, day))
     * would otherwise dead-end as a `no_unique_key` error row with no
@@ -698,11 +720,14 @@ object Differ {
     * contract (uniqueness is not re-verified — [[diffDupKeys]] is the
     * audit tool), and an override naming absent columns demotes to that
     * pair's `pair_invalid` error row like any other plan-time refusal.
+    * An override naming a table the sweep never visits refuses LOUDLY at
+    * construction (r15 review: a misspelled entry would otherwise be
+    * silently ignored while its pair falls back to election).
     */
   def catalogDiffTables(spark: org.apache.spark.sql.SparkSession,
                         pattern: String, rightFor: String => String,
                         opts: DiffOptions = DiffOptions(),
-                        keysFor: String => Option[Seq[String]] = _ => None)
+                        keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
     val names = spark.catalog.listTables().collect() // metadata-scale
       .map(_.name).filter(_.matches(pattern)).sorted.toSeq
@@ -727,8 +752,8 @@ object Differ {
     * Enumeration and version resolution are log metadata (KB-sized JSON);
     * the reads are snapshot-pinned parquet scans, so the whole sweep is
     * time-travel-consistent even while writers keep committing.
-    */
-  /** Version-RANGE overrides (r15 — the r14 verdict's #4 ask): the
+    *
+    * Version-RANGE overrides (r15 — the r14 verdict's #4 ask): the
     * default `(None, None)` diffs prev-vs-latest per table (the nightly
     * check); `fromVer`/`toVer` pin the endpoints GLOBALLY across the
     * sweep — "what changed between v0 and v2, per table" / "since Monday"
@@ -740,8 +765,8 @@ object Differ {
     * other failure class. All reads stay snapshot-pinned
     * (`TxnLog.read(asOf)`), so the sweep is time-travel-consistent under
     * concurrent writers at ANY requested range.
-    */
-  /** TIMESTAMP endpoints (r15 — the "/asOf" half of the r14 verdict's #4
+    *
+    * TIMESTAMP endpoints (r15 — the "/asOf" half of the r14 verdict's #4
     * ask): `fromTs`/`toTs` (epoch millis) resolve PER TABLE to the latest
     * version committed at-or-before the instant ([[graft.sources.TxnLog
     * .versionAsOf]] — Delta-style: a commit's timestamp is its log file's
@@ -760,7 +785,7 @@ object Differ {
                         toVer: Option[Long] = None,
                         fromTs: Option[Long] = None,
                         toTs: Option[Long] = None,
-                        keysFor: String => Option[Seq[String]] = _ => None)
+                        keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
     import graft.sources.TxnLog
     import scala.jdk.CollectionConverters._
@@ -771,9 +796,14 @@ object Differ {
     val root = java.nio.file.Paths.get(rootDir)
     require(java.nio.file.Files.isDirectory(root),
       s"catalogDiffTxnLog: '$rootDir' is not a directory")
-    val tables = java.nio.file.Files.list(root).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
-      .toSeq.sortBy(_.getFileName.toString)
+    // close the listing stream — Files.list holds a dir fd open (r15 review)
+    val tables = locally {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
     require(tables.nonEmpty,
       s"catalogDiffTxnLog: no TxnLog table (dir with _graft_log) under '$rootDir'")
     val defaultPrev =
@@ -940,18 +970,26 @@ object Differ {
                           entries: Seq[(String, Either[(String, String),
                             (DataFrame, DataFrame)])],
                           opts: DiffOptions,
-                          keysFor: String => Option[Seq[String]] = _ => None)
+                          keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
     locally {
       val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
       require(dups.isEmpty,
         s"sweep: duplicate table name(s) ${dups.toSeq.sorted.mkString(", ")}")
+      // a keysFor entry naming a table the sweep never visits is a config
+      // typo — silently ignoring it would let the pair fall back to
+      // election with no diagnostic (r15 review)
+      val orphans = (keysFor.keySet -- entries.map(_._1)).toSeq.sorted
+      require(orphans.isEmpty,
+        s"sweep: keys_for entr${if (orphans.size == 1) "y" else "ies"} " +
+          s"${orphans.mkString(", ")} match${if (orphans.size == 1) "es" else ""} " +
+          "no swept table")
     }
     // overridden pairs never enter the inference stats job — the caller
     // pinned their key, so scanning their columns for uniqueness would be
     // pure waste (and composite-key tables would fail it anyway)
     val pairs = entries.collect {
-      case (n, Right(lr)) if keysFor(n).isEmpty => (n, lr)
+      case (n, Right(lr)) if !keysFor.contains(n) => (n, lr)
     }
     val keyFor = electKeys(spark, pairs)
 
@@ -959,7 +997,7 @@ object Differ {
       DataFrame]] = entries.map {
       case (n, Left((item, detail))) => Left((n, item, detail))
       case (n, Right((l, r))) =>
-        keysFor(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
+        keysFor.get(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
         case Some(ks) =>
           // A pair diff() refuses at plan time (non-coercible retype, an
           // override naming absent columns, …) must not kill the sweep —
@@ -1049,10 +1087,16 @@ object Differ {
     * null-extend and then discard the I/D rows (Catalyst cannot push a
     * filter on a derived CASE column back through a full-outer join). Same
     * single shuffle, no wasted null-extension work; plan shape is asserted
-    * in PlanSpec.
+    * in PlanSpec. Inputs route through [[digested]] + [[coerceValueTypes]]
+    * (r15 review — diff()'s preparation): a retyped column widens or
+    * refuses exactly like [[diff]], instead of comparing mismatched sides
+    * through a silent implicit cast.
     */
-  private def innerDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
+  private def innerDiff(left0: DataFrame, right0: DataFrame, keys: Seq[String],
                         opts: DiffOptions, keepEqual: Boolean): DataFrame = {
+    requireNoDefaultTolDigestClash(left0, opts)
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
@@ -1083,23 +1127,12 @@ object Differ {
 
   /** Per value-column count of differing key-matched rows — one aggregation
     * pass over the joined pairs (no per-column jobs), then unpivoted to
-    * (column_name, n_diff).
+    * (column_name, n_diff). Delegates to [[columnDiffCounts]] (r15), so
+    * retyped columns widen-or-refuse exactly as in [[diff]].
     */
   def columnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
-                  opts: DiffOptions = DiffOptions()): DataFrame = {
-    val vcols = valueCols(left, right, keys, opts)
-    val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
-    val r = right.select((keys ++ vcols).map(bq): _*).alias("r")
-    val joinCond = keys.map(k => opts.keyEq(q("l", k), q("r", k))).reduce(_ && _)
-    val joined = l.join(r, joinCond, "inner")
-    val aggs = vcols.map { c =>
-      sum(when(!colEqual(q("l", c), q("r", c), types(c), opts, c), 1L).otherwise(0L)).as(c)
-    }
-    val wide = joined.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = vcols.map(c => s"'${sqlStr(c)}', ${sqlBq(c)}").mkString(", ")
-    wide.selectExpr(s"stack(${vcols.size}, $stackExpr) as (column_name, n_diff)")
-  }
+                  opts: DiffOptions = DiffOptions()): DataFrame =
+    columnDiffCounts(left, right, keys, opts).select("column_name", "n_diff")
 
   /** Per changed row, WHICH value columns differ: key columns +
     * `changed_cols` (comma-joined column names, in schema order) +
@@ -1107,8 +1140,11 @@ object Differ {
     * list is a codegen'd concat_ws over per-column CASEs (concat_ws skips
     * nulls in Spark and DuckDB alike, so the oracle replays it verbatim).
     */
-  def changedCols(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def changedCols(left0: DataFrame, right0: DataFrame, keys: Seq[String],
                   opts: DiffOptions = DiffOptions()): DataFrame = {
+    requireNoDefaultTolDigestClash(left0, opts)
+    val (left, right) = coerceValueTypes(
+      digested(left0, keys, opts), digested(right0, keys, opts), keys, opts)
     val vcols = valueCols(left, right, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val l = left.select((keys ++ vcols).map(bq): _*).alias("l")
@@ -1131,8 +1167,11 @@ object Differ {
     * mean |delta| (DECIMAL-exact sum → deterministic under shuffle) and max
     * |delta|. One aggregation pass, unpivoted like [[columnStats]].
     */
-  def numericStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def numericStats(left0: DataFrame, right0: DataFrame, keys: Seq[String],
                    opts: DiffOptions = DiffOptions()): DataFrame = {
+    // same diff() preparation as innerDiff (r15 review): a retyped numeric
+    // column widens on both sides before the delta math
+    val (left, right) = coerceValueTypes(left0, right0, keys, opts)
     val types = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val vcols = valueCols(left, right, keys, opts).filter(c => numeric(types(c)))
     require(vcols.nonEmpty, "numericStats requires at least one shared numeric value column")

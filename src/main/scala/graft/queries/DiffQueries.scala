@@ -2584,7 +2584,7 @@ object DiffQueries {
       (s, d) =>
         gdkoFixture(s, d)
         Differ.catalogDiffTables(s, "gdko_.*_l", n => n.stripSuffix("_l") + "_r",
-          keysFor = Map("gdko_li_l" -> Seq("l_orderkey", "l_linenumber")).get)
+          keysFor = Map("gdko_li_l" -> Seq("l_orderkey", "l_linenumber")))
     },
 
     // Single-pair key inference from SQL (r15; the r14 verdict's #5 ask):

@@ -102,15 +102,26 @@ object TxnLog {
   /** One live data file with its optional key-range stats. */
   final case class FileStat(file: String, keyRange: Option[(Long, Long)])
 
+  /** `Files.list` holds an open directory handle until the stream is
+    * CLOSED (the JDK contract) — a long-lived driver sweeping hundreds of
+    * tables nightly would otherwise accumulate unclosed dir fds until GC
+    * (r15 review). Every directory listing in this object routes through
+    * this bracket.
+    */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Latest committed version, or -1 for an empty/absent log. */
   def latestVersion(table: String): Long = {
     val dir = logPath(table)
     if (!Files.isDirectory(dir)) -1L
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)(_
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
-      .foldLeft(-1L)(math.max)
+      .foldLeft(-1L)(math.max))
   }
 
   /** Commit history as (version, commitTimeMillis), ascending by version —
@@ -124,11 +135,11 @@ object TxnLog {
   def commitTimes(table: String): Seq[(Long, Long)] = {
     val dir = logPath(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)(_
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => (p.getFileName.toString.stripSuffix(".json").toLong,
         Files.getLastModifiedTime(p).toMillis))
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(_._1))
   }
 
   /** Latest version whose commit time ≤ `tsMillis`, or None when the
@@ -268,16 +279,20 @@ object TxnLog {
     Files.createDirectories(parent)
     val staging = Files.createTempDirectory(parent, ".txn-staging-")
     df.write.mode("overwrite").parquet(staging.toString)
-    val files = Files.list(staging).iterator().asScala
+    val files = listDir(staging)(_
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq.sortBy(_.getFileName.toString))
     Files.createDirectories(Paths.get(table))
     val names = files.map { f =>
       val name = f.getFileName.toString
       Files.move(f, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    locally {
+      val w = Files.walk(staging)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally w.close()
+    }
     names
   }
 

@@ -1151,7 +1151,7 @@ class DifferSpec extends SparkTestBase {
     assert(bare.filter(col("item") === "no_unique_key").count() == 1)
     // with it: the real census (8 C rows = the %7 k values, part=1)
     val swept = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
-      keysFor = Map("gko_t_l" -> Seq("k", "part")).get)
+      keysFor = Map("gko_t_l" -> Seq("k", "part")))
     def n(df: org.apache.spark.sql.DataFrame, item: String) =
       df.filter(col("item") === item).select("n").collect().head.getLong(0)
     assert(n(swept, "C") == 8L && n(swept, "N") == 112L &&
@@ -1159,7 +1159,7 @@ class DifferSpec extends SparkTestBase {
     // an override naming an absent column: that pair's error row, not an
     // exception (the sweep survival contract covers caller mistakes too)
     val bad = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
-      keysFor = Map("gko_t_l" -> Seq("nope")).get)
+      keysFor = Map("gko_t_l" -> Seq("nope")))
     val row = bad.filter(col("kind") === "error").collect()
     assert(row.length == 1 && row.head.getString(2) == "pair_invalid",
       row.mkString(";"))
@@ -1169,8 +1169,60 @@ class DifferSpec extends SparkTestBase {
     TxnLog.init(l, s"$root/lines")
     TxnLog.overwrite(r, s"$root/lines")
     val txn = Differ.catalogDiffTxnLog(spark, root,
-      keysFor = Map("lines" -> Seq("k", "part")).get)
+      keysFor = Map("lines" -> Seq("k", "part")))
     assert(n(txn, "C") == 8L && n(txn, "N") == 112L, rowsOf(txn).mkString(";"))
+    // an override naming a table the sweep never visits is a config typo
+    // — refuse LOUDLY, don't let the pair silently fall back to election
+    val e2 = intercept[IllegalArgumentException] {
+      Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
+        keysFor = Map("gko_t" -> Seq("k", "part")))
+    }
+    assert(e2.getMessage.contains("gko_t") &&
+      e2.getMessage.contains("no swept table"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Differ.catalogDiffTxnLog(spark, root,
+        keysFor = Map("lines_typo" -> Seq("k")))
+    }
+    assert(e3.getMessage.contains("lines_typo"), e3.getMessage)
+  }
+
+  test("inner-diff family routes through diff()'s coercion: retypes widen-or-refuse, never implicit-cast (r15 review)") {
+    import spark.implicits._
+    val l = Seq((1L, 10), (2L, 20)).toDF("k", "v") // v: INT
+    val rWide = Seq((1L, 10.4), (2L, 20.0)).toDF("k", "v") // v: DOUBLE
+    // tolerance must apply on the WIDENED (floating) type — before the
+    // fix, colEqual routed on the left INT type, tolerance never applied,
+    // and the column census disagreed with diff()'s row census
+    val opts = DiffOptions(absTol = 0.5)
+    assert(Differ.changed(l, rWide, Seq("k"), opts).count() == 0L)
+    assert(Differ.unchanged(l, rWide, Seq("k"), opts).count() == 2L)
+    val cs = Differ.columnStats(l, rWide, Seq("k"), opts).collect()
+    assert(cs.length == 1 && cs.head.getLong(1) == 0L, cs.mkString(";"))
+    val cc = Differ.catalogDiffCols(Seq(("t", l, rWide, Seq("k"))), opts)
+      .collect()
+    assert(cc.length == 1 && cc.head.getLong(2) == 0L, cc.mkString(";"))
+    // ...and diff() agrees (the alignment IS the point)
+    assert(Differ.diff(l, rWide, Seq("k"), opts)
+      .filter(col("diff_status") === "C").count() == 0L)
+    // a non-coercible retype refuses loudly naming the column — it cannot
+    // silently compare '7' with 7 through an implicit cast
+    val rStr = Seq((1L, "10"), (2L, "20")).toDF("k", "v")
+    for (f <- Seq(
+      () => Differ.changed(l, rStr, Seq("k")),
+      () => Differ.changedCols(l, rStr, Seq("k")),
+      () => Differ.columnStats(l, rStr, Seq("k")),
+      () => Differ.numericStats(l, rStr, Seq("k")))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("'v'") &&
+        e.getMessage.contains("not numeric-coercible"), e.getMessage)
+    }
+    // widened output types: changed() carries the common type like diff()
+    val rLong = Seq((1L, 11), (2L, 20)).toDF("k", "v")
+      .select(col("k"), col("v").cast("long").as("v"))
+    val ch = Differ.changed(l, rLong, Seq("k"))
+    assert(ch.schema("left_v").dataType ==
+      org.apache.spark.sql.types.LongType, ch.schema.treeString)
+    assert(ch.count() == 1L)
   }
 
   test("catalogDiffCols: zero-match pairs report n_matched=0, keys-only pairs no rows, tolerance respected (r15)") {

@@ -582,7 +582,7 @@ class ExtensionsSpec extends SparkTestBase {
     val tvf = spark.sql("SELECT * FROM graft_diff_catalog('gkf_t_l', '_l', " +
       "'_r', keys_for => 'gkf_t_l:k,part')")
     val api = Differ.catalogDiffTables(spark, "gkf_t_l", _ => "gkf_t_r",
-      keysFor = Map("gkf_t_l" -> Seq("k", "part")).get)
+      keysFor = Map("gkf_t_l" -> Seq("k", "part")))
     assert(rowsOf(tvf) == rowsOf(api))
     // the census is the override's (8 C = %5 keys at part 2), not an error
     assert(rowsOf(tvf).exists(s => s.contains("C") && s.contains("8")),
@@ -593,6 +593,12 @@ class ExtensionsSpec extends SparkTestBase {
         "keys_for => 'gkf_t_l')").collect()
     }
     assert(e.getMessage.contains("keys_for entry"), e.getMessage.take(300))
+    // the same table twice would silently last-win through .toMap — refuse
+    val eDup = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff_catalog('gkf_t_l', '_l', '_r', " +
+        "keys_for => 'gkf_t_l:k;gkf_t_l:part')").collect()
+    }
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage.take(300))
     // the TxnLog sweep TVF takes the same override spelling
     import graft.sources.TxnLog
     val root = java.nio.file.Files.createTempDirectory("graft_gkf").toString
@@ -601,7 +607,7 @@ class ExtensionsSpec extends SparkTestBase {
     val txnTvf = spark.sql(s"SELECT * FROM graft_diff_txnlog('$root', " +
       "keys_for => 'lines:k,part')")
     val txnApi = Differ.catalogDiffTxnLog(spark, root,
-      keysFor = Map("lines" -> Seq("k", "part")).get)
+      keysFor = Map("lines" -> Seq("k", "part")))
     assert(rowsOf(txnTvf) == rowsOf(txnApi))
     assert(rowsOf(txnTvf).exists(s => s.contains("C") && s.contains("8")),
       rowsOf(txnTvf).mkString(";"))
