@@ -201,6 +201,18 @@ object Graft {
   def catalogDiffCols(pairs: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
     Differ.catalogDiffCols(pairs)
 
+  /** Catalog-SOURCED column drift census (r15): the column census over
+    * every catalog table matching the regex, keys elected or overridden
+    * like [[catalogDiffTables]]; un-censusable tables survive as note
+    * rows.
+    */
+  def catalogDiffTablesCols(spark: org.apache.spark.sql.SparkSession,
+                            pattern: String, rightFor: String => String,
+                            keysFor: Map[String, Seq[String]] = Map.empty)
+      : DataFrame =
+    Differ.catalogDiffTablesCols(spark, pattern, rightFor,
+      operators.DiffOptions(), keysFor)
+
   /** Catalog-SOURCED sweep (r14): every catalog table matching the regex
     * diffs against `rightFor(name)` with keys auto-inferred (unique +
     * null-free on BOTH sides); unusable tables become error rows, never

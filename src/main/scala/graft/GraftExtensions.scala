@@ -123,6 +123,10 @@ object GraftExtensions {
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog"),
       catalogTvf(_)),
     (
+      FunctionIdentifier("graft_diff_catalog_cols"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog_cols"),
+      catalogColsTvf(_)),
+    (
       FunctionIdentifier("graft_diff_txnlog"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_txnlog"),
       txnLogTvf(_)),
@@ -373,6 +377,28 @@ object GraftExtensions {
     case l: Long => l
     case other => throw new IllegalArgumentException(
       s"graft_diff option '$name' must be an integer literal, got $other")
+  }
+
+  /** Catalog-sourced COLUMN drift census from SQL (r15):
+    * `SELECT * FROM graft_diff_catalog_cols('regex', '_l', '_r'
+    * [, keys_for => ..., abs_tol => ...])` — [[Differ
+    * .catalogDiffTablesCols]] spliced at analysis time like every graft
+    * TVF; same positional convention as graft_diff_catalog.
+    */
+  private def catalogColsTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff_catalog_cols('name_regex', 'strip_suffix', " +
+        "'append_suffix' [, keys_for => 'tbl:k1,k2', abs_tol => 0.5, ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val keysFor = parseKeysFor(named, "graft_diff_catalog_cols")
+    val opts = foldOptions(named.filterNot(_.key == "keys_for"),
+      "graft_diff_catalog_cols", Seq("keys_for"))
+    Differ.catalogDiffTablesCols(SparkSession.active,
+      strLit(positional.head, "name_regex"),
+      n => n.stripSuffix(strLit(positional(1), "strip_suffix")) +
+        strLit(positional(2), "append_suffix"),
+      opts, keysFor).queryExecution.analyzed
   }
 
   /** Per-table key OVERRIDES from SQL (r15): `keys_for =>

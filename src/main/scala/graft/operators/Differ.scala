@@ -669,6 +669,73 @@ object Differ {
         col("__graft_nm").as("n_matched"))
   }
 
+  /** Catalog-SOURCED column drift census (r15): [[catalogDiffCols]] takes
+    * caller-constructed pairs; this one takes the production question
+    * directly — "which column drifted, across every table matching
+    * `pattern`?" — with [[catalogDiffTables]]' exact enumeration, key
+    * election, and `keysFor` overrides. Output adds a `note` column to
+    * [[catalogDiffCols]]' shape: healthy rows carry NULL, and a table the
+    * census cannot cover survives as ONE `(name, NULL, NULL, NULL,
+    * '<class>: <detail>')` row — the same survive-one-bad-table contract
+    * as the row-census sweep, in column-census shape. Scale shape
+    * inherits both parents': metadata enumeration + the schema-width
+    * stats job, then one inner-join exchange + one agg pass per pair.
+    */
+  def catalogDiffTablesCols(spark: org.apache.spark.sql.SparkSession,
+                            pattern: String, rightFor: String => String,
+                            opts: DiffOptions = DiffOptions(),
+                            keysFor: Map[String, Seq[String]] = Map.empty)
+      : DataFrame = {
+    val names = spark.catalog.listTables().collect() // metadata-scale
+      .map(_.name).filter(_.matches(pattern)).sorted.toSeq
+    require(names.nonEmpty,
+      s"catalogDiffTablesCols: no catalog table matches pattern '$pattern'")
+    val entries: Seq[(String, Either[(String, String), (DataFrame, DataFrame)])] =
+      names.map { n =>
+        val rName = rightFor(n)
+        if (!spark.catalog.tableExists(rName))
+          (n, Left(("missing_right", rName)))
+        else (n, Right((spark.table(n), spark.table(rName))))
+      }
+    locally {
+      val orphans = (keysFor.keySet -- names).toSeq.sorted
+      require(orphans.isEmpty,
+        s"catalogDiffTablesCols: keys_for entries ${orphans.mkString(", ")} " +
+          "match no swept table")
+    }
+    val pairs = entries.collect {
+      case (n, Right(lr)) if !keysFor.contains(n) => (n, lr)
+    }
+    val keyFor = electKeys(spark, pairs)
+    def errRow(n: String, item: String, detail: String): DataFrame =
+      spark.range(1).select(lit(n).as("table_name"),
+        lit(null).cast("string").as("column_name"),
+        lit(null).cast("long").as("n_diff"),
+        lit(null).cast("long").as("n_matched"),
+        lit(s"$item: $detail").as("note"))
+    unionAllByName(entries.map {
+      case (n, Left((item, detail))) => errRow(n, item, detail)
+      case (n, Right((l, r))) =>
+        keysFor.get(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
+          case Some(ks) =>
+            scala.util.Try(columnDiffCounts(l, r, ks, opts)) match {
+              case scala.util.Success(df) =>
+                df.select(lit(n).as("table_name"), col("column_name"),
+                  col("n_diff"), col("n_matched"),
+                  lit(null).cast("string").as("note"))
+              case scala.util.Failure(e) => errRow(n, "pair_invalid", {
+                val m = Option(e.getMessage).getOrElse("").trim
+                (if (m.nonEmpty) m else e.toString)
+                  .linesIterator.nextOption()
+                  .getOrElse(e.getClass.getName).take(300)
+              })
+            }
+          case None => errRow(n, "no_unique_key",
+            "no atomic column unique and null-free on both sides")
+        }
+    })
+  }
+
   /** Catalog-SOURCED multi-table diff sweep (r14 — the r13 verdict's #4
     * ask; [[catalogDiff]] takes caller-constructed pairs, this one takes
     * the production question directly: "diff every table in the catalog

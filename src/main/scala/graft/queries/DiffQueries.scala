@@ -143,8 +143,14 @@ object DiffQueries {
     * stats job it would otherwise fail.
     */
   private def gdkoFixture(s: SparkSession, d: String): Unit = {
+    // aggregate to the composite grain first: the synthetic lineitem
+    // carries DUPLICATE (l_orderkey, l_linenumber) pairs (linenumber is
+    // random-per-row here, unlike TPC-H), and the override's premise is a
+    // key the CALLER asserts unique — sum(quantity) per pair makes that
+    // assertion true and keeps the derivation engine-replayable
     val li = Tables.cachedTable(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("l_quantity"))
     li.createOrReplaceTempView("gdko_li_l")
     val sum = col("l_orderkey") + col("l_linenumber")
     li.filter(sum % 41 =!= 0)
@@ -159,7 +165,9 @@ object DiffQueries {
   }
 
   private lazy val GdkoOracle: String =
-    """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+    """WITH li AS (SELECT l_orderkey, l_linenumber,
+      |             sum(l_quantity) AS l_quantity
+      |      FROM lineitem GROUP BY 1, 2),
       |lr AS (
       |  SELECT l_orderkey, l_linenumber,
       |         CASE WHEN (l_orderkey + l_linenumber) % 37 = 0
@@ -2574,10 +2582,10 @@ object DiffQueries {
     // uniqueness test anyway), the override rides diff()'s own contract
     // (uniqueness asserted by the caller — diffDupKeys is the audit
     // tool), and a bad override (absent columns) demotes to that pair's
-    // pair_invalid error row. Fixture: a lineitem slice keyed on
-    // (l_orderkey, l_linenumber) — neither column unique on either side
-    // at any SF, so election CANNOT have produced this census (a sweep
-    // that ignored the override flips the hash to an error row) —
+    // pair_invalid error row. Fixture: lineitem aggregated to the
+    // (l_orderkey, l_linenumber) grain — NEITHER column unique on either
+    // side at any SF, so election CANNOT have produced this census (a
+    // sweep that ignored the override flips the hash to an error row) —
     // swept alongside an un-overridden customer pair whose key still
     // elects (override and election coexist in one report).
     Q("diff_catalog_key_override", GdkoOracle) {
@@ -2585,6 +2593,43 @@ object DiffQueries {
         gdkoFixture(s, d)
         Differ.catalogDiffTables(s, "gdko_.*_l", n => n.stripSuffix("_l") + "_r",
           keysFor = Map("gdko_li_l" -> Seq("l_orderkey", "l_linenumber")))
+    },
+
+    // Catalog-sourced COLUMN drift census from SQL (r15): `SELECT * FROM
+    // graft_diff_catalog_cols('gdko_.*_l', '_l', '_r', keys_for => ...)`
+    // — catalogDiffTables' enumeration + election + overrides, emitting
+    // catalogDiffCols' per-(table, column) grain plus a note column
+    // (healthy rows NULL; un-censusable tables survive as one note row —
+    // spec-pinned on synthetic frames; this fixture's tables are all
+    // healthy so the oracle is pure census). The li pair censuses under
+    // the COMPOSITE override (only l_quantity, drifting on the %37 class
+    // of retained rows, denominated by the %41-retained match count);
+    // the customer pair censuses under its elected c_custkey with four
+    // all-zero columns — a census that keyed wrong, counted inserts as
+    // matches, or leaked key churn into a value column flips the hash.
+    Q("sql_diff_catalog_cols_tvf",
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |             sum(l_quantity) AS l_quantity
+        |      FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT count(*) AS nm,
+        |             sum(CASE WHEN (l_orderkey + l_linenumber) % 37 = 0
+        |                      THEN 1 ELSE 0 END) AS nd
+        |      FROM li WHERE (l_orderkey + l_linenumber) % 41 <> 0)
+        |SELECT 'gdko_li_l' AS table_name, 'l_quantity' AS column_name,
+        |       CAST(nd AS BIGINT) AS n_diff, CAST(nm AS BIGINT) AS n_matched,
+        |       CAST(NULL AS VARCHAR) AS note
+        |FROM m
+        |UNION ALL
+        |SELECT 'gdko_cust_l', v.c, CAST(0 AS BIGINT),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |       CAST(NULL AS VARCHAR)
+        |FROM (VALUES ('c_name'), ('c_nationkey'), ('c_acctbal'),
+        |             ('c_mktsegment')) v(c)""".stripMargin) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        gdkoFixture(s, d)
+        s.sql("SELECT * FROM graft_diff_catalog_cols('gdko_.*_l', '_l', '_r', " +
+          "keys_for => 'gdko_li_l:l_orderkey,l_linenumber')")
     },
 
     // Single-pair key inference from SQL (r15; the r14 verdict's #5 ask):

@@ -612,4 +612,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rowsOf(txnTvf).exists(s => s.contains("C") && s.contains("8")),
       rowsOf(txnTvf).mkString(";"))
   }
+
+  test("graft_diff_catalog_cols == the API; un-censusable tables survive as note rows (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.Differ
+    val l = (1L to 30L).map(k => (k, k % 4, s"s$k")).toDF("k", "v", "s")
+    val r = l.withColumn("v",
+      when(col("k") % 6 === 0, col("v") + 10).otherwise(col("v")))
+    l.createOrReplaceTempView("gcc_a_l"); r.createOrReplaceTempView("gcc_a_r")
+    // a keyless pair (all columns duplicated) and a counterpart-less one
+    val dup = Seq((1L, "x"), (1L, "x")).toDF("d", "s")
+    dup.createOrReplaceTempView("gcc_nokey_l")
+    dup.createOrReplaceTempView("gcc_nokey_r")
+    l.createOrReplaceTempView("gcc_lost_l")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_diff_catalog_cols('gcc_.*_l', '_l', '_r')")
+    val api = Differ.catalogDiffTablesCols(spark, "gcc_.*_l",
+      n => n.stripSuffix("_l") + "_r")
+    assert(rowsOf(tvf) == rowsOf(api))
+    // healthy census rows: v drifts on the %6 class (5 of 30), s never
+    val a = tvf.filter(col("table_name") === "gcc_a_l").collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(a == Set(("v", 5L, 30L), ("s", 0L, 30L)), a.toString)
+    // error classes: one note row each, census columns NULL
+    val notes = tvf.filter(col("note").isNotNull).collect()
+      .map(x => (x.getString(0), x.getString(4).takeWhile(_ != ':'))).toSet
+    assert(notes == Set(("gcc_nokey_l", "no_unique_key"),
+      ("gcc_lost_l", "missing_right")), notes.mkString(";"))
+    assert(tvf.filter(col("note").isNotNull)
+      .filter(col("column_name").isNull && col("n_diff").isNull &&
+        col("n_matched").isNull).count() == 2)
+  }
 }
