@@ -34,7 +34,7 @@ object ScaleProbe {
     // named parts (no args = all); parts 1-5 share fixture state (the
     // /tmp event/doc corpora part 2 writes) so they gate as one block.
     val parts: Set[Int] =
-      if (args.isEmpty) (1 to 7).toSet else args.map(_.toInt).toSet
+      if (args.isEmpty) (1 to 8).toSet else args.map(_.toInt).toSet
     if (parts.exists(_ <= 5)) {
     val l0 = graft.queries.DiffQueries.left(spark, d)
     val r0 = graft.queries.DiffQueries.right(spark, d)
@@ -196,6 +196,31 @@ object ScaleProbe {
         val tAny = timed(noop(SparkEntry.queries("stream_diff_values_any")(spark, dir)))
         println(f"[scale-r15] m=$m ev_rows=${100000L * m} census_single=$tSingle%.2f " +
           f"census_multi=$tMulti%.2f latest_any=$tAny%.2f")
+      }
+    }
+
+    // Part 8 (r15): the COLUMN census family under the key-shifted
+    // snapshot scale-up. Claims: catalogDiffCols is ONE inner-join
+    // exchange + one agg pass per pair — it must track diff_full's slope
+    // with a SMALLER constant (no full-outer null-extension, no wide
+    // row output; the agg collapses each partition map-side), and
+    // widening the census from 1 to 3 pairs in one job must cost ~3×
+    // the single-pair work, not more (balanced-union assembly).
+    if (parts(8)) {
+      val l8 = graft.queries.DiffQueries.left(spark, d)
+      val r8 = graft.queries.DiffQueries.right(spark, d)
+      val k8 = Seq("o_orderkey")
+      for (m <- Seq(1, 4, 8)) {
+        val (l, r) = (scaled(l8, m), scaled(r8, m))
+        val tFull = timed(noop(operators.Differ.diff(l, r, k8)))
+        val tCols = timed(noop(operators.Differ.catalogDiffCols(
+          Seq(("orders", l, r, k8)))))
+        val tCols3 = timed(noop(operators.Differ.catalogDiffCols(Seq(
+          ("orders", l, r, k8),
+          ("orders2", l, r, k8),
+          ("orders3", l, r, k8)))))
+        println(f"[scale-r15] m=$m rows=${150000L * m} diff_full=$tFull%.2f " +
+          f"cols_census=$tCols%.2f cols_census_x3=$tCols3%.2f")
       }
     }
 
