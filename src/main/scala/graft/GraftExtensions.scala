@@ -123,6 +123,14 @@ object GraftExtensions {
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog"),
       catalogTvf(_)),
     (
+      FunctionIdentifier("graft_diff_cols"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_cols"),
+      colsTvf(_)),
+    (
+      FunctionIdentifier("graft_diff_unkeyed"),
+      new ExpressionInfo(Differ.getClass.getName, "graft_diff_unkeyed"),
+      unkeyedTvf(_)),
+    (
       FunctionIdentifier("graft_diff_catalog_cols"),
       new ExpressionInfo(Differ.getClass.getName, "graft_diff_catalog_cols"),
       catalogColsTvf(_)),
@@ -265,29 +273,74 @@ object GraftExtensions {
     val fn = if (summary) "graft_diff_summary" else "graft_diff"
     val l = resolveSide(spark, strLit(positional.head, "left_table"), "left_table", fn)
     val r = resolveSide(spark, strLit(positional(1), "right_table"), "right_table", fn)
-    // keys => 'auto' (r15): the whole argument being the bare word `auto`
-    // is a SENTINEL — infer the key from the data (the sweep's election:
-    // unique + null-free on both sides, ties broken by cross-side value
-    // overlap). The sentinel is deliberate about shadowing: a REAL column
-    // named auto is addressed by SQL-identifier quoting — keys =>
-    // '`auto`' — and every key token strips ONE outer backtick pair, so
-    // quoted names always mean the column and never the sentinel
-    // (ExtensionsSpec pins both paths). Inference failure is loud: a
-    // single-pair call asked for a diff, not a sweep row.
-    val rawKeys = strLit(positional(2), "keys")
-    val keys: Seq[String] =
-      if (rawKeys.trim == "auto")
-        Seq(Differ.inferDiffKey(l, r).getOrElse(throw new IllegalArgumentException(
-          s"$fn: keys => 'auto' found no atomic column unique and " +
-            "null-free on both sides — pass explicit key columns")))
-      else rawKeys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        .map(t => if (t.length > 1 && t.startsWith("`") && t.endsWith("`"))
-          t.substring(1, t.length - 1) else t)
+    val keys = resolveKeys(fn, l, r, strLit(positional(2), "keys"))
     val diffed =
       if (autoMap) Differ.diffAutoMapped(l, r, keys, opts)
       else Differ.diff(l, r, keys, opts)
     val df = if (summary) Differ.summaryOf(diffed, opts) else diffed
     df.queryExecution.analyzed
+  }
+
+  /** Keys-argument resolution shared by every keyed single-pair TVF
+    * (r15): the whole argument being the bare word `auto` is a SENTINEL —
+    * infer the key from the data (the sweep's election: unique +
+    * null-free on both sides, ties broken by cross-side value overlap).
+    * The sentinel is deliberate about shadowing: a REAL column named auto
+    * is addressed by SQL-identifier quoting — keys => '`auto`' — and
+    * every key token strips ONE outer backtick pair, so quoted names
+    * always mean the column and never the sentinel (ExtensionsSpec pins
+    * both paths). Inference failure is loud: a single-pair call asked for
+    * a diff, not a sweep row.
+    */
+  private def resolveKeys(fn: String, l: org.apache.spark.sql.DataFrame,
+                          r: org.apache.spark.sql.DataFrame,
+                          rawKeys: String): Seq[String] =
+    if (rawKeys.trim == "auto")
+      Seq(Differ.inferDiffKey(l, r).getOrElse(throw new IllegalArgumentException(
+        s"$fn: keys => 'auto' found no atomic column unique and " +
+          "null-free on both sides — pass explicit key columns")))
+    else rawKeys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(t => if (t.length > 1 && t.startsWith("`") && t.endsWith("`"))
+        t.substring(1, t.length - 1) else t)
+
+  /** Per-column changed counts from SQL (r15): `SELECT * FROM
+    * graft_diff_cols('l', 'r', 'k1,k2' [, abs_tol => …])` —
+    * [[Differ.columnStats]] spliced at analysis time; keys support the
+    * same 'auto' sentinel / backtick convention as graft_diff.
+    */
+  private def colsTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 3,
+      "usage: graft_diff_cols('left_table', 'right_table', 'key1,key2' " +
+        "[, abs_tol => 0.5, ignore_cols => 'a,b', ...])")
+    val named = named0.map(_.asInstanceOf[NamedArgumentExpression])
+    val opts = foldOptions(named, "graft_diff_cols", Seq.empty)
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(positional.head, "left_table"),
+      "left_table", "graft_diff_cols")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"),
+      "right_table", "graft_diff_cols")
+    val keys = resolveKeys("graft_diff_cols", l, r, strLit(positional(2), "keys"))
+    Differ.columnStats(l, r, keys, opts).queryExecution.analyzed
+  }
+
+  /** UNKEYED (multiset/bag) diff from SQL (r15): `SELECT * FROM
+    * graft_diff_unkeyed('l', 'r')` — [[Differ.diffUnkeyed]] spliced: no
+    * key needed at all (the datacompy no-join-columns mode), each
+    * distinct full row reports n_left/n_right + status. Takes no options
+    * (the bag compare is exact by definition — tolerance would need a
+    * join anchor).
+    */
+  private def unkeyedTvf(args: Seq[Expression]): LogicalPlan = {
+    val (named0, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    require(positional.length == 2 && named0.isEmpty,
+      "usage: graft_diff_unkeyed('left_table', 'right_table') — no options")
+    val spark = SparkSession.active
+    val l = resolveSide(spark, strLit(positional.head, "left_table"),
+      "left_table", "graft_diff_unkeyed")
+    val r = resolveSide(spark, strLit(positional(1), "right_table"),
+      "right_table", "graft_diff_unkeyed")
+    Differ.diffUnkeyed(l, r).queryExecution.analyzed
   }
 
   private def toInt(name: String, v: Any): Int = v match {

@@ -79,6 +79,37 @@ object DiffQueries {
       |  FROM orders WHERE o_orderkey % 89 = 0
       |)""".stripMargin
 
+  private lazy val ColumnStatsOracle: String =
+    s"""$Prelude, j AS (
+       |  SELECT ${valueCols.map(c => s"CASE WHEN l.$c IS DISTINCT FROM r.$c THEN 1 ELSE 0 END AS d_$c").mkString(", ")}
+       |  FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
+       |${valueCols.map(c => s"SELECT '$c' AS column_name, CAST(COALESCE(SUM(d_$c), 0) AS BIGINT) AS n_diff FROM j").mkString("\nUNION ALL\n")}""".stripMargin
+
+  private lazy val UnkeyedOracle: String =
+    s"""$Prelude,
+         |lp AS (SELECT o_orderstatus, o_orderpriority,
+         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
+         |       FROM l),
+         |rp AS (SELECT o_orderstatus, o_orderpriority,
+         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
+         |       FROM r),
+         |lc AS (SELECT o_orderstatus, o_orderpriority, price_band,
+         |              CAST(count(*) AS BIGINT) AS nl FROM lp GROUP BY 1, 2, 3),
+         |rc AS (SELECT o_orderstatus, o_orderpriority, price_band,
+         |              CAST(count(*) AS BIGINT) AS nr FROM rp GROUP BY 1, 2, 3)
+         |SELECT COALESCE(lc.o_orderstatus, rc.o_orderstatus) AS o_orderstatus,
+         |       COALESCE(lc.o_orderpriority, rc.o_orderpriority) AS o_orderpriority,
+         |       COALESCE(lc.price_band, rc.price_band) AS price_band,
+         |       COALESCE(nl, 0) AS n_left, COALESCE(nr, 0) AS n_right,
+         |       CASE WHEN COALESCE(nl, 0) = COALESCE(nr, 0) THEN 'N'
+         |            WHEN COALESCE(nl, 0) = 0 THEN 'I'
+         |            WHEN COALESCE(nr, 0) = 0 THEN 'D'
+         |            ELSE 'C' END AS diff_status
+         |FROM lc FULL OUTER JOIN rc
+         |  ON lc.o_orderstatus IS NOT DISTINCT FROM rc.o_orderstatus
+         | AND lc.o_orderpriority IS NOT DISTINCT FROM rc.o_orderpriority
+         | AND lc.price_band IS NOT DISTINCT FROM rc.price_band""".stripMargin
+
   private val valueCols =
     Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -554,36 +585,28 @@ object DiffQueries {
     // (status, priority, price band) view so multiplicities — the whole
     // point of bag semantics — are actually exercised (counts up to
     // ~hundreds; the fixture's inserts and price bumps perturb them).
-    Q("diff_unkeyed",
-      s"""$Prelude,
-         |lp AS (SELECT o_orderstatus, o_orderpriority,
-         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
-         |       FROM l),
-         |rp AS (SELECT o_orderstatus, o_orderpriority,
-         |              CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_band
-         |       FROM r),
-         |lc AS (SELECT o_orderstatus, o_orderpriority, price_band,
-         |              CAST(count(*) AS BIGINT) AS nl FROM lp GROUP BY 1, 2, 3),
-         |rc AS (SELECT o_orderstatus, o_orderpriority, price_band,
-         |              CAST(count(*) AS BIGINT) AS nr FROM rp GROUP BY 1, 2, 3)
-         |SELECT COALESCE(lc.o_orderstatus, rc.o_orderstatus) AS o_orderstatus,
-         |       COALESCE(lc.o_orderpriority, rc.o_orderpriority) AS o_orderpriority,
-         |       COALESCE(lc.price_band, rc.price_band) AS price_band,
-         |       COALESCE(nl, 0) AS n_left, COALESCE(nr, 0) AS n_right,
-         |       CASE WHEN COALESCE(nl, 0) = COALESCE(nr, 0) THEN 'N'
-         |            WHEN COALESCE(nl, 0) = 0 THEN 'I'
-         |            WHEN COALESCE(nr, 0) = 0 THEN 'D'
-         |            ELSE 'C' END AS diff_status
-         |FROM lc FULL OUTER JOIN rc
-         |  ON lc.o_orderstatus IS NOT DISTINCT FROM rc.o_orderstatus
-         | AND lc.o_orderpriority IS NOT DISTINCT FROM rc.o_orderpriority
-         | AND lc.price_band IS NOT DISTINCT FROM rc.price_band""".stripMargin) {
+    Q("diff_unkeyed", UnkeyedOracle) {
       (s, d) =>
         def proj(df: DataFrame) = df.select(
           col("o_orderstatus"), col("o_orderpriority"),
           floor(col("o_totalprice") / 1000).cast("long").as("price_band"))
         Differ.diffUnkeyed(proj(left(s, d)), proj(right(s, d)))
     },
+
+    // Unkeyed (bag) diff from SQL (r15): graft_diff_unkeyed('l', 'r') —
+    // the datacompy no-join-columns mode with zero Scala; same projected
+    // fixture views and oracle as the API key (TVF ≡ API by construction).
+    Q("sql_diff_unkeyed_tvf", UnkeyedOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        def proj(df: DataFrame) = df.select(
+          col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_band"))
+        proj(left(s, d)).createOrReplaceTempView("graft_unkeyed_l")
+        proj(right(s, d)).createOrReplaceTempView("graft_unkeyed_r")
+        s.sql("SELECT * FROM graft_diff_unkeyed('graft_unkeyed_l', 'graft_unkeyed_r')")
+    },
+
 
     // Schema-drift diff (r8i) — the real-world "yesterday's snapshot has a
     // dropped column and a new one" case: the differ's value set is the
@@ -1289,12 +1312,20 @@ object DiffQueries {
       (s, d) => Differ.unchanged(left(s, d), right(s, d), keys)
     },
 
-    Q("diff_column_stats",
-      s"""$Prelude, j AS (
-         |  SELECT ${valueCols.map(c => s"CASE WHEN l.$c IS DISTINCT FROM r.$c THEN 1 ELSE 0 END AS d_$c").mkString(", ")}
-         |  FROM l JOIN r ON l.o_orderkey = r.o_orderkey)
-         |${valueCols.map(c => s"SELECT '$c' AS column_name, CAST(COALESCE(SUM(d_$c), 0) AS BIGINT) AS n_diff FROM j").mkString("\nUNION ALL\n")}""".stripMargin) {
+    Q("diff_column_stats", ColumnStatsOracle) {
       (s, d) => Differ.columnStats(left(s, d), right(s, d), keys)
+    },
+
+    // Per-column changed counts from SQL (r15): graft_diff_cols('l', 'r',
+    // 'k') splices Differ.columnStats — same fixture views and oracle as
+    // the API key, so the TVF must be plan-equivalent (keys honor the
+    // 'auto' sentinel / backtick convention shared with graft_diff).
+    Q("sql_diff_cols_tvf", ColumnStatsOracle) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        left(s, d).createOrReplaceTempView("graft_cols_l")
+        right(s, d).createOrReplaceTempView("graft_cols_r")
+        s.sql("SELECT * FROM graft_diff_cols('graft_cols_l', 'graft_cols_r', 'o_orderkey')")
     },
 
     Q("diff_row_hash",

@@ -613,6 +613,35 @@ class ExtensionsSpec extends SparkTestBase {
       rowsOf(txnTvf).mkString(";"))
   }
 
+  test("graft_diff_cols honors options + the auto sentinel; graft_diff_unkeyed refuses options (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.operators.{DiffOptions, Differ}
+    val l = (1L to 50L).map(k => (k, k * 1.0, s"s$k")).toDF("k", "v", "s")
+    val r = l.withColumn("v", col("v") + 0.3)
+      .withColumn("s", when(col("k") % 10 === 0, lit("x")).otherwise(col("s")))
+    l.createOrReplaceTempView("gdc_l"); r.createOrReplaceTempView("gdc_r")
+    // options fold onto DiffOptions exactly as in the API
+    val tvf = spark.sql("SELECT * FROM graft_diff_cols('gdc_l', 'gdc_r', " +
+      "'k', abs_tol => 0.5)")
+    assert(rowsOf(tvf) ==
+      rowsOf(Differ.columnStats(l, r, Seq("k"), DiffOptions(absTol = 0.5))))
+    assert(tvf.filter(col("column_name") === "v").collect().head.getLong(1) == 0L)
+    assert(tvf.filter(col("column_name") === "s").collect().head.getLong(1) == 5L)
+    // the auto sentinel elects k (unique + null-free both sides)
+    val auto = spark.sql(
+      "SELECT * FROM graft_diff_cols('gdc_l', 'gdc_r', 'auto')")
+    assert(rowsOf(auto) == rowsOf(Differ.columnStats(l, r, Seq("k"))))
+    // the unkeyed TVF matches the API and takes NO options
+    val unk = spark.sql("SELECT * FROM graft_diff_unkeyed('gdc_l', 'gdc_r')")
+    assert(rowsOf(unk) == rowsOf(Differ.diffUnkeyed(l, r)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_diff_unkeyed('gdc_l', 'gdc_r', " +
+        "abs_tol => 0.5)").collect()
+    }
+    assert(e.getMessage.contains("no options"), e.getMessage.take(300))
+  }
+
   test("graft_diff_catalog_cols == the API; un-censusable tables survive as note rows (r15)") {
     GraftExtensions.register(spark)
     import spark.implicits._
