@@ -296,9 +296,9 @@ object GraftExtensions {
                           r: org.apache.spark.sql.DataFrame,
                           rawKeys: String): Seq[String] =
     if (rawKeys.trim == "auto")
-      Seq(Differ.inferDiffKey(l, r).getOrElse(throw new IllegalArgumentException(
-        s"$fn: keys => 'auto' found no atomic column unique and " +
-          "null-free on both sides — pass explicit key columns")))
+      Differ.inferDiffKey(l, r).getOrElse(throw new IllegalArgumentException(
+        s"$fn: keys => 'auto' found no atomic column or column pair " +
+          "unique and null-free on both sides — pass explicit key columns"))
     else rawKeys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .map(t => if (t.length > 1 && t.startsWith("`") && t.endsWith("`"))
         t.substring(1, t.length - 1) else t)

@@ -716,7 +716,7 @@ object Differ {
     unionAllByName(entries.map {
       case (n, Left((item, detail))) => errRow(n, item, detail)
       case (n, Right((l, r))) =>
-        keysFor.get(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
+        keysFor.get(n).orElse(keyFor.get(n).flatten) match {
           case Some(ks) =>
             scala.util.Try(columnDiffCounts(l, r, ks, opts)) match {
               case scala.util.Success(df) =>
@@ -731,7 +731,7 @@ object Differ {
               })
             }
           case None => errRow(n, "no_unique_key",
-            "no atomic column unique and null-free on both sides")
+            "no atomic column or column pair unique and null-free on both sides")
         }
     })
   }
@@ -751,7 +751,7 @@ object Differ {
     * other N−1):
     *   - right table missing from the catalog →
     *     `(name, 'error', 'missing_right', <right name>, NULL, 'fail')`
-    *   - no atomic column unique + null-free on both sides →
+    *   - no atomic column or pair unique + null-free on both sides →
     *     `(name, 'error', 'no_unique_key', <prose>, NULL, 'fail')`
     *   - a pair the diff plan refuses (non-coercible retype, …) →
     *     `(name, 'error', 'pair_invalid', <refusal message>, NULL, 'fail')`
@@ -931,10 +931,23 @@ object Differ {
     * candidate-column distinct values, the same class as the stats job's
     * own scan, and is skipped entirely when every table has at most one
     * candidate.
+    *
+    * PAIR tier (r15): a table with NO single candidate falls back to
+    * column PAIRS drawn from its shared null-free columns — ranked by
+    * the smaller side's distinct count and capped at 6 columns (≤15
+    * combos) — so composite identities ((order, line), (user, day))
+    * elect instead of dead-ending. One more unioned job over only those
+    * tables: per combo, countDistinct over the pair struct rides a
+    * single aggregate per side; a combo qualifies when pair-distinct
+    * equals the row count on BOTH sides; ties break by schema position
+    * (the churned-surrogate decoy needs TWO churned unique-TOGETHER
+    * columns to fool this tier, so the singles-only overlap tie-break
+    * is deliberately not replicated here). Returns the elected key as a
+    * Seq — one element from the single tier, two from the pair tier.
     */
   private def electKeys(spark: org.apache.spark.sql.SparkSession,
                         pairs: Seq[(String, (DataFrame, DataFrame))])
-      : Map[String, Option[String]] = {
+      : Map[String, Option[Seq[String]]] = {
     def candFrame(name: String, df: DataFrame): DataFrame = {
       val atomic: DataType => Boolean = {
         case _: NumericType | StringType | BooleanType | DateType | BinaryType |
@@ -945,7 +958,8 @@ object Differ {
         .collect { case (f, i) if atomic(f.dataType) => (f.name, i) }
       if (cols.isEmpty)
         return spark.range(0).select(lit(name).as("tbl"),
-          lit("").as("c"), lit(0).as("pos"), lit(false).as("uniq"))
+          lit("").as("c"), lit(0).as("pos"), lit(false).as("uniq"),
+          lit(0L).as("d"))
       df.agg(count(lit(1)).as("n_rows"),
           cols.flatMap { case (c, _) => Seq(
             countDistinct(bq(c)).as(s"__d_$c"), count(bq(c)).as(s"__c_$c")) }: _*)
@@ -953,23 +967,45 @@ object Differ {
           explode(array(cols.map { case (c, i) =>
             struct(lit(c).as("c"), lit(i).as("pos"),
               (bq(s"__d_$c") === col("n_rows") &&
-                bq(s"__c_$c") === col("n_rows")).as("uniq"))
+                bq(s"__c_$c") === col("n_rows")).as("uniq"),
+              bq(s"__d_$c").as("d"),
+              (bq(s"__c_$c") === col("n_rows")).as("nn"))
           }: _*)).as("e"))
-        .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"))
+        .filter(col("e.nn")) // null-free columns only: singles pool + pair-tier pool
+        .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"), col("e.d"))
     }
+    // (tbl-side) -> (column, pos, uniq, distinctCount); every collected
+    // column is null-free on its side. (tables × columns × 2)-bounded —
+    // schema-width metadata, never row-scale.
     val stats =
-      if (pairs.isEmpty) Map.empty[String, Array[(String, String, Int)]]
+      if (pairs.isEmpty) Map.empty[String, Array[(String, Int, Boolean, Long)]]
       else unionAllByName(pairs.flatMap { case (n, (l, r)) =>
           Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) })
-        .filter(col("uniq"))
-        .collect() // (tables × columns × 2)-bounded — schema-width metadata
-        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
-        .groupBy(_._1)
+        .collect()
+        .map(r => (r.getString(0),
+          (r.getString(1), r.getInt(2), r.getBoolean(3), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def sharedCands(name: String): Seq[(String, Int)] = {
       val rUniq = stats.getOrElse(s"$nameR",
-        Array.empty[(String, String, Int)]).map(_._2).toSet
-      stats.getOrElse(s"$nameL", Array.empty[(String, String, Int)])
-        .sortBy(_._3).collect { case (_, c, pos) if rUniq(c) => (c, pos) }.toSeq
+        Array.empty[(String, Int, Boolean, Long)])
+        .collect { case (c, _, true, _) => c }.toSet
+      stats.getOrElse(s"$nameL", Array.empty[(String, Int, Boolean, Long)])
+        .sortBy(_._2).collect { case (c, pos, true, _) if rUniq(c) => (c, pos) }
+        .toSeq
+    }
+    // PAIR-election pool for a table with NO single candidate (r15): the
+    // shared null-free columns ranked by the smaller side's distinct
+    // count (a pair is only unique if its columns' cardinality product
+    // reaches n, so high-cardinality columns first), capped at 6 (≤15
+    // combos) — the pair job stays schema-width-bounded.
+    def pairPool(name: String): Seq[(String, Int)] = {
+      val rSide = stats.getOrElse(s"$nameR",
+        Array.empty[(String, Int, Boolean, Long)])
+        .map { case (c, _, _, d) => c -> d }.toMap
+      stats.getOrElse(s"$nameL", Array.empty[(String, Int, Boolean, Long)])
+        .collect { case (c, pos, _, dl) if rSide.contains(c) =>
+          (c, pos, math.min(dl, rSide(c))) }
+        .sortBy(t => (-t._3, t._2)).take(6).map(t => (t._1, t._2)).toSeq
     }
     val multi = pairs.filter { case (n, (l, r)) =>
       sharedCands(n).size > 1 &&
@@ -1005,20 +1041,67 @@ object Differ {
           .collect() // (tables × candidate columns)-bounded
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       }
+    // PAIR tier (r15): tables with NO single candidate try column PAIRS
+    // from their pairPool — the composite-identity case ((order, line),
+    // (user, day)) that previously dead-ended as no_unique_key. ONE more
+    // unioned job over only those tables: per combo, countDistinct over
+    // the column-pair struct rides a single aggregate per side; a combo
+    // qualifies when pair-distinct == row count on BOTH sides. Ties break
+    // by schema position (the combos of a composite key rarely admit a
+    // churned-surrogate decoy — that failure mode needs TWO churned
+    // unique-together columns — so the singles-only overlap tie-break is
+    // not replicated here; documented, not hidden).
+    val needPair = pairs.filter { case (n, _) => sharedCands(n).isEmpty }
+      .map { case (n, lr) =>
+        val pool = pairPool(n)
+        (n, lr, for { i <- pool.indices; j <- (i + 1) until pool.size }
+          yield (pool(i), pool(j)))
+      }.filter(_._3.nonEmpty)
+    val pairElect: Map[String, Option[Seq[String]]] =
+      if (needPair.isEmpty) Map.empty
+      else {
+        def comboFrame(name: String, df: DataFrame,
+                       combos: Seq[((String, Int), (String, Int))]): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              combos.zipWithIndex.map { case (((a, _), (b, _)), i) =>
+                countDistinct(struct(bq(a), bq(b))).as(s"__p_$i") }: _*)
+            .select(lit(name).as("tbl"),
+              explode(array(combos.zipWithIndex.map { case (((a, _), (b, _)), i) =>
+                struct(lit(a).as("c1"), lit(b).as("c2"),
+                  (bq(s"__p_$i") === col("n_rows")).as("uniq"))
+              }: _*)).as("e"))
+            .filter(col("e.uniq"))
+            .select(col("tbl"), col("e.c1"), col("e.c2"))
+        val ok = unionAllByName(needPair.flatMap { case (n, (l, r), combos) =>
+            Seq(comboFrame(s"$nL", l, combos),
+              comboFrame(s"$nR", r, combos)) })
+          .collect() // (tables × combos × 2)-bounded
+          .map(r => (r.getString(0), (r.getString(1), r.getString(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        needPair.map { case (n, _, combos) =>
+          val both = combos.filter { case ((a, _), (b, _)) =>
+            ok.getOrElse(s"$nL", Set.empty).contains((a, b)) &&
+              ok.getOrElse(s"$nR", Set.empty).contains((a, b)) }
+          n -> both.sortBy { case ((_, pa), (_, pb)) => (pa + pb, pa) }
+            .headOption.map { case ((a, _), (b, _)) => Seq(a, b) }
+        }.toMap
+      }
     pairs.map { case (n, _) =>
       val cands = sharedCands(n)
-      n -> (if (cands.size <= 1) cands.headOption.map(_._1)
-            else Some(cands.minBy { case (c, pos) =>
+      n -> (if (cands.size == 1) Some(Seq(cands.head._1))
+            else if (cands.size > 1) Some(Seq(cands.minBy { case (c, pos) =>
               (-overlapPpm.getOrElse((n, c), 0L), pos) }._1))
+            else pairElect.getOrElse(n, None))
     }.toMap
   }
 
   /** Single-pair diff-key inference — the election [[electKeys]] runs per
     * sweep pair, surfaced for the `graft_diff(..., 'auto')` TVF and direct
-    * API use. None when no atomic column is unique + null-free on both
-    * sides.
+    * API use. Returns ONE column when a single column is unique +
+    * null-free on both sides, a column PAIR when only a composite
+    * qualifies (the r15 pair tier), None when neither exists.
     */
-  def inferDiffKey(left: DataFrame, right: DataFrame): Option[String] =
+  def inferDiffKey(left: DataFrame, right: DataFrame): Option[Seq[String]] =
     electKeys(left.sparkSession, Seq(("pair", (left, right))))("pair")
 
   /** Shared sweep core of [[catalogDiffTables]] / [[catalogDiffTxnLog]]:
@@ -1064,7 +1147,7 @@ object Differ {
       DataFrame]] = entries.map {
       case (n, Left((item, detail))) => Left((n, item, detail))
       case (n, Right((l, r))) =>
-        keysFor.get(n).orElse(keyFor.get(n).flatten.map(Seq(_))) match {
+        keysFor.get(n).orElse(keyFor.get(n).flatten) match {
         case Some(ks) =>
           // A pair diff() refuses at plan time (non-coercible retype, an
           // override naming absent columns, …) must not kill the sweep —
@@ -1082,7 +1165,7 @@ object Differ {
             }))
           }
         case None => Left((n, "no_unique_key",
-          "no atomic column unique and null-free on both sides"))
+          "no atomic column or column pair unique and null-free on both sides"))
       }
     }
     val errRows = resolved.collect { case Left((n, item, detail)) =>

@@ -193,7 +193,65 @@ object DiffQueries {
     val cust = Tables.cachedTable(s, d, "customer")
     cust.createOrReplaceTempView("gdko_cust_l")
     cust.createOrReplaceTempView("gdko_cust_r")
+    // The override key's STRONG fixture (r15): the same composite-grain
+    // slice PLUS a churned unique load_ts surrogate placed FIRST in
+    // schema order (odd on the left, even/negative on the right — unique
+    // and null-free on BOTH sides, zero cross-side overlap; okey*100+line
+    // is injective because every linenumber — 1..7 retained, 11..17
+    // inserts — stays below 100). A sweep that DROPPED
+    // the override would elect load_ts (the only single candidate) and
+    // report every row as D+I with zero C; the override pins (okey, line)
+    // and load_ts becomes a VALUE column that churns on every matched row
+    // — all-C census. The two outcomes share NO census row, so the oracle
+    // is hash-sensitive to the override actually being applied.
+    val uid = col("l_orderkey") * 100 + col("l_linenumber")
+    li.select((uid * 2 + 1).as("load_ts"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .createOrReplaceTempView("gdko_lt_l")
+    sq(s, "gdko_li_r").select((uid * 2).as("load_ts"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .createOrReplaceTempView("gdko_lt_r")
   }
+
+  private def sq(s: SparkSession, view: String): DataFrame = s.table(view)
+
+  /** Oracle for the override key (r15 strong form): the lt pair keyed on
+    * the OVERRIDDEN (l_orderkey, l_linenumber) — the churned load_ts
+    * surrogate is then a value column differing on EVERY matched row, so
+    * C = the whole matched class and N = 0; a sweep that dropped the
+    * override would elect load_ts and report everything as D+I with zero
+    * C — not one census row shared between the two outcomes.
+    */
+  private lazy val GdkoOverrideOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber,
+      |             sum(l_quantity) AS l_quantity
+      |      FROM lineitem GROUP BY 1, 2),
+      |cnt AS (SELECT
+      |  (SELECT count(*) FROM li WHERE (l_orderkey + l_linenumber) % 41 <> 0) AS n_c,
+      |  (SELECT count(*) FROM li WHERE (l_orderkey + l_linenumber) % 41 = 0) AS n_d,
+      |  (SELECT count(*) FROM li WHERE (l_orderkey + l_linenumber) % 43 = 0) AS n_i),
+      |spine AS (SELECT unnest(['N','C','I','D']) AS item),
+      |rows0 AS (
+      |  SELECT 'gdko_lt_l' AS table_name, 'census' AS kind, s.item,
+      |         CAST(NULL AS VARCHAR) AS detail,
+      |         CAST(CASE s.item WHEN 'C' THEN (SELECT n_c FROM cnt)
+      |                          WHEN 'D' THEN (SELECT n_d FROM cnt)
+      |                          WHEN 'I' THEN (SELECT n_i FROM cnt)
+      |                          ELSE 0 END AS BIGINT) AS n
+      |  FROM spine s
+      |  UNION ALL
+      |  SELECT 'gdko_cust_l', 'census', s.item, NULL,
+      |         CASE WHEN s.item = 'N' THEN (SELECT count(*) FROM customer)
+      |              ELSE 0 END
+      |  FROM spine s),
+      |flag AS (SELECT table_name,
+      |                max(CASE WHEN kind = 'schema'
+      |                          OR (kind = 'census' AND item <> 'N' AND n > 0)
+      |                         THEN 1 ELSE 0 END) AS bad
+      |         FROM rows0 GROUP BY 1)
+      |SELECT r0.table_name, r0.kind, r0.item, r0.detail, r0.n,
+      |       CASE WHEN flag.bad > 0 THEN 'fail' ELSE 'pass' END AS verdict
+      |FROM rows0 r0 JOIN flag USING (table_name)""".stripMargin
 
   private lazy val GdkoOracle: String =
     """WITH li AS (SELECT l_orderkey, l_linenumber,
@@ -275,7 +333,7 @@ object DiffQueries {
        |  ('gdcat_lost_l', 'error', 'missing_right', 'gdcat_lost_r',
        |   CAST(NULL AS BIGINT), 'fail'),
        |  ('gdcat_nokey_l', 'error', 'no_unique_key',
-       |   'no atomic column unique and null-free on both sides',
+       |   'no atomic column or column pair unique and null-free on both sides',
        |   CAST(NULL AS BIGINT), 'fail')
        |) AS e(table_name, kind, item, detail, n, verdict)""".stripMargin
 
@@ -2604,26 +2662,46 @@ object DiffQueries {
         s.sql("SELECT * FROM graft_diff_catalog('gdcat_.*_l', '_l', '_r')")
     },
 
-    // Sweep KEY OVERRIDES (r15): the election elects SINGLE columns only,
-    // so a table whose identity is composite — (order, line), (user, day)
-    // — would dead-end as a no_unique_key error row with no recourse.
-    // `keysFor(name) = Some(keys)` pins the key explicitly per table
-    // (`keys_for => 'tbl:k1,k2;...'` from SQL): the overridden pair skips
-    // the inference stats scan entirely (its columns would fail the
-    // uniqueness test anyway), the override rides diff()'s own contract
-    // (uniqueness asserted by the caller — diffDupKeys is the audit
-    // tool), and a bad override (absent columns) demotes to that pair's
-    // pair_invalid error row. Fixture: lineitem aggregated to the
-    // (l_orderkey, l_linenumber) grain — NEITHER column unique on either
-    // side at any SF, so election CANNOT have produced this census (a
-    // sweep that ignored the override flips the hash to an error row) —
-    // swept alongside an un-overridden customer pair whose key still
-    // elects (override and election coexist in one report).
-    Q("diff_catalog_key_override", GdkoOracle) {
+    // Sweep KEY OVERRIDES (r15): `keysFor(name) = keys` pins a pair's
+    // diff key explicitly (`keys_for => 'tbl:k1,k2;...'` from SQL) — the
+    // caller's schema knowledge beating inference. The overridden pair
+    // skips the inference stats scan entirely, the override rides
+    // diff()'s own contract (uniqueness asserted by the caller —
+    // diffDupKeys is the audit tool), a bad override (absent columns)
+    // demotes to that pair's pair_invalid error row, and an override
+    // naming an un-swept table refuses loudly. Fixture (the STRONG form —
+    // election must not be able to reproduce this census): the composite-
+    // grain lineitem slice with a CHURNED unique load_ts surrogate placed
+    // FIRST in schema order. Election would pick load_ts (the only single
+    // candidate) and report everything D+I with zero C; the override pins
+    // (l_orderkey, l_linenumber), making load_ts a value column that
+    // churns on EVERY matched row — all-C census. The two outcomes share
+    // no census row, so a sweep that dropped the override flips the hash.
+    // The un-overridden customer pair rides along on its elected key.
+    Q("diff_catalog_key_override", GdkoOverrideOracle) {
       (s, d) =>
         gdkoFixture(s, d)
-        Differ.catalogDiffTables(s, "gdko_.*_l", n => n.stripSuffix("_l") + "_r",
-          keysFor = Map("gdko_li_l" -> Seq("l_orderkey", "l_linenumber")))
+        Differ.catalogDiffTables(s, "gdko_(lt|cust)_l",
+          n => n.stripSuffix("_l") + "_r",
+          keysFor = Map("gdko_lt_l" -> Seq("l_orderkey", "l_linenumber")))
+    },
+
+    // COMPOSITE-key ELECTION (r15; the pair tier): a table with NO single
+    // unique column no longer dead-ends — the election falls back to
+    // column PAIRS drawn from the shared null-free columns (ranked by the
+    // smaller side's distinct count, capped at 6 -> at most 15 combos;
+    // ONE more unioned job over only the zero-single-candidate tables,
+    // per combo a countDistinct over the pair struct on each side). The
+    // li slice has NO unique single column on either side at any SF, so
+    // this census exists ONLY because the pair tier elected (l_orderkey,
+    // l_linenumber) — a sweep without the tier emits a no_unique_key
+    // error row and flips the hash; the un-overridden customer pair
+    // rides along on its single-column election.
+    Q("diff_catalog_composite_elect", GdkoOracle) {
+      (s, d) =>
+        gdkoFixture(s, d)
+        Differ.catalogDiffTables(s, "gdko_(li|cust)_l",
+          n => n.stripSuffix("_l") + "_r")
     },
 
     // Catalog-sourced COLUMN drift census from SQL (r15): `SELECT * FROM
@@ -2659,7 +2737,7 @@ object DiffQueries {
       (s, d) =>
         graft.GraftExtensions.register(s)
         gdkoFixture(s, d)
-        s.sql("SELECT * FROM graft_diff_catalog_cols('gdko_.*_l', '_l', '_r', " +
+        s.sql("SELECT * FROM graft_diff_catalog_cols('gdko_(li|cust)_l', '_l', '_r', " +
           "keys_for => 'gdko_li_l:l_orderkey,l_linenumber')")
     },
 

@@ -1121,20 +1121,25 @@ class DifferSpec extends SparkTestBase {
     val r = (1L to 200L).filter(_ % 23 != 0)
       .map(k => (2 * k, k, if (k % 5 == 0) k % 7 + 1 else k % 7))
       .toDF("load_ts", "k", "v")
-    assert(Differ.inferDiffKey(l, r).contains("k"))
+    assert(Differ.inferDiffKey(l, r).contains(Seq("k")))
     // single candidate: no overlap job needed, schema order still decides
     val l1 = (1L to 50L).map(k => (k, k % 3)).toDF("k", "v")
-    assert(Differ.inferDiffKey(l1, l1).contains("k"))
+    assert(Differ.inferDiffKey(l1, l1).contains(Seq("k")))
     // ALL-candidates-churned: the election still returns the best-overlap
     // (here zero-overlap) column deterministically by schema position —
     // the sweep's census then reports the drift loudly rather than
     // guessing silently
     val l2 = (1L to 50L).map(k => (2 * k + 1, k % 3)).toDF("load_ts", "v")
     val r2 = (1L to 50L).map(k => (2 * k, k % 3)).toDF("load_ts", "v")
-    assert(Differ.inferDiffKey(l2, r2).contains("load_ts"))
-    // no unique column anywhere -> None
+    assert(Differ.inferDiffKey(l2, r2).contains(Seq("load_ts")))
+    // no unique column AND no unique pair anywhere -> None
     val dup = Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("k", "s")
     assert(Differ.inferDiffKey(dup, dup).isEmpty)
+    // PAIR tier (r15): no single column unique, but the (k, part) pair is
+    // -> the election returns the composite instead of dead-ending
+    val cl = (1L to 40L).flatMap(k => Seq(1L, 2L).map(p => (k, p, k + p)))
+      .toDF("k", "part", "v")
+    assert(Differ.inferDiffKey(cl, cl).contains(Seq("k", "part")))
   }
 
   test("sweep keysFor: composite override unlocks a no-unique-key table; bad override survives as pair_invalid (r15)") {
@@ -1146,9 +1151,10 @@ class DifferSpec extends SparkTestBase {
       when(col("k") % 7 === 0 && col("part") === 1L, col("v") + 1)
         .otherwise(col("v")))
     l.createOrReplaceTempView("gko_t_l"); r.createOrReplaceTempView("gko_t_r")
-    // without the override: dead end
+    // without the override the pair TIER (r15) elects (k, part) itself
+    // -- same census as the explicit override below
     val bare = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r")
-    assert(bare.filter(col("item") === "no_unique_key").count() == 1)
+    assert(bare.filter(col("item") === "no_unique_key").count() == 0)
     // with it: the real census (8 C rows = the %7 k values, part=1)
     val swept = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
       keysFor = Map("gko_t_l" -> Seq("k", "part")))
@@ -1156,6 +1162,7 @@ class DifferSpec extends SparkTestBase {
       df.filter(col("item") === item).select("n").collect().head.getLong(0)
     assert(n(swept, "C") == 8L && n(swept, "N") == 112L &&
       n(swept, "I") == 0L && n(swept, "D") == 0L, rowsOf(swept).mkString(";"))
+    assert(rowsOf(bare) == rowsOf(swept)) // pair election == explicit override
     // an override naming an absent column: that pair's error row, not an
     // exception (the sweep survival contract covers caller mistakes too)
     val bad = Differ.catalogDiffTables(spark, "gko_t_l", _ => "gko_t_r",
