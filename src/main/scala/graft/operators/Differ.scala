@@ -959,11 +959,11 @@ object Differ {
       if (cols.isEmpty)
         return spark.range(0).select(lit(name).as("tbl"),
           lit("").as("c"), lit(0).as("pos"), lit(false).as("uniq"),
-          lit(0L).as("d"))
+          lit(0L).as("d"), lit(0L).as("n_rows"))
       df.agg(count(lit(1)).as("n_rows"),
           cols.flatMap { case (c, _) => Seq(
             countDistinct(bq(c)).as(s"__d_$c"), count(bq(c)).as(s"__c_$c")) }: _*)
-        .select(lit(name).as("tbl"),
+        .select(lit(name).as("tbl"), col("n_rows"),
           explode(array(cols.map { case (c, i) =>
             struct(lit(c).as("c"), lit(i).as("pos"),
               (bq(s"__d_$c") === col("n_rows") &&
@@ -972,25 +972,28 @@ object Differ {
               (bq(s"__c_$c") === col("n_rows")).as("nn"))
           }: _*)).as("e"))
         .filter(col("e.nn")) // null-free columns only: singles pool + pair-tier pool
-        .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"), col("e.d"))
+        .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"), col("e.d"),
+          col("n_rows"))
     }
     // (tbl-side) -> (column, pos, uniq, distinctCount); every collected
     // column is null-free on its side. (tables × columns × 2)-bounded —
     // schema-width metadata, never row-scale.
     val stats =
-      if (pairs.isEmpty) Map.empty[String, Array[(String, Int, Boolean, Long)]]
+      if (pairs.isEmpty)
+        Map.empty[String, Array[(String, Int, Boolean, Long, Long)]]
       else unionAllByName(pairs.flatMap { case (n, (l, r)) =>
           Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) })
         .collect()
-        .map(r => (r.getString(0),
-          (r.getString(1), r.getInt(2), r.getBoolean(3), r.getLong(4))))
+        .map(r => (r.getString(0), (r.getString(1), r.getInt(2),
+          r.getBoolean(3), r.getLong(4), r.getLong(5))))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def sharedCands(name: String): Seq[(String, Int)] = {
       val rUniq = stats.getOrElse(s"$nameR",
-        Array.empty[(String, Int, Boolean, Long)])
-        .collect { case (c, _, true, _) => c }.toSet
-      stats.getOrElse(s"$nameL", Array.empty[(String, Int, Boolean, Long)])
-        .sortBy(_._2).collect { case (c, pos, true, _) if rUniq(c) => (c, pos) }
+        Array.empty[(String, Int, Boolean, Long, Long)])
+        .collect { case (c, _, true, _, _) => c }.toSet
+      stats.getOrElse(s"$nameL",
+          Array.empty[(String, Int, Boolean, Long, Long)])
+        .sortBy(_._2).collect { case (c, pos, true, _, _) if rUniq(c) => (c, pos) }
         .toSeq
     }
     // PAIR-election pool for a table with NO single candidate (r15): the
@@ -998,15 +1001,25 @@ object Differ {
     // count (a pair is only unique if its columns' cardinality product
     // reaches n, so high-cardinality columns first), capped at 6 (≤15
     // combos) — the pair job stays schema-width-bounded.
-    def pairPool(name: String): Seq[(String, Int)] = {
+    // per-column distinct counts on both sides + each side's row count —
+    // the pruning inputs: a combo whose distinct-count PRODUCT falls
+    // short of a side's row count cannot be unique there, so it skips
+    // the pair job without a scan (closes the common low-cardinality
+    // dead end — e.g. a (custkey, status) slice — at zero cost)
+    def pairPool(name: String): Seq[(String, Int, Long, Long)] = {
       val rSide = stats.getOrElse(s"$nameR",
-        Array.empty[(String, Int, Boolean, Long)])
-        .map { case (c, _, _, d) => c -> d }.toMap
-      stats.getOrElse(s"$nameL", Array.empty[(String, Int, Boolean, Long)])
-        .collect { case (c, pos, _, dl) if rSide.contains(c) =>
-          (c, pos, math.min(dl, rSide(c))) }
-        .sortBy(t => (-t._3, t._2)).take(6).map(t => (t._1, t._2)).toSeq
+        Array.empty[(String, Int, Boolean, Long, Long)])
+        .map { case (c, _, _, d, _) => c -> d }.toMap
+      stats.getOrElse(s"$nameL",
+          Array.empty[(String, Int, Boolean, Long, Long)])
+        .collect { case (c, pos, _, dl, _) if rSide.contains(c) =>
+          (c, pos, dl, rSide(c)) }
+        .sortBy(t => (-math.min(t._3, t._4), t._2)).take(6).toSeq
     }
+    def nRows(name: String, side: String): Long =
+      stats.getOrElse(s"$name$side",
+        Array.empty[(String, Int, Boolean, Long, Long)])
+        .headOption.map(_._5).getOrElse(0L)
     val multi = pairs.filter { case (n, (l, r)) =>
       sharedCands(n).size > 1 &&
         // provably-identical relations (a table swept against itself —
@@ -1054,8 +1067,14 @@ object Differ {
     val needPair = pairs.filter { case (n, _) => sharedCands(n).isEmpty }
       .map { case (n, lr) =>
         val pool = pairPool(n)
-        (n, lr, for { i <- pool.indices; j <- (i + 1) until pool.size }
-          yield (pool(i), pool(j)))
+        val (nL, nR) = (nRows(n, "L"), nRows(n, "R"))
+        (n, lr, for {
+          i <- pool.indices; j <- (i + 1) until pool.size
+          (a, b) = (pool(i), pool(j))
+          // cardinality pruning: distinct-product must reach the row
+          // count on BOTH sides or the pair cannot be unique
+          if a._3 * b._3 >= nL && a._4 * b._4 >= nR
+        } yield ((a._1, a._2), (b._1, b._2)))
       }.filter(_._3.nonEmpty)
     val pairElect: Map[String, Option[Seq[String]]] =
       if (needPair.isEmpty) Map.empty

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Q, Tables}
@@ -162,58 +162,57 @@ object DiffQueries {
       .createOrReplaceTempView("gdcat_decoy_r")
   }
 
-  /** Fixture for the sweep KEY-OVERRIDE key (r15): a lineitem slice whose
-    * identity is COMPOSITE — (l_orderkey, l_linenumber), no single column
-    * unique on either side at any SF — so the election alone would
-    * dead-end it as a no_unique_key error row; the `keysFor` override is
-    * what unlocks the diff. The churn reuses diff_composite_key's
-    * derivation so the census classes are structural (C on %37 of the
-    * retained pairs, D on %41, I on the +10-linenumber %43 inserts).
-    * gdko_cust rides along UN-overridden: election and override coexist
-    * in one sweep, and the overridden pair is excluded from the inference
-    * stats job it would otherwise fail.
+  /** Fixture for the sweep composite-key family (r15): a lineitem slice
+    * aggregated to the COMPOSITE (l_orderkey, l_linenumber) grain — the
+    * synthetic lineitem carries duplicate pairs (linenumber is random per
+    * row, unlike TPC-H), and both the override's premise and the pair
+    * tier's election need a key that IS unique, so sum(quantity) per pair
+    * makes it true and keeps the derivation engine-replayable. The churn
+    * reuses diff_composite_key's derivation (C on %37 of retained pairs,
+    * D on %41, I on the +10-linenumber %43 inserts). The `lt` variant
+    * adds a CHURNED unique load_ts surrogate FIRST in schema order (odd
+    * left, even right; okey*100+line injective since every linenumber
+    * stays below 100) — the override key's strong form: election would
+    * pick load_ts and report all-D+I; the override's census is all-C.
+    * gdko_cust rides along un-overridden.
+    *
+    * MATERIALIZED once per process per dataset (parquet under /tmp, the
+    * txnSweepFixture discipline): the slices are aggregates/derivations
+    * over 600k lineitem rows at sf0.1, and a sweep scans each side
+    * several times (stats job, pair job, the diff itself) — temp views
+    * over the raw plans would re-run the aggregation per scan.
     */
+  private val gdkoRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def gdkoFixture(s: SparkSession, d: String): Unit = {
-    // aggregate to the composite grain first: the synthetic lineitem
-    // carries DUPLICATE (l_orderkey, l_linenumber) pairs (linenumber is
-    // random-per-row here, unlike TPC-H), and the override's premise is a
-    // key the CALLER asserts unique — sum(quantity) per pair makes that
-    // assertion true and keeps the derivation engine-replayable
-    val li = Tables.cachedTable(s, d, "lineitem")
-      .groupBy("l_orderkey", "l_linenumber")
-      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("l_quantity"))
-    li.createOrReplaceTempView("gdko_li_l")
-    val sum = col("l_orderkey") + col("l_linenumber")
-    li.filter(sum % 41 =!= 0)
-      .withColumn("l_quantity",
-        when(sum % 37 === 0, col("l_quantity") + 5).otherwise(col("l_quantity")))
-      .unionByName(li.filter(sum % 43 === 0)
-        .withColumn("l_linenumber", col("l_linenumber") + 10))
-      .createOrReplaceTempView("gdko_li_r")
+    val root = gdkoRoots.computeIfAbsent(d, _ => {
+      val dir = s"$txnSweepRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/gdko${txnSweepSeq.incrementAndGet()}"
+      val li = Tables.cachedTable(s, d, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("l_quantity"))
+      val sum = col("l_orderkey") + col("l_linenumber")
+      val liR = li.filter(sum % 41 =!= 0)
+        .withColumn("l_quantity",
+          when(sum % 37 === 0, col("l_quantity") + 5).otherwise(col("l_quantity")))
+        .unionByName(li.filter(sum % 43 === 0)
+          .withColumn("l_linenumber", col("l_linenumber") + 10))
+      val uid = col("l_orderkey") * 100 + col("l_linenumber")
+      def lt(df: DataFrame, mk: Column => Column) =
+        df.select(mk(uid).as("load_ts"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      li.write.mode("overwrite").parquet(s"$dir/li_l")
+      liR.write.mode("overwrite").parquet(s"$dir/li_r")
+      lt(li, u => u * 2 + 1).write.mode("overwrite").parquet(s"$dir/lt_l")
+      lt(liR, u => u * 2).write.mode("overwrite").parquet(s"$dir/lt_r")
+      dir
+    })
+    for (v <- Seq("li_l", "li_r", "lt_l", "lt_r"))
+      s.read.parquet(s"$root/$v").createOrReplaceTempView(s"gdko_$v")
     val cust = Tables.cachedTable(s, d, "customer")
     cust.createOrReplaceTempView("gdko_cust_l")
     cust.createOrReplaceTempView("gdko_cust_r")
-    // The override key's STRONG fixture (r15): the same composite-grain
-    // slice PLUS a churned unique load_ts surrogate placed FIRST in
-    // schema order (odd on the left, even/negative on the right — unique
-    // and null-free on BOTH sides, zero cross-side overlap; okey*100+line
-    // is injective because every linenumber — 1..7 retained, 11..17
-    // inserts — stays below 100). A sweep that DROPPED
-    // the override would elect load_ts (the only single candidate) and
-    // report every row as D+I with zero C; the override pins (okey, line)
-    // and load_ts becomes a VALUE column that churns on every matched row
-    // — all-C census. The two outcomes share NO census row, so the oracle
-    // is hash-sensitive to the override actually being applied.
-    val uid = col("l_orderkey") * 100 + col("l_linenumber")
-    li.select((uid * 2 + 1).as("load_ts"), col("l_orderkey"),
-        col("l_linenumber"), col("l_quantity"))
-      .createOrReplaceTempView("gdko_lt_l")
-    sq(s, "gdko_li_r").select((uid * 2).as("load_ts"), col("l_orderkey"),
-        col("l_linenumber"), col("l_quantity"))
-      .createOrReplaceTempView("gdko_lt_r")
   }
-
-  private def sq(s: SparkSession, view: String): DataFrame = s.table(view)
 
   /** Oracle for the override key (r15 strong form): the lt pair keyed on
     * the OVERRIDDEN (l_orderkey, l_linenumber) — the churned load_ts
