@@ -382,7 +382,9 @@ object GraftExtensions {
       "left_table", "graft_diff_report")
     val r = resolveSide(spark, strLit(positional(1), "right_table"),
       "right_table", "graft_diff_report")
-    val keys = strLit(positional(2), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // the shared keys convention (r15 review: reportTvf was the one keyed
+    // TVF still parsing inline — no auto sentinel, no backtick stripping)
+    val keys = resolveKeys("graft_diff_report", l, r, strLit(positional(2), "keys"))
     val ex = exampleOn.getOrElse(
       l.columns.find(c => !keys.contains(c) && r.columns.contains(c)).getOrElse(""))
     Differ.report(l, r, keys, exampleOn = ex, opts, k = k).queryExecution.analyzed
@@ -447,10 +449,11 @@ object GraftExtensions {
     val keysFor = parseKeysFor(named, "graft_diff_catalog_cols")
     val opts = foldOptions(named.filterNot(_.key == "keys_for"),
       "graft_diff_catalog_cols", Seq("keys_for"))
+    val strip = strLit(positional(1), "strip_suffix")
+    val app = strLit(positional(2), "append_suffix")
     Differ.catalogDiffTablesCols(SparkSession.active,
       strLit(positional.head, "name_regex"),
-      n => n.stripSuffix(strLit(positional(1), "strip_suffix")) +
-        strLit(positional(2), "append_suffix"),
+      n => n.stripSuffix(strip) + app,
       opts, keysFor).queryExecution.analyzed
   }
 

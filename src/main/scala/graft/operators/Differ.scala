@@ -686,54 +686,27 @@ object Differ {
                             opts: DiffOptions = DiffOptions(),
                             keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
-    val names = spark.catalog.listTables().collect() // metadata-scale
-      .map(_.name).filter(_.matches(pattern)).sorted.toSeq
-    require(names.nonEmpty,
-      s"catalogDiffTablesCols: no catalog table matches pattern '$pattern'")
-    val entries: Seq[(String, Either[(String, String), (DataFrame, DataFrame)])] =
-      names.map { n =>
-        val rName = rightFor(n)
-        if (!spark.catalog.tableExists(rName))
-          (n, Left(("missing_right", rName)))
-        else (n, Right((spark.table(n), spark.table(rName))))
-      }
-    locally {
-      val orphans = (keysFor.keySet -- names).toSeq.sorted
-      require(orphans.isEmpty,
-        s"catalogDiffTablesCols: keys_for entries ${orphans.mkString(", ")} " +
-          "match no swept table")
-    }
-    val pairs = entries.collect {
-      case (n, Right(lr)) if !keysFor.contains(n) => (n, lr)
-    }
-    val keyFor = electKeys(spark, pairs)
-    def errRow(n: String, item: String, detail: String): DataFrame =
+    def noteRow(n: String, item: String, detail: String): DataFrame =
       spark.range(1).select(lit(n).as("table_name"),
         lit(null).cast("string").as("column_name"),
         lit(null).cast("long").as("n_diff"),
         lit(null).cast("long").as("n_matched"),
         lit(s"$item: $detail").as("note"))
-    unionAllByName(entries.map {
-      case (n, Left((item, detail))) => errRow(n, item, detail)
-      case (n, Right((l, r))) =>
-        keysFor.get(n).orElse(keyFor.get(n).flatten) match {
-          case Some(ks) =>
-            scala.util.Try(columnDiffCounts(l, r, ks, opts)) match {
-              case scala.util.Success(df) =>
-                df.select(lit(n).as("table_name"), col("column_name"),
-                  col("n_diff"), col("n_matched"),
-                  lit(null).cast("string").as("note"))
-              case scala.util.Failure(e) => errRow(n, "pair_invalid", {
-                val m = Option(e.getMessage).getOrElse("").trim
-                (if (m.nonEmpty) m else e.toString)
-                  .linesIterator.nextOption()
-                  .getOrElse(e.getClass.getName).take(300)
-              })
-            }
-          case None => errRow(n, "no_unique_key",
-            "no atomic column or column pair unique and null-free on both sides")
-        }
-    })
+    sweepCore(spark, catalogEntries(spark, pattern, rightFor,
+        "catalogDiffTablesCols"), keysFor,
+      renderPair = (n, l, r, ks) =>
+        // a table whose key covers EVERY shared column has nothing to
+        // census — still a row, not silence (r15 review: a dropped table
+        // reads as "never swept")
+        if (valueCols(l, r, ks, opts).isEmpty)
+          noteRow(n, "no_value_columns",
+            s"every shared column is part of the key (${ks.mkString(", ")}) " +
+              "— nothing to census")
+        else columnDiffCounts(l, r, ks, opts)
+          .select(lit(n).as("table_name"), col("column_name"),
+            col("n_diff"), col("n_matched"),
+            lit(null).cast("string").as("note")),
+      renderErr = noteRow)
   }
 
   /** Catalog-SOURCED multi-table diff sweep (r14 — the r13 verdict's #4
@@ -796,16 +769,9 @@ object Differ {
                         opts: DiffOptions = DiffOptions(),
                         keysFor: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
-    val names = spark.catalog.listTables().collect() // metadata-scale
-      .map(_.name).filter(_.matches(pattern)).sorted.toSeq
-    require(names.nonEmpty,
-      s"catalogDiffTables: no catalog table matches pattern '$pattern'")
-    sweepReport(spark, names.map { n =>
-      val rName = rightFor(n)
-      if (!spark.catalog.tableExists(rName))
-        (n, Left(("missing_right", rName)))
-      else (n, Right((spark.table(n), spark.table(rName))))
-    }, opts, keysFor)
+    sweepReport(spark,
+      catalogEntries(spark, pattern, rightFor, "catalogDiffTables"),
+      opts, keysFor)
   }
 
   /** [[catalogDiffTables]]' lakehouse sibling (r14 — the "and/or a TxnLog
@@ -1072,8 +1038,9 @@ object Differ {
           i <- pool.indices; j <- (i + 1) until pool.size
           (a, b) = (pool(i), pool(j))
           // cardinality pruning: distinct-product must reach the row
-          // count on BOTH sides or the pair cannot be unique
-          if a._3 * b._3 >= nL && a._4 * b._4 >= nR
+          // count on BOTH sides or the pair cannot be unique (BigInt:
+          // two ~1e10 distinct counts would overflow a Long product)
+          if BigInt(a._3) * b._3 >= nL && BigInt(a._4) * b._4 >= nR
         } yield ((a._1, a._2), (b._1, b._2)))
       }.filter(_._3.nonEmpty)
     val pairElect: Map[String, Option[Seq[String]]] =
@@ -1140,6 +1107,65 @@ object Differ {
                             (DataFrame, DataFrame)])],
                           opts: DiffOptions,
                           keysFor: Map[String, Seq[String]] = Map.empty)
+      : DataFrame =
+    sweepCore(spark, entries, keysFor,
+      renderPair = (n, l, r, ks) => catalogDiff(Seq((n, l, r, ks)), opts),
+      renderErr = (n, item, detail) =>
+        spark.range(1).select(lit(n).as("table_name"), lit("error").as("kind"),
+          lit(item).as("item"), lit(detail).as("detail"),
+          lit(null).cast("long").as("n"), lit("fail").as("verdict")))
+
+  /** One-line refusal message from a demoted exception — total: a
+    * null/empty/whitespace message must still yield text, never a
+    * NoSuchElementException out of linesIterator on "" (r14 review #2).
+    */
+  private def refusalMsg(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("").trim
+    (if (m.nonEmpty) m else e.toString)
+      .linesIterator.nextOption().getOrElse(e.getClass.getName).take(300)
+  }
+
+  /** Catalog enumeration shared by [[catalogDiffTables]] /
+    * [[catalogDiffTablesCols]]: regex over the session catalog, pair via
+    * the name mapping, missing counterparts become `missing_right`
+    * entries. Duplicate names (a temp view shadowing a permanent table)
+    * are NOT filtered here — [[sweepCore]]'s guard refuses them loudly
+    * for every sweep grain (r15 review: the column census was missing
+    * the row census's guard).
+    */
+  private def catalogEntries(spark: org.apache.spark.sql.SparkSession,
+                             pattern: String, rightFor: String => String,
+                             what: String)
+      : Seq[(String, Either[(String, String), (DataFrame, DataFrame)])] = {
+    val names = spark.catalog.listTables().collect() // metadata-scale
+      .map(_.name).filter(_.matches(pattern)).sorted.toSeq
+    require(names.nonEmpty,
+      s"$what: no catalog table matches pattern '$pattern'")
+    names.map { n =>
+      val rName = rightFor(n)
+      if (!spark.catalog.tableExists(rName))
+        (n, Left(("missing_right", rName)))
+      else (n, Right((spark.table(n), spark.table(rName))))
+    }
+  }
+
+  /** Shared sweep RESOLUTION core (r15 review — the row-census and
+    * column-census sweeps were drifting copies): duplicate-name and
+    * orphan-override guards, election over the non-overridden pairs
+    * ([[electKeys]] — overridden pairs skip the stats scan entirely),
+    * per-entry key resolution, and the survive-one-bad-table demotion of
+    * plan-time refusals. The renderers supply the report grain:
+    * `renderPair` builds a healthy pair's rows (a plan-time throw inside
+    * it demotes to that pair's `pair_invalid` row), `renderErr` one
+    * error/note row.
+    */
+  private def sweepCore(spark: org.apache.spark.sql.SparkSession,
+                        entries: Seq[(String, Either[(String, String),
+                          (DataFrame, DataFrame)])],
+                        keysFor: Map[String, Seq[String]],
+                        renderPair: (String, DataFrame, DataFrame,
+                          Seq[String]) => DataFrame,
+                        renderErr: (String, String, String) => DataFrame)
       : DataFrame = {
     locally {
       val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
@@ -1161,38 +1187,20 @@ object Differ {
       case (n, Right(lr)) if !keysFor.contains(n) => (n, lr)
     }
     val keyFor = electKeys(spark, pairs)
-
-    val resolved: Seq[Either[(String, String, String), // name, item, detail
-      DataFrame]] = entries.map {
-      case (n, Left((item, detail))) => Left((n, item, detail))
+    unionAllByName(entries.map {
+      case (n, Left((item, detail))) => renderErr(n, item, detail)
       case (n, Right((l, r))) =>
         keysFor.get(n).orElse(keyFor.get(n).flatten) match {
-        case Some(ks) =>
-          // A pair diff() refuses at plan time (non-coercible retype, an
-          // override naming absent columns, …) must not kill the sweep —
-          // demote the refusal to its row.
-          scala.util.Try(catalogDiff(Seq((n, l, r, ks)), opts)) match {
-            case scala.util.Success(df) => Right(df)
-            case scala.util.Failure(e) => Left((n, "pair_invalid", {
-              // total: an exception with a null/empty/whitespace message
-              // must still yield a row, never a NoSuchElementException
-              // out of linesIterator on "" (r14 review #2)
-              val m = Option(e.getMessage).getOrElse("").trim
-              (if (m.nonEmpty) m else e.toString)
-                .linesIterator.nextOption()
-                .getOrElse(e.getClass.getName).take(300)
-            }))
-          }
-        case None => Left((n, "no_unique_key",
-          "no atomic column or column pair unique and null-free on both sides"))
-      }
-    }
-    val errRows = resolved.collect { case Left((n, item, detail)) =>
-      spark.range(1).select(lit(n).as("table_name"), lit("error").as("kind"),
-        lit(item).as("item"), lit(detail).as("detail"),
-        lit(null).cast("long").as("n"), lit("fail").as("verdict"))
-    }
-    unionAllByName(resolved.collect { case Right(df) => df } ++ errRows)
+          case Some(ks) =>
+            scala.util.Try(renderPair(n, l, r, ks)) match {
+              case scala.util.Success(df) => df
+              case scala.util.Failure(e) =>
+                renderErr(n, "pair_invalid", refusalMsg(e))
+            }
+          case None => renderErr(n, "no_unique_key",
+            "no atomic column or column pair unique and null-free on both sides")
+        }
+    })
   }
 
   /** UNKEYED diff — multiset (bag) semantics for tables with no reliable

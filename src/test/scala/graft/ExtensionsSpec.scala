@@ -672,5 +672,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(tvf.filter(col("note").isNotNull)
       .filter(col("column_name").isNull && col("n_diff").isNull &&
         col("n_matched").isNull).count() == 2)
+    // a table whose key covers EVERY shared column: a no_value_columns
+    // note row, never silence (r15 review — a dropped table would read
+    // as "never swept")
+    val ko = (1L to 20L).flatMap(k => Seq(1L, 2L).map(p => (k, p)))
+      .toDF("k", "part")
+    ko.createOrReplaceTempView("gcc_ko_l"); ko.createOrReplaceTempView("gcc_ko_r")
+    val withKo = Differ.catalogDiffTablesCols(spark, "gcc_(a|ko)_l",
+      n => n.stripSuffix("_l") + "_r")
+    val koRows = withKo.filter(col("table_name") === "gcc_ko_l").collect()
+    assert(koRows.length == 1 &&
+      koRows.head.getString(4).startsWith("no_value_columns"),
+      koRows.mkString(";"))
+    // the row-grain sweep still censuses the same table (all-N pass)
+    val rowGrain = Differ.catalogDiffTables(spark, "gcc_ko_l", _ => "gcc_ko_r")
+    assert(rowGrain.filter(col("kind") === "census").count() == 4)
+  }
+
+  test("graft_diff_report honors the shared keys convention: 'auto' infers, backticks address (r15)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = (1L to 30L).map(k => (k, k % 5)).toDF("k", "v")
+    val r = l.withColumn("v", when(col("k") % 6 === 0, col("v") + 1)
+      .otherwise(col("v")))
+    l.createOrReplaceTempView("grk_l"); r.createOrReplaceTempView("grk_r")
+    val auto = spark.sql(
+      "SELECT * FROM graft_diff_report('grk_l', 'grk_r', 'auto')")
+    val explicit = spark.sql(
+      "SELECT * FROM graft_diff_report('grk_l', 'grk_r', 'k')")
+    assert(rowsOf(auto) == rowsOf(explicit))
   }
 }
