@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev-only plan snapshotter for the optimization rounds (not part of the
+  * declared surface; run via `sbt "runMain graft.PlanDump <tag> <k1,k2,...>"`).
+  *
+  * Writes `plans/r15/<key>_<tag>.txt` with the `.explain("formatted")`
+  * output of each named declared query — the judge-checkable evidence for
+  * plan-shape claims (Exchange count, join strategy, PushedFilters /
+  * ReadSchema). Session config mirrors Bench exactly so the captured plan
+  * is the one the bench times.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDump <tag> <key1,key2,...> [outDir]")
+    val tag = args(0)
+    val keys = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val outDir = if (args.length > 2) args(2) else "plans/r15"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    for (key <- keys) {
+      val fn = SparkEntry.queries.getOrElse(key,
+        sys.error(s"PlanDump: unknown query '$key'"))
+      spark.sparkContext.setJobDescription(s"plandump: $key")
+      val df = fn(spark, sfDir)
+      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      Files.write(Paths.get(outDir, s"${key}_$tag.txt"),
+        txt.getBytes(StandardCharsets.UTF_8))
+      println(s"[plandump] wrote $outDir/${key}_$tag.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

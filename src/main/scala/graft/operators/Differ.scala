@@ -568,9 +568,16 @@ object Differ {
     val spine = spark.range(1).select(
       explode(array(lit("N"), lit("C"), lit("I"), lit("D"))).as("item"))
     val perTable = pairs.map { case (name, l, r, keys) =>
-      val census = broadcast(spine)
-        .join(summary(l, r, keys, opts)
-            .withColumnRenamed(opts.statusCol, "item"),
+      // broadcast the SUMMARY side, not the spine: a broadcast hint on the
+      // LEFT side of a left-outer join is unusable (the build side of a
+      // LeftOuter BHJ must be the right side), so the old broadcast(spine)
+      // silently compiled to a SortMergeJoin — two extra sorts + an
+      // exchange of the 4-row summary per pair (r15 optimization round;
+      // guide §3.1 "check which join you got"). The summary aggregate is
+      // ≤4 rows at any data scale, the always-safe broadcast side.
+      val census = spine
+        .join(broadcast(summary(l, r, keys, opts)
+            .withColumnRenamed(opts.statusCol, "item")),
           Seq("item"), "left_outer")
         .select(lit(name).as("table_name"), lit("census").as("kind"),
           col("item"), lit(null).cast("string").as("detail"),
@@ -706,7 +713,28 @@ object Differ {
           .select(lit(n).as("table_name"), col("column_name"),
             col("n_diff"), col("n_matched"),
             lit(null).cast("string").as("note")),
-      renderErr = noteRow)
+      renderErr = noteRow,
+      // Elected-key self-pair short-circuit, column grain (see
+      // sweepReport): n_diff = 0 for every shared value column, n_matched
+      // = the election's row count; the generic plan is still constructed
+      // so plan-time refusals demote identically. digested/coerce
+      // preserve column names and order, so the raw-frame valueCols list
+      // is exactly the set the executed census would emit.
+      renderSelf = Some { (n, l, r, ks, nRows) =>
+        val vcols = valueCols(l, r, ks, opts)
+        if (vcols.isEmpty)
+          noteRow(n, "no_value_columns",
+            s"every shared column is part of the key (${ks.mkString(", ")}) " +
+              "— nothing to census")
+        else {
+          columnDiffCounts(l, r, ks, opts) // plan-time validations only
+          spark.range(1)
+            .select(explode(array(vcols.map(lit): _*)).as("column_name"))
+            .select(lit(n).as("table_name"), col("column_name"),
+              lit(0L).as("n_diff"), lit(nRows).as("n_matched"),
+              lit(null).cast("string").as("note"))
+        }
+      })
   }
 
   /** Catalog-SOURCED multi-table diff sweep (r14 — the r13 verdict's #4
@@ -911,9 +939,19 @@ object Differ {
     * is deliberately not replicated here). Returns the elected key as a
     * Seq — one element from the single tier, two from the pair tier.
     */
+  /** Election result per sweep pair: the elected key (None = no unique
+    * single column or pair), whether the two relations are PROVABLY the
+    * same plan (`sameResult` — the re-publish-check case), and the left
+    * side's row count (already paid for by the stats job; the self-pair
+    * census short-circuit reads it instead of running a redundant
+    * full-outer self-join — r15 optimization round).
+    */
+  private[operators] final case class Elected(
+      keys: Option[Seq[String]], selfPair: Boolean, nRowsLeft: Long)
+
   private def electKeys(spark: org.apache.spark.sql.SparkSession,
                         pairs: Seq[(String, (DataFrame, DataFrame))])
-      : Map[String, Option[Seq[String]]] = {
+      : Map[String, Elected] = {
     def candFrame(name: String, df: DataFrame): DataFrame = {
       val atomic: DataType => Boolean = {
         case _: NumericType | StringType | BooleanType | DateType | BinaryType |
@@ -941,18 +979,34 @@ object Differ {
         .select(col("tbl"), col("e.c"), col("e.pos"), col("e.uniq"), col("e.d"),
           col("n_rows"))
     }
+    // Provably-identical relations (a table swept against itself — the
+    // re-publish-check case): computed ONCE here and reused by the stats
+    // job (the R side's aggregate would recompute the L side's numbers
+    // verbatim), the overlap filter below, and the sweep's census
+    // short-circuit. sameResult is conservative: a false negative just
+    // pays the job, never changes the election.
+    val self: Map[String, Boolean] = pairs.map { case (n, (l, r)) =>
+      n -> l.queryExecution.analyzed.sameResult(r.queryExecution.analyzed)
+    }.toMap
     // (tbl-side) -> (column, pos, uniq, distinctCount); every collected
     // column is null-free on its side. (tables × columns × 2)-bounded —
-    // schema-width metadata, never row-scale.
-    val stats =
+    // schema-width metadata, never row-scale. Self-pairs contribute ONE
+    // aggregate; their R stats are the L rows verbatim (r15 optimization
+    // round — half the stats scan for the self-pair class).
+    val statsL =
       if (pairs.isEmpty)
         Map.empty[String, Array[(String, Int, Boolean, Long, Long)]]
       else unionAllByName(pairs.flatMap { case (n, (l, r)) =>
-          Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) })
+          if (self(n)) Seq(candFrame(s"$nL", l))
+          else Seq(candFrame(s"$nL", l), candFrame(s"$nR", r)) })
         .collect()
         .map(r => (r.getString(0), (r.getString(1), r.getInt(2),
           r.getBoolean(3), r.getLong(4), r.getLong(5))))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stats = statsL ++ pairs.collect {
+      case (n, _) if self(n) && statsL.contains(s"$nL") =>
+        s"$nR" -> statsL(s"$nL")
+    }
     def sharedCands(name: String): Seq[(String, Int)] = {
       val rUniq = stats.getOrElse(s"$nameR",
         Array.empty[(String, Int, Boolean, Long, Long)])
@@ -986,14 +1040,11 @@ object Differ {
       stats.getOrElse(s"$name$side",
         Array.empty[(String, Int, Boolean, Long, Long)])
         .headOption.map(_._5).getOrElse(0L)
-    val multi = pairs.filter { case (n, (l, r)) =>
-      sharedCands(n).size > 1 &&
-        // provably-identical relations (a table swept against itself —
-        // the re-publish-check case) tie every candidate at full overlap,
-        // so the election falls to schema position either way; skip their
-        // overlap scan (sameResult is conservative: false negatives just
-        // pay the job, never change the election)
-        !l.queryExecution.analyzed.sameResult(r.queryExecution.analyzed)
+    val multi = pairs.filter { case (n, _) =>
+      // provably-identical relations tie every candidate at full overlap,
+      // so the election falls to schema position either way; skip their
+      // overlap scan (the shared `self` map above)
+      sharedCands(n).size > 1 && !self(n)
     }
     val overlapPpm: Map[(String, String), Long] =
       if (multi.isEmpty) Map.empty
@@ -1074,10 +1125,12 @@ object Differ {
       }
     pairs.map { case (n, _) =>
       val cands = sharedCands(n)
-      n -> (if (cands.size == 1) Some(Seq(cands.head._1))
-            else if (cands.size > 1) Some(Seq(cands.minBy { case (c, pos) =>
-              (-overlapPpm.getOrElse((n, c), 0L), pos) }._1))
-            else pairElect.getOrElse(n, None))
+      val keys =
+        if (cands.size == 1) Some(Seq(cands.head._1))
+        else if (cands.size > 1) Some(Seq(cands.minBy { case (c, pos) =>
+          (-overlapPpm.getOrElse((n, c), 0L), pos) }._1))
+        else pairElect.getOrElse(n, None)
+      n -> Elected(keys, self(n), nRows(n, "L"))
     }.toMap
   }
 
@@ -1088,7 +1141,7 @@ object Differ {
     * qualifies (the r15 pair tier), None when neither exists.
     */
   def inferDiffKey(left: DataFrame, right: DataFrame): Option[Seq[String]] =
-    electKeys(left.sparkSession, Seq(("pair", (left, right))))("pair")
+    electKeys(left.sparkSession, Seq(("pair", (left, right))))("pair").keys
 
   /** Shared sweep core of [[catalogDiffTables]] / [[catalogDiffTxnLog]]:
     * [[electKeys]] infers the diff key per healthy pair (unique +
@@ -1113,7 +1166,24 @@ object Differ {
       renderErr = (n, item, detail) =>
         spark.range(1).select(lit(n).as("table_name"), lit("error").as("kind"),
           lit(item).as("item"), lit(detail).as("detail"),
-          lit(null).cast("long").as("n"), lit("fail").as("verdict")))
+          lit(null).cast("long").as("n"), lit("fail").as("verdict")),
+      // Elected-key self-pair (sameResult) census: every row matches
+      // itself, so the 4-row census is fully determined by the row count
+      // the election stats already paid for — N = n, C/I/D = 0, no drift,
+      // verdict pass. The generic pair plan is still CONSTRUCTED (first
+      // statement) so every plan-time refusal demotes to pair_invalid
+      // exactly like the executed path; only the redundant full-outer
+      // self-join is skipped (guide §2.4 — remove shuffles outright when
+      // the result is provable without them).
+      renderSelf = Some { (n, l, r, ks, nRows) =>
+        catalogDiff(Seq((n, l, r, ks)), opts) // plan-time validations only
+        spark.range(1).select(
+            explode(array(lit("N"), lit("C"), lit("I"), lit("D"))).as("item"))
+          .select(lit(n).as("table_name"), lit("census").as("kind"),
+            col("item"), lit(null).cast("string").as("detail"),
+            when(col("item") === "N", lit(nRows)).otherwise(lit(0L)).as("n"),
+            lit("pass").as("verdict"))
+      })
 
   /** One-line refusal message from a demoted exception — total: a
     * null/empty/whitespace message must still yield text, never a
@@ -1165,7 +1235,9 @@ object Differ {
                         keysFor: Map[String, Seq[String]],
                         renderPair: (String, DataFrame, DataFrame,
                           Seq[String]) => DataFrame,
-                        renderErr: (String, String, String) => DataFrame)
+                        renderErr: (String, String, String) => DataFrame,
+                        renderSelf: Option[(String, DataFrame, DataFrame,
+                          Seq[String], Long) => DataFrame] = None)
       : DataFrame = {
     locally {
       val dups = entries.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
@@ -1190,9 +1262,28 @@ object Differ {
     unionAllByName(entries.map {
       case (n, Left((item, detail))) => renderErr(n, item, detail)
       case (n, Right((l, r))) =>
-        keysFor.get(n).orElse(keyFor.get(n).flatten) match {
+        keysFor.get(n).orElse(keyFor.get(n).flatMap(_.keys)) match {
           case Some(ks) =>
-            scala.util.Try(renderPair(n, l, r, ks)) match {
+            // Self-pair short-circuit (r15 optimization round): when the
+            // two relations are PROVABLY the same plan (sameResult) and
+            // the key was ELECTED (election certified it unique +
+            // null-free, so the pair join cannot fan out), the pair's
+            // report rows are fully determined — every row matches itself
+            // — and the election already paid for the row count. The
+            // renderer still constructs the generic pair plan first, so
+            // every plan-time refusal class (digest/tolerance clashes,
+            // non-coercible retypes) demotes to the SAME pair_invalid row
+            // as the generic path; only the execution is skipped.
+            // Overridden pairs never short-circuit: their uniqueness is
+            // the caller's unverified assertion (a duplicated key would
+            // legitimately fan out the join and the census must show it).
+            val render: () => DataFrame = renderSelf match {
+              case Some(rs) if !keysFor.contains(n) &&
+                  keyFor.get(n).exists(_.selfPair) =>
+                () => rs(n, l, r, ks, keyFor(n).nRowsLeft)
+              case _ => () => renderPair(n, l, r, ks)
+            }
+            scala.util.Try(render()) match {
               case scala.util.Success(df) => df
               case scala.util.Failure(e) =>
                 renderErr(n, "pair_invalid", refusalMsg(e))

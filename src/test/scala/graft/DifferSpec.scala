@@ -1283,4 +1283,40 @@ class DifferSpec extends SparkTestBase {
     assert(unionArity(balOpt) == Seq(33), s"balanced: ${unionArity(balOpt)}")
     assert(unionArity(foldOpt) == Seq(33), s"fold: ${unionArity(foldOpt)}")
   }
+
+  test("sweep self-pair short-circuit == the executed full-outer path, both grains; refusals still demote (r15 opt)") {
+    import spark.implicits._
+    val t = (1L to 50L).map(k => (k, s"s$k", k * 1.5)).toDF("k", "s", "v")
+    // both views resolve to the SAME analyzed plan -> sameResult -> the
+    // sweep's self-pair short-circuit fires (no full-outer self-join)
+    t.createOrReplaceTempView("gsp_t_l"); t.createOrReplaceTempView("gsp_t_r")
+    val out = Differ.catalogDiffTables(spark, "gsp_t_l", _ => "gsp_t_r")
+    // the reference is catalogDiff on caller pairs (always executed): the
+    // short-circuit must be row-for-row invisible in the report
+    val ref = Differ.catalogDiff(Seq(("gsp_t_l",
+      spark.table("gsp_t_l"), spark.table("gsp_t_r"), Seq("k"))))
+    assert(rowsOf(out) == rowsOf(ref), s"out=${rowsOf(out)} ref=${rowsOf(ref)}")
+    // column grain: n_diff 0 on every shared value column, n_matched = n
+    val outC = Differ.catalogDiffTablesCols(spark, "gsp_t_l", _ => "gsp_t_r")
+      .select("table_name", "column_name", "n_diff", "n_matched")
+    val refC = Differ.catalogDiffCols(Seq(("gsp_t_l",
+      spark.table("gsp_t_l"), spark.table("gsp_t_r"), Seq("k"))))
+    assert(rowsOf(outC) == rowsOf(refC),
+      s"cols out=${rowsOf(outC)} ref=${rowsOf(refC)}")
+    // plan-time refusals must demote to pair_invalid EXACTLY like the
+    // executed path (the short-circuit still constructs the generic plan)
+    val bad = Differ.catalogDiffTables(spark, "gsp_t_l", _ => "gsp_t_r",
+      opts = DiffOptions(digestCols = Set("nope")))
+    val err = bad.filter(col("kind") === "error").collect()
+    assert(err.length == 1 && err.head.getString(2) == "pair_invalid",
+      err.mkString(";"))
+    // distinct-but-equal plans (sameResult false) still execute: a planted
+    // change must surface as C, never be short-circuited away
+    t.withColumn("v", col("v") * 1.0).createOrReplaceTempView("gsp_u_r")
+    t.createOrReplaceTempView("gsp_u_l")
+    val ex = Differ.catalogDiffTables(spark, "gsp_u_l", _ => "gsp_u_r")
+    def n(df: org.apache.spark.sql.DataFrame, item: String) =
+      df.filter(col("item") === item).select("n").collect().head.getLong(0)
+    assert(n(ex, "N") == 50L && n(ex, "C") == 0L)
+  }
 }
