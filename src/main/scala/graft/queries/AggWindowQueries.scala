@@ -2057,10 +2057,25 @@ object AggWindowQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(v) AS DOUBLE) / count(*) AS winsorized_mean
         |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      // Winsorizing bounds WITHOUT per-group value buffers (r15
+      // optimization round, the agg_percentile discipline): the
+      // `percentile` builtin is a TypedImperativeAggregate that collects
+      // every value of a group into ONE executor buffer and sorts it
+      // single-threaded — OOM-class at a 100 TB group, and even at sf0.1
+      // the 3 single-task sorts were the key's dominant cost (measured
+      // 2.1–2.7 s; banded two-phase rank 1.0–1.2 s same session).
+      // CurateOps.exactQuantilesByGroup fetches only the two
+      // order-statistic rows per quantile and interpolates with EXACTLY
+      // the builtin's IEEE tree (bit-equal, CuratePropSpec pin), so the
+      // oracle hash is unchanged.
       val li = Tables.cachedTable(s, d, "lineitem")
-      val bounds = li.groupBy("l_returnflag").agg(
-        percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      val bounds = graft.operators.CurateOps.exactQuantilesByGroup(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        groupCols = Seq("l_returnflag"),
+        valueCol = "l_extendedprice",
+        tieCol = "l_orderkey",
+        band = floor(col("l_extendedprice") / 5000).cast("long"),
+        qs = Seq("p05" -> 0.05, "p95" -> 0.95))
       li.join(broadcast(bounds), "l_returnflag")
         .select(col("l_returnflag"),
           least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
