@@ -1663,9 +1663,18 @@ object AggWindowQueries {
       // distinct's shuffle re-runs once per consumer. At cluster scale
       // this is the classic "materialize the deduped edge list once"
       // shape (persist or a pre-bucketed table); here Tables.cached.
+      // The materialized frame is CLUSTERED BY THE JOIN KEY (r15
+      // optimization round): distinct() leaves it hash-partitioned on
+      // (orderkey, partkey) — a superset of the self-join key, which does
+      // NOT co-locate equal orderkeys — so both self-join sides paid a
+      // fresh exchange per run. Repartitioning by l_orderkey inside the
+      // once-per-corpus build makes the pair join exchange-free on both
+      // sides (InMemoryRelation preserves outputPartitioning; at cluster
+      // scale: a table bucketed by the join key, guide §2.4).
       val li = Tables.cached(s, s"$d/lineitem+order_part_distinct") {
         Tables.table(s, d, "lineitem")
           .select("l_orderkey", "l_partkey").distinct()
+          .repartition(col("l_orderkey"))
       }
       val tot = li.agg(countDistinct("l_orderkey").as("n_total"))
       val pf = li.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))

@@ -3151,7 +3151,13 @@ object PipelineQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
+      // lazily checkpointed (r15 optimization round): the two broadcast
+      // degree subqueries and the final moment aggregate each execute
+      // their OWN subtree — without the checkpoint the union+distinct
+      // (and the kNN read under it) ran three times per query; with it,
+      // once (the GraphOps discipline; edge set is V·k-bounded).
       val bi = ud.unionByName(ud.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(false)
       val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       val pairs = bi
         .join(broadcast(deg.select(col("node").as("u"), col("deg").as("x"))), "u")
