@@ -17,9 +17,11 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PlanDump <tag> <key1,key2,...> [outDir]")
+    require(args.length >= 2, "usage: PlanDump <tag> <key1,key2,...|--all> [outDir]")
     val tag = args(0)
-    val keys = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val keys =
+      if (args(1) == "--all") SparkEntry.queries.keys.toArray.sorted
+      else args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val outDir = if (args.length > 2) args(2) else "plans/r15"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

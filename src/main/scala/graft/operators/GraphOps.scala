@@ -199,12 +199,18 @@ object GraphOps {
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        iters: Int = 3): DataFrame = {
     // Symmetrized edge list is re-read every round; cache it so its
-    // union+distinct shuffle runs once, not `iters` times. (At cluster
-    // scale: persist to a bucketed-by-src table instead, so the per-round
-    // join is exchange-free on the edge side.)
+    // union+distinct shuffle runs once, not `iters` times — and CLUSTERED
+    // BY THE PER-ROUND JOIN KEY (r15 optimization round): distinct()
+    // leaves it hash-partitioned on the (src, dst) pair, which does not
+    // co-locate equal src values, so every round's propagation join
+    // re-shuffled the edge side. One repartition inside the cached build
+    // makes all `iters` joins exchange-free on the edge side
+    // (InMemoryRelation preserves outputPartitioning) — the
+    // connectedComponents `sym` discipline. At cluster scale: persist to
+    // a bucketed-by-src table, same effect across jobs.
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     var lbl = vertices.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
       // Majority label with (count DESC, label ASC) tie-break, as a pure

@@ -668,8 +668,12 @@ object PipelineQueries {
       // narrow audit pass over it.
       val comm = lpComm(s, d)
       val e = knn3(s, d).select("src", "dst")
+      // lazily checkpointed (r15 optimization round): deg, the m2 scalar
+      // and the intra-community count each execute their own subtree —
+      // without it the union+distinct ran three times per query (the
+      // graph_assortativity fix, same shape; edge set is V·k-bounded).
       val ue = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
       val ds = comm.join(deg, comm("id") === deg("src"), "left")
         .select(col("community"), coalesce(col("deg"), lit(0L)).as("deg"))
